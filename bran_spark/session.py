@@ -1,0 +1,59 @@
+"""SparkSession factory.
+
+One place that sets every config the pipeline relies on, so tests, jobs,
+bench and the driver contract all execute with identical semantics.
+
+Scale notes (100 TB / 1000-executor design intent):
+- AQE on: runtime shuffle-partition coalescing + skew-join splitting is the
+  backstop behind our explicit salting (operators.pairs.salted_repartition).
+- Nested schema pruning on: text-only stages must not deserialize the
+  ``media_ref`` payload of ``spans`` elements (BASELINE.json input_hint).
+- Arrow on + bounded batch size: the encoder/scorer pandas UDFs are the only
+  JVM<->Python boundaries; 128 docs/batch keeps NumPy matmuls amortized while
+  bounding python-worker memory at 32 concurrent workers.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = "32"
+
+
+def get_spark(
+    app_name: str = "bran_spark",
+    master: str | None = None,
+    shuffle_partitions: str | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession with the pipeline's canonical config.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (env, fallback ``*``)
+    so the same code path serves pytest, bench.py and spark-submit.
+    """
+    master = master or f"local[{os.environ.get('SPARK_GRAFT_CPUS', '*')}]"
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config(
+            "spark.sql.shuffle.partitions",
+            shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS,
+        )
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.optimizer.nestedSchemaPruning.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "128")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("BRAN_SPARK_DRIVER_MEM", "8g"))
+    )
+    if extra_conf:
+        for k, v in extra_conf.items():
+            builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
