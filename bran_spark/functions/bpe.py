@@ -1,0 +1,152 @@
+"""Tokenization + byte-pair encoding (SURVEY.md §2 X1; paper §3.1).
+
+Reference parity: bran's processing scripts tokenize PubTator abstracts and
+apply a byte-pair-encoded subword vocabulary before the transformer
+(reference: src/processing/ — reconstructed, SURVEY.md §0). Here the encoder
+is a **scalar Arrow-batched pandas UDF** (no per-row Python — mandated by
+BASELINE.json input_hint); the merge list and vocab are tiny dimension tables
+broadcast to every executor once per worker process.
+
+Offsets: word tokens carry exact [start, end) char offsets into the
+document's ``full_text``; BPE sub-tokens carry their word's offsets plus a
+``word_idx`` back-reference, which is what makes the span-alignment interval
+join (J5) and the span-sequence invariant exactly testable.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+EOW = "</w>"
+
+_WORD_RE = re.compile(r"[a-z0-9]+")
+
+WORD_SCHEMA = T.ArrayType(
+    T.StructType(
+        [
+            T.StructField("word", T.StringType()),
+            T.StructField("start", T.IntegerType()),
+            T.StructField("end", T.IntegerType()),
+        ]
+    )
+)
+
+TOKEN_SCHEMA = T.ArrayType(
+    T.StructType(
+        [
+            T.StructField("tok", T.StringType()),
+            T.StructField("tok_id", T.IntegerType()),
+            T.StructField("start", T.IntegerType()),
+            T.StructField("end", T.IntegerType()),
+            T.StructField("word_idx", T.IntegerType()),
+        ]
+    )
+)
+
+
+class BpeCodec:
+    """Plain-python BPE encoder; one instance per executor python worker.
+
+    ``merges``: [(lhs, rhs)] in rank order. ``vocab``: tok -> id
+    (0=<pad>, 1=<unk>). Encoding applies merges greedily in rank order —
+    the standard deterministic BPE inference procedure.
+    """
+
+    def __init__(self, merges: list[tuple[str, str]], vocab: dict[str, int]):
+        self.ranks = {pair: i for i, pair in enumerate(merges)}
+        self.vocab = vocab
+        self.unk = vocab.get("<unk>", 1)
+        self._cache: dict[str, tuple[str, ...]] = {}
+
+    def _encode_word(self, word: str) -> tuple[str, ...]:
+        hit = self._cache.get(word)
+        if hit is None:
+            hit = self._cache[word] = self._encode_word_uncached(word)
+        return hit
+
+    def _encode_word_uncached(self, word: str) -> tuple[str, ...]:
+        sym = list(word) + [EOW]
+        while len(sym) > 1:
+            best_rank, best_i = None, -1
+            for i in range(len(sym) - 1):
+                r = self.ranks.get((sym[i], sym[i + 1]))
+                if r is not None and (best_rank is None or r < best_rank):
+                    best_rank, best_i = r, i
+            if best_rank is None:
+                break
+            sym[best_i : best_i + 2] = [sym[best_i] + sym[best_i + 1]]
+        return tuple(sym)
+
+    def encode_word(self, word: str) -> list[tuple[str, int]]:
+        return [(s, self.vocab.get(s, self.unk)) for s in self._encode_word(word)]
+
+
+def load_codec(spark: SparkSession, merges_path: str, vocab_path: str) -> BpeCodec:
+    """Collect the (small) merge/vocab dims on the driver once."""
+    merges = [
+        (r.lhs, r.rhs)
+        for r in spark.read.parquet(merges_path).orderBy("rank").collect()
+    ]
+    vocab = {r.tok: r.tok_id for r in spark.read.parquet(vocab_path).collect()}
+    return BpeCodec(merges, vocab)
+
+
+def tokenize_words(text: str) -> list[tuple[str, int, int]]:
+    """Lowercase word tokens with exact char offsets (F5 normalization:
+    documented as lowercase + [a-z0-9]+ word chars; SURVEY.md §2 F5)."""
+    return [(m.group(0), m.start(), m.end()) for m in _WORD_RE.finditer(text.lower())]
+
+
+def with_tokens(df: DataFrame, codec_bc, text_col: str = "full_text") -> DataFrame:
+    """Add ``words`` (word granularity) and ``tokens`` (BPE sub-word) columns.
+
+    ``codec_bc`` is a ``sparkContext.broadcast(BpeCodec)`` handle: the codec
+    deserializes once per python worker, not per batch.
+    """
+
+    @F.pandas_udf(WORD_SCHEMA)
+    def words_udf(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for s in it:
+            yield s.map(
+                lambda t: [
+                    {"word": w, "start": a, "end": b} for w, a, b in tokenize_words(t or "")
+                ]
+            )
+
+    @F.pandas_udf(TOKEN_SCHEMA)
+    def bpe_udf(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        codec: BpeCodec = codec_bc.value
+
+        def enc(text: str) -> list[dict]:
+            out = []
+            for wi, (w, a, b) in enumerate(tokenize_words(text or "")):
+                for tok, tid in codec.encode_word(w):
+                    out.append(
+                        {"tok": tok, "tok_id": tid, "start": a, "end": b, "word_idx": wi}
+                    )
+            return out
+
+        for s in it:
+            yield s.map(enc)
+
+    return df.withColumn("words", words_udf(F.col(text_col))).withColumn(
+        "tokens", bpe_udf(F.col(text_col))
+    )
+
+
+def full_text_col(spans_col: str = "spans") -> Column:
+    """Reconstruct ``full_text`` from interleaved spans — pure JVM-side array
+    ops (no Python): text spans in offset order joined by a single space.
+    This is the documented fixture convention (fixtures/gen.py module doc).
+    """
+    return F.expr(
+        f"array_join(transform(array_sort(filter({spans_col}, s -> s.text != ''),"
+        " (a, b) -> CASE WHEN a.offset < b.offset THEN -1 WHEN a.offset > b.offset THEN 1 ELSE 0 END),"
+        " s -> s.text), ' ')"
+    )

@@ -1,0 +1,108 @@
+"""Columnar text-analysis functions for large-scale corpus pipelines.
+
+All JVM-side ``pyspark.sql.functions`` expressions (whole-stage codegen; no
+Python in the hot path): token counting, quality scoring, language-ID
+heuristic, document fingerprinting, word shingles. These extend the
+reference's corpus-processing capabilities (SURVEY.md §2.8) with the
+operations a 100 TB training-data pipeline needs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# deterministic English-ish stopword list used by quality scoring
+STOPWORDS = ["the", "a", "of", "and", "to", "in", "with", "after", "during"]
+
+# marker words per pseudo-language for the n-gram/marker heuristic
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of"],
+    "es": ["el", "la", "de"],
+    "de": ["der", "und", "das"],
+}
+
+
+def words(col: str | Column) -> Column:
+    """Lowercased whitespace word split (normalization rule F5)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.split(F.trim(F.lower(c)), " +")
+
+
+def token_count(col: str | Column) -> Column:
+    """Whitespace token count."""
+    return F.size(words(col))
+
+
+def bpe_ish_token_count(col: str | Column) -> Column:
+    """A BPE-ish upper-bound token estimate without running the codec:
+    words + one extra token per 6 chars of long words (regex split on
+    6-char groups) — the standard cheap proxy for subword counts."""
+    c = F.col(col) if isinstance(col, str) else col
+    return (
+        F.size(F.split(F.trim(F.lower(c)), " +"))
+        + F.size(F.regexp_extract_all(F.lower(c), F.lit("[a-z0-9]{6}"), 0))
+    )
+
+
+def stopword_ratio(col: str | Column) -> Column:
+    w = words(col)
+    stop = F.array(*[F.lit(s) for s in STOPWORDS])
+    return F.size(F.array_intersect(w, stop)) / F.greatest(F.size(w), F.lit(1))
+
+
+def avg_word_len(col: str | Column) -> Column:
+    w = words(col)
+    return F.aggregate(
+        w, F.lit(0), lambda acc, x: acc + F.length(x)
+    ) / F.greatest(F.size(w), F.lit(1))
+
+
+def punct_ratio(col: str | Column) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.size(
+        F.regexp_extract_all(c, F.lit(r"[^a-zA-Z0-9 ]"), 0)
+    ) / F.greatest(F.length(c), F.lit(1))
+
+
+def quality_score(col: str | Column) -> Column:
+    """Composite document-quality score in [0, 1]:
+    0.4·len_score + 0.3·stopword presence + 0.3·(1 − punct ratio).
+    len_score saturates at 100 words (Gopher-style length heuristic)."""
+    len_score = F.least(token_count(col) / F.lit(100.0), F.lit(1.0))
+    return (
+        F.lit(0.4) * len_score
+        + F.lit(0.3) * F.least(stopword_ratio(col) * 10.0, F.lit(1.0))
+        + F.lit(0.3) * (F.lit(1.0) - F.least(punct_ratio(col) * 5.0, F.lit(1.0)))
+    )
+
+
+def lang_id(col: str | Column) -> Column:
+    """Marker-word language-ID heuristic: argmax language by marker hits,
+    'und' (undetermined) when nothing matches. Pure array expressions."""
+    w = words(col)
+    best_lang, best_cnt = F.lit("und"), F.lit(0)
+    for lang, markers in LANG_MARKERS.items():
+        cnt = F.size(
+            F.filter(w, lambda x: x.isin(*markers))  # noqa: B023
+        )
+        better = cnt > best_cnt
+        best_lang = F.when(better, F.lit(lang)).otherwise(best_lang)
+        best_cnt = F.when(better, cnt).otherwise(best_cnt)
+    return best_lang
+
+
+def fingerprint(col: str | Column) -> Column:
+    """Document fingerprint: md5 over the sorted distinct word set — the
+    canonical bag-of-words near-dup key (order-insensitive, whitespace-
+    normalization-insensitive)."""
+    return F.md5(F.array_join(F.array_sort(F.array_distinct(words(col))), " "))
+
+
+def shingles(col: str | Column, n: int = 5) -> Column:
+    """Word n-gram shingles as array<string> (space-joined)."""
+    w = words(col)
+    return F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(w) - n, F.lit(0))),
+        lambda i: F.array_join(F.slice(w, i + 1, n), " "),
+    )

@@ -1,0 +1,132 @@
+"""NumPy transformer encoder — the UDF-side compute kernel (SURVEY.md §2 P1).
+
+Reference parity: bran's encoder is a multi-head self-attention transformer
+whose position-wise feed-forward sublayer uses convolutions of kernel width 5
+(paper §2.1; reference: src/models/transformer.py — reconstructed,
+SURVEY.md §0). This is a from-scratch NumPy implementation of the same
+architecture family, NOT a port: it runs inside Arrow-batched pandas UDFs on
+executors, weights broadcast once per python worker.
+
+Determinism: float32 throughout, fixed reduction shapes; the session factory
+pins OMP/BLAS to 1 thread per python worker so results are bitwise stable
+across parallelism levels (the `local[8]` vs `local[32]` invariance gate).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+class Weights:
+    """Loaded view over fixtures model_weights.npz (FIXTURES.md §6)."""
+
+    def __init__(self, arrays: dict[str, np.ndarray]):
+        self.a = arrays
+        meta = arrays["__meta__"].astype(int)
+        (self.d_model, self.n_blocks, self.n_heads,
+         self.d_ff, self.max_len, self.n_rels, self.n_ner) = map(int, meta)
+
+    @classmethod
+    def load(cls, path: str) -> "Weights":
+        with np.load(path) as z:
+            return cls({k: z[k] for k in z.files})
+
+    def __getitem__(self, k: str) -> np.ndarray:
+        return self.a[k]
+
+
+def _layernorm(x: np.ndarray, g: np.ndarray, b: np.ndarray, eps: float = 1e-5) -> np.ndarray:
+    mu = x.mean(-1, keepdims=True)
+    var = x.var(-1, keepdims=True)
+    return ((x - mu) / np.sqrt(var + eps)) * g + b
+
+
+def _softmax(x: np.ndarray, axis: int = -1) -> np.ndarray:
+    m = x.max(axis=axis, keepdims=True)
+    e = np.exp(x - m)
+    return e / e.sum(axis=axis, keepdims=True)
+
+
+def _conv1d_same(x: np.ndarray, w: np.ndarray) -> np.ndarray:
+    """[B,L,Cin] x [K,Cin,Cout] -> [B,L,Cout], zero-padded 'same' conv."""
+    k = w.shape[0]
+    pad = k // 2
+    xp = np.pad(x, ((0, 0), (pad, pad), (0, 0)))
+    out = np.zeros((x.shape[0], x.shape[1], w.shape[2]), dtype=x.dtype)
+    for i in range(k):  # K is 1 or 5 — the loop is over kernel taps, not rows
+        out += xp[:, i : i + x.shape[1], :] @ w[i]
+    return out
+
+
+def encode_batch(tok_ids: list[np.ndarray], w: Weights) -> list[np.ndarray]:
+    """Encode a batch of variable-length docs; returns per-doc [L_i, d].
+
+    Pads to the batch max length with attention masking — upstream
+    length-bucketing (SURVEY.md §2 W1: repartitionByRange on n_toks) keeps
+    batches homogeneous so padding waste stays low.
+    """
+    if not tok_ids:
+        return []
+    d = w.d_model
+    lens = [min(len(t), w.max_len) for t in tok_ids]
+    L = max(max(lens), 1)
+    B = len(tok_ids)
+    ids = np.zeros((B, L), dtype=np.int64)
+    mask = np.zeros((B, 1, 1, L), dtype=np.float32)  # 1 = attend
+    for i, t in enumerate(tok_ids):
+        ids[i, : lens[i]] = t[: lens[i]]
+        mask[i, 0, 0, : lens[i]] = 1.0
+
+    x = (w["embed"][ids] + w["pos"][:L][None, :, :]).astype(np.float32)
+    h = w.n_heads
+    dh = d // h
+    neg = np.float32(-1e9)
+    for b in range(w.n_blocks):
+        q = (x @ w[f"b{b}.Wq"]).reshape(B, L, h, dh).transpose(0, 2, 1, 3)
+        k = (x @ w[f"b{b}.Wk"]).reshape(B, L, h, dh).transpose(0, 2, 1, 3)
+        v = (x @ w[f"b{b}.Wv"]).reshape(B, L, h, dh).transpose(0, 2, 1, 3)
+        att = q @ k.transpose(0, 1, 3, 2) / np.float32(np.sqrt(dh))
+        att = att + (1.0 - mask) * neg
+        att = _softmax(att)
+        ctx = (att @ v).transpose(0, 2, 1, 3).reshape(B, L, d)
+        x = _layernorm(x + ctx @ w[f"b{b}.Wo"], w[f"b{b}.ln1.g"], w[f"b{b}.ln1.b"])
+        ff = np.maximum(_conv1d_same(x, w[f"b{b}.conv1"]), 0.0)
+        ff = _conv1d_same(ff, w[f"b{b}.conv2"])  # width-5 (paper §2.1)
+        x = _layernorm(x + ff, w[f"b{b}.ln2.g"], w[f"b{b}.ln2.b"])
+        x = x * mask[:, 0, 0, :, None]
+    return [x[i, : lens[i]] for i in range(B)]
+
+
+def score_pairs(
+    enc: np.ndarray,
+    head_spans: list[tuple[int, int]],
+    tail_spans: list[tuple[int, int]],
+    w: Weights,
+) -> np.ndarray:
+    """Bi-affine pairwise relation scores (SURVEY.md §2 P2; paper §2.2).
+
+    ``enc``: [L, d] encoder output for one document. head/tail spans are
+    token [start, end) ranges of chemical / disease mentions. Mention
+    representation = mean over its tokens -> ReLU(MLP); score[i, j, r] =
+    head_i^T  L_r  tail_j. Returns [n_head, n_tail] CID-vs-null logits
+    (score[..., 1] - score[..., 0]).
+    """
+    def reprs(spans: list[tuple[int, int]], W: np.ndarray) -> np.ndarray:
+        out = np.zeros((len(spans), w.d_model), dtype=np.float32)
+        for i, (a, b) in enumerate(spans):
+            b = max(b, a + 1)
+            out[i] = enc[a:b].mean(0)
+        return np.maximum(out @ W, 0.0)
+
+    H = reprs(head_spans, w["head_mlp"])   # [nh, d]
+    Tl = reprs(tail_spans, w["tail_mlp"])  # [nt, d]
+    L = w["biaffine"]                      # [d, R, d]
+    # [nh, R, d] = H @ L  (einsum over first d), then against tails
+    hr = np.einsum("hd,drk->hrk", H, L)
+    s = np.einsum("hrk,tk->htr", hr, Tl)   # [nh, nt, R]
+    return (s[:, :, 1] - s[:, :, 0]).astype(np.float32)
+
+
+def ner_logits(enc: np.ndarray, w: Weights) -> np.ndarray:
+    """Auxiliary per-token NER head (paper §2.4): [L, n_ner] logits."""
+    return (enc @ w["ner"]).astype(np.float32)

@@ -1,0 +1,82 @@
+"""Spark-side encode+score stage (SURVEY.md §2 P1+P2+P4, §4.4).
+
+One ``mapInPandas`` pass fuses: transformer encoding of the whole abstract,
+mention-span alignment (binary search over token char offsets — same rule as
+operators.mentions.align_mentions_to_tokens), and bi-affine scoring of every
+(chemical-mention × disease-mention) pair. Emitting mention-pair logits in
+long format lets the defining LSE pooling (A2) run relationally downstream —
+exactly the paper's "one encoder pass scores all pairs in the abstract"
+structure (paper §2.3), re-expressed for Spark.
+
+Scale design: weights are a SparkContext broadcast (one deserialize per
+python worker); batches arrive via Arrow (iterator form — the model loads
+once per partition, not per batch); upstream length-bucketing keeps padding
+waste low. This is the pipeline's only JVM↔Python boundary besides BPE.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+
+from bran_spark.model.encoder import Weights, encode_batch, score_pairs
+
+SCORE_SCHEMA = (
+    "doc_id string, chem_mention_id string, dis_mention_id string, "
+    "chem_mesh string, dis_mesh string, score float"
+)
+
+
+def _align(tok_starts: np.ndarray, a: int, b: int) -> tuple[int, int]:
+    """Char range [a, b) -> token ordinal range [lo, hi) (J5 rule)."""
+    lo = int(np.searchsorted(tok_starts, a, side="left"))
+    hi = int(np.searchsorted(tok_starts, b, side="left"))
+    return lo, max(hi, lo + 1)
+
+
+def score_documents(docs: DataFrame, weights_bc, batch_docs: int = 64) -> DataFrame:
+    """Input rows: (doc_id, tok_ids array<int>, tok_starts array<int>,
+    mentions array<struct<mention_id,type,mesh_id,start,end>>).
+    Output: long-format mention-pair CID logits (SCORE_SCHEMA).
+    """
+
+    def fn(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        w: Weights = weights_bc.value
+        for pdf in it:
+            for off in range(0, len(pdf), batch_docs):
+                chunk = pdf.iloc[off : off + batch_docs]
+                ids = [np.asarray(t, dtype=np.int64) for t in chunk["tok_ids"]]
+                encs = encode_batch(ids, w)
+                out: dict[str, list] = {
+                    "doc_id": [], "chem_mention_id": [], "dis_mention_id": [],
+                    "chem_mesh": [], "dis_mesh": [], "score": [],
+                }
+                for row_i, (_, row) in enumerate(chunk.iterrows()):
+                    enc = encs[row_i]
+                    starts = np.asarray(row["tok_starts"], dtype=np.int64)
+                    chems, diss = [], []
+                    for m in row["mentions"]:
+                        span = _align(starts, int(m["start"]), int(m["end"]))
+                        span = (min(span[0], len(enc) - 1), min(span[1], len(enc)))
+                        (chems if m["type"] == "Chemical" else diss).append(
+                            (m["mention_id"], m["mesh_id"], span)
+                        )
+                    if not chems or not diss:
+                        continue
+                    s = score_pairs(
+                        enc, [c[2] for c in chems], [d[2] for d in diss], w
+                    )
+                    for i, (cid, cmesh, _) in enumerate(chems):
+                        for j, (did, dmesh, _) in enumerate(diss):
+                            out["doc_id"].append(row["doc_id"])
+                            out["chem_mention_id"].append(cid)
+                            out["dis_mention_id"].append(did)
+                            out["chem_mesh"].append(cmesh)
+                            out["dis_mesh"].append(dmesh)
+                            out["score"].append(float(s[i, j]))
+                yield pd.DataFrame(out)
+
+    return docs.mapInPandas(fn, SCORE_SCHEMA)

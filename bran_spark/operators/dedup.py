@@ -1,0 +1,194 @@
+"""Deduplication operators for web-scale corpora.
+
+Exact (hash-groupBy), MinHash+LSH, SimHash, n-gram Jaccard, and
+embedding-cosine near-dup — each expressed Spark-first (broadcastable dims,
+bounded self-joins, two-phase aggregation), sized for the 100 TB case:
+
+- exact dedup: one shuffle on the content hash; partial aggregation
+  map-side combines before the exchange.
+- MinHash/LSH: per-doc signatures via hash-min aggregation (one shuffle),
+  candidate pairs via equi-join on (band, signature) buckets — never an
+  all-pairs product.
+- n-gram Jaccard: inverted-index self-join on shingles with a max-document-
+  frequency cap to bound hot-shingle skew (the classic df-cut).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from bran_spark.functions.text import shingles, words
+
+
+def exact_dedup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Exact duplicate groups by md5(text): (content_hash, n_dups, keep_id).
+
+    keep_id = min(id) — the deterministic survivor. Only groups with >1 row
+    are duplicates; n_dups counts rows sharing the hash."""
+    return (
+        df.select(F.col(id_col).alias("id"), F.md5(F.col(text_col)).alias("content_hash"))
+        .groupBy("content_hash")
+        .agg(F.count("*").alias("n_dups"), F.min("id").alias("keep_id"))
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 8,
+    min_jaccard: float = 0.5,
+    max_df: int = 50,
+) -> DataFrame:
+    """Near-dup pairs by n-gram Jaccard ≥ threshold.
+
+    Inverted index (doc, shingle) self-joined on shingle; shingles occurring
+    in more than ``max_df`` docs are dropped before the join (df-cut — the
+    explicit skew bound: a stop-shingle would otherwise produce a quadratic
+    hot-key blowup). Jaccard = |common| / (|a| + |b| - |common|) over
+    *distinct* shingles. Returns (id_a, id_b, jaccard) with id_a < id_b.
+    """
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array_distinct(shingles(text_col, n))).alias("shingle"),
+    )
+    sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
+    df_cut = sh.groupBy("shingle").agg(F.count("*").alias("df")).where(
+        F.col("df") <= max_df
+    )
+    sh_kept = sh.join(F.broadcast(df_cut.select("shingle")), "shingle")
+    a = sh_kept.select(F.col("id").alias("id_a"), "shingle")
+    b = sh_kept.select(F.col("id").alias("id_b"), "shingle")
+    common = (
+        a.join(b, "shingle")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("common"))
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b"))
+    return (
+        common.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("common") / (F.col("n_a") + F.col("n_b") - F.col("common")),
+        )
+        .where(F.col("jaccard") >= min_jaccard)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, n: int = 5, bands: int = 4
+) -> DataFrame:
+    """MinHash signatures, one row per (doc, band): signature = min over the
+    doc's shingles of md5(band || shingle).
+
+    md5 (not xxhash64) so the DuckDB oracle can replay bit-exactly; the min
+    of a uniform hash per band is the standard 1-row MinHash estimator, and
+    banding b independent hashes gives the LSH bucket key. One shuffle
+    (groupBy doc,band) — signatures never leave the executor otherwise.
+    """
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array_distinct(shingles(text_col, n))).alias("shingle"),
+    )
+    banded = sh.select(
+        "id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.md5(F.concat(b.cast("string"), F.lit(":"), F.col("shingle"))).alias("h"),
+                ),
+            )
+        ).alias("bh"),
+    ).select("id", F.col("bh.band").alias("band"), F.col("bh.h").alias("h"))
+    return banded.groupBy("id", "band").agg(F.min("h").alias("minhash"))
+
+
+def minhash_lsh_pairs(
+    df: DataFrame, id_col: str, text_col: str, n: int = 5, bands: int = 4
+) -> DataFrame:
+    """LSH candidate pairs: docs sharing a (band, minhash) bucket in ANY band.
+    Equi-join on the bucket key — cost ∝ bucket collisions, not |docs|²."""
+    sig = minhash_signatures(df, id_col, text_col, n, bands)
+    a = sig.select(F.col("id").alias("id_a"), "band", "minhash")
+    b = sig.select(F.col("id").alias("id_b"), "band", "minhash")
+    return (
+        a.join(b, ["band", "minhash"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .dropDuplicates()
+    )
+
+
+def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 32) -> DataFrame:
+    """SimHash per doc: sign-aggregated bit vector over word xxhash64 values.
+
+    Pure JVM expressions: for each bit position, sum ±1 over words by that
+    bit of xxhash64(word), then pack the sign bits into a long. xxhash64 has
+    no DuckDB twin, so this operator is verified by property tests
+    (hamming(simhash(x), simhash(x + small edit)) small) rather than the SQL
+    oracle. Output: (id, simhash long).
+    """
+    w = df.select(F.col(id_col).alias("id"), F.explode(words(text_col)).alias("w"))
+    hashed = w.select("id", F.xxhash64("w").alias("h"))
+    bit_sums = hashed.groupBy("id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"b{i}")
+            for i in range(bits)
+        ]
+    )
+    packed = F.lit(0).cast("long")
+    for i in range(bits):
+        packed = packed + F.when(F.col(f"b{i}") > 0, F.lit(2 ** i).cast("long")).otherwise(F.lit(0).cast("long"))
+    return bit_sums.select("id", packed.alias("simhash"))
+
+
+def embedding_neardup_pairs(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    min_cos: float = 0.95,
+    sign_dims: tuple[int, ...] = (0, 7, 13, 21),
+) -> DataFrame:
+    """Embedding-cosine near-dup: candidate pairs bucketed by the sign
+    pattern of fixed coordinates (a deterministic random-hyperplane LSH —
+    axis-aligned planes), cosine verified inside each bucket.
+
+    Near-identical vectors agree on every sign bit, so recall at
+    cos ≥ 0.95 is high while the join stays bucket-local (2^k buckets).
+    """
+    sign_key = F.concat_ws(
+        "",
+        *[
+            F.when(F.element_at(F.col(vec_col), d + 1) >= 0, "1").otherwise("0")
+            for d in sign_dims
+        ],
+    )
+    v = emb.select(
+        F.col(id_col).alias("id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
+        sign_key.alias("bucket"),
+    )
+    a = v.select(F.col("id").alias("id_a"), F.col("v").alias("va"), "bucket")
+    b = v.select(F.col("id").alias("id_b"), F.col("v").alias("vb"), "bucket")
+    dot = F.aggregate(
+        F.zip_with("va", "vb", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    norm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(F.transform(c, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x)
+    )
+    return (
+        a.join(b, "bucket")
+        .where(F.col("id_a") < F.col("id_b"))
+        .withColumn("cos", dot / (norm(F.col("va")) * norm(F.col("vb"))))
+        .where(F.col("cos") >= min_cos)
+        .select("id_a", "id_b", F.round("cos", 6).alias("cos"))
+    )

@@ -1,0 +1,74 @@
+"""Evaluation: P/R/F1 + dev threshold sweep (SURVEY.md §2 J6, J7, A4, W2).
+
+Reference parity: bran evaluates document-level CID predictions against the
+BioCreative V gold set with micro precision/recall/F1 and tunes the decision
+threshold on the dev split (paper §3.2; reference eval path — reconstructed,
+SURVEY.md §0).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+KEYS = ["doc_id", "chem_mesh", "dis_mesh"]
+
+
+def confusion(predicted: DataFrame, gold: DataFrame) -> DataFrame:
+    """J6/J7 -> A4 inputs. predicted/gold: rows keyed by KEYS.
+
+    One row: (tp, fp, fn) — computed with one inner join and two anti joins,
+    all on the same keys (one shuffle partitioning reused)."""
+    p = predicted.select(*KEYS).dropDuplicates()
+    g = gold.select(*KEYS).dropDuplicates()
+    tp = p.join(g, KEYS, "inner").count()
+    fp = p.join(g, KEYS, "left_anti").count()
+    fn = g.join(p, KEYS, "left_anti").count()
+    spark = predicted.sparkSession
+    return spark.createDataFrame(
+        [(tp, fp, fn)], "tp long, fp long, fn long"
+    ).selectExpr(
+        "tp", "fp", "fn",
+        # CAST: bare 0.0 literals parse as DecimalType in Spark SQL
+        "CAST(CASE WHEN tp+fp = 0 THEN 0.0 ELSE tp/(tp+fp) END AS DOUBLE) AS precision",
+        "CAST(CASE WHEN tp+fn = 0 THEN 0.0 ELSE tp/(tp+fn) END AS DOUBLE) AS recall",
+        "CAST(CASE WHEN 2*tp+fp+fn = 0 THEN 0.0 ELSE 2.0*tp/(2*tp+fp+fn) END AS DOUBLE) AS f1",
+    )
+
+
+def sweep_threshold(labeled_scores: DataFrame, n_steps: int = 50) -> DataFrame:
+    """W2: pick θ* maximizing F1 over labeled pooled scores — fully
+    relational (no driver loop): score range → θ grid (sequence/explode) →
+    non-equi join-free counting via conditional aggregation per θ.
+
+    Input: (pooled_score, label). Output: one row (theta, f1).
+    """
+    bounds = labeled_scores.agg(
+        F.min("pooled_score").alias("lo"), F.max("pooled_score").alias("hi")
+    )
+    thetas = bounds.select(
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {n_steps}), i -> lo + (hi - lo) * i / {n_steps})"
+            )
+        ).alias("theta")
+    )
+    # broadcast the tiny θ grid against the scores; conditional agg per θ
+    j = labeled_scores.join(F.broadcast(thetas))
+    perf = j.groupBy("theta").agg(
+        F.sum(F.when((F.col("pooled_score") >= F.col("theta")) & (F.col("label") == 1), 1).otherwise(0)).alias("tp"),
+        F.sum(F.when((F.col("pooled_score") >= F.col("theta")) & (F.col("label") == 0), 1).otherwise(0)).alias("fp"),
+        F.sum(F.when((F.col("pooled_score") < F.col("theta")) & (F.col("label") == 1), 1).otherwise(0)).alias("fn"),
+    )
+    scored = perf.withColumn(
+        "f1",
+        F.expr(
+            "CAST(CASE WHEN 2*tp+fp+fn = 0 THEN 0.0 ELSE 2.0*tp/(2*tp+fp+fn) END AS DOUBLE)"
+        ),
+    )
+    w = Window.orderBy(F.desc("f1"), F.asc("theta"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("theta", "f1")
+    )

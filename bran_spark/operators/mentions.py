@@ -1,0 +1,85 @@
+"""Entity-mention detection + span alignment (SURVEY.md §2 D3, J4, J5).
+
+Reference parity: bran consumes PubTator gold mention annotations and aligns
+their char offsets to BPE token spans (reference: processing scripts,
+reconstructed — SURVEY.md §0; paper §3). The north_star additionally mandates
+*detection* ("entity-mention detection, MeSH-ID entity linking via broadcast
+dictionary join"), so this module provides both:
+
+- ``detect_mentions``: dictionary-based detection as a pure JVM-side plan —
+  posexplode(words) ⋈ broadcast(surface dict). No Python in the hot path;
+  scales as a map-side (broadcast hash) join at 10^12 docs because the
+  dictionary is the small side.
+- ``align_mentions_to_tokens``: the J5 interval join, relational form
+  (token.start ∈ [mention.start, mention.end)) — the in-UDF scorer uses the
+  same alignment rule via binary search.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def surface_dict(mesh_dict: DataFrame) -> DataFrame:
+    """mesh_dict -> (surface, mesh_id, type, canonical_name); one row per
+    synonym. Small dimension (|synonyms| ~ 5 per entity) — always broadcast."""
+    return mesh_dict.select(
+        F.explode("synonyms").alias("surface"),
+        "mesh_id",
+        "type",
+        "canonical_name",
+    )
+
+
+def detect_mentions(docs_with_words: DataFrame, mesh_dict: DataFrame) -> DataFrame:
+    """Dictionary NER: match word tokens against entity surface forms.
+
+    Input needs columns ``doc_id`` and ``words array<struct<word,start,end>>``
+    (functions.bpe.with_tokens). Output matches the fixture ``mentions``
+    schema: (doc_id, mention_id, type, mesh_id, start, end, text).
+
+    mention_id is deterministic: '<doc_id>#<word position>' — stable across
+    reruns/partitionings, which the resume-idempotency gate relies on.
+    """
+    words = docs_with_words.select(
+        "doc_id", F.posexplode("words").alias("pos", "w")
+    ).select(
+        "doc_id",
+        "pos",
+        F.col("w.word").alias("word"),
+        F.col("w.start").alias("start"),
+        F.col("w.end").alias("end"),
+    )
+    dim = F.broadcast(surface_dict(mesh_dict))
+    return words.join(dim, words.word == dim.surface, "inner").select(
+        "doc_id",
+        F.concat_ws("#", "doc_id", "pos").alias("mention_id"),
+        "type",
+        "mesh_id",
+        "start",
+        "end",
+        F.col("word").alias("text"),
+    )
+
+
+def align_mentions_to_tokens(mentions: DataFrame, docs_with_tokens: DataFrame) -> DataFrame:
+    """J5: char-offset mention ↔ BPE token-span containment (relational form).
+
+    Returns mentions + (tok_start, tok_end) — token-ordinal [start, end).
+    A sub-token belongs to the mention iff its char start lies inside the
+    mention's char range (sub-tokens inherit their word's char range, so word
+    containment is exact).
+    """
+    toks = docs_with_tokens.select(
+        "doc_id", F.posexplode("tokens").alias("tpos", "t")
+    ).select("doc_id", "tpos", F.col("t.start").alias("t_start"))
+    j = mentions.join(toks, "doc_id").where(
+        (F.col("t_start") >= F.col("start")) & (F.col("t_start") < F.col("end"))
+    )
+    return j.groupBy(
+        "doc_id", "mention_id", "type", "mesh_id", "start", "end", "text"
+    ).agg(
+        F.min("tpos").alias("tok_start"),
+        (F.max("tpos") + F.lit(1)).alias("tok_end"),
+    )

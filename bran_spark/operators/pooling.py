@@ -1,0 +1,85 @@
+"""Log-sum-exp pooling + triple materialization (SURVEY.md §2 A2, A5, S7).
+
+Reference parity: bran pools bi-affine scores over *all mention pairs* of an
+entity pair with log-sum-exp — the paper's defining aggregation (paper §2.3
+eq. 4; reference: src/models/classifier_models.py — reconstructed,
+SURVEY.md §0). Here it is pure relational Spark (numerically stabilized by
+max-shifting), so Catalyst runs it as partial→final hash aggregates and the
+DuckDB oracle can replay it exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from bran_spark.operators.pairs import salted_count_distinct
+
+
+def lse_pool(scores: DataFrame, keys: list[str], score_col: str = "score") -> DataFrame:
+    """A2: per-key log-sum-exp, max-shifted for stability.
+
+    ``m + ln(Σ exp(s - m))`` with m = max(s) over the group. The window for m
+    and the final groupBy hash-partition on the same keys, so Catalyst emits
+    ONE exchange (the window's), not two — verified via .explain in tests.
+    Result column: ``pooled_score``.
+    """
+    w = Window.partitionBy(*keys)
+    shifted = scores.withColumn("_m", F.max(score_col).over(w))
+    return shifted.groupBy(*keys).agg(
+        (
+            F.first("_m") + F.log(F.sum(F.exp(F.col(score_col) - F.col("_m"))))
+        ).alias("pooled_score")
+    )
+
+
+def threshold(pair_scores: DataFrame, theta: float, score_col: str = "pooled_score") -> DataFrame:
+    """F7: keep pairs with score ≥ θ (θ tuned on dev via evaluate.sweep)."""
+    return pair_scores.where(F.col(score_col) >= F.lit(theta))
+
+
+def to_triples(scored_pairs: DataFrame) -> DataFrame:
+    """D8: (subj, pred, obj, doc_id, score) rows — FIXTURES.md §7 shape."""
+    return scored_pairs.select(
+        F.col("chem_mesh").alias("subj"),
+        F.lit("CID").alias("pred"),
+        F.col("dis_mesh").alias("obj"),
+        "doc_id",
+        F.col("pooled_score").cast("double").alias("score"),
+    )
+
+
+def dedup_triples(triples: DataFrame, salt_buckets: int = 16) -> DataFrame:
+    """A5: collapse per-doc triples into the canonical graph edge table:
+    (subj, pred, obj, support = countDistinct(doc_id), max_score).
+
+    Support uses the explicit two-phase salted distinct (P3) because hot
+    chemical/disease entities are Zipf-skewed by construction; max_score
+    composes into the same salted phases (max of maxes is exact).
+    """
+    salt = F.pmod(F.xxhash64(F.col("doc_id")), F.lit(salt_buckets)).alias("_salt")
+    p1 = triples.groupBy("subj", "pred", "obj", salt).agg(
+        F.countDistinct("doc_id").alias("_dc"), F.max("score").alias("_mx")
+    )
+    return p1.groupBy("subj", "pred", "obj").agg(
+        F.sum("_dc").cast("long").alias("support"),
+        F.max("_mx").alias("max_score"),
+    )
+
+
+def entity_degree(triples: DataFrame, salt_buckets: int = 16) -> DataFrame:
+    """Graph-materialization helper: per-entity distinct neighbor count,
+    salted (the hottest entities are exactly where it matters)."""
+    subj_deg = salted_count_distinct(
+        triples.select(F.col("subj").alias("entity"), F.col("obj").alias("nbr")),
+        ["entity"], "nbr", salt_buckets,
+    )
+    obj_deg = salted_count_distinct(
+        triples.select(F.col("obj").alias("entity"), F.col("subj").alias("nbr")),
+        ["entity"], "nbr", salt_buckets,
+    )
+    return (
+        subj_deg.unionByName(obj_deg)
+        .groupBy("entity")
+        .agg(F.sum("distinct_count").cast("long").alias("degree"))
+    )

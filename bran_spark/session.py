@@ -33,6 +33,12 @@ def get_spark(
     ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (env, fallback ``*``)
     so the same code path serves pytest, bench.py and spark-submit.
     """
+    # Pin BLAS to one thread per python worker BEFORE any JVM/worker forks:
+    # 32 concurrent pandas-UDF workers × multi-threaded BLAS would
+    # oversubscribe, and threaded reductions break bitwise determinism
+    # (the local[8]-vs-local[32] invariance gate).
+    for var in ("OMP_NUM_THREADS", "OPENBLAS_NUM_THREADS", "MKL_NUM_THREADS"):
+        os.environ.setdefault(var, "1")
     master = master or f"local[{os.environ.get('SPARK_GRAFT_CPUS', '*')}]"
     builder = (
         SparkSession.builder.appName(app_name)
