@@ -46,9 +46,12 @@ def bpe_ish_token_count(col: str | Column) -> Column:
 
 
 def stopword_ratio(col: str | Column) -> Column:
+    """Occurrence-count ratio (not distinct-presence) — mirrors the DuckDB
+    oracle's list_filter/list_contains formulation exactly."""
     w = words(col)
-    stop = F.array(*[F.lit(s) for s in STOPWORDS])
-    return F.size(F.array_intersect(w, stop)) / F.greatest(F.size(w), F.lit(1))
+    return F.size(
+        F.filter(w, lambda x: x.isin(*STOPWORDS))
+    ) / F.greatest(F.size(w), F.lit(1))
 
 
 def avg_word_len(col: str | Column) -> Column:

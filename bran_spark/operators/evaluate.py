@@ -36,23 +36,32 @@ def confusion(predicted: DataFrame, gold: DataFrame) -> DataFrame:
     )
 
 
-def sweep_threshold(labeled_scores: DataFrame, n_steps: int = 50) -> DataFrame:
+def sweep_threshold(
+    labeled_scores: DataFrame, n_steps: int = 50, grid: list[float] | None = None
+) -> DataFrame:
     """W2: pick θ* maximizing F1 over labeled pooled scores — fully
     relational (no driver loop): score range → θ grid (sequence/explode) →
     non-equi join-free counting via conditional aggregation per θ.
 
     Input: (pooled_score, label). Output: one row (theta, f1).
+    ``grid``: explicit θ values (used by the oracle twin so both engines
+    evaluate the identical grid); default derives a grid from min/max.
     """
-    bounds = labeled_scores.agg(
-        F.min("pooled_score").alias("lo"), F.max("pooled_score").alias("hi")
-    )
-    thetas = bounds.select(
-        F.explode(
-            F.expr(
-                f"transform(sequence(0, {n_steps}), i -> lo + (hi - lo) * i / {n_steps})"
-            )
-        ).alias("theta")
-    )
+    if grid is not None:
+        thetas = labeled_scores.sparkSession.createDataFrame(
+            [(float(t),) for t in grid], "theta double"
+        )
+    else:
+        bounds = labeled_scores.agg(
+            F.min("pooled_score").alias("lo"), F.max("pooled_score").alias("hi")
+        )
+        thetas = bounds.select(
+            F.explode(
+                F.expr(
+                    f"transform(sequence(0, {n_steps}), i -> lo + (hi - lo) * i / {n_steps})"
+                )
+            ).alias("theta")
+        )
     # broadcast the tiny θ grid against the scores; conditional agg per θ
     j = labeled_scores.join(F.broadcast(thetas))
     perf = j.groupBy("theta").agg(

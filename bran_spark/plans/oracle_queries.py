@@ -1,0 +1,1057 @@
+"""The oracle-checked operator corpus (driver contract, SURVEY.md §5.2.1).
+
+Every SQL-expressible operator from SURVEY.md §2 has an entry here: a Spark
+DataFrame implementation plus the ANSI-SQL twin DuckDB replays on the same
+parquet tables at sf=0.01. The driver compares row-count + schema +
+order-insensitive value hash, so every entry follows three rules:
+
+1. every computed column is aliased identically on both sides;
+2. floats are rounded (and sums of ints cast) to identical types;
+3. ordering is never relied on except through explicit deterministic
+   ORDER BY + LIMIT (top-k), identical on both sides.
+
+Registry: ``QUERIES[name] -> (fn(spark, sf_dir) -> DataFrame)`` and
+``ORACLE[name] -> SQL | None`` (None ⇒ rows-only check: the op is not
+SQL-expressible — model forward passes, hash-function-specific ops).
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from bran_spark.functions.text import (
+    STOPWORDS,
+    fingerprint,
+    lang_id,
+    quality_score,
+    token_count,
+)
+from bran_spark.operators.dedup import (
+    exact_dedup_groups,
+    embedding_neardup_pairs,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash,
+)
+from bran_spark.operators.evaluate import sweep_threshold
+from bran_spark.operators.pairs import salted_count_distinct
+from bran_spark.operators.pooling import lse_pool
+from bran_spark.operators.similarity import cosine_topk, lsh_bucket_topk
+from bran_spark.sources.interleave import (
+    PLAIN_CHEMICALS,
+    PLAIN_DISEASES,
+    PLAIN_PARENTS,
+)
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLE: dict[str, str] = {}
+
+
+def _q(name: str, sql: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if sql is not None:
+            ORACLE[name] = sql
+        return fn
+
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# =========================================================================
+# §1 Relational core (scans, filters, joins, aggs, windows, sets, scalars)
+# =========================================================================
+
+@_q(
+    "q01_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           ROUND(SUM(l_quantity), 2) AS sum_qty,
+           ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+           ROUND(AVG(l_discount), 6) AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q01(spark, sf):
+    """A1/A4-family hash aggregation with map-side partial agg (TPC-H Q1 shape)."""
+    return (
+        _t(spark, sf, "lineitem")
+        .where(F.col("l_shipdate") <= "1998-09-01")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@_q(
+    "q02_filter_project",
+    """
+    SELECT l_orderkey, l_linenumber, l_extendedprice
+    FROM lineitem
+    WHERE l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+    """,
+)
+def q02(spark, sf):
+    """F1/F6: predicate + projection — both pushed into the parquet scan."""
+    return (
+        _t(spark, sf, "lineitem")
+        .where(F.col("l_discount").between(0.05, 0.07) & (F.col("l_quantity") < 24))
+        .select("l_orderkey", "l_linenumber", "l_extendedprice")
+    )
+
+
+@_q(
+    "q03_star_join",
+    """
+    SELECT r_name, COUNT(*) AS n_orders, ROUND(SUM(o_totalprice), 2) AS revenue
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    GROUP BY r_name
+    """,
+)
+def q03(spark, sf):
+    """J4-family star join: every dimension broadcast (no shuffle for dims)."""
+    o = _t(spark, sf, "orders")
+    c = F.broadcast(_t(spark, sf, "customer"))
+    n = F.broadcast(_t(spark, sf, "nation"))
+    r = F.broadcast(_t(spark, sf, "region"))
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(n, c.c_nationkey == n.n_nationkey)
+        .join(r, n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+    )
+
+
+@_q(
+    "q04_anti_join",
+    """
+    SELECT c_custkey, c_name FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+)
+def q04(spark, sf):
+    """J7/U2: left-anti join (customers without orders)."""
+    return (
+        _t(spark, sf, "customer")
+        .join(_t(spark, sf, "orders"), F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name")
+    )
+
+
+@_q(
+    "q05_semi_join",
+    """
+    SELECT c_custkey, c_mktsegment FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_orderstatus = 'O')
+    """,
+)
+def q05(spark, sf):
+    """Left-semi join (EXISTS decorrelation is Catalyst's, free)."""
+    o = _t(spark, sf, "orders").where(F.col("o_orderstatus") == "O")
+    return (
+        _t(spark, sf, "customer")
+        .join(o, F.col("c_custkey") == F.col("o_custkey"), "left_semi")
+        .select("c_custkey", "c_mktsegment")
+    )
+
+
+@_q(
+    "q06_topk_per_group",
+    """
+    SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      FROM orders)
+    WHERE rn <= 3
+    """,
+)
+def q06(spark, sf):
+    """W3: top-k per group via ranking window, deterministic tiebreak."""
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        _t(spark, sf, "orders")
+        .select("o_custkey", "o_orderkey", "o_totalprice", F.row_number().over(w).alias("rn"))
+        .where(F.col("rn") <= 3)
+    )
+
+
+@_q(
+    "q07_running_sum",
+    """
+    SELECT o_orderkey,
+           ROUND(SUM(o_totalprice) OVER (PARTITION BY o_custkey
+                 ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+           AS running_spend
+    FROM orders
+    """,
+)
+def q07(spark, sf):
+    """Analytic frame (rowsBetween): per-customer running spend."""
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return _t(spark, sf, "orders").select(
+        "o_orderkey", F.round(F.sum("o_totalprice").over(w), 2).alias("running_spend")
+    )
+
+
+@_q(
+    "q08_union",
+    """
+    SELECT o_orderkey, 'urgent' AS src FROM orders WHERE o_orderpriority = '1-URGENT'
+    UNION ALL
+    SELECT o_orderkey, 'big' AS src FROM orders WHERE o_totalprice > 400000
+    """,
+)
+def q08(spark, sf):
+    """U1: unionByName of two slices with provenance tags."""
+    o = _t(spark, sf, "orders")
+    a = o.where(F.col("o_orderpriority") == "1-URGENT").select(
+        "o_orderkey", F.lit("urgent").alias("src")
+    )
+    b = o.where(F.col("o_totalprice") > 400000).select(
+        "o_orderkey", F.lit("big").alias("src")
+    )
+    return a.unionByName(b)
+
+
+@_q(
+    "q09_intersect",
+    """
+    SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+    INTERSECT
+    SELECT o_custkey AS c_custkey FROM orders WHERE o_totalprice > 200000
+    """,
+)
+def q09(spark, sf):
+    """Set intersection (J6 family)."""
+    a = _t(spark, sf, "customer").where(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    b = (
+        _t(spark, sf, "orders")
+        .where(F.col("o_totalprice") > 200000)
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
+    return a.intersect(b)
+
+
+@_q(
+    "q10_distinct_agg",
+    """
+    SELECT c_mktsegment,
+           COUNT(DISTINCT c_nationkey) AS n_nations,
+           COUNT(*) AS n_customers,
+           ROUND(AVG(c_acctbal), 4) AS avg_bal
+    FROM customer GROUP BY c_mktsegment
+    """,
+)
+def q10(spark, sf):
+    """A3/distinct: mixed distinct + plain aggregates."""
+    return (
+        _t(spark, sf, "customer")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.countDistinct("c_nationkey").alias("n_nations"),
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.avg("c_acctbal"), 4).alias("avg_bal"),
+        )
+    )
+
+
+@_q(
+    "q11_rollup",
+    """
+    SELECT o_orderstatus, o_orderpriority,
+           COUNT(*) AS n, ROUND(SUM(o_totalprice), 2) AS total
+    FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+)
+def q11(spark, sf):
+    """Grouping sets / rollup (metrics reporting; SURVEY.md §2.4)."""
+    return (
+        _t(spark, sf, "orders")
+        .rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+    )
+
+
+@_q(
+    "q12_topn",
+    """
+    SELECT p_partkey, p_name, p_retailprice FROM part
+    ORDER BY p_retailprice DESC, p_partkey LIMIT 10
+    """,
+)
+def q12(spark, sf):
+    """O1: global top-N (TakeOrderedAndProject — no full sort)."""
+    return (
+        _t(spark, sf, "part")
+        .select("p_partkey", "p_name", "p_retailprice")
+        .orderBy(F.desc("p_retailprice"), F.asc("p_partkey"))
+        .limit(10)
+    )
+
+
+@_q(
+    "q13_string_funcs",
+    """
+    SELECT CAST(regexp_extract(p_brand, 'Brand#(\\d+)', 1) AS INT) AS brand_no,
+           lower(p_type) AS type_lc,
+           COUNT(*) AS n,
+           CAST(SUM(length(p_name)) AS BIGINT) AS name_chars
+    FROM part
+    WHERE p_name LIKE '%widget%'
+    GROUP BY brand_no, type_lc
+    """,
+)
+def q13(spark, sf):
+    """X5: regexp extract / lower / length / LIKE."""
+    return (
+        _t(spark, sf, "part")
+        .where(F.col("p_name").like("%widget%"))
+        .select(
+            F.regexp_extract("p_brand", r"Brand#(\d+)", 1).cast("int").alias("brand_no"),
+            F.lower("p_type").alias("type_lc"),
+            "p_name",
+        )
+        .groupBy("brand_no", "type_lc")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.length("p_name")).cast("long").alias("name_chars"),
+        )
+    )
+
+
+@_q(
+    "q14_date_agg",
+    """
+    SELECT CAST(year(o_orderdate) AS INT) AS yr,
+           CAST(month(o_orderdate) AS INT) AS mo,
+           COUNT(*) AS n, ROUND(SUM(o_totalprice), 2) AS total
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+    GROUP BY yr, mo
+    """,
+)
+def q14(spark, sf):
+    """Date functions + agg (SURVEY.md §2.8 date demo on driver tables)."""
+    return (
+        _t(spark, sf, "orders")
+        .where(F.col("o_orderdate") >= "1997-01-01")
+        .groupBy(
+            F.year("o_orderdate").alias("yr"), F.month("o_orderdate").alias("mo")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+    )
+
+
+@_q(
+    "q15_json_extract",
+    """
+    SELECT event_type,
+           CAST(SUM(CAST(regexp_extract(props, '"k": (\\d+)', 1) AS INT)) AS BIGINT) AS k_sum,
+           COUNT(*) AS n
+    FROM events GROUP BY event_type
+    """,
+)
+def q15(spark, sf):
+    """JSON-ish props field extraction (X5 / §2.8 json demo)."""
+    return (
+        _t(spark, sf, "events")
+        .select(
+            "event_type",
+            F.regexp_extract("props", r'"k": (\d+)', 1).cast("int").alias("k"),
+        )
+        .groupBy("event_type")
+        .agg(F.sum("k").cast("long").alias("k_sum"), F.count(F.lit(1)).alias("n"))
+    )
+
+
+@_q(
+    "q16_time_window",
+    """
+    SELECT CAST(epoch(time_bucket(INTERVAL 1 hour, ts)) AS BIGINT) AS bucket_start,
+           event_type, COUNT(*) AS n, ROUND(SUM(value), 4) AS sum_value
+    FROM events GROUP BY bucket_start, event_type
+    """,
+)
+def q16(spark, sf):
+    """Tumbling event-time window (streaming-shaped agg in batch form)."""
+    return (
+        _t(spark, sf, "events")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("sum_value"))
+        .select(
+            F.unix_timestamp("w.start").alias("bucket_start"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+@_q(
+    "q17_conditional_agg",
+    """
+    SELECT n_name,
+           CAST(SUM(CASE WHEN c_acctbal < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_negative,
+           CAST(SUM(CASE WHEN c_acctbal >= 5000 THEN 1 ELSE 0 END) AS BIGINT) AS n_rich,
+           COUNT(*) AS n
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_name
+    """,
+)
+def q17(spark, sf):
+    """CASE WHEN conditional aggregation over a broadcast join."""
+    c = _t(spark, sf, "customer")
+    n = F.broadcast(_t(spark, sf, "nation"))
+    return (
+        c.join(n, c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.sum(F.when(F.col("c_acctbal") < 0, 1).otherwise(0)).cast("long").alias("n_negative"),
+            F.sum(F.when(F.col("c_acctbal") >= 5000, 1).otherwise(0)).cast("long").alias("n_rich"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+@_q(
+    "q18_lse_pooling",
+    """
+    SELECT l_returnflag,
+           ROUND(m + LN(SUM(EXP(l_discount - m))), 6) AS pooled_score
+    FROM (SELECT l_returnflag, l_discount,
+                 MAX(l_discount) OVER (PARTITION BY l_returnflag) AS m
+          FROM lineitem)
+    GROUP BY l_returnflag, m
+    """,
+)
+def q18(spark, sf):
+    """A2: the paper's defining log-sum-exp pooling, relational + stable
+    (max-shifted), replayed here over lineitem so DuckDB can oracle it."""
+    scores = _t(spark, sf, "lineitem").select(
+        "l_returnflag", F.col("l_discount").alias("score")
+    )
+    pooled = lse_pool(scores, ["l_returnflag"], "score")
+    return pooled.select("l_returnflag", F.round("pooled_score", 6).alias("pooled_score"))
+
+
+# =========================================================================
+# §2 KG-pipeline twins over the driver `documents` table — the relational
+# skeleton of the flagship DAG (detection → pairs → label → hypernym →
+# dedup → sweep → eval), each DuckDB-oracle-checked. The model forward pass
+# (P1/P2) is the only non-SQL stage and is covered by rows-only entries +
+# pytest goldens.
+# =========================================================================
+
+def _chem_idx(w: str) -> int:
+    return PLAIN_CHEMICALS.index(w)
+
+
+def _dis_idx(w: str) -> int:
+    return PLAIN_DISEASES.index(w)
+
+
+_DIM_VALUES = ", ".join(
+    [f"('{w}', 'KC{i:04d}', 'Chemical')" for i, w in enumerate(PLAIN_CHEMICALS)]
+    + [f"('{w}', 'KD{i:04d}', 'Disease')" for i, w in enumerate(PLAIN_DISEASES)]
+)
+_ANC_PAIRS = [
+    (f"KC{_chem_idx(c):04d}", f"KC{_chem_idx(p):04d}")
+    for c, p in PLAIN_PARENTS.items()
+    if c in PLAIN_CHEMICALS
+] + [
+    (f"KD{_dis_idx(c):04d}", f"KD{_dis_idx(p):04d}")
+    for c, p in PLAIN_PARENTS.items()
+    if c in PLAIN_DISEASES
+]
+_ANC_VALUES = ", ".join(f"('{c}', '{a}')" for c, a in _ANC_PAIRS)
+
+# shared CTE chain: detection → entity sets → pairs → pseudo-gold labels →
+# deterministic pseudo-scores (pure arithmetic — identical in both engines)
+_PIPE_CTES = f"""
+  dim(surface, mesh_id, type) AS (VALUES {_DIM_VALUES}),
+  w AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS word
+        FROM documents),
+  mention AS (SELECT w.doc_id, dim.mesh_id, dim.type, COUNT(*) AS n_mentions
+              FROM w JOIN dim ON w.word = dim.surface
+              GROUP BY w.doc_id, dim.mesh_id, dim.type),
+  ents AS (SELECT DISTINCT doc_id, mesh_id, type FROM mention),
+  pairs AS (SELECT c.doc_id, c.mesh_id AS chem_mesh, d.mesh_id AS dis_mesh
+            FROM ents c JOIN ents d ON c.doc_id = d.doc_id
+            WHERE c.type = 'Chemical' AND d.type = 'Disease'),
+  labeled AS (SELECT doc_id, chem_mesh, dis_mesh,
+                CASE WHEN (doc_id * 31
+                           + CAST(substr(chem_mesh, 3) AS INT) * 7
+                           + CAST(substr(dis_mesh, 3) AS INT)) % 10 < 3
+                     THEN 1 ELSE 0 END AS label
+              FROM pairs),
+  scored AS (SELECT *,
+                ((doc_id * 13
+                  + CAST(substr(chem_mesh, 3) AS INT) * 5
+                  + CAST(substr(dis_mesh, 3) AS INT) * 3) % 200) / 10.0 - 10.0
+                AS s
+             FROM labeled)
+"""
+
+_LABEL_EXPR = (
+    "CAST(CASE WHEN (doc_id * 31 + CAST(substring(chem_mesh, 3, 10) AS INT) * 7"
+    " + CAST(substring(dis_mesh, 3, 10) AS INT)) % 10 < 3 THEN 1 ELSE 0 END AS INT)"
+)
+_SCORE_EXPR = (
+    "CAST(((doc_id * 13 + CAST(substring(chem_mesh, 3, 10) AS INT) * 5"
+    " + CAST(substring(dis_mesh, 3, 10) AS INT) * 3) % 200) / 10.0 - 10.0 AS DOUBLE)"
+)
+
+
+def _plain_dim(spark) -> DataFrame:
+    from bran_spark.sources.interleave import plain_mesh_dict
+
+    return plain_mesh_dict(spark).select(
+        F.explode("synonyms").alias("surface"), "mesh_id", "type"
+    )
+
+
+def _detected(spark, sf) -> DataFrame:
+    """Detection twin: word explode ⋈ broadcast surface dim (J4/S1 shape)."""
+    w = _t(spark, sf, "documents").select(
+        "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("word")
+    )
+    dim = F.broadcast(_plain_dim(spark))
+    return w.join(dim, w.word == dim.surface)
+
+
+def _pairs(spark, sf) -> DataFrame:
+    ents = _detected(spark, sf).select("doc_id", "mesh_id", "type").dropDuplicates()
+    chem = ents.where(F.col("type") == "Chemical").select(
+        "doc_id", F.col("mesh_id").alias("chem_mesh")
+    )
+    dis = ents.where(F.col("type") == "Disease").select(
+        "doc_id", F.col("mesh_id").alias("dis_mesh")
+    )
+    return chem.join(dis, "doc_id")
+
+
+def _labeled(spark, sf) -> DataFrame:
+    return _pairs(spark, sf).withColumn("label", F.expr(_LABEL_EXPR))
+
+
+def _scored(spark, sf) -> DataFrame:
+    return _labeled(spark, sf).withColumn("s", F.expr(_SCORE_EXPR))
+
+
+@_q(
+    "q19_mention_detection",
+    f"WITH {_PIPE_CTES} SELECT doc_id, mesh_id, type, n_mentions FROM mention",
+)
+def q19(spark, sf):
+    """S1/J4 twin: dictionary mention detection as a broadcast hash join."""
+    return (
+        _detected(spark, sf)
+        .groupBy("doc_id", "mesh_id", "type")
+        .agg(F.count(F.lit(1)).alias("n_mentions"))
+    )
+
+
+@_q(
+    "q20_pair_generation",
+    f"WITH {_PIPE_CTES} SELECT doc_id, chem_mesh, dis_mesh FROM pairs",
+)
+def q20(spark, sf):
+    """J1 twin: within-doc chemical × disease candidate pairs."""
+    return _pairs(spark, sf)
+
+
+@_q(
+    "q21_gold_label_join",
+    f"WITH {_PIPE_CTES} SELECT doc_id, chem_mesh, dis_mesh, label FROM labeled",
+)
+def q21(spark, sf):
+    """J2 twin: pseudo-gold labeling (deterministic arithmetic gold set)."""
+    return _labeled(spark, sf)
+
+
+@_q(
+    "q22_hypernym_anti_join",
+    f"""
+    WITH {_PIPE_CTES},
+    anc(mesh_id, ancestor) AS (VALUES {_ANC_VALUES}),
+    positives AS (SELECT * FROM labeled WHERE label = 1),
+    shadowed AS (SELECT DISTINCT p.doc_id, p.chem_mesh, a.ancestor AS dis_mesh
+                 FROM positives p JOIN anc a ON p.dis_mesh = a.mesh_id),
+    kept_neg AS (SELECT n.* FROM labeled n
+                 WHERE n.label = 0 AND NOT EXISTS (
+                   SELECT 1 FROM shadowed s
+                   WHERE s.doc_id = n.doc_id AND s.chem_mesh = n.chem_mesh
+                     AND s.dis_mesh = n.dis_mesh))
+    SELECT * FROM positives UNION ALL SELECT * FROM kept_neg
+    """,
+)
+def q22(spark, sf):
+    """J3 twin: hypernym-shadowed negative removal (filter_hypernyms.py
+    semantics) via broadcast ancestor closure + left-anti join."""
+    labeled = _labeled(spark, sf)
+    anc = F.broadcast(
+        spark.createDataFrame(_ANC_PAIRS, "mesh_id string, ancestor string")
+    )
+    positives = labeled.where(F.col("label") == 1)
+    shadowed = (
+        positives.join(anc, positives.dis_mesh == anc.mesh_id)
+        .select("doc_id", "chem_mesh", F.col("ancestor").alias("dis_mesh"))
+        .dropDuplicates()
+    )
+    kept_neg = labeled.where(F.col("label") == 0).join(
+        shadowed, ["doc_id", "chem_mesh", "dis_mesh"], "left_anti"
+    )
+    return positives.unionByName(kept_neg)
+
+
+@_q(
+    "q23_triple_dedup_support",
+    f"""
+    WITH {_PIPE_CTES}
+    SELECT chem_mesh, dis_mesh,
+           COUNT(DISTINCT doc_id) AS support, COUNT(*) AS n
+    FROM labeled WHERE label = 1
+    GROUP BY chem_mesh, dis_mesh
+    """,
+)
+def q23(spark, sf):
+    """A5/P3 twin: triple dedup + support — Spark side uses the explicit
+    two-phase SALTED distinct (hot-entity skew handling) and must agree
+    bit-for-bit with DuckDB's plain COUNT(DISTINCT)."""
+    pos = _labeled(spark, sf).where(F.col("label") == 1)
+    support = salted_count_distinct(
+        pos, ["chem_mesh", "dis_mesh"], "doc_id", buckets=16
+    ).withColumnRenamed("distinct_count", "support")
+    n = pos.groupBy("chem_mesh", "dis_mesh").agg(F.count(F.lit(1)).alias("n"))
+    return support.join(n, ["chem_mesh", "dis_mesh"])
+
+
+_SWEEP_GRID_SQL = "unnest(list_transform(range(-100, 101, 5), i -> i / 10.0))"
+
+
+@_q(
+    "q24_threshold_sweep",
+    f"""
+    WITH {_PIPE_CTES},
+    grid AS (SELECT {_SWEEP_GRID_SQL} AS theta),
+    perf AS (
+      SELECT theta,
+             CAST(SUM(CASE WHEN s >= theta AND label = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+             CAST(SUM(CASE WHEN s >= theta AND label = 0 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+             CAST(SUM(CASE WHEN s <  theta AND label = 1 THEN 1 ELSE 0 END) AS BIGINT) AS fn
+      FROM scored, grid GROUP BY theta),
+    f AS (SELECT theta,
+                 CAST(CASE WHEN 2*tp+fp+fn = 0 THEN 0.0
+                      ELSE 2.0*tp/(2*tp+fp+fn) END AS DOUBLE) AS f1
+          FROM perf)
+    SELECT ROUND(theta, 6) AS theta, ROUND(f1, 6) AS f1
+    FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY f1 DESC, theta ASC) AS rn FROM f)
+    WHERE rn = 1
+    """,
+)
+def q24(spark, sf):
+    """W2 twin: dev threshold sweep argmax over a fixed θ grid."""
+    scores = _scored(spark, sf).select(
+        F.col("s").alias("pooled_score"), "label"
+    )
+    grid = [i / 10.0 for i in range(-100, 101, 5)]
+    best = sweep_threshold(scores, grid=grid)
+    return best.select(
+        F.round("theta", 6).alias("theta"), F.round("f1", 6).alias("f1")
+    )
+
+
+@_q(
+    "q25_eval_prf",
+    f"""
+    WITH {_PIPE_CTES}
+    SELECT tp, fp, fn,
+           CAST(CASE WHEN tp+fp = 0 THEN 0.0 ELSE tp/(tp+fp) END AS DOUBLE) AS precision,
+           CAST(CASE WHEN tp+fn = 0 THEN 0.0 ELSE tp/(tp+fn) END AS DOUBLE) AS recall,
+           CAST(CASE WHEN 2*tp+fp+fn = 0 THEN 0.0 ELSE 2.0*tp/(2*tp+fp+fn) END AS DOUBLE) AS f1
+    FROM (SELECT CAST(SUM(CASE WHEN s >= 0 AND label = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+                 CAST(SUM(CASE WHEN s >= 0 AND label = 0 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+                 CAST(SUM(CASE WHEN s <  0 AND label = 1 THEN 1 ELSE 0 END) AS BIGINT) AS fn
+          FROM scored)
+    """,
+)
+def q25(spark, sf):
+    """J6/J7/A4 twin: micro P/R/F1 of thresholded predictions vs pseudo-gold,
+    via the real confusion() operator (inner + two anti joins)."""
+    from bran_spark.operators.evaluate import confusion
+
+    scored = _scored(spark, sf)
+    predicted = scored.where(F.col("s") >= 0).select("doc_id", "chem_mesh", "dis_mesh")
+    gold = scored.where(F.col("label") == 1).select("doc_id", "chem_mesh", "dis_mesh")
+    return confusion(predicted, gold)
+
+
+@_q(
+    "q26_char_align",
+    f"""
+    WITH dim(surface, mesh_id, type) AS (VALUES {_DIM_VALUES})
+    SELECT doc_id, mesh_id,
+           strpos(lower(text), surface) AS char_pos,
+           CAST(len(string_split(substr(lower(text), 1, strpos(lower(text), surface) - 1), ' ')) - 1 AS INT) AS word_idx
+    FROM documents, dim
+    WHERE strpos(lower(text), surface) > 0
+    """,
+)
+def q26(spark, sf):
+    """X2/J5 twin: char-offset → word-index alignment arithmetic (first
+    occurrence per keyword per doc)."""
+    docs = _t(spark, sf, "documents")
+    dim = F.broadcast(_plain_dim(spark).select("surface", "mesh_id"))
+    j = docs.crossJoin(dim).withColumn(
+        "char_pos", F.expr("locate(surface, lower(text))")
+    )
+    return j.where(F.col("char_pos") > 0).select(
+        "doc_id",
+        "mesh_id",
+        "char_pos",
+        (
+            F.size(F.split(F.expr("substring(lower(text), 1, char_pos - 1)"), " ")) - 1
+        ).cast("int").alias("word_idx"),
+    )
+
+
+# =========================================================================
+# §3 Training-data pipeline operators over documents/embeddings — dedup
+# family, similarity search, text analysis (first-class at 100 TB scale).
+# =========================================================================
+
+_WORDS_RE_SQL = "string_split_regex(trim(lower(text)), ' +')"
+_STOP_SQL = "[" + ", ".join(f"'{s}'" for s in STOPWORDS) + "]"
+
+
+@_q(
+    "q27_dedup_exact",
+    """
+    SELECT md5(text) AS content_hash, COUNT(*) AS n_dups, MIN(doc_id) AS keep_id
+    FROM documents GROUP BY md5(text)
+    """,
+)
+def q27(spark, sf):
+    """Exact dedup: one shuffle on the content hash, min-id survivor."""
+    return exact_dedup_groups(_t(spark, sf, "documents"), "doc_id", "text")
+
+
+_SHINGLE_SQL = (
+    "list_transform(range(greatest(len(ws) - {n}, 0) + 1),"
+    " i -> array_to_string(list_slice(ws, i + 1, i + {n}), ' '))"
+)
+
+
+@_q(
+    "q28_dedup_ngram_jaccard",
+    f"""
+    WITH wl AS (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents),
+    sh AS (SELECT doc_id, unnest(list_distinct({_SHINGLE_SQL.format(n=3)})) AS shingle
+           FROM wl),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+    kept AS (SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= 30),
+    shk AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN kept USING (shingle)),
+    common AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS common
+               FROM shk a JOIN shk b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+               GROUP BY a.doc_id, b.doc_id)
+    SELECT id_a, id_b,
+           ROUND(common / (sa.n_sh + sb.n_sh - common), 6) AS jaccard
+    FROM common
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE common / (sa.n_sh + sb.n_sh - common) >= 0.1
+    """,
+)
+def q28(spark, sf):
+    """n-gram Jaccard near-dup with df-cut skew bound (inverted-index join).
+
+    NOTE: Spark shingles() splits on the lowercased raw text with the regex
+    split in functions.text.words; the oracle mirrors with string_split on
+    single space — the driver corpus is single-spaced so both agree."""
+    return ngram_jaccard_pairs(
+        _t(spark, sf, "documents"), "doc_id", "text", n=3, min_jaccard=0.1, max_df=30
+    )
+
+
+@_q(
+    "q29_dedup_minhash_lsh",
+    f"""
+    WITH wl AS (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents),
+    sh AS (SELECT doc_id, unnest(list_distinct({_SHINGLE_SQL.format(n=4)})) AS shingle
+           FROM wl),
+    banded AS (SELECT doc_id, band, md5(band::VARCHAR || ':' || shingle) AS h
+               FROM sh, (SELECT unnest(range(4)) AS band)),
+    sig AS (SELECT doc_id, band, MIN(h) AS minhash FROM banded GROUP BY doc_id, band)
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM sig a JOIN sig b ON a.band = b.band AND a.minhash = b.minhash
+                         AND a.doc_id < b.doc_id
+    """,
+)
+def q29(spark, sf):
+    """MinHash+LSH candidate pairs — md5-based signatures so DuckDB replays
+    them; bucket equi-join, never an all-pairs product."""
+    return minhash_lsh_pairs(_t(spark, sf, "documents"), "doc_id", "text", n=4, bands=4)
+
+
+_COS_SQL = (
+    "list_dot_product(embedding::DOUBLE[], qv)"
+    " / (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))"
+    "    * sqrt(list_dot_product(qv, qv)))"
+)
+
+
+@_q(
+    "q30_sim_topk_cosine",
+    f"""
+    WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)
+    SELECT vec_id, ROUND({_COS_SQL}, 6) AS cos
+    FROM embeddings, q WHERE vec_id != 0
+    ORDER BY cos DESC, vec_id LIMIT 10
+    """,
+)
+def q30(spark, sf):
+    """Exact brute-force cosine top-k (ANN correctness baseline)."""
+    return cosine_topk(_t(spark, sf, "embeddings"), query_id=0, k=10)
+
+
+_BUCKET_SQL = (
+    "concat(CASE WHEN embedding[1] >= 0 THEN '1' ELSE '0' END,"
+    " CASE WHEN embedding[8] >= 0 THEN '1' ELSE '0' END,"
+    " CASE WHEN embedding[14] >= 0 THEN '1' ELSE '0' END,"
+    " CASE WHEN embedding[22] >= 0 THEN '1' ELSE '0' END)"
+)
+
+
+@_q(
+    "q31_sim_ann_lsh",
+    f"""
+    WITH v AS (SELECT vec_id, embedding, {_BUCKET_SQL} AS bucket FROM embeddings),
+    q AS (SELECT embedding::DOUBLE[] AS qv, bucket AS qbucket FROM v WHERE vec_id = 0)
+    SELECT vec_id, ROUND({_COS_SQL}, 6) AS cos
+    FROM v, q WHERE vec_id != 0 AND bucket = qbucket
+    ORDER BY cos DESC, vec_id LIMIT 10
+    """,
+)
+def q31(spark, sf):
+    """Approximate top-k: sign-pattern LSH bucket restriction (scan prune)."""
+    return lsh_bucket_topk(_t(spark, sf, "embeddings"), query_id=0, k=10)
+
+
+@_q(
+    "q32_quality_score",
+    f"""
+    SELECT doc_id,
+           CAST(len({_WORDS_RE_SQL}) AS INT) AS n_tokens,
+           ROUND(0.4 * least(len({_WORDS_RE_SQL}) / 100.0, 1.0)
+               + 0.3 * least(10.0 * len(list_filter({_WORDS_RE_SQL},
+                              x -> list_contains({_STOP_SQL}, x)))
+                              / greatest(len({_WORDS_RE_SQL}), 1), 1.0)
+               + 0.3 * (1.0 - least(5.0 * len(regexp_extract_all(text, '[^a-zA-Z0-9 ]'))
+                              / greatest(length(text), 1), 1.0)) + 1e-9, 4) AS quality
+    FROM documents
+    """,
+)
+def q32(spark, sf):
+    """Document quality scoring (length/stopword/punct heuristics)."""
+    # +1e-9 before rounding on BOTH sides: quality is low-entropy rational
+    # arithmetic, so exact decimal ties at the 4th place occur and Spark
+    # (HALF_UP on the binary expansion) and DuckDB (round of the shortest
+    # decimal repr) break them differently.
+    return _t(spark, sf, "documents").select(
+        "doc_id",
+        token_count("text").cast("int").alias("n_tokens"),
+        F.round(quality_score("text") + F.lit(1e-9), 4).alias("quality"),
+    )
+
+
+@_q(
+    "q33_token_stats",
+    f"""
+    SELECT lang,
+           CAST(SUM(len({_WORDS_RE_SQL})) AS BIGINT) AS n_tokens,
+           ROUND(AVG(n_chars), 2) AS avg_chars,
+           COUNT(*) AS n_docs
+    FROM documents GROUP BY lang
+    """,
+)
+def q33(spark, sf):
+    """Corpus token statistics per language tag."""
+    return (
+        _t(spark, sf, "documents")
+        .groupBy("lang")
+        .agg(
+            F.sum(token_count("text")).cast("long").alias("n_tokens"),
+            F.round(F.avg("n_chars"), 2).alias("avg_chars"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+    )
+
+
+@_q(
+    "q34_fingerprint",
+    f"""
+    SELECT doc_id,
+           md5(array_to_string(list_sort(list_distinct({_WORDS_RE_SQL})), ' ')) AS fp
+    FROM documents
+    """,
+)
+def q34(spark, sf):
+    """Bag-of-words document fingerprint (md5 over sorted distinct tokens)."""
+    return _t(spark, sf, "documents").select(
+        "doc_id", fingerprint("text").alias("fp")
+    )
+
+
+@_q(
+    "q35_embedding_neardup",
+    f"""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS ve, {_BUCKET_SQL} AS bucket
+               FROM embeddings)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           ROUND(list_dot_product(a.ve, b.ve)
+                 / (sqrt(list_dot_product(a.ve, a.ve))
+                    * sqrt(list_dot_product(b.ve, b.ve))), 6) AS cos
+    FROM v a JOIN v b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    WHERE list_dot_product(a.ve, b.ve)
+          / (sqrt(list_dot_product(a.ve, a.ve))
+             * sqrt(list_dot_product(b.ve, b.ve))) >= 0.3
+    """,
+)
+def q35(spark, sf):
+    """Embedding-cosine near-dup with sign-bucket LSH prefilter."""
+    return embedding_neardup_pairs(
+        _t(spark, sf, "embeddings"), min_cos=0.3
+    )
+
+
+_LANG_CNT_SQL = {
+    lang: (
+        f"len(list_filter({_WORDS_RE_SQL}, x -> list_contains(["
+        + ", ".join(f"'{m}'" for m in markers)
+        + "], x)))"
+    )
+    for lang, markers in __import__(
+        "bran_spark.functions.text", fromlist=["LANG_MARKERS"]
+    ).LANG_MARKERS.items()
+}
+
+
+@_q(
+    "q36_lang_id",
+    f"""
+    SELECT doc_id,
+           CASE WHEN {_LANG_CNT_SQL['de']} > greatest({_LANG_CNT_SQL['en']}, {_LANG_CNT_SQL['es']}) THEN 'de'
+                WHEN {_LANG_CNT_SQL['es']} > {_LANG_CNT_SQL['en']} THEN 'es'
+                WHEN {_LANG_CNT_SQL['en']} > 0 THEN 'en'
+                ELSE 'und' END AS lang_guess
+    FROM documents
+    """,
+)
+def q36(spark, sf):
+    """Marker-word language-ID heuristic."""
+    return _t(spark, sf, "documents").select(
+        "doc_id", lang_id("text").alias("lang_guess")
+    )
+
+
+@_q(
+    "q37_salted_distinct",
+    """
+    SELECT event_type, COUNT(DISTINCT user_id) AS distinct_count
+    FROM events GROUP BY event_type
+    """,
+)
+def q37(spark, sf):
+    """P3: explicit two-phase salted COUNT(DISTINCT) vs the oracle's plain
+    one — exactness of the salt decomposition is the property under test."""
+    return salted_count_distinct(
+        _t(spark, sf, "events"), ["event_type"], "user_id", buckets=16
+    )
+
+
+# =========================================================================
+# §4 Rows-only entries (no SQL twin): model forward pass, hash-specific and
+# UDF-based stages — the driver records a weaker rows-only check; full
+# verification lives in pytest (golden triples, invariants).
+# =========================================================================
+
+def _fixture_sf_for(sf_dir: str) -> float:
+    base = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return 0.001
+
+
+@_q("kg_triples_plain")
+def kg_triples_plain(spark, sf):
+    """Flagship KG pipeline over the driver's plain documents table:
+    interleave → BPE → detect → encode/score (mapInPandas) → LSE → triples."""
+    from bran_spark.plans.pipeline import flagship_plain
+
+    return flagship_plain(spark, sf)
+
+
+@_q("kg_triples_fixture")
+def kg_triples_fixture(spark, sf):
+    """Flagship KG pipeline on the seeded CDR-shaped fixture corpus at the
+    matching scale (the honest reproduction of the reference task)."""
+    from bran_spark.fixtures.gen import ensure, fixture_dir
+    from bran_spark.plans.pipeline import flagship
+
+    s = _fixture_sf_for(sf)
+    ensure(s)
+    return flagship(spark, fixture_dir(s))
+
+
+@_q("kg_mentions_fixture")
+def kg_mentions_fixture(spark, sf):
+    """Detection+linking stage output on the fixture corpus (D3/J4)."""
+    from bran_spark.fixtures.gen import ensure, fixture_dir
+    from bran_spark.plans.pipeline import Pipeline, PipelineConfig
+
+    s = _fixture_sf_for(sf)
+    ensure(s)
+    cfg = PipelineConfig(
+        fixture_dir=fixture_dir(s), checkpoint_root="/tmp/bran_ckpt_q", checkpoint=False
+    )
+    return Pipeline(spark, cfg).stage_mentions(resume=False)
+
+
+@_q("simhash_docs")
+def simhash_docs(spark, sf):
+    """SimHash signatures (xxhash64-based — no DuckDB twin by design)."""
+    return simhash(_t(spark, sf, "documents"), "doc_id", "text")
