@@ -1,0 +1,91 @@
+"""Driver benchmark: headline queries at $SPARK_GRAFT_SF_DIR on
+local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Headline set: the full KG-construction DAG on the seeded CDR-shaped corpus at
+the matching scale (the reference task), plus the heavy relational/corpus
+operators over the driver testdata. Each query timed to completion of a
+count() (full materialization of the plan).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def _sf_of(d: str) -> float:
+    try:
+        return float(d.rstrip("/").rsplit("/", 1)[-1].replace("sf", ""))
+    except ValueError:
+        return 0.1
+
+
+def main() -> None:
+    from bran_spark.fixtures.gen import ensure, fixture_dir
+    from bran_spark.plans.oracle_queries import QUERIES
+    from bran_spark.plans.pipeline import flagship
+    from bran_spark.session import get_spark
+
+    sf = _sf_of(SF_DIR)
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    ensure(sf)
+    spark = get_spark(
+        "bran_bench",
+        master=f"local[{cpus}]",
+        shuffle_partitions=str(max(8, int(cpus) * 2)),
+    )
+
+    timings: dict[str, float] = {}
+    extras: dict[str, float] = {}
+
+    # headline: the flagship KG DAG on the CDR-shaped corpus at this scale
+    t0 = time.time()
+    triples = flagship(spark, fixture_dir(sf)).count()
+    timings["kg_flagship"] = round(time.time() - t0, 3)
+    extras["kg_triples"] = triples
+    extras["kg_triples_per_sec"] = round(triples / timings["kg_flagship"], 1)
+
+    bench_queries = [
+        "q01_pricing_summary",
+        "q03_star_join",
+        "q06_topk_per_group",
+        "q07_running_sum",
+        "q16_time_window",
+        "q18_lse_pooling",
+        "q20_pair_generation",
+        "q23_triple_dedup_support",
+        "q28_dedup_ngram_jaccard",
+        "q29_dedup_minhash_lsh",
+        "q30_sim_topk_cosine",
+        "q32_quality_score",
+        "q37_salted_distinct",
+    ]
+    for name in bench_queries:
+        t0 = time.time()
+        QUERIES[name](spark, SF_DIR).count()
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    out = {
+        "metric": "bran_spark_headline_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "cpus": int(cpus),
+        **extras,
+    }
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

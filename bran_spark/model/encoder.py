@@ -34,6 +34,15 @@ class Weights:
     def __getitem__(self, k: str) -> np.ndarray:
         return self.a[k]
 
+    def qkv(self, block: int) -> np.ndarray:
+        """Fused [d, 3d] Q|K|V projection for one block (cached)."""
+        key = f"__qkv{block}"
+        if key not in self.a:
+            self.a[key] = np.concatenate(
+                [self.a[f"b{block}.{n}"] for n in ("Wq", "Wk", "Wv")], axis=1
+            )
+        return self.a[key]
+
 
 def _layernorm(x: np.ndarray, g: np.ndarray, b: np.ndarray, eps: float = 1e-5) -> np.ndarray:
     mu = x.mean(-1, keepdims=True)
@@ -48,12 +57,19 @@ def _softmax(x: np.ndarray, axis: int = -1) -> np.ndarray:
 
 
 def _conv1d_same(x: np.ndarray, w: np.ndarray) -> np.ndarray:
-    """[B,L,Cin] x [K,Cin,Cout] -> [B,L,Cout], zero-padded 'same' conv."""
+    """[B,L,Cin] x [K,Cin,Cout] -> [B,L,Cout], zero-padded 'same' conv.
+
+    Tap-loop GEMMs (K ≤ 5): each tap is one [B*L, Cin]×[Cin, Cout] GEMM with
+    a fixed k-dim, which keeps per-row results bitwise independent of batch
+    size (an im2col single-GEMM variant was measured slower AND batch-size-
+    dependent — BLAS splits the widened k-dim differently per M)."""
     k = w.shape[0]
+    if k == 1:
+        return x @ w[0]
     pad = k // 2
     xp = np.pad(x, ((0, 0), (pad, pad), (0, 0)))
-    out = np.zeros((x.shape[0], x.shape[1], w.shape[2]), dtype=x.dtype)
-    for i in range(k):  # K is 1 or 5 — the loop is over kernel taps, not rows
+    out = xp[:, 0 : x.shape[1], :] @ w[0]
+    for i in range(1, k):
         out += xp[:, i : i + x.shape[1], :] @ w[i]
     return out
 
@@ -78,22 +94,25 @@ def encode_batch(tok_ids: list[np.ndarray], w: Weights) -> list[np.ndarray]:
         mask[i, 0, 0, : lens[i]] = 1.0
 
     x = (w["embed"][ids] + w["pos"][:L][None, :, :]).astype(np.float32)
+    # zero padded positions before every conv so the width-5 kernel sees the
+    # same zeros a solo (unpadded) encode would — batch-composition invariance
+    m2 = mask[:, 0, 0, :, None]
+    x = x * m2
     h = w.n_heads
     dh = d // h
     neg = np.float32(-1e9)
     for b in range(w.n_blocks):
-        q = (x @ w[f"b{b}.Wq"]).reshape(B, L, h, dh).transpose(0, 2, 1, 3)
-        k = (x @ w[f"b{b}.Wk"]).reshape(B, L, h, dh).transpose(0, 2, 1, 3)
-        v = (x @ w[f"b{b}.Wv"]).reshape(B, L, h, dh).transpose(0, 2, 1, 3)
+        wqkv = w.qkv(b)  # [d, 3d] fused projection — one GEMM, not three
+        qkv = (x @ wqkv).reshape(B, L, 3, h, dh).transpose(2, 0, 3, 1, 4)
+        q, k, v = qkv[0], qkv[1], qkv[2]  # each [B, h, L, dh]
         att = q @ k.transpose(0, 1, 3, 2) / np.float32(np.sqrt(dh))
         att = att + (1.0 - mask) * neg
         att = _softmax(att)
         ctx = (att @ v).transpose(0, 2, 1, 3).reshape(B, L, d)
-        x = _layernorm(x + ctx @ w[f"b{b}.Wo"], w[f"b{b}.ln1.g"], w[f"b{b}.ln1.b"])
+        x = _layernorm(x + ctx @ w[f"b{b}.Wo"], w[f"b{b}.ln1.g"], w[f"b{b}.ln1.b"]) * m2
         ff = np.maximum(_conv1d_same(x, w[f"b{b}.conv1"]), 0.0)
         ff = _conv1d_same(ff, w[f"b{b}.conv2"])  # width-5 (paper §2.1)
-        x = _layernorm(x + ff, w[f"b{b}.ln2.g"], w[f"b{b}.ln2.b"])
-        x = x * mask[:, 0, 0, :, None]
+        x = _layernorm(x + ff, w[f"b{b}.ln2.g"], w[f"b{b}.ln2.b"]) * m2
     return [x[i, : lens[i]] for i in range(B)]
 
 

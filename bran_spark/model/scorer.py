@@ -37,46 +37,70 @@ def _align(tok_starts: np.ndarray, a: int, b: int) -> tuple[int, int]:
     return lo, max(hi, lo + 1)
 
 
-def score_documents(docs: DataFrame, weights_bc, batch_docs: int = 64) -> DataFrame:
+def score_documents(docs: DataFrame, weights_bc, batch_docs: int = 16) -> DataFrame:
     """Input rows: (doc_id, tok_ids array<int>, tok_starts array<int>,
     mentions array<struct<mention_id,type,mesh_id,start,end>>).
     Output: long-format mention-pair CID logits (SCORE_SCHEMA).
     """
 
+    def encode_bucketed(ids: list[np.ndarray], w: Weights) -> list[np.ndarray]:
+        """Deterministic batched encode: pad each doc to a bucket length
+        (next multiple of 32, capped at max_len) and encode same-bucket docs
+        together. A doc's result depends only on (doc, bucket) — bitwise
+        identical regardless of batch composition or parallelism (verified:
+        GEMM row results are stable across batch size at fixed L with
+        single-threaded BLAS) — while same-L batching keeps GEMMs large.
+        """
+        buckets: dict[int, list[int]] = {}
+        for i, t in enumerate(ids):
+            L = min(max(len(t), 1), w.max_len)
+            b = min(((L + 31) // 32) * 32, w.max_len)
+            buckets.setdefault(b, []).append(i)
+        out: list[np.ndarray | None] = [None] * len(ids)
+        for b, idxs in buckets.items():
+            for off in range(0, len(idxs), batch_docs):
+                grp = idxs[off : off + batch_docs]
+                padded = []
+                for i in grp:
+                    t = ids[i][: w.max_len]
+                    padded.append(np.pad(t, (0, b - len(t))))
+                encs = encode_batch(padded, w)
+                for i, e in zip(grp, encs):
+                    out[i] = e[: min(len(ids[i]), w.max_len)]
+        return out  # type: ignore[return-value]
+
     def fn(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         w: Weights = weights_bc.value
         for pdf in it:
-            for off in range(0, len(pdf), batch_docs):
-                chunk = pdf.iloc[off : off + batch_docs]
-                ids = [np.asarray(t, dtype=np.int64) for t in chunk["tok_ids"]]
-                encs = encode_batch(ids, w)
-                out: dict[str, list] = {
-                    "doc_id": [], "chem_mention_id": [], "dis_mention_id": [],
-                    "chem_mesh": [], "dis_mesh": [], "score": [],
-                }
-                for row_i, (_, row) in enumerate(chunk.iterrows()):
-                    enc = encs[row_i]
-                    starts = np.asarray(row["tok_starts"], dtype=np.int64)
-                    chems, diss = [], []
-                    for m in row["mentions"]:
-                        span = _align(starts, int(m["start"]), int(m["end"]))
-                        span = (min(span[0], len(enc) - 1), min(span[1], len(enc)))
-                        (chems if m["type"] == "Chemical" else diss).append(
-                            (m["mention_id"], m["mesh_id"], span)
-                        )
-                    if not chems or not diss:
-                        continue
-                    s = score_pairs(
-                        enc, [c[2] for c in chems], [d[2] for d in diss], w
+            ids = [np.asarray(t, dtype=np.int64) for t in pdf["tok_ids"]]
+            encs = encode_bucketed(ids, w)
+            out: dict[str, list] = {
+                "doc_id": [], "chem_mention_id": [], "dis_mention_id": [],
+                "chem_mesh": [], "dis_mesh": [], "score": [],
+            }
+            for row_i, (doc_id, tok_starts, mentions) in enumerate(
+                zip(pdf["doc_id"], pdf["tok_starts"], pdf["mentions"])
+            ):
+                enc = encs[row_i]
+                starts = np.asarray(tok_starts, dtype=np.int64)
+                chems, diss = [], []
+                for m in mentions:
+                    span = _align(starts, int(m["start"]), int(m["end"]))
+                    span = (min(span[0], len(enc) - 1), min(span[1], len(enc)))
+                    (chems if m["type"] == "Chemical" else diss).append(
+                        (m["mention_id"], m["mesh_id"], span)
                     )
-                    for i, (cid, cmesh, _) in enumerate(chems):
-                        for j, (did, dmesh, _) in enumerate(diss):
-                            out["doc_id"].append(row["doc_id"])
-                            out["chem_mention_id"].append(cid)
-                            out["dis_mention_id"].append(did)
-                            out["chem_mesh"].append(cmesh)
-                            out["dis_mesh"].append(dmesh)
-                            out["score"].append(float(s[i, j]))
-                yield pd.DataFrame(out)
+                if not chems or not diss:
+                    continue
+                s = score_pairs(enc, [c[2] for c in chems], [d[2] for d in diss], w)
+                for i, (cid, cmesh, _) in enumerate(chems):
+                    for j, (did, dmesh, _) in enumerate(diss):
+                        out["doc_id"].append(doc_id)
+                        out["chem_mention_id"].append(cid)
+                        out["dis_mention_id"].append(did)
+                        out["chem_mesh"].append(cmesh)
+                        out["dis_mesh"].append(dmesh)
+                        out["score"].append(float(s[i, j]))
+            yield pd.DataFrame(out)
 
     return docs.mapInPandas(fn, SCORE_SCHEMA)

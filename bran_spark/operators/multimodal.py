@@ -1,0 +1,117 @@
+"""Multimodal (image/table/media) column plumbing.
+
+The interleaved input (BASELINE.json input_hint) carries media spans as
+``kind``-tagged elements with a ``media_ref``. This module implements the
+Spark-side plumbing a multimodal pipeline needs — typed binary columns,
+partition-friendly layout, Arrow-batched feature extraction via
+``mapInPandas`` — with the actual byte decoding STUBBED (no image/audio
+libraries exist in this container):
+
+- ``media_spans``: explode media elements out of ``spans`` (JVM-side).
+- ``fetch_media_payload``: attach an opaque ``binary`` payload + typed
+  metadata struct. The fetch is a deterministic fake (bytes derived from the
+  ref) standing in for a blob-store read; shape/partitioning are real.
+- ``extract_media_features``: Arrow-batched ``mapInPandas`` producing a
+  fixed-dim float feature vector per media item. ``decode="stub"`` computes a
+  deterministic digest-based fake; ``decode="real"`` raises
+  NotImplementedError — the seam where a real decoder (PIL/ffmpeg) plugs in.
+
+Scale notes: media payloads dominate bytes at 100 TB — they stay OUT of the
+text stages (nested-schema pruning: text stages never deserialize
+``spans.media_ref`` payloads), and feature extraction partitions by
+``media_ref`` hash so hot documents with many media spread evenly.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+FEATURE_DIM = 8
+
+MEDIA_FEATURE_SCHEMA = (
+    "doc_id string, media_ref string, kind string, "
+    "width int, height int, n_bytes int, feature array<float>"
+)
+
+
+def media_spans(docs: DataFrame) -> DataFrame:
+    """(doc_id, kind, media_ref) for every media element — pure JVM ops."""
+    return docs.select(
+        "doc_id",
+        F.explode(F.expr("filter(spans, s -> s.media_ref != '')")).alias("m"),
+    ).select("doc_id", F.col("m.kind").alias("kind"), F.col("m.media_ref").alias("media_ref"))
+
+
+def fetch_media_payload(media: DataFrame) -> DataFrame:
+    """Attach an opaque binary payload + typed metadata.
+
+    STUB: payload bytes are a deterministic function of media_ref (sha256
+    stretched), standing in for the blob-store fetch; the schema
+    (binary + struct metadata) is exactly what a real fetch returns.
+    """
+    payload = F.sha2(F.col("media_ref"), 256).cast("binary")
+    return media.select(
+        "doc_id",
+        "media_ref",
+        "kind",
+        payload.alias("payload"),
+        F.struct(
+            F.length(payload).alias("n_bytes"),
+            (F.pmod(F.crc32(F.col("media_ref")), F.lit(512)) + 64).cast("int").alias("width"),
+            (F.pmod(F.crc32(F.reverse(F.col("media_ref"))), F.lit(512)) + 64).cast("int").alias("height"),
+        ).alias("meta"),
+    )
+
+
+def extract_media_features(
+    media_with_payload: DataFrame, decode: str = "stub", repartition: int | None = None
+) -> DataFrame:
+    """Arrow-batched feature extraction over media payloads.
+
+    The UDF receives (doc_id, media_ref, kind, payload, meta) batches; the
+    decode step is where image/audio decoding would run — stubbed here with
+    a deterministic digest→float map so the Spark plumbing (schema, batch
+    shape, partitioning) is real and testable without media libraries.
+    """
+    df = media_with_payload
+    if repartition:
+        df = df.repartition(repartition, "media_ref")
+
+    def fn(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            feats, widths, heights, nbytes = [], [], [], []
+            for _, row in pdf.iterrows():
+                if decode == "real":
+                    raise NotImplementedError(
+                        "real media decoding requires PIL/ffmpeg — not in this container"
+                    )
+                digest = hashlib.sha256(bytes(row["payload"])).digest()
+                vec = (
+                    np.frombuffer(digest[: FEATURE_DIM * 4], dtype=np.uint32).astype(
+                        np.float32
+                    )
+                    / np.float32(2**32)
+                )
+                feats.append(vec.tolist())
+                widths.append(int(row["meta"]["width"]))
+                heights.append(int(row["meta"]["height"]))
+                nbytes.append(int(row["meta"]["n_bytes"]))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media_ref": pdf["media_ref"],
+                    "kind": pdf["kind"],
+                    "width": widths,
+                    "height": heights,
+                    "n_bytes": nbytes,
+                    "feature": feats,
+                }
+            )
+
+    return df.mapInPandas(fn, MEDIA_FEATURE_SCHEMA)

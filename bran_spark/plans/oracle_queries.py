@@ -553,14 +553,25 @@ def _detected(spark, sf) -> DataFrame:
 
 
 def _pairs(spark, sf) -> DataFrame:
-    ents = _detected(spark, sf).select("doc_id", "mesh_id", "type").dropDuplicates()
-    chem = ents.where(F.col("type") == "Chemical").select(
-        "doc_id", F.col("mesh_id").alias("chem_mesh")
+    """Within-doc pair generation as ONE corpus scan + ONE shuffle:
+    collect per-doc chemical/disease entity sets in a single aggregation,
+    then cross them row-locally with two explodes — no self-join, no second
+    scan. At 10^12 docs this halves the scan and removes the SMJ entirely."""
+    per_doc = (
+        _detected(spark, sf)
+        .groupBy("doc_id")
+        .agg(
+            F.array_distinct(
+                F.collect_list(F.when(F.col("type") == "Chemical", F.col("mesh_id")))
+            ).alias("chems"),
+            F.array_distinct(
+                F.collect_list(F.when(F.col("type") == "Disease", F.col("mesh_id")))
+            ).alias("diss"),
+        )
     )
-    dis = ents.where(F.col("type") == "Disease").select(
-        "doc_id", F.col("mesh_id").alias("dis_mesh")
-    )
-    return chem.join(dis, "doc_id")
+    return per_doc.select(
+        "doc_id", F.explode("chems").alias("chem_mesh"), "diss"
+    ).select("doc_id", "chem_mesh", F.explode("diss").alias("dis_mesh"))
 
 
 def _labeled(spark, sf) -> DataFrame:

@@ -194,11 +194,20 @@ class Pipeline:
 
     # ---- end to end ------------------------------------------------------
     def run(self, resume: bool = True, evaluate: bool = True) -> dict:
+        """With checkpointing, each stage materializes exactly once (counts
+        read the committed parquet). Without it, intermediates are persisted
+        in memory — otherwise every downstream count would re-execute the
+        expensive scoring lineage."""
         t0 = time.time()
         mentions = self.stage_mentions(resume)
         scores = self.stage_scores(mentions, resume)
+        if not self.cfg.checkpoint:
+            mentions = mentions.persist()
+            scores = scores.persist()
         triples = self.stage_triples(scores, resume)
         edges = self.stage_edges(triples, resume)
+        if not self.cfg.checkpoint:
+            triples = triples.persist()
         n_triples = triples.count()
         out = {
             "docs": self.documents().count(),

@@ -78,6 +78,8 @@ PLAIN_PARENTS = {"merge": "join", "filter": "sort", "stream": "window", "scan": 
 
 
 def plain_mesh_dict(spark) -> DataFrame:
+    import pandas as pd
+
     rows = []
     for i, w in enumerate(PLAIN_CHEMICALS):
         parent = PLAIN_PARENTS.get(w)
@@ -91,8 +93,14 @@ def plain_mesh_dict(spark) -> DataFrame:
             [f"KD{PLAIN_DISEASES.index(parent):04d}"] if parent in PLAIN_DISEASES else []
         )
         rows.append((f"KD{i:04d}", w, "Disease", [w], pid, pid))
-    return spark.createDataFrame(
+    # pandas -> Arrow -> LocalRelation: a broadcastable local table, NOT a
+    # python-RDD scan (ExistingRDD disables codegen and re-runs py4j per use)
+    pdf = pd.DataFrame(
         rows,
+        columns=["mesh_id", "canonical_name", "type", "synonyms", "parents", "ancestors"],
+    )
+    return spark.createDataFrame(
+        pdf,
         "mesh_id string, canonical_name string, type string, "
         "synonyms array<string>, parents array<string>, ancestors array<string>",
     )

@@ -1,0 +1,142 @@
+"""Incremental / streaming front-end (SURVEY.md §2.9).
+
+The reference is batch research code — nothing consumes a stream. The
+operational mandate (north_rule) is *resumability and idempotence*, which the
+checkpoint layer provides. This module adds the genuine Structured Streaming
+front-end for when documents arrive continuously:
+
+- ``incremental_triples``: file-source stream over ``documents_interleaved``
+  parquet snapshots → ``foreachBatch`` runs the SAME batch pipeline stages →
+  appends to a triples sink. ``Trigger.AvailableNow`` drains whatever is new
+  and stops; Spark's streaming checkpoint (source offsets) guarantees each
+  input file is processed exactly once across restarts — the streaming twin
+  of the manifest-based batch resume.
+- ``windowed_event_counts``: event-time tumbling window + watermark demo over
+  an events stream (late-data handling capability).
+
+At cluster scale the same code runs continuously (drop the trigger): the
+pipeline is per-document (embarrassingly parallel up to the per-doc pair
+scope), so micro-batches scale exactly like the batch job.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+SPANS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.StringType()),
+        T.StructField(
+            "spans",
+            T.ArrayType(
+                T.StructType(
+                    [
+                        T.StructField("kind", T.StringType()),
+                        T.StructField("text", T.StringType()),
+                        T.StructField("media_ref", T.StringType()),
+                        T.StructField("offset", T.IntegerType()),
+                    ]
+                )
+            ),
+        ),
+    ]
+)
+
+
+def incremental_triples(
+    spark: SparkSession,
+    docs_dir: str,
+    fixture_dir: str,
+    checkpoint_dir: str,
+    out_dir: str,
+    theta: float = 0.0,
+) -> int:
+    """Drain new document files from ``docs_dir`` into the triples sink.
+
+    Returns the number of micro-batches processed. Each micro-batch runs the
+    full batch DAG (tokenize → detect → score → pool → threshold → triples)
+    on only the new documents — identical semantics to a batch catch-up, with
+    exactly-once file tracking from the streaming checkpoint.
+    """
+    from bran_spark.plans.pipeline import Pipeline, PipelineConfig
+
+    cfg = PipelineConfig(
+        fixture_dir=fixture_dir,
+        checkpoint_root=os.path.join(checkpoint_dir, "_unused_tableio"),
+        checkpoint=False,
+        theta=theta,
+    )
+    n_batches = {"n": 0}
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        p = Pipeline(spark, cfg, docs_df=batch_df)
+        mentions = p.stage_mentions(resume=False)
+        scores = p.stage_scores(mentions, resume=False)
+        triples = p.stage_triples(scores, resume=False)
+        (
+            triples.withColumn("batch_id", F.lit(batch_id))
+            .write.mode("append")
+            .partitionBy("pred")
+            .parquet(out_dir)
+        )
+        n_batches["n"] += 1
+
+    stream = (
+        spark.readStream.schema(SPANS_SCHEMA)
+        .option("maxFilesPerTrigger", 8)
+        .parquet(docs_dir)
+    )
+    q = (
+        stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", os.path.join(checkpoint_dir, "offsets"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return n_batches["n"]
+
+
+def windowed_event_counts(
+    spark: SparkSession,
+    events_dir: str,
+    checkpoint_dir: str,
+    out_dir: str,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> None:
+    """Event-time tumbling-window counts with a watermark (late-data bound).
+
+    Append-mode file sink: a window only emits once the watermark passes its
+    end — the standard late-data-tolerant streaming aggregation shape.
+    """
+    ev = spark.readStream.schema(
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    ).parquet(events_dir)
+    agg = (
+        ev.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("sum_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+    q = (
+        agg.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", os.path.join(checkpoint_dir, "win_offsets"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

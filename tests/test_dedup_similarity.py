@@ -1,0 +1,86 @@
+"""Dedup + similarity operators on planted duplicates (controlled truth)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from bran_spark.operators.dedup import (
+    embedding_neardup_pairs,
+    exact_dedup_groups,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash,
+)
+from bran_spark.operators.similarity import cosine_topk, lsh_bucket_topk
+
+
+def _docs(spark):
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [
+        (1, base),
+        (2, base),                                  # exact dup of 1
+        (3, base.replace("kappa", "lambda")),        # near dup of 1
+        (4, "one two three four five six seven eight nine ten"),
+        (5, "completely different words entirely unrelated content here now"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup_finds_planted_dup(spark):
+    g = exact_dedup_groups(_docs(spark), "doc_id", "text")
+    dups = {r.keep_id: r.n_dups for r in g.filter("n_dups > 1").collect()}
+    assert dups == {1: 2}
+
+
+def test_ngram_jaccard_ranks_near_dup(spark):
+    pairs = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in ngram_jaccard_pairs(
+            _docs(spark), "doc_id", "text", n=3, min_jaccard=0.2, max_df=10
+        ).collect()
+    }
+    assert pairs[(1, 2)] == 1.0          # identical
+    assert 0.2 <= pairs[(1, 3)] < 1.0    # near dup
+    assert (1, 4) not in pairs and (1, 5) not in pairs
+
+
+def test_minhash_lsh_recall_on_dups(spark):
+    got = {
+        (r.id_a, r.id_b)
+        for r in minhash_lsh_pairs(_docs(spark), "doc_id", "text", n=3, bands=4).collect()
+    }
+    assert (1, 2) in got          # exact dup always collides
+    assert (1, 3) in got          # near dup collides in ≥1 band w.h.p.
+    assert (4, 5) not in got
+
+
+def test_simhash_hamming_property(spark):
+    sh = {r.id: r.simhash for r in simhash(_docs(spark), "doc_id", "text").collect()}
+    ham = lambda a, b: bin(a ^ b).count("1")  # noqa: E731
+    assert ham(sh[1], sh[2]) == 0
+    assert ham(sh[1], sh[3]) <= ham(sh[1], sh[5])
+
+
+def _emb(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    rows = []
+    for i in range(40):
+        rows.append((i, rng.normal(0, 1, 16).astype(float).tolist(), 0))
+    v = rows[7][1]
+    rows.append((100, [x + 0.01 for x in v], 0))  # planted near-dup of 7
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>, label int")
+
+
+def test_embedding_neardup_and_topk(spark):
+    emb = _emb(spark)
+    nd = {
+        (r.id_a, r.id_b): r.cos
+        for r in embedding_neardup_pairs(emb, min_cos=0.95, sign_dims=(0, 3, 5, 9)).collect()
+    }
+    assert (7, 100) in nd and nd[(7, 100)] > 0.99
+    tk = cosine_topk(emb, query_id=7, k=3).collect()
+    assert tk[0].vec_id == 100 and tk[0].cos > 0.99
+    lk = lsh_bucket_topk(emb, query_id=7, k=3, dims=(0, 3, 5, 9)).collect()
+    assert lk[0].vec_id == 100  # near-dup shares the sign bucket

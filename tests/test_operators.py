@@ -1,0 +1,128 @@
+"""Relational operator properties (SURVEY.md §5.2): detection recovers the
+gold mentions exactly, alignment, hypernym shadowing, salting exactness,
+LSE partition-invariance."""
+
+from __future__ import annotations
+
+import math
+
+import pyspark.sql.functions as F
+
+from bran_spark.functions.bpe import full_text_col, load_codec, with_tokens
+from bran_spark.operators.mentions import align_mentions_to_tokens, detect_mentions
+from bran_spark.operators.pairs import (
+    hypernym_filter,
+    label_pairs,
+    mention_pairs,
+    salted_count_distinct,
+)
+from bran_spark.operators.pooling import lse_pool
+
+
+def _tokenized(spark, fx_dir, limit=None):
+    docs = spark.read.parquet(f"{fx_dir}/documents_interleaved.parquet")
+    if limit:
+        docs = docs.limit(limit)
+    codec_bc = spark.sparkContext.broadcast(
+        load_codec(spark, f"{fx_dir}/bpe_merges.parquet", f"{fx_dir}/vocab.parquet")
+    )
+    return with_tokens(docs.withColumn("full_text", full_text_col()), codec_bc)
+
+
+def test_detection_recovers_gold_mentions(spark, fx_dir):
+    """Dictionary detection must reproduce the PubTator-style gold mention
+    table exactly (the grammar embeds surfaces from the same dictionary)."""
+    toks = _tokenized(spark, fx_dir)
+    mesh = spark.read.parquet(f"{fx_dir}/mesh_dict.parquet")
+    det = detect_mentions(toks, mesh).select(
+        "doc_id", "type", "mesh_id", "start", "end", "text"
+    )
+    gold = spark.read.parquet(f"{fx_dir}/mentions.parquet").select(
+        "doc_id", "type", "mesh_id", "start", "end", "text"
+    )
+    assert det.exceptAll(gold).count() == 0
+    assert gold.exceptAll(det).count() == 0
+
+
+def test_align_covers_every_mention(spark, fx_dir):
+    toks = _tokenized(spark, fx_dir, limit=80)
+    gold = spark.read.parquet(f"{fx_dir}/mentions.parquet").join(
+        toks.select("doc_id"), "doc_id", "left_semi"
+    )
+    aligned = align_mentions_to_tokens(gold, toks)
+    assert aligned.count() == gold.count()
+    assert aligned.filter("tok_end <= tok_start").count() == 0
+
+
+def test_pair_generation_counts(spark, fx_dir):
+    m = spark.read.parquet(f"{fx_dir}/mentions.parquet")
+    pairs = mention_pairs(m)
+    # per-doc count == n_chem_mentions * n_dis_mentions
+    per = m.groupBy("doc_id").agg(
+        F.sum(F.when(F.col("type") == "Chemical", 1).otherwise(0)).alias("nc"),
+        F.sum(F.when(F.col("type") == "Disease", 1).otherwise(0)).alias("nd"),
+    )
+    expected = per.selectExpr("CAST(sum(nc * nd) AS BIGINT)").head()[0]
+    assert pairs.count() == expected
+
+
+def test_hypernym_filter_removes_shadowed(spark, fx_dir):
+    m = spark.read.parquet(f"{fx_dir}/mentions.parquet")
+    gold = spark.read.parquet(f"{fx_dir}/gold_relations.parquet")
+    mesh = spark.read.parquet(f"{fx_dir}/mesh_dict.parquet")
+    pairs = (
+        mention_pairs(m).select("doc_id", "chem_mesh", "dis_mesh").dropDuplicates()
+    )
+    labeled = label_pairs(pairs, gold)
+    kept = hypernym_filter(labeled, mesh)
+    # no positive lost
+    assert kept.filter("label = 1").count() == labeled.filter("label = 1").count()
+    # every removed row was a negative shadowed by some positive's ancestor set
+    removed = labeled.exceptAll(kept)
+    assert removed.filter("label = 1").count() == 0
+    anc = mesh.select(
+        F.col("mesh_id").alias("dis_mesh"), F.explode("ancestors").alias("shadow")
+    )
+    pos_shadow = (
+        labeled.filter("label = 1")
+        .join(anc, "dis_mesh")
+        .select("doc_id", "chem_mesh", F.col("shadow").alias("dis_mesh"))
+        .dropDuplicates()
+    )
+    not_shadowed = removed.join(
+        pos_shadow, ["doc_id", "chem_mesh", "dis_mesh"], "left_anti"
+    )
+    assert not_shadowed.count() == 0
+
+
+def test_salted_count_distinct_exact(spark, testdata_dir):
+    ev = spark.read.parquet(f"{testdata_dir}/events.parquet")
+    plain = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("expected")
+    )
+    salted = salted_count_distinct(ev, ["event_type"], "user_id", buckets=7)
+    j = plain.join(salted, "event_type")
+    assert j.filter("expected != distinct_count").count() == 0
+
+
+def test_lse_pool_matches_numpy_and_partition_invariant(spark, testdata_dir):
+    li = spark.read.parquet(f"{testdata_dir}/lineitem.parquet").select(
+        "l_returnflag", F.col("l_discount").alias("score")
+    )
+    a = {
+        r.l_returnflag: r.pooled_score
+        for r in lse_pool(li.repartition(1), ["l_returnflag"]).collect()
+    }
+    b = {
+        r.l_returnflag: r.pooled_score
+        for r in lse_pool(li.repartition(16), ["l_returnflag"]).collect()
+    }
+    rows = li.collect()
+    groups: dict[str, list[float]] = {}
+    for r in rows:
+        groups.setdefault(r.l_returnflag, []).append(r.score)
+    for k, vals in groups.items():
+        m = max(vals)
+        exact = m + math.log(sum(math.exp(v - m) for v in vals))
+        assert abs(a[k] - exact) < 1e-9
+        assert abs(b[k] - exact) < 1e-9

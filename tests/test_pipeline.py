@@ -1,0 +1,89 @@
+"""End-to-end flagship DAG: golden-triple parity (SURVEY.md §5.1 gate),
+span invariant through stages, partition invariance."""
+
+from __future__ import annotations
+
+import csv
+import os
+
+import pyspark.sql.functions as F
+import pytest
+
+from bran_spark.plans.pipeline import Pipeline, PipelineConfig, flagship
+
+GOLDEN = os.path.join(os.path.dirname(__file__), "golden", "triples_sf0.001.csv")
+
+
+def _triples_rows(df):
+    return {
+        (r.subj, r.pred, r.obj, r.doc_id, round(r.score, 6))
+        for r in df.select("subj", "pred", "obj", "doc_id", "score").collect()
+    }
+
+
+def test_flagship_runs_and_matches_golden(spark, fx_dir):
+    got = _triples_rows(flagship(spark, fx_dir))
+    assert len(got) > 0
+    if not os.path.exists(GOLDEN):
+        pytest.skip("golden not frozen yet (run tools/freeze_golden.py)")
+    with open(GOLDEN) as f:
+        want = {
+            (r["subj"], r["pred"], r["obj"], r["doc_id"], float(r["score"]))
+            for r in csv.DictReader(f)
+        }
+    # P/R >= 0.95 gate (BASELINE.md); with identical config we expect 1.0
+    inter = len(got & want)
+    precision = inter / len(got)
+    recall = inter / len(want)
+    assert precision >= 0.95 and recall >= 0.95, (precision, recall, len(got), len(want))
+    assert got == want, f"non-identical: P={precision} R={recall}"
+
+
+def test_span_sequence_preserved(spark, fx_dir):
+    """BASELINE.json per-row invariant: the (kind, text, media_ref, order)
+    span sequence is bit-identical after the tokenize stage (stages never
+    mutate the spans column)."""
+    cfg = PipelineConfig(fixture_dir=fx_dir, checkpoint_root="/tmp/unused", checkpoint=False)
+    p = Pipeline(spark, cfg)
+    orig = p.documents().select("doc_id", "spans")
+    staged = p.tokenized().select("doc_id", "spans")
+    assert orig.exceptAll(staged).count() == 0
+    assert staged.exceptAll(orig).count() == 0
+
+
+def test_partition_invariance(spark, fx_dir):
+    """Identical triples under different shuffle-partition counts and score
+    bucket counts (stand-in for executor-count invariance)."""
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "3")
+        cfg_a = PipelineConfig(
+            fixture_dir=fx_dir, checkpoint_root="/tmp/unused_a",
+            checkpoint=False, score_buckets=2,
+        )
+        pa = Pipeline(spark, cfg_a)
+        ma = pa.stage_mentions(resume=False)
+        ta = _triples_rows(pa.stage_triples(pa.stage_scores(ma, resume=False), resume=False))
+
+        spark.conf.set("spark.sql.shuffle.partitions", "16")
+        cfg_b = PipelineConfig(
+            fixture_dir=fx_dir, checkpoint_root="/tmp/unused_b",
+            checkpoint=False, score_buckets=8,
+        )
+        pb = Pipeline(spark, cfg_b)
+        mb = pb.stage_mentions(resume=False)
+        tb = _triples_rows(pb.stage_triples(pb.stage_scores(mb, resume=False), resume=False))
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    assert ta == tb
+
+
+def test_eval_metrics_emitted(spark, fx_dir, tmp_path):
+    cfg = PipelineConfig(
+        fixture_dir=fx_dir, checkpoint_root=str(tmp_path / "ck"), theta=0.0
+    )
+    res = Pipeline(spark, cfg).run()
+    for k in ("docs", "mentions", "pair_scores", "triples", "edges",
+              "precision", "recall", "f1"):
+        assert k in res
+    assert res["triples"] > 0 and 0.0 <= res["f1"] <= 1.0

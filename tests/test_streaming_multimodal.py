@@ -1,0 +1,82 @@
+"""Structured-Streaming incremental pipeline + multimodal plumbing."""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pyspark.sql.functions as F
+import pytest
+
+from bran_spark.operators.multimodal import (
+    extract_media_features,
+    fetch_media_payload,
+    media_spans,
+)
+from bran_spark.streaming.incremental import incremental_triples, windowed_event_counts
+
+
+def test_incremental_triples_exactly_once(spark, fx_dir, tmp_path):
+    docs = spark.read.parquet(f"{fx_dir}/documents_interleaved.parquet").limit(60)
+    src = str(tmp_path / "src")
+    ck = str(tmp_path / "ck")
+    out = str(tmp_path / "out")
+
+    # chunk 1 arrives
+    docs.where(F.crc32("doc_id") % 2 == 0).coalesce(1).write.mode("append").parquet(src)
+    n1 = incremental_triples(spark, src, fx_dir, ck, out)
+    assert n1 >= 1
+    t1 = spark.read.parquet(out)
+    c1 = t1.count()
+    docs1 = {r.doc_id for r in t1.select("doc_id").distinct().collect()}
+    assert c1 > 0
+
+    # chunk 2 arrives; catch-up processes ONLY the new files
+    docs.where(F.crc32("doc_id") % 2 == 1).coalesce(1).write.mode("append").parquet(src)
+    incremental_triples(spark, src, fx_dir, ck, out)
+    t2 = spark.read.parquet(out)
+    assert t2.count() > c1
+    # exactly-once: chunk-1 docs not reprocessed (their triple rows unchanged)
+    again = t2.join(t2.groupBy("doc_id", "subj", "obj").count().filter("count > 1"),
+                    ["doc_id", "subj", "obj"], "left_semi")
+    assert again.count() == 0
+
+    # idempotent catch-up with nothing new: no additional rows
+    incremental_triples(spark, src, fx_dir, ck, out)
+    assert spark.read.parquet(out).count() == t2.count()
+    assert docs1 <= {r.doc_id for r in t2.select("doc_id").distinct().collect()}
+
+
+def test_windowed_event_counts_with_watermark(spark, testdata_dir, tmp_path):
+    src = str(tmp_path / "ev")
+    shutil.copytree(f"{testdata_dir}/events.parquet", src) if os.path.isdir(
+        f"{testdata_dir}/events.parquet"
+    ) else spark.read.parquet(f"{testdata_dir}/events.parquet").write.parquet(src)
+    out = str(tmp_path / "win_out")
+    windowed_event_counts(spark, src, str(tmp_path / "wck"), out)
+    res = spark.read.parquet(out)
+    assert res.count() > 0
+    assert set(res.columns) == {"window_start", "window_end", "event_type", "n", "sum_value"}
+
+
+def test_media_feature_plumbing(spark, fx_dir):
+    docs = spark.read.parquet(f"{fx_dir}/documents_interleaved.parquet")
+    media = media_spans(docs)
+    n_media = media.count()
+    assert n_media > 0
+    feats = extract_media_features(fetch_media_payload(media), decode="stub")
+    rows = feats.collect()
+    assert len(rows) == n_media
+    r = rows[0]
+    assert len(r.feature) == 8 and all(0.0 <= x <= 1.0 for x in r.feature)
+    assert r.width >= 64 and r.height >= 64 and r.n_bytes > 0
+    # deterministic across runs
+    again = extract_media_features(fetch_media_payload(media), decode="stub")
+    assert feats.exceptAll(again).count() == 0
+
+
+def test_media_real_decode_is_explicit_stub(spark, fx_dir):
+    docs = spark.read.parquet(f"{fx_dir}/documents_interleaved.parquet").limit(5)
+    media = fetch_media_payload(media_spans(docs))
+    with pytest.raises(Exception, match="NotImplementedError|real media decoding"):
+        extract_media_features(media, decode="real").collect()

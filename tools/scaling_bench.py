@@ -1,0 +1,117 @@
+"""Scaling-efficiency evidence (BASELINE.md protocol; north_rule gate ≥0.8).
+
+No real cluster exists in this sandbox, so the driver-mandated substitute is:
+the SAME flagship job on the SAME input (sf0.1 fixture corpus) at local[8]
+vs local[32] — 4× parallelism standing in for N vs 4N executors. Each
+parallelism level runs in a fresh spark-submit subprocess (fresh JVM, fresh
+python workers); 1 warm-up + 3 timed runs, median reported.
+
+    python tools/scaling_bench.py [--sf 0.1] [--runs 3] [--out BENCH/BASELINE.md]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import statistics
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def run_once(cores: int, sf: float) -> dict:
+    import tempfile
+
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO
+    # fresh checkpoint root per run: every stage materializes exactly once
+    # (the honest end-to-end DAG incl. commit IO), nothing resumes
+    ckpt = tempfile.mkdtemp(prefix=f"bran_scaling_{cores}_")
+    cmd = [
+        sys.executable,
+        os.path.join(REPO, "jobs", "run_pipeline.py"),
+        "--sf", str(sf),
+        "--master", f"local[{cores}]",
+        "--checkpoint-root", ckpt,
+        "--shuffle-partitions", str(cores * 2),
+        "--score-buckets", "1",
+    ]
+    out = subprocess.run(
+        cmd, capture_output=True, text=True, env=env, cwd=REPO, check=True
+    )
+    line = [ln for ln in out.stdout.splitlines() if ln.startswith("{")][-1]
+    return json.loads(line)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf", type=float, default=0.1)
+    ap.add_argument("--runs", type=int, default=3)
+    ap.add_argument("--low", type=int, default=8)
+    ap.add_argument("--high", type=int, default=32)
+    ap.add_argument("--out", default=os.path.join(REPO, "BENCH", "BASELINE.md"))
+    args = ap.parse_args()
+
+    from bran_spark.fixtures.gen import ensure
+
+    ensure(args.sf)
+
+    results: dict[int, list[dict]] = {}
+    for cores in (args.low, args.high):
+        print(f"== local[{cores}] warm-up ==", flush=True)
+        run_once(cores, args.sf)
+        results[cores] = []
+        for i in range(args.runs):
+            t0 = time.time()
+            r = run_once(cores, args.sf)
+            r["subprocess_wall_s"] = round(time.time() - t0, 1)
+            results[cores].append(r)
+            print(f"local[{cores}] run {i+1}: pipeline {r['wall_s']}s, "
+                  f"{r['triples_per_sec']} triples/s", flush=True)
+
+    med = {
+        c: statistics.median(r["wall_s"] for r in results[c]) for c in results
+    }
+    thr = {
+        c: statistics.median(r["triples_per_sec"] for r in results[c]) for c in results
+    }
+    speedup = thr[args.high] / thr[args.low]
+    eff = speedup / (args.high / args.low)
+    n_triples = results[args.high][0]["triples"]
+    n_docs = results[args.high][0]["docs"]
+
+    os.makedirs(os.path.dirname(args.out), exist_ok=True)
+    with open(args.out, "w") as f:
+        f.write(f"""# BENCH/BASELINE — scaling evidence (round 1)
+
+Protocol (BASELINE.md): identical flagship KG-construction job, identical
+input (seeded CDR-shaped corpus, sf={args.sf}: {n_docs} docs → {n_triples}
+triples), fresh JVM per run via spark-submit-equivalent subprocess,
+`--shuffle-partitions 2×cores`, 1 discarded warm-up + {args.runs} timed runs
+per level, medians reported. local[{args.low}] vs local[{args.high}] is the
+sandbox stand-in for N vs 4N executors (no real cluster available — see
+SURVEY.md §0).
+
+| parallelism | median wall (s) | median triples/s | runs (s) |
+|---|---|---|---|
+| local[{args.low}]  | {med[args.low]:.2f} | {thr[args.low]:.1f} | {[r['wall_s'] for r in results[args.low]]} |
+| local[{args.high}] | {med[args.high]:.2f} | {thr[args.high]:.1f} | {[r['wall_s'] for r in results[args.high]]} |
+
+- speedup {args.low}→{args.high} cores: **{speedup:.2f}×** (ideal {args.high//args.low}×)
+- **scaling efficiency: {eff:.3f}** (gate: ≥ 0.8 — {"PASS" if eff >= 0.8 else "FAIL"})
+
+Raw runs:
+
+```json
+{json.dumps(results, indent=1)}
+```
+""")
+    print(json.dumps({"efficiency": round(eff, 3), "speedup": round(speedup, 2),
+                      "median_wall": med, "out": args.out}))
+
+
+if __name__ == "__main__":
+    main()
