@@ -1,0 +1,32 @@
+PY ?= python
+
+.PHONY: test oracle bench scaling dist golden fixtures clean
+
+test:
+	$(PY) -m pytest tests/ -x -q
+
+oracle:
+	PYTHONPATH=. $(PY) tools/oracle_check.py --sf-dir /root/testdata/sf0.01
+
+bench:
+	$(PY) bench.py
+
+scaling:
+	PYTHONPATH=. $(PY) tools/scaling_bench.py --sf 0.1 --runs 3
+
+dist:
+	mkdir -p dist
+	rm -f dist/bran_spark.zip
+	cd . && zip -qr dist/bran_spark.zip bran_spark -x '*__pycache__*'
+
+golden:
+	$(PY) tools/freeze_golden.py
+
+fixtures:
+	$(PY) -m bran_spark.fixtures.gen --sf 0.001
+	$(PY) -m bran_spark.fixtures.gen --sf 0.01
+	$(PY) -m bran_spark.fixtures.gen --sf 0.1
+
+clean:
+	rm -rf checkpoints dist .pytest_cache
+	find . -name __pycache__ -type d -exec rm -rf {} +
