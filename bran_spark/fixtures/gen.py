@@ -52,6 +52,13 @@ _SYLLABLES = [
 ]
 
 
+def _write(table: pa.Table, path: str) -> None:
+    """Small row groups so Spark scans split into many tasks — a single
+    row group serializes every downstream stage onto one core (scan tasks
+    split at row-group boundaries)."""
+    pq.write_table(table, path, row_group_size=2048)
+
+
 def scale_rows(sf: float) -> int:
     """Doc counts per FIXTURES.md §1: sf0.001≈500, sf0.01≈5k, sf0.1≈50k."""
     return max(50, int(round(sf * 500_000)))
@@ -226,7 +233,7 @@ def generate(sf: float, out_dir: str, docs: int | None = None) -> dict[str, str]
     n_docs = docs if docs is not None else scale_rows(sf)
     os.makedirs(out_dir, exist_ok=True)
     marker = os.path.join(out_dir, "_SUCCESS")
-    sig = f"seed={SEED} sf={sf} docs={n_docs} v3"
+    sig = f"seed={SEED} sf={sf} docs={n_docs} v4"
     names = [
         "documents_interleaved", "mentions", "gold_relations",
         "mesh_dict", "bpe_merges", "vocab",
@@ -337,7 +344,7 @@ def generate(sf: float, out_dir: str, docs: int | None = None) -> dict[str, str]
         [("kind", pa.string()), ("text", pa.string()),
          ("media_ref", pa.string()), ("offset", pa.int32())]
     )
-    pq.write_table(
+    _write(
         pa.table(
             {
                 "doc_id": pa.array([r[0] for r in doc_rows], pa.string()),
@@ -347,7 +354,7 @@ def generate(sf: float, out_dir: str, docs: int | None = None) -> dict[str, str]
         paths["documents_interleaved"],
     )
     m_cols = list(zip(*mention_rows)) if mention_rows else [[]] * 7
-    pq.write_table(
+    _write(
         pa.table(
             {
                 "doc_id": pa.array(m_cols[0], pa.string()),
@@ -362,7 +369,7 @@ def generate(sf: float, out_dir: str, docs: int | None = None) -> dict[str, str]
         paths["mentions"],
     )
     g_cols = list(zip(*gold_rows)) if gold_rows else [[]] * 4
-    pq.write_table(
+    _write(
         pa.table(
             {
                 "doc_id": pa.array(g_cols[0], pa.string()),
@@ -373,7 +380,7 @@ def generate(sf: float, out_dir: str, docs: int | None = None) -> dict[str, str]
         ),
         paths["gold_relations"],
     )
-    pq.write_table(
+    _write(
         pa.table(
             {
                 "mesh_id": pa.array(d.mesh_ids, pa.string()),
@@ -386,7 +393,7 @@ def generate(sf: float, out_dir: str, docs: int | None = None) -> dict[str, str]
         ),
         paths["mesh_dict"],
     )
-    pq.write_table(
+    _write(
         pa.table(
             {
                 "rank": pa.array(range(len(merges)), pa.int32()),
@@ -396,7 +403,7 @@ def generate(sf: float, out_dir: str, docs: int | None = None) -> dict[str, str]
         ),
         paths["bpe_merges"],
     )
-    pq.write_table(
+    _write(
         pa.table(
             {
                 "tok_id": pa.array(range(len(vocab)), pa.int32()),

@@ -103,40 +103,67 @@ def tokenize_words(text: str) -> list[tuple[str, int, int]]:
     return [(m.group(0), m.start(), m.end()) for m in _WORD_RE.finditer(text.lower())]
 
 
-def with_tokens(df: DataFrame, codec_bc, text_col: str = "full_text") -> DataFrame:
-    """Add ``words`` (word granularity) and ``tokens`` (BPE sub-word) columns.
+WORDS_TOKENS_SCHEMA = T.StructType(
+    [
+        T.StructField("words", WORD_SCHEMA),
+        T.StructField("tokens", TOKEN_SCHEMA),
+    ]
+)
 
-    ``codec_bc`` is a ``sparkContext.broadcast(BpeCodec)`` handle: the codec
-    deserializes once per python worker, not per batch.
-    """
+
+def with_words(df: DataFrame, text_col: str = "full_text") -> DataFrame:
+    """Add the ``words`` column only (regex word split + exact offsets) —
+    the detection path needs no BPE, and running the codec there measured as
+    a second full python pass over the corpus."""
 
     @F.pandas_udf(WORD_SCHEMA)
     def words_udf(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
         for s in it:
             yield s.map(
                 lambda t: [
-                    {"word": w, "start": a, "end": b} for w, a, b in tokenize_words(t or "")
+                    {"word": w, "start": a, "end": b}
+                    for w, a, b in tokenize_words(t or "")
                 ]
             )
 
-    @F.pandas_udf(TOKEN_SCHEMA)
-    def bpe_udf(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+    return df.withColumn("words", words_udf(F.col(text_col)))
+
+
+def with_tokens(df: DataFrame, codec_bc, text_col: str = "full_text") -> DataFrame:
+    """Add ``words`` (word granularity) and ``tokens`` (BPE sub-word) columns.
+
+    ONE pandas UDF emits both (a struct projected into two columns): each
+    extra ArrowEvalPython stage costs a full text transfer + python round
+    trip, which showed up as a non-scaling fixed cost at sf0.1.
+    ``codec_bc`` is a ``sparkContext.broadcast(BpeCodec)`` handle: the codec
+    deserializes once per python worker, not per batch.
+    """
+
+    @F.pandas_udf(WORDS_TOKENS_SCHEMA)
+    def wt_udf(it: Iterator[pd.Series]) -> Iterator[pd.DataFrame]:
         codec: BpeCodec = codec_bc.value
 
-        def enc(text: str) -> list[dict]:
-            out = []
+        def enc(text: str) -> tuple[list[dict], list[dict]]:
+            words, toks = [], []
             for wi, (w, a, b) in enumerate(tokenize_words(text or "")):
+                words.append({"word": w, "start": a, "end": b})
                 for tok, tid in codec.encode_word(w):
-                    out.append(
+                    toks.append(
                         {"tok": tok, "tok_id": tid, "start": a, "end": b, "word_idx": wi}
                     )
-            return out
+            return words, toks
 
         for s in it:
-            yield s.map(enc)
+            both = [enc(t) for t in s]
+            yield pd.DataFrame(
+                {"words": [b[0] for b in both], "tokens": [b[1] for b in both]}
+            )
 
-    return df.withColumn("words", words_udf(F.col(text_col))).withColumn(
-        "tokens", bpe_udf(F.col(text_col))
+    return (
+        df.withColumn("_wt", wt_udf(F.col(text_col)))
+        .withColumn("words", F.col("_wt.words"))
+        .withColumn("tokens", F.col("_wt.tokens"))
+        .drop("_wt")
     )
 
 

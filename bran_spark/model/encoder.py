@@ -50,10 +50,16 @@ def _layernorm(x: np.ndarray, g: np.ndarray, b: np.ndarray, eps: float = 1e-5) -
     return ((x - mu) / np.sqrt(var + eps)) * g + b
 
 
-def _softmax(x: np.ndarray, axis: int = -1) -> np.ndarray:
-    m = x.max(axis=axis, keepdims=True)
-    e = np.exp(x - m)
-    return e / e.sum(axis=axis, keepdims=True)
+def _softmax_inplace(x: np.ndarray) -> np.ndarray:
+    """Last-axis softmax with no temporaries beyond the reductions — the
+    attention matrix is the cache-footprint hog at 32 concurrent workers,
+    so it is mutated in place."""
+    m = x.max(axis=-1, keepdims=True)
+    np.subtract(x, m, out=x)
+    np.exp(x, out=x)
+    s = x.sum(axis=-1, keepdims=True)
+    np.divide(x, s, out=x)
+    return x
 
 
 def _conv1d_same(x: np.ndarray, w: np.ndarray) -> np.ndarray:
@@ -100,14 +106,16 @@ def encode_batch(tok_ids: list[np.ndarray], w: Weights) -> list[np.ndarray]:
     x = x * m2
     h = w.n_heads
     dh = d // h
-    neg = np.float32(-1e9)
+    mask_bias = (1.0 - mask) * np.float32(-1e9)  # [B,1,1,L], reused per block
+    inv_sqrt_dh = np.float32(1.0 / np.sqrt(dh))
     for b in range(w.n_blocks):
         wqkv = w.qkv(b)  # [d, 3d] fused projection — one GEMM, not three
         qkv = (x @ wqkv).reshape(B, L, 3, h, dh).transpose(2, 0, 3, 1, 4)
         q, k, v = qkv[0], qkv[1], qkv[2]  # each [B, h, L, dh]
-        att = q @ k.transpose(0, 1, 3, 2) / np.float32(np.sqrt(dh))
-        att = att + (1.0 - mask) * neg
-        att = _softmax(att)
+        att = q @ k.transpose(0, 1, 3, 2)
+        att *= inv_sqrt_dh
+        att += mask_bias
+        att = _softmax_inplace(att)
         ctx = (att @ v).transpose(0, 2, 1, 3).reshape(B, L, d)
         x = _layernorm(x + ctx @ w[f"b{b}.Wo"], w[f"b{b}.ln1.g"], w[f"b{b}.ln1.b"]) * m2
         ff = np.maximum(_conv1d_same(x, w[f"b{b}.conv1"]), 0.0)

@@ -1066,3 +1066,96 @@ def kg_mentions_fixture(spark, sf):
 def simhash_docs(spark, sf):
     """SimHash signatures (xxhash64-based — no DuckDB twin by design)."""
     return simhash(_t(spark, sf, "documents"), "doc_id", "text")
+
+
+@_q(
+    "q38_vocab_topn",
+    """
+    SELECT word, COUNT(*) AS freq
+    FROM (SELECT unnest(string_split(lower(text), ' ')) AS word FROM documents)
+    GROUP BY word ORDER BY freq DESC, word LIMIT 20
+    """,
+)
+def q38(spark, sf):
+    """A1+O1: corpus vocabulary count + deterministic top-N (the vocab/BPE
+    construction scan of the reference's processing, SURVEY.md §2 A1)."""
+    return (
+        _t(spark, sf, "documents")
+        .select(F.explode(F.split(F.lower("text"), " ")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.desc("freq"), F.asc("word"))
+        .limit(20)
+    )
+
+
+@_q(
+    "q39_minhash_signatures",
+    f"""
+    WITH wl AS (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents),
+    sh AS (SELECT doc_id, unnest(list_distinct({_SHINGLE_SQL.format(n=4)})) AS shingle
+           FROM wl),
+    banded AS (SELECT doc_id, band, md5(band::VARCHAR || ':' || shingle) AS h
+               FROM sh, (SELECT unnest(range(4)) AS band))
+    SELECT doc_id, band, MIN(h) AS minhash FROM banded GROUP BY doc_id, band
+    """,
+)
+def q39(spark, sf):
+    """MinHash signature rows themselves (md5-replayable) — verifies the
+    signature math independently of the LSH pair join (q29)."""
+    from bran_spark.operators.dedup import minhash_signatures
+
+    sig = minhash_signatures(_t(spark, sf, "documents"), "doc_id", "text", n=4, bands=4)
+    return sig.select(F.col("id").alias("doc_id"), F.col("band").cast("long"), "minhash")
+
+
+@_q("media_features_fixture")
+def media_features_fixture(spark, sf):
+    """Multimodal plumbing on the fixture corpus: media spans → payload →
+    Arrow-batched feature extraction (decode stubbed; rows-only check)."""
+    from bran_spark.fixtures.gen import ensure, fixture_dir
+    from bran_spark.operators.multimodal import (
+        extract_media_features,
+        fetch_media_payload,
+        media_spans,
+    )
+
+    s = _fixture_sf_for(sf)
+    ensure(s)
+    docs = spark.read.parquet(f"{fixture_dir(s)}/documents_interleaved.parquet")
+    return extract_media_features(fetch_media_payload(media_spans(docs)))
+
+
+@_q("kg_edges_fixture")
+def kg_edges_fixture(spark, sf):
+    """Canonical graph edges (A5 salted dedup + support) on the fixture
+    corpus triples (rows-only check; exactness of the salting is oracle-
+    checked by q23/q37)."""
+    from bran_spark.fixtures.gen import ensure, fixture_dir
+    from bran_spark.operators.pooling import dedup_triples
+    from bran_spark.plans.pipeline import flagship
+
+    s = _fixture_sf_for(sf)
+    ensure(s)
+    return dedup_triples(flagship(spark, fixture_dir(s)))
+
+
+@_q("bpe_tokens_fixture")
+def bpe_tokens_fixture(spark, sf):
+    """X1 BPE tokenizer output distribution on the fixture corpus: token ->
+    frequency (python-UDF stage — rows-only; exactness covered by the
+    round-trip/offset pytest properties)."""
+    from bran_spark.fixtures.gen import ensure, fixture_dir
+    from bran_spark.plans.pipeline import Pipeline, PipelineConfig
+
+    s = _fixture_sf_for(sf)
+    ensure(s)
+    cfg = PipelineConfig(
+        fixture_dir=fixture_dir(s), checkpoint_root="/tmp/bran_ckpt_q", checkpoint=False
+    )
+    toks = Pipeline(spark, cfg).tokenized()
+    return (
+        toks.select(F.explode("tokens").alias("t"))
+        .groupBy(F.col("t.tok").alias("tok"))
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )

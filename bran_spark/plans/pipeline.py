@@ -27,7 +27,7 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from bran_spark.functions.bpe import full_text_col, load_codec, with_tokens
+from bran_spark.functions.bpe import full_text_col, load_codec, with_tokens, with_words
 from bran_spark.model.encoder import Weights
 from bran_spark.model.scorer import score_documents
 from bran_spark.operators.evaluate import confusion
@@ -67,6 +67,7 @@ class Pipeline:
         self._mesh_df = mesh_df
         self._codec_bc = None
         self._weights_bc = None
+        self._toks_cache = None
 
     # ---- inputs ----------------------------------------------------------
     def _path(self, name: str) -> str:
@@ -98,29 +99,74 @@ class Pipeline:
 
     # ---- stages ----------------------------------------------------------
     def tokenized(self) -> DataFrame:
-        """documents + full_text + words + BPE tokens (+F4 length cap)."""
-        docs = self.documents().withColumn("full_text", full_text_col("spans"))
+        """documents + full_text + words + BPE tokens (+F4 length cap).
+
+        The read is repartitioned to the session's default parallelism BEFORE
+        the pandas UDF: a source with few splits (one fat parquet row group,
+        a small file count) would otherwise run the whole BPE chain on a
+        handful of tasks. On a real cluster the table layout (many files /
+        row groups) provides the splits; the cheap pre-UDF shuffle of raw
+        docs is the defensive floor.
+        """
+        par = self.spark.sparkContext.defaultParallelism
+        docs = self.documents()
+        if docs.rdd.getNumPartitions() < par:
+            docs = docs.repartition(par * 2)
+        docs = docs.withColumn("full_text", full_text_col("spans"))
         toks = with_tokens(docs, self.codec_bc())
         return toks.withColumn(
             "tokens", F.slice("tokens", 1, self.cfg.max_tokens)
         ).withColumn("n_toks", F.size("tokens"))
 
+    def stage_tokenized(self, resume: bool = True) -> DataFrame:
+        """Materialized shared subplan: BPE runs ONCE; detection, scoring and
+        the span-invariant check all read the committed table. At 100 TB the
+        same trade holds: tokens ≈ 3× text bytes, but one write beats
+        re-running the python tokenizer in every consumer stage."""
+        if self.cfg.checkpoint:
+            if resume and self.io.exists("docs_tokenized"):
+                return self.io.read(self.spark, "docs_tokenized")
+            self.io.write(
+                self.tokenized(), "docs_tokenized", stage="tokenize",
+                inputs={"documents": None},
+                config={"max_tokens": self.cfg.max_tokens},
+            )
+            return self.io.read(self.spark, "docs_tokenized")
+        # no-checkpoint mode: recompute instead of persist. Caching the token
+        # structs (~30× the raw text) through the single-JVM block manager
+        # measured as the scaling killer (allocation+GC don't parallelize);
+        # the BPE recompute is python-side work that scales with cores.
+        return self.tokenized()
+
+    def worded(self) -> DataFrame:
+        """documents + full_text + words — the detection input. No BPE: the
+        codec pass is needed only by the scorer, and running it here too
+        would double the python corpus passes."""
+        par = self.spark.sparkContext.defaultParallelism
+        docs = self.documents()
+        if docs.rdd.getNumPartitions() < par:
+            docs = docs.repartition(par * 2)
+        return with_words(docs.withColumn("full_text", full_text_col("spans")))
+
     def stage_mentions(self, resume: bool = True) -> DataFrame:
         if self.cfg.checkpoint and resume and self.io.exists("mentions_linked"):
             return self.io.read(self.spark, "mentions_linked")
-        mentions = detect_mentions(self.tokenized(), self.mesh_dict())
+        toks = self.stage_tokenized(resume) if self.cfg.checkpoint else self.worded()
+        mentions = detect_mentions(toks, self.mesh_dict())
         linked, unlinked = link_mentions(mentions, self.mesh_dict())
         if self.cfg.checkpoint:
+            # detection is pure JVM over the committed tokens table, so the
+            # two writes recompute only a broadcast join each
             self.io.write(unlinked, "mentions_unlinked", stage="link")
             self.io.write(
                 linked, "mentions_linked", stage="detect+link",
-                inputs={"documents": None},
+                inputs={"docs_tokenized": self.io.current_snapshot("docs_tokenized")},
             )
             return self.io.read(self.spark, "mentions_linked")
         return linked
 
-    def _score_input(self, mentions: DataFrame) -> DataFrame:
-        docs = self.tokenized().select(
+    def _score_input(self, mentions: DataFrame, resume: bool = True) -> DataFrame:
+        docs = self.stage_tokenized(resume).select(
             "doc_id",
             F.expr("transform(tokens, t -> t.tok_id)").alias("tok_ids"),
             F.expr("transform(tokens, t -> t.start)").alias("tok_starts"),
@@ -134,28 +180,32 @@ class Pipeline:
         return docs.join(magg, "doc_id", "inner")
 
     def stage_scores(self, mentions: DataFrame, resume: bool = True) -> DataFrame:
-        """Encode + bi-affine score, committed per doc_id hash bucket."""
+        """Encode + bi-affine score, committed per doc_id hash bucket.
+
+        No repartitionByRange here: range partitioning needs a sampling pass
+        that re-executes the input lineage, and the scorer already groups
+        same-length docs inside each Arrow batch (encode_bucketed) — the
+        join's hash partitioning on doc_id is reused as-is, zero extra
+        shuffles."""
         B = self.cfg.score_buckets
+        par = self.spark.sparkContext.defaultParallelism
         if not self.cfg.checkpoint:
-            inp = self._score_input(mentions)
-            bucketed = inp.repartitionByRange(
-                int(self.spark.conf.get("spark.sql.shuffle.partitions")), "n_toks"
-            )
-            return score_documents(bucketed, self.weights_bc())
+            # explicit even repartition: the join output's AQE-coalesced
+            # partitions are uneven enough to straggle the encode stage
+            # (measured 102s -> 72s at 32 cores on sf0.5)
+            inp = self._score_input(mentions, resume).repartition(par * 2, "doc_id")
+            return score_documents(inp, self.weights_bc())
         done = self.io.committed_buckets("pair_scores")
         todo = [b for b in range(B) if b not in done]
         if todo:
-            inp = self._score_input(mentions).withColumn(
+            inp = self._score_input(mentions, resume).withColumn(
                 "_bucket", F.pmod(F.xxhash64("doc_id"), F.lit(B))
             )
             for b in todo:
                 part = (
                     inp.where(F.col("_bucket") == b)
                     .drop("_bucket")
-                    .repartitionByRange(  # W1 length bucketing inside the bucket
-                        max(4, int(self.spark.conf.get("spark.sql.shuffle.partitions")) // B * 2),
-                        "n_toks",
-                    )
+                    .repartition(max(4, par * 2 // B), "doc_id")
                 )
                 self.io.commit_bucket(
                     score_documents(part, self.weights_bc()),
@@ -194,27 +244,58 @@ class Pipeline:
 
     # ---- end to end ------------------------------------------------------
     def run(self, resume: bool = True, evaluate: bool = True) -> dict:
-        """With checkpointing, each stage materializes exactly once (counts
-        read the committed parquet). Without it, intermediates are persisted
-        in memory — otherwise every downstream count would re-execute the
-        expensive scoring lineage."""
+        """With checkpointing, each stage materializes exactly once and
+        counts come from the committed manifests. Without it, the whole DAG
+        runs as ONE action (intermediate counts ride along as ``observe``
+        metrics — no extra passes, no block-manager caching of the fat token
+        intermediates); only the small triples table is persisted for the
+        edges/eval consumers."""
+        from pyspark.sql import Observation
+
         t0 = time.time()
         mentions = self.stage_mentions(resume)
+        m_obs = s_obs = None
+        if not self.cfg.checkpoint:
+            m_obs = Observation("mentions_rows")
+            mentions = mentions.observe(m_obs, F.count(F.lit(1)).alias("n"))
         scores = self.stage_scores(mentions, resume)
         if not self.cfg.checkpoint:
-            mentions = mentions.persist()
-            scores = scores.persist()
+            s_obs = Observation("score_rows")
+            scores = scores.observe(s_obs, F.count(F.lit(1)).alias("n"))
         triples = self.stage_triples(scores, resume)
-        edges = self.stage_edges(triples, resume)
         if not self.cfg.checkpoint:
             triples = triples.persist()
-        n_triples = triples.count()
+        edges = self.stage_edges(triples, resume)
+
+        n_triples = (
+            self.io.manifest("triples")["rows"]
+            if self.cfg.checkpoint
+            else triples.count()
+        )
+        if self.cfg.checkpoint:
+            n_mentions = self.io.manifest("mentions_linked")["rows"]
+            n_scores = sum(
+                __import__("json").load(
+                    open(
+                        os.path.join(
+                            self.cfg.checkpoint_root, "pair_scores", "buckets",
+                            f"bucket-{b}", "_MANIFEST.json",
+                        )
+                    )
+                )["rows"]
+                for b in self.io.committed_buckets("pair_scores")
+            )
+            n_edges = self.io.manifest("edges")["rows"]
+        else:
+            n_mentions = int(m_obs.get["n"])
+            n_scores = int(s_obs.get["n"])
+            n_edges = edges.count()
         out = {
             "docs": self.documents().count(),
-            "mentions": mentions.count(),
-            "pair_scores": scores.count(),
+            "mentions": n_mentions,
+            "pair_scores": n_scores,
             "triples": n_triples,
-            "edges": edges.count(),
+            "edges": n_edges,
             "wall_s": round(time.time() - t0, 3),
         }
         if evaluate:

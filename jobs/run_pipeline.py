@@ -30,6 +30,7 @@ def main() -> None:
     ap.add_argument("--score-buckets", type=int, default=8)
     ap.add_argument("--no-checkpoint", action="store_true")
     ap.add_argument("--no-resume", action="store_true")
+    ap.add_argument("--no-eval", action="store_true")
     ap.add_argument("--shuffle-partitions", default=None)
     args = ap.parse_args()
 
@@ -52,7 +53,9 @@ def main() -> None:
         checkpoint=not args.no_checkpoint,
     )
     t0 = time.time()
-    res = Pipeline(spark, cfg).run(resume=not args.no_resume)
+    res = Pipeline(spark, cfg).run(
+        resume=not args.no_resume, evaluate=not args.no_eval
+    )
     wall = time.time() - t0
     res.update(
         {
