@@ -1,0 +1,60 @@
+"""As-of (point-in-time) join — the temporal lookup the reference never
+needed (batch research code, SURVEY.md §2.3 "theta/as-of: ABSENT") but a
+production event pipeline does: for each left row, attach the most recent
+right row with ``right_ts <= left_ts`` for the same key.
+
+Spark-first strategy: **union + single window pass**, not a range join.
+A naive range join (``l.ts >= r.ts``) explodes to |L|·|R| per key before
+picking the max; the union form is one shuffle on the key, one sort, and a
+running ``last(ignorenulls=True)`` — linear in |L| + |R| and identical in
+cost shape at 100 TB (the window never holds more than the running frame).
+Skewed keys fall under the same salting/AQE-skew story as any other
+single-key window.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+) -> DataFrame:
+    """Backward as-of join (most recent right row at or before each left ts).
+
+    Every non-key, non-ts column of ``right`` is carried to the matched left
+    row (NULL when no right row precedes it). Ties at equal timestamps match
+    (right sorts before left at the same instant). Right rows should be
+    unique per (key, ts) — pre-aggregate otherwise, or the carried values
+    are an arbitrary member of the tie group.
+    """
+    rcols = [c for c in right.columns if c not in (key, right_ts)]
+    overlap = set(rcols) & set(left.columns)
+    if overlap:
+        raise ValueError(f"right value columns collide with left: {overlap}")
+
+    l_tagged = left.withColumn("_ts", F.col(left_ts)).withColumn(
+        "_side", F.lit(1)
+    )
+    r_tagged = right.select(
+        F.col(key),
+        F.col(right_ts).alias("_ts"),
+        F.lit(0).alias("_side"),
+        *[F.col(c) for c in rcols],
+    )
+    both = l_tagged.unionByName(r_tagged, allowMissingColumns=True)
+    w = (
+        Window.partitionBy(key)
+        .orderBy("_ts", "_side")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    filled = both.select(
+        *[c for c in both.columns if c not in rcols],
+        *[F.last(c, ignorenulls=True).over(w).alias(c) for c in rcols],
+    )
+    return filled.where(F.col("_side") == 1).drop("_ts", "_side")

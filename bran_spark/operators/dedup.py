@@ -151,6 +151,37 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 32) -> DataFr
     return bit_sums.select("id", packed.alias("simhash"))
 
 
+def simhash_md5(
+    df: DataFrame, id_col: str, text_col: str, bits: int = 16
+) -> DataFrame:
+    """SimHash with an md5-derived bit source (oracle-replayable twin of
+    :func:`simhash`): bit *i* of a word's hash is the low bit of the *i*-th
+    hex nibble of ``md5(word)``. Sign-aggregate ±1 per bit over the doc's
+    words, pack the positive bits into a long.
+
+    Same execution shape as :func:`simhash` (one groupBy shuffle, all JVM
+    expressions); md5 instead of xxhash64 purely so DuckDB can replay the
+    signature bit-exactly. ``bits`` ≤ 32 (md5 hex length).
+    """
+    w = df.select(F.col(id_col).alias("id"), F.explode(words(text_col)).alias("w"))
+    hashed = w.select("id", F.md5("w").alias("h"))
+    nib = lambda i: F.instr(  # noqa: E731
+        F.lit("0123456789abcdef"), F.substring("h", i + 1, 1)
+    ) - 1
+    bit_sums = hashed.groupBy("id").agg(
+        *[
+            F.sum(F.when(nib(i) % 2 == 1, 1).otherwise(-1)).alias(f"b{i}")
+            for i in range(bits)
+        ]
+    )
+    packed = F.lit(0).cast("long")
+    for i in range(bits):
+        packed = packed + F.when(
+            F.col(f"b{i}") > 0, F.lit(2**i).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+    return bit_sums.select("id", packed.alias("simhash"))
+
+
 def embedding_neardup_pairs(
     emb: DataFrame,
     id_col: str = "vec_id",

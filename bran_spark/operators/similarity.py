@@ -66,6 +66,75 @@ def cosine_topk(
     return scored.orderBy(F.desc("cos"), F.asc("vec_id")).limit(k)
 
 
+def assign_ivf_cells(
+    emb: DataFrame,
+    n_centroids: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF coarse quantization: assign every vector to its nearest centroid.
+
+    Centroids are the ``n_centroids`` lowest-id vectors (deterministic; a
+    production build would k-means them — the plumbing is identical). The
+    assignment is a broadcast cross join against the tiny centroid table +
+    a per-vector argmin window: squared L2 expanded as
+    ``|v|² − 2·v·c + |c|²`` so only dot products are computed (JVM-side
+    ``zip_with``/``aggregate``, no UDF). Output adds a ``cell`` column —
+    at scale the table is written partitioned by ``cell`` so probes prune
+    to one partition.
+    """
+    from pyspark.sql import Window
+
+    base = emb.select(
+        F.col(id_col).alias("vec_id"), _as_double(F.col(vec_col)).alias("v")
+    )
+    cents = (
+        base.orderBy("vec_id")
+        .limit(n_centroids)
+        .select(F.col("vec_id").alias("cid"), F.col("v").alias("cv"))
+    )
+    scored = base.join(F.broadcast(cents)).select(
+        "vec_id",
+        "v",
+        "cid",
+        (
+            dot(F.col("v"), F.col("v"))
+            - 2 * dot(F.col("v"), F.col("cv"))
+            + dot(F.col("cv"), F.col("cv"))
+        ).alias("dist"),
+    )
+    w = Window.partitionBy("vec_id").orderBy("dist", "cid")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("vec_id", "v", F.col("cid").alias("cell"))
+    )
+
+
+def ivf_topk(
+    emb: DataFrame,
+    query_id: int,
+    k: int = 10,
+    n_centroids: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF approximate top-k: search only the query's centroid cell.
+
+    The scale path beyond sign-LSH (q31): recall is controlled by
+    ``n_centroids`` and (in a production build) multi-probe; the scan cost
+    drops from |N| to |N|/cells."""
+    cells = assign_ivf_cells(emb, n_centroids, id_col, vec_col)
+    q = cells.where(F.col("vec_id") == query_id).select(
+        F.col("v").alias("qv"), F.col("cell").alias("qcell")
+    )
+    cand = cells.where(F.col("vec_id") != query_id)
+    scored = cand.join(F.broadcast(q), cand.cell == F.col("qcell")).select(
+        "vec_id", F.round(cosine(F.col("v"), F.col("qv")), 6).alias("cos")
+    )
+    return scored.orderBy(F.desc("cos"), F.asc("vec_id")).limit(k)
+
+
 def lsh_bucket_topk(
     emb: DataFrame,
     query_id: int,

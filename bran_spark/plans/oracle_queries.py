@@ -721,7 +721,7 @@ def q24(spark, sf):
 )
 def q25(spark, sf):
     """J6/J7/A4 twin: micro P/R/F1 of thresholded predictions vs pseudo-gold,
-    via the real confusion() operator (inner + two anti joins)."""
+    via the real confusion() operator (single union+marker aggregation)."""
     from bran_spark.operators.evaluate import confusion
 
     scored = _scored(spark, sf)
@@ -1159,3 +1159,128 @@ def bpe_tokens_fixture(spark, sf):
         .groupBy(F.col("t.tok").alias("tok"))
         .agg(F.count(F.lit(1)).alias("freq"))
     )
+
+
+_SIMHASH_BITS = 16
+_SIMHASH_SUMS = ",\n           ".join(
+    f"SUM(CASE WHEN (strpos('0123456789abcdef', substr(h, {i + 1}, 1)) - 1) % 2 = 1"
+    f" THEN 1 ELSE -1 END) AS b{i}"
+    for i in range(_SIMHASH_BITS)
+)
+_SIMHASH_PACK = " + ".join(
+    f"CASE WHEN b{i} > 0 THEN {2 ** i} ELSE 0 END" for i in range(_SIMHASH_BITS)
+)
+
+
+@_q(
+    "q40_simhash_md5",
+    f"""
+    WITH w AS (SELECT doc_id, unnest(string_split_regex(trim(lower(text)), ' +')) AS w
+               FROM documents),
+    h AS (SELECT doc_id, md5(w) AS h FROM w),
+    b AS (SELECT doc_id,
+           {_SIMHASH_SUMS}
+          FROM h GROUP BY doc_id)
+    SELECT doc_id AS id, CAST({_SIMHASH_PACK} AS BIGINT) AS simhash FROM b
+    """,
+)
+def q40(spark, sf):
+    """SimHash, md5 bit source — the oracle-checked twin of the xxhash64
+    simhash operator (identical plan shape: one groupBy shuffle, JVM-only
+    expressions)."""
+    from bran_spark.operators.dedup import simhash_md5
+
+    return simhash_md5(_t(spark, sf, "documents"), "doc_id", "text")
+
+
+@_q(
+    "q41_asof_join",
+    """
+    WITH v AS (SELECT user_id, ts, MAX(value) AS view_value
+               FROM events WHERE event_type = 'view' GROUP BY user_id, ts),
+    p AS (SELECT event_id, user_id, ts, value AS purchase_value
+          FROM events WHERE event_type = 'purchase')
+    SELECT p.event_id, p.user_id, p.ts, p.purchase_value,
+           v.ts AS view_ts, v.view_value
+    FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts >= v.ts
+    """,
+)
+def q41(spark, sf):
+    """Backward as-of join: each purchase gets the user's most recent view
+    at or before it (union + running-last window — one shuffle, no range
+    explosion; DuckDB replays it with its native ASOF JOIN)."""
+    from bran_spark.operators.asof import asof_join
+
+    ev = _t(spark, sf, "events")
+    views = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("view_value"))
+        .select(
+            "user_id",
+            F.col("ts").alias("vts"),
+            F.col("ts").alias("view_ts"),
+            "view_value",
+        )
+    )
+    purch = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", F.col("value").alias("purchase_value")
+    )
+    return asof_join(purch, views, key="user_id", left_ts="ts", right_ts="vts")
+
+
+@_q(
+    "q42_sim_ivf",
+    """
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    c AS (SELECT vec_id AS cid, v AS cv FROM e ORDER BY vec_id LIMIT 8),
+    d AS (SELECT e.vec_id, e.v, c.cid,
+            list_dot_product(e.v, e.v) - 2 * list_dot_product(e.v, c.cv)
+              + list_dot_product(c.cv, c.cv) AS dist
+          FROM e CROSS JOIN c),
+    a AS (SELECT vec_id, v, cid AS cell FROM
+            (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+             FROM d)
+          WHERE rn = 1),
+    q AS (SELECT v AS qv, cell AS qcell FROM a WHERE vec_id = 0)
+    SELECT a.vec_id,
+           ROUND(list_dot_product(a.v, q.qv)
+                 / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(q.qv, q.qv))),
+                 6) AS cos
+    FROM a, q WHERE a.vec_id != 0 AND a.cell = q.qcell
+    ORDER BY cos DESC, vec_id LIMIT 10
+    """,
+)
+def q42(spark, sf):
+    """IVF approximate nearest neighbors: coarse-quantize to the nearest of
+    8 deterministic centroids, search only the query's cell (partition-
+    prunable at scale, vs q31's sign-LSH and q30's exact scan)."""
+    from bran_spark.operators.similarity import ivf_topk
+
+    return ivf_topk(_t(spark, sf, "embeddings"), query_id=0, k=10)
+
+
+@_q(
+    "q43_sessionize",
+    """
+    WITH o AS (SELECT user_id, ts, value,
+                 LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+               FROM events),
+    m AS (SELECT user_id, ts, value,
+            SUM(CASE WHEN prev IS NULL
+                     OR epoch_us(ts) - epoch_us(prev) > 1800000000
+                     THEN 1 ELSE 0 END)
+              OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+          FROM o)
+    SELECT user_id, MIN(ts) AS start_ts, MAX(ts) AS end_ts,
+           COUNT(*) AS n_events, ROUND(SUM(value), 6) AS total_value
+    FROM m GROUP BY user_id, sid
+    """,
+)
+def q43(spark, sf):
+    """Gap-based sessionization via Spark's native session_window (the same
+    stateful operator Structured Streaming runs; 30-min gap). The DuckDB
+    twin replays it with lag + cumulative-sum session ids."""
+    from bran_spark.operators.sessions import sessionize
+
+    return sessionize(_t(spark, sf, "events"))

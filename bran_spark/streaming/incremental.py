@@ -102,6 +102,87 @@ def incremental_triples(
     return n_batches["n"]
 
 
+def stateful_user_counters(
+    spark: SparkSession,
+    events_dir: str,
+    checkpoint_dir: str,
+    out_dir: str,
+) -> None:
+    """Custom stateful streaming operator (``applyInPandasWithState``):
+    per-user running counters carried across micro-batches.
+
+    State = (n_events, total_value, last_ts); each micro-batch folds its
+    rows into the state and emits the updated snapshot. This is the
+    arbitrary-stateful-logic escape hatch for operators the built-in
+    window/session aggregations can't express (per-key model state,
+    sketches, custom eviction); state lives in the streaming state store,
+    partitioned by the group key — the same shuffle-by-key scaling story as
+    any aggregation.
+    """
+    import pandas as pd  # noqa: F401  (worker-side import)
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("n_events", T.LongType()),
+            T.StructField("total_value", T.DoubleType()),
+            T.StructField("last_ts", T.TimestampType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("n", T.LongType()),
+            T.StructField("total", T.DoubleType()),
+            T.StructField("last_us", T.LongType()),
+        ]
+    )
+
+    def fold(key, pdf_iter, state: GroupState):
+        import pandas as pd
+
+        n, total, last_us = state.get if state.exists else (0, 0.0, 0)
+        for pdf in pdf_iter:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+            last_us = max(last_us, int(pdf["ts"].astype("int64").max() // 1000))
+        state.update((n, total, last_us))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "total_value": [total],
+                "last_ts": [pd.Timestamp(last_us * 1000)],
+            }
+        )
+
+    ev = spark.readStream.schema(
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    ).parquet(events_dir)
+    counts = ev.groupBy("user_id").applyInPandasWithState(
+        fold,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.withColumn("batch_id", F.lit(batch_id)).write.mode(
+            "append"
+        ).parquet(out_dir)
+
+    q = (
+        counts.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", os.path.join(checkpoint_dir, "state_offsets"))
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def windowed_event_counts(
     spark: SparkSession,
     events_dir: str,

@@ -1,0 +1,99 @@
+"""As-of join, sessionization, IVF ANN, md5 SimHash — unit semantics on
+constructed frames (the DuckDB oracle covers the testdata-scale replay)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pyspark.sql.functions as F
+
+from bran_spark.operators.asof import asof_join
+from bran_spark.operators.dedup import simhash_md5
+from bran_spark.operators.sessions import sessionize
+from bran_spark.operators.similarity import assign_ivf_cells, cosine_topk, ivf_topk
+
+
+def _ts(s: float) -> dt.datetime:
+    return dt.datetime(2024, 1, 1) + dt.timedelta(seconds=s)
+
+
+def test_asof_join_backward_semantics(spark):
+    left = spark.createDataFrame(
+        [("u1", _ts(10), "l1"), ("u1", _ts(20), "l2"), ("u2", _ts(5), "l3")],
+        "k string, ts timestamp, lval string",
+    )
+    right = spark.createDataFrame(
+        [("u1", _ts(10), "r@10"), ("u1", _ts(15), "r@15"), ("u3", _ts(1), "rx")],
+        "k string, rts timestamp, rval string",
+    )
+    got = {
+        r.lval: r.rval
+        for r in asof_join(left, right, key="k", left_ts="ts", right_ts="rts").collect()
+    }
+    # equal-ts matches (l1@10 <- r@10); most recent prior wins (l2@20 <- r@15);
+    # no prior right row -> NULL (u2); unmatched right keys never surface
+    assert got == {"l1": "r@10", "l2": "r@15", "l3": None}
+
+
+def test_asof_join_rejects_column_collisions(spark):
+    df = spark.createDataFrame([("a", _ts(0), 1.0)], "k string, ts timestamp, v double")
+    try:
+        asof_join(df, df, key="k", left_ts="ts", right_ts="ts")
+        raised = False
+    except ValueError:
+        raised = True
+    assert raised
+
+
+def test_sessionize_gap_boundary(spark):
+    # events at 0s, 1799s, 3599s: gaps 1799 and exactly 1800 — both merge
+    # (session_window merges gaps <= gap); 5400.5s is 1801.5 after -> NEW
+    ev = spark.createDataFrame(
+        [
+            (1, _ts(0.0), 100, "click", 1.0, "{}"),
+            (2, _ts(1799.0), 100, "click", 2.0, "{}"),
+            (3, _ts(3599.0), 100, "click", 4.0, "{}"),
+            (4, _ts(5400.5), 100, "click", 8.0, "{}"),
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    )
+    rows = sorted(sessionize(ev).collect(), key=lambda r: r.start_ts)
+    assert [r.n_events for r in rows] == [3, 1]
+    assert rows[0].start_ts == _ts(0.0) and rows[0].end_ts == _ts(3599.0)
+    assert rows[1].start_ts == _ts(5400.5)
+    assert abs(rows[0].total_value - 7.0) < 1e-9
+
+
+def test_ivf_cells_and_recall(spark, testdata_dir):
+    emb = spark.read.parquet(f"{testdata_dir}/embeddings.parquet")
+    cells = assign_ivf_cells(emb, n_centroids=8)
+    assert cells.count() == emb.count()  # every vector assigned exactly once
+    n_cells = cells.select("cell").distinct().count()
+    assert 1 < n_cells <= 8
+    # centroids land in their own cell (distance 0)
+    cents = {r.vec_id for r in emb.orderBy("vec_id").limit(8).collect()}
+    own = cells.where(F.col("vec_id").isin(*cents)).collect()
+    assert all(r.cell == r.vec_id for r in own)
+    # IVF results are a subset of the full ranking's candidate pool and
+    # overlap the exact top-k (same-cell vectors are the nearest in practice)
+    exact = {r.vec_id for r in cosine_topk(emb, query_id=0, k=10).collect()}
+    approx = {r.vec_id for r in ivf_topk(emb, query_id=0, k=10).collect()}
+    assert len(approx) > 0
+    assert len(exact & approx) >= 1
+
+
+def test_simhash_md5_locality(spark):
+    docs = spark.createDataFrame(
+        [
+            ("a", "the quick brown fox jumps over the lazy dog near the river bank"),
+            ("b", "the quick brown fox jumps over the lazy dog near the river bend"),
+            ("c", "completely unrelated text about spark shuffles and parquet row groups"),
+            ("d", "the quick brown fox jumps over the lazy dog near the river bank"),
+        ],
+        "doc_id string, text string",
+    )
+    sig = {r.id: r.simhash for r in simhash_md5(docs, "doc_id", "text").collect()}
+    ham = lambda x, y: bin(x ^ y).count("1")  # noqa: E731
+    assert sig["a"] == sig["d"]  # identical text -> identical signature
+    assert ham(sig["a"], sig["b"]) <= ham(sig["a"], sig["c"])
+    assert all(0 <= v < 2**16 for v in sig.values())

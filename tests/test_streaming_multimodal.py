@@ -80,3 +80,52 @@ def test_media_real_decode_is_explicit_stub(spark, fx_dir):
     media = fetch_media_payload(media_spans(docs))
     with pytest.raises(Exception, match="NotImplementedError|real media decoding"):
         extract_media_features(media, decode="real").collect()
+
+
+def test_stateful_user_counters_across_batches(spark, testdata_dir, tmp_path):
+    """applyInPandasWithState carries per-user state across micro-batches:
+    after a second drain over new files, each user's counter equals the
+    batch-SQL total (state folded, not recomputed)."""
+    from pyspark.sql import Window
+
+    from bran_spark.streaming.incremental import stateful_user_counters
+
+    ev = spark.read.parquet(f"{testdata_dir}/events.parquet").limit(2000)
+    src = str(tmp_path / "sev")
+    out = str(tmp_path / "sout")
+    ck = str(tmp_path / "sck")
+
+    ev.where(F.col("event_id") % 2 == 0).coalesce(1).write.mode("append").parquet(src)
+    stateful_user_counters(spark, src, ck, out)
+    ev.where(F.col("event_id") % 2 == 1).coalesce(1).write.mode("append").parquet(src)
+    stateful_user_counters(spark, src, ck, out)
+
+    snap = spark.read.parquet(out)
+    # latest snapshot per user = the fold of everything seen so far
+    latest = (
+        snap.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("user_id").orderBy(
+                    F.desc("batch_id"), F.desc("n_events")
+                )
+            ),
+        )
+        .where("rn = 1")
+        .select("user_id", "n_events", "total_value")
+    )
+    want = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("total_value")
+    )
+    j = latest.join(want, "user_id", "full").select(
+        "user_id",
+        latest.n_events.alias("got_n"),
+        want.n_events.alias("want_n"),
+        latest.total_value.alias("got_v"),
+        want.total_value.alias("want_v"),
+    )
+    bad = j.where(
+        (F.col("got_n") != F.col("want_n"))
+        | (F.abs(F.col("got_v") - F.col("want_v")) > 1e-6)
+    ).count()
+    assert bad == 0

@@ -4,9 +4,12 @@ No real cluster exists in this sandbox, so the driver-mandated substitute is:
 the SAME flagship job on the SAME input (sf0.1 fixture corpus) at local[8]
 vs local[32] — 4× parallelism standing in for N vs 4N executors. Each
 parallelism level runs in a fresh spark-submit subprocess (fresh JVM, fresh
-python workers); 1 warm-up + 3 timed runs, median reported.
+python workers); 1 warm-up per level, then the timed runs INTERLEAVED
+(8, 32, 8, 32, …) so slow drift of the shared sandbox host (this is a VM —
+CPU steal comes and goes in multi-minute episodes) biases both levels
+equally instead of whichever level ran second; medians reported.
 
-    python tools/scaling_bench.py [--sf 0.1] [--runs 3] [--out BENCH/BASELINE.md]
+    python tools/scaling_bench.py [--sf 0.5] [--runs 5] [--out BENCH/BASELINE.md]
 """
 
 from __future__ import annotations
@@ -51,7 +54,7 @@ def main() -> None:
     # sf0.5 (250k docs): large enough that per-run fixed overhead (session,
     # python-worker spawn, eval) amortizes below ~10% of the 8-core wall
     ap.add_argument("--sf", type=float, default=0.5)
-    ap.add_argument("--runs", type=int, default=3)
+    ap.add_argument("--runs", type=int, default=5)
     ap.add_argument("--low", type=int, default=8)
     ap.add_argument("--high", type=int, default=32)
     ap.add_argument("--out", default=os.path.join(REPO, "BENCH", "BASELINE.md"))
@@ -61,12 +64,12 @@ def main() -> None:
 
     ensure(args.sf)
 
-    results: dict[int, list[dict]] = {}
+    results: dict[int, list[dict]] = {args.low: [], args.high: []}
     for cores in (args.low, args.high):
         print(f"== local[{cores}] warm-up ==", flush=True)
         run_once(cores, args.sf)
-        results[cores] = []
-        for i in range(args.runs):
+    for i in range(args.runs):
+        for cores in (args.low, args.high):
             t0 = time.time()
             r = run_once(cores, args.sf)
             r["subprocess_wall_s"] = round(time.time() - t0, 1)
@@ -92,10 +95,11 @@ def main() -> None:
 Protocol (BASELINE.md): identical flagship KG-construction job, identical
 input (seeded CDR-shaped corpus, sf={args.sf}: {n_docs} docs → {n_triples}
 triples), fresh JVM per run via spark-submit-equivalent subprocess,
-`--shuffle-partitions 2×cores`, 1 discarded warm-up + {args.runs} timed runs
-per level, medians reported. local[{args.low}] vs local[{args.high}] is the
-sandbox stand-in for N vs 4N executors (no real cluster available — see
-SURVEY.md §0).
+`--shuffle-partitions 2×cores`, 1 discarded warm-up per level + {args.runs}
+timed runs per level INTERLEAVED across levels (the sandbox VM shows
+multi-minute host-contention episodes; interleaving spreads them evenly),
+medians reported. local[{args.low}] vs local[{args.high}] is the sandbox
+stand-in for N vs 4N executors (no real cluster available — SURVEY.md §0).
 
 | parallelism | median wall (s) | median triples/s | runs (s) |
 |---|---|---|---|
