@@ -69,6 +69,126 @@ def fetch_media_payload(media: DataFrame) -> DataFrame:
     )
 
 
+FRAME_FEATURE_SCHEMA = (
+    "doc_id string, media_ref string, frame_idx int, t_offset_s double, "
+    "feature array<float>"
+)
+
+AUDIO_WINDOW_SCHEMA = (
+    "doc_id string, media_ref string, win_idx int, t_start_s double, "
+    "t_end_s double, energy double"
+)
+
+
+def sample_video_frames(
+    media_with_payload: DataFrame,
+    fps_sample: int = 4,
+    duration_s: int = 16,
+    kind: str = "video",
+) -> DataFrame:
+    """Frame sampling for video media: 1 media row → N frame rows.
+
+    The fan-out (frame indices) is pure JVM (``sequence`` + ``posexplode``),
+    so Catalyst sees the cardinality and the shuffle planner can size
+    partitions; only the per-frame decode crosses into Python, one Arrow
+    batch at a time. Real frame extraction (ffmpeg seek+decode) is stubbed
+    with a deterministic digest — the seam is the ``_frame_vec`` call.
+    Duration is a metadata stand-in (no real container parsing here).
+    """
+    n_frames = fps_sample * duration_s
+
+    frames = media_with_payload.where(F.col("kind") == kind).select(
+        "doc_id",
+        "media_ref",
+        "payload",
+        F.posexplode(
+            F.expr(f"sequence(0, {n_frames - 1})")
+        ).alias("frame_idx", "_f"),
+    ).select(
+        "doc_id",
+        "media_ref",
+        "payload",
+        "frame_idx",
+        (F.col("frame_idx") / F.lit(float(fps_sample))).alias("t_offset_s"),
+    )
+
+    def fn(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            feats = []
+            for payload, idx in zip(pdf["payload"], pdf["frame_idx"]):
+                digest = hashlib.sha256(
+                    bytes(payload) + int(idx).to_bytes(4, "little")
+                ).digest()
+                feats.append(
+                    (
+                        np.frombuffer(digest[: FEATURE_DIM * 4], dtype=np.uint32)
+                        .astype(np.float32)
+                        / np.float32(2**32)
+                    ).tolist()
+                )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media_ref": pdf["media_ref"],
+                    "frame_idx": pdf["frame_idx"],
+                    "t_offset_s": pdf["t_offset_s"],
+                    "feature": feats,
+                }
+            )
+
+    return frames.mapInPandas(fn, FRAME_FEATURE_SCHEMA)
+
+
+def audio_window_energy(
+    media_with_payload: DataFrame,
+    window_s: float = 2.0,
+    duration_s: int = 16,
+    kind: str = "audio",
+) -> DataFrame:
+    """Fixed-window audio segmentation: 1 audio row → duration/window rows
+    with a per-window energy scalar. Same shape as frame sampling — JVM
+    fan-out, single Arrow decode pass; the PCM decode is the stubbed seam."""
+    n_win = int(duration_s / window_s)
+    wins = media_with_payload.where(F.col("kind") == kind).select(
+        "doc_id",
+        "media_ref",
+        "payload",
+        F.posexplode(F.expr(f"sequence(0, {n_win - 1})")).alias("win_idx", "_w"),
+    ).select(
+        "doc_id",
+        "media_ref",
+        "payload",
+        "win_idx",
+        (F.col("win_idx") * F.lit(window_s)).alias("t_start_s"),
+        ((F.col("win_idx") + 1) * F.lit(window_s)).alias("t_end_s"),
+    )
+
+    def fn(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            energy = [
+                int.from_bytes(
+                    hashlib.sha256(
+                        bytes(p) + int(w).to_bytes(4, "little")
+                    ).digest()[:4],
+                    "little",
+                )
+                / 2**32
+                for p, w in zip(pdf["payload"], pdf["win_idx"])
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media_ref": pdf["media_ref"],
+                    "win_idx": pdf["win_idx"],
+                    "t_start_s": pdf["t_start_s"],
+                    "t_end_s": pdf["t_end_s"],
+                    "energy": energy,
+                }
+            )
+
+    return wins.mapInPandas(fn, AUDIO_WINDOW_SCHEMA)
+
+
 def extract_media_features(
     media_with_payload: DataFrame, decode: str = "stub", repartition: int | None = None
 ) -> DataFrame:

@@ -1,0 +1,99 @@
+"""Physical-plan shape gates: the properties that make the operators hold
+at 100 TB, asserted on the actual Catalyst output (explain), not by
+convention — a regression that swaps a broadcast join for a shuffle or
+drops a parquet filter pushdown fails here long before it shows in wall
+time at test scale."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from bran_spark.plans.oracle_queries import QUERIES
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _optimized(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_filter_and_projection_reach_parquet_scan(spark, testdata_dir):
+    df = (
+        spark.read.parquet(f"{testdata_dir}/lineitem.parquet")
+        .where(F.col("l_quantity") > 40)
+        .select("l_orderkey", "l_quantity")
+    )
+    plan = _plan(df)
+    assert "PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,40" in plan
+    # column pruning: the scan's ReadSchema carries only the two columns
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "l_orderkey" in read_schema and "l_quantity" in read_schema
+    assert "l_comment" not in read_schema and "l_shipdate" not in read_schema
+
+
+def test_dimension_joins_are_broadcast(spark, fx_dir):
+    """Linking/detection joins must be broadcast (map-side) — a sort-merge
+    join here would shuffle the full corpus against a dictionary."""
+    from bran_spark.operators.mentions import detect_mentions
+    from bran_spark.functions.bpe import with_words, full_text_col
+
+    docs = spark.read.parquet(f"{fx_dir}/documents_interleaved.parquet").withColumn(
+        "full_text", full_text_col("spans")
+    )
+    mesh = spark.read.parquet(f"{fx_dir}/mesh_dict.parquet")
+    plan = _plan(detect_mentions(with_words(docs), mesh))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_relational_corpus_ops_have_no_python(spark, testdata_dir):
+    """Dedup/similarity/text-analysis operators are pure JVM plans: no
+    Python UDF stage anywhere (BatchEvalPython/ArrowEvalPython/PythonUDF)."""
+    for name in [
+        "q27_dedup_exact",
+        "q29_dedup_minhash_lsh",
+        "q30_sim_topk_cosine",
+        "q32_quality_score",
+        "q36_lang_id",
+        "q40_simhash_md5",
+        "q41_asof_join",
+        "q42_sim_ivf",
+        "q43_sessionize",
+    ]:
+        plan = _plan(QUERIES[name](spark, testdata_dir))
+        for marker in ("BatchEvalPython", "ArrowEvalPython", "PythonUDF", "FlatMapGroupsInPandas"):
+            assert marker not in plan, f"{name} has python stage {marker}"
+
+
+def test_topk_is_take_ordered_not_full_sort(spark, testdata_dir):
+    """ORDER BY + LIMIT must plan as TakeOrderedAndProject — a global Sort
+    followed by Limit materializes the full sorted corpus at scale."""
+    plan = _plan(QUERIES["q30_sim_topk_cosine"](spark, testdata_dir))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_lse_pooling_has_partial_aggregation(spark, testdata_dir):
+    """A2's groupBy must map-side combine (partial_ HashAggregate before the
+    exchange) — without it every raw score row crosses the shuffle."""
+    plan = _plan(QUERIES["q18_lse_pooling"](spark, testdata_dir))
+    assert plan.count("HashAggregate") >= 2
+    assert "partial_" in plan
+
+
+def test_exact_dedup_is_single_shuffle(spark, testdata_dir):
+    from bran_spark.operators.dedup import exact_dedup_groups
+
+    docs = spark.read.parquet(f"{testdata_dir}/documents.parquet")
+    plan = _plan(exact_dedup_groups(docs, "doc_id", "text"))
+    assert plan.count("Exchange") == 1
+
+
+def test_whole_stage_codegen_covers_relational_path(spark, testdata_dir):
+    df = QUERIES["q01_pricing_summary"](spark, testdata_dir)
+    df.collect()  # AQE finalizes the physical plan only on execution
+    plan = _plan(df)
+    # '*(n)' prefixes mark WholeStageCodegen spans in the plan string; both
+    # the partial and final aggregate must sit inside one
+    assert "*(1)" in plan and "*(2)" in plan and "isFinalPlan=true" in plan

@@ -129,3 +129,34 @@ def test_stateful_user_counters_across_batches(spark, testdata_dir, tmp_path):
         | (F.abs(F.col("got_v") - F.col("want_v")) > 1e-6)
     ).count()
     assert bad == 0
+
+
+def test_video_frame_sampling_and_audio_windows(spark):
+    """1 media row -> N typed rows; fan-out is JVM-side (sequence/posexplode),
+    decode is the Arrow-batched stub; deterministic across runs."""
+    from bran_spark.operators.multimodal import (
+        audio_window_energy,
+        sample_video_frames,
+    )
+
+    media = spark.createDataFrame(
+        [
+            ("d1", "blob://v/1", "video", bytearray(b"\x01\x02")),
+            ("d2", "blob://a/1", "audio", bytearray(b"\x03\x04")),
+        ],
+        "doc_id string, media_ref string, kind string, payload binary",
+    )
+    frames = sample_video_frames(media, fps_sample=2, duration_s=4)
+    rows = frames.collect()
+    assert len(rows) == 8  # 2 fps x 4 s, only the video row fans out
+    assert {r.frame_idx for r in rows} == set(range(8))
+    assert all(abs(r.t_offset_s - r.frame_idx / 2.0) < 1e-9 for r in rows)
+    assert all(len(r.feature) == 8 for r in rows)
+    again = sample_video_frames(media, fps_sample=2, duration_s=4)
+    assert frames.exceptAll(again).count() == 0
+
+    wins = audio_window_energy(media, window_s=2.0, duration_s=8)
+    wrows = sorted(wins.collect(), key=lambda r: r.win_idx)
+    assert len(wrows) == 4 and all(r.doc_id == "d2" for r in wrows)
+    assert wrows[0].t_start_s == 0.0 and wrows[-1].t_end_s == 8.0
+    assert all(0.0 <= r.energy <= 1.0 for r in wrows)
