@@ -88,12 +88,27 @@ class BpeCodec:
 
 
 def load_codec(spark: SparkSession, merges_path: str, vocab_path: str) -> BpeCodec:
-    """Collect the (small) merge/vocab dims on the driver once."""
-    merges = [
-        (r.lhs, r.rhs)
-        for r in spark.read.parquet(merges_path).orderBy("rank").collect()
-    ]
-    vocab = {r.tok: r.tok_id for r in spark.read.parquet(vocab_path).collect()}
+    """Load the (small) merge/vocab dims on the driver once.
+
+    Direct pyarrow read when the path is driver-readable — two cold Spark
+    collect jobs on a fresh session cost ~4.7s of pure serial time (4× that
+    against scaling efficiency); the files are a few hundred KB. Falls back
+    to Spark collect for paths only the cluster can read (hdfs://, s3://).
+    """
+    try:
+        import pyarrow.parquet as pq
+
+        mt = pq.read_table(merges_path).to_pydict()
+        order = sorted(range(len(mt["rank"])), key=lambda i: mt["rank"][i])
+        merges = [(mt["lhs"][i], mt["rhs"][i]) for i in order]
+        vt = pq.read_table(vocab_path).to_pydict()
+        vocab = dict(zip(vt["tok"], vt["tok_id"]))
+    except (OSError, ImportError):
+        merges = [
+            (r.lhs, r.rhs)
+            for r in spark.read.parquet(merges_path).orderBy("rank").collect()
+        ]
+        vocab = {r.tok: r.tok_id for r in spark.read.parquet(vocab_path).collect()}
     return BpeCodec(merges, vocab)
 
 

@@ -68,6 +68,7 @@ class Pipeline:
         self._codec_bc = None
         self._weights_bc = None
         self._toks_cache = None
+        self._src_parts = None
 
     # ---- inputs ----------------------------------------------------------
     def _path(self, name: str) -> str:
@@ -77,6 +78,33 @@ class Pipeline:
         if self._docs_df is not None:
             return self._docs_df
         return self.spark.read.parquet(self._path("documents_interleaved"))
+
+    def _n_docs(self) -> int:
+        """Input row count from the parquet footer when driver-readable —
+        a count() job on the corpus is ~1s of serial wall per run."""
+        if self._docs_df is not None:
+            return self._docs_df.count()
+        try:
+            import pyarrow.parquet as pq
+
+            return pq.ParquetFile(self._path("documents_interleaved")).metadata.num_rows
+        except OSError:
+            return self.documents().count()
+
+    def _even_repartition(self, df: DataFrame) -> DataFrame:
+        """Round-robin repartition to 4×cores BEFORE a python stage when the
+        source has too few splits — one fat parquet row group or a small
+        file count would otherwise serialize the whole UDF chain onto a
+        handful of tasks. On a real cluster the table layout provides the
+        splits; this is the defensive floor. The probe result is cached:
+        getNumPartitions launches a file-listing job per call, and the plan
+        is probed from several stages."""
+        if self._src_parts is None:
+            self._src_parts = df.rdd.getNumPartitions()
+        par = self.spark.sparkContext.defaultParallelism
+        if self._src_parts < par:
+            return df.repartition(par * 4)
+        return df
 
     def mesh_dict(self) -> DataFrame:
         if self._mesh_df is not None:
@@ -101,17 +129,10 @@ class Pipeline:
     def tokenized(self) -> DataFrame:
         """documents + full_text + words + BPE tokens (+F4 length cap).
 
-        The read is repartitioned to the session's default parallelism BEFORE
-        the pandas UDF: a source with few splits (one fat parquet row group,
-        a small file count) would otherwise run the whole BPE chain on a
-        handful of tasks. On a real cluster the table layout (many files /
-        row groups) provides the splits; the cheap pre-UDF shuffle of raw
-        docs is the defensive floor.
+        The read is evenly repartitioned BEFORE the pandas UDF — see
+        _even_repartition.
         """
-        par = self.spark.sparkContext.defaultParallelism
-        docs = self.documents()
-        if docs.rdd.getNumPartitions() < par:
-            docs = docs.repartition(par * 2)
+        docs = self._even_repartition(self.documents())
         docs = docs.withColumn("full_text", full_text_col("spans"))
         toks = with_tokens(docs, self.codec_bc())
         return toks.withColumn(
@@ -142,10 +163,7 @@ class Pipeline:
         """documents + full_text + words — the detection input. No BPE: the
         codec pass is needed only by the scorer, and running it here too
         would double the python corpus passes."""
-        par = self.spark.sparkContext.defaultParallelism
-        docs = self.documents()
-        if docs.rdd.getNumPartitions() < par:
-            docs = docs.repartition(par * 2)
+        docs = self._even_repartition(self.documents())
         return with_words(docs.withColumn("full_text", full_text_col("spans")))
 
     def stage_mentions(self, resume: bool = True) -> DataFrame:
@@ -190,10 +208,16 @@ class Pipeline:
         B = self.cfg.score_buckets
         par = self.spark.sparkContext.defaultParallelism
         if not self.cfg.checkpoint:
-            # explicit even repartition: the join output's AQE-coalesced
-            # partitions are uneven enough to straggle the encode stage
-            # (measured 102s -> 72s at 32 cores on sf0.5)
-            inp = self._score_input(mentions, resume).repartition(par * 2, "doc_id")
+            # ROUND-ROBIN repartition, NOT hash-by-doc_id: the input is one
+            # row per doc, so no co-location is needed, and a hash
+            # repartition on doc_id collapses into the preceding join's
+            # identical partitioning — which AQE then coalesces into few,
+            # UNEVEN partitions (measured: 43 ragged tasks, 15.9-37.9s, a
+            # 48s stage wall vs the 33.6s even-packing ideal at 32 cores).
+            # repartition(n) has REPARTITION_BY_NUM origin, which AQE never
+            # coalesces; 4×cores tasks keep the tail short against the
+            # doc-length^2 encode-cost variance.
+            inp = self._score_input(mentions, resume).repartition(par * 4)
             return score_documents(inp, self.weights_bc())
         done = self.io.committed_buckets("pair_scores")
         todo = [b for b in range(B) if b not in done]
@@ -205,7 +229,7 @@ class Pipeline:
                 part = (
                     inp.where(F.col("_bucket") == b)
                     .drop("_bucket")
-                    .repartition(max(4, par * 2 // B), "doc_id")
+                    .repartition(max(4, par * 4 // B))
                 )
                 self.io.commit_bucket(
                     score_documents(part, self.weights_bc()),
@@ -263,16 +287,22 @@ class Pipeline:
             s_obs = Observation("score_rows")
             scores = scores.observe(s_obs, F.count(F.lit(1)).alias("n"))
         triples = self.stage_triples(scores, resume)
+        t_obs = None
         if not self.cfg.checkpoint:
             triples = triples.persist()
-        edges = self.stage_edges(triples, resume)
+            # one action materializes everything: edges.count() fills the
+            # triples persist on the way through the dedup, and the triples
+            # row count rides along as an observation (a separate
+            # triples.count() job costs ~1-2s of pure serial time per run)
+            t_obs = Observation("triple_rows")
+            edges = self.stage_edges(
+                triples.observe(t_obs, F.count(F.lit(1)).alias("n")), resume
+            )
+        else:
+            edges = self.stage_edges(triples, resume)
 
-        n_triples = (
-            self.io.manifest("triples")["rows"]
-            if self.cfg.checkpoint
-            else triples.count()
-        )
         if self.cfg.checkpoint:
+            n_triples = self.io.manifest("triples")["rows"]
             n_mentions = self.io.manifest("mentions_linked")["rows"]
             n_scores = sum(
                 __import__("json").load(
@@ -287,11 +317,12 @@ class Pipeline:
             )
             n_edges = self.io.manifest("edges")["rows"]
         else:
+            n_edges = edges.count()
             n_mentions = int(m_obs.get["n"])
             n_scores = int(s_obs.get["n"])
-            n_edges = edges.count()
+            n_triples = int(t_obs.get["n"])
         out = {
-            "docs": self.documents().count(),
+            "docs": self._n_docs(),
             "mentions": n_mentions,
             "pair_scores": n_scores,
             "triples": n_triples,

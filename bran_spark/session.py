@@ -51,12 +51,14 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.optimizer.nestedSchemaPruning.enabled", "true")
-        # local-scale split sizing: the corpus parquet is O(100MB), and the
-        # default 128MB maxPartitionBytes would hand the whole BPE/encode
-        # python chain 1-2 tasks. 4MB keeps every scan at >= cores splits at
-        # test scale; a real 100TB deployment retunes this upward (files and
-        # row groups provide the splits there).
-        .config("spark.sql.files.maxPartitionBytes", "4m")
+        # local-scale split sizing: the corpus parquet is O(50-100MB), and
+        # the default 128MB maxPartitionBytes would hand the whole BPE/encode
+        # python chain 1-2 tasks. 2MB keeps the scan at ~cores splits at
+        # test scale (the sf0.5 corpus is 54MB -> 27 splits; at 4MB the
+        # 13-task scan stage ran 6.7s vs its 2.5s even-packing ideal); a
+        # real 100TB deployment retunes this upward (files and row groups
+        # provide the splits there).
+        .config("spark.sql.files.maxPartitionBytes", "2m")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "128")
         .config("spark.sql.session.timeZone", "UTC")

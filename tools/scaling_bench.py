@@ -33,7 +33,14 @@ def run_once(cores: int, sf: float) -> dict:
     # compute (tokenize/detect/encode/score/pool/dedup + shuffles) from
     # single-disk commit IO, which a real cluster would spread over HDFS/S3.
     # Checkpoint-commit scaling is covered separately by the resume tests.
+    # taskset pins the whole process tree (JVM, python workers) to exactly
+    # `cores` physical cores: an UNPINNED local[8] on a 32-core box is not an
+    # 8-core machine — its GC/shuffle/IO threads and python workers spill
+    # onto the 24 idle cores, inflating the low-parallelism baseline by
+    # ~20% (measured 151s unpinned vs 189s pinned at sf0.5) and corrupting
+    # the N-vs-4N comparison. A real N-core cluster has no spare cores.
     cmd = [
+        "taskset", "-c", f"0-{cores - 1}",
         sys.executable,
         os.path.join(REPO, "jobs", "run_pipeline.py"),
         "--sf", str(sf),
@@ -95,11 +102,14 @@ def main() -> None:
 Protocol (BASELINE.md): identical flagship KG-construction job, identical
 input (seeded CDR-shaped corpus, sf={args.sf}: {n_docs} docs → {n_triples}
 triples), fresh JVM per run via spark-submit-equivalent subprocess,
-`--shuffle-partitions 2×cores`, 1 discarded warm-up per level + {args.runs}
-timed runs per level INTERLEAVED across levels (the sandbox VM shows
-multi-minute host-contention episodes; interleaving spreads them evenly),
-medians reported. local[{args.low}] vs local[{args.high}] is the sandbox
-stand-in for N vs 4N executors (no real cluster available — SURVEY.md §0).
+`--shuffle-partitions 2×cores`, each run `taskset`-pinned to exactly its
+core count (an unpinned local[{args.low}] would borrow the other
+{args.high - args.low} cores for GC/IO/python and inflate the baseline),
+1 discarded warm-up per level + {args.runs} timed runs per level
+INTERLEAVED across levels (the sandbox VM shows multi-minute
+host-contention episodes; interleaving spreads them evenly), medians
+reported. local[{args.low}] vs local[{args.high}] is the sandbox stand-in
+for N vs 4N executors (no real cluster available — SURVEY.md §0).
 
 | parallelism | median wall (s) | median triples/s | runs (s) |
 |---|---|---|---|
