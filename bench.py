@@ -67,6 +67,9 @@ def main() -> None:
         "q30_sim_topk_cosine",
         "q32_quality_score",
         "q37_salted_distinct",
+        "q41_asof_join",
+        "q42_sim_ivf",
+        "q43_sessionize",
     ]
     for name in bench_queries:
         t0 = time.time()
