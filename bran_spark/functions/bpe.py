@@ -144,6 +144,59 @@ def with_words(df: DataFrame, text_col: str = "full_text") -> DataFrame:
     return df.withColumn("words", words_udf(F.col(text_col)))
 
 
+TOKEN_ARRAYS_SCHEMA = T.StructType(
+    [
+        T.StructField("tok_ids", T.ArrayType(T.IntegerType())),
+        T.StructField("tok_starts", T.ArrayType(T.IntegerType())),
+    ]
+)
+
+
+def with_token_arrays(
+    df: DataFrame, codec_bc, text_col: str = "full_text", max_tokens: int = 512
+) -> DataFrame:
+    """Scoring-path tokenizer: adds ``tok_ids`` / ``tok_starts`` int arrays.
+
+    The scorer consumes ONLY (tok_id, char-start) per sub-token; the full
+    ``array<struct>`` form (with_tokens) ships the token string plus five
+    struct fields per sub-token through Arrow — ~10× the bytes and a python
+    dict per token. The F4 length cap is applied in-loop (identical prefix
+    to ``slice(tokens, 1, max_tokens)``), which also skips BPE work beyond
+    the cap on long documents.
+    """
+
+    @F.pandas_udf(TOKEN_ARRAYS_SCHEMA)
+    def ta_udf(it: Iterator[pd.Series]) -> Iterator[pd.DataFrame]:
+        codec: BpeCodec = codec_bc.value
+
+        def enc(text: str) -> tuple[list[int], list[int]]:
+            tids: list[int] = []
+            tstarts: list[int] = []
+            for wd, a, _b in tokenize_words(text or ""):
+                for _tok, tid in codec.encode_word(wd):
+                    if len(tids) >= max_tokens:
+                        return tids, tstarts
+                    tids.append(tid)
+                    tstarts.append(a)
+            return tids, tstarts
+
+        for s in it:
+            res = [enc(t) for t in s]
+            yield pd.DataFrame(
+                {
+                    "tok_ids": [r[0] for r in res],
+                    "tok_starts": [r[1] for r in res],
+                }
+            )
+
+    return (
+        df.withColumn("_ta", ta_udf(F.col(text_col)))
+        .withColumn("tok_ids", F.col("_ta.tok_ids"))
+        .withColumn("tok_starts", F.col("_ta.tok_starts"))
+        .drop("_ta")
+    )
+
+
 def with_tokens(df: DataFrame, codec_bc, text_col: str = "full_text") -> DataFrame:
     """Add ``words`` (word granularity) and ``tokens`` (BPE sub-word) columns.
 

@@ -80,6 +80,121 @@ def _conv1d_same(x: np.ndarray, w: np.ndarray) -> np.ndarray:
     return out
 
 
+class _Arena:
+    """Per-process buffer pool for the solo-encode hot path.
+
+    Fresh numpy temporaries were the 32-worker scaling killer: each call
+    allocated ~30 arrays, and the resulting page-fault/TLB churn scaled at
+    ~0.70 across processes where pure GEMM scales at ~0.86 (measured with
+    tools/encoder_concurrency_bench.py). Named slots are grown-once and
+    reused as contiguous prefix views — steady-state the encoder performs
+    zero heap allocations beyond the per-doc output copy.
+    """
+
+    def __init__(self):
+        self.bufs: dict[str, np.ndarray] = {}
+
+    def get(self, name: str, shape: tuple[int, ...], dtype=np.float32) -> np.ndarray:
+        need = 1
+        for s in shape:
+            need *= s
+        buf = self.bufs.get(name)
+        if buf is None or buf.size < need or buf.dtype != dtype:
+            buf = self.bufs[name] = np.empty(max(need, 1), dtype)
+        return buf[:need].reshape(shape)
+
+
+_ARENA = _Arena()
+
+
+def _layernorm_into(x: np.ndarray, g: np.ndarray, b: np.ndarray, out: np.ndarray,
+                    eps: float = 1e-5) -> np.ndarray:
+    """Same op order as _layernorm (sub, div, mul, add) into a buffer."""
+    mu = x.mean(-1, keepdims=True)
+    var = x.var(-1, keepdims=True)
+    np.subtract(x, mu, out=out)
+    np.divide(out, np.sqrt(var + eps), out=out)
+    np.multiply(out, g, out=out)
+    np.add(out, b, out=out)
+    return out
+
+
+def encode_one(t: np.ndarray, w: Weights) -> np.ndarray:
+    """Solo-document encode, buffer-reusing twin of ``encode_batch([t])``.
+
+    Bitwise-identical to the batch form at B=1 (same kernels in the same
+    order; the zero mask-bias add and the all-ones mask multiplies of the
+    padded form are float identities at B=1), verified by
+    tests/test_model.py. Exists because the flagship scorer encodes docs
+    solo (exact length, no padding) under 32-way worker concurrency, where
+    allocation-free execution is worth ~20% aggregate throughput.
+    """
+    a = _ARENA
+    d, h = w.d_model, w.n_heads
+    dh = d // h
+    L = max(len(t), 1)
+    ids = t[: w.max_len] if len(t) else np.zeros(1, dtype=np.int64)
+    L = len(ids) if len(ids) else 1
+
+    x = a.get("x", (L, d))
+    np.take(w["embed"], ids, axis=0, out=x)
+    np.add(x, w["pos"][:L], out=x)
+    inv_sqrt_dh = np.float32(1.0 / np.sqrt(dh))
+    qkv = a.get("qkv", (L, 3 * d))
+    q = a.get("q", (h, L, dh))
+    k = a.get("k", (h, L, dh))
+    v = a.get("v", (h, L, dh))
+    att = a.get("att", (h, L, L))
+    ctx = a.get("ctx", (h, L, dh))
+    ctx2 = a.get("ctx2", (L, d))
+    t1 = a.get("t1", (L, d))
+    for b in range(w.n_blocks):
+        np.matmul(x, w.qkv(b), out=qkv)
+        split = qkv.reshape(L, 3, h, dh)
+        np.copyto(q, split[:, 0].transpose(1, 0, 2))
+        np.copyto(k, split[:, 1].transpose(1, 0, 2))
+        np.copyto(v, split[:, 2].transpose(1, 0, 2))
+        np.matmul(q, k.transpose(0, 2, 1), out=att)
+        att *= inv_sqrt_dh
+        _softmax_inplace(att)
+        np.matmul(att, v, out=ctx)
+        np.copyto(ctx2.reshape(L, h, dh), ctx.transpose(1, 0, 2))
+        np.matmul(ctx2, w[f"b{b}.Wo"], out=t1)
+        np.add(x, t1, out=t1)
+        _layernorm_into(t1, w[f"b{b}.ln1.g"], w[f"b{b}.ln1.b"], out=x)
+        ff = _conv1d_same_into(x, w[f"b{b}.conv1"], a, "ff1", "tap1")
+        np.maximum(ff, 0.0, out=ff)
+        ff2 = _conv1d_same_into(ff, w[f"b{b}.conv2"], a, "ff2", "tap2")
+        np.add(x, ff2, out=ff2)
+        _layernorm_into(ff2, w[f"b{b}.ln2.g"], w[f"b{b}.ln2.b"], out=x)
+    return x[: len(ids)].copy()
+
+
+def _conv1d_same_into(
+    x: np.ndarray, w: np.ndarray, a: "_Arena", slot: str, tap_slot: str
+) -> np.ndarray:
+    """2-D (solo) twin of _conv1d_same with arena buffers; identical
+    tap-loop GEMM + accumulate order."""
+    kk, cin, cout = w.shape
+    L = x.shape[0]
+    if kk == 1:
+        out = a.get(slot, (L, cout))
+        np.matmul(x, w[0], out=out)
+        return out
+    pad = kk // 2
+    xp = a.get(slot + "_xp", (L + 2 * pad, cin))
+    xp[:pad] = 0.0
+    xp[pad : pad + L] = x
+    xp[pad + L :] = 0.0
+    out = a.get(slot, (L, cout))
+    tap = a.get(tap_slot, (L, cout))
+    np.matmul(xp[0:L], w[0], out=out)
+    for i in range(1, kk):
+        np.matmul(xp[i : i + L], w[i], out=tap)
+        out += tap
+    return out
+
+
 def encode_batch(tok_ids: list[np.ndarray], w: Weights) -> list[np.ndarray]:
     """Encode a batch of variable-length docs; returns per-doc [L_i, d].
 

@@ -22,7 +22,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 
-from bran_spark.model.encoder import Weights, encode_batch, score_pairs
+from bran_spark.model.encoder import Weights, encode_batch, encode_one, score_pairs
 
 SCORE_SCHEMA = (
     "doc_id string, chem_mention_id string, dis_mention_id string, "
@@ -58,13 +58,9 @@ def score_documents(docs: DataFrame, weights_bc, batch_docs: int = 1) -> DataFra
         single-threaded BLAS) — while same-L batching keeps GEMMs large.
         """
         if batch_docs == 1:
-            # exact-length solo encodes: deterministic by construction,
-            # no padding waste
-            return [
-                encode_batch([t[: w.max_len]], w)[0] if len(t) else
-                encode_batch([np.zeros(1, dtype=np.int64)], w)[0]
-                for t in ids
-            ]
+            # exact-length solo encodes via the allocation-free arena twin
+            # (bitwise-equal to encode_batch([t]); tests/test_model.py)
+            return [encode_one(t[: w.max_len], w) for t in ids]
         buckets: dict[int, list[int]] = {}
         for i, t in enumerate(ids):
             L = min(max(len(t), 1), w.max_len)
@@ -88,7 +84,11 @@ def score_documents(docs: DataFrame, weights_bc, batch_docs: int = 1) -> DataFra
         for pdf in it:
             ids = [np.asarray(t, dtype=np.int64) for t in pdf["tok_ids"]]
             encs = encode_bucketed(ids, w)
-            out: dict[str, list] = {
+            # per-doc numpy chunks, one concat per Arrow batch — a per-pair
+            # python append loop here allocated ~9M objects per sf0.5 run
+            # and was both slow and a GC/allocator-churn source at 32-way
+            # worker concurrency
+            chunks: dict[str, list[np.ndarray]] = {
                 "doc_id": [], "chem_mention_id": [], "dis_mention_id": [],
                 "chem_mesh": [], "dis_mesh": [], "score": [],
             }
@@ -107,14 +107,30 @@ def score_documents(docs: DataFrame, weights_bc, batch_docs: int = 1) -> DataFra
                 if not chems or not diss:
                     continue
                 s = score_pairs(enc, [c[2] for c in chems], [d[2] for d in diss], w)
-                for i, (cid, cmesh, _) in enumerate(chems):
-                    for j, (did, dmesh, _) in enumerate(diss):
-                        out["doc_id"].append(doc_id)
-                        out["chem_mention_id"].append(cid)
-                        out["dis_mention_id"].append(did)
-                        out["chem_mesh"].append(cmesh)
-                        out["dis_mesh"].append(dmesh)
-                        out["score"].append(float(s[i, j]))
-            yield pd.DataFrame(out)
+                nc, nd = len(chems), len(diss)
+                chunks["doc_id"].append(np.full(nc * nd, doc_id, dtype=object))
+                chunks["chem_mention_id"].append(
+                    np.repeat(np.array([c[0] for c in chems], dtype=object), nd)
+                )
+                chunks["dis_mention_id"].append(
+                    np.tile(np.array([d[0] for d in diss], dtype=object), nc)
+                )
+                chunks["chem_mesh"].append(
+                    np.repeat(np.array([c[1] for c in chems], dtype=object), nd)
+                )
+                chunks["dis_mesh"].append(
+                    np.tile(np.array([d[1] for d in diss], dtype=object), nc)
+                )
+                chunks["score"].append(s.ravel())
+            yield pd.DataFrame(
+                {
+                    k: np.concatenate(v)
+                    if v
+                    else np.array(
+                        [], dtype=np.float32 if k == "score" else object
+                    )
+                    for k, v in chunks.items()
+                }
+            )
 
     return docs.mapInPandas(fn, SCORE_SCHEMA)

@@ -27,7 +27,13 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from bran_spark.functions.bpe import full_text_col, load_codec, with_tokens, with_words
+from bran_spark.functions.bpe import (
+    full_text_col,
+    load_codec,
+    with_token_arrays,
+    with_tokens,
+    with_words,
+)
 from bran_spark.model.encoder import Weights
 from bran_spark.model.scorer import score_documents
 from bran_spark.operators.evaluate import confusion
@@ -184,12 +190,24 @@ class Pipeline:
         return linked
 
     def _score_input(self, mentions: DataFrame, resume: bool = True) -> DataFrame:
-        docs = self.stage_tokenized(resume).select(
-            "doc_id",
-            F.expr("transform(tokens, t -> t.tok_id)").alias("tok_ids"),
-            F.expr("transform(tokens, t -> t.start)").alias("tok_starts"),
-            "n_toks",
-        )
+        if self.cfg.checkpoint:
+            # read the committed full-struct tokens table
+            docs = self.stage_tokenized(resume).select(
+                "doc_id",
+                F.expr("transform(tokens, t -> t.tok_id)").alias("tok_ids"),
+                F.expr("transform(tokens, t -> t.start)").alias("tok_starts"),
+                "n_toks",
+            )
+        else:
+            # lean tokenizer: int arrays only — the full struct form ships
+            # ~10× the bytes through Arrow for fields the scorer never reads
+            docs = with_token_arrays(
+                self._even_repartition(self.documents()).withColumn(
+                    "full_text", full_text_col("spans")
+                ),
+                self.codec_bc(),
+                max_tokens=self.cfg.max_tokens,
+            ).select("doc_id", "tok_ids", "tok_starts")
         magg = mentions.groupBy("doc_id").agg(
             F.collect_list(
                 F.struct("mention_id", "type", "mesh_id", "start", "end")
