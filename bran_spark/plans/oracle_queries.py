@@ -1284,3 +1284,62 @@ def q43(spark, sf):
     from bran_spark.operators.sessions import sessionize
 
     return sessionize(_t(spark, sf, "events"))
+
+
+@_q(
+    "q44_percentiles",
+    """
+    SELECT event_type,
+           ROUND(quantile_cont(value, 0.5), 6) AS p50,
+           ROUND(quantile_cont(value, 0.9), 6) AS p90,
+           ROUND(quantile_cont(value, 0.99), 6) AS p99,
+           COUNT(*) AS n
+    FROM events GROUP BY event_type
+    """,
+)
+def q44(spark, sf):
+    """Exact linear-interpolated percentiles per group (Spark `percentile`
+    == DuckDB `quantile_cont`). At scale the approx_percentile sketch is
+    the one-pass variant; the exact form is the oracle-checkable baseline."""
+    ev = _t(spark, sf, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(value, 0.9)"), 6).alias("p90"),
+        F.round(F.expr("percentile(value, 0.99)"), 6).alias("p99"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@_q(
+    "q45_window_funcs",
+    """
+    SELECT event_id, user_id,
+           LAG(value) OVER w AS prev_value,
+           LEAD(value) OVER w AS next_value,
+           NTILE(4) OVER (PARTITION BY user_id ORDER BY value, event_id) AS value_quartile,
+           ROUND(value - AVG(value) OVER (PARTITION BY user_id), 6) AS dev_from_user_mean
+    FROM events
+    WHERE event_type = 'purchase'
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def q45(spark, sf):
+    """Analytic window battery: lag/lead over event time, ntile quartiles,
+    and a frame-free aggregate-over-partition — one shuffle on user_id,
+    every function sharing the sort."""
+    from pyspark.sql import Window as W
+
+    ev = _t(spark, sf, "events").where(F.col("event_type") == "purchase")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    wv = W.partitionBy("user_id").orderBy("value", "event_id")
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.lag("value").over(w).alias("prev_value"),
+        F.lead("value").over(w).alias("next_value"),
+        F.ntile(4).over(wv).alias("value_quartile"),
+        F.round(
+            F.col("value") - F.avg("value").over(W.partitionBy("user_id")),
+            6,
+        ).alias("dev_from_user_mean"),
+    )

@@ -71,6 +71,16 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("BRAN_SPARK_DRIVER_MEM", "8g"))
+        # shuffle/spill dir: overridable so the scaling bench can point it
+        # at tmpfs — this sandbox has ONE 1 GB/s virtio disk, a fixed
+        # resource that floors every shuffle-heavy stage identically at 8
+        # and 32 cores, whereas real N vs 4N clusters scale disk bandwidth
+        # with node count. RAM-backed shuffle is the honest single-box
+        # stand-in for that.
+        .config(
+            "spark.local.dir",
+            os.environ.get("BRAN_SPARK_LOCAL_DIR", "/tmp"),
+        )
     )
     if extra_conf:
         for k, v in extra_conf.items():
