@@ -51,3 +51,35 @@ def test_deterministic_across_runs(spark, fx_dir):
     a = with_tokens(d, codec_bc).select("doc_id", "tokens")
     b = with_tokens(d, codec_bc).select("doc_id", "tokens")
     assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_token_arrays_match_struct_form(spark, fx_dir):
+    """The lean scoring-path tokenizer (int arrays) must agree exactly with
+    the full struct form: same ids, same char starts, same F4-cap prefix."""
+    from bran_spark.functions.bpe import (
+        full_text_col,
+        load_codec,
+        with_token_arrays,
+        with_tokens,
+    )
+    import pyspark.sql.functions as F
+
+    codec_bc = spark.sparkContext.broadcast(
+        load_codec(spark, f"{fx_dir}/bpe_merges.parquet", f"{fx_dir}/vocab.parquet")
+    )
+    docs = (
+        spark.read.parquet(f"{fx_dir}/documents_interleaved.parquet")
+        .limit(100)
+        .withColumn("full_text", full_text_col("spans"))
+    )
+    cap = 64
+    full = with_tokens(docs, codec_bc).select(
+        "doc_id",
+        F.expr(f"transform(slice(tokens, 1, {cap}), t -> t.tok_id)").alias("tok_ids"),
+        F.expr(f"transform(slice(tokens, 1, {cap}), t -> t.start)").alias("tok_starts"),
+    )
+    lean = with_token_arrays(docs, codec_bc, max_tokens=cap).select(
+        "doc_id", "tok_ids", "tok_starts"
+    )
+    assert full.exceptAll(lean).count() == 0
+    assert lean.exceptAll(full).count() == 0
