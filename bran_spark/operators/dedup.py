@@ -81,29 +81,41 @@ def ngram_jaccard_pairs(
 
 
 def minhash_signatures(
-    df: DataFrame, id_col: str, text_col: str, n: int = 5, bands: int = 4
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 5,
+    bands: int = 4,
+    hash_fn: str = "md5",
 ) -> DataFrame:
     """MinHash signatures, one row per (doc, band): signature = min over the
-    doc's shingles of md5(band || shingle).
+    doc's shingles of hash(band || shingle).
 
-    md5 (not xxhash64) so the DuckDB oracle can replay bit-exactly; the min
-    of a uniform hash per band is the standard 1-row MinHash estimator, and
-    banding b independent hashes gives the LSH bucket key. One shuffle
+    ``hash_fn="md5"`` (default) is DuckDB-replayable bit-exactly — the
+    oracle twin (q29/q39). ``hash_fn="xxhash64"`` is the scale path: the
+    signature becomes an 8-byte long instead of a 32-char string, cutting
+    the banded explode's shuffle bytes and JVM string churn ~5× — at
+    10^8 docs × bands the hash column dominates the exchange. Same
+    estimator either way (min of a uniform hash per band); banding b
+    independent hashes gives the LSH bucket key. One shuffle
     (groupBy doc,band) — signatures never leave the executor otherwise.
     """
     sh = df.select(
         F.col(id_col).alias("id"),
         F.explode(F.array_distinct(shingles(text_col, n))).alias("shingle"),
     )
+    if hash_fn == "xxhash64":
+        hash_of = lambda b: F.xxhash64(b.cast("string"), F.col("shingle"))  # noqa: E731
+    else:
+        hash_of = lambda b: F.md5(  # noqa: E731
+            F.concat(b.cast("string"), F.lit(":"), F.col("shingle"))
+        )
     banded = sh.select(
         "id",
         F.explode(
             F.transform(
                 F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.struct(
-                    b.alias("band"),
-                    F.md5(F.concat(b.cast("string"), F.lit(":"), F.col("shingle"))).alias("h"),
-                ),
+                lambda b: F.struct(b.alias("band"), hash_of(b).alias("h")),
             )
         ).alias("bh"),
     ).select("id", F.col("bh.band").alias("band"), F.col("bh.h").alias("h"))
@@ -111,11 +123,16 @@ def minhash_signatures(
 
 
 def minhash_lsh_pairs(
-    df: DataFrame, id_col: str, text_col: str, n: int = 5, bands: int = 4
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 5,
+    bands: int = 4,
+    hash_fn: str = "md5",
 ) -> DataFrame:
     """LSH candidate pairs: docs sharing a (band, minhash) bucket in ANY band.
     Equi-join on the bucket key — cost ∝ bucket collisions, not |docs|²."""
-    sig = minhash_signatures(df, id_col, text_col, n, bands)
+    sig = minhash_signatures(df, id_col, text_col, n, bands, hash_fn)
     a = sig.select(F.col("id").alias("id_a"), "band", "minhash")
     b = sig.select(F.col("id").alias("id_b"), "band", "minhash")
     return (

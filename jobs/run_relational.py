@@ -66,7 +66,12 @@ def main() -> None:
 
     t_all = time.time()
     run("exact_dedup", exact_dedup_groups(docs, "doc_id", "text"))
-    run("minhash_lsh", minhash_lsh_pairs(docs, "doc_id", "text", n=5, bands=8))
+    # xxhash64 = the scale configuration (8-byte long signatures through the
+    # shuffle instead of 32-char md5 strings; md5 remains the oracle twin)
+    run(
+        "minhash_lsh",
+        minhash_lsh_pairs(docs, "doc_id", "text", n=5, bands=8, hash_fn="xxhash64"),
+    )
     run(
         "ngram_jaccard",
         ngram_jaccard_pairs(docs, "doc_id", "text", n=8, min_jaccard=0.5, max_df=100),
