@@ -30,6 +30,7 @@ from bran_spark.functions.text import (
     token_count,
 )
 from bran_spark.operators.dedup import (
+    DEFAULT_SIGN_BANDS,
     exact_dedup_groups,
     embedding_neardup_pairs,
     minhash_lsh_pairs,
@@ -858,11 +859,25 @@ def q30(spark, sf):
     return cosine_topk(_t(spark, sf, "embeddings"), query_id=0, k=10)
 
 
+# q31's single sign bucket (operators.similarity.lsh_bucket_topk dims)
 _BUCKET_SQL = (
     "concat(CASE WHEN embedding[1] >= 0 THEN '1' ELSE '0' END,"
     " CASE WHEN embedding[8] >= 0 THEN '1' ELSE '0' END,"
     " CASE WHEN embedding[14] >= 0 THEN '1' ELSE '0' END,"
     " CASE WHEN embedding[22] >= 0 THEN '1' ELSE '0' END)"
+)
+
+
+def _band_key_sql(dims: tuple[int, ...]) -> str:
+    bits = ", ".join(
+        f"CASE WHEN embedding[{d + 1}] >= 0 THEN '1' ELSE '0' END" for d in dims
+    )
+    return f"concat({bits})"
+
+
+_BANDED_KEYS_SQL = "\n      UNION ALL ".join(
+    f"SELECT vec_id, {i} AS band, {_band_key_sql(dims)} AS key FROM embeddings"
+    for i, dims in enumerate(DEFAULT_SIGN_BANDS)
 )
 
 
@@ -949,20 +964,23 @@ def q34(spark, sf):
 @_q(
     "q35_embedding_neardup",
     f"""
-    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS ve, {_BUCKET_SQL} AS bucket
-               FROM embeddings)
-    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-           ROUND(list_dot_product(a.ve, b.ve)
-                 / (sqrt(list_dot_product(a.ve, a.ve))
-                    * sqrt(list_dot_product(b.ve, b.ve))), 6) AS cos
-    FROM v a JOIN v b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
-    WHERE list_dot_product(a.ve, b.ve)
-          / (sqrt(list_dot_product(a.ve, a.ve))
-             * sqrt(list_dot_product(b.ve, b.ve))) >= 0.3
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS ve FROM embeddings),
+    k AS ({_BANDED_KEYS_SQL}),
+    cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+             FROM k a JOIN k b ON a.band = b.band AND a.key = b.key
+                               AND a.vec_id < b.vec_id)
+    SELECT id_a, id_b, ROUND(cos, 6) AS cos FROM (
+      SELECT id_a, id_b,
+             list_dot_product(va.ve, vb.ve)
+               / (sqrt(list_dot_product(va.ve, va.ve))
+                  * sqrt(list_dot_product(vb.ve, vb.ve))) AS cos
+      FROM cand JOIN v va ON va.vec_id = id_a JOIN v vb ON vb.vec_id = id_b)
+    WHERE cos >= 0.3
     """,
 )
 def q35(spark, sf):
-    """Embedding-cosine near-dup with sign-bucket LSH prefilter."""
+    """Embedding-cosine near-dup with banded sign-LSH prefilter (OR over
+    4 bands of 6 sign bits — bounded per-bucket fan-out, banding recall)."""
     return embedding_neardup_pairs(
         _t(spark, sf, "embeddings"), min_cos=0.3
     )

@@ -77,7 +77,9 @@ def test_embedding_neardup_and_topk(spark):
     emb = _emb(spark)
     nd = {
         (r.id_a, r.id_b): r.cos
-        for r in embedding_neardup_pairs(emb, min_cos=0.95, sign_dims=(0, 3, 5, 9)).collect()
+        for r in embedding_neardup_pairs(
+            emb, min_cos=0.95, bands=((0, 3, 5, 9), (1, 4, 6, 10), (2, 7, 8, 11))
+        ).collect()
     }
     assert (7, 100) in nd and nd[(7, 100)] > 0.99
     tk = cosine_topk(emb, query_id=7, k=3).collect()

@@ -90,6 +90,32 @@ def test_exact_dedup_is_single_shuffle(spark, testdata_dir):
     assert plan.count("Exchange") == 1
 
 
+def test_ngram_jaccard_broadcasts_hot_side_anti(spark, testdata_dir):
+    """The df-cut must broadcast the TINY hot-shingle set (df > max_df) and
+    remove it with a left-anti join. Broadcasting the kept set — nearly the
+    whole shingle vocabulary under Zipf — is a driver OOM at corpus scale."""
+    from bran_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = spark.read.parquet(f"{testdata_dir}/documents.parquet")
+    plan = _plan(
+        ngram_jaccard_pairs(docs, "doc_id", "text", n=3, min_jaccard=0.1, max_df=30)
+    )
+    assert "LeftAnti" in plan, "df-cut is no longer an anti-join"
+    anti_line = next(ln for ln in plan.splitlines() if "LeftAnti" in ln)
+    assert "BroadcastHashJoin" in anti_line, "hot-shingle side not broadcast"
+
+
+def test_embedding_neardup_no_cartesian_and_bounded_join(spark, testdata_dir):
+    """Banded sign-LSH candidates: equi-join on (band, key) — never a
+    cartesian/nested-loop product of the embedding table with itself."""
+    from bran_spark.operators.dedup import embedding_neardup_pairs
+
+    emb = spark.read.parquet(f"{testdata_dir}/embeddings.parquet")
+    plan = _plan(embedding_neardup_pairs(emb, min_cos=0.3))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_whole_stage_codegen_covers_relational_path(spark, testdata_dir):
     df = QUERIES["q01_pricing_summary"](spark, testdata_dir)
     df.collect()  # AQE finalizes the physical plan only on execution
