@@ -204,32 +204,33 @@ def extract_media_features(
         df = df.repartition(repartition, "media_ref")
 
     def fn(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        if decode == "real":
+            raise NotImplementedError(
+                "real media decoding requires PIL/ffmpeg — not in this container"
+            )
         for pdf in it:
-            feats, widths, heights, nbytes = [], [], [], []
-            for _, row in pdf.iterrows():
-                if decode == "real":
-                    raise NotImplementedError(
-                        "real media decoding requires PIL/ffmpeg — not in this container"
-                    )
-                digest = hashlib.sha256(bytes(row["payload"])).digest()
-                vec = (
-                    np.frombuffer(digest[: FEATURE_DIM * 4], dtype=np.uint32).astype(
-                        np.float32
-                    )
+            # column-wise over the Arrow batch: one comprehension touches the
+            # payload column (the decode seam); the meta struct unpacks via
+            # vectorized .str accessors on the dict column — no iterrows
+            feats = [
+                (
+                    np.frombuffer(
+                        hashlib.sha256(bytes(p)).digest()[: FEATURE_DIM * 4],
+                        dtype=np.uint32,
+                    ).astype(np.float32)
                     / np.float32(2**32)
-                )
-                feats.append(vec.tolist())
-                widths.append(int(row["meta"]["width"]))
-                heights.append(int(row["meta"]["height"]))
-                nbytes.append(int(row["meta"]["n_bytes"]))
+                ).tolist()
+                for p in pdf["payload"]
+            ]
+            meta = pdf["meta"]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
                     "media_ref": pdf["media_ref"],
                     "kind": pdf["kind"],
-                    "width": widths,
-                    "height": heights,
-                    "n_bytes": nbytes,
+                    "width": meta.str["width"].astype("int32"),
+                    "height": meta.str["height"].astype("int32"),
+                    "n_bytes": meta.str["n_bytes"].astype("int32"),
                     "feature": feats,
                 }
             )

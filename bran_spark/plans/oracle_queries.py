@@ -1130,7 +1130,11 @@ def q39(spark, sf):
 @_q("media_features_fixture")
 def media_features_fixture(spark, sf):
     """Multimodal plumbing on the fixture corpus: media spans → payload →
-    Arrow-batched feature extraction (decode stubbed; rows-only check)."""
+    Arrow-batched feature extraction (decode stubbed; rows-only check).
+
+    The feature vector is posexploded to scalar (dim_idx, value) rows so the
+    driver's canonicalizer can hash the output (array columns are not
+    hashable there); tests/ keep the full-vector form."""
     from bran_spark.fixtures.gen import ensure, fixture_dir
     from bran_spark.operators.multimodal import (
         extract_media_features,
@@ -1141,7 +1145,69 @@ def media_features_fixture(spark, sf):
     s = _fixture_sf_for(sf)
     ensure(s)
     docs = spark.read.parquet(f"{fixture_dir(s)}/documents_interleaved.parquet")
-    return extract_media_features(fetch_media_payload(media_spans(docs)))
+    feats = extract_media_features(fetch_media_payload(media_spans(docs)))
+    return feats.select(
+        "doc_id", "media_ref", "kind", "width", "height", "n_bytes",
+        F.posexplode("feature").alias("dim_idx", "value"),
+    ).withColumn("value", F.col("value").cast("double"))
+
+
+def _le_u32_sql(i: int) -> str:
+    """DuckDB expr: little-endian uint32 from bytes [4i, 4i+4) of the hex
+    digest column ``h`` (nibble-parse via strpos, as q40's simhash does)."""
+    terms = []
+    for j in range(4):
+        p = 2 * (4 * i + j)
+        hi = f"(strpos('0123456789abcdef', substr(h, {p + 1}, 1)) - 1)"
+        lo = f"(strpos('0123456789abcdef', substr(h, {p + 2}, 1)) - 1)"
+        terms.append(f"{256 ** j} * (16 * {hi} + {lo})")
+    return " + ".join(terms)
+
+
+_MEDIA_K_SQL = "CASE dim_idx " + " ".join(
+    f"WHEN {i} THEN {_le_u32_sql(i)}" for i in range(8)
+) + " END"
+
+
+@_q(
+    "q46_media_features",
+    f"""
+    WITH m AS (SELECT doc_id::VARCHAR AS doc_id, 'image' AS kind,
+                      'blob://doc/' || doc_id::VARCHAR AS media_ref
+               FROM documents),
+    hx AS (SELECT doc_id, kind, media_ref, sha256(sha256(media_ref)) AS h FROM m),
+    d AS (SELECT doc_id, kind, media_ref, dim_idx, {_MEDIA_K_SQL} AS k
+          FROM hx, (SELECT unnest(range(8)) AS dim_idx))
+    SELECT doc_id, media_ref, kind, CAST(64 AS INT) AS n_bytes,
+           CAST(dim_idx AS INT) AS dim_idx,
+           ((k / 4294967296.0)::FLOAT)::DOUBLE AS value
+    FROM d
+    """,
+)
+def q46(spark, sf):
+    """Multimodal feature extraction, fully oracle-checked: every driver doc
+    gets a deterministic media ref; the REAL operators (fetch_media_payload
+    + mapInPandas extract_media_features) run, and DuckDB replays the stub
+    digest math bit-exactly (sha256∘sha256, little-endian uint32 → float32).
+    width/height are crc32-derived (no DuckDB twin) and stay out of the
+    projection — they remain covered by the fixture entry and tests."""
+    from bran_spark.operators.multimodal import (
+        extract_media_features,
+        fetch_media_payload,
+    )
+
+    media = _t(spark, sf, "documents").select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.lit("image").alias("kind"),
+        F.concat(F.lit("blob://doc/"), F.col("doc_id").cast("string")).alias(
+            "media_ref"
+        ),
+    )
+    feats = extract_media_features(fetch_media_payload(media))
+    return feats.select(
+        "doc_id", "media_ref", "kind", "n_bytes",
+        F.posexplode("feature").alias("dim_idx", "value"),
+    ).withColumn("value", F.col("value").cast("double"))
 
 
 @_q("kg_edges_fixture")
