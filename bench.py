@@ -70,11 +70,26 @@ def main() -> None:
         "q41_asof_join",
         "q42_sim_ivf",
         "q43_sessionize",
+        "q44_percentiles",
+        "q45_window_funcs",
+        "q35_embedding_neardup",
+        "q46_media_features",
     ]
     for name in bench_queries:
         t0 = time.time()
         QUERIES[name](spark, SF_DIR).count()
         timings[name] = round(time.time() - t0, 3)
+
+    # the MinHash scale path (xxhash64 long signatures — the operator
+    # default; q29 above times the md5 oracle twin for comparison)
+    from bran_spark.operators.dedup import minhash_lsh_pairs
+
+    t0 = time.time()
+    minhash_lsh_pairs(
+        spark.read.parquet(f"{SF_DIR}/documents.parquet"), "doc_id", "text",
+        n=4, bands=4,
+    ).count()
+    timings["minhash_lsh_xxhash64"] = round(time.time() - t0, 3)
 
     total = round(sum(timings.values()), 3)
     out = {

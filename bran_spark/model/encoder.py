@@ -124,10 +124,13 @@ def encode_one(t: np.ndarray, w: Weights) -> np.ndarray:
 
     Bitwise-identical to the batch form at B=1 (same kernels in the same
     order; the zero mask-bias add and the all-ones mask multiplies of the
-    padded form are float identities at B=1), verified by
-    tests/test_model.py. Exists because the flagship scorer encodes docs
-    solo (exact length, no padding) under 32-way worker concurrency, where
-    allocation-free execution is worth ~20% aggregate throughput.
+    padded form are float identities at B=1), verified across lengths by
+    tests/test_model.py::test_encode_one_bitwise_matches_batch. Documented
+    divergence: for EMPTY input this returns shape (1, d) (pads to one zero
+    token) where encode_batch returns (0, d) — callers guard on token count.
+    Exists because the flagship scorer encodes docs solo (exact length, no
+    padding) under 32-way worker concurrency, where allocation-free
+    execution is worth ~20% aggregate throughput.
     """
     a = _ARENA
     d, h = w.d_model, w.n_heads

@@ -22,11 +22,28 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 
-from bran_spark.model.encoder import Weights, encode_batch, encode_one, score_pairs
+from bran_spark.model.encoder import (
+    Weights,
+    encode_batch,
+    encode_one,
+    ner_logits,
+    score_pairs,
+)
 
 SCORE_SCHEMA = (
     "doc_id string, chem_mention_id string, dis_mention_id string, "
     "chem_mesh string, dis_mesh string, score float"
+)
+
+NER_SCHEMA = "doc_id string, tok_idx int, tok_start int, ner_tag int, ner_score float"
+
+# discriminated-union schema for emit="both": pair rows carry the pair
+# columns (tok_idx/ner_tag/tok_start null), ner rows the token columns —
+# one mapInPandas output per encoder pass, split downstream by `kind`.
+SCORE_NER_SCHEMA = (
+    "doc_id string, kind string, chem_mention_id string, dis_mention_id string, "
+    "chem_mesh string, dis_mesh string, score float, "
+    "tok_idx int, tok_start int, ner_tag int"
 )
 
 
@@ -37,10 +54,23 @@ def _align(tok_starts: np.ndarray, a: int, b: int) -> tuple[int, int]:
     return lo, max(hi, lo + 1)
 
 
-def score_documents(docs: DataFrame, weights_bc, batch_docs: int = 1) -> DataFrame:
+def score_documents(
+    docs: DataFrame, weights_bc, batch_docs: int = 1, emit: str = "pairs"
+) -> DataFrame:
     """Input rows: (doc_id, tok_ids array<int>, tok_starts array<int>,
-    mentions array<struct<mention_id,type,mesh_id,start,end>>).
+    mentions array<struct<mention_id,type,mesh_id,start,end>> — the mentions
+    column may be absent when emit="ner").
     Output: long-format mention-pair CID logits (SCORE_SCHEMA).
+
+    ``emit`` selects what the single encoder pass produces (paper §2.4's
+    joint NER head, SURVEY.md §2 P4 — marginal cost of the NER output is one
+    [L,d]x[d,n_ner] matmul on the encoding already in hand):
+      - "pairs": mention-pair CID logits (SCORE_SCHEMA, the default);
+      - "ner":   per-token NER argmax tags (NER_SCHEMA);
+      - "both":  a kind-discriminated union (SCORE_NER_SCHEMA) — ONE encode
+        serves both outputs, the downstream split is a cheap filter. At
+        100 TB this is the mode that avoids re-encoding the corpus when both
+        artifacts are wanted.
 
     batch_docs=1 (exact-length solo encode) measured best under full
     32-worker concurrency: aggregate 1001→3678 docs/s from 8→32 procs
@@ -48,6 +78,8 @@ def score_documents(docs: DataFrame, weights_bc, batch_docs: int = 1) -> DataFra
     per-core cache, where B≥4 batches contend on shared L3. Larger B only
     pays off at larger d_model; kept available via the parameter.
     """
+    if emit not in ("pairs", "ner", "both"):
+        raise ValueError(f"emit must be pairs|ner|both, got {emit!r}")
 
     def encode_bucketed(ids: list[np.ndarray], w: Weights) -> list[np.ndarray]:
         """Deterministic batched encode: pad each doc to a bucket length
@@ -92,11 +124,32 @@ def score_documents(docs: DataFrame, weights_bc, batch_docs: int = 1) -> DataFra
                 "doc_id": [], "chem_mention_id": [], "dis_mention_id": [],
                 "chem_mesh": [], "dis_mesh": [], "score": [],
             }
+            nchunks: dict[str, list[np.ndarray]] = {
+                "doc_id": [], "tok_idx": [], "tok_start": [],
+                "ner_tag": [], "ner_score": [],
+            }
+            mentions_col = (
+                pdf["mentions"] if emit != "ner" else [None] * len(pdf)
+            )
             for row_i, (doc_id, tok_starts, mentions) in enumerate(
-                zip(pdf["doc_id"], pdf["tok_starts"], pdf["mentions"])
+                zip(pdf["doc_id"], pdf["tok_starts"], mentions_col)
             ):
                 enc = encs[row_i]
                 starts = np.asarray(tok_starts, dtype=np.int64)
+                if emit != "pairs":
+                    # P4 joint NER head on the encoding already in hand
+                    logits = ner_logits(enc, w)
+                    tags = logits.argmax(axis=1)
+                    L = len(enc) if len(starts) else 0
+                    nchunks["doc_id"].append(np.full(L, doc_id, dtype=object))
+                    nchunks["tok_idx"].append(np.arange(L, dtype=np.int32))
+                    nchunks["tok_start"].append(starts[:L].astype(np.int32))
+                    nchunks["ner_tag"].append(tags[:L].astype(np.int32))
+                    nchunks["ner_score"].append(
+                        logits[np.arange(len(tags)), tags][:L].astype(np.float32)
+                    )
+                if emit == "ner":
+                    continue
                 chems, diss = [], []
                 for m in mentions:
                     span = _align(starts, int(m["start"]), int(m["end"]))
@@ -122,15 +175,38 @@ def score_documents(docs: DataFrame, weights_bc, batch_docs: int = 1) -> DataFra
                     np.tile(np.array([d[1] for d in diss], dtype=object), nc)
                 )
                 chunks["score"].append(s.ravel())
-            yield pd.DataFrame(
-                {
-                    k: np.concatenate(v)
-                    if v
-                    else np.array(
-                        [], dtype=np.float32 if k == "score" else object
-                    )
-                    for k, v in chunks.items()
-                }
-            )
 
-    return docs.mapInPandas(fn, SCORE_SCHEMA)
+            def cat(d: dict[str, list[np.ndarray]], flt: set[str]) -> pd.DataFrame:
+                return pd.DataFrame(
+                    {
+                        k: np.concatenate(v)
+                        if v
+                        else np.array(
+                            [], dtype=np.float32 if k in flt else object
+                        )
+                        for k, v in d.items()
+                    }
+                )
+
+            if emit == "pairs":
+                yield cat(chunks, {"score"})
+            elif emit == "ner":
+                yield cat(nchunks, {"ner_score"})
+            else:
+                p = cat(chunks, {"score"})
+                p["kind"] = "pair"
+                for c in ("tok_idx", "tok_start", "ner_tag"):
+                    p[c] = None
+                n = cat(nchunks, {"ner_score"}).rename(columns={"ner_score": "score"})
+                n["kind"] = "ner"
+                for c in ("chem_mention_id", "dis_mention_id", "chem_mesh", "dis_mesh"):
+                    n[c] = None
+                cols = [
+                    "doc_id", "kind", "chem_mention_id", "dis_mention_id",
+                    "chem_mesh", "dis_mesh", "score", "tok_idx", "tok_start",
+                    "ner_tag",
+                ]
+                yield pd.concat([p[cols], n[cols]], ignore_index=True)
+
+    schema = {"pairs": SCORE_SCHEMA, "ner": NER_SCHEMA, "both": SCORE_NER_SCHEMA}[emit]
+    return docs.mapInPandas(fn, schema)

@@ -32,6 +32,12 @@ def asof_join(
     (right sorts before left at the same instant). Right rows should be
     unique per (key, ts) — pre-aggregate otherwise, or the carried values
     are an arbitrary member of the tie group.
+
+    All right value columns are packed into ONE struct before the running
+    ``last(ignorenulls=True)`` and unpacked after: the most recent right row
+    is carried as a unit, so its legitimately-NULL fields are preserved
+    (matching DuckDB ASOF JOIN) instead of each column independently
+    carrying forward an older non-NULL value.
     """
     rcols = [c for c in right.columns if c not in (key, right_ts)]
     overlap = set(rcols) & set(left.columns)
@@ -45,7 +51,7 @@ def asof_join(
         F.col(key),
         F.col(right_ts).alias("_ts"),
         F.lit(0).alias("_side"),
-        *[F.col(c) for c in rcols],
+        F.struct(*[F.col(c) for c in rcols]).alias("_rvals"),
     )
     both = l_tagged.unionByName(r_tagged, allowMissingColumns=True)
     w = (
@@ -53,8 +59,10 @@ def asof_join(
         .orderBy("_ts", "_side")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    filled = both.select(
-        *[c for c in both.columns if c not in rcols],
-        *[F.last(c, ignorenulls=True).over(w).alias(c) for c in rcols],
+    filled = both.withColumn(
+        "_rlast", F.last("_rvals", ignorenulls=True).over(w)
     )
-    return filled.where(F.col("_side") == 1).drop("_ts", "_side")
+    return filled.where(F.col("_side") == 1).select(
+        *[c for c in left.columns],
+        *[F.col(f"_rlast.{c}").alias(c) for c in rcols],
+    )

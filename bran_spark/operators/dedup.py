@@ -91,13 +91,14 @@ def minhash_signatures(
     text_col: str,
     n: int = 5,
     bands: int = 4,
-    hash_fn: str = "md5",
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """MinHash signatures, one row per (doc, band): signature = min over the
     doc's shingles of hash(band || shingle).
 
-    ``hash_fn="md5"`` (default) is DuckDB-replayable bit-exactly — the
-    oracle twin (q29/q39). ``hash_fn="xxhash64"`` is the scale path: the
+    ``hash_fn="xxhash64"`` (the default — the scale path) vs
+    ``hash_fn="md5"``, which is DuckDB-replayable bit-exactly and pinned
+    explicitly by the oracle twins (q29/q39). xxhash64: the
     signature becomes an 8-byte long instead of a 32-char string, cutting
     the banded explode's shuffle bytes and JVM string churn ~5× — at
     10^8 docs × bands the hash column dominates the exchange. Same
@@ -133,7 +134,7 @@ def minhash_lsh_pairs(
     text_col: str,
     n: int = 5,
     bands: int = 4,
-    hash_fn: str = "md5",
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """LSH candidate pairs: docs sharing a (band, minhash) bucket in ANY band.
     Equi-join on the bucket key — cost ∝ bucket collisions, not |docs|²."""

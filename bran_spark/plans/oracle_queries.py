@@ -835,7 +835,9 @@ def q28(spark, sf):
 def q29(spark, sf):
     """MinHash+LSH candidate pairs — md5-based signatures so DuckDB replays
     them; bucket equi-join, never an all-pairs product."""
-    return minhash_lsh_pairs(_t(spark, sf, "documents"), "doc_id", "text", n=4, bands=4)
+    return minhash_lsh_pairs(
+        _t(spark, sf, "documents"), "doc_id", "text", n=4, bands=4, hash_fn="md5"
+    )
 
 
 _COS_SQL = (
@@ -1066,9 +1068,38 @@ def kg_triples_fixture(spark, sf):
     return flagship(spark, fixture_dir(s))
 
 
-@_q("kg_mentions_fixture")
+# The fixture-corpus oracle twins read the deterministic (seed=42) fixture
+# parquet directly via read_parquet — the driver compares at sf=0.01, and the
+# queries() side runs first (ensure() materializes the files before DuckDB
+# reads them). full_text replay relies on spans being stored in offset order
+# (they are, by construction — verified: 0 out-of-order docs at sf0.01).
+_FX01 = __import__(
+    "bran_spark.fixtures.gen", fromlist=["fixture_dir"]
+).fixture_dir(0.01)
+
+_FX_MENTIONS_SQL = f"""
+    WITH d AS (SELECT doc_id,
+                 array_to_string(list_transform(
+                   list_filter(spans, s -> s.text <> ''), s -> s.text), ' ') AS ft
+               FROM read_parquet('{_FX01}/documents_interleaved.parquet')),
+    w AS (SELECT doc_id, unnest(regexp_extract_all(lower(ft), '[a-z0-9]+')) AS word
+          FROM d),
+    s AS (SELECT unnest(synonyms) AS surface, mesh_id, type, canonical_name
+          FROM read_parquet('{_FX01}/mesh_dict.parquet')),
+    m AS (SELECT w.doc_id, s.type, s.mesh_id, w.word AS text, s.canonical_name
+          FROM w JOIN s ON w.word = s.surface)
+"""
+
+
+@_q(
+    "kg_mentions_fixture",
+    _FX_MENTIONS_SQL + "SELECT * FROM m",
+)
 def kg_mentions_fixture(spark, sf):
-    """Detection+linking stage output on the fixture corpus (D3/J4)."""
+    """Detection+linking stage output on the fixture corpus (D3/J4),
+    projected to the columns DuckDB can replay exactly (one row per matched
+    word occurrence). Char offsets / mention_id are regex-match positions —
+    not SQL-expressible — and stay covered by q19/q26 + the golden tests."""
     from bran_spark.fixtures.gen import ensure, fixture_dir
     from bran_spark.plans.pipeline import Pipeline, PipelineConfig
 
@@ -1077,7 +1108,9 @@ def kg_mentions_fixture(spark, sf):
     cfg = PipelineConfig(
         fixture_dir=fixture_dir(s), checkpoint_root="/tmp/bran_ckpt_q", checkpoint=False
     )
-    return Pipeline(spark, cfg).stage_mentions(resume=False)
+    return Pipeline(spark, cfg).stage_mentions(resume=False).select(
+        "doc_id", "type", "mesh_id", "text", "canonical_name"
+    )
 
 
 @_q("simhash_docs")
@@ -1123,7 +1156,9 @@ def q39(spark, sf):
     signature math independently of the LSH pair join (q29)."""
     from bran_spark.operators.dedup import minhash_signatures
 
-    sig = minhash_signatures(_t(spark, sf, "documents"), "doc_id", "text", n=4, bands=4)
+    sig = minhash_signatures(
+        _t(spark, sf, "documents"), "doc_id", "text", n=4, bands=4, hash_fn="md5"
+    )
     return sig.select(F.col("id").alias("doc_id"), F.col("band").cast("long"), "minhash")
 
 
@@ -1210,18 +1245,35 @@ def q46(spark, sf):
     ).withColumn("value", F.col("value").cast("double"))
 
 
-@_q("kg_edges_fixture")
+@_q(
+    "kg_edges_fixture",
+    _FX_MENTIONS_SQL + """
+    , ent AS (SELECT DISTINCT doc_id, mesh_id, type FROM m),
+    pairs AS (SELECT c.doc_id, c.mesh_id AS subj, d.mesh_id AS obj
+              FROM ent c JOIN ent d ON c.doc_id = d.doc_id
+              WHERE c.type = 'Chemical' AND d.type = 'Disease')
+    SELECT subj, 'CID' AS pred, obj,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS support
+    FROM pairs GROUP BY subj, obj
+    """,
+)
 def kg_edges_fixture(spark, sf):
-    """Canonical graph edges (A5 salted dedup + support) on the fixture
-    corpus triples (rows-only check; exactness of the salting is oracle-
-    checked by q23/q37)."""
+    """Canonical graph edges (A5 salted dedup + support) through the FULL
+    DAG — detect → link → encode+score (mapInPandas) → LSE pool → triples →
+    salted dedup — with θ = -inf so the edge STRUCTURE is score-independent
+    and DuckDB can replay it exactly (co-occurrence pairs + distinct-doc
+    support). The score path still executes; max_score (model output, no SQL
+    twin) is projected away here and stays covered by the golden-triple
+    tests; thresholded edges are exercised by kg_triples_fixture + q24."""
     from bran_spark.fixtures.gen import ensure, fixture_dir
     from bran_spark.operators.pooling import dedup_triples
     from bran_spark.plans.pipeline import flagship
 
     s = _fixture_sf_for(sf)
     ensure(s)
-    return dedup_triples(flagship(spark, fixture_dir(s)))
+    return dedup_triples(
+        flagship(spark, fixture_dir(s), theta=float("-inf"))
+    ).select("subj", "pred", "obj", "support")
 
 
 @_q("bpe_tokens_fixture")
@@ -1243,6 +1295,33 @@ def bpe_tokens_fixture(spark, sf):
         .groupBy(F.col("t.tok").alias("tok"))
         .agg(F.count(F.lit(1)).alias("freq"))
     )
+
+
+@_q("ner_tags_fixture")
+def ner_tags_fixture(spark, sf):
+    """P4 joint NER head over the fixture corpus: per-token argmax tags from
+    the SAME encoder pass the pair scorer uses (score_documents emit="ner").
+    Model forward — rows-only check; bitwise parity vs local NumPy is pinned
+    by tests/test_model.py::test_ner_head_matches_local_numpy."""
+    from bran_spark.fixtures.gen import ensure, fixture_dir
+    from bran_spark.functions.bpe import full_text_col, with_token_arrays
+    from bran_spark.model.scorer import score_documents
+    from bran_spark.plans.pipeline import Pipeline, PipelineConfig
+
+    s = _fixture_sf_for(sf)
+    ensure(s)
+    cfg = PipelineConfig(
+        fixture_dir=fixture_dir(s), checkpoint_root="/tmp/bran_ckpt_q", checkpoint=False
+    )
+    p = Pipeline(spark, cfg)
+    docs = with_token_arrays(
+        p._even_repartition(p.documents()).withColumn(
+            "full_text", full_text_col("spans")
+        ),
+        p.codec_bc(),
+        max_tokens=cfg.max_tokens,
+    ).select("doc_id", "tok_ids", "tok_starts")
+    return score_documents(docs, p.weights_bc(), emit="ner")
 
 
 _SIMHASH_BITS = 16

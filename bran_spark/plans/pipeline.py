@@ -151,7 +151,12 @@ class Pipeline:
         same trade holds: tokens ≈ 3× text bytes, but one write beats
         re-running the python tokenizer in every consumer stage."""
         if self.cfg.checkpoint:
-            if resume and self.io.exists("docs_tokenized"):
+            # resume only when the committed snapshot was produced under the
+            # SAME config — a changed max_tokens must recompute, not silently
+            # serve the stale table
+            if resume and self.io.exists_valid(
+                "docs_tokenized", {"max_tokens": self.cfg.max_tokens}
+            ):
                 return self.io.read(self.spark, "docs_tokenized")
             self.io.write(
                 self.tokenized(), "docs_tokenized", stage="tokenize",
@@ -173,8 +178,16 @@ class Pipeline:
         return with_words(docs.withColumn("full_text", full_text_col("spans")))
 
     def stage_mentions(self, resume: bool = True) -> DataFrame:
-        if self.cfg.checkpoint and resume and self.io.exists("mentions_linked"):
-            return self.io.read(self.spark, "mentions_linked")
+        if self.cfg.checkpoint:
+            # resolve the upstream table first (no-op when itself valid), so
+            # the input-snapshot lineage check below is against the LIVE
+            # tokenized snapshot — a recomputed upstream invalidates this one
+            toks = self.stage_tokenized(resume)
+            if resume and self.io.exists_valid(
+                "mentions_linked",
+                inputs={"docs_tokenized": self.io.current_snapshot("docs_tokenized")},
+            ):
+                return self.io.read(self.spark, "mentions_linked")
         toks = self.stage_tokenized(resume) if self.cfg.checkpoint else self.worded()
         mentions = detect_mentions(toks, self.mesh_dict())
         linked, unlinked = link_mentions(mentions, self.mesh_dict())
@@ -237,7 +250,11 @@ class Pipeline:
             # doc-length^2 encode-cost variance.
             inp = self._score_input(mentions, resume).repartition(par * 4)
             return score_documents(inp, self.weights_bc())
-        done = self.io.committed_buckets("pair_scores")
+        # bucket config holds only what the SCORES depend on (max_tokens) —
+        # theta gates downstream at stage_triples, so a theta sweep reuses
+        # the expensive committed score buckets instead of re-encoding
+        score_cfg = {"max_tokens": self.cfg.max_tokens}
+        done = self.io.committed_buckets("pair_scores", score_cfg)
         todo = [b for b in range(B) if b not in done]
         if todo:
             inp = self._score_input(mentions, resume).withColumn(
@@ -252,12 +269,14 @@ class Pipeline:
                 self.io.commit_bucket(
                     score_documents(part, self.weights_bc()),
                     "pair_scores", b, stage="encode+score",
-                    config={"theta": self.cfg.theta, "max_tokens": self.cfg.max_tokens},
+                    config=score_cfg,
                 )
         return self.io.read_buckets(self.spark, "pair_scores")
 
     def stage_triples(self, scores: DataFrame, resume: bool = True) -> DataFrame:
-        if self.cfg.checkpoint and resume and self.io.exists("triples"):
+        if self.cfg.checkpoint and resume and self.io.exists_valid(
+            "triples", {"theta": self.cfg.theta}
+        ):
             return self.io.read(self.spark, "triples")
         pooled = lse_pool(scores, ["doc_id", "chem_mesh", "dis_mesh"], "score")
         kept = threshold(pooled, self.cfg.theta)
@@ -273,12 +292,15 @@ class Pipeline:
         return triples
 
     def stage_edges(self, triples: DataFrame, resume: bool = True) -> DataFrame:
-        if self.cfg.checkpoint and resume and self.io.exists("edges"):
+        if self.cfg.checkpoint and resume and self.io.exists_valid(
+            "edges", inputs={"triples": self.io.current_snapshot("triples")}
+        ):
             return self.io.read(self.spark, "edges")
         edges = dedup_triples(triples, self.cfg.salt_buckets)
         if self.cfg.checkpoint:
             self.io.write(
-                edges, "edges", stage="dedup+support", inputs={"triples": None},
+                edges, "edges", stage="dedup+support",
+                inputs={"triples": self.io.current_snapshot("triples")},
                 partition_by=["pred"],
             )
             return self.io.read(self.spark, "edges")

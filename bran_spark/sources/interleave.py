@@ -26,8 +26,7 @@ def interleave_documents(
     """Returns (doc_id string, spans array<struct<kind,text,media_ref,offset>>)."""
     chunks_expr = f"""
     transform(
-      sequence(0, int(ceil((size(_words) - {title_words}) / {body_words}.0))
-                  - CASE WHEN size(_words) <= {title_words} THEN 1 ELSE 0 END),
+      sequence(0, greatest(int(ceil((size(_words) - {title_words}) / {body_words}.0)), 0)),
       i -> CASE WHEN i = 0
             THEN named_struct('kind', 'title',
                               'text', array_join(slice(_words, 1, {title_words}), ' '))

@@ -139,16 +139,51 @@ class ManifestParquetTableIO:
     def exists(self, table: str) -> bool:
         return self.current_snapshot(table) is not None
 
+    @staticmethod
+    def _cfg_hash(config: dict | None) -> str:
+        return hashlib.sha256(
+            json.dumps(config or {}, sort_keys=True).encode()
+        ).hexdigest()[:16]
+
+    def exists_valid(
+        self,
+        table: str,
+        config: dict | None = None,
+        inputs: dict[str, int | None] | None = None,
+    ) -> bool:
+        """Resume gate: a committed snapshot counts only if its recorded
+        config_hash matches the CURRENT config (and, when given, its input
+        snapshot ids match) — otherwise rerunning against the same
+        checkpoint_root with a changed theta/max_tokens would silently
+        return stale tables."""
+        man = self.manifest(table)
+        if man is None or man.get("config_hash") != self._cfg_hash(config):
+            return False
+        for k, v in (inputs or {}).items():
+            if v is not None and man.get("inputs", {}).get(k) != v:
+                return False
+        return True
+
     # ---- bucket-level commits (resume granularity for expensive stages) --
-    def committed_buckets(self, table: str) -> set[int]:
+    def committed_buckets(self, table: str, config: dict | None = None) -> set[int]:
+        """Buckets with a manifest; with ``config`` given, only buckets whose
+        recorded config_hash matches (stale-config buckets are recomputed
+        and overwritten by the caller)."""
         bdir = os.path.join(self._tdir(table), "buckets")
         if not os.path.isdir(bdir):
             return set()
-        return {
-            int(d.split("-")[1])
-            for d in os.listdir(bdir)
-            if d.startswith("bucket-") and os.path.exists(os.path.join(bdir, d, "_MANIFEST.json"))
-        }
+        want = None if config is None else self._cfg_hash(config)
+        out: set[int] = set()
+        for d in os.listdir(bdir):
+            mpath = os.path.join(bdir, d, "_MANIFEST.json")
+            if not d.startswith("bucket-") or not os.path.exists(mpath):
+                continue
+            if want is not None:
+                man = json.load(open(mpath))
+                if man.get("config_hash") != want:
+                    continue
+            out.add(int(d.split("-")[1]))
+        return out
 
     def commit_bucket(
         self, df: DataFrame, table: str, bucket: int, stage: str, config: dict | None = None

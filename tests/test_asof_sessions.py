@@ -97,3 +97,21 @@ def test_simhash_md5_locality(spark):
     assert sig["a"] == sig["d"]  # identical text -> identical signature
     assert ham(sig["a"], sig["b"]) <= ham(sig["a"], sig["c"])
     assert all(0 <= v < 2**16 for v in sig.values())
+
+
+def test_asof_join_preserves_null_fields_of_latest_right_row(spark):
+    """True as-of semantics: the MOST RECENT matching right row is carried as
+    a unit — a legitimately-NULL value column of that row must come through
+    as NULL, not be back-filled by an older non-NULL value (DuckDB ASOF JOIN
+    behavior; the per-column last(ignorenulls) formulation got this wrong)."""
+    t = lambda s: dt.datetime(2024, 1, 1, 0, 0, s)  # noqa: E731
+    left = spark.createDataFrame(
+        [("u", t(10))], "user_id string, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [("u", t(1), 5.0, "a"), ("u", t(5), None, "b")],
+        "user_id string, rts timestamp, v double, tag string",
+    )
+    row = asof_join(left, right, key="user_id", left_ts="ts", right_ts="rts").head()
+    assert row.tag == "b"      # latest right row matched
+    assert row.v is None       # its NULL field preserved, not back-filled 5.0

@@ -6,7 +6,13 @@ from __future__ import annotations
 import numpy as np
 
 from bran_spark.fixtures.gen import ensure, fixture_dir
-from bran_spark.model.encoder import Weights, encode_batch, ner_logits, score_pairs
+from bran_spark.model.encoder import (
+    Weights,
+    encode_batch,
+    encode_one,
+    ner_logits,
+    score_pairs,
+)
 
 
 def _weights() -> Weights:
@@ -62,3 +68,67 @@ def test_ner_head():
     enc = encode_batch([np.arange(2, 30, dtype=np.int64)], w)[0]
     logits = ner_logits(enc, w)
     assert logits.shape == (28, w.n_ner)
+
+
+def test_ner_head_matches_local_numpy(spark):
+    """P4 wiring: score_documents(emit='ner') must reproduce the local
+    encode→ner_logits→argmax bitwise, and emit='both' must carry the same
+    ner rows alongside the pair logits from ONE encoder pass."""
+    from bran_spark.model.scorer import score_documents
+
+    w = _weights()
+    wbc = spark.sparkContext.broadcast(w)
+    rng = np.random.default_rng(3)
+    ids = rng.integers(2, w["embed"].shape[0], size=23).astype(np.int64)
+    starts = np.arange(23, dtype=np.int32) * 5
+    docs = spark.createDataFrame(
+        [("d1", [int(i) for i in ids], [int(s) for s in starts],
+          [{"mention_id": "d1#0", "type": "Chemical", "mesh_id": "C1",
+            "start": 0, "end": 4},
+           {"mention_id": "d1#2", "type": "Disease", "mesh_id": "D1",
+            "start": 10, "end": 14}])],
+        "doc_id string, tok_ids array<int>, tok_starts array<int>, "
+        "mentions array<struct<mention_id:string,type:string,mesh_id:string,"
+        "start:int,end:int>>",
+    )
+    enc = encode_one(ids, w)
+    logits = ner_logits(enc, w)
+    tags = logits.argmax(axis=1)
+
+    out = {r.tok_idx: r for r in score_documents(docs, wbc, emit="ner").collect()}
+    assert len(out) == 23
+    for i in range(23):
+        assert out[i].ner_tag == tags[i]
+        assert out[i].tok_start == starts[i]
+        # executors run pinned single-thread BLAS; this test process does
+        # not, so the local reference can differ in the last float32 bit —
+        # tags must still agree exactly, scores to 1 ulp-ish tolerance
+        np.testing.assert_allclose(
+            np.float32(out[i].ner_score), logits[i, tags[i]], rtol=0, atol=1e-6
+        )
+
+    both = score_documents(docs, wbc, emit="both").collect()
+    ner_rows = [r for r in both if r.kind == "ner"]
+    pair_rows = [r for r in both if r.kind == "pair"]
+    assert len(ner_rows) == 23 and len(pair_rows) == 1
+    assert {r.tok_idx: r.ner_tag for r in ner_rows} == {
+        i: int(t) for i, t in enumerate(tags)
+    }
+    assert pair_rows[0].chem_mesh == "C1" and pair_rows[0].dis_mesh == "D1"
+
+
+def test_encode_one_bitwise_matches_batch():
+    """The solo arena encoder (the flagship scorer's default path) must be
+    bitwise-equal to encode_batch([t]) across lengths including max_len
+    truncation. Empty input is a documented divergence: encode_one pads to
+    one zero token, encode_batch returns (0, d)."""
+    w = _weights()
+    rng = np.random.default_rng(11)
+    for n in (1, 2, 5, 31, 32, 33, 200, w.max_len, w.max_len + 50):
+        t = rng.integers(2, w["embed"].shape[0], size=n).astype(np.int64)
+        solo = encode_one(t[: w.max_len], w)
+        batch = encode_batch([t], w)[0]
+        assert solo.shape == batch.shape, f"len={n}"
+        np.testing.assert_array_equal(solo, batch, err_msg=f"len={n}")
+    assert encode_one(np.zeros(0, dtype=np.int64), w).shape == (1, w.d_model)
+    assert encode_batch([np.zeros(0, dtype=np.int64)], w)[0].shape == (0, w.d_model)

@@ -126,3 +126,36 @@ def test_lse_pool_matches_numpy_and_partition_invariant(spark, testdata_dir):
         exact = m + math.log(sum(math.exp(v - m) for v in vals))
         assert abs(a[k] - exact) < 1e-9
         assert abs(b[k] - exact) < 1e-9
+
+
+def test_interleave_short_docs_no_phantom_spans(spark):
+    """Docs with <= title_words words must yield exactly one text span (the
+    title) and no empty 'body' span — the sequence(0, -1) descending-range
+    regression — and the span-offset invariant must hold for every doc,
+    including the trailing media span's offset."""
+    from bran_spark.sources.interleave import interleave_documents
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c"),
+            (2, "one two three four five six"),
+            (3, "w1 w2 w3 w4 w5 w6 w7"),
+            (4, " ".join(f"t{i}" for i in range(30))),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r.spans for r in interleave_documents(docs).collect()}
+    for did, spans in out.items():
+        pos = 0
+        for s in spans:
+            if s.media_ref != "":
+                assert s.offset == pos, f"doc {did}: media offset drifted"
+            else:
+                assert s.text != "", f"doc {did}: phantom empty text span"
+                assert s.offset == pos, f"doc {did}: span offset invariant"
+                pos += len(s.text) + 1
+    n_text = lambda d: len([s for s in out[d] if s.media_ref == ""])  # noqa: E731
+    assert n_text("1") == 1   # 3 words -> title only
+    assert n_text("2") == 1   # exactly title_words -> title only
+    assert n_text("3") == 2   # 7 words -> title + 1 body chunk
+    assert n_text("4") == 3   # 30 words -> title + 2 body chunks

@@ -50,3 +50,61 @@ def test_resume_skips_committed_stages(spark, fx_dir, tmp_path):
     snap_before = open(f"{root}/triples/_current").read()
     _run(spark, fx_dir, root)
     assert open(f"{root}/triples/_current").read() == snap_before
+
+
+def test_resume_invalidates_on_config_change(spark, fx_dir, tmp_path):
+    """Rerunning against the same checkpoint_root with a CHANGED config must
+    recompute the affected stages, not silently serve stale tables — and a
+    theta change must reuse the expensive committed score buckets (theta
+    gates downstream of scoring)."""
+    root = str(tmp_path / "ck")
+    cfg1 = PipelineConfig(fixture_dir=fx_dir, checkpoint_root=root,
+                          score_buckets=4, theta=0.0)
+    r1 = Pipeline(spark, cfg1).run(evaluate=False)
+    score_manifest = f"{root}/pair_scores/buckets/bucket-0/_MANIFEST.json"
+    score_mtime = os.path.getmtime(score_manifest)
+
+    # theta change: triples/edges recompute (new snapshot), scores reused
+    cfg2 = PipelineConfig(fixture_dir=fx_dir, checkpoint_root=root,
+                          score_buckets=4, theta=1.5)
+    r2 = Pipeline(spark, cfg2).run(evaluate=False)
+    assert open(f"{root}/triples/_current").read() == "1"
+    assert r2["triples"] < r1["triples"]          # stricter threshold
+    assert os.path.getmtime(score_manifest) == score_mtime  # buckets reused
+
+    # max_tokens change: tokenized + scores recompute too
+    cfg3 = PipelineConfig(fixture_dir=fx_dir, checkpoint_root=root,
+                          score_buckets=4, theta=1.5, max_tokens=64)
+    Pipeline(spark, cfg3).run(evaluate=False)
+    assert open(f"{root}/docs_tokenized/_current").read() == "1"
+    assert os.path.getmtime(score_manifest) > score_mtime
+
+
+def test_iceberg_tableio_contract(spark):
+    """No iceberg-spark-runtime jar exists offline, so pin the V2 writeTo
+    call sequence with a mock: writeTo(catalog.table) → partitionedBy →
+    createOrReplace, then the snapshot-id readback from <table>.snapshots —
+    any API drift in the adapter fails here instead of silently at deploy."""
+    from unittest.mock import MagicMock
+
+    from bran_spark.sources.tableio import IcebergTableIO
+
+    io = IcebergTableIO(catalog="cat")
+    df = MagicMock()
+    writer = MagicMock()
+    df.writeTo.return_value = writer
+    writer.partitionedBy.return_value = writer
+    df.sparkSession.sql.return_value.head.return_value = [42]
+
+    snap = io.write(df, "tbl", stage="s", partition_by=["pred"])
+
+    df.writeTo.assert_called_once_with("cat.tbl")
+    writer.partitionedBy.assert_called_once()
+    writer.createOrReplace.assert_called_once()
+    assert snap == 42
+    assert "cat.tbl.snapshots" in df.sparkSession.sql.call_args[0][0]
+
+    rspark = MagicMock()
+    io.read(rspark, "tbl", snap=42)
+    rspark.read.option.assert_called_once_with("snapshot-id", 42)
+    rspark.read.option.return_value.table.assert_called_once_with("cat.tbl")

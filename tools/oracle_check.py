@@ -18,7 +18,13 @@ import time
 
 import duckdb
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _REPO_ROOT)
+# python workers must also import bran_spark (pandas-UDF closures) — export
+# it BEFORE the session forks so the check runs from any cwd
+os.environ["PYTHONPATH"] = (
+    _REPO_ROOT + os.pathsep + os.environ.get("PYTHONPATH", "")
+)
 
 TABLES = [
     "region", "nation", "customer", "supplier", "part",
