@@ -21,6 +21,21 @@ from pyspark.sql import functions as F
 from bran_spark.functions.text import shingles, words
 
 
+def _even_parallelism(df: DataFrame) -> DataFrame:
+    """Defensive round-robin repartition when the source has fewer splits
+    than cores — a single small parquet file otherwise serializes the whole
+    explode/join chain onto ONE task (measured: q28 ran 13 s single-task at
+    sf0.1 because the corpus is one ~1.3 MB file; parquet row-group
+    boundaries cap what maxPartitionBytes can split). On a real cluster the
+    table layout provides the splits and this is a no-op; the repartition
+    moves only the raw doc bytes, far cheaper than serializing the ~50×
+    larger exploded shingle stream."""
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        return df.repartition(par * 2)
+    return df
+
+
 def exact_dedup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Exact duplicate groups by md5(text): (content_hash, n_dups, keep_id).
 
@@ -54,7 +69,7 @@ def ngram_jaccard_pairs(
     the kept set is nearly the whole shingle vocabulary — broadcasting the
     kept set (the inverse formulation) would OOM the driver at corpus scale.
     """
-    sh = df.select(
+    sh = _even_parallelism(df).select(
         F.col(id_col).alias("id"),
         F.explode(F.array_distinct(shingles(text_col, n))).alias("shingle"),
     )
@@ -106,7 +121,7 @@ def minhash_signatures(
     independent hashes gives the LSH bucket key. One shuffle
     (groupBy doc,band) — signatures never leave the executor otherwise.
     """
-    sh = df.select(
+    sh = _even_parallelism(df).select(
         F.col(id_col).alias("id"),
         F.explode(F.array_distinct(shingles(text_col, n))).alias("shingle"),
     )
@@ -158,7 +173,9 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 32) -> DataFr
     (hamming(simhash(x), simhash(x + small edit)) small) rather than the SQL
     oracle. Output: (id, simhash long).
     """
-    w = df.select(F.col(id_col).alias("id"), F.explode(words(text_col)).alias("w"))
+    w = _even_parallelism(df).select(
+        F.col(id_col).alias("id"), F.explode(words(text_col)).alias("w")
+    )
     hashed = w.select("id", F.xxhash64("w").alias("h"))
     bit_sums = hashed.groupBy("id").agg(
         *[
@@ -186,7 +203,9 @@ def simhash_md5(
     expressions); md5 instead of xxhash64 purely so DuckDB can replay the
     signature bit-exactly. ``bits`` ≤ 32 (md5 hex length).
     """
-    w = df.select(F.col(id_col).alias("id"), F.explode(words(text_col)).alias("w"))
+    w = _even_parallelism(df).select(
+        F.col(id_col).alias("id"), F.explode(words(text_col)).alias("w")
+    )
     hashed = w.select("id", F.md5("w").alias("h"))
     nib = lambda i: F.instr(  # noqa: E731
         F.lit("0123456789abcdef"), F.substring("h", i + 1, 1)
