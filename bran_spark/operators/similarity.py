@@ -111,6 +111,74 @@ def assign_ivf_cells(
     )
 
 
+def _assign_cells(base: DataFrame, cents: DataFrame) -> DataFrame:
+    """Nearest-centroid assignment: broadcast the tiny centroid table, argmin
+    of ROUNDED squared L2 (6 dp — pins the float-summation-order ambiguity so
+    the DuckDB twin replays assignments exactly), cid tie-break."""
+    d = F.round(
+        dot(F.col("v"), F.col("v"))
+        - 2 * dot(F.col("v"), F.col("cv"))
+        + dot(F.col("cv"), F.col("cv")),
+        6,
+    )
+    return (
+        base.join(F.broadcast(cents))
+        .select("vec_id", "v", F.col("cid"), d.alias("dist"))
+        .groupBy("vec_id")
+        .agg(
+            F.first("v").alias("v"),
+            F.min_by("cid", F.struct("dist", "cid")).alias("cell"),
+        )
+    )
+
+
+def kmeans_cells(
+    emb: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Distributed Lloyd k-means coarse quantizer (the production IVF
+    training step — upgrades assign_ivf_cells' lowest-id stand-in).
+
+    Init = the ``k`` lowest-id vectors (deterministic, no RNG). Each
+    iteration is (a) a broadcast-join argmin assignment — centroids are k·d
+    doubles, never shuffled — and (b) the centroid update as an element-wise
+    mean via posexplode → groupBy(cell, dim) avg → rebuild, i.e. two
+    shuffles of (cell, dim, val) scalars per iteration; nothing iterates on
+    the driver and no vector list is ever collected. Cells keep their seed
+    centroid's id across iterations; cells that lose all members drop out.
+    Returns the final assignment (vec_id, v, cell) against the trained
+    centroids. At 100 TB one trains on a sample and writes the table
+    partitioned by cell — the probe then prunes to one partition.
+    """
+    base = emb.select(
+        F.col(id_col).alias("vec_id"), _as_double(F.col(vec_col)).alias("v")
+    )
+    cents = (
+        base.orderBy("vec_id")
+        .limit(k)
+        .select(F.col("vec_id").alias("cid"), F.col("v").alias("cv"))
+    )
+    for _ in range(iters):
+        assigned = _assign_cells(base, cents)
+        cents = (
+            assigned.select("cell", F.posexplode("v").alias("dim", "val"))
+            .groupBy("cell", "dim")
+            .agg(F.avg("val").alias("m"))
+            .groupBy("cell")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("dim", "m"))),
+                    lambda s: s["m"],
+                ).alias("cv")
+            )
+            .select(F.col("cell").alias("cid"), "cv")
+        )
+    return _assign_cells(base, cents)
+
+
 def ivf_topk(
     emb: DataFrame,
     query_id: int,
@@ -118,13 +186,20 @@ def ivf_topk(
     n_centroids: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    trainer: str = "seed",
+    train_iters: int = 2,
 ) -> DataFrame:
     """IVF approximate top-k: search only the query's centroid cell.
 
     The scale path beyond sign-LSH (q31): recall is controlled by
     ``n_centroids`` and (in a production build) multi-probe; the scan cost
-    drops from |N| to |N|/cells."""
-    cells = assign_ivf_cells(emb, n_centroids, id_col, vec_col)
+    drops from |N| to |N|/cells. ``trainer="kmeans"`` quantizes with the
+    Lloyd-trained centroids (kmeans_cells, oracle-checked by q47);
+    ``"seed"`` keeps the lowest-id stand-ins q42's oracle pins."""
+    if trainer == "kmeans":
+        cells = kmeans_cells(emb, n_centroids, train_iters, id_col, vec_col)
+    else:
+        cells = assign_ivf_cells(emb, n_centroids, id_col, vec_col)
     q = cells.where(F.col("vec_id") == query_id).select(
         F.col("v").alias("qv"), F.col("cell").alias("qcell")
     )

@@ -1423,6 +1423,56 @@ def q42(spark, sf):
     return ivf_topk(_t(spark, sf, "embeddings"), query_id=0, k=10)
 
 
+def _kmeans_iter_sql(i: int) -> str:
+    """One unrolled Lloyd iteration: assign to c{i} (rounded-dist argmin,
+    cid tie-break), element-wise mean per cell → c{i+1}. Dim = 64 (the
+    embeddings table; q46-style driver contract)."""
+    return f"""
+    d{i} AS (SELECT e.vec_id, e.v, c.cid,
+              ROUND(list_dot_product(e.v, e.v) - 2 * list_dot_product(e.v, c.cv)
+                    + list_dot_product(c.cv, c.cv), 6) AS dist
+             FROM e CROSS JOIN c{i} c),
+    a{i} AS (SELECT vec_id, v, cid AS cell FROM
+              (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                            ORDER BY dist, cid) AS rn FROM d{i})
+             WHERE rn = 1),
+    x{i} AS (SELECT cell, ix.dim AS dim, v[ix.dim] AS val
+             FROM a{i}, (SELECT unnest(range(1, 65)) AS dim) ix),
+    m{i} AS (SELECT cell, dim, AVG(val) AS m FROM x{i} GROUP BY cell, dim),
+    c{i + 1} AS (SELECT cell AS cid, list(m ORDER BY dim) AS cv
+                 FROM m{i} GROUP BY cell)"""
+
+
+@_q(
+    "q47_kmeans_cells",
+    f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    c0 AS (SELECT vec_id AS cid, v AS cv FROM e ORDER BY vec_id LIMIT 8),
+    {_kmeans_iter_sql(0)},
+    {_kmeans_iter_sql(1)},
+    df AS (SELECT e.vec_id, c.cid,
+            ROUND(list_dot_product(e.v, e.v) - 2 * list_dot_product(e.v, c.cv)
+                  + list_dot_product(c.cv, c.cv), 6) AS dist
+           FROM e CROSS JOIN c2 c)
+    SELECT vec_id, cell FROM
+      (SELECT vec_id, cid AS cell,
+              ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+       FROM df)
+    WHERE rn = 1
+    """,
+)
+def q47(spark, sf):
+    """Distributed Lloyd k-means coarse quantization (2 iterations, k=8,
+    deterministic lowest-id init) — the production IVF training step.
+    Distances are rounded to 6 dp before the argmin on BOTH sides so
+    float-summation-order jitter cannot flip boundary assignments."""
+    from bran_spark.operators.similarity import kmeans_cells
+
+    return kmeans_cells(_t(spark, sf, "embeddings"), k=8, iters=2).select(
+        "vec_id", "cell"
+    )
+
+
 @_q(
     "q43_sessionize",
     """

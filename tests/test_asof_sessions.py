@@ -115,3 +115,28 @@ def test_asof_join_preserves_null_fields_of_latest_right_row(spark):
     row = asof_join(left, right, key="user_id", left_ts="ts", right_ts="rts").head()
     assert row.tag == "b"      # latest right row matched
     assert row.v is None       # its NULL field preserved, not back-filled 5.0
+
+
+def test_kmeans_cells_recover_planted_clusters(spark):
+    """Lloyd k-means (deterministic lowest-id init): two planted blobs with
+    seed vectors 0/1 one per blob must separate cleanly and converge to the
+    same assignment on a rerun (determinism across partitionings)."""
+    import numpy as np
+
+    from bran_spark.operators.similarity import kmeans_cells
+
+    rng = np.random.default_rng(5)
+    rows = []
+    for i in range(60):
+        blob = i % 2                      # ids alternate blobs, seeds 0 and 1
+        center = np.full(16, 10.0 if blob else -10.0)
+        rows.append((i, (center + rng.normal(0, 0.5, 16)).tolist(), blob))
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int"
+    )
+    out = {r.vec_id: r.cell for r in kmeans_cells(emb, k=2, iters=3).collect()}
+    cells_a = {out[i] for i in range(0, 60, 2)}
+    cells_b = {out[i] for i in range(1, 60, 2)}
+    assert cells_a == {1} and cells_b == {0} or cells_a == {0} and cells_b == {1}
+    out2 = {r.vec_id: r.cell for r in kmeans_cells(emb, k=2, iters=3).collect()}
+    assert out == out2
