@@ -1297,6 +1297,36 @@ def bpe_tokens_fixture(spark, sf):
     )
 
 
+@_q(
+    "q48_entity_degree",
+    _FX_MENTIONS_SQL + """
+    , ent AS (SELECT DISTINCT doc_id, mesh_id, type FROM m),
+    pairs AS (SELECT DISTINCT c.mesh_id AS subj, d.mesh_id AS obj
+              FROM ent c JOIN ent d ON c.doc_id = d.doc_id
+              WHERE c.type = 'Chemical' AND d.type = 'Disease'),
+    deg AS (SELECT subj AS entity, COUNT(DISTINCT obj) AS degree
+            FROM pairs GROUP BY subj
+            UNION ALL
+            SELECT obj AS entity, COUNT(DISTINCT subj) AS degree
+            FROM pairs GROUP BY obj)
+    SELECT entity, CAST(SUM(degree) AS BIGINT) AS degree
+    FROM deg GROUP BY entity
+    """,
+)
+def q48(spark, sf):
+    """Graph-materialization helper: per-entity distinct-neighbor degree,
+    salted two-phase distinct (P3) on the hottest entities — over the full
+    DAG's θ=-inf edge structure so DuckDB replays it exactly (same
+    structural-twin rationale as kg_edges_fixture)."""
+    from bran_spark.fixtures.gen import ensure, fixture_dir
+    from bran_spark.operators.pooling import entity_degree
+    from bran_spark.plans.pipeline import flagship
+
+    s = _fixture_sf_for(sf)
+    ensure(s)
+    return entity_degree(flagship(spark, fixture_dir(s), theta=float("-inf")))
+
+
 @_q("ner_tags_fixture")
 def ner_tags_fixture(spark, sf):
     """P4 joint NER head over the fixture corpus: per-token argmax tags from
