@@ -132,6 +132,41 @@ def _assign_cells(base: DataFrame, cents: DataFrame) -> DataFrame:
     )
 
 
+def kmeans_centroids(
+    emb: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Trained centroid table (cid, cv) — the Lloyd loop of kmeans_cells
+    without the final assignment; what an IVF probe ranks against."""
+    base = emb.select(
+        F.col(id_col).alias("vec_id"), _as_double(F.col(vec_col)).alias("v")
+    )
+    cents = (
+        base.orderBy("vec_id")
+        .limit(k)
+        .select(F.col("vec_id").alias("cid"), F.col("v").alias("cv"))
+    )
+    for _ in range(iters):
+        assigned = _assign_cells(base, cents)
+        cents = (
+            assigned.select("cell", F.posexplode("v").alias("dim", "val"))
+            .groupBy("cell", "dim")
+            .agg(F.avg("val").alias("m"))
+            .groupBy("cell")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("dim", "m"))),
+                    lambda s: s["m"],
+                ).alias("cv")
+            )
+            .select(F.col("cell").alias("cid"), "cv")
+        )
+    return cents
+
+
 def kmeans_cells(
     emb: DataFrame,
     k: int = 8,
@@ -156,27 +191,7 @@ def kmeans_cells(
     base = emb.select(
         F.col(id_col).alias("vec_id"), _as_double(F.col(vec_col)).alias("v")
     )
-    cents = (
-        base.orderBy("vec_id")
-        .limit(k)
-        .select(F.col("vec_id").alias("cid"), F.col("v").alias("cv"))
-    )
-    for _ in range(iters):
-        assigned = _assign_cells(base, cents)
-        cents = (
-            assigned.select("cell", F.posexplode("v").alias("dim", "val"))
-            .groupBy("cell", "dim")
-            .agg(F.avg("val").alias("m"))
-            .groupBy("cell")
-            .agg(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("dim", "m"))),
-                    lambda s: s["m"],
-                ).alias("cv")
-            )
-            .select(F.col("cell").alias("cid"), "cv")
-        )
-    return _assign_cells(base, cents)
+    return _assign_cells(base, kmeans_centroids(emb, k, iters, id_col, vec_col))
 
 
 def ivf_topk(
@@ -188,23 +203,48 @@ def ivf_topk(
     vec_col: str = "embedding",
     trainer: str = "seed",
     train_iters: int = 2,
+    n_probe: int = 1,
 ) -> DataFrame:
-    """IVF approximate top-k: search only the query's centroid cell.
+    """IVF approximate top-k: search only the query's ``n_probe`` nearest
+    centroid cells.
 
-    The scale path beyond sign-LSH (q31): recall is controlled by
-    ``n_centroids`` and (in a production build) multi-probe; the scan cost
-    drops from |N| to |N|/cells. ``trainer="kmeans"`` quantizes with the
+    The scale path beyond sign-LSH (q31): the scan cost drops from |N| to
+    ``n_probe``·|N|/cells, and recall is tuned by ``n_probe`` (multi-probe)
+    without retraining. ``trainer="kmeans"`` quantizes with the
     Lloyd-trained centroids (kmeans_cells, oracle-checked by q47);
-    ``"seed"`` keeps the lowest-id stand-ins q42's oracle pins."""
-    if trainer == "kmeans":
-        cells = kmeans_cells(emb, n_centroids, train_iters, id_col, vec_col)
-    else:
-        cells = assign_ivf_cells(emb, n_centroids, id_col, vec_col)
-    q = cells.where(F.col("vec_id") == query_id).select(
-        F.col("v").alias("qv"), F.col("cell").alias("qcell")
+    ``"seed"`` keeps the lowest-id stand-ins q42's oracle pins. The probe
+    set is a per-query ranking of the TINY centroid table (broadcast both
+    ways) — the big vector table is touched only for the probed cells,
+    which is what partition-by-cell layouts prune on at scale."""
+    base = emb.select(
+        F.col(id_col).alias("vec_id"), _as_double(F.col(vec_col)).alias("v")
     )
+    if trainer == "kmeans":
+        cents = kmeans_centroids(emb, n_centroids, train_iters, id_col, vec_col)
+    else:
+        cents = (
+            base.orderBy("vec_id")
+            .limit(n_centroids)
+            .select(F.col("vec_id").alias("cid"), F.col("v").alias("cv"))
+        )
+    cells = _assign_cells(base, cents)
+    q = cells.where(F.col("vec_id") == query_id).select(F.col("v").alias("qv"))
     cand = cells.where(F.col("vec_id") != query_id)
-    scored = cand.join(F.broadcast(q), cand.cell == F.col("qcell")).select(
+    # probe set: rank the TINY centroid table by distance to the query and
+    # keep n_probe cells — the big vector table is then touched only for
+    # those cells (at scale: partition pruning on a partition-by-cell layout)
+    cdist = cents.join(F.broadcast(q)).select(
+        F.col("cid").alias("cell"),
+        F.round(
+            dot(F.col("cv"), F.col("cv"))
+            - 2 * dot(F.col("cv"), F.col("qv"))
+            + dot(F.col("qv"), F.col("qv")),
+            6,
+        ).alias("d"),
+    )
+    probe_set = cdist.orderBy("d", "cell").limit(n_probe).select("cell")
+    probed = cand.join(F.broadcast(probe_set), "cell").join(F.broadcast(q))
+    scored = probed.select(
         "vec_id", F.round(cosine(F.col("v"), F.col("qv")), 6).alias("cos")
     )
     return scored.orderBy(F.desc("cos"), F.asc("vec_id")).limit(k)

@@ -1428,29 +1428,71 @@ def q41(spark, sf):
     WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
     c AS (SELECT vec_id AS cid, v AS cv FROM e ORDER BY vec_id LIMIT 8),
     d AS (SELECT e.vec_id, e.v, c.cid,
-            list_dot_product(e.v, e.v) - 2 * list_dot_product(e.v, c.cv)
-              + list_dot_product(c.cv, c.cv) AS dist
+            ROUND(list_dot_product(e.v, e.v) - 2 * list_dot_product(e.v, c.cv)
+              + list_dot_product(c.cv, c.cv), 6) AS dist
           FROM e CROSS JOIN c),
     a AS (SELECT vec_id, v, cid AS cell FROM
             (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
              FROM d)
           WHERE rn = 1),
-    q AS (SELECT v AS qv, cell AS qcell FROM a WHERE vec_id = 0)
+    q AS (SELECT v AS qv FROM a WHERE vec_id = 0),
+    probe AS (SELECT c.cid AS cell FROM c, q
+              ORDER BY ROUND(list_dot_product(c.cv, c.cv)
+                        - 2 * list_dot_product(c.cv, q.qv)
+                        + list_dot_product(q.qv, q.qv), 6), c.cid
+              LIMIT 1)
     SELECT a.vec_id,
            ROUND(list_dot_product(a.v, q.qv)
                  / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(q.qv, q.qv))),
                  6) AS cos
-    FROM a, q WHERE a.vec_id != 0 AND a.cell = q.qcell
+    FROM a, q, probe WHERE a.vec_id != 0 AND a.cell = probe.cell
     ORDER BY cos DESC, vec_id LIMIT 10
     """,
 )
 def q42(spark, sf):
     """IVF approximate nearest neighbors: coarse-quantize to the nearest of
-    8 deterministic centroids, search only the query's cell (partition-
-    prunable at scale, vs q31's sign-LSH and q30's exact scan)."""
+    8 deterministic centroids (rounded-distance argmin, cid tie-break —
+    matching _assign_cells), probe the query's nearest-centroid cell
+    (partition-prunable at scale, vs q31's sign-LSH and q30's exact scan).
+    Multi-probe (n_probe > 1) extends the probe CTE's LIMIT."""
     from bran_spark.operators.similarity import ivf_topk
 
     return ivf_topk(_t(spark, sf, "embeddings"), query_id=0, k=10)
+
+
+@_q(
+    "q49_ivf_multiprobe",
+    """
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    c AS (SELECT vec_id AS cid, v AS cv FROM e ORDER BY vec_id LIMIT 8),
+    d AS (SELECT e.vec_id, e.v, c.cid,
+            ROUND(list_dot_product(e.v, e.v) - 2 * list_dot_product(e.v, c.cv)
+              + list_dot_product(c.cv, c.cv), 6) AS dist
+          FROM e CROSS JOIN c),
+    a AS (SELECT vec_id, v, cid AS cell FROM
+            (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+             FROM d)
+          WHERE rn = 1),
+    q AS (SELECT v AS qv FROM a WHERE vec_id = 0),
+    probe AS (SELECT c.cid AS cell FROM c, q
+              ORDER BY ROUND(list_dot_product(c.cv, c.cv)
+                        - 2 * list_dot_product(c.cv, q.qv)
+                        + list_dot_product(q.qv, q.qv), 6), c.cid
+              LIMIT 3)
+    SELECT a.vec_id,
+           ROUND(list_dot_product(a.v, q.qv)
+                 / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(q.qv, q.qv))),
+                 6) AS cos
+    FROM a, q WHERE a.vec_id != 0 AND a.cell IN (SELECT cell FROM probe)
+    ORDER BY cos DESC, vec_id LIMIT 10
+    """,
+)
+def q49(spark, sf):
+    """Multi-probe IVF: scan the query's 3 nearest centroid cells — the
+    recall/scan-cost dial of a production ANN service, no retraining."""
+    from bran_spark.operators.similarity import ivf_topk
+
+    return ivf_topk(_t(spark, sf, "embeddings"), query_id=0, k=10, n_probe=3)
 
 
 def _kmeans_iter_sql(i: int) -> str:

@@ -86,3 +86,22 @@ def test_embedding_neardup_and_topk(spark):
     assert tk[0].vec_id == 100 and tk[0].cos > 0.99
     lk = lsh_bucket_topk(emb, query_id=7, k=3, dims=(0, 3, 5, 9)).collect()
     assert lk[0].vec_id == 100  # near-dup shares the sign bucket
+
+
+def test_ivf_multiprobe_all_cells_equals_exact(spark):
+    """Probing every cell must reduce IVF to the exact brute-force scan —
+    the invariant that pins multi-probe's correctness; and the kmeans
+    trainer path must return the same top hit for the planted near-dup."""
+    from bran_spark.operators.similarity import ivf_topk
+
+    emb = _emb(spark)
+    exact = [(r.vec_id, r.cos) for r in cosine_topk(emb, query_id=7, k=5).collect()]
+    allprobe = [
+        (r.vec_id, r.cos)
+        for r in ivf_topk(emb, query_id=7, k=5, n_centroids=4, n_probe=4).collect()
+    ]
+    assert allprobe == exact
+    km = ivf_topk(
+        emb, query_id=7, k=3, n_centroids=4, n_probe=2, trainer="kmeans"
+    ).collect()
+    assert km[0].vec_id == 100 and km[0].cos > 0.99
