@@ -221,3 +221,39 @@ def windowed_event_counts(
         .start()
     )
     q.awaitTermination()
+
+
+def streaming_exact_dedup(
+    spark: SparkSession,
+    docs_dir: str,
+    checkpoint_dir: str,
+    out_dir: str,
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+) -> None:
+    """Streaming exact dedup over an arriving document stream: first sight
+    of each content hash passes, later copies are dropped —
+    ``dropDuplicatesWithinWatermark`` bounds the dedup state to the
+    watermark horizon, so state size tracks the late-data window instead of
+    corpus history (the property that keeps this runnable forever at
+    ingest scale; historic dedup is the batch operator's job downstream).
+    Exactly-once via the streaming checkpoint, resumable like every other
+    stage.
+    """
+    docs = spark.readStream.schema(
+        "doc_id string, text string, ts timestamp"
+    ).parquet(docs_dir)
+    deduped = (
+        docs.withColumn("content_hash", F.md5("text"))
+        .withWatermark(ts_col, watermark)
+        .dropDuplicatesWithinWatermark(["content_hash"])
+    )
+    q = (
+        deduped.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", os.path.join(checkpoint_dir, "dedup_offsets"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -160,3 +160,36 @@ def test_video_frame_sampling_and_audio_windows(spark):
     assert len(wrows) == 4 and all(r.doc_id == "d2" for r in wrows)
     assert wrows[0].t_start_s == 0.0 and wrows[-1].t_end_s == 8.0
     assert all(0.0 <= r.energy <= 1.0 for r in wrows)
+
+
+def test_streaming_exact_dedup_drops_later_copies(spark, tmp_path):
+    """dropDuplicatesWithinWatermark: exactly ONE representative per content
+    hash survives (which copy wins within a micro-batch is undefined — the
+    operator keys on the hash, not event-time order), and a duplicate
+    arriving in a LATER micro-batch is dropped too: the dedup state carries
+    across batches via the checkpoint, bounded by the watermark horizon."""
+    import datetime as dt
+
+    from bran_spark.streaming.incremental import streaming_exact_dedup
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ck = str(tmp_path / "ck")
+    t = lambda m: dt.datetime(2024, 1, 1, 0, m)  # noqa: E731
+    spark.createDataFrame(
+        [("a", "alpha text", t(0)), ("b", "beta text", t(1)),
+         ("c", "alpha text", t(2))],
+        "doc_id string, text string, ts timestamp",
+    ).write.mode("overwrite").parquet(src)
+    streaming_exact_dedup(spark, src, ck, out)
+    spark.createDataFrame(
+        [("d", "alpha text", t(3)), ("e", "gamma text", t(4))],
+        "doc_id string, text string, ts timestamp",
+    ).write.mode("append").parquet(src)
+    streaming_exact_dedup(spark, src, ck, out)
+
+    got = {r.doc_id for r in spark.read.parquet(out).collect()}
+    assert "b" in got and "e" in got
+    alpha_survivors = got & {"a", "c", "d"}
+    assert len(alpha_survivors) == 1          # one copy of 'alpha text' total
+    assert "d" not in got                     # batch-2 dup dropped by carried state
