@@ -1,0 +1,123 @@
+"""Connected components over a candidate-pair edge list — the cluster-
+resolution stage that turns near-dup PAIRS (MinHash-LSH, n-gram Jaccard,
+embedding sign-LSH) into duplicate CLUSTERS with one canonical survivor.
+
+The reference pipeline never needed this (its dedup is exact-key groupBy,
+SURVEY.md §2.5), but any corpus-scale dedup does: LSH emits edges, and
+"keep one doc per component" requires the transitive closure.
+
+Spark-first strategy: the **alternating large-star / small-star algorithm**
+(Kiveris et al., "Connected Components in MapReduce and Beyond", SoCC'14) —
+NOT naive label propagation. Label propagation converges in O(diameter)
+rounds, which on a pathological chain of near-dups is O(n); alternation
+converges in O(log² n) rounds on any graph. Each half-round is one shuffle
+(a whole-partition min window keyed by node) plus a distinct — no joins, no
+driver-side graph state, edge-list memory bounded by the input size
+throughout (large-star never grows the edge multiset beyond 2|E|).
+
+Lineage is truncated every round with ``localCheckpoint`` (a real cluster
+job would use ``checkpoint`` to HDFS — same call shape); without it the
+iterated plan re-executes from the scan each round and the DAG depth grows
+unboundedly. Convergence is detected by an order-insensitive edge-set
+signature (count + sum of xxhash64), one tiny aggregate per round.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    """Connect every neighbor larger than u to min(Γ(u) ∪ {u})."""
+    sym = edges.union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    w = Window.partitionBy("u")
+    m = F.least(F.col("u"), F.min("v").over(w))
+    return (
+        sym.withColumn("m", m)
+        .where(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """Point all edges large→small, then connect Γ(u) ∪ {u} to its min."""
+    directed = edges.select(
+        F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+    ).where(F.col("u") != F.col("v"))
+    w = Window.partitionBy("u")
+    m = F.least(F.col("u"), F.min("v").over(w))
+    with_m = directed.withColumn("m", m)
+    nbr = with_m.select(F.col("v").alias("u"), F.col("m").alias("v"))
+    self_edge = with_m.select("u", F.col("m").alias("v"))
+    return (
+        nbr.union(self_edge)
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def connected_components(
+    pairs: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_rounds: int = 25,
+) -> DataFrame:
+    """(node, component) for every node in the edge list; component = the
+    minimum node id reachable from it. Deterministic, total over edge
+    endpoints (isolated docs never enter an edge list — union them in with
+    component = own id downstream if needed).
+
+    Each round runs large-star then small-star and compares an
+    order-insensitive signature of the small-star output; fixed point of
+    small-star = a forest of depth-1 stars rooted at component minima.
+    """
+    edges = (
+        pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    if not edges.head(1):
+        return edges.select(
+            F.col("u").alias("node"), F.col("v").alias("component")
+        )
+
+    def _sig(e: DataFrame) -> tuple:
+        row = e.agg(
+            F.count("*").alias("n"),
+            # decimal(38,0) sum: long-sum of 64-bit hashes overflows ANSI mode
+            F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")).alias("h"),
+        ).head()
+        return (row["n"], row["h"])
+
+    prev = None
+    for _ in range(max_rounds):
+        edges = _small_star(_large_star(edges)).localCheckpoint(eager=True)
+        cur = _sig(edges)
+        if cur == prev:
+            break
+        prev = cur
+
+    # Star edges point node → root (root itself holds the min as v == root
+    # only via the self row filtered above), so add each root's own row.
+    roots = edges.select(F.col("v").alias("node"), F.col("v").alias("component"))
+    members = edges.select(F.col("u").alias("node"), F.col("v").alias("component"))
+    return members.union(roots).distinct()
+
+
+def dedup_clusters(
+    pairs: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+) -> DataFrame:
+    """Cluster summary over near-dup pairs: one row per duplicate cluster
+    with (component, n_docs, keep_id). keep_id = min id — the canonical
+    survivor; every other member is droppable. The downstream anti-join
+    (corpus ⟕ anti members-minus-keepers) is the actual dedup."""
+    cc = connected_components(pairs, src, dst)
+    return cc.groupBy("component").agg(
+        F.count("*").alias("n_docs"), F.min("node").alias("keep_id")
+    )

@@ -1628,3 +1628,72 @@ def q45(spark, sf):
             6,
         ).alias("dev_from_user_mean"),
     )
+
+
+# Shared CTE chain replaying q29's md5-MinHash-LSH candidate pairs, reused
+# by the connected-components oracle below (DuckDB recursive CTE on top).
+_MINHASH_PAIRS_CTES = f"""
+    wl AS (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents),
+    sh AS (SELECT doc_id, unnest(list_distinct({_SHINGLE_SQL.format(n=4)})) AS shingle
+           FROM wl),
+    banded AS (SELECT doc_id, band, md5(band::VARCHAR || ':' || shingle) AS h
+               FROM sh, (SELECT unnest(range(4)) AS band)),
+    sig AS (SELECT doc_id, band, MIN(h) AS minhash FROM banded GROUP BY doc_id, band),
+    pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+              FROM sig a JOIN sig b ON a.band = b.band AND a.minhash = b.minhash
+                                   AND a.doc_id < b.doc_id)
+"""
+
+
+@_q(
+    "q50_dedup_components",
+    f"""
+    WITH RECURSIVE {_MINHASH_PAIRS_CTES},
+    edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+              UNION ALL SELECT id_b, id_a FROM pairs),
+    r(node, lab) AS (
+      SELECT a, a FROM edges
+      UNION
+      SELECT e.b, r.lab FROM r JOIN edges e ON e.a = r.node
+    )
+    SELECT node, MIN(lab) AS component FROM r GROUP BY node
+    """,
+)
+def q50(spark, sf):
+    """Duplicate-cluster resolution: connected components (alternating
+    large-star/small-star, O(log² n) rounds) over the MinHash-LSH candidate
+    pairs — the transitive closure the DuckDB twin computes with a
+    recursive CTE. Output: (node, component=min reachable doc_id)."""
+    from bran_spark.operators.components import connected_components
+
+    pairs = minhash_lsh_pairs(
+        _t(spark, sf, "documents"), "doc_id", "text", n=4, bands=4, hash_fn="md5"
+    )
+    return connected_components(pairs)
+
+
+@_q(
+    "q51_dedup_cluster_stats",
+    f"""
+    WITH RECURSIVE {_MINHASH_PAIRS_CTES},
+    edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+              UNION ALL SELECT id_b, id_a FROM pairs),
+    r(node, lab) AS (
+      SELECT a, a FROM edges
+      UNION
+      SELECT e.b, r.lab FROM r JOIN edges e ON e.a = r.node
+    ),
+    cc AS (SELECT node, MIN(lab) AS component FROM r GROUP BY node)
+    SELECT component, COUNT(*)::BIGINT AS n_docs, MIN(node) AS keep_id
+    FROM cc GROUP BY component
+    """,
+)
+def q51(spark, sf):
+    """Per-cluster dedup summary (component, n_docs, keep_id): the table a
+    corpus dedup job anti-joins against to drop non-survivors."""
+    from bran_spark.operators.components import dedup_clusters
+
+    pairs = minhash_lsh_pairs(
+        _t(spark, sf, "documents"), "doc_id", "text", n=4, bands=4, hash_fn="md5"
+    )
+    return dedup_clusters(pairs)

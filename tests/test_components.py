@@ -1,0 +1,67 @@
+"""Connected components (large-star/small-star) vs a local union-find."""
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from bran_spark.operators.components import connected_components, dedup_clusters
+
+
+def _uf_components(edges):
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in parent}
+
+
+def _check(spark, edges):
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {
+        (r["node"], r["component"])
+        for r in connected_components(df).collect()
+    }
+    want = set(_uf_components(edges).items())
+    assert got == want
+
+
+def test_cc_chain_triangle_pair(spark):
+    # a 6-chain (worst case for label propagation), a triangle, a lone pair
+    edges = [(1, 2), (2, 3), (3, 4), (4, 5), (5, 6),
+             (10, 11), (11, 12), (12, 10),
+             (20, 21)]
+    _check(spark, edges)
+
+
+def test_cc_random_graph_matches_union_find(spark):
+    rng = random.Random(7)
+    nodes = list(range(200))
+    edges = [
+        (rng.choice(nodes), rng.choice(nodes))
+        for _ in range(150)
+    ]
+    edges = [(a, b) for a, b in edges if a != b]
+    _check(spark, edges)
+
+
+def test_cc_empty_edges(spark):
+    df = spark.createDataFrame([], "id_a long, id_b long")
+    assert connected_components(df).count() == 0
+
+
+def test_dedup_clusters_summary(spark):
+    edges = [(5, 9), (9, 7), (1, 2)]
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    rows = {r["component"]: r for r in dedup_clusters(df).collect()}
+    assert rows[5]["n_docs"] == 3 and rows[5]["keep_id"] == 5
+    assert rows[1]["n_docs"] == 2 and rows[1]["keep_id"] == 1
