@@ -1697,3 +1697,31 @@ def q51(spark, sf):
         _t(spark, sf, "documents"), "doc_id", "text", n=4, bands=4, hash_fn="md5"
     )
     return dedup_clusters(pairs)
+
+
+@_q(
+    "q52_repetition_stats",
+    """
+    WITH wl AS (SELECT doc_id, string_split(trim(lower(text)), ' ') AS ws
+                FROM documents),
+    ws2 AS (SELECT doc_id, ws FROM wl WHERE len(ws) >= 2),
+    bg AS (SELECT doc_id,
+                  unnest(list_transform(range(len(ws) - 1),
+                         i -> ws[i + 1] || ' ' || ws[i + 2])) AS bigram
+           FROM ws2),
+    bc AS (SELECT doc_id, bigram, COUNT(*) AS c FROM bg GROUP BY doc_id, bigram),
+    topb AS (SELECT doc_id, ROUND(MAX(c)::DOUBLE / SUM(c), 6) AS top_bigram_frac
+             FROM bc GROUP BY doc_id)
+    SELECT w.doc_id, len(ws)::BIGINT AS n_words,
+           ROUND(1 - len(list_distinct(ws))::DOUBLE / len(ws), 6) AS dup_word_frac,
+           t.top_bigram_frac
+    FROM ws2 w JOIN topb t USING (doc_id)
+    """,
+)
+def q52(spark, sf):
+    """Gopher-style repetition quality signals: duplicate-word fraction
+    (array-only, shuffle-free) + top-bigram fraction (two-phase agg keyed by
+    doc-prefixed bigram — skew-free by construction)."""
+    from bran_spark.operators.quality import repetition_stats
+
+    return repetition_stats(_t(spark, sf, "documents"), "doc_id", "text")
