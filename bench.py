@@ -74,6 +74,12 @@ def main() -> None:
         "q45_window_funcs",
         "q35_embedding_neardup",
         "q46_media_features",
+        "q49_ivf_multiprobe",
+        "q50_dedup_components",
+        "q52_repetition_stats",
+        "q53_bm25_search",
+        "q54_token_packing",
+        "q55_ann_knn_join",
     ]
     for name in bench_queries:
         t0 = time.time()

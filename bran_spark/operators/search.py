@@ -1,0 +1,81 @@
+"""BM25 keyword search over the corpus — the retrieval primitive a
+training-data pipeline uses for targeted corpus audits (contamination
+checks, topical subsetting) and the reference never needed (SURVEY.md §2.8:
+no retrieval surface in bran).
+
+Spark-first shape, sized for 100 TB:
+- term frequencies: explode → two-phase groupBy keyed by (doc, term) — the
+  doc-prefixed key makes cross-doc hot terms irrelevant to the shuffle.
+- document frequencies: computed ONLY for the query's terms (a handful),
+  filtered BEFORE the aggregation so the df pass shuffles a few rows per
+  partition, then broadcast back as a scalar map.
+- corpus stats (N, avgdl): one tiny aggregate, crossJoin-broadcast to the
+  scoring projection (a 1-row broadcast, plan-visible).
+- final ranking: TakeOrderedAndProject via ORDER BY + LIMIT — never a full
+  sort of the corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from bran_spark.functions.text import words
+
+
+def bm25_topk(
+    docs: DataFrame,
+    query_terms: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+    k: int = 10,
+) -> DataFrame:
+    """Top-k docs by BM25 over the query terms.
+
+    idf(t) = ln(1 + (N - df + 0.5)/(df + 0.5)) (Robertson-Sparck Jones with
+    the +1 floor, Lucene's form); tf saturation k1, length normalization b.
+    Returns (doc_id, score) — score rounded to 6dp, ties broken by doc_id.
+    """
+    terms = [t.lower() for t in query_terms]
+    wl = docs.select(
+        F.col(id_col).alias("doc_id"), words(text_col).alias("ws")
+    ).select("doc_id", "ws", F.size("ws").cast("double").alias("dl"))
+
+    stats = wl.agg(
+        F.count("*").cast("double").alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+    )
+
+    tok = wl.select(
+        "doc_id", "dl", F.explode("ws").alias("term")
+    ).where(F.col("term").isin(terms))
+    tf = tok.groupBy("doc_id", "dl", "term").agg(
+        F.count("*").cast("double").alias("tf")
+    )
+    df_t = tf.groupBy("term").agg(F.count("*").cast("double").alias("df"))
+
+    scored = (
+        tf.join(F.broadcast(df_t), "term")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "idf",
+            F.log(
+                F.lit(1.0)
+                + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+            ),
+        )
+        .withColumn(
+            "contrib",
+            F.col("idf")
+            * (F.col("tf") * (k1 + 1))
+            / (
+                F.col("tf")
+                + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))
+            ),
+        )
+        .groupBy("doc_id")
+        .agg(F.round(F.sum("contrib"), 6).alias("score"))
+    )
+    return scored.orderBy(F.desc("score"), "doc_id").limit(k)

@@ -272,3 +272,76 @@ def lsh_bucket_topk(
         F.broadcast(q), cand.bucket == F.col("qbucket")
     ).select("vec_id", F.round(cosine(F.col("v"), F.col("qv")), 6).alias("cos"))
     return scored.orderBy(F.desc("cos"), F.asc("vec_id")).limit(k)
+
+
+def ann_knn_join(
+    emb: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bands: "tuple[tuple[int, ...], ...] | None" = None,
+) -> DataFrame:
+    """Batch k-NN self-join: for EVERY vector, its top-k neighbors among the
+    candidates colliding with it in any sign-LSH band — the all-queries
+    counterpart of :func:`lsh_bucket_topk` (one query) and the retrieval
+    primitive behind embedding-based dedup audits and hard-negative mining.
+
+    Scale shape mirrors ``dedup.embedding_neardup_pairs``: the banded
+    explode shuffles only (id, band, key); the wide vectors rejoin the
+    DEDUPED candidate list once per side; per-query ranking is a window
+    partitioned by the query id whose input size is bounded by the band
+    bucket sizes (2^bits per band caps E[bucket] = N/2^bits), never N².
+    Ranking uses the ROUNDED cosine with an id tie-break so the top-k cut
+    is bitwise-reproducible across engines and partitionings.
+    Output: (id_a, id_b, cos, rank), k rows per id_a with ≥1 collision.
+    """
+    from pyspark.sql import Window
+
+    from bran_spark.operators.dedup import DEFAULT_SIGN_BANDS
+
+    if bands is None:
+        bands = DEFAULT_SIGN_BANDS
+    ids = F.col(id_col).alias("id")
+    sign_key = lambda dims: F.concat_ws(  # noqa: E731
+        "",
+        *[
+            F.when(F.element_at(F.col(vec_col), d + 1) >= 0, "1").otherwise("0")
+            for d in dims
+        ],
+    )
+    keyed = emb.select(
+        ids,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(i).alias("band"), sign_key(dims).alias("key"))
+                    for i, dims in enumerate(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    a = keyed.select(F.col("id").alias("id_a"), "band", "key")
+    b = keyed.select(F.col("id").alias("id_b"), "band", "key")
+    cand = (
+        a.join(b, ["band", "key"])
+        .where(F.col("id_a") != F.col("id_b"))
+        .select("id_a", "id_b")
+        .dropDuplicates()
+    )
+    vecs = emb.select(ids, _as_double(F.col(vec_col)).alias("v"))
+    va = vecs.select(F.col("id").alias("id_a"), F.col("v").alias("va"))
+    vb = vecs.select(F.col("id").alias("id_b"), F.col("v").alias("vb"))
+    scored = (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("id_a").orderBy(F.desc("cos"), F.asc("id_b"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )

@@ -1725,3 +1725,98 @@ def q52(spark, sf):
     from bran_spark.operators.quality import repetition_stats
 
     return repetition_stats(_t(spark, sf, "documents"), "doc_id", "text")
+
+
+# BM25 idf/tf-saturation formula shared by the q53 twin (Lucene form).
+# Two query terms only: a two-operand float sum is order-insensitive in
+# IEEE-754, so Spark's and DuckDB's aggregation orders cannot diverge.
+_BM25_TERMS = ("data", "dup")
+
+
+@_q(
+    "q53_bm25_search",
+    f"""
+    WITH wl AS (SELECT doc_id, string_split(trim(lower(text)), ' ') AS ws
+                FROM documents),
+    base AS (SELECT doc_id, len(ws)::DOUBLE AS dl, ws FROM wl),
+    stats AS (SELECT COUNT(*)::DOUBLE AS n_docs, AVG(dl) AS avgdl FROM base),
+    tok AS (SELECT doc_id, dl, unnest(ws) AS term FROM base),
+    tf AS (SELECT doc_id, dl, term, COUNT(*)::DOUBLE AS tf FROM tok
+           WHERE term IN ('{_BM25_TERMS[0]}', '{_BM25_TERMS[1]}')
+           GROUP BY doc_id, dl, term),
+    dft AS (SELECT term, COUNT(*)::DOUBLE AS df FROM tf GROUP BY term)
+    SELECT doc_id,
+           ROUND(SUM(ln(1 + (n_docs - df + 0.5) / (df + 0.5))
+                     * (tf * 2.2)
+                     / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))), 6) AS score
+    FROM tf JOIN dft USING (term), stats
+    GROUP BY doc_id
+    ORDER BY score DESC, doc_id LIMIT 10
+    """,
+)
+def q53(spark, sf):
+    """BM25 keyword search: query-term-filtered tf pass (doc-prefixed keys,
+    skew-free), broadcast df + corpus stats, TakeOrdered top-k."""
+    from bran_spark.operators.search import bm25_topk
+
+    return bm25_topk(_t(spark, sf, "documents"), list(_BM25_TERMS), k=10)
+
+
+@_q(
+    "q54_token_packing",
+    """
+    WITH t AS (SELECT doc_id AS id,
+                      len(string_split(trim(lower(text)), ' '))::BIGINT AS n_tokens
+               FROM documents),
+    o AS (SELECT id, n_tokens,
+                 COALESCE(SUM(n_tokens) OVER (ORDER BY id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                          0)::BIGINT AS "offset"
+          FROM t)
+    SELECT id, n_tokens, "offset",
+           CAST(floor("offset" / 512.0) AS BIGINT) AS bin_id
+    FROM o
+    """,
+)
+def q54(spark, sf):
+    """Token-budget sequence packing via DISTRIBUTED prefix sum (range
+    partition + per-partition window + broadcast partition offsets) — the
+    oracle's single global window is exactly the single-task bottleneck the
+    operator avoids."""
+    from bran_spark.functions.text import token_count
+    from bran_spark.operators.packing import pack_token_bins
+
+    docs = _t(spark, sf, "documents").select(
+        "doc_id", token_count("text").cast("long").alias("n_tok")
+    )
+    return pack_token_bins(docs, "doc_id", "n_tok", budget=512)
+
+
+@_q(
+    "q55_ann_knn_join",
+    f"""
+    WITH keys AS ({_BANDED_KEYS_SQL}),
+    cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+             FROM keys a JOIN keys b
+               ON a.band = b.band AND a.key = b.key AND a.vec_id != b.vec_id),
+    v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    scored AS (SELECT id_a, id_b,
+                      ROUND(list_dot_product(va.v, vb.v)
+                            / (sqrt(list_dot_product(va.v, va.v))
+                               * sqrt(list_dot_product(vb.v, vb.v))), 6) AS cos
+               FROM cand
+               JOIN v va ON va.vec_id = cand.id_a
+               JOIN v vb ON vb.vec_id = cand.id_b)
+    SELECT id_a, id_b, cos, rank FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY id_a
+                                   ORDER BY cos DESC, id_b)::INT AS rank
+      FROM scored)
+    WHERE rank <= 5
+    """,
+)
+def q55(spark, sf):
+    """Batch ANN k-NN self-join: banded sign-LSH candidates, exact cosine,
+    per-query window top-k on the ROUNDED score (engine-stable cut)."""
+    from bran_spark.operators.similarity import ann_knn_join
+
+    return ann_knn_join(_t(spark, sf, "embeddings"), k=5)

@@ -1,0 +1,96 @@
+"""BM25 ranking, token-bin packing (distributed prefix sum), ANN kNN join."""
+
+import math
+
+from pyspark.sql import functions as F
+
+from bran_spark.operators.packing import pack_token_bins
+from bran_spark.operators.search import bm25_topk
+from bran_spark.operators.similarity import ann_knn_join
+
+
+def _bm25_local(corpus, terms, k1=1.2, b=0.75):
+    docs = {i: t.lower().split() for i, t in corpus.items()}
+    n = len(docs)
+    avgdl = sum(len(w) for w in docs.values()) / n
+    df = {t: sum(1 for w in docs.values() if t in w) for t in terms}
+    out = {}
+    for i, w in docs.items():
+        s = 0.0
+        for t in terms:
+            tf = w.count(t)
+            if not tf or not df[t]:
+                continue
+            idf = math.log(1 + (n - df[t] + 0.5) / (df[t] + 0.5))
+            s += idf * (tf * (k1 + 1)) / (tf + k1 * (1 - b + b * len(w) / avgdl))
+        if s:
+            out[i] = round(s, 6)
+    return out
+
+
+def test_bm25_matches_local_reference(spark):
+    corpus = {
+        1: "spark shuffles data across the cluster",
+        2: "spark spark spark tuning guide",
+        3: "a completely unrelated document about cooking",
+        4: "cluster management and spark deployment on a cluster",
+    }
+    df = spark.createDataFrame(list(corpus.items()), "doc_id long, text string")
+    got = {
+        r["doc_id"]: r["score"]
+        for r in bm25_topk(df, ["spark", "cluster"], k=10).collect()
+    }
+    want = _bm25_local(corpus, ["spark", "cluster"])
+    assert got == want
+    # two-term doc 1 (spark + cluster) outranks one-term doc 2 despite
+    # doc 2's tf=3 — tf saturates at k1, idf of a second term doesn't
+    assert got[1] > got[2]
+    assert max(got, key=got.get) == max(want, key=want.get)
+
+
+def test_pack_token_bins_prefix_sum(spark):
+    rows = [(i, f"doc {i}", (i * 37) % 90 + 10) for i in range(500)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, n_tok long")
+    out = {
+        r["id"]: (r["offset"], r["bin_id"])
+        for r in pack_token_bins(df, "doc_id", "n_tok", budget=256).collect()
+    }
+    acc = 0
+    for i in range(500):
+        n = (i * 37) % 90 + 10
+        assert out[i] == (acc, acc // 256), f"doc {i}"
+        acc += n
+    assert len(out) == 500
+
+
+def test_pack_token_bins_partition_invariance(spark):
+    rows = [(i, (i * 13) % 50 + 1) for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id long, n_tok long")
+    a = pack_token_bins(df, "doc_id", "n_tok", budget=100, partitions=3)
+    b = pack_token_bins(df.repartition(17), "doc_id", "n_tok", budget=100,
+                        partitions=29)
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_ann_knn_join_ranks_by_cosine(spark):
+    # 3 clusters along axes; every vector's nearest neighbors share its axis
+    rows = []
+    for axis in range(3):
+        for j in range(4):
+            v = [0.0] * 24
+            v[axis * 8] = 1.0
+            v[axis * 8 + 1] = 0.1 * (j + 1)
+            rows.append((axis * 10 + j, v))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = ann_knn_join(df, k=2).collect()
+    by_query = {}
+    for r in out:
+        by_query.setdefault(r["id_a"], []).append(r)
+    for qid, rs in by_query.items():
+        assert len(rs) <= 2
+        assert all(r["rank"] in (1, 2) for r in rs)
+        # neighbors come from the same axis cluster (cosine ≈ 1 in-cluster,
+        # ≈ 0 across clusters — banding can only drop, not reorder)
+        for r in rs:
+            assert r["id_b"] // 10 == qid // 10
+            assert r["cos"] > 0.9
