@@ -80,6 +80,11 @@ def main() -> None:
         "q53_bm25_search",
         "q54_token_packing",
         "q55_ann_knn_join",
+        "q56_pagerank",
+        "q57_triangle_counts",
+        "q59_tfidf_terms",
+        "q60_ngram_dup_stats",
+        "q61_stratified_sample",
     ]
     for name in bench_queries:
         t0 = time.time()

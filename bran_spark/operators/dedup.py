@@ -306,3 +306,36 @@ def embedding_neardup_pairs(
         .where(F.col("cos") >= min_cos)
         .select("id_a", "id_b", F.round("cos", 6).alias("cos"))
     )
+
+
+def duplicated_ngram_stats(
+    df: DataFrame, id_col: str, text_col: str, n: int = 8
+) -> DataFrame:
+    """Passage-level duplication profile (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better" — the ExactSubstr signal,
+    word-n-gram granularity): per doc, how many of its distinct n-grams
+    also appear in at least one OTHER document.
+
+    Two aggregates + one join, all partial-agg friendly: per-doc distinct
+    n-grams (doc-prefixed key — no cross-doc skew), n-gram document
+    frequency (two-phase count), then a df join back keyed by n-gram (the
+    one hot-key-prone shuffle — long n-grams are near-unique by
+    construction, which is exactly why passage dedup uses them; AQE skew
+    split is the backstop). Returns
+    (id, n_ngrams, n_dup, dup_frac) — dup_frac is the fraction of the doc
+    that is boilerplate/copied at n-word granularity.
+    """
+    sh = _even_parallelism(df).select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array_distinct(shingles(text_col, n))).alias("shingle"),
+    )
+    dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    return (
+        sh.join(dfreq, "shingle")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_ngrams"),
+            F.sum(F.when(F.col("df") > 1, 1).otherwise(0)).cast("long").alias("n_dup"),
+        )
+        .withColumn("dup_frac", F.round(F.col("n_dup") / F.col("n_ngrams"), 6))
+    )

@@ -1,0 +1,192 @@
+"""Graph analytics over the materialized entity graph — PageRank, triangle
+counting, and multi-source BFS. The reference stops at the triple table
+(SURVEY.md §2: bran emits (subj, pred, obj) and evaluates F1); any consumer
+of a constructed KG immediately needs centrality / clustering / reachability
+over it, so these are first-class operators here.
+
+Spark-first design notes (all three are iterative or multi-join — the
+classic shuffle hazards):
+
+- **PageRank** runs in *fixed-point integer arithmetic* (rank scaled by
+  10^12, damping 85/100 applied with integer DIV). Integer sums are exactly
+  associative/commutative, so the result is bit-identical regardless of
+  partitioning, task order, or engine — which is what makes the DuckDB
+  oracle twin hash-exact (float PageRank would drift with reduction order).
+  Production would flip ``scale`` to floats for speed; the plan shape is the
+  same. Each iteration is ONE shuffle (groupBy dst); degrees ride along in
+  the rank table so no per-iteration dimension join appears. Lineage is
+  truncated per-iteration with ``localCheckpoint`` (``checkpoint`` to HDFS
+  on a real cluster), exactly like operators/components.py.
+
+- **Triangle counting** uses the degree-ordered orientation (each edge
+  directed from its lower-(degree, id) endpoint), which bounds the wedge
+  fan-out by O(m^1.5) total instead of O(sum deg^2) — the difference between
+  feasible and not on a skewed graph. The projection step that builds the
+  co-occurrence graph applies a hot-node df-cut first (same Zipf argument as
+  dedup.ngram_jaccard_pairs): a disease shared by d chemicals contributes
+  C(d,2) projected edges and up to C(d,3) triangles, so unbounded d is a
+  quadratic/cubic blowup. The cut set is tiny → broadcast anti-join.
+  Per-node counts are orientation-independent, so the DuckDB twin can use
+  the naive u<v formulation and still hash-match.
+
+- **BFS** expands only the *frontier* discovered last round (not the whole
+  visited set), one shuffle per hop, bounded hops — distances are small
+  ints, exactly reproducible.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+PR_SCALE = 10**12      # fixed-point rank unit (1.0 == 10^12)
+PR_DAMP_NUM = 85       # damping factor 0.85 as a ratio — integer math only
+PR_DAMP_DEN = 100
+
+
+def symmetric_edges(pairs: DataFrame, src: str = "subj", dst: str = "obj") -> DataFrame:
+    """Undirected edge list as both directions, distinct: (u, v)."""
+    e = pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    return (
+        e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def pagerank_fixed_point(
+    sym: DataFrame, iters: int = 5, scale: int = PR_SCALE
+) -> DataFrame:
+    """(entity, rank_fp) after ``iters`` synchronous PageRank iterations on
+    the symmetric edge list, in exact integer arithmetic.
+
+    rank_0 = scale for every node; each step
+    rank'(v) = (15·scale) DIV 100 + (85·Σ_u rank(u) DIV deg(u)) DIV 100.
+    Every node in a symmetric edge list has deg ≥ 1, so there is no dangling
+    mass. Overflow headroom: Σ contribs ≤ N·scale; 85·N·scale must stay
+    under 2^63 → fine to ~10^5 nodes at scale=10^12 (drop scale for more).
+    """
+    base = scale * (PR_DAMP_DEN - PR_DAMP_NUM) // PR_DAMP_DEN
+    deg = sym.groupBy("u").agg(F.count("*").alias("deg"))
+    # ranks carry deg so each iteration is edge-join + one groupBy shuffle
+    ranks = deg.withColumn("rank", F.lit(scale).cast("long")).localCheckpoint(
+        eager=True
+    )
+    for _ in range(iters):
+        contrib = sym.join(ranks, "u").select(
+            F.col("v").alias("u"), F.expr("rank DIV deg").alias("c")
+        )
+        sums = contrib.groupBy("u").agg(F.sum("c").alias("s"))
+        ranks = (
+            deg.join(sums, "u", "left")
+            .select(
+                "u",
+                "deg",
+                (
+                    F.lit(base)
+                    + F.expr(f"({PR_DAMP_NUM} * coalesce(s, 0L)) DIV {PR_DAMP_DEN}")
+                ).cast("long").alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks.select(F.col("u").alias("entity"), F.col("rank").alias("rank_fp"))
+
+
+def project_bipartite(
+    pairs: DataFrame,
+    src: str = "subj",
+    dst: str = "obj",
+    max_pivot_deg: int = 25,
+) -> DataFrame:
+    """Co-occurrence projection onto the ``src`` side: (u, v) with u < v iff
+    some ``dst`` node links both. Pivot nodes with degree > max_pivot_deg are
+    dropped FIRST (broadcast anti-join of the tiny hot set) — each pivot of
+    degree d yields C(d,2) edges, so the cut is the quadratic-blowup bound."""
+    e = pairs.select(F.col(src).alias("s"), F.col(dst).alias("p")).distinct()
+    hot = (
+        e.groupBy("p")
+        .agg(F.count("*").alias("d"))
+        .where(F.col("d") > max_pivot_deg)
+        .select("p")
+    )
+    kept = e.join(F.broadcast(hot), "p", "left_anti")
+    a = kept.select(F.col("s").alias("u"), "p")
+    b = kept.select(F.col("s").alias("v"), "p")
+    return (
+        a.join(b, "p")
+        .where(F.col("u") < F.col("v"))
+        .select("u", "v")
+        .distinct()
+    )
+
+
+def triangle_counts(edges: DataFrame) -> DataFrame:
+    """(entity, n_triangles) over an undirected edge list given as (u, v)
+    with u < v. Degree-ordered orientation: every edge points from its
+    lower-(deg, id) endpoint, every triangle is enumerated exactly once as a
+    wedge at its lowest-key apex plus the closing edge."""
+    sym = symmetric_edges(edges, "u", "v")
+    deg = sym.groupBy("u").agg(F.count("*").alias("deg"))
+    keyed = deg.select(
+        F.col("u").alias("node"), F.struct(F.col("deg"), F.col("u").alias("id")).alias("k")
+    )
+    # node-key table is |V|-sized → broadcast both lookups
+    e = (
+        edges.join(F.broadcast(keyed.withColumnRenamed("node", "u")), "u")
+        .withColumnRenamed("k", "ku")
+        .join(
+            F.broadcast(
+                keyed.select(F.col("node").alias("v"), F.col("k").alias("kv"))
+            ),
+            "v",
+        )
+    )
+    oriented = e.select(
+        F.when(F.col("ku") < F.col("kv"), F.col("u")).otherwise(F.col("v")).alias("src"),
+        F.when(F.col("ku") < F.col("kv"), F.col("v")).otherwise(F.col("u")).alias("dst"),
+        F.when(F.col("ku") < F.col("kv"), F.col("kv")).otherwise(F.col("ku")).alias("kdst"),
+    )
+    w1 = oriented.select(
+        F.col("src").alias("a"), F.col("dst").alias("b"), F.col("kdst").alias("kb")
+    )
+    w2 = oriented.select(
+        F.col("src").alias("a"), F.col("dst").alias("c"), F.col("kdst").alias("kc")
+    )
+    # wedge (a; b, c) with key(b) < key(c) — the closing edge, if present,
+    # is oriented exactly b → c, so one equi-join finishes the triangle
+    wedges = w1.join(w2, "a").where(F.col("kb") < F.col("kc"))
+    closing = oriented.select(F.col("src").alias("b"), F.col("dst").alias("c"))
+    tri = wedges.join(closing, ["b", "c"]).select("a", "b", "c")
+    roles = (
+        tri.select(F.col("a").alias("entity"))
+        .union(tri.select(F.col("b").alias("entity")))
+        .union(tri.select(F.col("c").alias("entity")))
+    )
+    return roles.groupBy("entity").agg(
+        F.count("*").cast("long").alias("n_triangles")
+    )
+
+
+def bfs_distances(sym: DataFrame, seeds: DataFrame, max_hops: int = 4) -> DataFrame:
+    """(entity, dist) — hop distance from the seed set over the symmetric
+    edge list, bounded by ``max_hops``. Frontier expansion: each round joins
+    only the nodes discovered last round against the edges (not the whole
+    visited set), then a min-dedup against visited. Unreached nodes are
+    absent from the output."""
+    visited = seeds.select(
+        F.col(seeds.columns[0]).alias("u"), F.lit(0).cast("int").alias("dist")
+    ).distinct().localCheckpoint(eager=True)
+    frontier = visited
+    for hop in range(1, max_hops + 1):
+        nxt = (
+            sym.join(frontier.select("u"), "u")
+            .select(F.col("v").alias("u"), F.lit(hop).cast("int").alias("dist"))
+            .distinct()
+            .join(visited.select("u"), "u", "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        if not nxt.head(1):
+            break
+        visited = visited.union(nxt).localCheckpoint(eager=True)
+        frontier = nxt
+    return visited.select(F.col("u").alias("entity"), "dist")

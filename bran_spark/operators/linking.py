@@ -9,7 +9,7 @@ silently (lineage/counter requirement).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -46,3 +46,25 @@ def canonical_triples(triples: DataFrame, mesh_dict: DataFrame) -> DataFrame:
         )
     )
     return triples.join(dim_s, "subj", "left").join(dim_o, "obj", "left")
+
+
+def canonical_surface_forms(mentions: DataFrame) -> DataFrame:
+    """Surface-form resolution: for each entity, its most frequent mention
+    text in the corpus — the canonicalization signal when no curated
+    dictionary name exists (the inverse of link_mentions, which assumes
+    one). Returns (mesh_id, surface, n_mentions).
+
+    Two-phase: count by (mesh_id, text) with map-side partial agg (the only
+    corpus-sized shuffle, doc-count independent), then an argmax window over
+    the already-aggregated table — deterministic tie-break on the surface
+    string so reruns pick the same canonical form.
+    """
+    counts = mentions.groupBy("mesh_id", "text").agg(
+        F.count(F.lit(1)).alias("n_mentions")
+    )
+    w = Window.partitionBy("mesh_id").orderBy(F.desc("n_mentions"), F.asc("text"))
+    return (
+        counts.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .select("mesh_id", F.col("text").alias("surface"), "n_mentions")
+    )

@@ -1,0 +1,48 @@
+"""Deterministic stratified sampling — corpus curation's workhorse (mix
+rebalancing, per-language downsampling, eval holdouts). The reference has no
+sampling surface (SURVEY.md §2: bran consumes a fixed CDR corpus); a 100 TB
+pipeline samples constantly, and it must be deterministic and engine-stable
+so reruns and audits see the same subset.
+
+Design: the sample key is the first 4 hex chars of md5(id) read as an
+integer in [0, 65536) — a uniform, engine-portable hash (md5 is bit-identical
+everywhere, unlike xxhash64 seeds or rand()). A row is kept iff
+key < floor(rate(stratum) · 65536). This is a pure narrow projection +
+filter: NO shuffle, NO sort, no sampleBy() (whose seeds are not
+cross-engine reproducible), and the filter pushes down to the scan when the
+key column is materialized. Rates are exact multiples of 1/65536 — document
+the quantization rather than pretending continuous rates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+KEY_SPACE = 65536  # 4 hex chars
+
+
+def sample_key(id_col: str | Column) -> Column:
+    """Uniform int in [0, 65536): first 4 md5 hex chars of the id string."""
+    c = F.col(id_col) if isinstance(id_col, str) else id_col
+    return F.conv(F.substring(F.md5(c.cast("string")), 1, 4), 16, 10).cast("long")
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    rates: dict[str, float],
+    id_col: str = "doc_id",
+    default_rate: float = 0.0,
+) -> DataFrame:
+    """Keep each row of stratum s with probability ≈ rates[s],
+    deterministically in the row id. Adds a ``sample_key`` column so the
+    decision is auditable downstream."""
+    thr = F.lit(int(default_rate * KEY_SPACE))
+    for stratum, rate in sorted(rates.items()):
+        thr = F.when(
+            F.col(strata_col) == stratum, F.lit(int(rate * KEY_SPACE))
+        ).otherwise(thr)
+    return df.withColumn("sample_key", sample_key(id_col)).where(
+        F.col("sample_key") < thr
+    )

@@ -17,7 +17,7 @@ Spark-first shape, sized for 100 TB:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from bran_spark.functions.text import words
@@ -79,3 +79,44 @@ def bm25_topk(
         .agg(F.round(F.sum("contrib"), 6).alias("score"))
     )
     return scored.orderBy(F.desc("score"), "doc_id").limit(k)
+
+
+def tfidf_top_terms(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+) -> DataFrame:
+    """Top-k characteristic terms per document by tf·idf — the corpus
+    audit / topical-labeling primitive (what is this doc about).
+
+    idf = ln(N / df) over raw whitespace words. Three aggregates, all with
+    map-side partial combine: tf keyed by (doc, term) — doc-prefixed, so
+    cross-doc hot terms don't skew the shuffle; df derived FROM the tf table
+    (one row per (doc, term) — no second corpus scan); N is a 1-row
+    broadcast. The df join back is term-keyed (hot-key skew handled by AQE);
+    the final top-k is a per-doc window over the already-aggregated table,
+    ordered by the ROUNDED score + term so the cut is engine-stable.
+    Returns (doc_id, term, tf, df, tfidf).
+    """
+    wl = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.split(F.lower(text_col), " ")).alias("term"),
+    )
+    tf = wl.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_t = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = docs.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
+    scored = (
+        tf.join(df_t, "term")
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            "tfidf",
+            F.round(F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 6),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= k)
+        .select("doc_id", "term", "tf", "df", "tfidf")
+    )

@@ -1820,3 +1820,274 @@ def q55(spark, sf):
     from bran_spark.operators.similarity import ann_knn_join
 
     return ann_knn_join(_t(spark, sf, "embeddings"), k=5)
+
+
+# =========================================================================
+# §6 Graph analytics over the constructed KG + corpus curation (round 2)
+# =========================================================================
+
+_FX_PAIRS_SQL = _FX_MENTIONS_SQL + """
+    , ent AS (SELECT DISTINCT doc_id, mesh_id, type FROM m),
+    pairs AS (SELECT DISTINCT c.mesh_id AS subj, d2.mesh_id AS obj
+              FROM ent c JOIN ent d2 ON c.doc_id = d2.doc_id
+              WHERE c.type = 'Chemical' AND d2.type = 'Disease'),
+    sym AS (SELECT subj AS u, obj AS v FROM pairs WHERE subj <> obj
+            UNION
+            SELECT obj AS u, subj AS v FROM pairs WHERE subj <> obj)
+"""
+
+
+def _fx_entity_pairs(spark, sf) -> DataFrame:
+    """Distinct (subj, obj) entity pairs of the fixture corpus — the
+    θ=-inf edge structure of the constructed KG (same set q48 degrees are
+    computed over), built relationally from the mention stage with the
+    single-scan collect+explode pattern (no self-join, see _pairs)."""
+    from bran_spark.fixtures.gen import ensure, fixture_dir
+    from bran_spark.plans.pipeline import Pipeline, PipelineConfig
+
+    s = _fixture_sf_for(sf)
+    ensure(s)
+    cfg = PipelineConfig(
+        fixture_dir=fixture_dir(s), checkpoint_root="/tmp/bran_ckpt_q", checkpoint=False
+    )
+    m = Pipeline(spark, cfg).stage_mentions(resume=False)
+    per_doc = m.groupBy("doc_id").agg(
+        F.array_distinct(
+            F.collect_list(F.when(F.col("type") == "Chemical", F.col("mesh_id")))
+        ).alias("chems"),
+        F.array_distinct(
+            F.collect_list(F.when(F.col("type") == "Disease", F.col("mesh_id")))
+        ).alias("diss"),
+    )
+    return (
+        per_doc.select(F.explode("chems").alias("subj"), "diss")
+        .select("subj", F.explode("diss").alias("obj"))
+        .distinct()
+    )
+
+
+def _pr_iter_sql(iters: int, base: int) -> str:
+    """Unrolled fixed-point PageRank iterations (exact integer math — see
+    operators/graphalgo.py for why this is hash-exact across engines)."""
+    parts = []
+    for i in range(1, iters + 1):
+        parts.append(f"""
+    , c{i} AS (SELECT s.v AS u, CAST(SUM(r.rank // r.deg) AS BIGINT) AS sm
+               FROM sym s JOIN r{i - 1} r ON s.u = r.u GROUP BY s.v),
+    r{i} AS (SELECT dg.u, dg.deg,
+                    CAST({base} + ((85 * COALESCE(c.sm, 0)) // 100) AS BIGINT) AS rank
+             FROM deg dg LEFT JOIN c{i} c ON dg.u = c.u)""")
+    return "".join(parts)
+
+
+_PR_SCALE = 10**12
+_PR_BASE = _PR_SCALE * 15 // 100
+
+
+@_q(
+    "q56_pagerank",
+    _FX_PAIRS_SQL
+    + f"""
+    , deg AS (SELECT u, COUNT(*) AS deg FROM sym GROUP BY u),
+    r0 AS (SELECT u, deg, CAST({_PR_SCALE} AS BIGINT) AS rank FROM deg)
+    {_pr_iter_sql(5, _PR_BASE)}
+    SELECT u AS entity, rank AS rank_fp FROM r5
+    """,
+)
+def q56(spark, sf):
+    """Entity centrality: 5 synchronous PageRank iterations over the
+    symmetric KG edge list in fixed-point integer arithmetic (bit-exact
+    across engines and partitionings — see graphalgo.pagerank_fixed_point).
+    One shuffle per iteration, lineage truncated per round."""
+    from bran_spark.operators.graphalgo import pagerank_fixed_point, symmetric_edges
+
+    return pagerank_fixed_point(
+        symmetric_edges(_fx_entity_pairs(spark, sf)), iters=5
+    )
+
+
+@_q(
+    "q57_triangle_counts",
+    _FX_PAIRS_SQL
+    + """
+    , pe AS (SELECT DISTINCT subj AS s, obj AS p FROM pairs),
+    hotp AS (SELECT p FROM (SELECT p, COUNT(*) AS d FROM pe GROUP BY p) t
+             WHERE d > 25),
+    kept AS (SELECT s, p FROM pe WHERE p NOT IN (SELECT p FROM hotp)),
+    proj AS (SELECT DISTINCT a.s AS u, b.s AS v
+             FROM kept a JOIN kept b ON a.p = b.p WHERE a.s < b.s),
+    tri AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
+            FROM proj e1
+            JOIN proj e2 ON e2.u = e1.v
+            JOIN proj e3 ON e3.u = e1.u AND e3.v = e2.v),
+    roles AS (SELECT a AS entity FROM tri
+              UNION ALL SELECT b FROM tri
+              UNION ALL SELECT c FROM tri)
+    SELECT entity, CAST(COUNT(*) AS BIGINT) AS n_triangles
+    FROM roles GROUP BY entity
+    """,
+)
+def q57(spark, sf):
+    """Per-entity triangle counts on the chemical co-occurrence projection
+    (hot-pivot df-cut first — C(d,2)/C(d,3) blowup bound). The Spark side
+    runs the degree-ordered orientation (O(m^1.5) wedge bound); the oracle
+    runs the naive u<v formulation — per-node counts are
+    orientation-independent, so they hash-match."""
+    from bran_spark.operators.graphalgo import project_bipartite, triangle_counts
+
+    proj = project_bipartite(_fx_entity_pairs(spark, sf), max_pivot_deg=25)
+    return triangle_counts(proj)
+
+
+def _bfs_sql(max_hops: int) -> str:
+    parts = [
+        """
+    , seed AS (SELECT MIN(subj) AS u FROM pairs),
+    d0 AS (SELECT u, 0 AS dist FROM seed)"""
+    ]
+    for h in range(1, max_hops + 1):
+        prev_f = "d0" if h == 1 else f"f{h - 1}"
+        parts.append(f"""
+    , f{h} AS (SELECT DISTINCT e.v AS u FROM sym e JOIN {prev_f} t ON e.u = t.u
+               WHERE e.v NOT IN (SELECT u FROM d{h - 1})),
+    d{h} AS (SELECT u, dist FROM d{h - 1}
+             UNION ALL SELECT u, {h} AS dist FROM f{h})""")
+    return "".join(parts)
+
+
+@_q(
+    "q58_bfs_khop",
+    _FX_PAIRS_SQL
+    + _bfs_sql(4)
+    + """
+    SELECT u AS entity, CAST(dist AS INT) AS dist FROM d4
+    """,
+)
+def q58(spark, sf):
+    """4-hop BFS distances from the minimum chemical entity over the
+    symmetric KG edges — frontier-only expansion, one shuffle per hop."""
+    from bran_spark.operators.graphalgo import bfs_distances, symmetric_edges
+
+    pairs = _fx_entity_pairs(spark, sf)
+    seeds = pairs.agg(F.min("subj").alias("u"))
+    return bfs_distances(symmetric_edges(pairs), seeds, max_hops=4)
+
+
+@_q(
+    "q59_tfidf_terms",
+    """
+    WITH wl AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+                FROM documents),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM wl GROUP BY doc_id, term),
+    dfq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+    n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs FROM documents),
+    scored AS (SELECT doc_id, term, tf, df,
+                      ROUND(tf * ln(n.n_docs / df), 6) AS tfidf
+               FROM tf JOIN dfq USING (term) CROSS JOIN n),
+    ranked AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                                            ORDER BY tfidf DESC, term) AS rk
+               FROM scored)
+    SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+           tfidf
+    FROM ranked WHERE rk <= 5
+    """,
+)
+def q59(spark, sf):
+    """Top-5 characteristic terms per document by tf·idf (corpus audit /
+    topical labeling) — df derived from the tf table (no second scan),
+    1-row N broadcast, per-doc window cut on the rounded score."""
+    from bran_spark.operators.search import tfidf_top_terms
+
+    t = tfidf_top_terms(_t(spark, sf, "documents"), k=5)
+    return t.select(
+        "doc_id", "term", F.col("tf").cast("long"), F.col("df").cast("long"), "tfidf"
+    )
+
+
+@_q(
+    "q60_ngram_dup_stats",
+    f"""
+    WITH wl AS (SELECT doc_id, string_split(lower(text), ' ') AS ws
+                FROM documents),
+    sh AS (SELECT doc_id, unnest(list_distinct({_SHINGLE_SQL.format(n=8)})) AS shingle
+           FROM wl),
+    dfq AS (SELECT shingle, COUNT(*) AS df FROM sh GROUP BY shingle),
+    per AS (SELECT doc_id, COUNT(*) AS n_ngrams,
+                   SUM(CASE WHEN df > 1 THEN 1 ELSE 0 END) AS n_dup
+            FROM sh JOIN dfq USING (shingle) GROUP BY doc_id)
+    SELECT doc_id AS id, CAST(n_ngrams AS BIGINT) AS n_ngrams,
+           CAST(n_dup AS BIGINT) AS n_dup,
+           ROUND(n_dup * 1.0 / n_ngrams, 6) AS dup_frac
+    FROM per
+    """,
+)
+def q60(spark, sf):
+    """Passage-level duplication profile: fraction of each doc's distinct
+    8-grams that appear in at least one other doc (the ExactSubstr signal
+    of Lee et al. 2022 at word-n-gram granularity)."""
+    from bran_spark.operators.dedup import duplicated_ngram_stats
+
+    return duplicated_ngram_stats(_t(spark, sf, "documents"), "doc_id", "text", n=8)
+
+
+_SAMPLE_RATES = {"en": 0.1, "zh": 0.3, "es": 0.3, "de": 0.3, "fr": 0.3}
+_HEXPOS = "strpos('0123456789abcdef', substr(h, {i}, 1)) - 1"
+_SAMPLE_KEY_SQL = " + ".join(
+    f"({_HEXPOS.format(i=i + 1)}) * {16 ** (3 - i)}" for i in range(4)
+)
+_SAMPLE_THR_SQL = "CASE " + " ".join(
+    f"WHEN lang = '{s}' THEN {int(r * 65536)}"
+    for s, r in sorted(_SAMPLE_RATES.items())
+) + " ELSE 0 END"
+
+
+@_q(
+    "q61_stratified_sample",
+    f"""
+    WITH h AS (SELECT doc_id, lang, md5(doc_id::VARCHAR) AS h FROM documents),
+    k AS (SELECT doc_id, lang, CAST({_SAMPLE_KEY_SQL} AS BIGINT) AS sample_key
+          FROM h)
+    SELECT doc_id, lang, sample_key FROM k
+    WHERE sample_key < {_SAMPLE_THR_SQL}
+    """,
+)
+def q61(spark, sf):
+    """Deterministic stratified sampling: keep 10% of English docs, 30% of
+    each other language, keyed on md5(doc_id) — engine-portable, shuffle-free
+    (pure projection + filter)."""
+    from bran_spark.operators.sampling import stratified_sample
+
+    return stratified_sample(
+        _t(spark, sf, "documents"), "lang", _SAMPLE_RATES
+    ).select("doc_id", "lang", "sample_key")
+
+
+@_q(
+    "q62_canonical_surface",
+    _FX_MENTIONS_SQL
+    + """
+    , cnt AS (SELECT mesh_id, text, COUNT(*) AS n_mentions
+              FROM m GROUP BY mesh_id, text),
+    rk AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY mesh_id
+                                        ORDER BY n_mentions DESC, text) AS rk
+           FROM cnt)
+    SELECT mesh_id, text AS surface, CAST(n_mentions AS BIGINT) AS n_mentions
+    FROM rk WHERE rk = 1
+    """,
+)
+def q62(spark, sf):
+    """Surface-form canonicalization: each entity's most frequent mention
+    text (deterministic tie-break) — the dictionary-free half of J4."""
+    from bran_spark.fixtures.gen import ensure, fixture_dir
+    from bran_spark.operators.linking import canonical_surface_forms
+    from bran_spark.plans.pipeline import Pipeline, PipelineConfig
+
+    s = _fixture_sf_for(sf)
+    ensure(s)
+    cfg = PipelineConfig(
+        fixture_dir=fixture_dir(s), checkpoint_root="/tmp/bran_ckpt_q", checkpoint=False
+    )
+    m = Pipeline(spark, cfg).stage_mentions(resume=False)
+    return canonical_surface_forms(m).select(
+        "mesh_id", "surface", F.col("n_mentions").cast("long")
+    )

@@ -1,0 +1,152 @@
+"""Graph analytics: PageRank (fixed-point), triangle counting
+(degree-ordered orientation), BFS, bipartite projection — plus the
+stratified sampler and the new curation operators."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from bran_spark.operators.graphalgo import (
+    PR_SCALE,
+    bfs_distances,
+    pagerank_fixed_point,
+    project_bipartite,
+    symmetric_edges,
+    triangle_counts,
+)
+from bran_spark.operators.sampling import stratified_sample
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(pairs, "subj string, obj string")
+
+
+def _local_pagerank(adj: dict[str, list[str]], iters: int) -> dict[str, int]:
+    """Reference implementation of the exact integer recurrence."""
+    base = PR_SCALE * 15 // 100
+    rank = {u: PR_SCALE for u in adj}
+    for _ in range(iters):
+        sums = {u: 0 for u in adj}
+        for u, nbrs in adj.items():
+            c = rank[u] // len(nbrs)
+            for v in nbrs:
+                sums[v] += c
+        rank = {u: base + (85 * sums[u]) // 100 for u in adj}
+    return rank
+
+
+def test_pagerank_matches_local_reference(spark):
+    pairs = [("a", "x"), ("a", "y"), ("b", "x"), ("c", "y"), ("c", "z")]
+    adj: dict[str, list[str]] = {}
+    for s, o in pairs:
+        adj.setdefault(s, []).append(o)
+        adj.setdefault(o, []).append(s)
+    expect = _local_pagerank(adj, iters=5)
+    got = {
+        r["entity"]: r["rank_fp"]
+        for r in pagerank_fixed_point(
+            symmetric_edges(_edges(spark, pairs)), iters=5
+        ).collect()
+    }
+    assert got == expect
+    # probability mass is conserved up to integer-floor loss (never grows)
+    assert sum(got.values()) <= len(adj) * PR_SCALE
+
+
+def test_pagerank_partition_invariant(spark):
+    pairs = [(f"c{i}", f"d{i % 3}") for i in range(20)]
+    sym = symmetric_edges(_edges(spark, pairs))
+    a = sorted(pagerank_fixed_point(sym.repartition(1), iters=3).collect())
+    b = sorted(pagerank_fixed_point(sym.repartition(7), iters=3).collect())
+    assert a == b
+
+
+def test_triangle_counts_k4(spark):
+    # K4: 4 triangles total, each node in exactly C(3,2)=3 of them
+    nodes = ["a", "b", "c", "d"]
+    e = [
+        (u, v) for i, u in enumerate(nodes) for v in nodes[i + 1 :]
+    ]
+    edges = spark.createDataFrame(e, "u string, v string")
+    got = {r["entity"]: r["n_triangles"] for r in triangle_counts(edges).collect()}
+    assert got == {n: 3 for n in nodes}
+
+
+def test_triangle_counts_path_has_none(spark):
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d")], "u string, v string"
+    )
+    assert triangle_counts(edges).count() == 0
+
+
+def test_project_bipartite_drops_hot_pivot(spark):
+    # pivot "hot" links 5 sources (> max 3) and must not generate edges;
+    # pivot "ok" links s1,s2 only
+    pairs = [(f"s{i}", "hot") for i in range(5)] + [("s1", "ok"), ("s2", "ok")]
+    proj = project_bipartite(_edges(spark, pairs), max_pivot_deg=3).collect()
+    assert {(r["u"], r["v"]) for r in proj} == {("s1", "s2")}
+
+
+def test_bfs_distances_path(spark):
+    pairs = [("n0", "n1"), ("n1", "n2"), ("n2", "n3"), ("n3", "n4"), ("n4", "n5")]
+    sym = symmetric_edges(spark.createDataFrame(pairs, "subj string, obj string"))
+    seeds = spark.createDataFrame([("n0",)], "u string")
+    got = {r["entity"]: r["dist"] for r in bfs_distances(sym, seeds, max_hops=3).collect()}
+    # n4/n5 are beyond 3 hops and absent
+    assert got == {"n0": 0, "n1": 1, "n2": 2, "n3": 3}
+
+
+def test_stratified_sample_deterministic_and_nested(spark, testdata_dir):
+    docs = spark.read.parquet(f"{testdata_dir}/documents.parquet")
+    lo = stratified_sample(docs, "lang", {"en": 0.1}, default_rate=0.2)
+    hi = stratified_sample(docs, "lang", {"en": 0.3}, default_rate=0.5)
+    lo_ids = {r["doc_id"] for r in lo.select("doc_id").collect()}
+    lo_ids2 = {r["doc_id"] for r in lo.select("doc_id").collect()}
+    hi_ids = {r["doc_id"] for r in hi.select("doc_id").collect()}
+    assert lo_ids == lo_ids2          # deterministic across runs
+    assert lo_ids <= hi_ids           # threshold samples are nested
+    n = docs.count()
+    assert 0 < len(lo_ids) < n
+
+
+def test_duplicated_ngram_stats_flags_shared_passage(spark):
+    shared = "one two three four five six seven eight"
+    rows = [
+        (1, shared + " tail a"),
+        (2, shared + " tail b"),
+        (3, "totally different words with no overlap at all here"),
+    ]
+    from bran_spark.operators.dedup import duplicated_ngram_stats
+
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["id"]: r for r in duplicated_ngram_stats(df, "doc_id", "text", n=8).collect()}
+    assert got[1]["n_dup"] >= 1 and got[2]["n_dup"] >= 1
+    assert got[3]["n_dup"] == 0
+    assert 0 < got[1]["dup_frac"] <= 1.0
+
+
+def test_tfidf_top_terms_ranks_distinctive_word(spark):
+    from bran_spark.operators.search import tfidf_top_terms
+
+    rows = [
+        (1, "common common zebra"),
+        (2, "common common common"),
+        (3, "common words only"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    top = tfidf_top_terms(df, k=1).collect()
+    d1 = next(r for r in top if r["doc_id"] == 1)
+    assert d1["term"] == "zebra"      # unique term beats the stop-ish word
+    assert d1["df"] == 1
+
+
+def test_canonical_surface_forms_argmax_and_tiebreak(spark):
+    from bran_spark.operators.linking import canonical_surface_forms
+
+    rows = [
+        ("M1", "aspirin"), ("M1", "aspirin"), ("M1", "asa"),
+        ("M2", "b-form"), ("M2", "a-form"),   # tie → lexicographic
+    ]
+    df = spark.createDataFrame(rows, "mesh_id string, text string")
+    got = {r["mesh_id"]: (r["surface"], r["n_mentions"]) for r in canonical_surface_forms(df).collect()}
+    assert got == {"M1": ("aspirin", 2), "M2": ("a-form", 1)}
