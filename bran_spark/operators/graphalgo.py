@@ -36,7 +36,7 @@ classic shuffle hazards):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 PR_SCALE = 10**12      # fixed-point rank unit (1.0 == 10^12)
@@ -67,6 +67,10 @@ def pagerank_fixed_point(
     under 2^63 → fine to ~10^5 nodes at scale=10^12 (drop scale for more).
     """
     base = scale * (PR_DAMP_DEN - PR_DAMP_NUM) // PR_DAMP_DEN
+    # materialize the edge list ONCE — it is re-joined every iteration, and
+    # without this the whole upstream DAG (scan → mentions → pairs) would
+    # re-execute per round
+    sym = sym.localCheckpoint(eager=True)
     deg = sym.groupBy("u").agg(F.count("*").alias("deg"))
     # ranks carry deg so each iteration is edge-join + one groupBy shuffle
     ranks = deg.withColumn("rank", F.lit(scale).cast("long")).localCheckpoint(
@@ -145,7 +149,7 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
         F.when(F.col("ku") < F.col("kv"), F.col("u")).otherwise(F.col("v")).alias("src"),
         F.when(F.col("ku") < F.col("kv"), F.col("v")).otherwise(F.col("u")).alias("dst"),
         F.when(F.col("ku") < F.col("kv"), F.col("kv")).otherwise(F.col("ku")).alias("kdst"),
-    )
+    ).localCheckpoint(eager=True)  # consumed by three branches below
     w1 = oriented.select(
         F.col("src").alias("a"), F.col("dst").alias("b"), F.col("kdst").alias("kb")
     )
@@ -173,6 +177,7 @@ def bfs_distances(sym: DataFrame, seeds: DataFrame, max_hops: int = 4) -> DataFr
     only the nodes discovered last round against the edges (not the whole
     visited set), then a min-dedup against visited. Unreached nodes are
     absent from the output."""
+    sym = sym.localCheckpoint(eager=True)  # re-joined every hop
     visited = seeds.select(
         F.col(seeds.columns[0]).alias("u"), F.lit(0).cast("int").alias("dist")
     ).distinct().localCheckpoint(eager=True)
@@ -190,3 +195,73 @@ def bfs_distances(sym: DataFrame, seeds: DataFrame, max_hops: int = 4) -> DataFr
         visited = visited.union(nxt).localCheckpoint(eager=True)
         frontier = nxt
     return visited.select(F.col("u").alias("entity"), "dist")
+
+
+def label_propagation(sym: DataFrame, iters: int = 3) -> DataFrame:
+    """(entity, label) after ``iters`` SYNCHRONOUS label-propagation rounds:
+    every node simultaneously adopts its neighbors' plurality label, ties
+    broken by minimum label — fully deterministic (async LPA, the textbook
+    variant, is order-dependent and therefore unreproducible; synchronous
+    with a total tie-break is the distributed-systems formulation).
+    Initial label = own id. Per round: one edge-join shuffle + one count
+    aggregate + an argmax window over the aggregated (node, label) table;
+    lineage truncated per round."""
+    sym = sym.localCheckpoint(eager=True)  # re-joined every round
+    labels = (
+        sym.select("u").distinct().withColumn("label", F.col("u"))
+        .localCheckpoint(eager=True)
+    )
+    w = Window.partitionBy("u").orderBy(F.desc("c"), F.asc("label"))
+    for _ in range(iters):
+        nbr = sym.join(
+            labels.select(F.col("u").alias("v"), "label"), "v"
+        ).select("u", "label")
+        counts = nbr.groupBy("u", "label").agg(F.count(F.lit(1)).alias("c"))
+        labels = (
+            counts.withColumn("rk", F.row_number().over(w))
+            .where(F.col("rk") == 1)
+            .select("u", "label")
+            .localCheckpoint(eager=True)
+        )
+    return labels.select(F.col("u").alias("entity"), "label")
+
+
+def cooccurrence_pmi(
+    ent: DataFrame, type_a: str = "Chemical", type_b: str = "Disease"
+) -> DataFrame:
+    """Edge weighting for the constructed KG: pointwise mutual information
+    of each (type_a, type_b) entity pair over document co-occurrence.
+    pmi = ln(n_co · D / (n_a · n_b)) with D = docs containing ≥1 entity.
+
+    Input is the distinct (doc_id, mesh_id, type) entity-incidence table.
+    One doc-keyed join builds pair counts (bounded per-doc fan-out, F4);
+    the two marginals are entity-dimension-sized → broadcast back; D is a
+    1-row broadcast. Returns (subj, obj, n_co, pmi) — pmi rounded 6dp."""
+    a = ent.where(F.col("type") == type_a).select(
+        "doc_id", F.col("mesh_id").alias("subj")
+    )
+    b = ent.where(F.col("type") == type_b).select(
+        "doc_id", F.col("mesh_id").alias("obj")
+    )
+    n_co = a.join(b, "doc_id").groupBy("subj", "obj").agg(
+        F.count(F.lit(1)).alias("n_co")
+    )
+    n_a = a.groupBy("subj").agg(F.count(F.lit(1)).alias("n_s"))
+    n_b = b.groupBy("obj").agg(F.count(F.lit(1)).alias("n_o"))
+    d = ent.select("doc_id").distinct().agg(
+        F.count(F.lit(1)).cast("long").alias("d_docs")
+    )
+    return (
+        n_co.join(F.broadcast(n_a), "subj")
+        .join(F.broadcast(n_b), "obj")
+        .crossJoin(F.broadcast(d))
+        .select(
+            "subj",
+            "obj",
+            "n_co",
+            F.round(
+                F.log((F.col("n_co") * F.col("d_docs")) / (F.col("n_s") * F.col("n_o"))),
+                6,
+            ).alias("pmi"),
+        )
+    )

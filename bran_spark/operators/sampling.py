@@ -46,3 +46,67 @@ def stratified_sample(
     return df.withColumn("sample_key", sample_key(id_col)).where(
         F.col("sample_key") < thr
     )
+
+
+def negative_samples(
+    pos: DataFrame,
+    entity_pool: DataFrame,
+    k: int = 2,
+    subj_col: str = "subj",
+    obj_col: str = "obj",
+) -> DataFrame:
+    """KG-training negative sampling: for every positive (subj, obj) pair,
+    ``k`` corrupted-object negatives drawn deterministically from the
+    entity pool — neg_obj = pool[md5(subj:obj:i) mod N] over the pool in
+    sorted order. Deterministic sampling (vs rand()) makes training data
+    reproducible and the operator oracle-checkable.
+
+    The pool is an entity DIMENSION (bounded, ≪ corpus), so the global
+    rank window on it is a deliberate single-partition step on dim-scale
+    data (same legality as a broadcast dim); the corpus-scale side is a
+    pure projection + explode + one broadcast join on the index. Accidental
+    hits (a sampled negative that is actually a positive) are FLAGGED, not
+    silently dropped, so the caller controls filtered-vs-unfiltered
+    semantics. Returns (subj, obj, i, neg_obj, is_collision)."""
+    from pyspark.sql import Window
+
+    pool = entity_pool.select(F.col(entity_pool.columns[0]).alias("ent")).distinct()
+    ranked = pool.withColumn(
+        "idx",
+        F.row_number().over(Window.orderBy("ent")).cast("long") - 1,
+    )
+    n = ranked.count()
+    p = pos.select(F.col(subj_col).alias("subj"), F.col(obj_col).alias("obj")).distinct()
+    drawn = p.select(
+        "subj", "obj", F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("i")
+    ).withColumn(
+        "idx",
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws(":", F.col("subj"), F.col("obj"), F.col("i"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("long")
+        % n,
+    )
+    with_neg = drawn.join(F.broadcast(ranked), "idx").withColumnRenamed(
+        "ent", "neg_obj"
+    )
+    mark = p.select(
+        F.col("subj").alias("m_subj"), F.col("obj").alias("m_obj"), F.lit(1).alias("hit")
+    )
+    return (
+        with_neg.join(
+            mark,
+            (F.col("subj") == F.col("m_subj")) & (F.col("neg_obj") == F.col("m_obj")),
+            "left",
+        )
+        .select(
+            "subj",
+            "obj",
+            F.col("i").cast("int").alias("i"),
+            "neg_obj",
+            F.coalesce(F.col("hit"), F.lit(0)).cast("int").alias("is_collision"),
+        )
+    )

@@ -1859,10 +1859,14 @@ def _fx_entity_pairs(spark, sf) -> DataFrame:
             F.collect_list(F.when(F.col("type") == "Disease", F.col("mesh_id")))
         ).alias("diss"),
     )
+    # materialized once: q56-q58/q64/q65 consume this small edge table from
+    # multiple branches and iterative loops — without this the mention
+    # pipeline upstream re-executes per branch
     return (
         per_doc.select(F.explode("chems").alias("subj"), "diss")
         .select("subj", F.explode("diss").alias("obj"))
         .distinct()
+        .localCheckpoint(eager=True)
     )
 
 
@@ -2091,3 +2095,123 @@ def q62(spark, sf):
     return canonical_surface_forms(m).select(
         "mesh_id", "surface", F.col("n_mentions").cast("long")
     )
+
+
+def _fx_entity_incidence(spark, sf) -> DataFrame:
+    """Distinct (doc_id, mesh_id, type) entity-incidence table of the
+    fixture corpus (the `ent` CTE of the SQL twins)."""
+    from bran_spark.fixtures.gen import ensure, fixture_dir
+    from bran_spark.plans.pipeline import Pipeline, PipelineConfig
+
+    s = _fixture_sf_for(sf)
+    ensure(s)
+    cfg = PipelineConfig(
+        fixture_dir=fixture_dir(s), checkpoint_root="/tmp/bran_ckpt_q", checkpoint=False
+    )
+    return (
+        Pipeline(spark, cfg)
+        .stage_mentions(resume=False)
+        .select("doc_id", "mesh_id", "type")
+        .distinct()
+    )
+
+
+@_q(
+    "q63_cooccurrence_pmi",
+    _FX_MENTIONS_SQL
+    + """
+    , ent AS (SELECT DISTINCT doc_id, mesh_id, type FROM m),
+    a AS (SELECT doc_id, mesh_id AS subj FROM ent WHERE type = 'Chemical'),
+    b AS (SELECT doc_id, mesh_id AS obj FROM ent WHERE type = 'Disease'),
+    pc AS (SELECT subj, obj, COUNT(*) AS n_co
+           FROM a JOIN b USING (doc_id) GROUP BY subj, obj),
+    na AS (SELECT subj, COUNT(*) AS n_s FROM a GROUP BY subj),
+    nb AS (SELECT obj, COUNT(*) AS n_o FROM b GROUP BY obj),
+    dd AS (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS d_docs FROM ent)
+    SELECT subj, obj, CAST(n_co AS BIGINT) AS n_co,
+           ROUND(ln((n_co * d_docs) / (n_s * n_o)), 6) AS pmi
+    FROM pc JOIN na USING (subj) JOIN nb USING (obj) CROSS JOIN dd
+    """,
+)
+def q63(spark, sf):
+    """KG edge weighting: document-co-occurrence PMI per chemical-disease
+    pair — pair counts via one doc-keyed join, marginals broadcast back,
+    1-row D broadcast (graphalgo.cooccurrence_pmi)."""
+    from bran_spark.operators.graphalgo import cooccurrence_pmi
+
+    return cooccurrence_pmi(_fx_entity_incidence(spark, sf))
+
+
+def _lpa_iter_sql(iters: int) -> str:
+    parts = []
+    for i in range(1, iters + 1):
+        parts.append(f"""
+    , nc{i} AS (SELECT e.u, l.label, COUNT(*) AS c
+                FROM sym e JOIN l{i - 1} l ON e.v = l.u GROUP BY e.u, l.label),
+    l{i} AS (SELECT u, label FROM (
+               SELECT u, label,
+                      ROW_NUMBER() OVER (PARTITION BY u
+                                         ORDER BY c DESC, label) AS rk
+               FROM nc{i}) t
+             WHERE rk = 1)""")
+    return "".join(parts)
+
+
+@_q(
+    "q64_label_propagation",
+    _FX_PAIRS_SQL
+    + """
+    , l0 AS (SELECT DISTINCT u, u AS label FROM sym)
+    """
+    + _lpa_iter_sql(3)
+    + """
+    SELECT u AS entity, label FROM l3
+    """,
+)
+def q64(spark, sf):
+    """Community detection: 3 synchronous label-propagation rounds
+    (plurality neighbor label, min tie-break — the deterministic
+    distributed LPA formulation; see graphalgo.label_propagation)."""
+    from bran_spark.operators.graphalgo import label_propagation, symmetric_edges
+
+    return label_propagation(
+        symmetric_edges(_fx_entity_pairs(spark, sf)), iters=3
+    )
+
+
+_HEX8_SQL = " + ".join(
+    f"(strpos('0123456789abcdef', substr(h, {j + 1}, 1)) - 1) * {16 ** (7 - j)}"
+    for j in range(8)
+)
+
+
+@_q(
+    "q65_negative_samples",
+    _FX_PAIRS_SQL
+    + f"""
+    , pool AS (SELECT ent, ROW_NUMBER() OVER (ORDER BY ent) - 1 AS idx
+               FROM (SELECT DISTINCT obj AS ent FROM pairs) t),
+    npool AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM pool),
+    dr0 AS (SELECT subj, obj, i,
+                   md5(subj || ':' || obj || ':' || CAST(i AS VARCHAR)) AS h
+            FROM pairs CROSS JOIN (SELECT unnest(range(2)) AS i) z),
+    drawn AS (SELECT subj, obj, i,
+                     CAST({_HEX8_SQL} AS BIGINT) % (SELECT n FROM npool) AS idx
+              FROM dr0),
+    wneg AS (SELECT d.subj, d.obj, d.i, p.ent AS neg_obj
+             FROM drawn d JOIN pool p USING (idx))
+    SELECT w.subj, w.obj, CAST(w.i AS INT) AS i, w.neg_obj,
+           CASE WHEN p2.subj IS NOT NULL THEN 1 ELSE 0 END AS is_collision
+    FROM wneg w LEFT JOIN pairs p2
+      ON p2.subj = w.subj AND p2.obj = w.neg_obj
+    """,
+)
+def q65(spark, sf):
+    """KG-training negative sampling: 2 deterministic corrupted-object
+    negatives per positive pair, drawn md5(subj:obj:i) mod N from the
+    ranked disease pool; accidental positives flagged, not dropped
+    (sampling.negative_samples)."""
+    from bran_spark.operators.sampling import negative_samples
+
+    pairs = _fx_entity_pairs(spark, sf)
+    return negative_samples(pairs, pairs.select("obj"), k=2)

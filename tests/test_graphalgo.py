@@ -150,3 +150,51 @@ def test_canonical_surface_forms_argmax_and_tiebreak(spark):
     df = spark.createDataFrame(rows, "mesh_id string, text string")
     got = {r["mesh_id"]: (r["surface"], r["n_mentions"]) for r in canonical_surface_forms(df).collect()}
     assert got == {"M1": ("aspirin", 2), "M2": ("a-form", 1)}
+
+
+def test_label_propagation_two_cliques(spark):
+    # two disjoint triangles: each converges to its own min label
+    e = [("a1", "a2"), ("a2", "a3"), ("a1", "a3"),
+         ("b1", "b2"), ("b2", "b3"), ("b1", "b3")]
+    sym = symmetric_edges(spark.createDataFrame(e, "subj string, obj string"))
+    from bran_spark.operators.graphalgo import label_propagation
+
+    got = {r["entity"]: r["label"] for r in label_propagation(sym, iters=4).collect()}
+    assert {got[n] for n in ("a1", "a2", "a3")} == {"a1"}
+    assert {got[n] for n in ("b1", "b2", "b3")} == {"b1"}
+
+
+def test_cooccurrence_pmi_known_values(spark):
+    import math
+
+    from bran_spark.operators.graphalgo import cooccurrence_pmi
+
+    # 4 docs: (c1,d1) together twice, c1 in 3 docs, d1 in 2 docs
+    rows = [
+        (1, "c1", "Chemical"), (1, "d1", "Disease"),
+        (2, "c1", "Chemical"), (2, "d1", "Disease"),
+        (3, "c1", "Chemical"), (3, "d2", "Disease"),
+        (4, "c2", "Chemical"), (4, "d2", "Disease"),
+    ]
+    ent = spark.createDataFrame(rows, "doc_id long, mesh_id string, type string")
+    got = {(r["subj"], r["obj"]): r for r in cooccurrence_pmi(ent).collect()}
+    r = got[("c1", "d1")]
+    assert r["n_co"] == 2
+    assert r["pmi"] == round(math.log((2 * 4) / (3 * 2)), 6)
+
+
+def test_negative_samples_deterministic_and_flagged(spark):
+    from bran_spark.operators.sampling import negative_samples
+
+    pos = spark.createDataFrame(
+        [("s1", "o1"), ("s1", "o2"), ("s2", "o1")], "subj string, obj string"
+    )
+    pool = spark.createDataFrame([("o1",), ("o2",), ("o3",)], "ent string")
+    a = sorted(map(tuple, negative_samples(pos, pool, k=2).collect()))
+    b = sorted(map(tuple, negative_samples(pos, pool, k=2).collect()))
+    assert a == b                      # deterministic
+    assert len(a) == 6                 # k negatives per positive
+    for subj, obj, i, neg, coll in a:
+        # collision flag is consistent with the positive set
+        is_pos = (subj, neg) in {("s1", "o1"), ("s1", "o2"), ("s2", "o1")}
+        assert coll == int(is_pos)
