@@ -265,3 +265,43 @@ def cooccurrence_pmi(
             ).alias("pmi"),
         )
     )
+
+
+def ancestor_closure(
+    edges: DataFrame,
+    child: str = "child",
+    parent: str = "parent",
+    max_depth: int = 6,
+) -> DataFrame:
+    """Transitive ancestor closure of a (child, parent) DAG — the full MeSH
+    hierarchy expansion behind the hypernym filter (J3): (child, ancestor,
+    depth) with depth = SHORTEST parent-path length, bounded by max_depth.
+
+    Level-synchronous BFS over all sources at once: each round expands only
+    the pairs discovered last round (one join + one anti-join dedup shuffle),
+    so a pair reachable along many paths is expanded exactly once at its
+    shortest depth — path-count explosion on diamond-heavy DAGs never
+    happens. Terminates early when a round finds nothing new."""
+    e = (
+        edges.select(F.col(child).alias("child"), F.col(parent).alias("ancestor"))
+        .where(F.col("child") != F.col("ancestor"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    closure = e.withColumn("depth", F.lit(1).cast("int"))
+    frontier = closure
+    for d in range(2, max_depth + 1):
+        nxt = (
+            frontier.select("child", F.col("ancestor").alias("mid"))
+            .join(e.select(F.col("child").alias("mid"), "ancestor"), "mid")
+            .select("child", "ancestor")
+            .distinct()
+            .join(closure.select("child", "ancestor"), ["child", "ancestor"], "left_anti")
+            .withColumn("depth", F.lit(d).cast("int"))
+            .localCheckpoint(eager=True)
+        )
+        if not nxt.head(1):
+            break
+        closure = closure.union(nxt).localCheckpoint(eager=True)
+        frontier = nxt
+    return closure

@@ -2215,3 +2215,44 @@ def q65(spark, sf):
 
     pairs = _fx_entity_pairs(spark, sf)
     return negative_samples(pairs, pairs.select("obj"), k=2)
+
+
+def _closure_sql(max_depth: int) -> str:
+    parts = [
+        f"""
+    WITH e AS (SELECT mesh_id AS child, unnest(parents) AS parent
+               FROM read_parquet('{_FX01}/mesh_dict.parquet')),
+    a1 AS (SELECT child, parent, 1 AS depth FROM e)"""
+    ]
+    for d in range(2, max_depth + 1):
+        parts.append(f"""
+    , a{d} AS (SELECT a{d - 1}.child, e.parent, {d} AS depth
+               FROM a{d - 1} JOIN e ON e.child = a{d - 1}.parent)""")
+    union = " UNION ALL ".join(f"SELECT * FROM a{d}" for d in range(1, max_depth + 1))
+    parts.append(f"""
+    , allp AS ({union})
+    SELECT child AS mesh_id, parent AS ancestor,
+           CAST(MIN(depth) AS INT) AS depth
+    FROM allp GROUP BY child, parent""")
+    return "".join(parts)
+
+
+@_q("q66_ancestor_closure", _closure_sql(6))
+def q66(spark, sf):
+    """Transitive MeSH ancestor closure with shortest depth — the full
+    hierarchy expansion behind the hypernym filter (J3), level-synchronous
+    BFS over the parent DAG (graphalgo.ancestor_closure). The oracle
+    enumerates ALL bounded paths and takes MIN(depth) — identical result,
+    quadratic path blowup the Spark side deliberately avoids."""
+    from bran_spark.fixtures.gen import ensure, fixture_dir
+    from bran_spark.operators.graphalgo import ancestor_closure
+
+    s = _fixture_sf_for(sf)
+    ensure(s)
+    dict_df = spark.read.parquet(f"{fixture_dir(s)}/mesh_dict.parquet")
+    edges = dict_df.select(
+        F.col("mesh_id").alias("child"), F.explode("parents").alias("parent")
+    )
+    return ancestor_closure(edges, max_depth=6).select(
+        F.col("child").alias("mesh_id"), "ancestor", "depth"
+    )

@@ -248,3 +248,28 @@ class IcebergTableIO:
         if snap is not None:
             return spark.read.option("snapshot-id", snap).table(fq)
         return spark.read.table(fq)
+
+
+def write_bucketed(
+    df,
+    name: str,
+    path: str,
+    bucket_cols: list[str],
+    num_buckets: int = 8,
+    sort_cols: list[str] | None = None,
+) -> None:
+    """Persist ``df`` as a bucketed external table (registered in the
+    session catalog so ``spark.table(name)`` exposes the bucketing spec).
+
+    This is the co-located-join layout for 100 TB fact tables: two tables
+    bucketed by the same key into the same bucket count join WITHOUT any
+    shuffle (Catalyst sees the hash-distribution from the catalog and plans
+    a zero-Exchange sort-merge join) — asserted by tests/test_layout.py.
+    On a real cluster the same call shape targets the warehouse/Iceberg
+    catalog instead of an explicit path."""
+    w = df.write.mode("overwrite").option("path", path).bucketBy(
+        num_buckets, *bucket_cols
+    )
+    if sort_cols:
+        w = w.sortBy(*sort_cols)
+    w.format("parquet").saveAsTable(name)

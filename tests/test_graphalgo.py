@@ -198,3 +198,37 @@ def test_negative_samples_deterministic_and_flagged(spark):
         # collision flag is consistent with the positive set
         is_pos = (subj, neg) in {("s1", "o1"), ("s1", "o2"), ("s2", "o1")}
         assert coll == int(is_pos)
+
+
+def test_ancestor_closure_diamond_shortest_depth(spark):
+    from bran_spark.operators.graphalgo import ancestor_closure
+
+    # diamond: d -> b -> a, d -> c -> a, plus direct d -> a
+    e = [("b", "a"), ("c", "a"), ("d", "b"), ("d", "c"), ("d", "a")]
+    df = spark.createDataFrame(e, "child string, parent string")
+    got = {(r["child"], r["ancestor"]): r["depth"] for r in ancestor_closure(df).collect()}
+    assert got[("d", "a")] == 1      # direct edge wins over the 2-hop paths
+    assert got[("d", "b")] == 1 and got[("b", "a")] == 1
+    assert len(got) == 5
+
+
+def test_ancestor_closure_matches_fixture_ancestors(spark, fx_dir):
+    from bran_spark.operators.graphalgo import ancestor_closure
+
+    d = spark.read.parquet(f"{fx_dir}/mesh_dict.parquet")
+    edges = d.select(
+        F.col("mesh_id").alias("child"), F.explode("parents").alias("parent")
+    )
+    got = (
+        ancestor_closure(edges, max_depth=10)
+        .groupBy("child")
+        .agg(F.sort_array(F.collect_set("ancestor")).alias("anc"))
+    )
+    stored = d.select(
+        F.col("mesh_id").alias("child"), F.sort_array(F.col("ancestors")).alias("anc2")
+    ).where(F.size("ancestors") > 0)
+    joined = stored.join(got, "child", "left")
+    bad = joined.where(
+        F.col("anc").isNull() | (F.col("anc") != F.col("anc2"))
+    ).count()
+    assert bad == 0  # closure reproduces the generator's precomputed ancestors
