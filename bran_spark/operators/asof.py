@@ -66,3 +66,30 @@ def asof_join(
         *[c for c in left.columns],
         *[F.col(f"_rlast.{c}").alias(c) for c in rcols],
     )
+
+
+def merge_latest(
+    base: DataFrame,
+    updates: DataFrame,
+    keys: list[str],
+    order_col: str,
+    tiebreak: str,
+) -> DataFrame:
+    """CDC latest-wins compaction (the MERGE INTO / upsert pattern): union
+    base and update rows, keep exactly one row per key — the one with the
+    greatest (order_col, tiebreak). One union (no shuffle) + one window
+    shuffle keyed by the merge keys; Spark 4 plans WindowGroupLimit, so only
+    the winning row per key survives the partial pass before the exchange.
+    The deterministic tiebreak makes re-runs byte-identical — mandatory for
+    a resumable snapshot sink."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*keys).orderBy(
+        F.desc(order_col), F.desc(tiebreak)
+    )
+    return (
+        base.unionByName(updates)
+        .withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") == 1)
+        .drop("_rk")
+    )

@@ -2256,3 +2256,146 @@ def q66(spark, sf):
     return ancestor_closure(edges, max_depth=6).select(
         F.col("child").alias("mesh_id"), "ancestor", "depth"
     )
+
+
+# =========================================================================
+# §7 Relational-surface completions (round 2): CDC merge, full outer,
+#    pivot, cube
+# =========================================================================
+
+
+@_q(
+    "q67_merge_latest",
+    """
+    WITH u AS (SELECT * FROM events WHERE ts < TIMESTAMP '2024-06-01'
+               UNION ALL
+               SELECT * FROM events WHERE ts >= TIMESTAMP '2024-06-01'),
+    rk AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                        ORDER BY ts DESC, event_id DESC) AS rk
+           FROM u)
+    SELECT event_id, user_id, event_type, ts, value
+    FROM rk WHERE rk = 1
+    """,
+)
+def q67(spark, sf):
+    """CDC latest-wins merge (upsert compaction): base = events before a
+    cutoff, updates = events after; one surviving row per
+    (user_id, event_type) by greatest (ts, event_id)."""
+    from bran_spark.operators.asof import merge_latest
+
+    ev = _t(spark, sf, "events")
+    base = ev.where(F.col("ts") < F.lit("2024-06-01").cast("timestamp"))
+    updates = ev.where(F.col("ts") >= F.lit("2024-06-01").cast("timestamp"))
+    return merge_latest(
+        base, updates, keys=["user_id", "event_type"],
+        order_col="ts", tiebreak="event_id",
+    ).select("event_id", "user_id", "event_type", "ts", "value")
+
+
+@_q(
+    "q68_full_outer",
+    """
+    WITH c AS (SELECT c_nationkey AS nk, COUNT(*) AS n_cust
+               FROM customer GROUP BY c_nationkey),
+    s AS (SELECT s_nationkey AS nk, COUNT(*) AS n_supp
+          FROM supplier GROUP BY s_nationkey)
+    SELECT COALESCE(c.nk, s.nk) AS nationkey,
+           CAST(COALESCE(n_cust, 0) AS BIGINT) AS n_cust,
+           CAST(COALESCE(n_supp, 0) AS BIGINT) AS n_supp
+    FROM c FULL OUTER JOIN s ON c.nk = s.nk
+    """,
+)
+def q68(spark, sf):
+    """Full-outer join of two aggregates (the one join type the corpus
+    lacked) with COALESCE null-repair on both sides."""
+    c = (
+        _t(spark, sf, "customer")
+        .groupBy(F.col("c_nationkey").alias("nk"))
+        .agg(F.count(F.lit(1)).alias("n_cust"))
+    )
+    s = (
+        _t(spark, sf, "supplier")
+        .groupBy(F.col("s_nationkey").alias("nk_s"))
+        .agg(F.count(F.lit(1)).alias("n_supp"))
+    )
+    return (
+        c.join(s, c.nk == s.nk_s, "full_outer")
+        .select(
+            F.coalesce(c.nk, s.nk_s).alias("nationkey"),
+            F.coalesce("n_cust", F.lit(0)).cast("long").alias("n_cust"),
+            F.coalesce("n_supp", F.lit(0)).cast("long").alias("n_supp"),
+        )
+    )
+
+
+_LANGS = ["de", "en", "es", "fr", "zh"]
+
+
+@_q(
+    "q69_pivot",
+    "SELECT source, "
+    + ", ".join(
+        f"CAST(SUM(CASE WHEN lang = '{lg}' THEN 1 ELSE 0 END) AS BIGINT) AS {lg}"
+        for lg in _LANGS
+    )
+    + " FROM documents GROUP BY source",
+)
+def q69(spark, sf):
+    """Pivot: per-source document counts with one column per language —
+    explicit value list, so the schema is static and the plan is a single
+    partial-agg groupBy (pivot with inferred values would add a distinct
+    scan)."""
+    return (
+        _t(spark, sf, "documents")
+        .groupBy("source")
+        .pivot("lang", _LANGS)
+        .count()
+        .select(
+            "source", *[F.coalesce(F.col(lg), F.lit(0)).alias(lg) for lg in _LANGS]
+        )
+    )
+
+
+@_q(
+    "q70_cube",
+    """
+    SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(n_chars) AS BIGINT) AS chars
+    FROM documents GROUP BY CUBE (lang, source)
+    """,
+)
+def q70(spark, sf):
+    """CUBE over (lang, source) — all four grouping levels in one pass
+    (Catalyst expands to a single Expand + partial agg, not four scans)."""
+    return (
+        _t(spark, sf, "documents")
+        .cube("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("n_chars").cast("long").alias("chars"),
+        )
+    )
+
+
+@_q("q71_approx_stats")
+def q71(spark, sf):
+    """Sketch-based corpus stats — approx_count_distinct (HyperLogLog++)
+    and approx_percentile per language. The scale path for cardinality /
+    quantiles at 10^12 rows (exact distinct = a full shuffle; the sketch is
+    one partial-agg pass, mergeable across partitions). No SQL twin by
+    design: sketch estimates are implementation-specific — the 5%-tolerance
+    contract vs exact counts is pinned by tests/test_approx.py."""
+    return (
+        _t(spark, sf, "documents")
+        .groupBy("lang")
+        .agg(
+            F.approx_count_distinct("doc_id", rsd=0.02).alias("approx_docs"),
+            F.percentile_approx("n_chars", [0.5, 0.9], 10000).alias("chars_p50_p90"),
+        )
+        .select(
+            "lang",
+            "approx_docs",
+            F.col("chars_p50_p90")[0].alias("chars_p50"),
+            F.col("chars_p50_p90")[1].alias("chars_p90"),
+        )
+    )

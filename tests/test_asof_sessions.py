@@ -140,3 +140,34 @@ def test_kmeans_cells_recover_planted_clusters(spark):
     assert cells_a == {1} and cells_b == {0} or cells_a == {0} and cells_b == {1}
     out2 = {r.vec_id: r.cell for r in kmeans_cells(emb, k=2, iters=3).collect()}
     assert out == out2
+
+
+def test_merge_latest_upsert_semantics(spark):
+    from bran_spark.operators.asof import merge_latest
+
+    base = spark.createDataFrame(
+        [(1, "k1", 10, 100.0), (2, "k2", 10, 200.0)],
+        "event_id long, k string, ts long, value double",
+    )
+    updates = spark.createDataFrame(
+        [(3, "k1", 20, 111.0),   # newer → wins
+         (4, "k3", 5, 300.0)],   # new key → inserted
+        "event_id long, k string, ts long, value double",
+    )
+    got = {
+        r["k"]: (r["event_id"], r["value"])
+        for r in merge_latest(base, updates, ["k"], "ts", "event_id").collect()
+    }
+    assert got == {"k1": (3, 111.0), "k2": (2, 200.0), "k3": (4, 300.0)}
+
+
+def test_merge_latest_tiebreak_deterministic(spark):
+    from bran_spark.operators.asof import merge_latest
+
+    base = spark.createDataFrame(
+        [(1, "k", 10, 1.0), (2, "k", 10, 2.0)],
+        "event_id long, k string, ts long, value double",
+    )
+    empty = base.where(F.lit(False))
+    r = merge_latest(base, empty, ["k"], "ts", "event_id").collect()
+    assert len(r) == 1 and r[0]["event_id"] == 2  # equal ts → max event_id
