@@ -109,3 +109,15 @@ def shingles(col: str | Column, n: int = 5) -> Column:
         F.sequence(F.lit(0), F.greatest(F.size(w) - n, F.lit(0))),
         lambda i: F.array_join(F.slice(w, i + 1, n), " "),
     )
+
+
+def char_shingles(col: str | Column, n: int = 3) -> Column:
+    """Character n-gram shingles of the lowercased string — the blocking
+    key for entity-NAME similarity (word shingles are useless on single-
+    token names). Mirrors the word ``shingles`` indexing: i = 0..len-n
+    (a too-short string yields its single truncated self)."""
+    c = F.lower(F.col(col) if isinstance(col, str) else col)
+    return F.transform(
+        F.sequence(F.lit(0), F.greatest(F.length(c) - n, F.lit(0))),
+        lambda i: c.substr(i + F.lit(1), F.lit(n)),
+    )

@@ -55,6 +55,7 @@ def ngram_jaccard_pairs(
     n: int = 8,
     min_jaccard: float = 0.5,
     max_df: int = 50,
+    shingler=shingles,
 ) -> DataFrame:
     """Near-dup pairs by n-gram Jaccard ≥ threshold.
 
@@ -71,7 +72,7 @@ def ngram_jaccard_pairs(
     """
     sh = _even_parallelism(df).select(
         F.col(id_col).alias("id"),
-        F.explode(F.array_distinct(shingles(text_col, n))).alias("shingle"),
+        F.explode(F.array_distinct(shingler(text_col, n))).alias("shingle"),
     )
     sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
     hot = sh.groupBy("shingle").agg(F.count("*").alias("df")).where(

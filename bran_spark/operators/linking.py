@@ -68,3 +68,35 @@ def canonical_surface_forms(mentions: DataFrame) -> DataFrame:
         .where(F.col("rk") == 1)
         .select("mesh_id", F.col("text").alias("surface"), "n_mentions")
     )
+
+
+def name_neardup_pairs(
+    entities: DataFrame,
+    id_col: str = "mesh_id",
+    name_col: str = "canonical_name",
+    n: int = 3,
+    min_jaccard: float = 0.4,
+    max_df: int = 200,
+) -> DataFrame:
+    """Entity-dictionary resolution candidates: pairs of entities whose
+    NAMES are near-duplicates by character-trigram Jaccard — the blocking +
+    verify step of entity resolution (two dictionary entries that are
+    plausibly the same real-world entity under spelling variation).
+
+    Same scale shape as document near-dup (dedup.ngram_jaccard_pairs, which
+    this parameterizes with a char-shingler): inverted index on trigrams,
+    broadcast-anti df-cut of the hot trigrams (trigrams are FAR hotter than
+    word 8-grams — the cut is what keeps the candidate join subquadratic),
+    exact Jaccard verify. Returns (id_a, id_b, jaccard), id_a < id_b."""
+    from bran_spark.functions.text import char_shingles
+    from bran_spark.operators.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(
+        entities.select(id_col, name_col),
+        id_col,
+        name_col,
+        n=n,
+        min_jaccard=min_jaccard,
+        max_df=max_df,
+        shingler=char_shingles,
+    )

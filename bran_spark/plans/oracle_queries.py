@@ -2399,3 +2399,47 @@ def q71(spark, sf):
             F.col("chars_p50_p90")[1].alias("chars_p90"),
         )
     )
+
+
+_CHAR_SHINGLE_SQL = (
+    "list_transform(range(greatest(length(s) - {n}, 0) + 1),"
+    " i -> substr(s, i + 1, {n}))"
+)
+
+
+@_q(
+    "q72_entity_name_neardup",
+    f"""
+    WITH nm AS (SELECT mesh_id, lower(canonical_name) AS s
+                FROM read_parquet('{_FX01}/mesh_dict.parquet')),
+    sh AS (SELECT mesh_id,
+                  unnest(list_distinct({_CHAR_SHINGLE_SQL.format(n=3)})) AS shingle
+           FROM nm),
+    sizes AS (SELECT mesh_id, COUNT(*) AS n_sh FROM sh GROUP BY mesh_id),
+    hot AS (SELECT shingle FROM (SELECT shingle, COUNT(*) AS c FROM sh
+                                 GROUP BY shingle) t WHERE c > 200),
+    kept AS (SELECT * FROM sh WHERE shingle NOT IN (SELECT shingle FROM hot)),
+    common AS (SELECT a.mesh_id AS id_a, b.mesh_id AS id_b, COUNT(*) AS common
+               FROM kept a JOIN kept b
+                 ON a.shingle = b.shingle AND a.mesh_id < b.mesh_id
+               GROUP BY 1, 2),
+    j AS (SELECT id_a, id_b,
+                 common * 1.0 / (sa.n_sh + sb.n_sh - common) AS jaccard
+          FROM common
+          JOIN sizes sa ON sa.mesh_id = id_a
+          JOIN sizes sb ON sb.mesh_id = id_b)
+    SELECT id_a, id_b, ROUND(jaccard, 6) AS jaccard FROM j WHERE jaccard >= 0.4
+    """,
+)
+def q72(spark, sf):
+    """Entity-resolution candidates over the MeSH dictionary: pairs of
+    entities with near-duplicate NAMES by char-trigram Jaccard (blocking
+    via inverted trigram index + hot-trigram df-cut, exact verify) —
+    linking.name_neardup_pairs."""
+    from bran_spark.fixtures.gen import ensure, fixture_dir
+    from bran_spark.operators.linking import name_neardup_pairs
+
+    s = _fixture_sf_for(sf)
+    ensure(s)
+    d = spark.read.parquet(f"{fixture_dir(s)}/mesh_dict.parquet")
+    return name_neardup_pairs(d)

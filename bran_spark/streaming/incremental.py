@@ -257,3 +257,66 @@ def streaming_exact_dedup(
         .start()
     )
     q.awaitTermination()
+
+
+def streaming_view_purchase_join(
+    spark: SparkSession,
+    views_dir: str,
+    purchases_dir: str,
+    checkpoint_dir: str,
+    out_dir: str,
+    watermark: str = "2 hours",
+    max_gap_expr: str = "INTERVAL 1 HOUR",
+) -> None:
+    """Watermarked stream-stream inner join — the streaming analog of the
+    batch as-of join (operators/asof.py): attribute each purchase to any
+    view by the same user within the preceding ``max_gap_expr``.
+
+    Both inputs carry watermarks and the join condition bounds event-time
+    distance, so Spark can expire buffered state on BOTH sides (an
+    unbounded stream-stream join would hold every past row forever — the
+    time-range predicate is what makes this runnable at ingest scale).
+    Exactly-once via the shared streaming checkpoint, AvailableNow trigger
+    so batch backfills use the identical code path.
+    """
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    )
+    views = (
+        spark.readStream.schema(schema)
+        .parquet(views_dir)
+        .select(
+            F.col("user_id").alias("v_user"),
+            F.col("ts").alias("v_ts"),
+            F.col("value").alias("view_value"),
+        )
+        .withWatermark("v_ts", watermark)
+    )
+    purchases = (
+        spark.readStream.schema(schema)
+        .parquet(purchases_dir)
+        .select(
+            "event_id",
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+            F.col("value").alias("purchase_value"),
+        )
+        .withWatermark("p_ts", watermark)
+    )
+    joined = purchases.join(
+        views,
+        F.expr(
+            "p_user = v_user AND p_ts >= v_ts "
+            f"AND p_ts <= v_ts + {max_gap_expr}"
+        ),
+    )
+    q = (
+        joined.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", os.path.join(checkpoint_dir, "ss_join"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -193,3 +193,33 @@ def test_streaming_exact_dedup_drops_later_copies(spark, tmp_path):
     alpha_survivors = got & {"a", "c", "d"}
     assert len(alpha_survivors) == 1          # one copy of 'alpha text' total
     assert "d" not in got                     # batch-2 dup dropped by carried state
+
+
+def test_stream_stream_join_matches_batch(spark, testdata_dir, tmp_path):
+    """Watermarked stream-stream join: the streaming result over the events
+    table (views x purchases per user within 1 hour) must equal the batch
+    join with the identical predicate."""
+    from bran_spark.streaming.incremental import streaming_view_purchase_join
+
+    ev = spark.read.parquet(f"{testdata_dir}/events.parquet")
+    vdir, pdir = str(tmp_path / "views"), str(tmp_path / "purch")
+    ev.where(F.col("event_type") == "view").write.mode("overwrite").parquet(vdir)
+    ev.where(F.col("event_type") == "purchase").write.mode("overwrite").parquet(pdir)
+    out, ck = str(tmp_path / "out"), str(tmp_path / "ck")
+    streaming_view_purchase_join(spark, vdir, pdir, ck, out)
+
+    got = spark.read.parquet(out)
+    v = ev.where(F.col("event_type") == "view").select(
+        F.col("user_id").alias("v_user"), F.col("ts").alias("v_ts")
+    )
+    p = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts")
+    )
+    expect = p.join(
+        v,
+        F.expr("p_user = v_user AND p_ts >= v_ts AND p_ts <= v_ts + INTERVAL 1 HOUR"),
+    )
+    assert got.count() == expect.count() > 0
+    a = {tuple(r) for r in got.select("event_id", "v_ts").collect()}
+    b = {tuple(r) for r in expect.select("event_id", "v_ts").collect()}
+    assert a == b
