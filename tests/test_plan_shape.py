@@ -123,3 +123,58 @@ def test_whole_stage_codegen_covers_relational_path(spark, testdata_dir):
     # '*(n)' prefixes mark WholeStageCodegen spans in the plan string; both
     # the partial and final aggregate must sit inside one
     assert "*(1)" in plan and "*(2)" in plan and "isFinalPlan=true" in plan
+
+
+def test_tfidf_topk_uses_window_group_limit(spark, testdata_dir):
+    """q59: the per-doc top-k cut must push through the window
+    (WindowGroupLimit partial+final) so only k rows per doc cross the
+    exchange, and N must be a 1-row broadcast — not a shuffle."""
+    from bran_spark.operators.search import tfidf_top_terms
+
+    docs = spark.read.parquet(f"{testdata_dir}/documents.parquet")
+    plan = _plan(tfidf_top_terms(docs, k=5))
+    assert "WindowGroupLimit" in plan
+    assert "BroadcastNestedLoopJoin" in plan  # the 1-row N cross join
+
+
+def test_stratified_sample_is_shuffle_free(spark, testdata_dir):
+    """q61: pure projection + filter — any Exchange here means the sampler
+    stopped being embarrassingly parallel."""
+    from bran_spark.operators.sampling import stratified_sample
+
+    docs = spark.read.parquet(f"{testdata_dir}/documents.parquet")
+    plan = _plan(stratified_sample(docs, "lang", {"en": 0.1}, default_rate=0.3))
+    assert "Exchange" not in plan
+
+
+def test_triangle_projection_broadcasts_hot_cut_and_keys(spark):
+    """q57: the hot-pivot df-cut must be a broadcast anti-join and the
+    node-key lookups broadcast — the corpus-sized side never shuffles for
+    a dimension."""
+    from bran_spark.operators.graphalgo import project_bipartite, triangle_counts
+
+    pairs = spark.createDataFrame(
+        [(f"c{i}", f"d{i % 7}") for i in range(50)], "subj string, obj string"
+    )
+    proj = project_bipartite(pairs, max_pivot_deg=10)
+    pplan = _plan(proj)
+    assert "BroadcastHashJoin" in pplan and "LeftAnti" in pplan
+    # the key-lookup broadcasts sit BEFORE triangle_counts' eager
+    # localCheckpoint, so the final plan only shows the wedge+closing joins —
+    # assert those are equi-joins, never a cartesian fallback
+    tplan = _plan(triangle_counts(proj))
+    assert "CartesianProduct" not in tplan
+    assert "BroadcastNestedLoopJoin" not in tplan
+
+
+def test_merge_latest_single_shuffle(spark, testdata_dir):
+    """q67: union is shuffle-free; exactly ONE hash exchange (the keyed
+    window), with WindowGroupLimit trimming before it."""
+    from bran_spark.operators.asof import merge_latest
+
+    ev = spark.read.parquet(f"{testdata_dir}/events.parquet")
+    base = ev.where(F.col("value") < 50)
+    upd = ev.where(F.col("value") >= 50)
+    plan = _plan(merge_latest(base, upd, ["user_id", "event_type"], "ts", "event_id"))
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "WindowGroupLimit" in plan
