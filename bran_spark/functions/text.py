@@ -121,3 +121,33 @@ def char_shingles(col: str | Column, n: int = 3) -> Column:
         F.sequence(F.lit(0), F.greatest(F.length(c) - n, F.lit(0))),
         lambda i: c.substr(i + F.lit(1), F.lit(n)),
     )
+
+
+def make_sentence_udtf():
+    """Python UDTF (Spark 4 §2.10 surface): split a document into sentence
+    rows — (sent_idx, sentence), index = position in the raw regex split,
+    empty/whitespace segments dropped AFTER indexing so the index is stable
+    under trailing punctuation. Arrow-optimized where available; the
+    semantics are deliberately regex-replayable (tests + DuckDB twin q73).
+    Lateral-join a UDTF ONLY for genuinely procedural row expansion — a
+    plain split+posexplode would do here and stays JVM-side; this exists to
+    pin the UDTF surface itself."""
+    import re
+
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="sent_idx int, sentence string")
+    class SplitSentences:
+        def eval(self, text: str):
+            for i, part in enumerate(re.split(SENTENCE_BOUNDARY_RE, text or "")):
+                s = part.strip(" ")
+                if s:
+                    yield i, s
+
+    return SplitSentences
+
+
+# sentence boundary: punctuation runs, or the standalone filler word "a" —
+# the synthetic corpus carries no punctuation, so the filler word stands in
+# as the boundary token (RE2- and python-re-identical, q73's oracle replays it)
+SENTENCE_BOUNDARY_RE = r"[.!?]+|\ba\b"

@@ -2443,3 +2443,30 @@ def q72(spark, sf):
     ensure(s)
     d = spark.read.parquet(f"{fixture_dir(s)}/mesh_dict.parquet")
     return name_neardup_pairs(d)
+
+
+@_q(
+    "q73_udtf_sentences",
+    r"""
+    WITH p AS (SELECT doc_id,
+                      string_split_regex(text, '[.!?]+|\ba\b') AS parts
+               FROM documents),
+    e AS (SELECT doc_id, unnest(range(len(parts))) AS i, parts FROM p)
+    SELECT doc_id, CAST(i AS INT) AS sent_idx,
+           trim(parts[i + 1]) AS sentence
+    FROM e WHERE trim(parts[i + 1]) <> ''
+    """,
+)
+def q73(spark, sf):
+    """Python UDTF surface (§2.10): lateral sentence expansion — one row
+    per non-empty segment with its raw split index. The UDTF exists to pin
+    the procedural-row-expansion API; the DuckDB twin replays the identical
+    regex split relationally."""
+    from bran_spark.functions.text import make_sentence_udtf
+
+    spark.udtf.register("split_sentences", make_sentence_udtf())
+    _t(spark, sf, "documents").createOrReplaceTempView("q73_docs")
+    return spark.sql(
+        "SELECT doc_id, s.sent_idx, s.sentence "
+        "FROM q73_docs, LATERAL split_sentences(text) s"
+    )

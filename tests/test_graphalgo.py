@@ -232,3 +232,24 @@ def test_ancestor_closure_matches_fixture_ancestors(spark, fx_dir):
         F.col("anc").isNull() | (F.col("anc") != F.col("anc2"))
     ).count()
     assert bad == 0  # closure reproduces the generator's precomputed ancestors
+
+
+def test_graph_ops_handle_empty_edges(spark):
+    from bran_spark.operators.graphalgo import (
+        ancestor_closure,
+        label_propagation,
+    )
+
+    empty_pairs = spark.createDataFrame([], "subj string, obj string")
+    sym = symmetric_edges(empty_pairs)
+    assert pagerank_fixed_point(sym, iters=2).count() == 0
+    assert label_propagation(sym, iters=2).count() == 0
+    assert triangle_counts(
+        spark.createDataFrame([], "u string, v string")
+    ).count() == 0
+    assert ancestor_closure(
+        spark.createDataFrame([], "child string, parent string")
+    ).count() == 0
+    seeds = spark.createDataFrame([("x",)], "u string")
+    got = bfs_distances(sym, seeds, max_hops=2).collect()
+    assert [(r["entity"], r["dist"]) for r in got] == [("x", 0)]

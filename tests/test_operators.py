@@ -159,3 +159,50 @@ def test_interleave_short_docs_no_phantom_spans(spark):
     assert n_text("2") == 1   # exactly title_words -> title only
     assert n_text("3") == 2   # 7 words -> title + 1 body chunk
     assert n_text("4") == 3   # 30 words -> title + 2 body chunks
+
+
+def test_lse_pool_pandas_udaf_matches_relational(spark):
+    """P5: the grouped pandas-UDAF logsumexp equals the relational A2 form
+    to float tolerance (different summation order → not bitwise)."""
+    import random
+
+    from bran_spark.operators.pooling import lse_pool, lse_pool_grouped_pandas
+
+    random.seed(7)
+    rows = [(f"g{i % 5}", random.uniform(-4, 4)) for i in range(200)]
+    df = spark.createDataFrame(rows, "k string, score double")
+    rel = {r["k"]: r["pooled_score"] for r in lse_pool(df, ["k"]).collect()}
+    pdu = {r["k"]: r["pooled"] for r in lse_pool_grouped_pandas(df, ["k"]).collect()}
+    assert rel.keys() == pdu.keys()
+    for k in rel:
+        assert abs(rel[k] - pdu[k]) < 1e-9
+
+
+def test_sentence_udtf_matches_posexplode_twin(spark):
+    """The UDTF's procedural split equals the JVM split+posexplode
+    formulation row-for-row (the relational twin q73's oracle replays)."""
+    from bran_spark.functions.text import SENTENCE_BOUNDARY_RE, make_sentence_udtf
+
+    spark.udtf.register("split_sentences_t", make_sentence_udtf())
+    df = spark.createDataFrame(
+        [(1, "alpha beta a gamma. delta!"), (2, "a a solo"), (3, "")],
+        "doc_id long, text string",
+    )
+    df.createOrReplaceTempView("udtf_docs_t")
+    got = {
+        (r["doc_id"], r["sent_idx"], r["sentence"])
+        for r in spark.sql(
+            "SELECT doc_id, s.sent_idx, s.sentence "
+            "FROM udtf_docs_t, LATERAL split_sentences_t(text) s"
+        ).collect()
+    }
+    twin = (
+        df.select(
+            "doc_id",
+            F.posexplode(F.split("text", SENTENCE_BOUNDARY_RE)).alias("i", "seg"),
+        )
+        .select("doc_id", F.col("i").cast("int").alias("i"), F.trim("seg").alias("s"))
+        .where(F.col("s") != "")
+    )
+    assert got == {(r["doc_id"], r["i"], r["s"]) for r in twin.collect()}
+    assert (1, 1, "gamma") in got  # split on the filler word kept index 1
