@@ -1,0 +1,137 @@
+"""Property-based tests (hypothesis): the distributed operators against
+tiny exact local references over RANDOM inputs — catching the edge shapes
+(self-loops, stars, chains, duplicate rows, ties) that hand-picked fixtures
+miss. Example counts are small because every example runs Spark jobs."""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+_SET = settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+# random small edge lists over a bounded node universe
+_edges_st = st.lists(
+    st.tuples(st.integers(0, 12), st.integers(0, 12)),
+    min_size=0,
+    max_size=25,
+)
+
+
+def _local_components(edges: list[tuple[int, int]]) -> dict[str, str]:
+    """Union-find reference: node → min-id component representative."""
+    parent: dict[str, str] = {}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        u, v = f"n{a}", f"n{b}"
+        for x in (u, v):
+            parent.setdefault(x, x)
+        ra, rb = find(u), find(v)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # skip isolated self-loop-only nodes the operator also drops
+    nodes = {f"n{a}" for a, b in edges if a != b} | {
+        f"n{b}" for a, b in edges if a != b
+    }
+    return {x: find(x) for x in nodes}
+
+
+@given(edges=_edges_st)
+@_SET
+def test_connected_components_matches_union_find(spark, edges):
+    from bran_spark.operators.components import connected_components
+
+    df = spark.createDataFrame(
+        [(f"n{a}", f"n{b}") for a, b in edges] or [("z", "z")],
+        "id_a string, id_b string",
+    )
+    got = {
+        r["node"]: r["component"]
+        for r in connected_components(df).collect()
+    }
+    assert got == _local_components(edges)
+
+
+@given(edges=_edges_st)
+@_SET
+def test_pagerank_mass_bounded_and_total(spark, edges):
+    """Integer PageRank: every node emitted exactly once, ranks positive,
+    total mass ≤ N·scale (floor loss only ever shrinks it)."""
+    from bran_spark.operators.graphalgo import (
+        PR_SCALE,
+        pagerank_fixed_point,
+        symmetric_edges,
+    )
+
+    real = [(f"n{a}", f"n{b}") for a, b in edges if a != b]
+    if not real:
+        return
+    sym = symmetric_edges(
+        spark.createDataFrame(real, "subj string, obj string")
+    )
+    rows = pagerank_fixed_point(sym, iters=3).collect()
+    nodes = {x for e in real for x in e}
+    assert {r["entity"] for r in rows} == nodes
+    assert all(r["rank_fp"] > 0 for r in rows)
+    assert sum(r["rank_fp"] for r in rows) <= len(nodes) * PR_SCALE
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 4), st.integers(0, 5), st.integers(0, 3)),
+        min_size=1,
+        max_size=20,
+    )
+)
+@_SET
+def test_merge_latest_idempotent_and_single_per_key(spark, rows):
+    """merge(merge(b,u), ∅) == merge(b,u), and exactly one row per key."""
+    from bran_spark.operators.asof import merge_latest
+
+    df = spark.createDataFrame(
+        [(i, f"k{k}", ts, float(i)) for i, (k, ts, _) in enumerate(rows)],
+        "event_id long, k string, ts long, value double",
+    )
+    empty = df.where(F.lit(False))
+    once = merge_latest(df, empty, ["k"], "ts", "event_id")
+    twice = merge_latest(once, empty, ["k"], "ts", "event_id")
+    a = sorted(map(tuple, once.collect()))
+    b = sorted(map(tuple, twice.collect()))
+    assert a == b
+    keys = [r[1] for r in a]
+    assert len(keys) == len(set(keys))
+    # winner per key is the max (ts, event_id) — local reference
+    import collections
+
+    best: dict[str, tuple] = {}
+    for i, (k, ts, _) in enumerate(rows):
+        cur = (ts, i)
+        if f"k{k}" not in best or cur > best[f"k{k}"]:
+            best[f"k{k}"] = cur
+    assert {r[1]: r[0] for r in a} == {k: v[1] for k, v in best.items()}
+
+
+@given(s=st.text(alphabet="ab c", min_size=0, max_size=20), n=st.integers(2, 4))
+@_SET
+def test_char_shingles_count_and_reconstruction(spark, s, n):
+    from bran_spark.functions.text import char_shingles
+
+    df = spark.createDataFrame([(s,)], "s string")
+    sh = df.select(char_shingles("s", n).alias("sh")).head()["sh"]
+    low = s.lower()
+    assert len(sh) == max(len(low) - n, 0) + 1
+    if len(low) >= n:
+        # overlapping shingles reconstruct the string
+        assert sh[0] + "".join(x[-1] for x in sh[1:]) == low
+        assert all(len(x) == n for x in sh)

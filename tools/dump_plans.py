@@ -1,0 +1,89 @@
+"""Regenerate PLANS.md — formatted physical plans of the representative
+queries with their 100 TB-viability notes. Usage:
+
+    python tools/dump_plans.py [--sf-dir /root/testdata/sf0.01]
+"""
+
+from __future__ import annotations
+
+import argparse
+import io
+import os
+import sys
+
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _REPO_ROOT)
+os.environ["PYTHONPATH"] = _REPO_ROOT + os.pathsep + os.environ.get("PYTHONPATH", "")
+
+NOTES = {
+    "q28_dedup_ngram_jaccard": (
+        "df-cut: hot-shingle set broadcast + LeftAnti (never the kept set); "
+        "candidate join is shingle-keyed SMJ with AQE skew backstop."
+    ),
+    "q29_dedup_minhash_lsh": (
+        "banded equi-join on (band, minhash) buckets - no all-pairs stage "
+        "exists in the plan."
+    ),
+    "q55_ann_knn_join": (
+        "banded sign-LSH candidates then exact cosine; per-query "
+        "WindowGroupLimit cuts to k before the final exchange."
+    ),
+    "q56_pagerank": (
+        "per-iteration plan after localCheckpoint truncation: one edge join "
+        "+ one groupBy exchange; integer DIV arithmetic (codegen), no Python."
+    ),
+    "q59_tfidf_terms": (
+        "partial HashAggregates for tf and df, 1-row broadcast N "
+        "(BroadcastNestedLoopJoin), WindowGroupLimit partial+final top-k."
+    ),
+    "q61_stratified_sample": "zero Exchange: md5 projection + pushed filter only.",
+    "q67_merge_latest": (
+        "union is partition-local; exactly one hashpartitioning exchange "
+        "(the merge-key window) with WindowGroupLimit trimming."
+    ),
+}
+
+HEADER = """# PLANS — physical-plan audit of representative queries (round 2)
+
+Formatted `explain` output captured at sf0.01 on local[8] for the queries a
+scale reviewer would audit first, each with the property that makes it hold
+at 100 TB. Regenerate with `python tools/dump_plans.py`. The same
+properties are asserted mechanically in tests/test_plan_shape.py — this
+file is the human-readable evidence trail.
+
+"""
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    args = ap.parse_args()
+
+    from bran_spark.plans.oracle_queries import QUERIES
+    from bran_spark.session import get_spark
+
+    spark = get_spark("plans", master="local[8]", shuffle_partitions="16")
+    out = io.StringIO()
+    out.write(HEADER)
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    for name, note in NOTES.items():
+        df = QUERIES[name](spark, args.sf_dir)
+        plan = df._jdf.queryExecution().explainString(mode)
+        lines = plan.splitlines()
+        try:
+            split_at = next(
+                i for i, l in enumerate(lines) if l.strip() == "" and i > 5
+            )
+        except StopIteration:
+            split_at = len(lines)
+        tree = "\n".join(lines[:split_at])
+        out.write(f"## {name}\n\n{note}\n\n```\n{tree}\n```\n\n")
+    with open(os.path.join(_REPO_ROOT, "PLANS.md"), "w") as f:
+        f.write(out.getvalue())
+    print(f"PLANS.md written ({len(out.getvalue())} bytes, {len(NOTES)} plans)")
+
+
+if __name__ == "__main__":
+    main()
