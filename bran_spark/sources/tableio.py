@@ -273,3 +273,22 @@ def write_bucketed(
     if sort_cols:
         w = w.sortBy(*sort_cols)
     w.format("parquet").saveAsTable(name)
+
+
+def compact_partitions(df, target_mb: int = 128):
+    """Small-file management: repartition so each output file lands near
+    ``target_mb`` (the classic 100 TB ops problem — a 10^12-doc job with
+    32k shuffle partitions writes 32k tiny files per snapshot unless the
+    sink compacts). Partition count comes from Catalyst's own size
+    estimate (optimizedPlan().stats), so no extra pass over the data; the
+    round-robin repartition keeps files even. For already-small frames this
+    COALESCES (narrow, no shuffle) instead of repartitioning."""
+    size_bytes = df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+    n = max(1, int((int(size_bytes) + target_mb * 2**20 - 1) // (target_mb * 2**20)))
+    current = df.rdd.getNumPartitions()
+    if n >= current:
+        return df
+    if n <= max(1, current // 4):
+        # big shrink → narrow coalesce avoids a full shuffle
+        return df.coalesce(n)
+    return df.repartition(n)

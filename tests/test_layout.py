@@ -76,3 +76,17 @@ def test_partitioned_sink_read_prunes_partitions(spark, fx_dir, tmp_path):
     assert "PartitionFilters" in plan and "pred" in plan.split("PartitionFilters")[1][:120]
     # and the filter is NOT a post-scan row filter on pred
     shutil.rmtree(out, ignore_errors=True)
+
+
+def test_compact_partitions_reduces_file_count(spark, testdata_dir, tmp_path):
+    from bran_spark.sources.tableio import compact_partitions
+
+    li = spark.read.parquet(f"{testdata_dir}/lineitem.parquet").repartition(32)
+    out = str(tmp_path / "compacted")
+    compact_partitions(li, target_mb=64).write.mode("overwrite").parquet(out)
+    import os
+
+    files = [f for f in os.listdir(out) if f.endswith(".parquet")]
+    assert 1 <= len(files) <= 4          # sf0.001 lineitem ≪ 64 MB → ~1 file
+    got = spark.read.parquet(out).count()
+    assert got == li.count()             # lossless
