@@ -1,6 +1,6 @@
 PY ?= python
 
-.PHONY: test oracle bench scaling dist golden fixtures clean
+.PHONY: test oracle bench scaling plans dist golden fixtures clean
 
 test:
 	$(PY) -m pytest tests/ -x -q
@@ -13,6 +13,9 @@ bench:
 
 scaling:
 	PYTHONPATH=. $(PY) tools/scaling_bench.py --sf 0.1 --runs 3
+
+plans:
+	$(PY) tools/dump_plans.py
 
 dist:
 	mkdir -p dist
