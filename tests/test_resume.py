@@ -108,3 +108,24 @@ def test_iceberg_tableio_contract(spark):
     io.read(rspark, "tbl", snap=42)
     rspark.read.option.assert_called_once_with("snapshot-id", 42)
     rspark.read.option.return_value.table.assert_called_once_with("cat.tbl")
+
+
+def test_time_travel_read_returns_past_snapshot(spark, tmp_path):
+    """S7 lineage: read(table, snap=N) reproduces snapshot N byte-for-byte
+    after later snapshots supersede it (the local-manifest analog of
+    Iceberg snapshot-id time travel, same call shape)."""
+    from bran_spark.sources.tableio import ManifestParquetTableIO
+
+    io = ManifestParquetTableIO(str(tmp_path / "tt"))
+    v0 = spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string")
+    v1 = spark.createDataFrame([(1, "a"), (2, "B"), (3, "c")], "id long, v string")
+    s0 = io.write(v0, "tbl", stage="s")
+    s1 = io.write(v1, "tbl", stage="s")
+    assert (s0, s1) == (0, 1)
+    assert io.current_snapshot("tbl") == 1
+    old = {tuple(r) for r in io.read(spark, "tbl", snap=0).collect()}
+    new = {tuple(r) for r in io.read(spark, "tbl").collect()}
+    assert old == {(1, "a"), (2, "b")}
+    assert new == {(1, "a"), (2, "B"), (3, "c")}
+    # the superseded snapshot's manifest is still addressable (lineage)
+    assert io.manifest("tbl", 0)["rows"] == 2
