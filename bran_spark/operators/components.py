@@ -121,3 +121,28 @@ def dedup_clusters(
     return cc.groupBy("component").agg(
         F.count("*").alias("n_docs"), F.min("node").alias("keep_id")
     )
+
+
+def dedup_corpus(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    src: str = "id_a",
+    dst: str = "id_b",
+) -> DataFrame:
+    """The user-facing end of the dedup stack: drop every near-duplicate
+    except one canonical survivor per cluster. Composition of the pieces
+    above — components over the candidate pairs, keep_id = min per cluster,
+    then ONE broadcast-friendly anti-join against the corpus (the drop set
+    is |duplicates|-sized, ≪ corpus). Docs that appear in no pair pass
+    through untouched."""
+    cc = connected_components(pairs, src, dst)
+    keep = cc.groupBy("component").agg(F.min("node").alias("keep_id"))
+    drop = (
+        cc.join(keep, "component")
+        .where(F.col("node") != F.col("keep_id"))
+        .select("node")
+    )
+    return docs.join(
+        drop, docs[id_col] == drop["node"], "left_anti"
+    )

@@ -2470,3 +2470,116 @@ def q73(spark, sf):
         "SELECT doc_id, s.sent_idx, s.sentence "
         "FROM q73_docs, LATERAL split_sentences(text) s"
     )
+
+
+@_q(
+    "q74_dedup_survivors",
+    f"""
+    WITH RECURSIVE {_MINHASH_PAIRS_CTES},
+    edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+              UNION ALL SELECT id_b, id_a FROM pairs),
+    r(node, lab) AS (
+      SELECT a, a FROM edges
+      UNION
+      SELECT e.b, r.lab FROM r JOIN edges e ON e.a = r.node
+    ),
+    cc AS (SELECT node, MIN(lab) AS component FROM r GROUP BY node),
+    keep AS (SELECT component, MIN(node) AS keep_id FROM cc GROUP BY component),
+    drp AS (SELECT cc.node FROM cc JOIN keep ON cc.component = keep.component
+            WHERE cc.node != keep.keep_id)
+    SELECT d.doc_id, d.lang, d.source FROM documents d
+    WHERE d.doc_id NOT IN (SELECT node FROM drp)
+    """,
+)
+def q74(spark, sf):
+    """END-TO-END corpus dedup: MinHash-LSH candidates → connected
+    components → one survivor per cluster → anti-join the corpus. The
+    composed flow a user actually runs (components.dedup_corpus)."""
+    from bran_spark.operators.components import dedup_corpus
+
+    docs = _t(spark, sf, "documents")
+    pairs = minhash_lsh_pairs(docs, "doc_id", "text", n=4, bands=4, hash_fn="md5")
+    return dedup_corpus(docs, pairs).select("doc_id", "lang", "source")
+
+
+@_q(
+    "q75_funnel",
+    """
+    WITH v AS (SELECT user_id, MIN(ts) AS first_view
+               FROM events WHERE event_type = 'view' GROUP BY user_id),
+    p AS (SELECT e.user_id, MIN(e.ts) AS conv_ts
+          FROM events e JOIN v ON e.user_id = v.user_id
+          WHERE e.event_type = 'purchase'
+            AND e.ts >= v.first_view
+            AND e.ts <= v.first_view + INTERVAL 1 HOUR
+          GROUP BY e.user_id)
+    SELECT v.user_id, v.first_view, p.conv_ts,
+           CASE WHEN p.conv_ts IS NOT NULL THEN 1 ELSE 0 END AS converted
+    FROM v LEFT JOIN p ON p.user_id = v.user_id
+    """,
+)
+def q75(spark, sf):
+    """Event-sequence funnel: first view per user → earliest purchase
+    within 1 hour of it. Two keyed aggregations + one left join — the
+    conversion-attribution primitive."""
+    ev = _t(spark, sf, "events")
+    v = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_view"))
+    )
+    p = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(v, "user_id")
+        .where(
+            (F.col("ts") >= F.col("first_view"))
+            & (F.col("ts") <= F.col("first_view") + F.expr("INTERVAL 1 HOUR"))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("conv_ts"))
+    )
+    return v.join(p, "user_id", "left").select(
+        "user_id",
+        "first_view",
+        "conv_ts",
+        F.when(F.col("conv_ts").isNotNull(), 1).otherwise(0).alias("converted"),
+    )
+
+
+@_q(
+    "q76_cohort_retention",
+    """
+    WITH f AS (SELECT user_id, MIN(CAST(date_trunc('week', ts) AS DATE)) AS cohort
+               FROM events GROUP BY user_id),
+    act AS (SELECT DISTINCT e.user_id, f.cohort,
+                   CAST(date_diff('day', f.cohort,
+                        CAST(date_trunc('week', e.ts) AS DATE)) // 7 AS INT)
+                     AS week_offset
+            FROM events e JOIN f ON e.user_id = f.user_id)
+    SELECT cohort, week_offset, CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM act GROUP BY cohort, week_offset
+    """,
+)
+def q76(spark, sf):
+    """Cohort retention: users bucketed by first-seen week, counted in each
+    later active week — distinct (user, cohort, offset) then a two-phase
+    count; the cohort matrix every usage dashboard needs."""
+    ev = _t(spark, sf, "events")
+    f = ev.groupBy("user_id").agg(
+        F.min(F.date_trunc("week", "ts").cast("date")).alias("cohort")
+    )
+    act = (
+        ev.join(f, "user_id")
+        .select(
+            "user_id",
+            "cohort",
+            (
+                F.datediff(F.date_trunc("week", "ts").cast("date"), F.col("cohort"))
+                / 7
+            ).cast("int").alias("week_offset"),
+        )
+        .distinct()
+    )
+    return act.groupBy("cohort", "week_offset").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users")
+    )

@@ -65,3 +65,17 @@ def test_dedup_clusters_summary(spark):
     rows = {r["component"]: r for r in dedup_clusters(df).collect()}
     assert rows[5]["n_docs"] == 3 and rows[5]["keep_id"] == 5
     assert rows[1]["n_docs"] == 2 and rows[1]["keep_id"] == 1
+
+
+def test_dedup_corpus_keeps_one_per_cluster_and_isolated_docs(spark):
+    from bran_spark.operators.components import dedup_corpus
+
+    docs = spark.createDataFrame(
+        [(i, f"t{i}") for i in range(6)], "doc_id long, text string"
+    )
+    # clusters {0,1,2} and {3,4}; doc 5 isolated (in no pair)
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (3, 4)], "id_a long, id_b long"
+    )
+    got = sorted(r["doc_id"] for r in dedup_corpus(docs, pairs).collect())
+    assert got == [0, 3, 5]
