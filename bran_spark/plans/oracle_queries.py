@@ -1100,15 +1100,7 @@ def kg_mentions_fixture(spark, sf):
     projected to the columns DuckDB can replay exactly (one row per matched
     word occurrence). Char offsets / mention_id are regex-match positions —
     not SQL-expressible — and stay covered by q19/q26 + the golden tests."""
-    from bran_spark.fixtures.gen import ensure, fixture_dir
-    from bran_spark.plans.pipeline import Pipeline, PipelineConfig
-
-    s = _fixture_sf_for(sf)
-    ensure(s)
-    cfg = PipelineConfig(
-        fixture_dir=fixture_dir(s), checkpoint_root="/tmp/bran_ckpt_q", checkpoint=False
-    )
-    return Pipeline(spark, cfg).stage_mentions(resume=False).select(
+    return _fx_mentions(spark, sf).select(
         "doc_id", "type", "mesh_id", "text", "canonical_name"
     )
 
@@ -1837,11 +1829,24 @@ _FX_PAIRS_SQL = _FX_MENTIONS_SQL + """
 """
 
 
-def _fx_entity_pairs(spark, sf) -> DataFrame:
-    """Distinct (subj, obj) entity pairs of the fixture corpus — the
-    θ=-inf edge structure of the constructed KG (same set q48 degrees are
-    computed over), built relationally from the mention stage with the
-    single-scan collect+explode pattern (no self-join, see _pairs)."""
+# session-scoped memo of materialized fixture intermediates: ~10 graph/KG
+# queries derive from the same mention stage; in one driver/bench session
+# each would otherwise re-run detection+linking (~10-20 s each). Keyed by
+# SparkSession identity so a stopped session's checkpoints are never reused.
+_FX_MEMO: dict[tuple, DataFrame] = {}
+
+
+def _fx_memo(spark, key: str, sf: float, build) -> DataFrame:
+    # applicationId is unique per SparkContext — a restarted session never
+    # sees a stopped context's checkpointed RDDs
+    k = (spark.sparkContext.applicationId, key, sf)
+    if k not in _FX_MEMO:
+        _FX_MEMO[k] = build().localCheckpoint(eager=True)
+    return _FX_MEMO[k]
+
+
+def _fx_mentions(spark, sf) -> DataFrame:
+    """Materialized mention-stage output for the fixture at this scale."""
     from bran_spark.fixtures.gen import ensure, fixture_dir
     from bran_spark.plans.pipeline import Pipeline, PipelineConfig
 
@@ -1850,7 +1855,18 @@ def _fx_entity_pairs(spark, sf) -> DataFrame:
     cfg = PipelineConfig(
         fixture_dir=fixture_dir(s), checkpoint_root="/tmp/bran_ckpt_q", checkpoint=False
     )
-    m = Pipeline(spark, cfg).stage_mentions(resume=False)
+    return _fx_memo(
+        spark, "mentions", s,
+        lambda: Pipeline(spark, cfg).stage_mentions(resume=False),
+    )
+
+
+def _fx_entity_pairs(spark, sf) -> DataFrame:
+    """Distinct (subj, obj) entity pairs of the fixture corpus — the
+    θ=-inf edge structure of the constructed KG (same set q48 degrees are
+    computed over), built relationally from the mention stage with the
+    single-scan collect+explode pattern (no self-join, see _pairs)."""
+    m = _fx_mentions(spark, sf)
     per_doc = m.groupBy("doc_id").agg(
         F.array_distinct(
             F.collect_list(F.when(F.col("type") == "Chemical", F.col("mesh_id")))
@@ -2082,17 +2098,9 @@ def q61(spark, sf):
 def q62(spark, sf):
     """Surface-form canonicalization: each entity's most frequent mention
     text (deterministic tie-break) — the dictionary-free half of J4."""
-    from bran_spark.fixtures.gen import ensure, fixture_dir
     from bran_spark.operators.linking import canonical_surface_forms
-    from bran_spark.plans.pipeline import Pipeline, PipelineConfig
 
-    s = _fixture_sf_for(sf)
-    ensure(s)
-    cfg = PipelineConfig(
-        fixture_dir=fixture_dir(s), checkpoint_root="/tmp/bran_ckpt_q", checkpoint=False
-    )
-    m = Pipeline(spark, cfg).stage_mentions(resume=False)
-    return canonical_surface_forms(m).select(
+    return canonical_surface_forms(_fx_mentions(spark, sf)).select(
         "mesh_id", "surface", F.col("n_mentions").cast("long")
     )
 
@@ -2100,17 +2108,8 @@ def q62(spark, sf):
 def _fx_entity_incidence(spark, sf) -> DataFrame:
     """Distinct (doc_id, mesh_id, type) entity-incidence table of the
     fixture corpus (the `ent` CTE of the SQL twins)."""
-    from bran_spark.fixtures.gen import ensure, fixture_dir
-    from bran_spark.plans.pipeline import Pipeline, PipelineConfig
-
-    s = _fixture_sf_for(sf)
-    ensure(s)
-    cfg = PipelineConfig(
-        fixture_dir=fixture_dir(s), checkpoint_root="/tmp/bran_ckpt_q", checkpoint=False
-    )
     return (
-        Pipeline(spark, cfg)
-        .stage_mentions(resume=False)
+        _fx_mentions(spark, sf)
         .select("doc_id", "mesh_id", "type")
         .distinct()
     )
