@@ -2582,3 +2582,37 @@ def q76(spark, sf):
     return act.groupBy("cohort", "week_offset").agg(
         F.count(F.lit(1)).cast("long").alias("n_users")
     )
+
+
+@_q(
+    "q77_spend_outliers",
+    """
+    WITH s AS (SELECT user_id, SUM(value) AS spend
+               FROM events WHERE event_type = 'purchase' GROUP BY user_id),
+    st AS (SELECT AVG(spend) AS mu, STDDEV_SAMP(spend) AS sigma FROM s)
+    SELECT user_id, ROUND(spend, 2) AS spend,
+           ROUND((spend - mu) / sigma, 6) AS zscore,
+           CASE WHEN ABS((spend - mu) / sigma) > 2 THEN 1 ELSE 0 END
+             AS is_outlier
+    FROM s CROSS JOIN st
+    """,
+)
+def q77(spark, sf):
+    """Anomaly flagging: per-user spend z-score against the corpus
+    mean/stddev — one keyed aggregate + a 1-row stats broadcast, the
+    standard data-quality outlier gate."""
+    ev = _t(spark, sf, "events").where(F.col("event_type") == "purchase")
+    s = ev.groupBy("user_id").agg(F.sum("value").alias("spend"))
+    st = s.agg(
+        F.avg("spend").alias("mu"), F.stddev_samp("spend").alias("sigma")
+    )
+    z = (F.col("spend") - F.col("mu")) / F.col("sigma")
+    return (
+        s.crossJoin(F.broadcast(st))
+        .select(
+            "user_id",
+            F.round("spend", 2).alias("spend"),
+            F.round(z, 6).alias("zscore"),
+            F.when(F.abs(z) > 2, 1).otherwise(0).alias("is_outlier"),
+        )
+    )

@@ -90,3 +90,21 @@ def test_compact_partitions_reduces_file_count(spark, testdata_dir, tmp_path):
     assert 1 <= len(files) <= 4          # sf0.001 lineitem ≪ 64 MB → ~1 file
     got = spark.read.parquet(out).count()
     assert got == li.count()             # lossless
+
+
+def test_ivf_cells_written_partitioned_prune_on_probe(spark, testdata_dir, tmp_path):
+    """The ANN-at-rest layout: embeddings written partitioned by IVF cell;
+    a probe filtered to its probe-set cells must prune at the scan
+    (PartitionFilters), never read the full table."""
+    from bran_spark.operators.similarity import assign_ivf_cells
+
+    emb = spark.read.parquet(f"{testdata_dir}/embeddings.parquet")
+    cells = assign_ivf_cells(emb, n_centroids=8)
+    out = str(tmp_path / "emb_by_cell")
+    cells.write.mode("overwrite").partitionBy("cell").parquet(out)
+
+    probe = spark.read.parquet(out).where(F.col("cell").isin([1, 3]))
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    assert "cell" in plan.split("PartitionFilters")[1][:120]
+    assert probe.count() > 0
