@@ -85,6 +85,11 @@ def main() -> None:
         "q59_tfidf_terms",
         "q60_ngram_dup_stats",
         "q61_stratified_sample",
+        "q66_ancestor_closure",
+        "q67_merge_latest",
+        "q72_entity_name_neardup",
+        "q74_dedup_survivors",
+        "q75_funnel",
     ]
     for name in bench_queries:
         t0 = time.time()
