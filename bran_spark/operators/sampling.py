@@ -110,3 +110,29 @@ def negative_samples(
             F.coalesce(F.col("hit"), F.lit(0)).cast("int").alias("is_collision"),
         )
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    weight_col: str,
+    k: int,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic weighted sampling without replacement (Efraimidis-
+    Spirakis A-Res): key_i = u_i^(1/w_i) with u_i a uniform derived from
+    md5(id); take the top-k keys. The quality-weighted corpus subsetting
+    primitive (sample 1M docs ∝ quality score) — deterministic, so the
+    drawn subset is reproducible and auditable.
+
+    Scale shape: one narrow projection computes the key, then a single
+    TakeOrderedAndProject (ORDER BY + LIMIT — never a full sort). Weights
+    must be > 0. Returns the row + ``sample_key`` (rounded)."""
+    u = (sample_key(id_col) + F.lit(1).cast("double")) / F.lit(
+        float(KEY_SPACE + 1)
+    )
+    key = F.pow(u, F.lit(1.0) / F.col(weight_col))
+    return (
+        df.withColumn("sample_key", F.round(key, 9))
+        .orderBy(F.desc("sample_key"), F.asc(id_col))
+        .limit(k)
+    )

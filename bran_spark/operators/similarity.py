@@ -345,3 +345,39 @@ def ann_knn_join(
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
     )
+
+
+def quantize_embeddings(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Int8 scalar quantization — the 4× storage/bandwidth lever for a
+    corpus-scale vector store (float32 → int8 + one float scale per
+    vector): q_d = round(x_d · 127 / max|x|). Pure JVM array expressions
+    (transform/array_max/abs), no Python; exact integer outputs, so the
+    DuckDB twin hash-matches bit-for-bit. Returns one row per dimension
+    (vec_id, dim_idx, qval, scale) — the exploded form downstream bulk
+    loaders and the correctness harness both consume; pack with
+    collect_list(qval) when storing."""
+    mx = F.array_max(F.transform(F.col(vec_col), lambda x: F.abs(x))).cast(
+        "double"
+    )
+    with_scale = emb.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("v"),
+        F.greatest(mx, F.lit(1e-30)).alias("mx"),
+    )
+    return with_scale.select(
+        "vec_id",
+        "mx",
+        F.round(F.col("mx") / 127.0, 9).alias("scale"),
+        F.posexplode("v").alias("dim_idx", "x"),
+    ).select(
+        "vec_id",
+        "dim_idx",
+        F.round(F.col("x").cast("double") * 127.0 / F.col("mx"))
+        .cast("int")
+        .alias("qval"),
+        "scale",
+    )

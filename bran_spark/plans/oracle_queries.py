@@ -2616,3 +2616,50 @@ def q77(spark, sf):
             F.when(F.abs(z) > 2, 1).otherwise(0).alias("is_outlier"),
         )
     )
+
+
+@_q(
+    "q78_weighted_sample",
+    f"""
+    WITH h AS (SELECT doc_id, lang, n_chars, md5(doc_id::VARCHAR) AS h
+               FROM documents),
+    k AS (SELECT doc_id, lang, n_chars,
+                 ROUND(pow((CAST({_SAMPLE_KEY_SQL} AS BIGINT) + 1) / 65537.0,
+                           1.0 / n_chars), 9) AS sample_key
+          FROM h)
+    SELECT doc_id, lang, sample_key FROM k
+    ORDER BY sample_key DESC, doc_id LIMIT 50
+    """,
+)
+def q78(spark, sf):
+    """Deterministic weighted sampling (Efraimidis-Spirakis A-Res, weight =
+    n_chars): key = u^(1/w) from an md5-derived uniform, top-50 by key —
+    TakeOrderedAndProject, never a full sort (sampling.weighted_sample)."""
+    from bran_spark.operators.sampling import weighted_sample
+
+    return weighted_sample(
+        _t(spark, sf, "documents"), "n_chars", k=50
+    ).select("doc_id", "lang", "sample_key")
+
+
+@_q(
+    "q79_quantize_embeddings",
+    """
+    WITH m AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+                      GREATEST(list_max(list_transform(embedding::DOUBLE[],
+                                                       x -> abs(x))), 1e-30) AS mx
+               FROM embeddings),
+    e AS (SELECT vec_id, mx, unnest(range(len(v))) AS dim_idx, v FROM m)
+    SELECT vec_id, CAST(dim_idx AS INT) AS dim_idx,
+           CAST(ROUND(v[dim_idx + 1] * 127.0 / mx) AS INT) AS qval,
+           ROUND(mx / 127.0, 9) AS scale
+    FROM e
+    """,
+)
+def q79(spark, sf):
+    """Int8 scalar quantization of the embedding store (4× compression):
+    exact integer outputs, bit-identical across engines
+    (similarity.quantize_embeddings)."""
+    from bran_spark.operators.similarity import quantize_embeddings
+
+    return quantize_embeddings(_t(spark, sf, "embeddings"))

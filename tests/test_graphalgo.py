@@ -253,3 +253,38 @@ def test_graph_ops_handle_empty_edges(spark):
     seeds = spark.createDataFrame([("x",)], "u string")
     got = bfs_distances(sym, seeds, max_hops=2).collect()
     assert [(r["entity"], r["dist"]) for r in got] == [("x", 0)]
+
+
+def test_weighted_sample_favors_heavy_weights_and_is_deterministic(spark):
+    from bran_spark.operators.sampling import weighted_sample
+
+    # 200 light docs (w=1) vs 20 heavy docs (w=1000): heavy docs should be
+    # strongly over-represented in a k=20 draw
+    rows = [(i, 1) for i in range(200)] + [(1000 + i, 1000) for i in range(20)]
+    df = spark.createDataFrame(rows, "doc_id long, w long")
+    a = [r["doc_id"] for r in weighted_sample(df, "w", k=20, id_col="doc_id").collect()]
+    b = [r["doc_id"] for r in weighted_sample(df, "w", k=20, id_col="doc_id").collect()]
+    assert a == b                                   # deterministic
+    heavy = sum(1 for d in a if d >= 1000)
+    assert heavy >= 15                              # ~uniform would give ~2
+
+
+def test_quantize_embeddings_roundtrip_error_bounded(spark, testdata_dir):
+    import math
+
+    from bran_spark.operators.similarity import quantize_embeddings
+
+    emb = spark.read.parquet(f"{testdata_dir}/embeddings.parquet").limit(50)
+    q = quantize_embeddings(emb)
+    rows = q.collect()
+    assert all(-127 <= r["qval"] <= 127 for r in rows)
+    # reconstruction: |x - q*scale| <= scale/2 (+ rounding slack)
+    orig = {
+        (r["vec_id"], i): float(x)
+        for r in emb.collect()
+        for i, x in enumerate(r["embedding"])
+    }
+    for r in rows:
+        x = orig[(r["vec_id"], r["dim_idx"])]
+        err = abs(x - r["qval"] * r["scale"])
+        assert err <= r["scale"] * 0.5 + 1e-9, (r, x, err)
