@@ -93,3 +93,40 @@ def merge_latest(
         .where(F.col("_rk") == 1)
         .drop("_rk")
     )
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    keys: list[str],
+    compare_col: str,
+) -> DataFrame:
+    """Keyed diff between two table snapshots — the reconciliation /
+    anti-entropy primitive (what changed between yesterday's snapshot and
+    today's): one full-outer join on the keys, row status derived by
+    null-pattern. Emits only added/removed/changed rows (the interesting
+    ones; unchanged rows are filtered before any downstream shuffle).
+    Returns keys + (status, old_value, new_value)."""
+    o = old.select(*keys, F.col(compare_col).alias("old_value"))
+    n = new.select(
+        *[F.col(k).alias(f"_n_{k}") for k in keys],
+        F.col(compare_col).alias("new_value"),
+    )
+    cond = None
+    for k in keys:
+        c = o[k].eqNullSafe(n[f"_n_{k}"])
+        cond = c if cond is None else (cond & c)
+    j = o.join(n, cond, "full_outer")
+    status = (
+        F.when(F.col("old_value").isNull(), F.lit("added"))
+        .when(F.col("new_value").isNull(), F.lit("removed"))
+        .when(~F.col("old_value").eqNullSafe(F.col("new_value")), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    out_keys = [
+        F.coalesce(o[k], F.col(f"_n_{k}")).alias(k) for k in keys
+    ]
+    return (
+        j.select(*out_keys, status.alias("status"), "old_value", "new_value")
+        .where(F.col("status") != "unchanged")
+    )

@@ -47,3 +47,38 @@ def sessionize(
             F.round(F.col("total_value"), 6).alias("total_value"),
         )
     )
+
+
+def bucketed_interval_join(
+    intervals: DataFrame,
+    hour_windows: DataFrame,
+    start_col: str = "start_ts",
+    end_col: str = "end_ts",
+    window_col: str = "window_start",
+) -> DataFrame:
+    """Interval-overlap join between arbitrary [start, end] intervals and
+    HOUR-ALIGNED [w, w+1h) windows — as an EQUI-join.
+
+    The naive formulation (`a.start < w + 1h AND a.end >= w`) is a range
+    join: Spark plans it as a broadcast nested-loop / cartesian — O(|A|·|B|)
+    and a guaranteed non-starter at scale. Instead each interval explodes
+    into the hour buckets it covers (sequence of date_trunc'd hours —
+    bounded fan-out: one row per covered hour) and equi-joins on the
+    bucket. For hour-aligned windows the bucket match IS the overlap
+    predicate (proof in q80's docstring), so no residual verify filter is
+    needed; for non-aligned windows add the overlap predicate post-join —
+    same plan shape, tiny residual filter.
+    """
+    hours = intervals.withColumn(
+        "_h",
+        F.explode(
+            F.sequence(
+                F.date_trunc("hour", F.col(start_col)),
+                F.date_trunc("hour", F.col(end_col)),
+                F.expr("INTERVAL 1 HOUR"),
+            )
+        ),
+    )
+    return hours.join(
+        hour_windows, hours["_h"] == hour_windows[window_col]
+    ).drop("_h")

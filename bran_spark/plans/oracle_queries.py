@@ -2266,9 +2266,9 @@ def q66(spark, sf):
 @_q(
     "q67_merge_latest",
     """
-    WITH u AS (SELECT * FROM events WHERE ts < TIMESTAMP '2024-06-01'
+    WITH u AS (SELECT * FROM events WHERE ts < TIMESTAMP '2024-01-16'
                UNION ALL
-               SELECT * FROM events WHERE ts >= TIMESTAMP '2024-06-01'),
+               SELECT * FROM events WHERE ts >= TIMESTAMP '2024-01-16'),
     rk AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, event_type
                                         ORDER BY ts DESC, event_id DESC) AS rk
            FROM u)
@@ -2283,8 +2283,8 @@ def q67(spark, sf):
     from bran_spark.operators.asof import merge_latest
 
     ev = _t(spark, sf, "events")
-    base = ev.where(F.col("ts") < F.lit("2024-06-01").cast("timestamp"))
-    updates = ev.where(F.col("ts") >= F.lit("2024-06-01").cast("timestamp"))
+    base = ev.where(F.col("ts") < F.lit("2024-01-16").cast("timestamp"))
+    updates = ev.where(F.col("ts") >= F.lit("2024-01-16").cast("timestamp"))
     return merge_latest(
         base, updates, keys=["user_id", "event_type"],
         order_col="ts", tiebreak="event_id",
@@ -2663,3 +2663,111 @@ def q79(spark, sf):
     from bran_spark.operators.similarity import quantize_embeddings
 
     return quantize_embeddings(_t(spark, sf, "embeddings"))
+
+
+_SESSION_CTES = """
+    o AS (SELECT user_id, ts, value,
+            LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+          FROM events),
+    m AS (SELECT user_id, ts, value,
+            SUM(CASE WHEN prev IS NULL
+                     OR epoch_us(ts) - epoch_us(prev) > 1800000000
+                     THEN 1 ELSE 0 END)
+              OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+          FROM m_src),
+    sess AS (SELECT user_id, MIN(ts) AS start_ts, MAX(ts) AS end_ts
+             FROM m GROUP BY user_id, sid)
+""".replace("m_src", "o")
+
+
+@_q(
+    "q80_session_busy_overlap",
+    f"""
+    WITH {_SESSION_CTES},
+    busy AS (SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
+                    COUNT(*) AS n
+             FROM events GROUP BY 1 HAVING COUNT(*) >= 8)
+    SELECT s.user_id, s.start_ts, b.window_start,
+           CAST(b.n AS BIGINT) AS window_events
+    FROM sess s JOIN busy b
+      ON s.end_ts >= b.window_start
+     AND s.start_ts < b.window_start + INTERVAL 1 HOUR
+    """,
+)
+def q80(spark, sf):
+    """Interval-overlap join as an equi-join: which user sessions overlap a
+    'busy' hour (≥8 events corpus-wide)? Each session explodes into its
+    covered hour buckets and equi-joins the busy-hour table — the
+    range-join-to-equi-join rewrite that keeps this off the
+    O(|A|·|B|) nested-loop path. Bucket match ⇔ overlap for hour-aligned
+    windows: h ∈ [trunc(start), trunc(end)] ⟺ [start,end] ∩ [h,h+1h) ≠ ∅.
+    The DuckDB twin runs the naive inequality join — identical rows."""
+    from bran_spark.operators.sessions import bucketed_interval_join, sessionize
+
+    ev = _t(spark, sf, "events")
+    sess = sessionize(ev).select("user_id", "start_ts", "end_ts")
+    busy = (
+        ev.groupBy(F.date_trunc("hour", "ts").alias("window_start"))
+        .agg(F.count(F.lit(1)).alias("window_events"))
+        .where(F.col("window_events") >= 8)
+    )
+    return bucketed_interval_join(sess, busy).select(
+        "user_id", "start_ts", "window_start",
+        F.col("window_events").cast("long"),
+    )
+
+
+@_q(
+    "q81_snapshot_diff",
+    """
+    WITH base AS (SELECT user_id, event_type, value FROM (
+        SELECT user_id, event_type, value,
+               ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                  ORDER BY ts DESC, event_id DESC) AS rk
+        FROM events WHERE ts < TIMESTAMP '2024-01-16') t WHERE rk = 1),
+    cur AS (SELECT user_id, event_type, value FROM (
+        SELECT user_id, event_type, value,
+               ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                  ORDER BY ts DESC, event_id DESC) AS rk
+        FROM events) t WHERE rk = 1),
+    j AS (SELECT COALESCE(b.user_id, c.user_id) AS user_id,
+                 COALESCE(b.event_type, c.event_type) AS event_type,
+                 b.value AS old_value, c.value AS new_value
+          FROM base b FULL OUTER JOIN cur c
+            ON b.user_id = c.user_id AND b.event_type = c.event_type)
+    SELECT user_id, event_type,
+           CASE WHEN old_value IS NULL THEN 'added'
+                WHEN new_value IS NULL THEN 'removed'
+                WHEN old_value IS DISTINCT FROM new_value THEN 'changed'
+                ELSE 'unchanged' END AS status,
+           old_value, new_value
+    FROM j
+    WHERE (CASE WHEN old_value IS NULL THEN 'added'
+                WHEN new_value IS NULL THEN 'removed'
+                WHEN old_value IS DISTINCT FROM new_value THEN 'changed'
+                ELSE 'unchanged' END) != 'unchanged'
+    """,
+)
+def q81(spark, sf):
+    """Snapshot reconciliation: keyed diff (added/removed/changed) between
+    the latest-per-key state before a cutoff and now — one full-outer join,
+    unchanged rows dropped in-line (asof.snapshot_diff)."""
+    from pyspark.sql import Window as W
+
+    from bran_spark.operators.asof import snapshot_diff
+
+    ev = _t(spark, sf, "events")
+    w = W.partitionBy("user_id", "event_type").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+
+    def latest(df):
+        return (
+            df.withColumn("_rk", F.row_number().over(w))
+            .where(F.col("_rk") == 1)
+            .select("user_id", "event_type", "value")
+        )
+
+    base = latest(ev.where(F.col("ts") < F.lit("2024-01-16").cast("timestamp")))
+    cur = latest(ev)
+    return snapshot_diff(base, cur, ["user_id", "event_type"], "value")

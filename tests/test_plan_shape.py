@@ -178,3 +178,12 @@ def test_merge_latest_single_shuffle(spark, testdata_dir):
     plan = _plan(merge_latest(base, upd, ["user_id", "event_type"], "ts", "event_id"))
     assert plan.count("Exchange hashpartitioning") == 1
     assert "WindowGroupLimit" in plan
+
+
+def test_interval_join_is_equi_not_nested_loop(spark, testdata_dir):
+    """q80: the bucketed rewrite must plan an equi-join; the naive range
+    join would appear as BroadcastNestedLoopJoin/CartesianProduct."""
+    plan = _plan(QUERIES["q80_session_busy_overlap"](spark, testdata_dir))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert ("SortMergeJoin" in plan) or ("BroadcastHashJoin" in plan)
