@@ -151,3 +151,14 @@ def make_sentence_udtf():
 # the synthetic corpus carries no punctuation, so the filler word stands in
 # as the boundary token (RE2- and python-re-identical, q73's oracle replays it)
 SENTENCE_BOUNDARY_RE = r"[.!?]+|\ba\b"
+
+
+def scrub_text(col: str | Column, rules: list[tuple[str, str]]) -> Column:
+    """Sequential regex scrubbing — the PII/noise-masking pass a corpus
+    runs before tokenization (digit runs → <num>, emails → <email>, ...).
+    Pure JVM regexp_replace chain; rules apply in order. Patterns must stay
+    in the RE2-compatible subset so the DuckDB twin replays them exactly."""
+    c = F.col(col) if isinstance(col, str) else col
+    for pat, repl in rules:
+        c = F.regexp_replace(c, pat, repl)
+    return c

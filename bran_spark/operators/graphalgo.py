@@ -305,3 +305,38 @@ def ancestor_closure(
         closure = closure.union(nxt).localCheckpoint(eager=True)
         frontier = nxt
     return closure
+
+
+def kcore(sym: DataFrame, k: int = 3, max_rounds: int = 8) -> DataFrame:
+    """k-core decomposition (fixed k): iteratively peel nodes with degree
+    < k until fixed point — the densest-region extractor (a KG entity in
+    the 3-core has ≥3 neighbors that themselves survive peeling; the
+    standard noise filter before community/embedding work).
+
+    Each round is one degree aggregate + two semi-joins on the shrinking
+    edge list, lineage truncated per round. Early exit at the fixed point
+    is safe under a bounded-round contract (once stable, further rounds
+    are identity — the oracle's fixed unroll gives identical output).
+    Returns (entity, degree) — the degree WITHIN the k-core subgraph."""
+    edges = sym.localCheckpoint(eager=True)
+    prev = None
+    for _ in range(max_rounds):
+        keep = (
+            edges.groupBy("u")
+            .agg(F.count(F.lit(1)).alias("d"))
+            .where(F.col("d") >= k)
+            .select("u")
+        )
+        edges = (
+            edges.join(keep, "u", "left_semi")
+            .join(keep.withColumnRenamed("u", "v"), "v", "left_semi")
+            .select("u", "v")
+            .localCheckpoint(eager=True)
+        )
+        n = edges.count()
+        if n == prev:
+            break
+        prev = n
+    return edges.groupBy("u").agg(
+        F.count(F.lit(1)).cast("long").alias("degree")
+    ).select(F.col("u").alias("entity"), "degree")

@@ -2771,3 +2771,100 @@ def q81(spark, sf):
     base = latest(ev.where(F.col("ts") < F.lit("2024-01-16").cast("timestamp")))
     cur = latest(ev)
     return snapshot_diff(base, cur, ["user_id", "event_type"], "value")
+
+
+@_q(
+    "q82_scrub_text",
+    r"""
+    SELECT event_id,
+           regexp_replace(regexp_replace(props, '[0-9]+', '<num>', 'g'),
+                          '[0-9a-f]{8,}', '<hex>', 'g') AS scrubbed,
+           CAST(len(regexp_extract_all(props, '[0-9]+')) AS INT) AS n_masked
+    FROM events
+    """,
+)
+def q82(spark, sf):
+    """PII/noise scrubbing pass: mask digit runs (then hex runs) in the
+    event payloads — chained JVM regexp_replace, plus a masked-hit count
+    for the audit trail (functions.text.scrub_text)."""
+    from bran_spark.functions.text import scrub_text
+
+    return _t(spark, sf, "events").select(
+        "event_id",
+        scrub_text(
+            "props", [("[0-9]+", "<num>"), ("[0-9a-f]{8,}", "<hex>")]
+        ).alias("scrubbed"),
+        F.size(F.regexp_extract_all("props", F.lit("[0-9]+"), 0))
+        .cast("int")
+        .alias("n_masked"),
+    )
+
+
+def _kcore_sql(k: int, rounds: int) -> str:
+    # MATERIALIZED: each e_i references e_{i-1} twice — without
+    # materialization DuckDB inlines the whole upstream chain 2^rounds times
+    parts = [
+        """
+    , e0 AS MATERIALIZED (SELECT u, v FROM sym)"""
+    ]
+    for i in range(1, rounds + 1):
+        parts.append(f"""
+    , k{i} AS MATERIALIZED (SELECT u FROM (SELECT u, COUNT(*) AS d
+                                           FROM e{i - 1} GROUP BY u) t
+               WHERE d >= {k}),
+    e{i} AS MATERIALIZED (SELECT e.u, e.v FROM e{i - 1} e
+             JOIN k{i} a ON e.u = a.u JOIN k{i} b ON e.v = b.u)""")
+    parts.append(f"""
+    SELECT u AS entity, CAST(COUNT(*) AS BIGINT) AS degree
+    FROM e{rounds} GROUP BY u""")
+    return "".join(parts)
+
+
+@_q("q83_kcore", _FX_PAIRS_SQL + _kcore_sql(3, 8))
+def q83(spark, sf):
+    """3-core of the KG entity graph: iterative peel of degree<3 nodes to
+    a fixed point (graphalgo.kcore) — the dense-region noise filter. The
+    oracle unrolls 8 peel rounds; the Spark side may exit early at the
+    fixed point (identical result — peeling is idempotent once stable)."""
+    from bran_spark.operators.graphalgo import kcore, symmetric_edges
+
+    return kcore(symmetric_edges(_fx_entity_pairs(spark, sf)), k=3, max_rounds=8)
+
+
+@_q(
+    "q84_user_trend_slope",
+    """
+    WITH p AS (SELECT user_id, epoch_us(ts) / 3600000000.0 AS x, value AS y
+               FROM events WHERE event_type = 'purchase'),
+    s AS (SELECT user_id, COUNT(*) AS n,
+                 covar_pop(y, x) AS cxy, var_pop(x) AS vx
+          FROM p GROUP BY user_id)
+    SELECT user_id, CAST(n AS BIGINT) AS n,
+           ROUND(cxy / vx, 6) AS slope_per_hour
+    FROM s WHERE n >= 2 AND vx > 0
+    """,
+)
+def q84(spark, sf):
+    """Per-user purchase-value trend: OLS slope (covar_pop/var_pop) of
+    value against event time in hours — one partial-agg pass. The
+    applyInPandas grouped-map twin is equivalence-tested in
+    tests/test_operators.py (the §2.10 grouped-map surface)."""
+    ev = _t(spark, sf, "events").where(F.col("event_type") == "purchase")
+    p = ev.select(
+        "user_id",
+        (F.unix_micros(F.col("ts").cast("timestamp")) / 3.6e9).alias("x"),
+        F.col("value").alias("y"),
+    )
+    s = p.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.covar_pop("y", "x").alias("cxy"),
+        F.var_pop("x").alias("vx"),
+    )
+    return (
+        s.where((F.col("n") >= 2) & (F.col("vx") > 0))
+        .select(
+            "user_id",
+            F.col("n").cast("long").alias("n"),
+            F.round(F.col("cxy") / F.col("vx"), 6).alias("slope_per_hour"),
+        )
+    )

@@ -206,3 +206,36 @@ def test_sentence_udtf_matches_posexplode_twin(spark):
     )
     assert got == {(r["doc_id"], r["i"], r["s"]) for r in twin.collect()}
     assert (1, 1, "gamma") in got  # split on the filler word kept index 1
+
+
+def test_trend_slope_grouped_map_matches_relational(spark, testdata_dir):
+    """§2.10 grouped-map surface: applyInPandas per-user OLS slope equals
+    the relational covar/var form within float tolerance."""
+    from bran_spark.operators.asof import trend_slope_grouped_map
+    from bran_spark.plans.oracle_queries import QUERIES
+
+    rel = {
+        r["user_id"]: (r["n"], r["slope_per_hour"])
+        for r in QUERIES["q84_user_trend_slope"](spark, testdata_dir).collect()
+    }
+    ev = spark.read.parquet(f"{testdata_dir}/events.parquet")
+    gm = {
+        r["user_id"]: (r["n"], r["slope_per_hour"])
+        for r in trend_slope_grouped_map(ev).collect()
+    }
+    assert rel.keys() == gm.keys() and len(rel) > 0
+    for u in rel:
+        assert rel[u][0] == gm[u][0]
+        assert abs(rel[u][1] - gm[u][1]) <= 2e-6
+
+
+def test_kcore_peels_tail_nodes(spark):
+    from bran_spark.operators.graphalgo import kcore, symmetric_edges
+
+    # K4 core plus a pendant chain: chain must be peeled, K4 survives with
+    # in-core degree 3
+    e = [("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"), ("b", "d"),
+         ("c", "d"), ("d", "e"), ("e", "f")]
+    sym = symmetric_edges(spark.createDataFrame(e, "subj string, obj string"))
+    got = {r["entity"]: r["degree"] for r in kcore(sym, k=3).collect()}
+    assert got == {"a": 3, "b": 3, "c": 3, "d": 3}
