@@ -2868,3 +2868,34 @@ def q84(spark, sf):
             F.round(F.col("cxy") / F.col("vx"), 6).alias("slope_per_hour"),
         )
     )
+
+
+@_q(
+    "q85_sliding_window",
+    """
+    SELECT CAST(epoch(time_bucket(INTERVAL 15 minutes, ts)
+                      - k * INTERVAL 15 minutes) AS BIGINT) AS window_start,
+           event_type, COUNT(*) AS n, ROUND(SUM(value), 4) AS sum_value
+    FROM events, (SELECT unnest(range(4)) AS k) z
+    GROUP BY window_start, event_type
+    """,
+)
+def q85(spark, sf):
+    """Sliding (hopping) event-time window — 1 h duration, 15 min slide:
+    every event lands in exactly duration/slide = 4 windows (Catalyst plans
+    the same Expand + partial agg a streaming sliding window uses). The
+    oracle replays the window set with a 4-way bucket-offset expansion."""
+    return (
+        _t(spark, sf, "events")
+        .groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            F.unix_timestamp("w.start").alias("window_start"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )

@@ -210,6 +210,14 @@ class ManifestParquetTableIO:
         os.rename(tmp, final)
         return rows
 
+    def expire_snapshots(self, table: str, keep_last: int = 2) -> list[int]:
+        """Snapshot GC (the Iceberg expire_snapshots analog): delete data +
+        manifest of every snapshot older than the newest ``keep_last``.
+        The current pointer is never removed; time-travel reads of expired
+        ids fail loudly afterwards (the lineage record of WHAT was expired
+        is the returned list — callers log it to the run manifest)."""
+        return _expire_snapshots_impl(self, table, keep_last)
+
     def read_buckets(self, spark: SparkSession, table: str) -> DataFrame:
         bdir = os.path.join(self._tdir(table), "buckets")
         return spark.read.option("recursiveFileLookup", "false").parquet(
@@ -292,3 +300,22 @@ def compact_partitions(df, target_mb: int = 128):
         # big shrink → narrow coalesce avoids a full shuffle
         return df.coalesce(n)
     return df.repartition(n)
+
+
+def _expire_snapshots_impl(io, table: str, keep_last: int = 2) -> list[int]:
+    """Shared snapshot-expiry logic for ManifestParquetTableIO."""
+    cur = io.current_snapshot(table)
+    if cur is None:
+        return []
+    cutoff = cur - keep_last + 1
+    removed: list[int] = []
+    tdir = io._tdir(table)
+    for snap in range(0, max(cutoff, 0)):
+        sdir = os.path.join(tdir, f"snap-{snap}")
+        man = os.path.join(tdir, f"manifest-{snap}.json")
+        if os.path.exists(sdir):
+            shutil.rmtree(sdir)
+            removed.append(snap)
+        if os.path.exists(man):
+            os.remove(man)
+    return removed

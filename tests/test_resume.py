@@ -129,3 +129,25 @@ def test_time_travel_read_returns_past_snapshot(spark, tmp_path):
     assert new == {(1, "a"), (2, "B"), (3, "c")}
     # the superseded snapshot's manifest is still addressable (lineage)
     assert io.manifest("tbl", 0)["rows"] == 2
+
+
+def test_expire_snapshots_keeps_recent_and_current(spark, tmp_path):
+    from bran_spark.sources.tableio import ManifestParquetTableIO
+
+    io = ManifestParquetTableIO(str(tmp_path / "gc"))
+    for i in range(4):
+        io.write(
+            spark.createDataFrame([(i,)], "v long"), "tbl", stage="s"
+        )
+    assert io.current_snapshot("tbl") == 3
+    removed = io.expire_snapshots("tbl", keep_last=2)
+    assert removed == [0, 1]
+    # survivors still readable; expired gone
+    assert {r["v"] for r in io.read(spark, "tbl", snap=3).collect()} == {3}
+    assert {r["v"] for r in io.read(spark, "tbl", snap=2).collect()} == {2}
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        io.read(spark, "tbl", snap=0).collect()
+    assert io.manifest("tbl", 0) is None
+    assert io.manifest("tbl", 3)["rows"] == 1

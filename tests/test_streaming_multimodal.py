@@ -223,3 +223,42 @@ def test_stream_stream_join_matches_batch(spark, testdata_dir, tmp_path):
     a = {tuple(r) for r in got.select("event_id", "v_ts").collect()}
     b = {tuple(r) for r in expect.select("event_id", "v_ts").collect()}
     assert a == b
+
+
+def test_stream_static_broadcast_enrichment(spark, testdata_dir, tmp_path):
+    """Stream-static join: a streaming source enriched against a broadcast
+    in-memory dimension (the streaming form of every linking join in the
+    pipeline) — result equals the batch join."""
+    dim = spark.createDataFrame(
+        [("view", "browse"), ("cart", "intent"), ("purchase", "convert")],
+        "event_type string, category string",
+    )
+    srcdir = str(tmp_path / "src")
+    spark.read.parquet(f"{testdata_dir}/events.parquet").write.mode(
+        "overwrite"
+    ).parquet(srcdir)
+    src = spark.readStream.schema(
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    ).parquet(srcdir)
+    out, ck = str(tmp_path / "out"), str(tmp_path / "ck")
+    q = (
+        src.join(F.broadcast(dim), "event_type")
+        .select("event_id", "category")
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ck)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.read.parquet(out)
+    batch = (
+        spark.read.parquet(f"{testdata_dir}/events.parquet")
+        .join(dim, "event_type")
+    )
+    assert got.count() == batch.count() > 0
+    assert {r["category"] for r in got.select("category").distinct().collect()} <= {
+        "browse", "intent", "convert"
+    }
