@@ -41,6 +41,15 @@ NOTES = {
         "union is partition-local; exactly one hashpartitioning exchange "
         "(the merge-key window) with WindowGroupLimit trimming."
     ),
+    "q80_session_busy_overlap": (
+        "interval-overlap as bucket equi-join — no BroadcastNestedLoopJoin/"
+        "CartesianProduct anywhere; the raw range predicate would force one."
+    ),
+    "q74_dedup_survivors": (
+        "composed dedup: LSH equi-join candidates feed the checkpointed "
+        "components loop; the final corpus anti-join builds on the small "
+        "drop set."
+    ),
 }
 
 HEADER = """# PLANS — physical-plan audit of representative queries (round 2)
