@@ -340,3 +340,57 @@ def kcore(sym: DataFrame, k: int = 3, max_rounds: int = 8) -> DataFrame:
     return edges.groupBy("u").agg(
         F.count(F.lit(1)).cast("long").alias("degree")
     ).select(F.col("u").alias("entity"), "degree")
+
+
+def deterministic_walks(
+    sym: DataFrame,
+    n_walks: int = 2,
+    walk_len: int = 3,
+) -> DataFrame:
+    """Hash-driven random walks over the entity graph — the corpus a
+    DeepWalk/node2vec-style KG embedding trains on, made DETERMINISTIC:
+    step t of walk w from node s picks sorted_neighbors[md5(cur:w:t) mod
+    deg]. Reproducible (re-runs and engines agree exactly — no rand()),
+    auditable, and oracle-checkable.
+
+    Scale shape: the adjacency is packed once into (node, sorted neighbor
+    array) — one groupBy — then each step is ONE equi-join of the frontier
+    against it (walk state stays (start, walk, cur), constant width).
+    walk_len joins total; no per-step shuffle growth. Returns
+    (start, walk_id, step, node) with step 0 = the start node itself."""
+    adj = sym.groupBy("u").agg(F.sort_array(F.collect_set("v")).alias("nbrs"))
+    starts = adj.select(F.col("u").alias("start"))
+    state = starts.select(
+        "start",
+        F.explode(F.sequence(F.lit(0), F.lit(n_walks - 1))).alias("walk_id"),
+    ).withColumn("cur", F.col("start"))
+    out = state.select(
+        "start", "walk_id", F.lit(0).alias("step"), F.col("cur").alias("node")
+    )
+    for t in range(1, walk_len + 1):
+        idx = F.conv(
+            F.substring(
+                F.md5(F.concat_ws(":", F.col("cur"), F.col("walk_id"), F.lit(t))),
+                1, 8,
+            ),
+            16, 10,
+        ).cast("long")
+        state = (
+            state.join(adj, state["cur"] == adj["u"])
+            .select(
+                "start",
+                "walk_id",
+                F.element_at(
+                    F.col("nbrs"), (idx % F.size("nbrs") + 1).cast("int")
+                ).alias("cur"),
+            )
+        )
+        out = out.union(
+            state.select(
+                "start", "walk_id", F.lit(t).alias("step"),
+                F.col("cur").alias("node"),
+            )
+        )
+    return out.select(
+        "start", F.col("walk_id").cast("int"), F.col("step").cast("int"), "node"
+    )

@@ -2899,3 +2899,96 @@ def q85(spark, sf):
             "sum_value",
         )
     )
+
+
+def _walks_sql(n_walks: int, walk_len: int) -> str:
+    parts = [
+        f"""
+    , adj AS MATERIALIZED (SELECT u, list_sort(list(DISTINCT v)) AS nbrs
+                           FROM sym GROUP BY u),
+    s0 AS (SELECT u AS start, w.walk_id, u AS cur
+           FROM adj, (SELECT unnest(range({n_walks})) AS walk_id) w)"""
+    ]
+    for t in range(1, walk_len + 1):
+        parts.append(f"""
+    , p{t} AS (SELECT s.start, s.walk_id, a.nbrs,
+                      md5(s.cur || ':' || s.walk_id || ':' || {t}) AS h
+               FROM s{t - 1} s JOIN adj a ON a.u = s.cur),
+    s{t} AS (SELECT start, walk_id,
+                    nbrs[CAST(CAST({_HEX8_SQL} AS BIGINT) % len(nbrs) AS INT) + 1]
+                      AS cur
+             FROM p{t})""")
+    union = " UNION ALL ".join(
+        f"SELECT start, walk_id, {t} AS step, cur FROM s{t}"
+        for t in range(0, walk_len + 1)
+    )
+    parts.append(f"""
+    SELECT start, CAST(walk_id AS INT) AS walk_id, CAST(step AS INT) AS step,
+           cur AS node
+    FROM ({union}) t""")
+    return "".join(parts)
+
+
+@_q("q86_deterministic_walks", _FX_PAIRS_SQL + _walks_sql(2, 3))
+def q86(spark, sf):
+    """Hash-driven random walks over the KG (DeepWalk corpus prep, made
+    deterministic: next = sorted_neighbors[md5(cur:walk:step) mod deg]) —
+    adjacency packed once, one equi-join per step
+    (graphalgo.deterministic_walks)."""
+    from bran_spark.operators.graphalgo import deterministic_walks, symmetric_edges
+
+    return deterministic_walks(
+        symmetric_edges(_fx_entity_pairs(spark, sf)), n_walks=2, walk_len=3
+    )
+
+
+@_q(
+    "q87_data_contract",
+    """
+    SELECT 'unique:o_orderkey' AS rule,
+           CAST(COUNT(o_orderkey) AS BIGINT) AS n_checked,
+           CAST(COUNT(o_orderkey) - COUNT(DISTINCT o_orderkey) AS BIGINT)
+             AS n_violations
+    FROM orders
+    UNION ALL
+    SELECT 'fk:l_orderkey',
+           CAST((SELECT COUNT(*) FROM lineitem) AS BIGINT),
+           CAST((SELECT COUNT(*) FROM lineitem l
+                 WHERE l.l_orderkey NOT IN (SELECT o_orderkey FROM orders))
+                AS BIGINT)
+    UNION ALL
+    SELECT 'not_null:c_name',
+           CAST((SELECT COUNT(*) FROM customer) AS BIGINT),
+           CAST((SELECT SUM(CASE WHEN c_name IS NULL THEN 1 ELSE 0 END)
+                 FROM customer) AS BIGINT)
+    UNION ALL
+    SELECT 'range:l_quantity',
+           CAST((SELECT COUNT(*) FROM lineitem) AS BIGINT),
+           CAST((SELECT SUM(CASE WHEN l_quantity IS NULL OR l_quantity < 1
+                                      OR l_quantity > 50
+                                 THEN 1 ELSE 0 END) FROM lineitem) AS BIGINT)
+    """,
+)
+def q87(spark, sf):
+    """Data-contract gate: uniqueness / referential-integrity / not-null /
+    range rules reduced to (rule, n_checked, n_violations) rows — the
+    pre-commit quality report (operators/contracts.py)."""
+    from bran_spark.operators.contracts import (
+        contract_report,
+        rule_foreign_key,
+        rule_in_range,
+        rule_not_null,
+        rule_unique,
+    )
+
+    orders = _t(spark, sf, "orders")
+    lineitem = _t(spark, sf, "lineitem")
+    customer = _t(spark, sf, "customer")
+    return contract_report(
+        [
+            rule_unique(orders, "o_orderkey"),
+            rule_foreign_key(lineitem, "l_orderkey", orders, "o_orderkey"),
+            rule_not_null(customer, "c_name"),
+            rule_in_range(lineitem, "l_quantity", 1, 50),
+        ]
+    )

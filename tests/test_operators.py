@@ -239,3 +239,56 @@ def test_kcore_peels_tail_nodes(spark):
     sym = symmetric_edges(spark.createDataFrame(e, "subj string, obj string"))
     got = {r["entity"]: r["degree"] for r in kcore(sym, k=3).collect()}
     assert got == {"a": 3, "b": 3, "c": 3, "d": 3}
+
+
+def test_contract_rules_catch_seeded_violations(spark):
+    from bran_spark.operators.contracts import (
+        contract_report,
+        rule_foreign_key,
+        rule_in_range,
+        rule_not_null,
+        rule_unique,
+    )
+
+    child = spark.createDataFrame(
+        [(1, 10.0), (1, None), (2, 999.0), (9, 5.0)], "k long, v double"
+    )
+    parent = spark.createDataFrame([(1,), (2,)], "k long")
+    rep = {
+        r["rule"]: (r["n_checked"], r["n_violations"])
+        for r in contract_report(
+            [
+                rule_unique(child, "k"),
+                rule_foreign_key(child, "k", parent, "k"),
+                rule_not_null(child, "v"),
+                rule_in_range(child, "v", 0, 100),
+            ]
+        ).collect()
+    }
+    assert rep["unique:k"] == (4, 1)      # k=1 duplicated once
+    assert rep["fk:k"] == (4, 1)          # k=9 orphaned
+    assert rep["not_null:v"] == (4, 1)
+    assert rep["range:v"] == (4, 2)       # NULL and 999 both violate
+
+
+def test_deterministic_walks_stay_on_edges(spark):
+    from bran_spark.operators.graphalgo import deterministic_walks, symmetric_edges
+
+    pairs = [("a", "x"), ("b", "x"), ("b", "y"), ("c", "y")]
+    sym = symmetric_edges(spark.createDataFrame(pairs, "subj string, obj string"))
+    edges = {(r["u"], r["v"]) for r in sym.collect()}
+    walks = deterministic_walks(sym, n_walks=2, walk_len=3)
+    rows = walks.collect()
+    # every node has 2 walks of 4 steps (0..3)
+    n_nodes = len({u for u, _ in edges})
+    assert len(rows) == n_nodes * 2 * 4
+    # consecutive steps follow real edges
+    by_walk = {}
+    for r in rows:
+        by_walk.setdefault((r["start"], r["walk_id"]), {})[r["step"]] = r["node"]
+    for path in by_walk.values():
+        for t in range(1, 4):
+            assert (path[t - 1], path[t]) in edges
+    # deterministic across runs
+    again = sorted(map(tuple, walks.collect()))
+    assert sorted(map(tuple, rows)) == again
