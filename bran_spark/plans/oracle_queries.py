@@ -2992,3 +2992,80 @@ def q87(spark, sf):
             rule_in_range(lineitem, "l_quantity", 1, 50),
         ]
     )
+
+
+@_q(
+    "q88_grouping_sets",
+    """
+    SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n
+    FROM documents GROUP BY GROUPING SETS ((lang), (source), ())
+    """,
+)
+def q88(spark, sf):
+    """Explicit GROUPING SETS (the rollup/cube generalization — per-lang,
+    per-source and grand totals in ONE Expand + partial-agg pass)."""
+    _t(spark, sf, "documents").createOrReplaceTempView("q88_docs")
+    return spark.sql(
+        "SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n "
+        "FROM q88_docs GROUP BY GROUPING SETS ((lang), (source), ())"
+    )
+
+
+@_q(
+    "q89_bpe_merge_candidates",
+    """
+    WITH wl AS (SELECT unnest(string_split(lower(text), ' ')) AS w
+                FROM documents),
+    w2 AS (SELECT w FROM wl WHERE length(w) >= 2),
+    p AS (SELECT substr(w, CAST(i AS INT) + 1, 2) AS pair
+          FROM (SELECT w, unnest(range(length(w) - 1)) AS i FROM w2) t)
+    SELECT pair, CAST(COUNT(*) AS BIGINT) AS freq
+    FROM p GROUP BY pair ORDER BY freq DESC, pair LIMIT 20
+    """,
+)
+def q89(spark, sf):
+    """BPE training's inner step: corpus-wide adjacent-symbol pair counts →
+    the top merge candidates (A1/X1's learn-side twin; the apply side is
+    functions/bpe.py). One explode + partial-agg count + TakeOrdered."""
+    from bran_spark.functions.text import char_shingles
+
+    w = (
+        _t(spark, sf, "documents")
+        .select(F.explode(F.split(F.lower("text"), " ")).alias("w"))
+        .where(F.length("w") >= 2)
+    )
+    return (
+        w.select(F.explode(char_shingles("w", 2)).alias("pair"))
+        .groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.desc("freq"), F.asc("pair"))
+        .limit(20)
+    )
+
+
+@_q(
+    "q90_score_calibration",
+    f"""
+    WITH {_PIPE_CTES}
+    SELECT CAST(FLOOR((s + 10) / 2) AS INT) AS bin,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(label) AS BIGINT) AS n_pos,
+           ROUND(AVG(s), 6) AS mean_score,
+           ROUND(AVG(label), 6) AS frac_pos
+    FROM scored GROUP BY bin
+    """,
+)
+def q90(spark, sf):
+    """Model-calibration profile: pooled scores bucketed into fixed-width
+    bins vs observed positive rate (the reliability-curve table an
+    evaluation run persists next to P/R/F1)."""
+    s = _scored(spark, sf)
+    return (
+        s.groupBy(F.floor((F.col("s") + 10) / 2).cast("int").alias("bin"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("label").cast("long").alias("n_pos"),
+            F.round(F.avg("s"), 6).alias("mean_score"),
+            F.round(F.avg("label"), 6).alias("frac_pos"),
+        )
+    )
