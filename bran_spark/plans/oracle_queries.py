@@ -3069,3 +3069,100 @@ def q90(spark, sf):
             F.round(F.avg("label"), 6).alias("frac_pos"),
         )
     )
+
+
+@_q(
+    "q91_robust_stats",
+    """
+    WITH s AS (SELECT event_type, value FROM events WHERE value IS NOT NULL),
+    med AS (SELECT event_type, median(value) AS med FROM s GROUP BY event_type),
+    mad AS (SELECT s.event_type,
+                   median(abs(s.value - med.med)) AS mad
+            FROM s JOIN med USING (event_type) GROUP BY s.event_type)
+    SELECT med.event_type, ROUND(med.med, 6) AS median_value,
+           ROUND(mad.mad, 6) AS mad
+    FROM med JOIN mad USING (event_type)
+    """,
+)
+def q91(spark, sf):
+    """Robust per-type location/scale: median + median-absolute-deviation
+    (the outlier-resistant alternative to q77's mean/stddev — what a
+    quality gate uses when the metric itself is heavy-tailed). Two exact
+    percentile passes; at 10^12 rows the approx_percentile sketch is the
+    drop-in (q71)."""
+    s = _t(spark, sf, "events").where(F.col("value").isNotNull())
+    med = s.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("med")
+    )
+    mad = (
+        s.join(F.broadcast(med), "event_type")
+        .groupBy("event_type")
+        .agg(F.expr("percentile(abs(value - med), 0.5)").alias("mad"))
+    )
+    return (
+        med.join(mad, "event_type")
+        .select(
+            "event_type",
+            F.round("med", 6).alias("median_value"),
+            F.round("mad", 6).alias("mad"),
+        )
+    )
+
+
+@_q(
+    "q92_levenshtein_verify",
+    f"""
+    WITH nm AS (SELECT mesh_id, lower(canonical_name) AS s
+                FROM read_parquet('{_FX01}/mesh_dict.parquet')),
+    sh AS (SELECT mesh_id,
+                  unnest(list_distinct({_CHAR_SHINGLE_SQL.format(n=3)})) AS shingle
+           FROM nm),
+    sizes AS (SELECT mesh_id, COUNT(*) AS n_sh FROM sh GROUP BY mesh_id),
+    hot AS (SELECT shingle FROM (SELECT shingle, COUNT(*) AS c FROM sh
+                                 GROUP BY shingle) t WHERE c > 200),
+    kept AS (SELECT * FROM sh WHERE shingle NOT IN (SELECT shingle FROM hot)),
+    common AS (SELECT a.mesh_id AS id_a, b.mesh_id AS id_b, COUNT(*) AS common
+               FROM kept a JOIN kept b
+                 ON a.shingle = b.shingle AND a.mesh_id < b.mesh_id
+               GROUP BY 1, 2),
+    j AS (SELECT id_a, id_b,
+                 common * 1.0 / (sa.n_sh + sb.n_sh - common) AS jaccard
+          FROM common
+          JOIN sizes sa ON sa.mesh_id = id_a
+          JOIN sizes sb ON sb.mesh_id = id_b),
+    cand AS (SELECT id_a, id_b FROM j WHERE jaccard >= 0.4)
+    SELECT c.id_a, c.id_b,
+           CAST(levenshtein(na.s, nb.s) AS INT) AS edit_dist,
+           CAST((levenshtein(na.s, nb.s) <= 2) AS INT) AS is_match
+    FROM cand c
+    JOIN nm na ON na.mesh_id = c.id_a
+    JOIN nm nb ON nb.mesh_id = c.id_b
+    """,
+)
+def q92(spark, sf):
+    """Entity-resolution VERIFY stage: exact Levenshtein edit distance over
+    the trigram-blocked candidates (q72) — blocking keeps the expensive
+    O(len²) distance off the full cross product; the ≤2-edit flag is the
+    match decision. Integer outputs, bit-exact across engines."""
+    from bran_spark.fixtures.gen import ensure, fixture_dir
+    from bran_spark.operators.linking import name_neardup_pairs
+
+    s = _fixture_sf_for(sf)
+    ensure(s)
+    d = spark.read.parquet(f"{fixture_dir(s)}/mesh_dict.parquet")
+    names = d.select(
+        "mesh_id", F.lower("canonical_name").alias("s")
+    )
+    cand = name_neardup_pairs(d).select("id_a", "id_b")
+    return (
+        cand.join(names.select(F.col("mesh_id").alias("id_a"),
+                               F.col("s").alias("sa")), "id_a")
+        .join(names.select(F.col("mesh_id").alias("id_b"),
+                           F.col("s").alias("sb")), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.levenshtein("sa", "sb").cast("int").alias("edit_dist"),
+            (F.levenshtein("sa", "sb") <= 2).cast("int").alias("is_match"),
+        )
+    )
