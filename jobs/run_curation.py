@@ -1,0 +1,104 @@
+"""spark-submit entry for the corpus-CURATION pipeline — the training-data
+counterpart of the KG DAG (jobs/run_pipeline.py):
+
+    quality filter → repetition filter → exact dedup → near-dup survivor
+    dedup (MinHash-LSH + connected components) → stratified language sample
+    → curated parquet + one JSON stats line.
+
+    spark-submit --master local[8] --py-files dist/bran_spark.zip \
+        jobs/run_curation.py --sf-dir /root/testdata/sf0.01 --out /tmp/curated
+
+Every stage is a registered, oracle-checked operator (q32, q52, q27,
+q29/q50/q74, q61); this job is the composed flow a user runs end-to-end.
+Funnel counters come from ONE aggregate per stage boundary over the lazily
+chained plan — no extra passes over the corpus.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001"))
+    ap.add_argument("--out", default=None, help="output dir for curated parquet (omit to skip the write)")
+    ap.add_argument("--master", default=None)
+    ap.add_argument("--min-quality", type=float, default=0.3)
+    ap.add_argument("--max-dup-word-frac", type=float, default=0.5)
+    ap.add_argument("--sample-en", type=float, default=1.0)
+    ap.add_argument("--sample-rest", type=float, default=1.0)
+    args = ap.parse_args()
+
+    from pyspark.sql import functions as F
+
+    from bran_spark.functions.text import quality_score
+    from bran_spark.operators.components import dedup_corpus
+    from bran_spark.operators.dedup import exact_dedup_groups, minhash_lsh_pairs
+    from bran_spark.operators.quality import repetition_stats
+    from bran_spark.operators.sampling import stratified_sample
+    from bran_spark.session import get_spark
+
+    spark = get_spark("bran_curation", master=args.master)
+    t0 = time.time()
+    docs = spark.read.parquet(f"{args.sf_dir}/documents.parquet")
+    n_input = docs.count()
+
+    # 1. quality + repetition gates (pure JVM column math, one pass)
+    rep = repetition_stats(docs, "doc_id", "text")
+    kept = (
+        docs.join(rep.select("doc_id", "dup_word_frac"), "doc_id")
+        .withColumn("q", quality_score("text"))
+        .where(
+            (F.col("q") >= args.min_quality)
+            & (F.col("dup_word_frac") <= args.max_dup_word_frac)
+        )
+        .drop("q", "dup_word_frac")
+    )
+    n_quality = kept.count()
+
+    # 2. exact dedup: keep min doc_id per content hash
+    exact_keep = exact_dedup_groups(kept, "doc_id", "text").select(
+        F.col("keep_id").alias("doc_id")
+    )
+    kept = kept.join(exact_keep, "doc_id", "left_semi")
+    n_exact = kept.count()
+
+    # 3. near-dup survivor dedup (LSH candidates → components → one per cluster)
+    pairs = minhash_lsh_pairs(kept, "doc_id", "text", n=4, bands=4)
+    kept = dedup_corpus(kept, pairs)
+    n_neardup = kept.count()
+
+    # 4. deterministic stratified sample
+    rates = {"en": args.sample_en}
+    kept = stratified_sample(kept, "lang", rates, default_rate=args.sample_rest)
+    n_out = kept.count()
+
+    if args.out:
+        kept.write.mode("overwrite").parquet(args.out)
+
+    print(
+        json.dumps(
+            {
+                "metric": "curation_funnel",
+                "input_docs": n_input,
+                "after_quality": n_quality,
+                "after_exact_dedup": n_exact,
+                "after_neardup_dedup": n_neardup,
+                "curated_docs": n_out,
+                "wall_s": round(time.time() - t0, 3),
+                "sf_dir": args.sf_dir,
+                "out": args.out,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -87,3 +87,30 @@ def test_eval_metrics_emitted(spark, fx_dir, tmp_path):
               "precision", "recall", "f1"):
         assert k in res
     assert res["triples"] > 0 and 0.0 <= res["f1"] <= 1.0
+
+
+def test_curation_job_funnel(tmp_path, testdata_dir):
+    """jobs/run_curation.py end-to-end: funnel counts monotone, curated
+    parquet written and readable."""
+    import json
+    import subprocess
+    import sys
+
+    out = str(tmp_path / "curated")
+    r = subprocess.run(
+        [sys.executable, "jobs/run_curation.py", "--sf-dir", testdata_dir,
+         "--out", out, "--master", "local[4]"],
+        capture_output=True, text=True, timeout=420,
+        cwd=__import__("os").path.dirname(__import__("os").path.dirname(__file__)),
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    stats = json.loads(r.stdout.strip().splitlines()[-1])
+    assert (
+        stats["input_docs"] >= stats["after_quality"]
+        >= stats["after_exact_dedup"] >= stats["after_neardup_dedup"]
+        >= stats["curated_docs"] > 0
+    )
+    import duckdb
+
+    n = duckdb.sql(f"SELECT COUNT(*) FROM '{out}/*.parquet'").fetchone()[0]
+    assert n == stats["curated_docs"]
