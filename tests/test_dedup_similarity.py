@@ -105,3 +105,41 @@ def test_ivf_multiprobe_all_cells_equals_exact(spark):
         emb, query_id=7, k=3, n_centroids=4, n_probe=2, trainer="kmeans"
     ).collect()
     assert km[0].vec_id == 100 and km[0].cos > 0.99
+
+
+def test_ann_recall_vs_exact(spark, testdata_dir):
+    """Index-quality gate: recall@10 of the approximate searches against the
+    exact cosine top-10, averaged over several query points — the metric
+    that justifies the bucket-pruned scan designs. Floors are deliberately
+    modest (single-probe LSH trades recall for a 2^bits scan cut); the
+    multi-probe IVF must do strictly better than its single-cell form on
+    average."""
+    from bran_spark.operators.similarity import (
+        cosine_topk,
+        ivf_topk,
+        lsh_bucket_topk,
+    )
+
+    emb = spark.read.parquet(f"{testdata_dir}/embeddings.parquet")
+    queries = [0, 7, 19, 42]
+
+    def ids(df):
+        return {r["vec_id"] for r in df.collect()}
+
+    r_lsh, r_ivf1, r_ivfm = [], [], []
+    for q in queries:
+        exact = ids(cosine_topk(emb, q, k=10))
+        r_lsh.append(len(ids(lsh_bucket_topk(emb, q, k=10)) & exact) / 10)
+        r_ivf1.append(len(ids(ivf_topk(emb, q, k=10)) & exact) / 10)
+        r_ivfm.append(
+            len(ids(ivf_topk(emb, q, k=10, n_probe=3)) & exact) / 10
+        )
+    avg = lambda xs: sum(xs) / len(xs)  # noqa: E731
+    # single-probe 4-bit sign-LSH scans ~1/16 of the table; on
+    # near-uniform synthetic embeddings its recall is intrinsically near
+    # that scan fraction — the floor asserts the bucket scan is not broken,
+    # not that one probe is a good index (multi-band q55 is the real path)
+    assert avg(r_lsh) >= 0.025, r_lsh
+    assert avg(r_ivf1) >= 0.1, r_ivf1
+    assert avg(r_ivfm) >= avg(r_ivf1), (r_ivfm, r_ivf1)
+    assert avg(r_ivfm) >= 0.5, r_ivfm
