@@ -106,11 +106,19 @@ def snapshot_diff(
     today's): one full-outer join on the keys, row status derived by
     null-pattern. Emits only added/removed/changed rows (the interesting
     ones; unchanged rows are filtered before any downstream shuffle).
-    Returns keys + (status, old_value, new_value)."""
-    o = old.select(*keys, F.col(compare_col).alias("old_value"))
+    Returns keys + (status, old_value, new_value).
+
+    Presence is tracked with literal flags attached before the join, not
+    by NULL-ness of the compared values — a key present in both snapshots
+    whose value is NULL on one side is 'changed', and a removed key whose
+    old value was NULL is 'removed'."""
+    o = old.select(
+        *keys, F.col(compare_col).alias("old_value"), F.lit(1).alias("_in_old")
+    )
     n = new.select(
         *[F.col(k).alias(f"_n_{k}") for k in keys],
         F.col(compare_col).alias("new_value"),
+        F.lit(1).alias("_in_new"),
     )
     cond = None
     for k in keys:
@@ -118,8 +126,8 @@ def snapshot_diff(
         cond = c if cond is None else (cond & c)
     j = o.join(n, cond, "full_outer")
     status = (
-        F.when(F.col("old_value").isNull(), F.lit("added"))
-        .when(F.col("new_value").isNull(), F.lit("removed"))
+        F.when(F.col("_in_old").isNull(), F.lit("added"))
+        .when(F.col("_in_new").isNull(), F.lit("removed"))
         .when(~F.col("old_value").eqNullSafe(F.col("new_value")), F.lit("changed"))
         .otherwise(F.lit("unchanged"))
     )

@@ -76,6 +76,10 @@ def negative_samples(
         F.row_number().over(Window.orderBy("ent")).cast("long") - 1,
     )
     n = ranked.count()
+    if n == 0:
+        # hash % 0 is NULL with ANSI off (silently joins to zero rows) and a
+        # runtime error with ANSI on — fail loudly instead.
+        raise ValueError("entity pool is empty")
     p = pos.select(F.col(subj_col).alias("subj"), F.col(obj_col).alias("obj")).distinct()
     drawn = p.select(
         "subj", "obj", F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("i")

@@ -68,7 +68,18 @@ def bucketed_interval_join(
     predicate (proof in q80's docstring), so no residual verify filter is
     needed; for non-aligned windows add the overlap predicate post-join —
     same plan shape, tiny residual filter.
+
+    Preconditions (enforced by the pre-filter below): rows with a NULL
+    start/end or an inverted interval (end < start) are DROPPED before the
+    explode — `sequence` would yield NULL (row silently vanishes) for the
+    former and throw mid-job for the latter. Callers needing those rows
+    must handle them upstream.
     """
+    intervals = intervals.where(
+        F.col(start_col).isNotNull()
+        & F.col(end_col).isNotNull()
+        & (F.col(start_col) <= F.col(end_col))
+    )
     hours = intervals.withColumn(
         "_h",
         F.explode(

@@ -1839,8 +1839,13 @@ _FX_MEMO: dict[tuple, DataFrame] = {}
 def _fx_memo(spark, key: str, sf: float, build) -> DataFrame:
     # applicationId is unique per SparkContext — a restarted session never
     # sees a stopped context's checkpointed RDDs
-    k = (spark.sparkContext.applicationId, key, sf)
+    app = spark.sparkContext.applicationId
+    k = (app, key, sf)
     if k not in _FX_MEMO:
+        # evict entries from stopped sessions so a long-lived driver that
+        # cycles SparkSessions doesn't accumulate dead DataFrame refs
+        for stale in [mk for mk in _FX_MEMO if mk[0] != app]:
+            del _FX_MEMO[stale]
         _FX_MEMO[k] = build().localCheckpoint(eager=True)
     return _FX_MEMO[k]
 
@@ -2732,18 +2737,20 @@ def q80(spark, sf):
         FROM events) t WHERE rk = 1),
     j AS (SELECT COALESCE(b.user_id, c.user_id) AS user_id,
                  COALESCE(b.event_type, c.event_type) AS event_type,
-                 b.value AS old_value, c.value AS new_value
-          FROM base b FULL OUTER JOIN cur c
+                 b.value AS old_value, c.value AS new_value,
+                 b._in_old AS _in_old, c._in_new AS _in_new
+          FROM (SELECT *, 1 AS _in_old FROM base) b
+          FULL OUTER JOIN (SELECT *, 1 AS _in_new FROM cur) c
             ON b.user_id = c.user_id AND b.event_type = c.event_type)
     SELECT user_id, event_type,
-           CASE WHEN old_value IS NULL THEN 'added'
-                WHEN new_value IS NULL THEN 'removed'
+           CASE WHEN _in_old IS NULL THEN 'added'
+                WHEN _in_new IS NULL THEN 'removed'
                 WHEN old_value IS DISTINCT FROM new_value THEN 'changed'
                 ELSE 'unchanged' END AS status,
            old_value, new_value
     FROM j
-    WHERE (CASE WHEN old_value IS NULL THEN 'added'
-                WHEN new_value IS NULL THEN 'removed'
+    WHERE (CASE WHEN _in_old IS NULL THEN 'added'
+                WHEN _in_new IS NULL THEN 'removed'
                 WHEN old_value IS DISTINCT FROM new_value THEN 'changed'
                 ELSE 'unchanged' END) != 'unchanged'
     """,

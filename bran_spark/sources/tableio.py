@@ -290,12 +290,19 @@ def compact_partitions(df, target_mb: int = 128):
     sink compacts). Partition count comes from Catalyst's own size
     estimate (optimizedPlan().stats), so no extra pass over the data; the
     round-robin repartition keeps files even. For already-small frames this
-    COALESCES (narrow, no shuffle) instead of repartitioning."""
+    COALESCES (narrow, no shuffle) instead of repartitioning. Both
+    directions are handled: an over-partitioned frame (many tiny files) is
+    merged, and an under-partitioned frame (few partitions far above
+    target_mb) is SPLIT via repartition(n) so no single output file
+    balloons past the target."""
     size_bytes = df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
     n = max(1, int((int(size_bytes) + target_mb * 2**20 - 1) // (target_mb * 2**20)))
     current = df.rdd.getNumPartitions()
-    if n >= current:
+    if n == current:
         return df
+    if n > current:
+        # under-partitioned: split so each file lands near target_mb
+        return df.repartition(n)
     if n <= max(1, current // 4):
         # big shrink → narrow coalesce avoids a full shuffle
         return df.coalesce(n)

@@ -161,6 +161,77 @@ def test_merge_latest_upsert_semantics(spark):
     assert got == {"k1": (3, 111.0), "k2": (2, 200.0), "k3": (4, 300.0)}
 
 
+def test_snapshot_diff_null_values_use_presence_not_value_nulls(spark):
+    """Status must derive from key PRESENCE (literal flags attached before
+    the full-outer join), not from NULL-ness of the compared values:
+    old=NULL,new=X for a key in both snapshots is 'changed' (not 'added');
+    a removed key whose old value was NULL is 'removed' (not 'added')."""
+    from bran_spark.operators.asof import snapshot_diff
+
+    old = spark.createDataFrame(
+        [("both_null_to_x", None), ("removed_null", None),
+         ("unchanged", 1.0), ("x_to_null", 7.0)],
+        "k string, value double",
+    )
+    new = spark.createDataFrame(
+        [("both_null_to_x", 3.0), ("unchanged", 1.0),
+         ("x_to_null", None), ("added_null", None)],
+        "k string, value double",
+    )
+    got = {r.k: r.status for r in snapshot_diff(old, new, ["k"], "value").collect()}
+    assert got == {
+        "both_null_to_x": "changed",
+        "removed_null": "removed",
+        "x_to_null": "changed",
+        "added_null": "added",
+    }  # 'unchanged' filtered out
+
+
+def test_bucketed_interval_join_prefilters_null_and_inverted(spark):
+    """NULL endpoints and inverted intervals are dropped by the documented
+    pre-filter instead of silently vanishing (NULL sequence) or throwing
+    mid-job (negative-step sequence)."""
+    from bran_spark.operators.sessions import bucketed_interval_join
+
+    t = lambda h: dt.datetime(2024, 1, 1, h)  # noqa: E731
+    iv = spark.createDataFrame(
+        [("ok", t(1), t(2)), ("nullend", t(1), None),
+         ("nullstart", None, t(2)), ("inverted", t(3), t(1))],
+        "name string, start_ts timestamp, end_ts timestamp",
+    )
+    wins = spark.createDataFrame(
+        [(t(1),), (t(2),), (t(3),)], "window_start timestamp"
+    )
+    rows = bucketed_interval_join(iv, wins).collect()
+    assert {r.name for r in rows} == {"ok"}
+    assert len(rows) == 2  # hours 01 and 02 both matched
+
+
+def test_compact_partitions_splits_underpartitioned(spark, testdata_dir):
+    """An under-partitioned frame (1 partition, size >> target) must be
+    SPLIT so output files land near target_mb, not passed through."""
+    from bran_spark.sources.tableio import compact_partitions
+
+    # range: 8 bytes/row in Catalyst's estimate -> ~8 MB in one partition
+    big = spark.range(1_000_000).coalesce(1)
+    out = compact_partitions(big, target_mb=1)
+    assert out.rdd.getNumPartitions() > 1
+    assert out.count() == 1_000_000
+
+
+def test_negative_samples_empty_pool_raises(spark):
+    from bran_spark.operators.sampling import negative_samples
+
+    pos = spark.createDataFrame([("a", "b")], "subj string, obj string")
+    empty = spark.createDataFrame([], "ent string")
+    try:
+        negative_samples(pos, empty, k=2)
+        raised = False
+    except ValueError:
+        raised = True
+    assert raised
+
+
 def test_merge_latest_tiebreak_deterministic(spark):
     from bran_spark.operators.asof import merge_latest
 
