@@ -243,6 +243,7 @@ def embedding_neardup_pairs(
     vec_col: str = "embedding",
     min_cos: float = 0.95,
     bands: tuple[tuple[int, ...], ...] = DEFAULT_SIGN_BANDS,
+    center: bool = True,
 ) -> DataFrame:
     """Embedding-cosine near-dup via BANDED sign-LSH (deterministic
     axis-aligned random-hyperplane buckets), cosine verified per candidate.
@@ -256,31 +257,23 @@ def embedding_neardup_pairs(
     0.53, so 4 bands give ≈ 1-(1-0.53)^4 ≈ 95% recall — versus a single
     wider key whose recall decays geometrically with k.
 
+    Sign bits are taken relative to each coordinate's corpus mean by
+    default (``center=True``): real embedding stores are frequently
+    positively biased (post-ReLU, cosine caches), and raw sign bits then
+    put the whole corpus in one bucket, degenerating the self-join toward
+    O(N²). The means are one tiny aggregate, rounded 6 dp for determinism
+    (similarity.dim_means).
+
     Scale shape: the banded explode shuffles only (id, band, key); vectors
     rejoin the deduped candidate list by id, so the wide embedding column
     crosses the exchange once per side, not once per band.
     """
+    from bran_spark.operators.similarity import banded_sign_keys, dim_means
+
     ids = F.col(id_col).alias("id")
-    sign_key = lambda dims: F.concat_ws(  # noqa: E731
-        "",
-        *[
-            F.when(F.element_at(F.col(vec_col), d + 1) >= 0, "1").otherwise("0")
-            for d in dims
-        ],
-    )
-    keyed = emb.select(
-        ids,
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("band"), sign_key(dims).alias("key")
-                    )
-                    for i, dims in enumerate(bands)
-                ]
-            )
-        ).alias("bk"),
-    ).select("id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    all_dims = tuple(sorted({d for dims in bands for d in dims}))
+    offsets = dim_means(emb, vec_col, all_dims) if center else None
+    keyed = banded_sign_keys(emb, id_col, vec_col, bands, offsets)
     a = keyed.select(F.col("id").alias("id_a"), "band", "key")
     b = keyed.select(F.col("id").alias("id_b"), "band", "key")
     cand = (

@@ -96,6 +96,38 @@ def pagerank_fixed_point(
     return ranks.select(F.col("u").alias("entity"), F.col("rank").alias("rank_fp"))
 
 
+def pagerank_float(sym: DataFrame, iters: int = 5) -> DataFrame:
+    """(entity, rank) — the PRODUCTION PageRank path: identical plan shape
+    to ``pagerank_fixed_point`` (one edge-join + one groupBy shuffle per
+    iteration, degrees riding with ranks, per-iteration lineage truncation)
+    but double arithmetic, so it has no node-count bound (the integer twin
+    overflows past ~10^5 nodes at scale=10^12 — documented there) and skips
+    the fixed-point scaling ops. Float summation is reduction-order
+    dependent, so results are reproducible only to ~1e-12 relative — which
+    is why the ORACLE twin stays integer (bit-exact cross-engine) and this
+    path is tolerance-tested against it (tests/test_graphalgo.py)."""
+    damp = PR_DAMP_NUM / PR_DAMP_DEN
+    base = 1.0 - damp
+    sym = sym.localCheckpoint(eager=True)
+    deg = sym.groupBy("u").agg(F.count("*").alias("deg"))
+    ranks = deg.withColumn("rank", F.lit(1.0)).localCheckpoint(eager=True)
+    for _ in range(iters):
+        contrib = sym.join(ranks, "u").select(
+            F.col("v").alias("u"), (F.col("rank") / F.col("deg")).alias("c")
+        )
+        sums = contrib.groupBy("u").agg(F.sum("c").alias("s"))
+        ranks = (
+            deg.join(sums, "u", "left")
+            .select(
+                "u",
+                "deg",
+                (F.lit(base) + F.lit(damp) * F.coalesce("s", F.lit(0.0))).alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks.select(F.col("u").alias("entity"), "rank")
+
+
 def project_bipartite(
     pairs: DataFrame,
     src: str = "subj",
@@ -124,32 +156,51 @@ def project_bipartite(
     )
 
 
-def triangle_counts(edges: DataFrame) -> DataFrame:
-    """(entity, n_triangles) over an undirected edge list given as (u, v)
-    with u < v. Degree-ordered orientation: every edge points from its
-    lower-(deg, id) endpoint, every triangle is enumerated exactly once as a
-    wedge at its lowest-key apex plus the closing edge."""
+def oriented_edges(edges: DataFrame, broadcast_keys: bool = False) -> DataFrame:
+    """Degree-ordered orientation of an undirected (u, v) edge list:
+    (src, dst, kdst) with every edge pointing from its lower-(deg, id)
+    endpoint. Split out of ``triangle_counts`` so the key-attach join
+    strategy is plan-testable BEFORE the lineage-truncating checkpoint
+    (tests/test_graphalgo.py asserts no BroadcastExchange by default)."""
     sym = symmetric_edges(edges, "u", "v")
     deg = sym.groupBy("u").agg(F.count("*").alias("deg"))
     keyed = deg.select(
-        F.col("u").alias("node"), F.struct(F.col("deg"), F.col("u").alias("id")).alias("k")
+        F.col("u").alias("node"),
+        F.struct(F.col("deg"), F.col("u").alias("id")).alias("k"),
     )
-    # node-key table is |V|-sized → broadcast both lookups
-    e = (
-        edges.join(F.broadcast(keyed.withColumnRenamed("node", "u")), "u")
-        .withColumnRenamed("k", "ku")
-        .join(
-            F.broadcast(
-                keyed.select(F.col("node").alias("v"), F.col("k").alias("kv"))
-            ),
-            "v",
-        )
+    ku = keyed.withColumnRenamed("node", "u")
+    kv = keyed.select(F.col("node").alias("v"), F.col("k").alias("kv"))
+    if broadcast_keys:
+        ku, kv = F.broadcast(ku), F.broadcast(kv)
+    else:
+        # shuffle_hash hint: one shuffle each side, no sort, and Catalyst
+        # never auto-broadcasts the |V|-sized key table
+        ku, kv = ku.hint("shuffle_hash"), kv.hint("shuffle_hash")
+    e = edges.join(ku, "u").withColumnRenamed("k", "ku").join(kv, "v")
+    lt = F.col("ku") < F.col("kv")
+    return e.select(
+        F.when(lt, F.col("u")).otherwise(F.col("v")).alias("src"),
+        F.when(lt, F.col("v")).otherwise(F.col("u")).alias("dst"),
+        F.when(lt, F.col("kv")).otherwise(F.col("ku")).alias("kdst"),
     )
-    oriented = e.select(
-        F.when(F.col("ku") < F.col("kv"), F.col("u")).otherwise(F.col("v")).alias("src"),
-        F.when(F.col("ku") < F.col("kv"), F.col("v")).otherwise(F.col("u")).alias("dst"),
-        F.when(F.col("ku") < F.col("kv"), F.col("kv")).otherwise(F.col("ku")).alias("kdst"),
-    ).localCheckpoint(eager=True)  # consumed by three branches below
+
+
+def triangle_counts(edges: DataFrame, broadcast_keys: bool = False) -> DataFrame:
+    """(entity, n_triangles) over an undirected edge list given as (u, v)
+    with u < v. Degree-ordered orientation: every edge points from its
+    lower-(deg, id) endpoint, every triangle is enumerated exactly once as a
+    wedge at its lowest-key apex plus the closing edge.
+
+    The degree-key attach joins a |V|-sized table against the edges. Default
+    is a plain shuffle join (``shuffle_hash`` hint so Catalyst never
+    auto-broadcasts it either) — |V| can be 10^8+ on a web-scale entity
+    graph, far past any driver/executor broadcast budget. Pass
+    ``broadcast_keys=True`` only for dimension-sized vertex sets (e.g. the
+    ~30k-node MeSH vocabulary) where skipping the two shuffles is worth it;
+    the orientation math is identical either way."""
+    oriented = oriented_edges(edges, broadcast_keys).localCheckpoint(
+        eager=True
+    )  # consumed by three branches below
     w1 = oriented.select(
         F.col("src").alias("a"), F.col("dst").alias("b"), F.col("kdst").alias("kb")
     )

@@ -35,12 +35,79 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
-def sign_bucket(vec: Column, dims: tuple[int, ...] = (0, 7, 13, 21)) -> Column:
-    """Deterministic LSH bucket: concatenated sign bits of fixed coordinates."""
+def sign_bucket(
+    vec: Column,
+    dims: tuple[int, ...] = (0, 7, 13, 21),
+    offsets: "dict[int, float] | None" = None,
+) -> Column:
+    """Deterministic LSH bucket: concatenated sign bits of fixed coordinates,
+    each taken RELATIVE to that coordinate's corpus mean (``offsets``).
+
+    Centering matters on real embedding stores: post-ReLU / cosine-cache
+    vectors are often positively biased, and raw sign bits then collapse
+    the whole corpus into the all-ones bucket — the intra-bucket self-join
+    degenerates toward O(N²). Subtracting the per-dimension mean keeps
+    E[bucket] ≈ N/2^k regardless of bias, stays deterministic (means are
+    rounded to 6 dp, see :func:`dim_means`), and is oracle-replayable.
+    ``offsets=None`` ⇒ raw sign bits (centered-data fast path)."""
+    off = offsets or {}
     return F.concat_ws(
         "",
-        *[F.when(F.element_at(vec, d + 1) >= 0, "1").otherwise("0") for d in dims],
+        *[
+            F.when(
+                F.element_at(vec, d + 1) >= F.lit(float(off.get(d, 0.0))), "1"
+            ).otherwise("0")
+            for d in dims
+        ],
     )
+
+
+def dim_means(
+    emb: DataFrame, vec_col: str, dims: tuple[int, ...]
+) -> dict[int, float]:
+    """Per-dimension corpus means for sign-LSH centering, rounded to 6 dp so
+    the value is reproducible across engines and reduction orders (raw float
+    avg is order-dependent in the last ulps). ONE partial-aggregate pass
+    over only the needed coordinates; the result is dimension-sized (≤ a few
+    dozen doubles) — driver-collected and inlined as literals, the same
+    legality as broadcasting a dimension table."""
+    if not dims:
+        return {}
+    row = emb.select(
+        *[
+            F.round(F.avg(F.element_at(F.col(vec_col), d + 1)), 6).alias(f"m{d}")
+            for d in dims
+        ]
+    ).head()
+    return {d: float(row[f"m{d}"] or 0.0) for d in dims}
+
+
+def banded_sign_keys(
+    emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    bands: tuple[tuple[int, ...], ...],
+    offsets: "dict[int, float] | None" = None,
+) -> DataFrame:
+    """(id, band, key) — one row per (vector, band) with that band's
+    centered sign-bit bucket key. Shared by the banded LSH consumers
+    (embedding near-dup, k-NN self-join); the explode shuffles only the
+    narrow key triple, never the wide vector column."""
+    keyed = emb.select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        sign_bucket(F.col(vec_col), dims, offsets).alias("key"),
+                    )
+                    for i, dims in enumerate(bands)
+                ]
+            )
+        ).alias("bk"),
+    )
+    return keyed.select("id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
 
 
 def cosine_topk(
@@ -257,12 +324,16 @@ def lsh_bucket_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dims: tuple[int, ...] = (0, 7, 13, 21),
+    center: bool = True,
 ) -> DataFrame:
-    """Approximate top-k: scan only the query's sign bucket."""
+    """Approximate top-k: scan only the query's sign bucket (centered by
+    default — see :func:`sign_bucket` for why uncentered bits degenerate on
+    biased embedding stores)."""
+    offsets = dim_means(emb, vec_col, dims) if center else None
     with_bucket = emb.select(
         F.col(id_col).alias("vec_id"),
         _as_double(F.col(vec_col)).alias("v"),
-        sign_bucket(F.col(vec_col), dims).alias("bucket"),
+        sign_bucket(F.col(vec_col), dims, offsets).alias("bucket"),
     )
     q = with_bucket.where(F.col("vec_id") == query_id).select(
         F.col("v").alias("qv"), F.col("bucket").alias("qbucket")
@@ -280,11 +351,13 @@ def ann_knn_join(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     bands: "tuple[tuple[int, ...], ...] | None" = None,
+    center: bool = True,
 ) -> DataFrame:
     """Batch k-NN self-join: for EVERY vector, its top-k neighbors among the
     candidates colliding with it in any sign-LSH band — the all-queries
     counterpart of :func:`lsh_bucket_topk` (one query) and the retrieval
     primitive behind embedding-based dedup audits and hard-negative mining.
+    Band keys are centered by default (:func:`sign_bucket`).
 
     Scale shape mirrors ``dedup.embedding_neardup_pairs``: the banded
     explode shuffles only (id, band, key); the wide vectors rejoin the
@@ -301,25 +374,10 @@ def ann_knn_join(
 
     if bands is None:
         bands = DEFAULT_SIGN_BANDS
+    all_dims = tuple(sorted({d for dims in bands for d in dims}))
+    offsets = dim_means(emb, vec_col, all_dims) if center else None
+    keyed = banded_sign_keys(emb, id_col, vec_col, bands, offsets)
     ids = F.col(id_col).alias("id")
-    sign_key = lambda dims: F.concat_ws(  # noqa: E731
-        "",
-        *[
-            F.when(F.element_at(F.col(vec_col), d + 1) >= 0, "1").otherwise("0")
-            for d in dims
-        ],
-    )
-    keyed = emb.select(
-        ids,
-        F.explode(
-            F.array(
-                *[
-                    F.struct(F.lit(i).alias("band"), sign_key(dims).alias("key"))
-                    for i, dims in enumerate(bands)
-                ]
-            )
-        ).alias("bk"),
-    ).select("id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
     a = keyed.select(F.col("id").alias("id_a"), "band", "key")
     b = keyed.select(F.col("id").alias("id_b"), "band", "key")
     cand = (

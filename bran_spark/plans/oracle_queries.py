@@ -861,24 +861,39 @@ def q30(spark, sf):
     return cosine_topk(_t(spark, sf, "embeddings"), query_id=0, k=10)
 
 
+# Sign-LSH twins replay the CENTERED buckets (similarity.sign_bucket):
+# each bit compares the coordinate to its corpus mean rounded to 6 dp —
+# the rounding is what makes the threshold engine-reproducible (raw float
+# avg differs between Spark and DuckDB in the last ulps).
+def _means_cte_sql(dims: tuple[int, ...]) -> str:
+    cols = ", ".join(
+        f"ROUND(AVG(embedding[{d + 1}]), 6) AS m{d}" for d in sorted(set(dims))
+    )
+    return f"SELECT {cols} FROM embeddings"
+
+
 # q31's single sign bucket (operators.similarity.lsh_bucket_topk dims)
-_BUCKET_SQL = (
-    "concat(CASE WHEN embedding[1] >= 0 THEN '1' ELSE '0' END,"
-    " CASE WHEN embedding[8] >= 0 THEN '1' ELSE '0' END,"
-    " CASE WHEN embedding[14] >= 0 THEN '1' ELSE '0' END,"
-    " CASE WHEN embedding[22] >= 0 THEN '1' ELSE '0' END)"
-)
+_BUCKET_DIMS = (0, 7, 13, 21)
+_BUCKET_MEANS_SQL = _means_cte_sql(_BUCKET_DIMS)
+_BUCKET_SQL = "concat(" + ", ".join(
+    f"CASE WHEN embedding[{d + 1}] >= mm.m{d} THEN '1' ELSE '0' END"
+    for d in _BUCKET_DIMS
+) + ")"
 
 
 def _band_key_sql(dims: tuple[int, ...]) -> str:
     bits = ", ".join(
-        f"CASE WHEN embedding[{d + 1}] >= 0 THEN '1' ELSE '0' END" for d in dims
+        f"CASE WHEN embedding[{d + 1}] >= mm.m{d} THEN '1' ELSE '0' END"
+        for d in dims
     )
     return f"concat({bits})"
 
 
+_BAND_DIMS = tuple(sorted({d for dims in DEFAULT_SIGN_BANDS for d in dims}))
+_BAND_MEANS_SQL = _means_cte_sql(_BAND_DIMS)
+# consumers must define a CTE named mm as ({_BAND_MEANS_SQL})
 _BANDED_KEYS_SQL = "\n      UNION ALL ".join(
-    f"SELECT vec_id, {i} AS band, {_band_key_sql(dims)} AS key FROM embeddings"
+    f"SELECT vec_id, {i} AS band, {_band_key_sql(dims)} AS key FROM embeddings, mm"
     for i, dims in enumerate(DEFAULT_SIGN_BANDS)
 )
 
@@ -886,7 +901,8 @@ _BANDED_KEYS_SQL = "\n      UNION ALL ".join(
 @_q(
     "q31_sim_ann_lsh",
     f"""
-    WITH v AS (SELECT vec_id, embedding, {_BUCKET_SQL} AS bucket FROM embeddings),
+    WITH mm AS ({_BUCKET_MEANS_SQL}),
+    v AS (SELECT vec_id, embedding, {_BUCKET_SQL} AS bucket FROM embeddings, mm),
     q AS (SELECT embedding::DOUBLE[] AS qv, bucket AS qbucket FROM v WHERE vec_id = 0)
     SELECT vec_id, ROUND({_COS_SQL}, 6) AS cos
     FROM v, q WHERE vec_id != 0 AND bucket = qbucket
@@ -966,7 +982,8 @@ def q34(spark, sf):
 @_q(
     "q35_embedding_neardup",
     f"""
-    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS ve FROM embeddings),
+    WITH mm AS ({_BAND_MEANS_SQL}),
+    v AS (SELECT vec_id, embedding::DOUBLE[] AS ve FROM embeddings),
     k AS ({_BANDED_KEYS_SQL}),
     cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
              FROM k a JOIN k b ON a.band = b.band AND a.key = b.key
@@ -1787,7 +1804,8 @@ def q54(spark, sf):
 @_q(
     "q55_ann_knn_join",
     f"""
-    WITH keys AS ({_BANDED_KEYS_SQL}),
+    WITH mm AS ({_BAND_MEANS_SQL}),
+    keys AS ({_BANDED_KEYS_SQL}),
     cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
              FROM keys a JOIN keys b
                ON a.band = b.band AND a.key = b.key AND a.vec_id != b.vec_id),
@@ -3173,3 +3191,61 @@ def q92(spark, sf):
             (F.levenshtein("sa", "sb") <= 2).cast("int").alias("is_match"),
         )
     )
+
+
+# =========================================================================
+# Registry ordering: the driver's correctness gate hash-checks the FIRST
+# 50 insertion-order entries of ``queries()``. Definition order above is
+# thematic (relational → KG → curation → graph); the curated list below
+# re-orders the dicts so those 50 slots maximize operator-FAMILY coverage
+# — the 8 rows-only fixture entries plus one best representative per
+# family (dedup, LSH/ANN, graph, packing, search, sampling, as-of/CDC,
+# text, multimodal) instead of ~40 relational basics. Entries past slot
+# 50 keep definition order and remain covered by tools/oracle_check.py,
+# which always runs the FULL registry.
+# =========================================================================
+
+_FIRST_50 = [
+    # rows-only fixture entries (model forward passes, xxhash64 simhash,
+    # media digests — non-SQL-expressible; driver records rows-only)
+    "kg_triples_plain", "kg_triples_fixture", "kg_mentions_fixture",
+    "simhash_docs", "media_features_fixture", "kg_edges_fixture",
+    "bpe_tokens_fixture", "ner_tags_fixture",
+    # KG-construction core (bran parity surface)
+    "q18_lse_pooling", "q19_mention_detection", "q20_pair_generation",
+    "q21_gold_label_join", "q22_hypernym_anti_join",
+    "q23_triple_dedup_support", "q24_threshold_sweep", "q25_eval_prf",
+    "q26_char_align",
+    # dedup family (exact, n-gram Jaccard, MinHash+LSH, SimHash,
+    # embedding near-dup, connected components, composed end-to-end)
+    "q27_dedup_exact", "q28_dedup_ngram_jaccard", "q29_dedup_minhash_lsh",
+    "q40_simhash_md5", "q35_embedding_neardup", "q50_dedup_components",
+    "q74_dedup_survivors", "q52_repetition_stats",
+    # retrieval + packing
+    "q53_bm25_search", "q54_token_packing",
+    # similarity / ANN family
+    "q30_sim_topk_cosine", "q47_kmeans_cells", "q49_ivf_multiprobe",
+    "q55_ann_knn_join",
+    # graph family
+    "q56_pagerank", "q57_triangle_counts", "q58_bfs_khop",
+    "q63_cooccurrence_pmi", "q64_label_propagation",
+    "q66_ancestor_closure", "q48_entity_degree",
+    # sampling family
+    "q61_stratified_sample", "q65_negative_samples", "q78_weighted_sample",
+    # as-of / CDC / reconciliation family
+    "q41_asof_join", "q67_merge_latest", "q81_snapshot_diff",
+    # text-analysis family
+    "q36_lang_id", "q92_levenshtein_verify", "q59_tfidf_terms",
+    # multimodal
+    "q46_media_features",
+    # relational representatives
+    "q01_pricing_summary", "q38_vocab_topn",
+]
+
+assert len(_FIRST_50) == 50 and len(set(_FIRST_50)) == 50
+_missing = [n for n in _FIRST_50 if n not in QUERIES]
+assert not _missing, f"unknown names in _FIRST_50: {_missing}"
+
+_tail = [n for n in QUERIES if n not in set(_FIRST_50)]
+QUERIES = {n: QUERIES[n] for n in [*_FIRST_50, *_tail]}
+ORACLE = {n: ORACLE[n] for n in QUERIES if n in ORACLE}

@@ -143,3 +143,52 @@ def test_ann_recall_vs_exact(spark, testdata_dir):
     assert avg(r_ivf1) >= 0.1, r_ivf1
     assert avg(r_ivfm) >= avg(r_ivf1), (r_ivfm, r_ivf1)
     assert avg(r_ivfm) >= 0.5, r_ivfm
+
+
+def test_sign_lsh_centering_resists_positive_bias(spark):
+    """Skew-resistance gate for the centered sign-LSH: on an ALL-POSITIVE
+    embedding store (post-ReLU shape — every coordinate > 0), raw sign
+    bits put every vector in the all-ones bucket (intra-bucket self-join
+    degenerates to O(N²)); centering on the per-dimension mean must spread
+    the corpus across many buckets, and near-identical pairs must still
+    collide and verify."""
+    import numpy as np
+
+    from bran_spark.operators.dedup import (
+        DEFAULT_SIGN_BANDS,
+        embedding_neardup_pairs,
+    )
+    from bran_spark.operators.similarity import banded_sign_keys, dim_means
+
+    rng = np.random.default_rng(11)
+    rows = []
+    for i in range(80):
+        v = rng.uniform(0.5, 1.5, 32)          # strictly positive
+        rows.append((i, v.tolist()))
+    # plant a near-duplicate of vector 0
+    rows.append((999, (np.array(rows[0][1]) + 1e-4).tolist()))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    # uncentered: every band key is all-ones — one bucket holds everything
+    raw = banded_sign_keys(emb, "vec_id", "embedding", DEFAULT_SIGN_BANDS)
+    assert raw.select("key").distinct().count() == 1
+
+    # centered: buckets spread (≥8 distinct keys per band on 81 vectors)
+    dims = tuple(sorted({d for b in DEFAULT_SIGN_BANDS for d in b}))
+    off = dim_means(emb, "embedding", dims)
+    centered = banded_sign_keys(emb, "vec_id", "embedding", DEFAULT_SIGN_BANDS, off)
+    per_band = centered.groupBy("band").agg(
+        F.countDistinct("key").alias("nk")
+    ).collect()
+    assert all(r.nk >= 8 for r in per_band), per_band
+    # largest bucket within any band far below N (the O(N²) guard)
+    top = (
+        centered.groupBy("band", "key").count()
+        .agg(F.max("count").alias("mx")).head().mx
+    )
+    assert top <= 30, top
+
+    # the planted near-dup still collides and verifies at high cosine
+    pairs = {(r.id_a, r.id_b)
+             for r in embedding_neardup_pairs(emb, min_cos=0.999).collect()}
+    assert (0, 999) in pairs

@@ -53,6 +53,52 @@ def test_pagerank_matches_local_reference(spark):
     assert sum(got.values()) <= len(adj) * PR_SCALE
 
 
+def test_pagerank_float_agrees_with_integer_twin(spark):
+    """The float production path must agree with the bit-exact integer
+    oracle twin within 1e-9 relative — the integer DIV truncation is
+    ~1e-12/op, so 5 iterations over a small graph stay far inside that.
+    Documents the division of labor: integer = oracle (bit-exact,
+    ~10^5-node bound at scale=10^12), float = production (no node bound)."""
+    from bran_spark.operators.graphalgo import pagerank_float
+
+    pairs = [("a", "x"), ("a", "y"), ("b", "x"), ("c", "y"), ("c", "z"),
+             ("b", "z"), ("d", "x")]
+    sym = symmetric_edges(_edges(spark, pairs))
+    fp = {r.entity: r.rank_fp / PR_SCALE
+          for r in pagerank_fixed_point(sym, iters=5).collect()}
+    fl = {r.entity: r.rank for r in pagerank_float(sym, iters=5).collect()}
+    assert set(fp) == set(fl)
+    for k in fp:
+        assert abs(fp[k] - fl[k]) <= 1e-9 * max(abs(fl[k]), 1.0), k
+
+
+def test_triangle_counts_no_vertex_broadcast_by_default(spark):
+    """Scale guard: the |V|-sized degree-key attach must NOT be broadcast
+    unless explicitly requested — a 10^8-node vertex set would OOM the
+    broadcast. Default plan: zero BroadcastExchange anywhere (wedge +
+    closing joins are self-joins of the edge list); broadcast_keys=True
+    restores the dimension-graph fast path."""
+    from bran_spark.operators.graphalgo import oriented_edges
+
+    pairs = [(f"c{i}", f"d{i % 4}") for i in range(16)]
+    proj = project_bipartite(_edges(spark, pairs)).localCheckpoint(eager=True)
+    # the key-attach lives BEFORE triangle_counts' lineage-truncating
+    # checkpoint, so assert on oriented_edges' own plan
+    plan_default = (
+        oriented_edges(proj)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastExchange" not in plan_default
+    plan_bcast = (
+        oriented_edges(proj, broadcast_keys=True)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastExchange" in plan_bcast
+    # both strategies produce identical counts
+    a = sorted(map(tuple, triangle_counts(proj).collect()))
+    b = sorted(map(tuple, triangle_counts(proj, broadcast_keys=True).collect()))
+    assert a == b
+
+
 def test_pagerank_partition_invariant(spark):
     pairs = [(f"c{i}", f"d{i % 3}") for i in range(20)]
     sym = symmetric_edges(_edges(spark, pairs))
