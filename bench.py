@@ -46,10 +46,20 @@ def main() -> None:
     timings: dict[str, float] = {}
     extras: dict[str, float] = {}
 
-    # headline: the flagship KG DAG on the CDR-shaped corpus at this scale
-    t0 = time.time()
-    triples = flagship(spark, fixture_dir(sf)).count()
-    timings["kg_flagship"] = round(time.time() - t0, 3)
+    # headline: the flagship KG DAG on the CDR-shaped corpus at this scale.
+    # One UNTIMED warm-up run then median-of-3: a single cold sample mixes
+    # JVM/codegen warm-up and host-contention noise into the headline (round
+    # 2's artifact reported a 39% "regression" that three controlled reruns
+    # showed to be exactly that), while the median of warm runs tracks the
+    # steady-state throughput a long job actually sees.
+    triples = flagship(spark, fixture_dir(sf)).count()  # warm-up, untimed
+    flagship_runs = []
+    for _ in range(3):
+        t0 = time.time()
+        triples = flagship(spark, fixture_dir(sf)).count()
+        flagship_runs.append(round(time.time() - t0, 3))
+    timings["kg_flagship"] = sorted(flagship_runs)[1]
+    extras["kg_flagship_runs"] = flagship_runs
     extras["kg_triples"] = triples
     extras["kg_triples_per_sec"] = round(triples / timings["kg_flagship"], 1)
 

@@ -52,6 +52,7 @@ class PipelineConfig:
     salt_buckets: int = 16          # P3 skew fan-out
     max_tokens: int = 512           # F4 cap
     checkpoint: bool = True
+    emit: str = "pairs"             # "pairs" | "both" (joint NER+pairs, P4)
     extra: dict = field(default_factory=dict)
 
 
@@ -249,11 +250,12 @@ class Pipeline:
             # coalesces; 4×cores tasks keep the tail short against the
             # doc-length^2 encode-cost variance.
             inp = self._score_input(mentions, resume).repartition(par * 4)
-            return score_documents(inp, self.weights_bc())
-        # bucket config holds only what the SCORES depend on (max_tokens) —
+            return score_documents(inp, self.weights_bc(), emit=self.cfg.emit)
+        # bucket config holds only what the SCORES depend on (max_tokens,
+        # emit — a "both" run writes the kind-discriminated union schema) —
         # theta gates downstream at stage_triples, so a theta sweep reuses
         # the expensive committed score buckets instead of re-encoding
-        score_cfg = {"max_tokens": self.cfg.max_tokens}
+        score_cfg = {"max_tokens": self.cfg.max_tokens, "emit": self.cfg.emit}
         done = self.io.committed_buckets("pair_scores", score_cfg)
         todo = [b for b in range(B) if b not in done]
         if todo:
@@ -267,17 +269,36 @@ class Pipeline:
                     .repartition(max(4, par * 4 // B))
                 )
                 self.io.commit_bucket(
-                    score_documents(part, self.weights_bc()),
+                    score_documents(part, self.weights_bc(), emit=self.cfg.emit),
                     "pair_scores", b, stage="encode+score",
                     config=score_cfg,
                 )
         return self.io.read_buckets(self.spark, "pair_scores")
+
+    @staticmethod
+    def split_joint_scores(scores: DataFrame) -> tuple[DataFrame, DataFrame]:
+        """Split the emit="both" kind-discriminated union into its two
+        consumers' views: (pair_scores with SCORE_SCHEMA columns, ner_tags
+        with NER_SCHEMA columns). Both are cheap filters over the ONE
+        committed encoder output — the 100 TB point of the joint mode is
+        that the corpus is encoded once for both artifacts."""
+        pairs = scores.where(F.col("kind") == "pair").select(
+            "doc_id", "chem_mention_id", "dis_mention_id",
+            "chem_mesh", "dis_mesh", "score",
+        )
+        ner = scores.where(F.col("kind") == "ner").select(
+            "doc_id", "tok_idx", "tok_start", "ner_tag",
+            F.col("score").alias("ner_score"),
+        )
+        return pairs, ner
 
     def stage_triples(self, scores: DataFrame, resume: bool = True) -> DataFrame:
         if self.cfg.checkpoint and resume and self.io.exists_valid(
             "triples", {"theta": self.cfg.theta}
         ):
             return self.io.read(self.spark, "triples")
+        if self.cfg.emit == "both":
+            scores, _ = self.split_joint_scores(scores)
         pooled = lse_pool(scores, ["doc_id", "chem_mesh", "dis_mesh"], "score")
         kept = threshold(pooled, self.cfg.theta)
         triples = canonical_triples(to_triples(kept), self.mesh_dict())
@@ -325,7 +346,13 @@ class Pipeline:
         scores = self.stage_scores(mentions, resume)
         if not self.cfg.checkpoint:
             s_obs = Observation("score_rows")
-            scores = scores.observe(s_obs, F.count(F.lit(1)).alias("n"))
+            aggs = [F.count(F.lit(1)).alias("n")]
+            if self.cfg.emit == "both":
+                # ner row count rides the same observation — no extra job
+                aggs.append(
+                    F.sum((F.col("kind") == "ner").cast("long")).alias("n_ner")
+                )
+            scores = scores.observe(s_obs, *aggs)
         triples = self.stage_triples(scores, resume)
         t_obs = None
         if not self.cfg.checkpoint:
@@ -356,19 +383,27 @@ class Pipeline:
                 for b in self.io.committed_buckets("pair_scores")
             )
             n_edges = self.io.manifest("edges")["rows"]
+            n_ner = (
+                self.io.read_buckets(self.spark, "pair_scores")
+                .where(F.col("kind") == "ner").count()
+                if self.cfg.emit == "both" else None
+            )
         else:
             n_edges = edges.count()
             n_mentions = int(m_obs.get["n"])
             n_scores = int(s_obs.get["n"])
             n_triples = int(t_obs.get["n"])
+            n_ner = int(s_obs.get["n_ner"]) if self.cfg.emit == "both" else None
         out = {
             "docs": self._n_docs(),
             "mentions": n_mentions,
-            "pair_scores": n_scores,
+            "pair_scores": n_scores if n_ner is None else n_scores - n_ner,
             "triples": n_triples,
             "edges": n_edges,
             "wall_s": round(time.time() - t0, 3),
         }
+        if n_ner is not None:
+            out["ner_tags"] = n_ner
         if evaluate:
             gold = self.spark.read.parquet(self._path("gold_relations")).select(
                 "doc_id", "chem_mesh", "dis_mesh"

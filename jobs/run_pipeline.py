@@ -31,6 +31,12 @@ def main() -> None:
     ap.add_argument("--no-checkpoint", action="store_true")
     ap.add_argument("--no-resume", action="store_true")
     ap.add_argument("--no-eval", action="store_true")
+    ap.add_argument(
+        "--emit", choices=["pairs", "both"], default="pairs",
+        help="'both' = joint NER+pair output from ONE encoder pass "
+             "(the single-encode path when both artifacts are wanted); "
+             "adds a ner_tags row to the funnel JSON",
+    )
     ap.add_argument("--shuffle-partitions", default=None)
     args = ap.parse_args()
 
@@ -51,6 +57,7 @@ def main() -> None:
         theta=args.theta,
         score_buckets=args.score_buckets,
         checkpoint=not args.no_checkpoint,
+        emit=args.emit,
     )
     t0 = time.time()
     res = Pipeline(spark, cfg).run(

@@ -89,6 +89,34 @@ def test_eval_metrics_emitted(spark, fx_dir, tmp_path):
     assert res["triples"] > 0 and 0.0 <= res["f1"] <= 1.0
 
 
+def test_joint_emit_both_end_to_end(spark, fx_dir):
+    """emit="both" (P4 joint NER+pairs from ONE encoder pass) through the
+    full DAG: the funnel reports a ner_tags row, and the triples are
+    IDENTICAL to a pairs-only run — the joint head must not perturb the
+    relation path (it is one extra matmul on the same encoding)."""
+    docs = (
+        spark.read.parquet(os.path.join(fx_dir, "documents_interleaved.parquet"))
+        .orderBy("doc_id").limit(60)
+    )
+
+    def run(emit):
+        cfg = PipelineConfig(
+            fixture_dir=fx_dir, checkpoint_root="/tmp/unused_joint",
+            checkpoint=False, emit=emit,
+        )
+        p = Pipeline(spark, cfg, docs_df=docs)
+        res = p.run(resume=False, evaluate=False)
+        return res
+
+    both = run("both")
+    pairs = run("pairs")
+    assert both["ner_tags"] > 0
+    assert both["pair_scores"] == pairs["pair_scores"]
+    assert both["triples"] == pairs["triples"]
+    assert both["edges"] == pairs["edges"]
+    assert "ner_tags" not in pairs
+
+
 def test_curation_job_funnel(tmp_path, testdata_dir):
     """jobs/run_curation.py end-to-end: funnel counts monotone, curated
     parquet written and readable."""

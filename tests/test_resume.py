@@ -151,3 +151,47 @@ def test_expire_snapshots_keeps_recent_and_current(spark, tmp_path):
         io.read(spark, "tbl", snap=0).collect()
     assert io.manifest("tbl", 0) is None
     assert io.manifest("tbl", 3)["rows"] == 1
+
+
+def test_iceberg_tableio_contract(spark):
+    """Pins the IcebergTableIO call sequence without the runtime jar
+    (unavailable offline — SURVEY.md §4.3): write = writeTo(catalog.table)
+    → partitionedBy(cols) → createOrReplace() → snapshot id from the
+    .snapshots metadata table; read = snapshot-id option + table(). A
+    backend flip on a real cluster exercises exactly these calls."""
+    from unittest.mock import MagicMock
+
+    from bran_spark.sources.tableio import IcebergTableIO
+
+    io = IcebergTableIO(catalog="cat")
+    df = MagicMock()
+    writer = MagicMock()
+    df.writeTo.return_value = writer
+    writer.partitionedBy.return_value = writer
+    df.sparkSession.sql.return_value.head.return_value = [42]
+
+    snap = io.write(df, "triples", stage="triples", partition_by=["pred"])
+    df.writeTo.assert_called_once_with("cat.triples")
+    writer.partitionedBy.assert_called_once()     # partition spec forwarded
+    writer.createOrReplace.assert_called_once()   # V2 atomic commit
+    sql = df.sparkSession.sql.call_args[0][0]
+    assert "cat.triples.snapshots" in sql and "committed_at" in sql
+    assert snap == 42
+
+    # unpartitioned write skips partitionedBy
+    df2 = MagicMock()
+    w2 = MagicMock()
+    df2.writeTo.return_value = w2
+    df2.sparkSession.sql.return_value.head.return_value = [7]
+    io.write(df2, "mentions", stage="mentions")
+    w2.partitionedBy.assert_not_called()
+    w2.createOrReplace.assert_called_once()
+
+    # read path: time-travel via snapshot-id option, else current table
+    sm = MagicMock()
+    io.read(sm, "triples", snap=7)
+    sm.read.option.assert_called_once_with("snapshot-id", 7)
+    sm.read.option.return_value.table.assert_called_once_with("cat.triples")
+    sm2 = MagicMock()
+    io.read(sm2, "triples")
+    sm2.read.table.assert_called_once_with("cat.triples")
