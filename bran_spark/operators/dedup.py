@@ -333,3 +333,59 @@ def duplicated_ngram_stats(
         )
         .withColumn("dup_frac", F.round(F.col("n_dup") / F.col("n_ngrams"), 6))
     )
+
+
+def containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 8,
+    min_containment: float = 0.6,
+    max_df: int = 50,
+) -> DataFrame:
+    """ASYMMETRIC near-dup: containment(A in B) = |sh(A) ∩ sh(B)| / |sh(A)|
+    over distinct word n-gram shingles. Catches the subset-duplication that
+    symmetric Jaccard misses by construction — a short doc quoted whole
+    inside a long one has containment 1.0 but Jaccard ≈ |A|/|B| (arbitrarily
+    small), so a Jaccard-thresholded dedup never links them. This is the
+    quote/boilerplate-absorption signal of a training-corpus pipeline.
+
+    Same inverted-index + broadcast-anti hot-shingle df-cut scale shape as
+    ngram_jaccard_pairs (one shingle-join shuffle, Zipf-bounded). Emits one
+    row per unordered candidate pair with BOTH directions' scores,
+    (id_a, id_b, containment_a, containment_b), id_a < id_b, kept when
+    either direction clears the threshold."""
+    sh = _even_parallelism(df).select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array_distinct(shingles(text_col, n))).alias("shingle"),
+    )
+    sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
+    hot = sh.groupBy("shingle").agg(F.count("*").alias("df")).where(
+        F.col("df") > max_df
+    )
+    sh_kept = sh.join(F.broadcast(hot.select("shingle")), "shingle", "left_anti")
+    a = sh_kept.select(F.col("id").alias("id_a"), "shingle")
+    b = sh_kept.select(F.col("id").alias("id_b"), "shingle")
+    common = (
+        a.join(b, "shingle")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("common"))
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b"))
+    return (
+        common.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("_ca", F.col("common") / F.col("n_a"))
+        .withColumn("_cb", F.col("common") / F.col("n_b"))
+        .where(
+            (F.col("_ca") >= min_containment) | (F.col("_cb") >= min_containment)
+        )  # threshold on the RAW ratio (the oracle twin does too); round only for output
+        .select(
+            "id_a",
+            "id_b",
+            F.round("_ca", 6).alias("containment_a"),
+            F.round("_cb", 6).alias("containment_b"),
+        )
+    )

@@ -90,3 +90,49 @@ def pack_token_bins(
         )
         .withColumn("bin_id", F.floor(F.col("offset") / budget))
     )
+
+
+def chunk_documents(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    size: int = 128,
+    stride: int = 96,
+) -> DataFrame:
+    """Sliding-window document chunking — the long-document splitter of a
+    training/RAG pipeline (context-length cap with overlap so no span is
+    ever cut without a window that contains it whole). Chunk c covers word
+    positions [c·stride, c·stride + size); stride < size gives the overlap.
+
+    Pure JVM array math per row (sequence → posexplode → slice): zero
+    shuffles, embarrassingly parallel, and the fan-out is bounded by
+    ceil(n_words/stride) per document — at 10^12 docs this runs at scan
+    speed. Word positions use the same whitespace split as token_count
+    (functions/text.py) so budgets line up with pack_token_bins.
+
+    Returns (doc_id, chunk_idx, start_tok, n_chunk_toks, chunk_text)."""
+    from bran_spark.functions.text import words
+
+    w = words(F.col(text_col))
+    starts = F.filter(
+        F.sequence(
+            F.lit(0), F.greatest(F.col("n") - 1, F.lit(0)), F.lit(stride)
+        ),
+        lambda s: s < F.col("n"),
+    )
+    return (
+        docs.select(
+            F.col(id_col).alias("doc_id"), w.alias("ws"), F.size(w).alias("n")
+        )
+        .select("doc_id", "ws", "n", F.posexplode(starts).alias("chunk_idx", "start"))
+        .select(
+            "doc_id",
+            F.col("chunk_idx").cast("int").alias("chunk_idx"),
+            F.col("start").cast("int").alias("start_tok"),
+            F.least(F.lit(size), F.col("n") - F.col("start"))
+            .cast("int").alias("n_chunk_toks"),
+            F.array_join(
+                F.slice(F.col("ws"), F.col("start") + 1, F.lit(size)), " "
+            ).alias("chunk_text"),
+        )
+    )

@@ -3193,6 +3193,99 @@ def q92(spark, sf):
     )
 
 
+@_q(
+    "q93_doc_chunking",
+    """
+    WITH d AS (SELECT doc_id,
+                      string_split_regex(trim(lower(text)), ' +') AS ws
+               FROM documents),
+    s AS (SELECT doc_id, ws, len(ws) AS n FROM d),
+    c AS (SELECT doc_id, ws, n, unnest(range(0, n, 96)) AS start FROM s)
+    SELECT doc_id,
+           CAST(start // 96 AS INT) AS chunk_idx,
+           CAST(start AS INT) AS start_tok,
+           CAST(least(128, n - start) AS INT) AS n_chunk_toks,
+           array_to_string(list_slice(ws, start + 1, start + 128), ' ')
+             AS chunk_text
+    FROM c
+    """,
+)
+def q93(spark, sf):
+    """Sliding-window document chunking (size=128, stride=96 words) — the
+    long-document splitter for training/RAG context caps. Row-local array
+    math, zero shuffles (operators/packing.chunk_documents)."""
+    from bran_spark.operators.packing import chunk_documents
+
+    return chunk_documents(_t(spark, sf, "documents"), size=128, stride=96)
+
+
+@_q(
+    "q94_keyword_contexts",
+    """
+    WITH d AS (SELECT doc_id,
+                      string_split_regex(trim(lower(text)), ' +') AS ws
+               FROM documents),
+    h AS (SELECT doc_id, ws,
+                 unnest(list_filter(
+                   list_transform(ws, (x, i) -> {'idx': i, 'term': x}),
+                   s -> list_contains(['data', 'dup'], s.term))) AS s
+          FROM d)
+    SELECT doc_id,
+           CAST(s.idx - 1 AS INT) AS idx,
+           s.term AS term,
+           array_to_string(
+             list_slice(ws, greatest(s.idx - 3, 1), least(s.idx + 3, len(ws))),
+             ' ') AS context
+    FROM h
+    """,
+)
+def q94(spark, sf):
+    """Keyword-in-context windows (±3 words around each hit of the query
+    terms) — distant-supervision context extraction, pure row-local array
+    ops (functions/text.keyword_contexts). DuckDB's (x, i) lambda index is
+    1-based; Spark's transform index is 0-based — the twin subtracts 1."""
+    from bran_spark.functions.text import keyword_contexts
+
+    return keyword_contexts(
+        _t(spark, sf, "documents"), ["data", "dup"], window=3
+    )
+
+
+@_q(
+    "q95_containment_pairs",
+    f"""
+    WITH d AS (SELECT doc_id,
+                      string_split_regex(trim(lower(text)), ' +') AS ws
+               FROM documents),
+    sh AS (SELECT doc_id, unnest(list_distinct({_SHINGLE_SQL.format(n=3)})) AS shingle
+           FROM d),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+    kept AS (SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= 30),
+    shk AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN kept USING (shingle)),
+    common AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS common
+               FROM shk a JOIN shk b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+               GROUP BY a.doc_id, b.doc_id)
+    SELECT id_a, id_b,
+           ROUND(common / sa.n_sh, 6) AS containment_a,
+           ROUND(common / sb.n_sh, 6) AS containment_b
+    FROM common
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE common / sa.n_sh >= 0.4 OR common / sb.n_sh >= 0.4
+    """,
+)
+def q95(spark, sf):
+    """Asymmetric containment near-dup (|A∩B|/|A| over distinct 3-gram
+    shingles, df-cut 30): catches subset/quote duplication invisible to
+    symmetric Jaccard (operators/dedup.containment_pairs)."""
+    from bran_spark.operators.dedup import containment_pairs
+
+    return containment_pairs(
+        _t(spark, sf, "documents"), "doc_id", "text",
+        n=3, min_containment=0.4, max_df=30,
+    )
+
+
 # =========================================================================
 # Registry ordering: the driver's correctness gate hash-checks the FIRST
 # 50 insertion-order entries of ``queries()``. Definition order above is

@@ -292,3 +292,67 @@ def test_deterministic_walks_stay_on_edges(spark):
     # deterministic across runs
     again = sorted(map(tuple, walks.collect()))
     assert sorted(map(tuple, rows)) == again
+
+
+def test_chunk_documents_overlap_and_tail(spark):
+    """size=4, stride=3 over 10 words: starts 0,3,6,9 — consecutive chunks
+    overlap by one word, the tail chunk is short, indices/counts exact."""
+    from bran_spark.operators.packing import chunk_documents
+
+    docs = spark.createDataFrame(
+        [("d1", "w0 w1 w2 w3 w4 w5 w6 w7 w8 w9")], "doc_id string, text string"
+    )
+    rows = sorted(
+        chunk_documents(docs, size=4, stride=3).collect(),
+        key=lambda r: r.chunk_idx,
+    )
+    assert [(r.chunk_idx, r.start_tok, r.n_chunk_toks) for r in rows] == [
+        (0, 0, 4), (1, 3, 4), (2, 6, 4), (3, 9, 1)
+    ]
+    assert rows[0].chunk_text == "w0 w1 w2 w3"
+    assert rows[1].chunk_text == "w3 w4 w5 w6"   # stride<size ⇒ overlap
+    assert rows[3].chunk_text == "w9"            # short tail, never dropped
+
+
+def test_keyword_contexts_boundaries(spark):
+    """Hits at word 0 and the last word clamp the window instead of
+    erroring or shifting."""
+    from bran_spark.functions.text import keyword_contexts
+
+    docs = spark.createDataFrame(
+        [("d1", "hit a b c d e hit")], "doc_id string, text string"
+    )
+    got = {
+        r.idx: r.context
+        for r in keyword_contexts(docs, ["hit"], window=2).collect()
+    }
+    assert got == {0: "hit a b", 6: "d e hit"}
+
+
+def test_containment_catches_subset_duplication(spark):
+    """A short doc quoted whole inside a long doc: containment(short)=1.0
+    even though symmetric Jaccard is far below any dedup threshold."""
+    from bran_spark.operators.dedup import containment_pairs, ngram_jaccard_pairs
+
+    quote = "alpha beta gamma delta epsilon zeta"
+    filler = " ".join(f"filler{i}" for i in range(40))
+    docs = spark.createDataFrame(
+        [("short", quote), ("long", filler + " " + quote + " tail0 tail1")],
+        "doc_id string, text string",
+    )
+    rows = containment_pairs(
+        docs, "doc_id", "text", n=3, min_containment=0.9, max_df=10
+    ).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    by_id = {
+        "short": r.containment_a if r.id_a == "short" else r.containment_b,
+        "long": r.containment_b if r.id_a == "short" else r.containment_a,
+    }
+    assert by_id["short"] == 1.0       # every shingle of the quote is in long
+    assert by_id["long"] < 0.2
+    # symmetric jaccard misses the pair entirely at the same strictness
+    jac = ngram_jaccard_pairs(
+        docs, "doc_id", "text", n=3, min_jaccard=0.9, max_df=10
+    ).collect()
+    assert jac == []

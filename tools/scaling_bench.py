@@ -25,7 +25,12 @@ import time
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def run_once(cores: int, sf: float, local_dir: str | None = None) -> dict:
+def run_once(
+    cores: int,
+    sf: float,
+    local_dir: str | None = None,
+    shuffle_partitions: int | None = None,
+) -> dict:
     env = dict(os.environ)
     env["PYTHONPATH"] = REPO
     env.setdefault("BRAN_SPARK_DRIVER_MEM", "24g")
@@ -48,7 +53,7 @@ def run_once(cores: int, sf: float, local_dir: str | None = None) -> dict:
         "--sf", str(sf),
         "--master", f"local[{cores}]",
         "--no-checkpoint",
-        "--shuffle-partitions", str(cores * 2),
+        "--shuffle-partitions", str(shuffle_partitions or cores * 2),
         "--score-buckets", "1",
     ]
     out = subprocess.run(
