@@ -100,6 +100,8 @@ def main() -> None:
         "q72_entity_name_neardup",
         "q74_dedup_survivors",
         "q75_funnel",
+        "q93_doc_chunking",
+        "q95_containment_pairs",
     ]
     for name in bench_queries:
         t0 = time.time()
