@@ -101,3 +101,44 @@ def lse_pool_grouped_pandas(scores, keys: list[str], score_col: str = "score"):
         return float(m + np.log(np.exp((v - m).to_numpy()).sum()))
 
     return scores.groupBy(*keys).agg(_lse(F.col(score_col)).alias("pooled"))
+
+
+def triple_provenance(
+    pos: DataFrame,
+    keys: "list[str]",
+    doc_col: str = "doc_id",
+    k: int = 5,
+) -> DataFrame:
+    """Provenance materialization for the constructed KG: per triple key,
+    total supporting-document count plus the first ``k`` doc ids (ascending)
+    as a comma-joined evidence sample — what a KG consumer audits an edge
+    with.
+
+    Scale shape: a naive collect_set-then-slice holds EVERY supporting doc
+    in the aggregation state (a hot triple in a 10^12-doc corpus can have
+    10^7 supporters). Instead the evidence list is cut to k BEFORE any
+    collect: row_number over (triple, doc order) then filter rk<=k, so the
+    aggregation state is bounded by k regardless of skew; the support count
+    is a separate partial-aggregated count on the same key (AQE reuses the
+    exchange). Input must already be (doc, *keys)-distinct."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*keys).orderBy(doc_col)
+    ev = (
+        pos.withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") <= k)
+        .groupBy(*keys)
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list(F.col(doc_col))),
+                    lambda x: x.cast("string"),
+                ),
+                ",",
+            ).alias("evidence_docs")
+        )
+    )
+    support = pos.groupBy(*keys).agg(
+        F.count(F.lit(1)).cast("long").alias("support")
+    )
+    return support.join(ev, keys)

@@ -3194,6 +3194,40 @@ def q92(spark, sf):
 
 
 @_q(
+    "q96_triple_provenance",
+    f"""
+    WITH {_PIPE_CTES},
+    pos AS (SELECT DISTINCT doc_id, chem_mesh, dis_mesh
+            FROM labeled WHERE label = 1),
+    r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY chem_mesh, dis_mesh
+                                       ORDER BY doc_id) AS rk FROM pos),
+    ev AS (SELECT chem_mesh, dis_mesh,
+                  string_agg(doc_id::VARCHAR, ',' ORDER BY doc_id)
+                    AS evidence_docs
+           FROM r WHERE rk <= 5 GROUP BY chem_mesh, dis_mesh),
+    s AS (SELECT chem_mesh, dis_mesh, COUNT(*)::BIGINT AS support
+          FROM pos GROUP BY chem_mesh, dis_mesh)
+    SELECT s.chem_mesh, s.dis_mesh, s.support, ev.evidence_docs
+    FROM s JOIN ev USING (chem_mesh, dis_mesh)
+    """,
+)
+def q96(spark, sf):
+    """KG edge provenance: per triple, total support + the first-5 doc-id
+    evidence sample. The evidence list is rank-cut to k BEFORE any collect
+    so aggregation state stays O(k) on hot triples
+    (operators/pooling.triple_provenance)."""
+    from bran_spark.operators.pooling import triple_provenance
+
+    pos = (
+        _labeled(spark, sf)
+        .where(F.col("label") == 1)
+        .select("doc_id", "chem_mesh", "dis_mesh")
+        .distinct()
+    )
+    return triple_provenance(pos, ["chem_mesh", "dis_mesh"], "doc_id", k=5)
+
+
+@_q(
     "q93_doc_chunking",
     """
     WITH d AS (SELECT doc_id,

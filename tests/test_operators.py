@@ -356,3 +356,20 @@ def test_containment_catches_subset_duplication(spark):
         docs, "doc_id", "text", n=3, min_jaccard=0.9, max_df=10
     ).collect()
     assert jac == []
+
+
+def test_triple_provenance_bounded_evidence(spark):
+    """Evidence list caps at k in ASCENDING numeric doc order while support
+    counts ALL docs; aggregation state is rank-cut before any collect."""
+    from bran_spark.operators.pooling import triple_provenance
+
+    rows = [(d, "C1", "D1") for d in (10, 2, 33, 4, 25)] + [(7, "C2", "D2")]
+    pos = spark.createDataFrame(rows, "doc_id long, subj string, obj string")
+    got = {
+        (r.subj, r.obj): (r.support, r.evidence_docs)
+        for r in triple_provenance(pos, ["subj", "obj"], "doc_id", k=3).collect()
+    }
+    assert got == {
+        ("C1", "D1"): (5, "2,4,10"),   # numeric order, capped at 3 of 5
+        ("C2", "D2"): (1, "7"),
+    }
