@@ -62,3 +62,46 @@ def repetition_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         )
     )
     return word_stats.drop("ws").join(top, "doc_id")
+
+
+def unigram_logprob(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    hot_words: int = 1000,
+) -> DataFrame:
+    """Unigram-LM quality score: mean ln p(w) per document under the
+    corpus's own unigram distribution — the cheap perplexity-proxy filter
+    of a pretraining pipeline (far-out-of-distribution and gibberish docs
+    score low without running a neural LM). p(w) = corpus_count(w)/total.
+
+    Scale shape: the token→frequency attach is a join on the WORD, which
+    is maximally Zipf-skewed — the "the" partition of a naive shuffle join
+    receives a constant fraction of the entire corpus. The hot path is
+    split off explicitly: the top ``hot_words`` frequencies (a fixed tiny
+    table) broadcast-join to their tokens with NO shuffle, and only the
+    Zipf tail (bounded per-key by construction) takes the shuffle join;
+    the two paths union before the per-doc aggregate. Frequencies are
+    corpus-level, so the split changes the execution plan only, never the
+    result. Returns (doc_id, n_tok, logprob) rounded 6dp."""
+    tok = df.select(
+        F.col(id_col).alias("doc_id"), F.explode(words(text_col)).alias("w")
+    )
+    freq = tok.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    total = freq.agg(F.sum("c").cast("double").alias("tot"))
+    hot = freq.orderBy(F.desc("c"), F.asc("w")).limit(hot_words)
+    tok_hot = tok.join(F.broadcast(hot), "w")
+    tok_cold = tok.join(
+        F.broadcast(hot.select("w")), "w", "left_anti"
+    ).join(freq, "w")
+    return (
+        tok_hot.unionByName(tok_cold)
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tok"),
+            F.round(
+                F.avg(F.log(F.col("c") / F.col("tot"))) + F.lit(1e-9), 6
+            ).alias("logprob"),
+        )
+    )

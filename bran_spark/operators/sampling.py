@@ -140,3 +140,53 @@ def weighted_sample(
         .orderBy(F.desc("sample_key"), F.asc(id_col))
         .limit(k)
     )
+
+
+def rebalance_mix(
+    df: DataFrame,
+    group_col: str,
+    target_shares: "dict[str, float]",
+    target_total: int,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Domain-mix rebalancing: deterministically downsample each group
+    (source/domain) toward ``target_shares`` of a ``target_total``-doc
+    corpus — the static data-mixture lever of LLM pretraining (a
+    DoReMi-style weight vector applied as per-domain sampling rates).
+    Groups absent from target_shares are dropped; a group short of its
+    quota keeps everything it has (rate caps at 1 — the mix is then
+    best-effort, which the caller sees in the output counts).
+
+    Per-group rates derive from the group-count aggregate (a
+    dimension-sized table, broadcast back); the keep decision is the
+    md5-keyed deterministic coin of stratified_sample, so reruns and
+    engines agree exactly and no shuffle beyond the one counts aggregate
+    exists. Returns the surviving rows plus their group."""
+    counts = df.groupBy(F.col(group_col).alias("g")).agg(
+        F.count(F.lit(1)).alias("n_g")
+    )
+    shares = df.sparkSession.createDataFrame(
+        [(k, float(v)) for k, v in sorted(target_shares.items())],
+        "g string, share double",
+    )
+    # keep-threshold per group in integer millionths: floor(rate * 1e6)
+    rates = counts.join(shares, "g").select(
+        "g",
+        F.floor(
+            F.least(
+                F.lit(1.0),
+                F.col("share") * F.lit(float(target_total)) / F.col("n_g"),
+            )
+            * F.lit(1_000_000)
+        ).cast("long").alias("keep_millionths"),
+    )
+    keyed = df.withColumn(
+        "_coin",
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10)
+        .cast("long") % 1_000_000,
+    )
+    return (
+        keyed.join(F.broadcast(rates), keyed[group_col] == rates["g"])
+        .where(F.col("_coin") < F.col("keep_millionths"))
+        .drop("_coin", "g", "keep_millionths")
+    )

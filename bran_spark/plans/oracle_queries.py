@@ -3320,6 +3320,76 @@ def q95(spark, sf):
     )
 
 
+@_q(
+    "q97_unigram_logprob",
+    """
+    WITH d AS (SELECT doc_id,
+                      string_split_regex(trim(lower(text)), ' +') AS ws
+               FROM documents),
+    tok AS (SELECT doc_id, unnest(ws) AS w FROM d),
+    freq AS (SELECT w, COUNT(*)::DOUBLE AS c FROM tok GROUP BY w),
+    tot AS (SELECT SUM(c) AS tot FROM freq)
+    SELECT doc_id, COUNT(*)::BIGINT AS n_tok,
+           ROUND(AVG(ln(c / tot)) + 1e-9, 6) AS logprob
+    FROM tok JOIN freq USING (w), tot
+    GROUP BY doc_id
+    """,
+)
+def q97(spark, sf):
+    """Unigram-LM quality score (mean ln p(word) under the corpus's own
+    unigram distribution) — the cheap perplexity-proxy filter. The Spark
+    side splits the Zipf-hot top-1000 words onto a broadcast join so the
+    word-keyed shuffle never sees the corpus's hottest keys
+    (operators/quality.unigram_logprob); the twin computes the same
+    corpus-level frequencies directly."""
+    from bran_spark.operators.quality import unigram_logprob
+
+    return unigram_logprob(_t(spark, sf, "documents"), "doc_id", "text")
+
+
+# 8-hex-digit md5 prefix as integer (the rebalance coin), mod 10^6
+_COIN8_SQL = "(" + " + ".join(
+    f"(strpos('0123456789abcdef', substr(h, {i + 1}, 1)) - 1) * {16 ** (7 - i)}"
+    for i in range(8)
+) + ") % 1000000"
+
+_MIX_SHARES = (("src0", 0.5), ("src1", 0.3), ("src2", 0.2))
+_MIX_TOTAL = 40
+
+
+@_q(
+    "q98_mix_rebalance",
+    f"""
+    WITH counts AS (SELECT source AS g, COUNT(*) AS n_g
+                    FROM documents GROUP BY source),
+    shares(g, share) AS (VALUES {", ".join(f"('{g}', {s})" for g, s in _MIX_SHARES)}),
+    rates AS (SELECT counts.g,
+                     CAST(floor(least(1.0, share * {_MIX_TOTAL}.0 / n_g)
+                                * 1000000) AS BIGINT) AS keep_millionths
+              FROM counts JOIN shares USING (g)),
+    keyed AS (SELECT doc_id, source, md5(doc_id::VARCHAR) AS h
+              FROM documents)
+    SELECT doc_id, source
+    FROM keyed JOIN rates ON keyed.source = rates.g
+    WHERE CAST({_COIN8_SQL} AS BIGINT) < keep_millionths
+    """,
+)
+def q98(spark, sf):
+    """Domain-mix rebalancing: deterministic per-source downsampling toward
+    a target share vector (the static data-mixture lever; DoReMi-style
+    weights applied as sampling rates). Rates derive from one group-count
+    aggregate broadcast back; the keep coin is md5-deterministic
+    (operators/sampling.rebalance_mix)."""
+    from bran_spark.operators.sampling import rebalance_mix
+
+    return rebalance_mix(
+        _t(spark, sf, "documents"),
+        "source",
+        dict(_MIX_SHARES),
+        target_total=_MIX_TOTAL,
+    ).select("doc_id", "source")
+
+
 # =========================================================================
 # Registry ordering: the driver's correctness gate hash-checks the FIRST
 # 50 insertion-order entries of ``queries()``. Definition order above is

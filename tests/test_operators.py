@@ -373,3 +373,45 @@ def test_triple_provenance_bounded_evidence(spark):
         ("C1", "D1"): (5, "2,4,10"),   # numeric order, capped at 3 of 5
         ("C2", "D2"): (1, "7"),
     }
+
+
+def test_unigram_logprob_orders_in_vs_out_of_distribution(spark):
+    """A doc made of corpus-common words must outscore one of hapax
+    gibberish, and the hot/cold join split must not change any value
+    (hot_words=0 forces the pure-shuffle path — same result)."""
+    from bran_spark.operators.quality import unigram_logprob
+
+    docs = spark.createDataFrame(
+        [("common", "the the the cat sat"),
+         ("rare", "zxqv wkjh pqrs mnbv"),
+         ("filler", "the cat the cat the cat the")],
+        "doc_id string, text string",
+    )
+    split = {r.doc_id: r.logprob
+             for r in unigram_logprob(docs, "doc_id", "text").collect()}
+    assert split["common"] > split["rare"]
+    noslplit = {r.doc_id: r.logprob
+                for r in unigram_logprob(docs, "doc_id", "text",
+                                         hot_words=0).collect()}
+    assert split == noslplit
+
+
+def test_rebalance_mix_hits_target_shares(spark):
+    """Per-group survivor counts land near share*total; a group absent
+    from the target is dropped; determinism across reruns."""
+    from bran_spark.operators.sampling import rebalance_mix
+
+    rows = [(i, f"s{i % 4}") for i in range(4000)]   # 1000 docs per group
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = rebalance_mix(
+        df, "source", {"s0": 0.6, "s1": 0.4}, target_total=1000
+    )
+    counts = {r.source: r.n for r in
+              out.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    assert set(counts) == {"s0", "s1"}               # s2/s3 dropped
+    assert abs(counts["s0"] - 600) < 80              # md5-coin tolerance
+    assert abs(counts["s1"] - 400) < 80
+    again = rebalance_mix(
+        df, "source", {"s0": 0.6, "s1": 0.4}, target_total=1000
+    )
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, again.collect()))
