@@ -119,6 +119,16 @@ def main() -> None:
     ).count()
     timings["minhash_lsh_xxhash64"] = round(time.time() - t0, 3)
 
+    # exact top-k twins: JVM aggregate expressions (q30 above) vs the
+    # Arrow/GEMM-batched form — the cost-model comparison for wide vectors
+    from bran_spark.operators.similarity import cosine_topk_gemm
+
+    t0 = time.time()
+    cosine_topk_gemm(
+        spark.read.parquet(f"{SF_DIR}/embeddings.parquet"), query_id=0, k=10
+    ).count()
+    timings["cosine_topk_gemm"] = round(time.time() - t0, 3)
+
     total = round(sum(timings.values()), 3)
     out = {
         "metric": "bran_spark_headline_total",

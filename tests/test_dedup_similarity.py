@@ -192,3 +192,17 @@ def test_sign_lsh_centering_resists_positive_bias(spark):
     pairs = {(r.id_a, r.id_b)
              for r in embedding_neardup_pairs(emb, min_cos=0.999).collect()}
     assert (0, 999) in pairs
+
+
+def test_cosine_topk_gemm_equivalent_to_jvm_form(spark, testdata_dir):
+    """The Arrow/GEMM-batched exact top-k must agree with the JVM
+    aggregate-expression form: same ids in order, cos within float noise."""
+    from bran_spark.operators.similarity import cosine_topk, cosine_topk_gemm
+
+    emb = spark.read.parquet(f"{testdata_dir}/embeddings.parquet")
+    for q in (0, 19):
+        a = cosine_topk(emb, q, k=10).collect()
+        b = cosine_topk_gemm(emb, q, k=10).collect()
+        assert [r.vec_id for r in a] == [r.vec_id for r in b]
+        for ra, rb in zip(a, b):
+            assert abs(ra.cos - rb.cos) <= 2e-6

@@ -262,3 +262,36 @@ def test_stream_static_broadcast_enrichment(spark, testdata_dir, tmp_path):
     assert {r["category"] for r in got.select("category").distinct().collect()} <= {
         "browse", "intent", "convert"
     }
+
+
+def test_incremental_ingest_dedups_against_committed_corpus(spark, tmp_path):
+    """Two ingest rounds with the same checkpoint: a doc re-arriving in a
+    later batch (same content, new doc_id) is dropped by the anti-join
+    against the committed store; new content lands exactly once."""
+    import datetime as dt
+    import os
+
+    from bran_spark.streaming.incremental import incremental_corpus_ingest
+
+    src = str(tmp_path / "arrivals")
+    out = str(tmp_path / "corpus")
+    ck = str(tmp_path / "ck")
+    os.makedirs(out, exist_ok=True)
+    t = dt.datetime(2024, 1, 1)
+
+    spark.createDataFrame(
+        [("a", "alpha text", t), ("b", "beta text", t)],
+        "doc_id string, text string, ts timestamp",
+    ).write.mode("append").parquet(src)
+    incremental_corpus_ingest(spark, src, ck, out)
+
+    # round 2: 'beta text' re-arrives under a new id + one new doc
+    spark.createDataFrame(
+        [("b2", "beta text", t), ("c", "gamma text", t)],
+        "doc_id string, text string, ts timestamp",
+    ).write.mode("append").parquet(src)
+    incremental_corpus_ingest(spark, src, ck, out)
+
+    rows = spark.read.parquet(out).collect()
+    assert sorted(r.text for r in rows) == ["alpha text", "beta text", "gamma text"]
+    assert {r.doc_id for r in rows if r.text == "beta text"} == {"b"}  # first sight wins
