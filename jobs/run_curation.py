@@ -1,9 +1,10 @@
 """spark-submit entry for the corpus-CURATION pipeline — the training-data
 counterpart of the KG DAG (jobs/run_pipeline.py):
 
-    quality filter → repetition filter → exact dedup → near-dup survivor
-    dedup (MinHash-LSH + connected components) → stratified language sample
-    → curated parquet + one JSON stats line.
+    quality filter → repetition filter → optional unigram-LM gate →
+    exact dedup → near-dup survivor dedup (MinHash-LSH + connected
+    components) → stratified language sample → optional domain-mix
+    rebalance → curated parquet + one JSON stats line.
 
     spark-submit --master local[8] --py-files dist/bran_spark.zip \
         jobs/run_curation.py --sf-dir /root/testdata/sf0.01 --out /tmp/curated
@@ -34,6 +35,20 @@ def main() -> None:
     ap.add_argument("--max-dup-word-frac", type=float, default=0.5)
     ap.add_argument("--sample-en", type=float, default=1.0)
     ap.add_argument("--sample-rest", type=float, default=1.0)
+    ap.add_argument(
+        "--min-logprob", type=float, default=None,
+        help="unigram-LM gate: drop docs with mean ln p(word) below this "
+             "(perplexity-proxy filter, operators/quality.unigram_logprob)",
+    )
+    ap.add_argument(
+        "--mix", default=None,
+        help="domain-mix rebalance as src=share,... applied to the `source` "
+             "column after sampling, e.g. 'src0=0.5,src1=0.5'",
+    )
+    ap.add_argument(
+        "--mix-total", type=int, default=1000,
+        help="target corpus size the --mix shares refer to",
+    )
     args = ap.parse_args()
 
     from pyspark.sql import functions as F
@@ -63,6 +78,17 @@ def main() -> None:
     )
     n_quality = kept.count()
 
+    # 1b. optional unigram-LM perplexity-proxy gate
+    n_lm = None
+    if args.min_logprob is not None:
+        from bran_spark.operators.quality import unigram_logprob
+
+        lm = unigram_logprob(kept, "doc_id", "text").where(
+            F.col("logprob") >= args.min_logprob
+        )
+        kept = kept.join(lm.select("doc_id"), "doc_id", "left_semi")
+        n_lm = kept.count()
+
     # 2. exact dedup: keep min doc_id per content hash
     exact_keep = exact_dedup_groups(kept, "doc_id", "text").select(
         F.col("keep_id").alias("doc_id")
@@ -80,6 +106,19 @@ def main() -> None:
     kept = stratified_sample(kept, "lang", rates, default_rate=args.sample_rest)
     n_out = kept.count()
 
+    # 5. optional domain-mix rebalance toward target shares
+    n_mix = None
+    if args.mix:
+        from bran_spark.operators.sampling import rebalance_mix
+
+        shares = {
+            k: float(v)
+            for k, v in (kv.split("=") for kv in args.mix.split(","))
+        }
+        kept = rebalance_mix(kept, "source", shares, args.mix_total)
+        n_mix = kept.count()
+        n_out = n_mix
+
     if args.out:
         kept.write.mode("overwrite").parquet(args.out)
 
@@ -89,8 +128,10 @@ def main() -> None:
                 "metric": "curation_funnel",
                 "input_docs": n_input,
                 "after_quality": n_quality,
+                **({"after_lm_gate": n_lm} if n_lm is not None else {}),
                 "after_exact_dedup": n_exact,
                 "after_neardup_dedup": n_neardup,
+                **({"after_mix": n_mix} if n_mix is not None else {}),
                 "curated_docs": n_out,
                 "wall_s": round(time.time() - t0, 3),
                 "sf_dir": args.sf_dir,

@@ -127,7 +127,10 @@ def test_curation_job_funnel(tmp_path, testdata_dir):
     out = str(tmp_path / "curated")
     r = subprocess.run(
         [sys.executable, "jobs/run_curation.py", "--sf-dir", testdata_dir,
-         "--out", out, "--master", "local[4]"],
+         "--out", out, "--master", "local[4]",
+         "--min-logprob", "-20.0",
+         "--mix", "src0=0.25,src1=0.25,src2=0.25,src3=0.25",
+         "--mix-total", "200"],
         capture_output=True, text=True, timeout=420,
         cwd=__import__("os").path.dirname(__import__("os").path.dirname(__file__)),
     )
@@ -135,8 +138,9 @@ def test_curation_job_funnel(tmp_path, testdata_dir):
     stats = json.loads(r.stdout.strip().splitlines()[-1])
     assert (
         stats["input_docs"] >= stats["after_quality"]
+        >= stats["after_lm_gate"]
         >= stats["after_exact_dedup"] >= stats["after_neardup_dedup"]
-        >= stats["curated_docs"] > 0
+        >= stats["after_mix"] == stats["curated_docs"] > 0
     )
     import duckdb
 
