@@ -187,3 +187,35 @@ def test_interval_join_is_equi_not_nested_loop(spark, testdata_dir):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
     assert ("SortMergeJoin" in plan) or ("BroadcastHashJoin" in plan)
+
+
+def test_chunking_and_kwic_have_zero_exchange(spark, testdata_dir):
+    """q93 chunking and q94 keyword contexts are row-local array math —
+    the physical plan must contain NO Exchange (and no Python stage)."""
+    for name in ("q93_doc_chunking", "q94_keyword_contexts"):
+        plan = _plan(QUERIES[name](spark, testdata_dir))
+        assert "Exchange" not in plan, name
+        assert "Python" not in plan, name
+
+
+def test_unigram_logprob_splits_hot_words_onto_broadcast(spark, testdata_dir):
+    """q97's word-keyed frequency attach is Zipf-skewed; the plan must show
+    the split: a BroadcastHashJoin for the hot top-K tokens (plus the
+    broadcast anti-join carving them out) alongside the shuffled join for
+    the tail — never a single shuffle join carrying the hottest keys."""
+    plan = _plan(QUERIES["q97_unigram_logprob"](spark, testdata_dir))
+    assert plan.count("BroadcastHashJoin") >= 2   # hot attach + anti carve-out
+    assert "LeftAnti" in plan
+    # the cold-tail join is left to Catalyst: at this SF the whole freq dim
+    # fits the broadcast threshold (so no SMJ appears); at vocabulary scale
+    # it exceeds it and AQE plans the shuffle — what matters here is that
+    # the corpus token stream is never the BUILD side of any join
+    assert "BroadcastNestedLoopJoin BuildRight, Cross" in plan  # 1-row total
+
+
+def test_mix_rebalance_broadcasts_rates(spark, testdata_dir):
+    """q98's per-group rate table is dimension-sized and must broadcast;
+    the only corpus shuffle is the counts aggregate feeding it."""
+    plan = _plan(QUERIES["q98_mix_rebalance"](spark, testdata_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
