@@ -489,3 +489,47 @@ def cosine_topk_gemm(
         fn, "vec_id long, cos double"
     )
     return scored.orderBy(F.desc("cos"), F.asc("vec_id")).limit(k)
+
+
+def product_quantize(
+    emb: DataFrame,
+    m: int = 4,
+    k: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    d: int = 64,
+) -> DataFrame:
+    """Product quantization (Jégou et al. 2011): split the d-dim vector
+    into ``m`` contiguous blocks, k-means each block independently
+    (deterministic lowest-id init, same Lloyd loop as kmeans_centroids),
+    and encode every vector as its per-block nearest-codeword id — the
+    d·4 bytes → m codes compression behind IVF-PQ vector stores (here
+    64 floats → 4 codes ≈ 32× with k=8).
+
+    Everything reuses the oracle-replayable kmeans machinery: rounded-
+    distance argmin assignments, cid tie-break, element-wise mean update —
+    so the whole train+encode is hash-exact against the DuckDB twin.
+    Codes are codeword LABELS (the seed vector ids), not dense 0..k-1
+    ranks; consumers needing ranks renumber the tiny codebook. Per block:
+    one broadcast of k sub-centroids + one argmin aggregate — the corpus
+    crosses no extra shuffle. Returns (vec_id, block, code)."""
+    width = d // m
+    out = None
+    for b in range(m):
+        sub = emb.select(
+            F.col(id_col).alias("vec_id"),
+            F.slice(
+                _as_double(F.col(vec_col)), b * width + 1, width
+            ).alias("embedding"),
+        )
+        cents = kmeans_centroids(sub, k=k, iters=iters)
+        enc = _assign_cells(
+            sub.select("vec_id", F.col("embedding").alias("v")), cents
+        ).select(
+            "vec_id",
+            F.lit(b).cast("int").alias("block"),
+            F.col("cell").cast("int").alias("code"),
+        )
+        out = enc if out is None else out.unionByName(enc)
+    return out

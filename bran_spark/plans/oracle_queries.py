@@ -3390,6 +3390,74 @@ def q98(spark, sf):
     ).select("doc_id", "source")
 
 
+def _pq_block_sql(b: int, width: int, k: int, iters: int) -> str:
+    """Unrolled per-block Lloyd chain for the PQ twin: sliced subvectors →
+    k lowest-id seeds → ``iters`` assign/mean rounds → final assignment as
+    (vec_id, block, code). Mirrors similarity.kmeans_centroids exactly
+    (rounded-dist argmin, cid tie-break, element-wise AVG update)."""
+    lo = b * width
+    parts = [
+        f"eb{b} AS (SELECT vec_id, "
+        f"list_slice(embedding::DOUBLE[], {lo + 1}, {lo + width}) AS v "
+        f"FROM embeddings)",
+        f"cb{b}_0 AS (SELECT vec_id AS cid, v AS cv FROM eb{b} "
+        f"ORDER BY vec_id LIMIT {k})",
+    ]
+    for i in range(iters):
+        parts.append(f"""
+    db{b}_{i} AS (SELECT e.vec_id, e.v, c.cid,
+              ROUND(list_dot_product(e.v, e.v) - 2 * list_dot_product(e.v, c.cv)
+                    + list_dot_product(c.cv, c.cv), 6) AS dist
+             FROM eb{b} e CROSS JOIN cb{b}_{i} c),
+    ab{b}_{i} AS (SELECT vec_id, v, cid AS cell FROM
+              (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                            ORDER BY dist, cid) AS rn
+               FROM db{b}_{i}) WHERE rn = 1),
+    xb{b}_{i} AS (SELECT cell, ix.dim AS dim, v[ix.dim] AS val
+             FROM ab{b}_{i}, (SELECT unnest(range(1, {width + 1})) AS dim) ix),
+    mb{b}_{i} AS (SELECT cell, dim, AVG(val) AS m FROM xb{b}_{i}
+                  GROUP BY cell, dim),
+    cb{b}_{i + 1} AS (SELECT cell AS cid, list(m ORDER BY dim) AS cv
+                 FROM mb{b}_{i} GROUP BY cell)""")
+    parts.append(f"""
+    fb{b} AS (SELECT e.vec_id, c.cid,
+              ROUND(list_dot_product(e.v, e.v) - 2 * list_dot_product(e.v, c.cv)
+                    + list_dot_product(c.cv, c.cv), 6) AS dist
+             FROM eb{b} e CROSS JOIN cb{b}_{iters} c),
+    enc{b} AS (SELECT vec_id, {b} AS block, CAST(cell AS INT) AS code FROM
+              (SELECT vec_id, cid AS cell,
+                      ROW_NUMBER() OVER (PARTITION BY vec_id
+                                         ORDER BY dist, cid) AS rn
+               FROM fb{b}) WHERE rn = 1)""")
+    return ",\n    ".join(parts)
+
+
+_PQ_M, _PQ_WIDTH, _PQ_K, _PQ_ITERS = 4, 16, 8, 2
+
+
+@_q(
+    "q99_product_quantize",
+    "WITH "
+    + ",\n    ".join(
+        _pq_block_sql(b, _PQ_WIDTH, _PQ_K, _PQ_ITERS) for b in range(_PQ_M)
+    )
+    + "\n    "
+    + " UNION ALL ".join(
+        f"SELECT vec_id, block, code FROM enc{b}" for b in range(_PQ_M)
+    ),
+)
+def q99(spark, sf):
+    """Product quantization: 4 blocks × 16 dims, k=8 codewords per block,
+    2 Lloyd iterations — the vector-store compression encode (64 floats →
+    4 codes). Train+encode is hash-exact vs the unrolled DuckDB twin
+    (similarity.product_quantize)."""
+    from bran_spark.operators.similarity import product_quantize
+
+    return product_quantize(
+        _t(spark, sf, "embeddings"), m=_PQ_M, k=_PQ_K, iters=_PQ_ITERS, d=64
+    )
+
+
 # =========================================================================
 # Registry ordering: the driver's correctness gate hash-checks the FIRST
 # 50 insertion-order entries of ``queries()``. Definition order above is

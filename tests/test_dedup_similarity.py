@@ -206,3 +206,31 @@ def test_cosine_topk_gemm_equivalent_to_jvm_form(spark, testdata_dir):
         assert [r.vec_id for r in a] == [r.vec_id for r in b]
         for ra, rb in zip(a, b):
             assert abs(ra.cos - rb.cos) <= 2e-6
+
+
+def test_product_quantize_codes_cluster_structure(spark):
+    """Planted two-blob structure PER BLOCK: vectors in the same blob get
+    the same per-block code, blobs get different codes, and a rerun is
+    bit-identical (deterministic train+encode)."""
+    import numpy as np
+
+    from bran_spark.operators.similarity import product_quantize
+
+    rng = np.random.default_rng(3)
+    rows = []
+    for i in range(40):
+        blob = i % 2
+        base = np.full(16, 5.0 if blob else -5.0)
+        v = np.concatenate([base + rng.normal(0, 0.3, 16) for _ in range(2)])
+        rows.append((i, v.tolist()))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = product_quantize(emb, m=2, k=2, iters=3, d=32)
+    codes = {(r.vec_id, r.block): r.code for r in out.collect()}
+    assert len(codes) == 80                       # 40 vectors × 2 blocks
+    for b in (0, 1):
+        even = {codes[(i, b)] for i in range(0, 40, 2)}
+        odd = {codes[(i, b)] for i in range(1, 40, 2)}
+        assert len(even) == 1 and len(odd) == 1 and even != odd, (b, even, odd)
+    again = {(r.vec_id, r.block): r.code
+             for r in product_quantize(emb, m=2, k=2, iters=3, d=32).collect()}
+    assert codes == again
