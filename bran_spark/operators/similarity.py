@@ -533,3 +533,65 @@ def product_quantize(
         )
         out = enc if out is None else out.unionByName(enc)
     return out
+
+
+def pq_topk(
+    emb: DataFrame,
+    query_id: int,
+    k: int = 10,
+    m: int = 4,
+    codewords: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    d: int = 64,
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k over PQ codes — the search half of
+    IVF-PQ: the query stays a float vector, the corpus is its m-code
+    encoding, and distance ≈ Σ_b table[b, code_b] where the table holds the
+    query's squared L2 to every codeword (m·k rows — broadcast-tiny).
+    The corpus-side scan touches ONLY the integer codes: at 10^12 vectors
+    this reads m bytes per vector instead of d·4, and the join against the
+    distance table is a broadcast hash join with no float math per row.
+
+    Deterministic end-to-end (codebooks and codes from product_quantize,
+    per-block distances rounded 6 dp before the sum), so the whole
+    index+search pipeline is oracle-replayable. Returns (vec_id,
+    approx_dist) ascending, ties broken by id."""
+    width = d // m
+    codes = product_quantize(
+        emb, m=m, k=codewords, iters=iters, id_col=id_col, vec_col=vec_col, d=d
+    ).where(F.col("vec_id") != query_id)
+    qrow = emb.where(F.col(id_col) == query_id).select(
+        _as_double(F.col(vec_col)).alias("qv")
+    )
+    table = None
+    for b in range(m):
+        sub = emb.select(
+            F.col(id_col).alias("vec_id"),
+            F.slice(
+                _as_double(F.col(vec_col)), b * width + 1, width
+            ).alias("embedding"),
+        )
+        cents = kmeans_centroids(sub, k=codewords, iters=iters)
+        qb = qrow.select(
+            F.slice(F.col("qv"), b * width + 1, width).alias("qb")
+        )
+        t = cents.crossJoin(F.broadcast(qb)).select(
+            F.lit(b).cast("int").alias("block"),
+            F.col("cid").cast("int").alias("code"),
+            F.round(
+                dot(F.col("qb"), F.col("qb"))
+                - 2 * dot(F.col("qb"), F.col("cv"))
+                + dot(F.col("cv"), F.col("cv")),
+                6,
+            ).alias("bdist"),
+        )
+        table = t if table is None else table.unionByName(t)
+    return (
+        codes.join(F.broadcast(table), ["block", "code"])
+        .groupBy("vec_id")
+        .agg(F.round(F.sum("bdist"), 6).alias("approx_dist"))
+        .orderBy(F.asc("approx_dist"), F.asc("vec_id"))
+        .limit(k)
+    )

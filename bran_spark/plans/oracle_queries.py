@@ -3458,6 +3458,45 @@ def q99(spark, sf):
     )
 
 
+@_q(
+    "q100_pq_adc_topk",
+    "WITH "
+    + ",\n    ".join(
+        _pq_block_sql(b, _PQ_WIDTH, _PQ_K, _PQ_ITERS) for b in range(_PQ_M)
+    )
+    + f""",
+    q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+    tbl AS ({" UNION ALL ".join(
+        f'''SELECT {b} AS block, CAST(cid AS INT) AS code,
+               ROUND(list_dot_product(qb, qb) - 2 * list_dot_product(qb, cv)
+                     + list_dot_product(cv, cv), 6) AS bdist
+            FROM cb{b}_{_PQ_ITERS},
+                 (SELECT list_slice(qv, {b * _PQ_WIDTH + 1},
+                                    {(b + 1) * _PQ_WIDTH}) AS qb FROM q)'''
+        for b in range(_PQ_M))}),
+    allcodes AS ({" UNION ALL ".join(
+        f"SELECT vec_id, block, code FROM enc{b}" for b in range(_PQ_M))})
+    SELECT vec_id, ROUND(SUM(bdist), 6) AS approx_dist
+    FROM allcodes JOIN tbl USING (block, code)
+    WHERE vec_id != 0
+    GROUP BY vec_id
+    ORDER BY approx_dist, vec_id
+    LIMIT 10
+    """,
+)
+def q100(spark, sf):
+    """ADC search over the PQ index: query = float vector, corpus = m
+    integer codes, distance = sum of a broadcast m×k lookup table — the
+    scan that reads m bytes per vector instead of d·4 at 10^12 scale
+    (similarity.pq_topk)."""
+    from bran_spark.operators.similarity import pq_topk
+
+    return pq_topk(
+        _t(spark, sf, "embeddings"), query_id=0, k=10,
+        m=_PQ_M, codewords=_PQ_K, iters=_PQ_ITERS, d=64,
+    )
+
+
 # =========================================================================
 # Registry ordering: the driver's correctness gate hash-checks the FIRST
 # 50 insertion-order entries of ``queries()``. Definition order above is

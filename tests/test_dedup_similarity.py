@@ -234,3 +234,35 @@ def test_product_quantize_codes_cluster_structure(spark):
     again = {(r.vec_id, r.block): r.code
              for r in product_quantize(emb, m=2, k=2, iters=3, d=32).collect()}
     assert codes == again
+
+
+def test_pq_adc_ranks_query_blob_first(spark):
+    """ADC search over PQ codes retrieves the query's quantization cell:
+    every top-k hit comes from the query's blob (the other blob's codeword
+    is strictly farther in every block). Within a cell all codes are
+    identical — PQ cannot rank finer than its codebook, which is exactly
+    why real deployments re-rank ADC candidates with exact distances."""
+    import numpy as np
+
+    from bran_spark.operators.similarity import pq_topk
+
+    rng = np.random.default_rng(7)
+    rows = []
+    for i in range(30):
+        blob = i % 2
+        base = np.full(16, 4.0 if blob else -4.0)
+        v = np.concatenate([base + rng.normal(0, 0.2, 16) for _ in range(2)])
+        rows.append((i, v.tolist()))
+    rows.append((500, (np.asarray(rows[0][1]) + 1e-3).tolist()))  # near-copy of 0
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = pq_topk(emb, query_id=0, k=10, m=2, codewords=2, iters=3, d=32).collect()
+    # all hits from the query's blob (even ids + the near-copy)...
+    assert all(r.vec_id % 2 == 0 or r.vec_id == 500 for r in got)
+    # ...and they all share ONE approx distance (same cell ⇒ same codes)
+    assert len({r.approx_dist for r in got}) == 1
+    # the excluded blob would score strictly worse: its own query-distance
+    # table entries are larger in every block
+    full = pq_topk(emb, query_id=0, k=31, m=2, codewords=2, iters=3, d=32).collect()
+    even_d = max(r.approx_dist for r in full if r.vec_id % 2 == 0 or r.vec_id == 500)
+    odd_d = min(r.approx_dist for r in full if r.vec_id % 2 == 1)
+    assert odd_d > even_d
