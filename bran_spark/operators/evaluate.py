@@ -89,3 +89,66 @@ def sweep_threshold(
         .where(F.col("rn") == 1)
         .select("theta", "f1")
     )
+
+
+# inverse-CDF thresholds for Poisson(1): P(X<=n) as exact decimal literals
+# shared verbatim with the SQL twin so both engines draw identical weights
+POISSON1_CDF = (0.367879, 0.735759, 0.919699, 0.981012, 0.996340, 0.999406)
+
+
+def bootstrap_prf(
+    per_doc: DataFrame,
+    n_resamples: int = 20,
+    doc_col: str = "doc_id",
+) -> DataFrame:
+    """Poisson-bootstrap confidence distribution for micro P/R/F1 — the
+    bootstrap that actually scales (Chamandy et al., Google 2012): instead
+    of materializing B resampled corpora, each doc gets an independent
+    Poisson(1) weight per resample, so one pass over (doc, tp, fp, fn)
+    computes every resample's confusion totals. Weights are DETERMINISTIC:
+    u = md5(doc:b)-derived uniform, inverted through the Poisson(1) CDF
+    (exact shared decimal thresholds) — reruns and engines agree exactly,
+    and a CI is auditable. One explode (B rows per doc, B small) + one
+    aggregate; no corpus duplication. Input: per-doc (doc_id, tp, fp, fn).
+    Returns (b, precision, recall, f1) rounded 6 dp, one row per resample.
+    """
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws(":", F.col(doc_col), F.col("b"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("long")
+        / F.lit(4294967296.0)
+    )
+    w = F.lit(len(POISSON1_CDF))
+    for n in range(len(POISSON1_CDF) - 1, -1, -1):
+        w = F.when(u < F.lit(POISSON1_CDF[n]), F.lit(n)).otherwise(w)
+    drawn = per_doc.select(
+        F.col(doc_col),
+        "tp",
+        "fp",
+        "fn",
+        F.explode(F.sequence(F.lit(0), F.lit(n_resamples - 1))).alias("b"),
+    ).withColumn("w", w)
+    agg = drawn.groupBy("b").agg(
+        F.sum(F.col("w") * F.col("tp")).alias("tp"),
+        F.sum(F.col("w") * F.col("fp")).alias("fp"),
+        F.sum(F.col("w") * F.col("fn")).alias("fn"),
+    )
+    p = F.when(F.col("tp") + F.col("fp") == 0, F.lit(0.0)).otherwise(
+        F.col("tp") / (F.col("tp") + F.col("fp"))
+    )
+    r = F.when(F.col("tp") + F.col("fn") == 0, F.lit(0.0)).otherwise(
+        F.col("tp") / (F.col("tp") + F.col("fn"))
+    )
+    f1 = F.when(2 * F.col("tp") + F.col("fp") + F.col("fn") == 0, F.lit(0.0)).otherwise(
+        2.0 * F.col("tp") / (2 * F.col("tp") + F.col("fp") + F.col("fn"))
+    )
+    return agg.select(
+        F.col("b").cast("int").alias("b"),
+        F.round(p, 6).alias("precision"),
+        F.round(r, 6).alias("recall"),
+        F.round(f1, 6).alias("f1"),
+    )

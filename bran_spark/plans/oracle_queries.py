@@ -3497,6 +3497,56 @@ def q100(spark, sf):
     )
 
 
+_POIS = (0.367879, 0.735759, 0.919699, 0.981012, 0.996340, 0.999406)
+_U32_SQL = "(" + " + ".join(
+    f"(strpos('0123456789abcdef', substr(h, {i + 1}, 1)) - 1) * {16 ** (7 - i)}"
+    for i in range(8)
+) + ") / 4294967296.0"
+_POIS_W_SQL = "CASE " + " ".join(
+    f"WHEN u < {t} THEN {n}" for n, t in enumerate(_POIS)
+) + f" ELSE {len(_POIS)} END"
+
+
+@_q(
+    "q101_bootstrap_prf",
+    f"""
+    WITH {_PIPE_CTES},
+    per_doc AS (SELECT doc_id,
+            SUM(CASE WHEN s >= 0 AND label = 1 THEN 1 ELSE 0 END) AS tp,
+            SUM(CASE WHEN s >= 0 AND label = 0 THEN 1 ELSE 0 END) AS fp,
+            SUM(CASE WHEN s <  0 AND label = 1 THEN 1 ELSE 0 END) AS fn
+        FROM scored GROUP BY doc_id),
+    drawn AS (SELECT doc_id, tp, fp, fn, bi.b AS b,
+                     md5(doc_id::VARCHAR || ':' || bi.b::VARCHAR) AS h
+              FROM per_doc, (SELECT unnest(range(0, 20)) AS b) bi),
+    wtd AS (SELECT b, tp, fp, fn, {_POIS_W_SQL} AS w
+            FROM (SELECT b, tp, fp, fn, {_U32_SQL} AS u FROM drawn)),
+    agg AS (SELECT b, SUM(w * tp) AS tp, SUM(w * fp) AS fp,
+                   SUM(w * fn) AS fn FROM wtd GROUP BY b)
+    SELECT CAST(b AS INT) AS b,
+           ROUND(CASE WHEN tp+fp = 0 THEN 0.0 ELSE tp/(tp+fp) END, 6) AS precision,
+           ROUND(CASE WHEN tp+fn = 0 THEN 0.0 ELSE tp/(tp+fn) END, 6) AS recall,
+           ROUND(CASE WHEN 2*tp+fp+fn = 0 THEN 0.0
+                 ELSE 2.0*tp/(2*tp+fp+fn) END, 6) AS f1
+    FROM agg
+    """,
+)
+def q101(spark, sf):
+    """Poisson-bootstrap micro-P/R/F1 distribution (20 deterministic
+    resamples): per-doc confusion × md5-seeded Poisson(1) weights, one
+    pass, no corpus duplication (operators/evaluate.bootstrap_prf). The
+    scalable-bootstrap CI for the KG eval gate."""
+    from bran_spark.operators.evaluate import bootstrap_prf
+
+    sc = _scored(spark, sf)
+    per_doc = sc.groupBy("doc_id").agg(
+        F.sum(((F.col("s") >= 0) & (F.col("label") == 1)).cast("long")).alias("tp"),
+        F.sum(((F.col("s") >= 0) & (F.col("label") == 0)).cast("long")).alias("fp"),
+        F.sum(((F.col("s") < 0) & (F.col("label") == 1)).cast("long")).alias("fn"),
+    )
+    return bootstrap_prf(per_doc, n_resamples=20)
+
+
 # =========================================================================
 # Registry ordering: the driver's correctness gate hash-checks the FIRST
 # 50 insertion-order entries of ``queries()``. Definition order above is

@@ -415,3 +415,28 @@ def test_rebalance_mix_hits_target_shares(spark):
         df, "source", {"s0": 0.6, "s1": 0.4}, target_total=1000
     )
     assert sorted(map(tuple, out.collect())) == sorted(map(tuple, again.collect()))
+
+
+def test_bootstrap_prf_distribution_properties(spark):
+    """Poisson-bootstrap P/R/F1: B rows, deterministic across reruns, the
+    resample F1s spread AROUND the point estimate, and a degenerate input
+    (all TP) pins every resample at f1=1."""
+    from bran_spark.operators.evaluate import bootstrap_prf
+
+    per_doc = spark.createDataFrame(
+        [(d, (d * 7) % 3, (d * 5) % 2, (d * 11) % 2) for d in range(60)],
+        "doc_id long, tp long, fp long, fn long",
+    )
+    out = bootstrap_prf(per_doc, n_resamples=25).collect()
+    assert len(out) == 25
+    f1s = [r.f1 for r in out]
+    assert len(set(f1s)) > 5                     # resampling actually varies
+    assert all(0.0 <= v <= 1.0 for v in f1s)
+    again = bootstrap_prf(per_doc, n_resamples=25).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+    perfect = spark.createDataFrame(
+        [(d, 3, 0, 0) for d in range(20)], "doc_id long, tp long, fp long, fn long"
+    )
+    pf = bootstrap_prf(perfect, n_resamples=10).collect()
+    assert all(r.f1 == 1.0 or (r.precision == 0.0 and r.recall == 0.0) for r in pf)
