@@ -535,29 +535,19 @@ def product_quantize(
     return out
 
 
-def pq_topk(
+def _adc_scores(
     emb: DataFrame,
     query_id: int,
-    k: int = 10,
-    m: int = 4,
-    codewords: int = 8,
-    iters: int = 2,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-    d: int = 64,
+    m: int,
+    codewords: int,
+    iters: int,
+    id_col: str,
+    vec_col: str,
+    d: int,
 ) -> DataFrame:
-    """Asymmetric-distance (ADC) top-k over PQ codes — the search half of
-    IVF-PQ: the query stays a float vector, the corpus is its m-code
-    encoding, and distance ≈ Σ_b table[b, code_b] where the table holds the
-    query's squared L2 to every codeword (m·k rows — broadcast-tiny).
-    The corpus-side scan touches ONLY the integer codes: at 10^12 vectors
-    this reads m bytes per vector instead of d·4, and the join against the
-    distance table is a broadcast hash join with no float math per row.
-
-    Deterministic end-to-end (codebooks and codes from product_quantize,
-    per-block distances rounded 6 dp before the sum), so the whole
-    index+search pipeline is oracle-replayable. Returns (vec_id,
-    approx_dist) ascending, ties broken by id."""
+    """Unranked ADC distances (vec_id, approx_dist) — shared by pq_topk
+    (global top-k) and ivf_pq_topk (cell-pruned top-k); see pq_topk for
+    the design notes."""
     width = d // m
     codes = product_quantize(
         emb, m=m, k=codewords, iters=iters, id_col=id_col, vec_col=vec_col, d=d
@@ -592,6 +582,90 @@ def pq_topk(
         codes.join(F.broadcast(table), ["block", "code"])
         .groupBy("vec_id")
         .agg(F.round(F.sum("bdist"), 6).alias("approx_dist"))
+    )
+
+
+def pq_topk(
+    emb: DataFrame,
+    query_id: int,
+    k: int = 10,
+    m: int = 4,
+    codewords: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    d: int = 64,
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k over PQ codes — the search half of
+    IVF-PQ: the query stays a float vector, the corpus is its m-code
+    encoding, and distance ≈ Σ_b table[b, code_b] where the table holds the
+    query's squared L2 to every codeword (m·k rows — broadcast-tiny).
+    The corpus-side scan touches ONLY the integer codes: at 10^12 vectors
+    this reads m bytes per vector instead of d·4, and the join against the
+    distance table is a broadcast hash join with no float math per row.
+
+    Deterministic end-to-end (codebooks and codes from product_quantize,
+    per-block distances rounded 6 dp before the sum), so the whole
+    index+search pipeline is oracle-replayable. Returns (vec_id,
+    approx_dist) ascending, ties broken by id; top-k is
+    TakeOrderedAndProject, never a full sort."""
+    return (
+        _adc_scores(emb, query_id, m, codewords, iters, id_col, vec_col, d)
+        .orderBy(F.asc("approx_dist"), F.asc("vec_id"))
+        .limit(k)
+    )
+
+
+def ivf_pq_topk(
+    emb: DataFrame,
+    query_id: int,
+    k: int = 10,
+    n_centroids: int = 8,
+    n_probe: int = 3,
+    m: int = 4,
+    codewords: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    d: int = 64,
+) -> DataFrame:
+    """Full IVF-PQ search — the standard billion-scale ANN recipe, composed
+    from the oracle-checked pieces: IVF coarse cells prune the scan to the
+    query's ``n_probe`` nearest cells (at scale: partition pruning on a
+    partition-by-cell layout), then ADC over the global PQ codes ranks the
+    survivors reading m integer codes per vector. The float vectors are
+    touched only to build the two tiny broadcast tables (centroids and the
+    query's codeword-distance table); the per-candidate work is an integer
+    equi-join + a 4-term sum. Returns (vec_id, approx_dist) ascending."""
+    base = emb.select(
+        F.col(id_col).alias("vec_id"), _as_double(F.col(vec_col)).alias("v")
+    )
+    cents = (
+        base.orderBy("vec_id")
+        .limit(n_centroids)
+        .select(F.col("vec_id").alias("cid"), F.col("v").alias("cv"))
+    )
+    cells = _assign_cells(base, cents)
+    q = cells.where(F.col("vec_id") == query_id).select(F.col("v").alias("qv"))
+    cdist = cents.join(F.broadcast(q)).select(
+        F.col("cid").alias("cell"),
+        F.round(
+            dot(F.col("cv"), F.col("cv"))
+            - 2 * dot(F.col("cv"), F.col("qv"))
+            + dot(F.col("qv"), F.col("qv")),
+            6,
+        ).alias("cd"),
+    )
+    probes = cdist.orderBy(F.asc("cd"), F.asc("cell")).limit(n_probe).select("cell")
+    cand = (
+        cells.join(F.broadcast(probes), "cell")
+        .where(F.col("vec_id") != query_id)
+        .select("vec_id")
+    )
+    adc = _adc_scores(emb, query_id, m, codewords, iters, id_col, vec_col, d)
+    # restrict the ADC ranking to the probed cells' members; re-cut to k
+    return (
+        adc.join(cand, "vec_id")
         .orderBy(F.asc("approx_dist"), F.asc("vec_id"))
         .limit(k)
     )

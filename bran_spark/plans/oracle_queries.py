@@ -3547,6 +3547,64 @@ def q101(spark, sf):
     return bootstrap_prf(per_doc, n_resamples=20)
 
 
+@_q(
+    "q102_ivf_pq_topk",
+    "WITH "
+    + ",\n    ".join(
+        _pq_block_sql(b, _PQ_WIDTH, _PQ_K, _PQ_ITERS) for b in range(_PQ_M)
+    )
+    + f""",
+    e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    c AS (SELECT vec_id AS cid, v AS cv FROM e ORDER BY vec_id LIMIT 8),
+    dd AS (SELECT e.vec_id, e.v, c.cid,
+            ROUND(list_dot_product(e.v, e.v) - 2 * list_dot_product(e.v, c.cv)
+              + list_dot_product(c.cv, c.cv), 6) AS dist
+          FROM e CROSS JOIN c),
+    a AS (SELECT vec_id, v, cid AS cell FROM
+            (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                          ORDER BY dist, cid) AS rn FROM dd)
+          WHERE rn = 1),
+    q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+    probe AS (SELECT c.cid AS cell FROM c, q
+              ORDER BY ROUND(list_dot_product(c.cv, c.cv)
+                        - 2 * list_dot_product(c.cv, q.qv)
+                        + list_dot_product(q.qv, q.qv), 6), c.cid
+              LIMIT 3),
+    tbl AS ({" UNION ALL ".join(
+        f'''SELECT {b} AS block, CAST(cid AS INT) AS code,
+               ROUND(list_dot_product(qb, qb) - 2 * list_dot_product(qb, cv)
+                     + list_dot_product(cv, cv), 6) AS bdist
+            FROM cb{b}_{_PQ_ITERS},
+                 (SELECT list_slice(qv, {b * _PQ_WIDTH + 1},
+                                    {(b + 1) * _PQ_WIDTH}) AS qb FROM q)'''
+        for b in range(_PQ_M))}),
+    allcodes AS ({" UNION ALL ".join(
+        f"SELECT vec_id, block, code FROM enc{b}" for b in range(_PQ_M))}),
+    adc AS (SELECT allcodes.vec_id AS vec_id,
+                   ROUND(SUM(bdist), 6) AS approx_dist
+            FROM allcodes JOIN tbl USING (block, code)
+            WHERE allcodes.vec_id != 0 GROUP BY allcodes.vec_id)
+    SELECT adc.vec_id AS vec_id, adc.approx_dist
+    FROM adc JOIN a ON a.vec_id = adc.vec_id
+    WHERE a.cell IN (SELECT cell FROM probe)
+    ORDER BY approx_dist, vec_id
+    LIMIT 10
+    """,
+)
+def q102(spark, sf):
+    """Composed IVF-PQ search: coarse-cell pruning (n_probe=3 of 8 seed
+    cells) + ADC ranking over the global PQ codes — the billion-scale ANN
+    recipe assembled from the oracle-checked pieces
+    (similarity.ivf_pq_topk)."""
+    from bran_spark.operators.similarity import ivf_pq_topk
+
+    return ivf_pq_topk(
+        _t(spark, sf, "embeddings"), query_id=0, k=10,
+        n_centroids=8, n_probe=3, m=_PQ_M, codewords=_PQ_K,
+        iters=_PQ_ITERS, d=64,
+    )
+
+
 # =========================================================================
 # Registry ordering: the driver's correctness gate hash-checks the FIRST
 # 50 insertion-order entries of ``queries()``. Definition order above is

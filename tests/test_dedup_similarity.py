@@ -266,3 +266,21 @@ def test_pq_adc_ranks_query_blob_first(spark):
     even_d = max(r.approx_dist for r in full if r.vec_id % 2 == 0 or r.vec_id == 500)
     odd_d = min(r.approx_dist for r in full if r.vec_id % 2 == 1)
     assert odd_d > even_d
+
+
+def test_ivf_pq_all_probes_equals_global_adc(spark, testdata_dir):
+    """With n_probe = all cells, IVF pruning is a no-op and the composed
+    IVF-PQ ranking must equal the global ADC top-k exactly; with one probe
+    the result is a subset of the global ranking."""
+    from bran_spark.operators.similarity import ivf_pq_topk, pq_topk
+
+    emb = spark.read.parquet(f"{testdata_dir}/embeddings.parquet")
+    kw = dict(m=4, codewords=8, iters=2, d=64)
+    full = [tuple(r) for r in pq_topk(emb, 0, k=10, **kw).collect()]
+    allp = [tuple(r) for r in
+            ivf_pq_topk(emb, 0, k=10, n_centroids=8, n_probe=8, **kw).collect()]
+    assert full == allp
+    one = {r.vec_id for r in
+           ivf_pq_topk(emb, 0, k=10, n_centroids=8, n_probe=1, **kw).collect()}
+    ranked_all = {r.vec_id for r in pq_topk(emb, 0, k=2000, **kw).collect()}
+    assert one <= ranked_all and len(one) > 0
