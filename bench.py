@@ -102,6 +102,10 @@ def main() -> None:
         "q75_funnel",
         "q93_doc_chunking",
         "q95_containment_pairs",
+        "q97_unigram_logprob",
+        "q99_product_quantize",
+        "q100_pq_adc_topk",
+        "q101_bootstrap_prf",
     ]
     for name in bench_queries:
         t0 = time.time()

@@ -190,3 +190,90 @@ def rebalance_mix(
         .where(F.col("_coin") < F.col("keep_millionths"))
         .drop("_coin", "g", "keep_millionths")
     )
+
+
+def contrastive_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    min_jaccard: float = 0.4,
+    max_df: int = 30,
+    k_neg: int = 2,
+    buckets: int = 64,
+) -> DataFrame:
+    """Contrastive training-pair mining: positives = near-duplicate pairs
+    (n-gram Jaccard over the inverted shingle index), negatives = ``k_neg``
+    deterministic pseudo-random documents per anchor — the
+    (anchor, positive, negatives) triplet feed of embedding-model training.
+
+    The negative draw is SCALE-SAFE by construction: drawing "a random doc"
+    naively needs a global rank over the corpus (a single-task window at
+    10^12 docs). Instead both sides hash into ``buckets`` rendezvous
+    buckets — each (anchor, i) draw joins one bucket's docs and picks the
+    member minimizing md5(cand:anchor:i), so the join is an equi-join with
+    ~N/buckets fan-in per key, no global ordering anywhere, and the chosen
+    negative varies per draw. A drawn negative that is actually a positive
+    partner of its anchor is FLAGGED, not dropped (caller decides).
+    Returns (anchor, partner, kind, weight, is_collision): kind='pos'
+    rows carry the Jaccard as weight; kind='neg' rows weight 0."""
+    from bran_spark.operators.dedup import ngram_jaccard_pairs
+
+    pos = ngram_jaccard_pairs(df, id_col, text_col, n, min_jaccard, max_df)
+    sym = pos.select(
+        F.col("id_a").alias("anchor"), F.col("id_b").alias("partner"), "jaccard"
+    ).unionByName(
+        pos.select(
+            F.col("id_b").alias("anchor"), F.col("id_a").alias("partner"), "jaccard"
+        )
+    )
+    anchors = sym.select("anchor").distinct()
+    coin = lambda c: F.conv(F.substring(F.md5(c), 1, 8), 16, 10).cast("long")  # noqa: E731
+    draws = anchors.select(
+        "anchor", F.explode(F.sequence(F.lit(0), F.lit(k_neg - 1))).alias("i")
+    ).withColumn(
+        "bk", coin(F.concat_ws(":", F.col("anchor"), F.col("i"))) % buckets
+    )
+    cands = df.select(F.col(id_col).alias("cand")).withColumn(
+        "bk", coin(F.col("cand").cast("string")) % buckets
+    )
+    neg = (
+        draws.join(cands, "bk")
+        .where(F.col("cand") != F.col("anchor"))
+        .groupBy("anchor", "i")
+        .agg(
+            F.min_by(
+                "cand",
+                F.md5(F.concat_ws(":", F.col("cand"), F.col("anchor"), F.col("i"))),
+            ).alias("partner")
+        )
+        .drop("i")
+    )
+    hit = sym.select(
+        F.col("anchor").alias("h_anchor"),
+        F.col("partner").alias("h_partner"),
+        F.lit(1).alias("hit"),
+    ).distinct()
+    neg_flagged = (
+        neg.join(
+            hit,
+            (F.col("anchor") == F.col("h_anchor"))
+            & (F.col("partner") == F.col("h_partner")),
+            "left",
+        )
+        .select(
+            "anchor",
+            "partner",
+            F.lit("neg").alias("kind"),
+            F.lit(0.0).alias("weight"),
+            F.coalesce(F.col("hit"), F.lit(0)).cast("int").alias("is_collision"),
+        )
+    )
+    pos_out = sym.select(
+        "anchor",
+        "partner",
+        F.lit("pos").alias("kind"),
+        F.col("jaccard").alias("weight"),
+        F.lit(0).alias("is_collision"),
+    )
+    return pos_out.unionByName(neg_flagged)

@@ -3605,6 +3605,78 @@ def q102(spark, sf):
     )
 
 
+def _hex8(col: str) -> str:
+    """First-8-hex-chars-of-md5 → BIGINT (the Spark conv(substr(md5,1,8))
+    idiom) over an existing hex-string column ``col``."""
+    return "(" + " + ".join(
+        f"(strpos('0123456789abcdef', substr({col}, {i + 1}, 1)) - 1)"
+        f" * {16 ** (7 - i)}"
+        for i in range(8)
+    ) + ")"
+
+
+@_q(
+    "q103_contrastive_pairs",
+    f"""
+    WITH d AS (SELECT doc_id,
+                      string_split_regex(trim(lower(text)), ' +') AS ws
+               FROM documents),
+    sh AS (SELECT doc_id, unnest(list_distinct({_SHINGLE_SQL.format(n=3)})) AS shingle
+           FROM d),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+    kept AS (SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= 30),
+    shk AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN kept USING (shingle)),
+    common AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
+               FROM shk a JOIN shk b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+               GROUP BY a.doc_id, b.doc_id),
+    pos AS (SELECT id_a, id_b,
+                   ROUND(c / (sa.n_sh + sb.n_sh - c), 6) AS jaccard
+            FROM common
+            JOIN sizes sa ON sa.doc_id = id_a
+            JOIN sizes sb ON sb.doc_id = id_b
+            WHERE c / (sa.n_sh + sb.n_sh - c) >= 0.4),
+    sym AS (SELECT id_a AS anchor, id_b AS partner, jaccard FROM pos
+            UNION ALL
+            SELECT id_b AS anchor, id_a AS partner, jaccard FROM pos),
+    anchors AS (SELECT DISTINCT anchor FROM sym),
+    bi AS (SELECT unnest(range(0, 2)) AS i),
+    draws AS (SELECT anchor, i,
+                     md5(anchor::VARCHAR || ':' || i::VARCHAR) AS h
+              FROM anchors, bi),
+    draws2 AS (SELECT anchor, i, {_hex8('h')} % 64 AS bk FROM draws),
+    cand0 AS (SELECT doc_id AS cand, md5(doc_id::VARCHAR) AS h FROM documents),
+    cands AS (SELECT cand, {_hex8('h')} % 64 AS bk FROM cand0),
+    negsel AS (SELECT anchor, i,
+                      arg_min(cand, md5(cand::VARCHAR || ':' ||
+                              anchor::VARCHAR || ':' || i::VARCHAR)) AS partner
+               FROM draws2 JOIN cands USING (bk)
+               WHERE cand != anchor GROUP BY anchor, i),
+    neg AS (SELECT n.anchor, n.partner, 'neg' AS kind, 0.0 AS weight,
+                   CASE WHEN EXISTS (SELECT 1 FROM sym s
+                                     WHERE s.anchor = n.anchor
+                                       AND s.partner = n.partner)
+                        THEN 1 ELSE 0 END AS is_collision
+            FROM negsel n)
+    SELECT anchor, partner, kind, weight, is_collision FROM (
+      SELECT anchor, partner, 'pos' AS kind, jaccard AS weight,
+             0 AS is_collision FROM sym
+      UNION ALL
+      SELECT anchor, partner, kind, weight, is_collision FROM neg)
+    """,
+)
+def q103(spark, sf):
+    """Contrastive training-pair mining: near-dup positives + rendezvous-
+    bucketed deterministic negatives (no global rank anywhere — the draw is
+    an equi-join on md5 buckets with arg-min selection inside the bucket),
+    collisions flagged (operators/sampling.contrastive_pairs)."""
+    from bran_spark.operators.sampling import contrastive_pairs
+
+    return contrastive_pairs(
+        _t(spark, sf, "documents"), n=3, min_jaccard=0.4, max_df=30,
+        k_neg=2, buckets=64,
+    )
+
+
 # =========================================================================
 # Registry ordering: the driver's correctness gate hash-checks the FIRST
 # 50 insertion-order entries of ``queries()``. Definition order above is

@@ -440,3 +440,29 @@ def test_bootstrap_prf_distribution_properties(spark):
     )
     pf = bootstrap_prf(perfect, n_resamples=10).collect()
     assert all(r.f1 == 1.0 or (r.precision == 0.0 and r.recall == 0.0) for r in pf)
+
+
+def test_contrastive_pairs_structure_and_determinism(spark):
+    """Positives appear in both directions with their Jaccard weight;
+    each anchor gets k_neg negatives drawn without any global rank
+    (rendezvous buckets), never equal to the anchor; reruns identical."""
+    from bran_spark.operators.sampling import contrastive_pairs
+
+    base = "alpha beta gamma delta epsilon zeta eta theta"
+    rows = [(1, base), (2, base + " iota")]
+    rows += [(i, f"filler{i} " + " ".join(f"w{i}_{j}" for j in range(8)))
+             for i in range(10, 30)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = contrastive_pairs(
+        docs, n=3, min_jaccard=0.3, max_df=10, k_neg=2, buckets=8
+    ).collect()
+    pos = [(r.anchor, r.partner, r.weight) for r in out if r.kind == "pos"]
+    neg = [(r.anchor, r.partner) for r in out if r.kind == "neg"]
+    assert {(a, p) for a, p, _ in pos} == {(1, 2), (2, 1)}
+    assert all(w > 0.3 for _, _, w in pos)
+    assert len(neg) == 4                       # 2 anchors × k_neg
+    assert all(a != p for a, p in neg)
+    again = contrastive_pairs(
+        docs, n=3, min_jaccard=0.3, max_df=10, k_neg=2, buckets=8
+    ).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
