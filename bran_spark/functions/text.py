@@ -185,7 +185,9 @@ def keyword_contexts(
 
     Returns (doc_id, idx, term, context): idx is the 0-based word position
     of the hit; context joins words [max(0, idx-w), min(n-1, idx+w)]."""
-    safe = [t.replace("'", "''") for t in terms]
+    # escape backslashes FIRST (Spark's lexer treats \x as C-style
+    # escapes inside string literals), then single quotes
+    safe = [t.replace("\\", "\\\\").replace("'", "''") for t in terms]
     terms_sql = "array(" + ", ".join(f"'{t}'" for t in safe) + ")"
     w = int(window)
     hits = (

@@ -48,6 +48,35 @@ def exact_dedup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def _shingle_common_sizes(
+    df: DataFrame, id_col: str, text_col: str, n: int, max_df: int,
+    shingler=shingles,
+):
+    """Shared inverted-index scaffolding for the shingle-overlap family
+    (Jaccard, containment): distinct-shingle explode, per-doc sizes, hot-
+    shingle df-cut (broadcast-anti — see ngram_jaccard_pairs for the
+    direction argument), and per-pair common counts with id_a < id_b.
+    Returns (common(id_a, id_b, common), sizes(id, n_sh))."""
+    sh = _even_parallelism(df).select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array_distinct(shingler(text_col, n))).alias("shingle"),
+    )
+    sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
+    hot = sh.groupBy("shingle").agg(F.count("*").alias("df")).where(
+        F.col("df") > max_df
+    )
+    sh_kept = sh.join(F.broadcast(hot.select("shingle")), "shingle", "left_anti")
+    a = sh_kept.select(F.col("id").alias("id_a"), "shingle")
+    b = sh_kept.select(F.col("id").alias("id_b"), "shingle")
+    common = (
+        a.join(b, "shingle")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("common"))
+    )
+    return common, sizes
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str,
@@ -70,23 +99,7 @@ def ngram_jaccard_pairs(
     the kept set is nearly the whole shingle vocabulary — broadcasting the
     kept set (the inverse formulation) would OOM the driver at corpus scale.
     """
-    sh = _even_parallelism(df).select(
-        F.col(id_col).alias("id"),
-        F.explode(F.array_distinct(shingler(text_col, n))).alias("shingle"),
-    )
-    sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
-    hot = sh.groupBy("shingle").agg(F.count("*").alias("df")).where(
-        F.col("df") > max_df
-    )
-    sh_kept = sh.join(F.broadcast(hot.select("shingle")), "shingle", "left_anti")
-    a = sh_kept.select(F.col("id").alias("id_a"), "shingle")
-    b = sh_kept.select(F.col("id").alias("id_b"), "shingle")
-    common = (
-        a.join(b, "shingle")
-        .where(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.count("*").alias("common"))
-    )
+    common, sizes = _shingle_common_sizes(df, id_col, text_col, n, max_df, shingler)
     sa = sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a"))
     sb = sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b"))
     return (
@@ -355,23 +368,7 @@ def containment_pairs(
     row per unordered candidate pair with BOTH directions' scores,
     (id_a, id_b, containment_a, containment_b), id_a < id_b, kept when
     either direction clears the threshold."""
-    sh = _even_parallelism(df).select(
-        F.col(id_col).alias("id"),
-        F.explode(F.array_distinct(shingles(text_col, n))).alias("shingle"),
-    )
-    sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
-    hot = sh.groupBy("shingle").agg(F.count("*").alias("df")).where(
-        F.col("df") > max_df
-    )
-    sh_kept = sh.join(F.broadcast(hot.select("shingle")), "shingle", "left_anti")
-    a = sh_kept.select(F.col("id").alias("id_a"), "shingle")
-    b = sh_kept.select(F.col("id").alias("id_b"), "shingle")
-    common = (
-        a.join(b, "shingle")
-        .where(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.count("*").alias("common"))
-    )
+    common, sizes = _shingle_common_sizes(df, id_col, text_col, n, max_df)
     sa = sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a"))
     sb = sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b"))
     return (

@@ -213,8 +213,13 @@ def contrastive_pairs(
     buckets — each (anchor, i) draw joins one bucket's docs and picks the
     member minimizing md5(cand:anchor:i), so the join is an equi-join with
     ~N/buckets fan-in per key, no global ordering anywhere, and the chosen
-    negative varies per draw. A drawn negative that is actually a positive
-    partner of its anchor is FLAGGED, not dropped (caller decides).
+    negative varies per draw. A draw whose bucket is empty or contains
+    only the anchor itself is DROPPED, so anchors receive *up to* k_neg
+    negatives — with buckets ≪ N the miss probability is ~(1-1/buckets)^N
+    per draw (negligible when buckets is sized ≤ N/10, which callers
+    should do); it is a corpus-size/buckets trade, not a bug. A drawn
+    negative that is actually a positive partner of its anchor is FLAGGED,
+    not dropped (caller decides).
     Returns (anchor, partner, kind, weight, is_collision): kind='pos'
     rows carry the Jaccard as weight; kind='neg' rows weight 0."""
     from bran_spark.operators.dedup import ngram_jaccard_pairs

@@ -478,11 +478,12 @@ def cosine_topk_gemm(
             m = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
             dots = m @ qv
             norms = np.sqrt((m * m).sum(axis=1))
+            cos = dots / (norms * qn)
+            # round HALF-UP to match Spark's F.round (np.round is
+            # half-to-even; a .5-boundary 7th digit would diverge)
+            cos = np.floor(np.abs(cos) * 1e6 + 0.5) / 1e6 * np.sign(cos)
             yield pd.DataFrame(
-                {
-                    "vec_id": pdf[id_col].to_numpy(),
-                    "cos": np.round(dots / (norms * qn), 6),
-                }
+                {"vec_id": pdf[id_col].to_numpy(), "cos": cos}
             )
 
     scored = emb.where(F.col(id_col) != query_id).mapInPandas(
@@ -514,16 +515,37 @@ def product_quantize(
     ranks; consumers needing ranks renumber the tiny codebook. Per block:
     one broadcast of k sub-centroids + one argmin aggregate — the corpus
     crosses no extra shuffle. Returns (vec_id, block, code)."""
+    cbs = _pq_codebooks(emb, m, k, iters, id_col, vec_col, d)
+    return _pq_encode(emb, cbs, m, id_col, vec_col, d)
+
+
+def _pq_subvectors(emb, b, width, id_col, vec_col):
+    return emb.select(
+        F.col(id_col).alias("vec_id"),
+        F.slice(_as_double(F.col(vec_col)), b * width + 1, width).alias("embedding"),
+    )
+
+
+def _pq_codebooks(emb, m, k, iters, id_col, vec_col, d):
+    """One trained (cid, cv) codebook table per block. d must split evenly
+    into m blocks — a silent remainder would drop trailing dimensions from
+    every code and search."""
+    if d % m != 0:
+        raise ValueError(f"d={d} not divisible by m={m} blocks")
+    width = d // m
+    return [
+        kmeans_centroids(
+            _pq_subvectors(emb, b, width, id_col, vec_col), k=k, iters=iters
+        )
+        for b in range(m)
+    ]
+
+
+def _pq_encode(emb, codebooks, m, id_col, vec_col, d):
     width = d // m
     out = None
-    for b in range(m):
-        sub = emb.select(
-            F.col(id_col).alias("vec_id"),
-            F.slice(
-                _as_double(F.col(vec_col)), b * width + 1, width
-            ).alias("embedding"),
-        )
-        cents = kmeans_centroids(sub, k=k, iters=iters)
+    for b, cents in enumerate(codebooks):
+        sub = _pq_subvectors(emb, b, width, id_col, vec_col)
         enc = _assign_cells(
             sub.select("vec_id", F.col("embedding").alias("v")), cents
         ).select(
@@ -544,26 +566,27 @@ def _adc_scores(
     id_col: str,
     vec_col: str,
     d: int,
+    candidates: "DataFrame | None" = None,
 ) -> DataFrame:
     """Unranked ADC distances (vec_id, approx_dist) — shared by pq_topk
     (global top-k) and ivf_pq_topk (cell-pruned top-k); see pq_topk for
-    the design notes."""
+    the design notes. Codebooks are trained ONCE and feed both the code
+    assignment and the query distance table (the same cents object — a
+    divergence between the two would silently corrupt every distance).
+    ``candidates`` (vec_id frame) restricts the scored set BEFORE the
+    table join/aggregate, so cell pruning actually prunes work."""
     width = d // m
-    codes = product_quantize(
-        emb, m=m, k=codewords, iters=iters, id_col=id_col, vec_col=vec_col, d=d
-    ).where(F.col("vec_id") != query_id)
+    cbs = _pq_codebooks(emb, m, codewords, iters, id_col, vec_col, d)
+    codes = _pq_encode(emb, cbs, m, id_col, vec_col, d).where(
+        F.col("vec_id") != query_id
+    )
+    if candidates is not None:
+        codes = codes.join(candidates, "vec_id", "left_semi")
     qrow = emb.where(F.col(id_col) == query_id).select(
         _as_double(F.col(vec_col)).alias("qv")
     )
     table = None
-    for b in range(m):
-        sub = emb.select(
-            F.col(id_col).alias("vec_id"),
-            F.slice(
-                _as_double(F.col(vec_col)), b * width + 1, width
-            ).alias("embedding"),
-        )
-        cents = kmeans_centroids(sub, k=codewords, iters=iters)
+    for b, cents in enumerate(cbs):
         qb = qrow.select(
             F.slice(F.col("qv"), b * width + 1, width).alias("qb")
         )
@@ -662,10 +685,10 @@ def ivf_pq_topk(
         .where(F.col("vec_id") != query_id)
         .select("vec_id")
     )
-    adc = _adc_scores(emb, query_id, m, codewords, iters, id_col, vec_col, d)
-    # restrict the ADC ranking to the probed cells' members; re-cut to k
-    return (
-        adc.join(cand, "vec_id")
-        .orderBy(F.asc("approx_dist"), F.asc("vec_id"))
-        .limit(k)
+    # the candidate restriction happens INSIDE the ADC scorer (before the
+    # distance-table join/aggregate) so the probe pruning prunes real work
+    adc = _adc_scores(
+        emb, query_id, m, codewords, iters, id_col, vec_col, d,
+        candidates=cand,
     )
+    return adc.orderBy(F.asc("approx_dist"), F.asc("vec_id")).limit(k)

@@ -393,7 +393,10 @@ class Pipeline:
             n_mentions = int(m_obs.get["n"])
             n_scores = int(s_obs.get["n"])
             n_triples = int(t_obs.get["n"])
-            n_ner = int(s_obs.get["n_ner"]) if self.cfg.emit == "both" else None
+            # F.sum over zero observed rows yields NULL -> None
+            n_ner = (
+                int(s_obs.get["n_ner"] or 0) if self.cfg.emit == "both" else None
+            )
         out = {
             "docs": self._n_docs(),
             "mentions": n_mentions,

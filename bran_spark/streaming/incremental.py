@@ -352,11 +352,22 @@ def incremental_corpus_ingest(
             .dropDuplicates(["content_hash"])
         )
         out_spark = batch.sparkSession
-        if any(
-            f.endswith(".parquet")
-            for _, _, fs in os.walk(out_dir)
-            for f in fs
-        ):
+
+        def _visible_parquet(root: str) -> bool:
+            # count only files Spark's reader sees: a crashed write can
+            # leave out_dir/_temporary/**.parquet, which the reader prunes
+            # (underscore/dot paths) — schema inference would then fail on
+            # every retry, breaking the documented self-healing
+            for dirpath, dirnames, files in os.walk(root):
+                dirnames[:] = [
+                    x for x in dirnames if not x.startswith(("_", "."))
+                ]
+                for f in files:
+                    if f.endswith(".parquet") and not f.startswith(("_", ".")):
+                        return True
+            return False
+
+        if _visible_parquet(out_dir):
             seen = out_spark.read.parquet(out_dir).select("content_hash")
             batch = batch.join(seen, "content_hash", "left_anti")
         batch.write.mode("append").parquet(out_dir)

@@ -466,3 +466,16 @@ def test_contrastive_pairs_structure_and_determinism(spark):
         docs, n=3, min_jaccard=0.3, max_df=10, k_neg=2, buckets=8
     ).collect()
     assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+
+def test_keyword_contexts_escapes_backslashes_and_quotes(spark):
+    """Terms containing backslashes or quotes are matched literally —
+    Spark's SQL lexer would otherwise eat \\x as a C-style escape."""
+    from bran_spark.functions.text import keyword_contexts
+
+    docs = spark.createDataFrame(
+        [("d1", r"start a\b mid o'x end")], "doc_id string, text string"
+    )
+    got = {(r.term, r.idx) for r in
+           keyword_contexts(docs, [r"a\b", "o'x"], window=1).collect()}
+    assert got == {(r"a\b", 1), ("o'x", 3)}
