@@ -94,12 +94,23 @@ def connected_components(
         return (row["n"], row["h"])
 
     prev = None
+    converged = False
     for _ in range(max_rounds):
         edges = _small_star(_large_star(edges)).localCheckpoint(eager=True)
         cur = _sig(edges)
         if cur == prev:
+            converged = True
             break
         prev = cur
+    if not converged:
+        # interpreting a non-converged edge set as a star forest assigns
+        # wrong component ids — fail loudly instead (O(log^2 n) rounds is
+        # the bound; 25 covers any realistic n, so this firing means the
+        # input is adversarial or max_rounds was lowered)
+        raise RuntimeError(
+            f"connected_components signature did not stabilize in "
+            f"{max_rounds} rounds; raise max_rounds"
+        )
 
     # Star edges point node → root (root itself holds the min as v == root
     # only via the self row filtered above), so add each root's own row.

@@ -371,6 +371,7 @@ def kcore(sym: DataFrame, k: int = 3, max_rounds: int = 8) -> DataFrame:
     Returns (entity, degree) — the degree WITHIN the k-core subgraph."""
     edges = sym.localCheckpoint(eager=True)
     prev = None
+    converged = False
     for _ in range(max_rounds):
         keep = (
             edges.groupBy("u")
@@ -386,8 +387,16 @@ def kcore(sym: DataFrame, k: int = 3, max_rounds: int = 8) -> DataFrame:
         )
         n = edges.count()
         if n == prev:
+            converged = True
             break
         prev = n
+    if not converged:
+        # chain-like graphs peel only their endpoints per round — returning
+        # the partial peel as "the k-core" would be silently wrong
+        raise RuntimeError(
+            f"kcore did not reach its peeling fixed point in {max_rounds} "
+            f"rounds; raise max_rounds (chain-like graphs need ~diameter/2)"
+        )
     return edges.groupBy("u").agg(
         F.count(F.lit(1)).cast("long").alias("degree")
     ).select(F.col("u").alias("entity"), "degree")

@@ -88,7 +88,10 @@ def pack_token_bins(
                 "offset"
             ),
         )
-        .withColumn("bin_id", F.floor(F.col("offset") / budget))
+        # integer DIV, not float floor-div: past 2^53 total tokens (the
+        # 10^12-doc regime) a double can no longer represent the offset and
+        # boundary docs would land in the wrong bin
+        .withColumn("bin_id", F.expr(f"offset DIV {int(budget)}"))
     )
 
 

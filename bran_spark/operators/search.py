@@ -90,7 +90,10 @@ def tfidf_top_terms(
     """Top-k characteristic terms per document by tf·idf — the corpus
     audit / topical-labeling primitive (what is this doc about).
 
-    idf = ln(N / df) over raw whitespace words. Three aggregates, all with
+    idf = ln(N / df) over the shared words() tokenization (trim + ' +'
+    split — the stack-wide rule, so per-doc stats agree with bm25/
+    chunking/packing and no phantom empty-string terms appear on
+    consecutive spaces). Three aggregates, all with
     map-side partial combine: tf keyed by (doc, term) — doc-prefixed, so
     cross-doc hot terms don't skew the shuffle; df derived FROM the tf table
     (one row per (doc, term) — no second corpus scan); N is a 1-row
@@ -99,9 +102,11 @@ def tfidf_top_terms(
     ordered by the ROUNDED score + term so the cut is engine-stable.
     Returns (doc_id, term, tf, df, tfidf).
     """
+    from bran_spark.functions.text import words
+
     wl = docs.select(
         F.col(id_col).alias("doc_id"),
-        F.explode(F.split(F.lower(text_col), " ")).alias("term"),
+        F.explode(words(text_col)).alias("term"),
     )
     tf = wl.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     df_t = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))

@@ -2019,7 +2019,8 @@ def q58(spark, sf):
 @_q(
     "q59_tfidf_terms",
     """
-    WITH wl AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+    WITH wl AS (SELECT doc_id,
+                       unnest(string_split_regex(trim(lower(text)), ' +')) AS term
                 FROM documents),
     tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM wl GROUP BY doc_id, term),
     dfq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),

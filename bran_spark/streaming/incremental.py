@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import os
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -352,24 +353,16 @@ def incremental_corpus_ingest(
             .dropDuplicates(["content_hash"])
         )
         out_spark = batch.sparkSession
-
-        def _visible_parquet(root: str) -> bool:
-            # count only files Spark's reader sees: a crashed write can
-            # leave out_dir/_temporary/**.parquet, which the reader prunes
-            # (underscore/dot paths) — schema inference would then fail on
-            # every retry, breaking the documented self-healing
-            for dirpath, dirnames, files in os.walk(root):
-                dirnames[:] = [
-                    x for x in dirnames if not x.startswith(("_", "."))
-                ]
-                for f in files:
-                    if f.endswith(".parquet") and not f.startswith(("_", ".")):
-                        return True
-            return False
-
-        if _visible_parquet(out_dir):
+        # probe the committed store by READING it (works on hdfs://, s3a://,
+        # any URI — not just driver-local POSIX paths, and sees exactly the
+        # files Spark's reader sees, so a crashed write's _temporary litter
+        # can't wedge retries): an empty/absent store raises
+        # UNABLE_TO_INFER_SCHEMA / PATH_NOT_FOUND, which IS the signal
+        try:
             seen = out_spark.read.parquet(out_dir).select("content_hash")
             batch = batch.join(seen, "content_hash", "left_anti")
+        except AnalysisException:
+            pass  # nothing committed yet — first batch appends everything
         batch.write.mode("append").parquet(out_dir)
 
     q = (
