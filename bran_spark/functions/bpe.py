@@ -26,6 +26,10 @@ from pyspark.sql import types as T
 EOW = "</w>"
 
 _WORD_RE = re.compile(r"[a-z0-9]+")
+# match on the ORIGINAL text (case-insensitive ASCII) so char offsets index
+# it exactly — offsets computed on text.lower() shift when Unicode
+# lowercasing changes string length (len("İ".lower()) == 2)
+_WORD_RE_CI = re.compile(r"[a-zA-Z0-9]+")
 
 WORD_SCHEMA = T.ArrayType(
     T.StructType(
@@ -115,7 +119,10 @@ def load_codec(spark: SparkSession, merges_path: str, vocab_path: str) -> BpeCod
 def tokenize_words(text: str) -> list[tuple[str, int, int]]:
     """Lowercase word tokens with exact char offsets (F5 normalization:
     documented as lowercase + [a-z0-9]+ word chars; SURVEY.md §2 F5)."""
-    return [(m.group(0), m.start(), m.end()) for m in _WORD_RE.finditer(text.lower())]
+    return [
+        (m.group(0).lower(), m.start(), m.end())
+        for m in _WORD_RE_CI.finditer(text)
+    ]
 
 
 WORDS_TOKENS_SCHEMA = T.StructType(

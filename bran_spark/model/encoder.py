@@ -237,6 +237,11 @@ def encode_batch(tok_ids: list[np.ndarray], w: Weights) -> list[np.ndarray]:
         ctx = (att @ v).transpose(0, 2, 1, 3).reshape(B, L, d)
         x = _layernorm(x + ctx @ w[f"b{b}.Wo"], w[f"b{b}.ln1.g"], w[f"b{b}.ln1.b"]) * m2
         ff = np.maximum(_conv1d_same(x, w[f"b{b}.conv1"]), 0.0)
+        # re-zero padded positions BETWEEN the convs: conv1's width-5 taps
+        # write nonzero values into pads (they reach back into real tokens),
+        # and conv2 would read them into the last real tokens' receptive
+        # field — breaking solo-vs-batched parity for the trailing tokens
+        ff *= m2
         ff = _conv1d_same(ff, w[f"b{b}.conv2"])  # width-5 (paper §2.1)
         x = _layernorm(x + ff, w[f"b{b}.ln2.g"], w[f"b{b}.ln2.b"]) * m2
     return [x[i, : lens[i]] for i in range(B)]

@@ -102,13 +102,14 @@ def score_documents(
         for b, idxs in buckets.items():
             for off in range(0, len(idxs), batch_docs):
                 grp = idxs[off : off + batch_docs]
-                padded = []
-                for i in grp:
-                    t = ids[i][: w.max_len]
-                    padded.append(np.pad(t, (0, b - len(t))))
-                encs = encode_batch(padded, w)
+                # pass RAW truncated arrays: encode_batch pads internally
+                # with a true attention mask. Pre-padding here made every
+                # len == bucket, so the mask never engaged and pad tokens
+                # were attended as real tokens — batched scores silently
+                # diverged from the batch_docs=1 default.
+                encs = encode_batch([ids[i][: w.max_len] for i in grp], w)
                 for i, e in zip(grp, encs):
-                    out[i] = e[: min(len(ids[i]), w.max_len)]
+                    out[i] = e
         return out  # type: ignore[return-value]
 
     def fn(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -151,11 +152,18 @@ def score_documents(
                 if emit == "ner":
                     continue
                 chems, diss = [], []
+                n_enc = len(enc)
                 for m in mentions:
                     span = _align(starts, int(m["start"]), int(m["end"]))
-                    span = (min(span[0], len(enc) - 1), min(span[1], len(enc)))
+                    lo, hi = span[0], min(span[1], n_enc)
+                    if lo >= n_enc or hi <= lo:
+                        # mention entirely beyond the F4 truncation (or an
+                        # empty encoding): scoring it against the unrelated
+                        # final token — or an empty slice (NaN mean) — is
+                        # worse than dropping it
+                        continue
                     (chems if m["type"] == "Chemical" else diss).append(
-                        (m["mention_id"], m["mesh_id"], span)
+                        (m["mention_id"], m["mesh_id"], (lo, hi))
                     )
                 if not chems or not diss:
                     continue

@@ -39,8 +39,12 @@ def detect_mentions(docs_with_words: DataFrame, mesh_dict: DataFrame) -> DataFra
     (functions.bpe.with_tokens). Output matches the fixture ``mentions``
     schema: (doc_id, mention_id, type, mesh_id, start, end, text).
 
-    mention_id is deterministic: '<doc_id>#<word position>' — stable across
-    reruns/partitionings, which the resume-idempotency gate relies on.
+    mention_id is deterministic AND unique:
+    '<doc_id>#<word position>#<mesh_id>' — stable across reruns/
+    partitionings (resume-idempotency gate), and unique even when one
+    surface word matches multiple dictionary entries (two mesh ids, or a
+    chemical and a disease synonym) — a bare doc#pos key would conflate
+    those rows in every downstream per-mention join and distinct count.
     """
     words = docs_with_words.select(
         "doc_id", F.posexplode("words").alias("pos", "w")
@@ -54,7 +58,7 @@ def detect_mentions(docs_with_words: DataFrame, mesh_dict: DataFrame) -> DataFra
     dim = F.broadcast(surface_dict(mesh_dict))
     return words.join(dim, words.word == dim.surface, "inner").select(
         "doc_id",
-        F.concat_ws("#", "doc_id", "pos").alias("mention_id"),
+        F.concat_ws("#", "doc_id", "pos", "mesh_id").alias("mention_id"),
         "type",
         "mesh_id",
         "start",

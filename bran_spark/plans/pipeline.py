@@ -273,7 +273,9 @@ class Pipeline:
                     "pair_scores", b, stage="encode+score",
                     config=score_cfg,
                 )
-        return self.io.read_buckets(self.spark, "pair_scores")
+        # config-scoped read: after an emit/max_tokens change with a partial
+        # recompute, stale-config buckets must not merge into the result
+        return self.io.read_buckets(self.spark, "pair_scores", score_cfg)
 
     @staticmethod
     def split_joint_scores(scores: DataFrame) -> tuple[DataFrame, DataFrame]:
@@ -384,7 +386,10 @@ class Pipeline:
             )
             n_edges = self.io.manifest("edges")["rows"]
             n_ner = (
-                self.io.read_buckets(self.spark, "pair_scores")
+                self.io.read_buckets(
+                    self.spark, "pair_scores",
+                    {"max_tokens": self.cfg.max_tokens, "emit": self.cfg.emit},
+                )
                 .where(F.col("kind") == "ner").count()
                 if self.cfg.emit == "both" else None
             )

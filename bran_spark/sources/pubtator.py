@@ -27,7 +27,7 @@ from __future__ import annotations
 from typing import Iterator
 
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 PARSED_SCHEMA = (
@@ -42,10 +42,14 @@ def _parse_block(block: str) -> list[dict]:
     pmid, title, abstract = None, "", ""
     anns, rels = [], []
     for line in block.strip().splitlines():
-        if "|t|" in line and line.split("|", 1)[0].isdigit():
-            pmid, _, title = line.split("|", 2)
-        elif "|a|" in line and line.split("|", 1)[0].isdigit():
-            pmid, _, abstract = line.split("|", 2)
+        # classify by the EXACT second |-field, not substring presence —
+        # an abstract whose text contains "|t|" must not be re-parsed as a
+        # title line (title/abstract text may contain any characters)
+        head = line.split("|", 2)
+        if len(head) == 3 and head[0].isdigit() and head[1] == "t":
+            pmid, _, title = head
+        elif len(head) == 3 and head[0].isdigit() and head[1] == "a":
+            pmid, _, abstract = head
         elif "\t" in line:
             parts = line.split("\t")
             if len(parts) >= 6:
@@ -88,7 +92,10 @@ def parse_pubtator(spark: SparkSession, path: str) -> DataFrame:
         for pdf in it:
             rows: list[dict] = []
             for content in pdf["value"]:
-                for block in content.split("\n\n"):
+                # normalize CRLF first: a Windows-saved corpus otherwise
+                # never splits on "\n\n" and collapses to one block whose
+                # per-doc title/abstract overwrite each other
+                for block in content.replace("\r\n", "\n").split("\n\n"):
                     rows.extend(_parse_block(block))
             yield pd.DataFrame(
                 rows,
@@ -138,11 +145,7 @@ def pubtator_tables(
         "#",
         "doc_id",
         F.row_number()
-        .over(
-            __import__("pyspark.sql.window", fromlist=["Window"]).Window.partitionBy(
-                "doc_id"
-            ).orderBy("start", "end", "mesh_id")
-        )
+        .over(Window.partitionBy("doc_id").orderBy("start", "end", "mesh_id"))
         .cast("string"),
     )
     mentions = mentions.select(

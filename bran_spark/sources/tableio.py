@@ -114,9 +114,7 @@ class ManifestParquetTableIO:
             "rows": rows,
             "partition_counts": part_counts,
             "n_files": len(part_counts),
-            "config_hash": hashlib.sha256(
-                json.dumps(config or {}, sort_keys=True).encode()
-            ).hexdigest()[:16],
+            "config_hash": self._cfg_hash(config),
             "wall_s": round(time.time() - t0, 3),
             "committed_at": time.time(),
         }
@@ -197,9 +195,7 @@ class ManifestParquetTableIO:
         rows = int(obs.get["rows"])
         man = {
             "table": table, "bucket": bucket, "stage": stage, "rows": rows,
-            "config_hash": hashlib.sha256(
-                json.dumps(config or {}, sort_keys=True).encode()
-            ).hexdigest()[:16],
+            "config_hash": self._cfg_hash(config),
             "wall_s": round(time.time() - t0, 3),
         }
         with open(os.path.join(tmp, "_MANIFEST.json"), "w") as f:
@@ -218,13 +214,23 @@ class ManifestParquetTableIO:
         is the returned list — callers log it to the run manifest)."""
         return _expire_snapshots_impl(self, table, keep_last)
 
-    def read_buckets(self, spark: SparkSession, table: str) -> DataFrame:
+    def read_buckets(
+        self, spark: SparkSession, table: str, config: dict | None = None
+    ) -> DataFrame:
+        """Read all committed buckets; with ``config`` given, ONLY buckets
+        committed under that config (a partial recompute after a config
+        change must not merge stale-config buckets into the result).
+        Raises a clear error when nothing is committed — Spark's bare
+        'path cannot be empty' would hide the actual state."""
         bdir = os.path.join(self._tdir(table), "buckets")
+        committed = sorted(self.committed_buckets(table, config))
+        if not committed:
+            raise FileNotFoundError(
+                f"table {table} has no committed buckets"
+                + ("" if config is None else " under the current config")
+            )
         return spark.read.option("recursiveFileLookup", "false").parquet(
-            *[
-                os.path.join(bdir, f"bucket-{b}")
-                for b in sorted(self.committed_buckets(table))
-            ]
+            *[os.path.join(bdir, f"bucket-{b}") for b in committed]
         )
 
 

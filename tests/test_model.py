@@ -41,7 +41,13 @@ def test_batch_composition_invariance():
     together = encode_batch(docs, w)
     alone = [encode_batch([d], w)[0] for d in docs]
     for t, a in zip(together, alone):
-        np.testing.assert_allclose(t, a, rtol=0, atol=2e-5)
+        # 1e-6: pure BLAS blocking noise (different GEMM shapes reduce in
+        # different orders — measured ≤5e-7 with correct masking). The old
+        # 2e-5 tolerance was hiding a real leak: conv1 output at padded
+        # positions was not re-zeroed before conv2, so the last real
+        # tokens' receptive fields read pad garbage (up to 2e-5 here,
+        # unbounded in general).
+        np.testing.assert_allclose(t, a, rtol=0, atol=1e-6)
 
 
 def test_truncation_at_max_len():
@@ -132,3 +138,41 @@ def test_encode_one_bitwise_matches_batch():
         np.testing.assert_array_equal(solo, batch, err_msg=f"len={n}")
     assert encode_one(np.zeros(0, dtype=np.int64), w).shape == (1, w.d_model)
     assert encode_batch([np.zeros(0, dtype=np.int64)], w)[0].shape == (0, w.d_model)
+
+
+def test_batched_scorer_matches_solo_scorer(spark):
+    """score_documents(batch_docs=4) must produce the same pair scores as
+    the batch_docs=1 default: the bucketed path once PRE-padded inputs to
+    the bucket length, which defeated the attention mask (pad tokens
+    attended as real ones) and silently shifted every logit."""
+    import pandas as pd
+
+    from bran_spark.model.scorer import score_documents
+
+    w = _weights()
+    wbc = spark.sparkContext.broadcast(w)
+    rng = np.random.default_rng(13)
+    rows = []
+    for i, n in enumerate((7, 30, 45, 63, 64, 90)):
+        toks = rng.integers(2, 100, size=n).astype(int).tolist()
+        starts = list(range(0, 4 * n, 4))
+        rows.append((
+            f"d{i}", toks, starts,
+            [{"mention_id": f"d{i}#0", "type": "Chemical", "mesh_id": "C1",
+              "start": 0, "end": 4},
+             {"mention_id": f"d{i}#1", "type": "Disease", "mesh_id": "D1",
+              "start": 8, "end": 12}],
+        ))
+    docs = spark.createDataFrame(
+        rows,
+        "doc_id string, tok_ids array<int>, tok_starts array<int>, "
+        "mentions array<struct<mention_id:string,type:string,mesh_id:string,"
+        "start:int,end:int>>",
+    )
+    solo = {(r.doc_id, r.chem_mention_id, r.dis_mention_id): r.score
+            for r in score_documents(docs, wbc, batch_docs=1).collect()}
+    batched = {(r.doc_id, r.chem_mention_id, r.dis_mention_id): r.score
+               for r in score_documents(docs, wbc, batch_docs=4).collect()}
+    assert set(solo) == set(batched)
+    for k in solo:
+        np.testing.assert_allclose(batched[k], solo[k], rtol=0, atol=1e-6)
