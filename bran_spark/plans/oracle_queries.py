@@ -3708,13 +3708,21 @@ _FIRST_50 = [
     "q74_dedup_survivors", "q52_repetition_stats",
     # retrieval + packing
     "q53_bm25_search", "q54_token_packing",
-    # similarity / ANN family
-    "q30_sim_topk_cosine", "q47_kmeans_cells", "q49_ivf_multiprobe",
-    "q55_ann_knn_join",
-    # graph family
-    "q56_pagerank", "q57_triangle_counts", "q58_bfs_khop",
-    "q63_cooccurrence_pmi", "q64_label_propagation",
-    "q66_ancestor_closure", "q48_entity_degree",
+    # similarity / ANN family (exact-cosine baseline q30 and single-probe
+    # variants stay mirror-covered; the driver slots go to one rep per
+    # sub-family: k-means coarse cells, multi-probe IVF, banded k-NN,
+    # PQ encode — the round-3 compression path)
+    "q47_kmeans_cells", "q49_ivf_multiprobe", "q55_ann_knn_join",
+    "q99_product_quantize",
+    # graph family (BFS/LPA/degree stay mirror-covered; PageRank,
+    # triangles, PMI weighting and hierarchy closure are the four
+    # distinct algorithm shapes)
+    "q56_pagerank", "q57_triangle_counts",
+    "q63_cooccurrence_pmi", "q66_ancestor_closure",
+    # KG provenance + eval-CI (round-3 families)
+    "q96_triple_provenance", "q101_bootstrap_prf",
+    # training-data prep (round-3)
+    "q93_doc_chunking",
     # sampling family
     "q61_stratified_sample", "q65_negative_samples", "q78_weighted_sample",
     # as-of / CDC / reconciliation family
