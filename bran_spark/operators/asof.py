@@ -43,6 +43,11 @@ def asof_join(
     overlap = set(rcols) & set(left.columns)
     if overlap:
         raise ValueError(f"right value columns collide with left: {overlap}")
+    internal = {"_ts", "_side", "_rvals", "_rk"}
+    clash = internal & (set(left.columns) | set(right.columns))
+    if clash:
+        # withColumn would silently overwrite the caller's data
+        raise ValueError(f"reserved internal column names in input: {clash}")
 
     l_tagged = left.withColumn("_ts", F.col(left_ts)).withColumn(
         "_side", F.lit(1)

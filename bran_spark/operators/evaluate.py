@@ -30,9 +30,12 @@ def confusion(predicted: DataFrame, gold: DataFrame) -> DataFrame:
         marked.groupBy(*KEYS)
         .agg(F.max("_p").alias("p"), F.max("_g").alias("g"))
         .agg(
-            F.sum(F.col("p") * F.col("g")).alias("tp"),
-            F.sum(F.col("p") * (1 - F.col("g"))).alias("fp"),
-            F.sum((1 - F.col("p")) * F.col("g")).alias("fn"),
+            # coalesce: SUM over zero rows is NULL, which would sail past
+            # the =0 guards below and surface precision/recall/f1 = NULL on
+            # an empty pred+gold pair instead of 0.0
+            F.coalesce(F.sum(F.col("p") * F.col("g")), F.lit(0)).alias("tp"),
+            F.coalesce(F.sum(F.col("p") * (1 - F.col("g"))), F.lit(0)).alias("fp"),
+            F.coalesce(F.sum((1 - F.col("p")) * F.col("g")), F.lit(0)).alias("fn"),
         )
     )
     return cells.selectExpr(

@@ -16,17 +16,25 @@ from pyspark.sql import functions as F
 def link_mentions(mentions: DataFrame, mesh_dict: DataFrame) -> tuple[DataFrame, DataFrame]:
     """Returns (linked, unlinked).
 
-    linked  = mentions + canonical_name (+ entity type revalidated)
-    unlinked = mentions whose mesh_id is absent from the dictionary —
-    quarantined for the lineage counters, mirroring the reference's drop of
-    '-1' unlinkable ids (SURVEY.md §2 F2) but without losing the rows.
+    linked  = mentions + canonical_name, entity type REVALIDATED against
+    the dictionary: a mention whose type contradicts its resolved entity's
+    type (e.g. a 'Chemical' mention whose mesh id is a Disease entry) is
+    quarantined, not passed through — type-inconsistent rows would
+    otherwise flow straight into pair generation.
+    unlinked = mentions whose mesh_id is absent from the dictionary OR
+    type-contradictory — quarantined for the lineage counters, mirroring
+    the reference's drop of '-1' unlinkable ids (SURVEY.md §2 F2) but
+    without losing the rows.
     """
     dim = F.broadcast(
         mesh_dict.select("mesh_id", "canonical_name", F.col("type").alias("dict_type"))
     )
     j = mentions.join(dim, "mesh_id", "left")
-    linked = j.where(F.col("canonical_name").isNotNull()).drop("dict_type")
-    unlinked = j.where(F.col("canonical_name").isNull()).drop(
+    ok = F.col("canonical_name").isNotNull() & (
+        F.col("type") == F.col("dict_type")
+    )
+    linked = j.where(ok).drop("dict_type")
+    unlinked = j.where(~ok | F.col("canonical_name").isNull()).drop(
         "canonical_name", "dict_type"
     )
     return linked, unlinked

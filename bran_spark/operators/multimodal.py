@@ -96,6 +96,10 @@ def sample_video_frames(
     Duration is a metadata stand-in (no real container parsing here).
     """
     n_frames = fps_sample * duration_s
+    if n_frames <= 0:
+        # sequence(0, -1) would default to step -1 and emit TWO phantom
+        # rows ([0, -1]) per media row instead of zero
+        raise ValueError(f"fps_sample*duration_s must be > 0, got {n_frames}")
 
     frames = media_with_payload.where(F.col("kind") == kind).select(
         "doc_id",
@@ -148,7 +152,12 @@ def audio_window_energy(
     """Fixed-window audio segmentation: 1 audio row → duration/window rows
     with a per-window energy scalar. Same shape as frame sampling — JVM
     fan-out, single Arrow decode pass; the PCM decode is the stubbed seam."""
+    # full windows only — a partial tail (duration not a multiple of
+    # window_s) is deliberately not emitted; callers wanting tail coverage
+    # pass a divisor window
     n_win = int(duration_s / window_s)
+    if n_win <= 0:
+        raise ValueError(f"duration_s/window_s must be >= 1, got {n_win}")
     wins = media_with_payload.where(F.col("kind") == kind).select(
         "doc_id",
         "media_ref",

@@ -17,18 +17,30 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _gap_seconds(gap: str) -> int:
+    """'<n> seconds|minutes|hours' -> seconds (the subset session_window
+    accepts here); keeping end_ts's correction derived from the SAME string
+    avoids the desync footgun of a second independent parameter."""
+    qty, unit = gap.strip().split()
+    mult = {"second": 1, "seconds": 1, "minute": 60, "minutes": 60,
+            "hour": 3600, "hours": 3600}
+    return int(qty) * mult[unit.lower()]
+
+
 def sessionize(
     events: DataFrame,
     user_col: str = "user_id",
     ts_col: str = "ts",
     gap: str = "30 minutes",
-    gap_seconds: int = 1800,
 ) -> DataFrame:
     """Per-user sessions: (user_id, start_ts, end_ts, n_events, total_value).
 
     ``end_ts`` is the last event's timestamp (session_window.end minus the
-    gap, since Spark extends every window ``gap`` past its last event).
+    gap, since Spark extends every window ``gap`` past its last event) —
+    the subtracted interval is DERIVED from ``gap``, never a second
+    parameter that could silently disagree with it.
     """
+    gap_seconds = _gap_seconds(gap)
     return (
         events.groupBy(
             F.col(user_col), F.session_window(F.col(ts_col), gap).alias("w")

@@ -150,7 +150,14 @@ class Pipeline:
         """Materialized shared subplan: BPE runs ONCE; detection, scoring and
         the span-invariant check all read the committed table. At 100 TB the
         same trade holds: tokens ≈ 3× text bytes, but one write beats
-        re-running the python tokenizer in every consumer stage."""
+        re-running the python tokenizer in every consumer stage.
+
+        Memoized per Pipeline instance: mentions AND scoring both resolve
+        this stage, and with resume=False each un-memoized call would re-run
+        the full BPE pass and commit a redundant snapshot (measured: 3
+        tokenize executions per run before the memo)."""
+        if self._toks_cache is not None:
+            return self._toks_cache
         if self.cfg.checkpoint:
             # resume only when the committed snapshot was produced under the
             # SAME config — a changed max_tokens must recompute, not silently
@@ -158,18 +165,22 @@ class Pipeline:
             if resume and self.io.exists_valid(
                 "docs_tokenized", {"max_tokens": self.cfg.max_tokens}
             ):
-                return self.io.read(self.spark, "docs_tokenized")
+                self._toks_cache = self.io.read(self.spark, "docs_tokenized")
+                return self._toks_cache
             self.io.write(
                 self.tokenized(), "docs_tokenized", stage="tokenize",
                 inputs={"documents": None},
                 config={"max_tokens": self.cfg.max_tokens},
             )
-            return self.io.read(self.spark, "docs_tokenized")
-        # no-checkpoint mode: recompute instead of persist. Caching the token
+            self._toks_cache = self.io.read(self.spark, "docs_tokenized")
+            return self._toks_cache
+        # no-checkpoint mode: recompute instead of persist (lazily — the
+        # memo holds the PLAN, not materialized data). Caching the token
         # structs (~30× the raw text) through the single-JVM block manager
         # measured as the scaling killer (allocation+GC don't parallelize);
         # the BPE recompute is python-side work that scales with cores.
-        return self.tokenized()
+        self._toks_cache = self.tokenized()
+        return self._toks_cache
 
     def worded(self) -> DataFrame:
         """documents + full_text + words — the detection input. No BPE: the
@@ -255,7 +266,14 @@ class Pipeline:
         # emit — a "both" run writes the kind-discriminated union schema) —
         # theta gates downstream at stage_triples, so a theta sweep reuses
         # the expensive committed score buckets instead of re-encoding
-        score_cfg = {"max_tokens": self.cfg.max_tokens, "emit": self.cfg.emit}
+        # score_buckets is part of the hash: buckets committed under a
+        # different modulus must never merge with the new partitioning (a
+        # doc would appear in two buckets and its scores double)
+        score_cfg = {
+            "max_tokens": self.cfg.max_tokens,
+            "emit": self.cfg.emit,
+            "score_buckets": B,
+        }
         done = self.io.committed_buckets("pair_scores", score_cfg)
         todo = [b for b in range(B) if b not in done]
         if todo:
@@ -295,8 +313,16 @@ class Pipeline:
         return pairs, ner
 
     def stage_triples(self, scores: DataFrame, resume: bool = True) -> DataFrame:
+        # the gate must cover EVERY config determinant of the triples, not
+        # just theta: a max_tokens/emit change recomputes the scores, and a
+        # theta-only hash would then serve stale triples on top of them
+        triples_cfg = {
+            "theta": self.cfg.theta,
+            "max_tokens": self.cfg.max_tokens,
+            "emit": self.cfg.emit,
+        }
         if self.cfg.checkpoint and resume and self.io.exists_valid(
-            "triples", {"theta": self.cfg.theta}
+            "triples", triples_cfg
         ):
             return self.io.read(self.spark, "triples")
         if self.cfg.emit == "both":
@@ -309,7 +335,7 @@ class Pipeline:
                 triples, "triples", stage="pool+threshold+canonicalize",
                 inputs={"pair_scores": None},
                 partition_by=["pred"],           # S7 layout mandate
-                config={"theta": self.cfg.theta},
+                config=triples_cfg,
             )
             return self.io.read(self.spark, "triples")
         return triples
@@ -373,23 +399,18 @@ class Pipeline:
         if self.cfg.checkpoint:
             n_triples = self.io.manifest("triples")["rows"]
             n_mentions = self.io.manifest("mentions_linked")["rows"]
-            n_scores = sum(
-                __import__("json").load(
-                    open(
-                        os.path.join(
-                            self.cfg.checkpoint_root, "pair_scores", "buckets",
-                            f"bucket-{b}", "_MANIFEST.json",
-                        )
-                    )
-                )["rows"]
-                for b in self.io.committed_buckets("pair_scores")
-            )
+            score_cfg = {
+                "max_tokens": self.cfg.max_tokens,
+                "emit": self.cfg.emit,
+                "score_buckets": self.cfg.score_buckets,
+            }
+            # config-scoped: stale-config leftover buckets (e.g. after a
+            # score_buckets change) are excluded from the data by
+            # read_buckets, so the counter must exclude them too
+            n_scores = self.io.bucket_rows("pair_scores", score_cfg)
             n_edges = self.io.manifest("edges")["rows"]
             n_ner = (
-                self.io.read_buckets(
-                    self.spark, "pair_scores",
-                    {"max_tokens": self.cfg.max_tokens, "emit": self.cfg.emit},
-                )
+                self.io.read_buckets(self.spark, "pair_scores", score_cfg)
                 .where(F.col("kind") == "ner").count()
                 if self.cfg.emit == "both" else None
             )

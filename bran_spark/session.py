@@ -85,6 +85,31 @@ def get_spark(
     if extra_conf:
         for k, v in extra_conf.items():
             builder = builder.config(k, v)
+    from pyspark.sql import SparkSession as _SS
+
+    active = _SS.getActiveSession()
     spark = builder.getOrCreate()
+    if active is not None:
+        # getOrCreate silently ignores EVERY config on an existing session;
+        # surface the mismatch instead of letting a bench/test believe its
+        # shuffle_partitions/extra_conf took effect
+        import warnings
+
+        want = {}
+        if shuffle_partitions is not None:
+            want["spark.sql.shuffle.partitions"] = str(shuffle_partitions)
+        if extra_conf:
+            want.update({k: str(v) for k, v in extra_conf.items()})
+        diffs = {
+            k: (spark.conf.get(k, None), v)
+            for k, v in want.items()
+            if spark.conf.get(k, None) != v
+        }
+        if diffs:
+            warnings.warn(
+                "get_spark: active SparkSession already exists; requested "
+                f"configs ignored (have, want): {diffs}",
+                stacklevel=2,
+            )
     spark.sparkContext.setLogLevel("WARN")
     return spark

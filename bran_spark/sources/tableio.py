@@ -206,6 +206,19 @@ class ManifestParquetTableIO:
         os.rename(tmp, final)
         return rows
 
+    def bucket_rows(self, table: str, config: dict | None = None) -> int:
+        """Total committed rows across buckets (config-scoped like
+        committed_buckets) straight from the bucket manifests — the funnel
+        counter, no Spark job."""
+        bdir = os.path.join(self._tdir(table), "buckets")
+        total = 0
+        for b in self.committed_buckets(table, config):
+            man = json.load(
+                open(os.path.join(bdir, f"bucket-{b}", "_MANIFEST.json"))
+            )
+            total += man["rows"]
+        return total
+
     def expire_snapshots(self, table: str, keep_last: int = 2) -> list[int]:
         """Snapshot GC (the Iceberg expire_snapshots analog): delete data +
         manifest of every snapshot older than the newest ``keep_last``.
