@@ -3678,6 +3678,90 @@ def q103(spark, sf):
     )
 
 
+@_q(
+    "q104_alias_clusters",
+    f"""
+    WITH RECURSIVE nm AS (SELECT mesh_id, lower(canonical_name) AS s
+                FROM read_parquet('{_FX01}/mesh_dict.parquet')),
+    sh AS (SELECT mesh_id,
+                  unnest(list_distinct({_CHAR_SHINGLE_SQL.format(n=3)})) AS shingle
+           FROM nm),
+    sizes AS (SELECT mesh_id, COUNT(*) AS n_sh FROM sh GROUP BY mesh_id),
+    hot AS (SELECT shingle FROM (SELECT shingle, COUNT(*) AS c FROM sh
+                                 GROUP BY shingle) t WHERE c > 200),
+    kept AS (SELECT * FROM sh WHERE shingle NOT IN (SELECT shingle FROM hot)),
+    common AS (SELECT a.mesh_id AS id_a, b.mesh_id AS id_b, COUNT(*) AS common
+               FROM kept a JOIN kept b
+                 ON a.shingle = b.shingle AND a.mesh_id < b.mesh_id
+               GROUP BY 1, 2),
+    j AS (SELECT id_a, id_b,
+                 common * 1.0 / (sa.n_sh + sb.n_sh - common) AS jaccard
+          FROM common
+          JOIN sizes sa ON sa.mesh_id = id_a
+          JOIN sizes sb ON sb.mesh_id = id_b),
+    verified AS (SELECT c.id_a, c.id_b FROM
+                   (SELECT id_a, id_b FROM j WHERE jaccard >= 0.4) c
+                 JOIN nm na ON na.mesh_id = c.id_a
+                 JOIN nm nb ON nb.mesh_id = c.id_b
+                 WHERE levenshtein(na.s, nb.s) <= 2),
+    edges AS (SELECT id_a AS a, id_b AS b FROM verified
+              UNION ALL SELECT id_b, id_a FROM verified),
+    r(node, lab) AS (
+      SELECT a, a FROM edges
+      UNION
+      SELECT e.b, r.lab FROM r JOIN edges e ON e.a = r.node
+    ),
+    comp AS (SELECT node AS mesh_id, MIN(lab) AS alias_group FROM r
+             GROUP BY node)
+    SELECT comp.mesh_id, comp.alias_group, nm.s AS name,
+           cn.s AS canonical_alias
+    FROM comp
+    JOIN nm ON nm.mesh_id = comp.mesh_id
+    JOIN nm cn ON cn.mesh_id = comp.alias_group
+    """,
+)
+def q104(spark, sf):
+    """Entity-alias canonicalization, END-TO-END: trigram-blocked name
+    candidates (q72) → exact ≤2-edit Levenshtein verify (q92) → connected
+    components over the verified pairs (q50's large-star/small-star) →
+    canonical alias = the cluster minimum's name. The full ER/canonical-
+    ization flow a KG runs before edge materialization, every stage of
+    which is individually oracle-checked."""
+    from bran_spark.fixtures.gen import ensure, fixture_dir
+    from bran_spark.operators.components import connected_components
+    from bran_spark.operators.linking import name_neardup_pairs
+
+    s = _fixture_sf_for(sf)
+    ensure(s)
+    d = spark.read.parquet(f"{fixture_dir(s)}/mesh_dict.parquet")
+    names = d.select("mesh_id", F.lower("canonical_name").alias("s"))
+    cand = name_neardup_pairs(d).select("id_a", "id_b")
+    verified = (
+        cand.join(names.select(F.col("mesh_id").alias("id_a"),
+                               F.col("s").alias("sa")), "id_a")
+        .join(names.select(F.col("mesh_id").alias("id_b"),
+                           F.col("s").alias("sb")), "id_b")
+        .where(F.levenshtein("sa", "sb") <= 2)
+        .select("id_a", "id_b")
+    )
+    comps = connected_components(verified)
+    return (
+        comps.select(
+            F.col("node").alias("mesh_id"),
+            F.col("component").alias("alias_group"),
+        )
+        .join(names.select(F.col("mesh_id"), F.col("s").alias("name")), "mesh_id")
+        .join(
+            names.select(
+                F.col("mesh_id").alias("alias_group"),
+                F.col("s").alias("canonical_alias"),
+            ),
+            "alias_group",
+        )
+        .select("mesh_id", "alias_group", "name", "canonical_alias")
+    )
+
+
 # =========================================================================
 # Registry ordering: the driver's correctness gate hash-checks the FIRST
 # 50 insertion-order entries of ``queries()``. Definition order above is

@@ -479,3 +479,33 @@ def test_keyword_contexts_escapes_backslashes_and_quotes(spark):
     got = {(r.term, r.idx) for r in
            keyword_contexts(docs, [r"a\b", "o'x"], window=1).collect()}
     assert got == {(r"a\b", 1), ("o'x", 3)}
+
+
+def test_alias_clusters_group_spelling_variants(spark):
+    """The composed ER flow (trigram blocking → Levenshtein verify →
+    components): spelling variants of one name land in one alias group
+    whose canonical alias is the minimum id's name; unrelated names never
+    join it."""
+    from bran_spark.operators.components import connected_components
+    from bran_spark.operators.linking import name_neardup_pairs
+
+    import pyspark.sql.functions as F
+
+    d = spark.createDataFrame(
+        [("M1", "aspirin"), ("M2", "aspirine"), ("M3", "asperin"),
+         ("M4", "ibuprofen"), ("M5", "warfarin")],
+        "mesh_id string, canonical_name string",
+    )
+    names = d.select("mesh_id", F.lower("canonical_name").alias("s"))
+    cand = name_neardup_pairs(d, min_jaccard=0.2, max_df=50).select("id_a", "id_b")
+    verified = (
+        cand.join(names.select(F.col("mesh_id").alias("id_a"),
+                               F.col("s").alias("sa")), "id_a")
+        .join(names.select(F.col("mesh_id").alias("id_b"),
+                           F.col("s").alias("sb")), "id_b")
+        .where(F.levenshtein("sa", "sb") <= 2)
+        .select("id_a", "id_b")
+    )
+    comps = {r.node: r.component for r in connected_components(verified).collect()}
+    assert comps.get("M1") == comps.get("M2") == comps.get("M3") == "M1"
+    assert "M4" not in comps and "M5" not in comps  # isolated, never enter edges
