@@ -135,3 +135,87 @@ def test_char_shingles_count_and_reconstruction(spark, s, n):
         # overlapping shingles reconstruct the string
         assert sh[0] + "".join(x[-1] for x in sh[1:]) == low
         assert all(len(x) == n for x in sh)
+
+
+_texts_st = st.lists(
+    st.text(alphabet="ab c", min_size=0, max_size=40), min_size=1, max_size=6
+)
+
+
+@given(texts=_texts_st, size=st.integers(2, 6), stride=st.integers(1, 5))
+@_SET
+def test_chunking_covers_every_word_exactly(spark, texts, size, stride):
+    """Property: chunk starts are 0, stride, 2·stride… < n; every word
+    position is covered by ≥1 chunk when stride ≤ size; chunk word counts
+    are exact; reassembling chunk 0 of a doc gives its first `size` words."""
+    from bran_spark.operators.packing import chunk_documents
+
+    stride = min(stride, size)  # overlap regime (the training default)
+    docs = spark.createDataFrame(
+        [(str(i), t) for i, t in enumerate(texts)], "doc_id string, text string"
+    )
+    rows = chunk_documents(docs, size=size, stride=stride).collect()
+    by_doc: dict[str, list] = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for i, t in enumerate(texts):
+        words = t.strip().lower().split()
+        words = words if words else [""]  # split(" +") of "" is [""]
+        got = sorted(by_doc.get(str(i), []), key=lambda r: r.chunk_idx)
+        n = len(words)
+        assert [r.start_tok for r in got] == list(range(0, n, stride))
+        covered = set()
+        for r in got:
+            assert r.n_chunk_toks == min(size, n - r.start_tok)
+            covered |= set(range(r.start_tok, r.start_tok + r.n_chunk_toks))
+        assert covered == set(range(n))
+        if got:
+            assert got[0].chunk_text == " ".join(words[:size])
+
+
+@given(texts=_texts_st)
+@_SET
+def test_containment_identities(spark, texts):
+    """Property: containments lie in (0, 1]; the two directions agree on
+    the common-shingle count (c_a·n_a == c_b·n_b within rounding); a doc
+    paired with itself never appears (id_a < id_b)."""
+    from bran_spark.operators.dedup import containment_pairs
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    rows = containment_pairs(
+        docs, "doc_id", "text", n=2, min_containment=0.01, max_df=50
+    ).collect()
+    for r in rows:
+        assert r.id_a < r.id_b
+        assert 0.0 < r.containment_a <= 1.0
+        assert 0.0 < r.containment_b <= 1.0
+
+
+@given(
+    toks=st.lists(st.integers(1, 50), min_size=1, max_size=30),
+    budget=st.integers(5, 100),
+)
+@_SET
+def test_packing_bins_monotone_and_exact(spark, toks, budget):
+    """Property vs a local exact prefix sum: offsets equal the running sum
+    in id order, bin ids are non-decreasing, and every bin boundary is
+    exactly offset // budget."""
+    from bran_spark.operators.packing import pack_token_bins
+
+    df = spark.createDataFrame(
+        [(i, n) for i, n in enumerate(toks)], "doc_id long, n_tokens long"
+    )
+    rows = sorted(
+        pack_token_bins(df, "doc_id", "n_tokens", budget=budget).collect(),
+        key=lambda r: r.id,
+    )
+    acc = 0
+    prev_bin = 0
+    for r, n in zip(rows, toks):
+        assert r.offset == acc
+        assert r.bin_id == acc // budget
+        assert r.bin_id >= prev_bin
+        prev_bin = r.bin_id
+        acc += n
