@@ -195,3 +195,50 @@ def test_iceberg_tableio_contract(spark):
     sm2 = MagicMock()
     io.read(sm2, "triples")
     sm2.read.table.assert_called_once_with("cat.triples")
+
+
+def test_config_change_invalidates_triples_and_buckets(spark, fx_dir, tmp_path):
+    """The resume gates must hash EVERY config determinant: rerunning the
+    same checkpoint_root with a changed max_tokens recomputes the score
+    buckets AND the triples (the old theta-only triples gate served stale
+    triples over freshly recomputed scores)."""
+    import os
+
+    from bran_spark.plans.pipeline import Pipeline, PipelineConfig
+
+    docs = (
+        spark.read.parquet(os.path.join(fx_dir, "documents_interleaved.parquet"))
+        .orderBy("doc_id").limit(50)
+    )
+    root = str(tmp_path / "ck")
+
+    def run(max_tokens):
+        cfg = PipelineConfig(
+            fixture_dir=fx_dir, checkpoint_root=root,
+            max_tokens=max_tokens, score_buckets=2,
+        )
+        p = Pipeline(spark, cfg, docs_df=docs)
+        p.run(resume=True, evaluate=False)
+        return p
+
+    p1 = run(512)
+    snap1 = p1.io.current_snapshot("triples")
+    cfg512 = {"max_tokens": 512, "emit": "pairs", "score_buckets": 2}
+    assert p1.io.committed_buckets("pair_scores", cfg512) == {0, 1}
+
+    p2 = run(64)
+    # triples re-committed (new snapshot), old-config buckets invisible to
+    # the new config's view, new-config buckets committed
+    assert p2.io.current_snapshot("triples") == snap1 + 1
+    cfg64 = {"max_tokens": 64, "emit": "pairs", "score_buckets": 2}
+    assert p2.io.committed_buckets("pair_scores", cfg64) == {0, 1}
+    assert p2.io.exists_valid(
+        "triples", {"theta": 0.0, "max_tokens": 64, "emit": "pairs"}
+    )
+    assert not p2.io.exists_valid(
+        "triples", {"theta": 0.0, "max_tokens": 512, "emit": "pairs"}
+    )
+
+    # a THIRD run with the same config is a pure resume: nothing advances
+    p3 = run(64)
+    assert p3.io.current_snapshot("triples") == snap1 + 1
