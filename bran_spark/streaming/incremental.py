@@ -374,3 +374,51 @@ def incremental_corpus_ingest(
         .start()
     )
     q.awaitTermination()
+
+
+def streaming_sessionize(
+    spark: SparkSession,
+    events_dir: str,
+    checkpoint_dir: str,
+    out_dir: str,
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> None:
+    """Streaming sessionization with the NATIVE session_window — the
+    streaming twin of operators/sessions.sessionize: per-user sessions
+    whose gap-merge happens inside the watermarked streaming aggregation,
+    so a session closes (and is emitted, exactly once, in append mode)
+    only when the watermark passes its end. State is bounded by the
+    watermark horizon per key — the same survives-forever property as
+    streaming_exact_dedup. Batch/stream parity: a closed session's
+    (user_id, start_ts, n_events, total_value) equals the batch
+    sessionize() row for the same events (asserted in tests)."""
+    ev = spark.readStream.schema(
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    ).parquet(events_dir)
+    sessions = (
+        ev.withWatermark("ts", watermark)
+        .groupBy(F.col("user_id"), F.session_window(F.col("ts"), gap).alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("start_ts"),
+            "n_events",
+            F.round("total_value", 6).alias("total_value"),
+        )
+    )
+    q = (
+        sessions.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option(
+            "checkpointLocation", os.path.join(checkpoint_dir, "sess_offsets")
+        )
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -295,3 +295,34 @@ def test_incremental_ingest_dedups_against_committed_corpus(spark, tmp_path):
     rows = spark.read.parquet(out).collect()
     assert sorted(r.text for r in rows) == ["alpha text", "beta text", "gamma text"]
     assert {r.doc_id for r in rows if r.text == "beta text"} == {"b"}  # first sight wins
+
+
+def test_streaming_sessionize_matches_batch(spark, testdata_dir, tmp_path):
+    """Streaming session_window vs the batch sessionize(): every session
+    the stream CLOSES (watermark passed) must match its batch twin row
+    exactly on (user_id, start_ts, n_events, total_value)."""
+    from bran_spark.operators.sessions import sessionize
+    from bran_spark.streaming.incremental import streaming_sessionize
+
+    src = str(tmp_path / "ev")
+    out = str(tmp_path / "sessions")
+    ck = str(tmp_path / "ck")
+    ev = spark.read.parquet(f"{testdata_dir}/events.parquet")
+    ev.write.mode("overwrite").parquet(src)
+
+    streaming_sessionize(spark, src, ck, out, gap="30 minutes",
+                         watermark="1 hour")
+    got = {
+        (r.user_id, r.start_ts): (r.n_events, r.total_value)
+        for r in spark.read.parquet(out).collect()
+    }
+    assert len(got) > 0
+    batch = {
+        (r.user_id, r.start_ts): (r.n_events, round(r.total_value, 6))
+        for r in sessionize(ev).collect()
+    }
+    # append mode emits only watermark-closed sessions — a subset of batch,
+    # but every emitted row must be byte-identical to its batch twin
+    for k, v in got.items():
+        assert k in batch, k
+        assert batch[k] == v, (k, v, batch[k])
