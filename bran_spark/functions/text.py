@@ -111,6 +111,19 @@ def shingles(col: str | Column, n: int = 5) -> Column:
     )
 
 
+def shingles_of_array(col: str | Column, n: int = 5) -> Column:
+    """Word n-gram shingles over an ALREADY-split word array — callers that
+    need window positions pair this with posexplode. Same indexing contract
+    as ``shingles``: i = 0..max(len-n, 0) (a shorter-than-n array yields its
+    single truncated self; position-sensitive callers guard with
+    size >= n)."""
+    w = F.col(col) if isinstance(col, str) else col
+    return F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(w) - n, F.lit(0))),
+        lambda i: F.array_join(F.slice(w, i + 1, n), " "),
+    )
+
+
 def char_shingles(col: str | Column, n: int = 3) -> Column:
     """Character n-gram shingles of the lowercased string — the blocking
     key for entity-NAME similarity (word shingles are useless on single-

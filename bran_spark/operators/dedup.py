@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from bran_spark.functions.text import shingles, words
+from bran_spark.functions.text import shingles, shingles_of_array, words
 
 
 def _even_parallelism(df: DataFrame) -> DataFrame:
@@ -386,3 +386,143 @@ def containment_pairs(
             F.round("_cb", 6).alias("containment_b"),
         )
     )
+
+
+def decontaminate(
+    corpus: DataFrame,
+    bench: DataFrame,
+    id_col: str,
+    text_col: str,
+    bench_id_col: str,
+    bench_text_col: str,
+    n: int = 8,
+) -> DataFrame:
+    """Benchmark decontamination (the GPT-3 appendix-C / Gopher eval-leak
+    filter): flag every corpus document that shares at least one word
+    n-gram with the evaluation/benchmark set.
+
+    Scale shape: the benchmark side is tiny by construction (eval suites
+    are thousands of prompts, the corpus is 10^12 docs), so its distinct
+    (bench_id, shingle) set is BROADCAST and the corpus n-gram stream is
+    filtered by a broadcast inner join — the corpus is never shuffled on
+    the n-gram key; the only exchange is the final per-doc aggregation,
+    which partial-aggregates map-side. Returns one row per CONTAMINATED
+    doc: (doc_id, n_hits = distinct leaked n-grams in the doc,
+    n_bench_docs = distinct benchmark docs hit). Long n-grams (n=8+ words)
+    make false positives vanishingly rare — the same reason passage dedup
+    uses them.
+    """
+    bsh = bench.select(
+        F.col(bench_id_col).alias("bench_id"),
+        F.explode(F.array_distinct(shingles(bench_text_col, n))).alias("shingle"),
+    ).distinct()
+    csh = _even_parallelism(corpus).select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.array_distinct(shingles(text_col, n))).alias("shingle"),
+    )
+    return (
+        csh.join(F.broadcast(bsh), "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count_distinct("shingle").alias("n_hits"),
+            F.count_distinct("bench_id").alias("n_bench_docs"),
+        )
+    )
+
+
+def mask_duplicate_spans(
+    df: DataFrame, id_col: str, text_col: str, n: int = 8, min_count: int = 2
+) -> DataFrame:
+    """ExactSubstr-style duplicate-span REMOVAL at word-window granularity
+    (Lee et al. 2022 remove repeated substrings; this is the word-n-gram
+    formulation that stays relational): every n-word window whose exact
+    text occurs >= ``min_count`` times in the corpus (cross-doc or within-
+    doc) is masked out of every document that contains it, and the doc is
+    rebuilt from the surviving words.
+
+    Plan: positional windows via posexplode (docs shorter than n emit no
+    windows and pass through untouched), one count aggregate on the window
+    key (long windows are near-unique by Zipf, so the key is skew-cold;
+    AQE skew split is the backstop), equi-join back, and a per-doc
+    collect of duplicated START POSITIONS ONLY — the collected array is
+    bounded by the doc's own word count, never corpus-sized. Word survival
+    is then pure row-local array math (no UDF): word j survives iff no
+    duplicated window start p covers it (p <= j < p+n). Returns one row
+    per doc: (id, n_words, n_dup_windows, n_kept, clean_text).
+    """
+    base = _even_parallelism(df).select(
+        F.col(id_col).alias("id"), words(text_col).alias("ws")
+    )
+    win = base.where(F.size("ws") >= n).select(
+        "id", F.posexplode(shingles_of_array("ws", n)).alias("pos", "shingle")
+    )
+    dupset = (
+        win.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .where(F.col("cnt") >= min_count)
+        .select("shingle")
+    )
+    dup_pos = (
+        win.join(dupset, "shingle")
+        .groupBy("id")
+        .agg(
+            F.sort_array(F.collect_list("pos")).alias("dps"),
+            F.count(F.lit(1)).alias("n_dup_windows"),
+        )
+    )
+    dps = F.coalesce(F.col("dps"), F.expr("CAST(array() AS array<int>)"))
+    kept_idx = F.filter(
+        F.sequence(F.lit(0), F.size("ws") - 1),
+        lambda j: ~F.exists(dps, lambda p: (p <= j) & (j < p + F.lit(n))),
+    )
+    return (
+        base.join(dup_pos, "id", "left")
+        .select(
+            "id",
+            F.size("ws").cast("long").alias("n_words"),
+            F.coalesce("n_dup_windows", F.lit(0)).cast("long").alias("n_dup_windows"),
+            F.size(kept_idx).cast("long").alias("n_kept"),
+            F.array_join(
+                F.transform(kept_idx, lambda j: F.element_at(F.col("ws"), j + 1)), " "
+            ).alias("clean_text"),
+        )
+    )
+
+
+def semantic_dedup(
+    emb: DataFrame,
+    tau: float = 0.97,
+    k: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): k-means-cluster the
+    embedding store, then inside each cluster drop every vector that has a
+    LOWER-ID neighbor with cosine >= tau — the greedy lowest-id sweep that
+    keeps exactly one representative per tight semantic group. Unlike the
+    LSH near-dup family (q35), this prunes semantic duplicates that share
+    no surface n-grams at all (paraphrases, templated rewrites).
+
+    Scale shape: the quadratic comparison is confined INSIDE k-means cells
+    — (N/k)^2 per cell instead of N^2 global; at 10^12 scale one raises k
+    (and trains on a sample) so each cell fits a partition, writes the
+    store partitioned by cell (tests/test_layout.py shows the pruning
+    shape), and the intra-cell self-join becomes a co-located equi-join on
+    the cell key. Distances are rounded to 6 dp before thresholding on
+    both engines so float-summation-order jitter cannot flip boundary
+    pairs. Returns the SURVIVORS: (vec_id, cell).
+    """
+    from bran_spark.operators.similarity import cosine, kmeans_cells
+
+    cells = kmeans_cells(emb, k=k, iters=iters, id_col=id_col, vec_col=vec_col)
+    a = cells.select(F.col("vec_id").alias("id_a"), "cell", F.col("v").alias("va"))
+    b = cells.select(F.col("vec_id").alias("id_b"), "cell", F.col("v").alias("vb"))
+    dropped = (
+        a.join(b, "cell")
+        .where(F.col("id_a") < F.col("id_b"))
+        .where(F.round(cosine(F.col("va"), F.col("vb")), 6) >= tau)
+        .select(F.col("id_b").alias("vec_id"))
+        .distinct()
+    )
+    return cells.join(dropped, "vec_id", "left_anti").select("vec_id", "cell")

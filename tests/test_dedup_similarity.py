@@ -284,3 +284,94 @@ def test_ivf_pq_all_probes_equals_global_adc(spark, testdata_dir):
            ivf_pq_topk(emb, 0, k=10, n_centroids=8, n_probe=1, **kw).collect()}
     ranked_all = {r.vec_id for r in pq_topk(emb, 0, k=2000, **kw).collect()}
     assert one <= ranked_all and len(one) > 0
+
+
+def test_decontaminate_flags_only_leaked_docs(spark):
+    from bran_spark.operators.dedup import decontaminate
+
+    # bench prompt = an 8-word span that doc 11 contains verbatim (shifted),
+    # doc 12 shares only a 7-word prefix of it, doc 13 is unrelated.
+    span = "red orange yellow green blue indigo violet ultraviolet"
+    corpus = spark.createDataFrame(
+        [
+            (11, "intro words " + span + " trailing words"),
+            (12, "red orange yellow green blue indigo violet other tail"),
+            (13, "completely unrelated content with enough words to shingle"),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, span + " extra bench context")], "bench_id long, btext string"
+    )
+    got = {
+        r.doc_id: (r.n_hits, r.n_bench_docs)
+        for r in decontaminate(
+            corpus, bench, "doc_id", "text", "bench_id", "btext", n=8
+        ).collect()
+    }
+    assert 11 in got and got[11][1] == 1
+    assert 12 not in got  # 7-word overlap < n never fires
+    assert 13 not in got
+
+
+def test_mask_duplicate_spans_removes_shared_window_only(spark):
+    from bran_spark.operators.dedup import mask_duplicate_spans
+
+    shared = "aa bb cc dd ee ff gg hh"  # 8 words, appears in docs 1 and 2
+    df = spark.createDataFrame(
+        [
+            (1, "u1 u2 " + shared + " u3 u4"),
+            (2, shared + " v1 v2 v3"),
+            (3, "w1 w2 w3 w4 w5 w6 w7 w8 w9"),  # >= n words, all unique
+            (4, "short doc"),                    # < n words: passes through
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.id: r for r in mask_duplicate_spans(df, "doc_id", "text", n=8).collect()}
+    # the shared window is cut from BOTH docs; unique words survive
+    assert got[1].clean_text == "u1 u2 u3 u4"
+    assert got[2].clean_text == "v1 v2 v3"
+    assert got[1].n_dup_windows == 1 and got[2].n_dup_windows == 1
+    assert got[3].clean_text == got[3].clean_text and got[3].n_dup_windows == 0
+    assert got[3].n_kept == got[3].n_words == 9
+    assert got[4].clean_text == "short doc" and got[4].n_words == 2
+
+
+def test_mask_duplicate_spans_within_doc_repeat(spark):
+    from bran_spark.operators.dedup import mask_duplicate_spans
+
+    # the same 8-word window twice INSIDE one doc also triggers removal
+    span = "p1 p2 p3 p4 p5 p6 p7 p8"
+    df = spark.createDataFrame(
+        [(1, span + " mid " + span), (2, "q1 q2 q3 q4 q5 q6 q7 q8 q9")],
+        "doc_id long, text string",
+    )
+    got = {r.id: r for r in mask_duplicate_spans(df, "doc_id", "text", n=8).collect()}
+    assert got[1].clean_text == "mid"
+    assert got[2].n_kept == 9
+
+
+def test_semantic_dedup_keeps_one_per_tight_group(spark):
+    from bran_spark.operators.dedup import semantic_dedup
+
+    # two tight groups on orthogonal axes + one isolated vector; within a
+    # group every vector is a tiny perturbation (cosine ~ 1) of the seed.
+    def v(axis, eps, d=8):
+        x = [0.0] * d
+        x[axis] = 1.0
+        x[(axis + 1) % d] = eps
+        return x
+
+    # ids 1/2/3 are the k=3 lowest-id seeds — one per group, so Lloyd
+    # converges to one cell per group and the intra-cell sweep sees every
+    # tight pair (a seed set inside ONE group would split it across cells:
+    # correct but a weaker test of the prune).
+    rows = [
+        (1, v(0, 0.0)), (4, v(0, 0.01)), (5, v(0, 0.02)),   # group A
+        (2, v(3, 0.0)), (6, v(3, 0.015)),                   # group B
+        (3, v(6, 0.0)),                                     # isolated
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    kept = {r.vec_id for r in semantic_dedup(emb, tau=0.97, k=3, iters=2).collect()}
+    # lowest id in each tight group survives; the isolated vector survives
+    assert kept == {1, 2, 3}
