@@ -454,3 +454,91 @@ def deterministic_walks(
     return out.select(
         "start", F.col("walk_id").cast("int"), F.col("step").cast("int"), "node"
     )
+
+
+def personalized_pagerank(
+    sym: DataFrame, seeds: DataFrame, iters: int = 5, scale: int = PR_SCALE
+) -> DataFrame:
+    """Personalized PageRank: identical fixed-point integer loop to
+    pagerank_fixed_point, but ALL teleport mass lands on the seed set —
+    the "relevance to these entities" ranking a KG serves for
+    related-entity expansion / entity-centric retrieval (vs global
+    centrality). rank_0 = scale on seeds and 0 elsewhere; each step
+    rank'(v) = 1[v∈S]·(15·scale)//100 + (85·Σ_u rank(u) DIV deg(u))//100.
+
+    ``seeds`` is a 1-column (u) frame and is BROADCAST — personalization
+    sets are user-query-sized, never corpus-sized. Nodes never reached
+    hold rank 0 and are dropped from the output, so the result is the
+    seed's neighborhood, not a |V|-sized table. Same scale notes as the
+    global variant (integer overflow bound, one shuffle/iteration,
+    localCheckpoint truncation; float production path = pagerank_float's
+    shape with the seeded base).
+    """
+    base = scale * (PR_DAMP_DEN - PR_DAMP_NUM) // PR_DAMP_DEN
+    sym = sym.localCheckpoint(eager=True)
+    deg = sym.groupBy("u").agg(F.count("*").alias("deg"))
+    seeded = deg.join(
+        F.broadcast(seeds.select("u").distinct().withColumn("_s", F.lit(1))),
+        "u",
+        "left",
+    ).select("u", "deg", F.coalesce("_s", F.lit(0)).alias("is_seed"))
+    ranks = seeded.withColumn(
+        "rank", (F.col("is_seed") * F.lit(scale)).cast("long")
+    ).localCheckpoint(eager=True)
+    for _ in range(iters):
+        contrib = sym.join(ranks, "u").select(
+            F.col("v").alias("u"), F.expr("rank DIV deg").alias("c")
+        )
+        sums = contrib.groupBy("u").agg(F.sum("c").alias("s"))
+        ranks = (
+            seeded.join(sums, "u", "left")
+            .select(
+                "u",
+                "deg",
+                "is_seed",
+                (
+                    F.col("is_seed") * F.lit(base)
+                    + F.expr(f"({PR_DAMP_NUM} * coalesce(s, 0L)) DIV {PR_DAMP_DEN}")
+                ).cast("long").alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks.where(F.col("rank") > 0).select(
+        F.col("u").alias("entity"), F.col("rank").alias("rank_fp")
+    )
+
+
+def weighted_sssp(
+    wedges: DataFrame, seeds: DataFrame, iters: int = 4
+) -> DataFrame:
+    """Multi-source weighted shortest paths by synchronous Bellman-Ford
+    (min-plus) rounds over an integer-weighted edge list (u, v, w) —
+    the "how strongly is X connected to Y" KG path query that hop-count
+    BFS (bfs_distances) cannot answer on weighted edges.
+
+    ``seeds`` is a 1-column (u) frame; all seeds start at distance 0.
+    Each round relaxes every current distance across its out-edges (one
+    equi-join on u, shuffle bounded by |E|) and folds with the previous
+    table via a min aggregate (partial-agg combines map-side); the
+    distance table is localCheckpoint-truncated per round. Integer
+    weights make min-plus exact — results are bit-identical across
+    engines and partitionings. ``iters`` bounds path LENGTH (edges), so
+    the result after k rounds is exactly "shortest distance using ≤ k
+    edges" — a well-defined contract even before global convergence,
+    which is what makes a fixed-round oracle twin possible.
+    """
+    wedges = wedges.localCheckpoint(eager=True)
+    dist = seeds.select("u").distinct().withColumn(
+        "dist", F.lit(0).cast("long")
+    )
+    for _ in range(iters):
+        relaxed = dist.join(wedges, "u").select(
+            F.col("v").alias("u"), (F.col("dist") + F.col("w")).cast("long").alias("dist")
+        )
+        dist = (
+            dist.unionByName(relaxed)
+            .groupBy("u")
+            .agg(F.min("dist").alias("dist"))
+            .localCheckpoint(eager=True)
+        )
+    return dist.select(F.col("u").alias("entity"), "dist")

@@ -4045,6 +4045,118 @@ def q110(spark, sf):
     return semantic_dedup(_t(spark, sf, "embeddings"), tau=0.4, k=8, iters=2)
 
 
+def _ppr_iter_sql(iters: int, base: int) -> str:
+    """Unrolled personalized-PageRank iterations (seeded teleport; exact
+    integer math — same hash-exactness argument as _pr_iter_sql)."""
+    parts = []
+    for i in range(1, iters + 1):
+        parts.append(f"""
+    , pc{i} AS (SELECT s.v AS u, CAST(SUM(r.rank // r.deg) AS BIGINT) AS sm
+               FROM sym s JOIN pr{i - 1} r ON s.u = r.u GROUP BY s.v),
+    pr{i} AS (SELECT f.u, f.deg, f.is_seed,
+                    CAST(f.is_seed * {base} + ((85 * COALESCE(c.sm, 0)) // 100) AS BIGINT) AS rank
+             FROM sflag f LEFT JOIN pc{i} c ON f.u = c.u)""")
+    return "".join(parts)
+
+
+@_q(
+    "q111_personalized_pagerank",
+    _FX_PAIRS_SQL
+    + f"""
+    , deg AS (SELECT u, COUNT(*) AS deg FROM sym GROUP BY u),
+    sds AS (SELECT u FROM (SELECT DISTINCT u FROM sym) t ORDER BY u LIMIT 3),
+    sflag AS (SELECT dg.u, dg.deg,
+                     CASE WHEN s.u IS NULL THEN 0 ELSE 1 END AS is_seed
+              FROM deg dg LEFT JOIN sds s ON dg.u = s.u),
+    pr0 AS (SELECT u, deg, is_seed,
+                   CAST(is_seed * {_PR_SCALE} AS BIGINT) AS rank FROM sflag)
+    {_ppr_iter_sql(5, _PR_BASE)}
+    SELECT u AS entity, rank AS rank_fp FROM pr5 WHERE rank > 0
+    """,
+)
+def q111(spark, sf):
+    """Personalized PageRank from the 3 lexicographically-first entities —
+    the related-entity-expansion ranking (relevance to a seed set, not
+    global centrality). Teleport mass lands only on the broadcast seed
+    set; unreached nodes stay at rank 0 and are dropped, so the output is
+    the seeds' neighborhood rather than a |V| table
+    (operators/graphalgo.personalized_pagerank)."""
+    from bran_spark.operators.graphalgo import (
+        personalized_pagerank,
+        symmetric_edges,
+    )
+
+    sym = symmetric_edges(_fx_entity_pairs(spark, sf))
+    seeds = sym.select("u").distinct().orderBy("u").limit(3)
+    return personalized_pagerank(sym, seeds, iters=5)
+
+
+def _sssp_iter_sql(iters: int) -> str:
+    """Unrolled min-plus Bellman-Ford rounds (exact integer arithmetic)."""
+    parts = []
+    for i in range(1, iters + 1):
+        parts.append(f"""
+    , rx{i} AS (SELECT e.v AS u, d.dist + e.w AS dist
+               FROM sd{i - 1} d JOIN wsym e ON d.u = e.u),
+    sd{i} AS (SELECT u, MIN(dist) AS dist FROM
+               (SELECT u, dist FROM sd{i - 1} UNION ALL SELECT u, dist FROM rx{i}) t
+              GROUP BY u)""")
+    return "".join(parts)
+
+
+@_q(
+    "q112_weighted_sssp",
+    _FX_MENTIONS_SQL
+    + f"""
+    , ent AS (SELECT DISTINCT doc_id, mesh_id, type FROM m),
+    a AS (SELECT doc_id, mesh_id AS subj FROM ent WHERE type = 'Chemical'),
+    b AS (SELECT doc_id, mesh_id AS obj FROM ent WHERE type = 'Disease'),
+    pc AS (SELECT subj, obj, COUNT(*) AS n_co
+           FROM a JOIN b USING (doc_id) GROUP BY subj, obj),
+    wsym AS (SELECT subj AS u, obj AS v,
+                    CAST(1000000 // n_co AS BIGINT) AS w
+             FROM pc WHERE subj <> obj
+             UNION ALL
+             SELECT obj AS u, subj AS v,
+                    CAST(1000000 // n_co AS BIGINT) AS w
+             FROM pc WHERE subj <> obj),
+    src AS (SELECT MIN(u) AS u FROM wsym),
+    sd0 AS (SELECT u, CAST(0 AS BIGINT) AS dist FROM src)
+    {_sssp_iter_sql(4)}
+    SELECT u AS entity, CAST(dist AS BIGINT) AS dist FROM sd4
+    """,
+)
+def q112(spark, sf):
+    """Weighted shortest paths (≤4 edges) from the lexicographically-first
+    entity over support-weighted KG edges — w = 10^6 DIV co-occurrence
+    count, so strongly-evidenced links are cheap. The connection-strength
+    path query hop-BFS (q58) cannot answer on weighted edges; integer
+    min-plus keeps every round hash-exact across engines
+    (operators/graphalgo.weighted_sssp)."""
+    from bran_spark.operators.graphalgo import weighted_sssp
+
+    inc = _fx_entity_incidence(spark, sf)
+    a = inc.where(F.col("type") == "Chemical").select(
+        "doc_id", F.col("mesh_id").alias("subj")
+    )
+    b = inc.where(F.col("type") == "Disease").select(
+        "doc_id", F.col("mesh_id").alias("obj")
+    )
+    pc = a.join(b, "doc_id").groupBy("subj", "obj").agg(
+        F.count(F.lit(1)).alias("n_co")
+    )
+    half = pc.where(F.col("subj") != F.col("obj")).select(
+        F.col("subj").alias("u"),
+        F.col("obj").alias("v"),
+        F.expr("CAST(1000000 DIV n_co AS LONG)").alias("w"),
+    )
+    wsym = half.unionByName(
+        half.select(F.col("v").alias("u"), F.col("u").alias("v"), "w")
+    )
+    seeds = wsym.select(F.min("u").alias("u"))
+    return weighted_sssp(wsym, seeds, iters=4)
+
+
 # =========================================================================
 # Registry ordering: the driver's correctness gate hash-checks the FIRST
 # 50 insertion-order entries of ``queries()``. Definition order above is

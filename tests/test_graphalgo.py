@@ -334,3 +334,85 @@ def test_quantize_embeddings_roundtrip_error_bounded(spark, testdata_dir):
         x = orig[(r["vec_id"], r["dim_idx"])]
         err = abs(x - r["qval"] * r["scale"])
         assert err <= r["scale"] * 0.5 + 1e-9, (r, x, err)
+
+
+def _local_ppr(
+    adj: dict[str, list[str]], seeds: set[str], iters: int
+) -> dict[str, int]:
+    """Reference implementation of the seeded integer recurrence."""
+    base = PR_SCALE * 15 // 100
+    rank = {u: (PR_SCALE if u in seeds else 0) for u in adj}
+    for _ in range(iters):
+        sums = {u: 0 for u in adj}
+        for u, nbrs in adj.items():
+            c = rank[u] // len(nbrs)
+            for v in nbrs:
+                sums[v] += c
+        rank = {
+            u: (base if u in seeds else 0) + (85 * sums[u]) // 100 for u in adj
+        }
+    return rank
+
+
+def test_personalized_pagerank_matches_local_reference(spark):
+    from bran_spark.operators.graphalgo import personalized_pagerank
+
+    # path a-b-c-d plus an isolated pair x-y; seed = {a}. (Synchronous PR
+    # oscillates on bipartite-ish paths, so no ordering assertions — the
+    # contract is exact equality with the recurrence.)
+    pairs = [("a", "b"), ("b", "c"), ("c", "d"), ("x", "y")]
+    adj: dict[str, list[str]] = {}
+    for s, o in pairs:
+        adj.setdefault(s, []).append(o)
+        adj.setdefault(o, []).append(s)
+    expect = {
+        u: r for u, r in _local_ppr(adj, {"a"}, iters=5).items() if r > 0
+    }
+    sym = symmetric_edges(_edges(spark, pairs))
+    seeds = spark.createDataFrame([("a",)], "u string")
+    got = {
+        r.entity: r.rank_fp
+        for r in personalized_pagerank(sym, seeds, iters=5).collect()
+    }
+    assert got == expect
+    # the disconnected component receives no teleport or walk mass
+    assert "x" not in got and "y" not in got
+    assert "x" not in got and "y" not in got
+
+
+def test_personalized_pagerank_all_seeds_matches_global(spark):
+    from bran_spark.operators.graphalgo import (
+        pagerank_fixed_point,
+        personalized_pagerank,
+    )
+
+    # seeding EVERY node reduces PPR to the global recurrence exactly
+    sym = symmetric_edges(
+        _edges(spark, [("a", "b"), ("b", "c"), ("a", "c"), ("c", "d")])
+    )
+    seeds = sym.select("u").distinct()
+    ppr = {
+        r.entity: r.rank_fp
+        for r in personalized_pagerank(sym, seeds, iters=4).collect()
+    }
+    glob = {
+        r.entity: r.rank_fp
+        for r in pagerank_fixed_point(sym, iters=4).collect()
+    }
+    assert ppr == glob
+
+
+def test_weighted_sssp_prefers_cheap_multi_hop_path(spark):
+    from bran_spark.operators.graphalgo import weighted_sssp
+
+    wedges = spark.createDataFrame(
+        [("a", "b", 10), ("a", "c", 1), ("c", "b", 2), ("b", "d", 1)],
+        "u string, v string, w long",
+    )
+    seeds = spark.createDataFrame([("a",)], "u string")
+    got = {r.entity: r.dist for r in weighted_sssp(wedges, seeds, iters=4).collect()}
+    assert got == {"a": 0, "c": 1, "b": 3, "d": 4}  # a->c->b beats a->b (10)
+
+    # bounded-round contract: with 1 round only direct edges are relaxed
+    one = {r.entity: r.dist for r in weighted_sssp(wedges, seeds, iters=1).collect()}
+    assert one == {"a": 0, "b": 10, "c": 1}
