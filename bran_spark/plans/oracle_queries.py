@@ -4157,6 +4157,90 @@ def q112(spark, sf):
     return weighted_sssp(wsym, seeds, iters=4)
 
 
+@_q(
+    "q113_chunk_neardup_profile",
+    """
+    WITH d AS (SELECT doc_id, string_split_regex(trim(lower(text)), ' +') AS ws
+               FROM documents),
+    s AS (SELECT doc_id, ws, len(ws) AS n FROM d),
+    c AS (SELECT doc_id, ws, n, unnest(range(0, n, 64)) AS start FROM s),
+    ch AS (SELECT doc_id,
+                  doc_id::VARCHAR || '#' || CAST(start // 64 AS INT)::VARCHAR AS chunk_id,
+                  array_to_string(list_slice(ws, start + 1, start + 64), ' ') AS chunk_text
+           FROM c),
+    cw AS (SELECT chunk_id, doc_id,
+                  string_split_regex(trim(lower(chunk_text)), ' +') AS cws FROM ch),
+    sh AS (SELECT chunk_id, doc_id,
+                  unnest(list_distinct(list_transform(range(greatest(len(cws) - 4, 0) + 1),
+                         i -> array_to_string(list_slice(cws, i + 1, i + 4), ' ')))) AS shingle
+           FROM cw),
+    banded AS (SELECT chunk_id, doc_id, band, md5(band::VARCHAR || ':' || shingle) AS h
+               FROM sh, (SELECT unnest(range(4)) AS band) b),
+    sig AS (SELECT chunk_id, doc_id, band, MIN(h) AS minhash
+            FROM banded GROUP BY chunk_id, doc_id, band),
+    prs AS (SELECT DISTINCT a.chunk_id AS ca, b.chunk_id AS cb
+            FROM sig a JOIN sig b ON a.band = b.band AND a.minhash = b.minhash
+                                 AND a.chunk_id < b.chunk_id
+            WHERE a.doc_id <> b.doc_id),
+    dupc AS (SELECT ca AS chunk_id FROM prs UNION SELECT cb FROM prs),
+    per AS (SELECT doc_id, COUNT(*) AS n_chunks,
+                   SUM(CASE WHEN dupc.chunk_id IS NOT NULL THEN 1 ELSE 0 END) AS n_dup
+            FROM ch LEFT JOIN dupc ON ch.chunk_id = dupc.chunk_id
+            GROUP BY doc_id)
+    SELECT doc_id, CAST(n_chunks AS BIGINT) AS n_chunks,
+           CAST(n_dup AS BIGINT) AS n_dup_chunks,
+           ROUND(n_dup * 1.0 / n_chunks, 6) AS dup_chunk_frac
+    FROM per
+    """,
+)
+def q113(spark, sf):
+    """Paragraph-granularity near-dup profile (the RefinedWeb/MassiveText
+    refinement of doc-level dedup): split docs into 64-word chunks (q93's
+    splitter, stride = size → disjoint), MinHash-LSH the CHUNKS (q29's md5
+    twin machinery), and report per doc what fraction of its chunks have a
+    cross-document near-duplicate — catches partially-copied documents
+    whose doc-level signature stays distinct. Pure composition of two
+    oracle-checked operators; the chunk fan-out multiplies rows but each
+    stage keeps its own scale bound (row-local chunking, banded LSH join)
+    (operators/packing.chunk_documents + dedup.minhash_lsh_pairs)."""
+    from bran_spark.operators.dedup import minhash_lsh_pairs
+    from bran_spark.operators.packing import chunk_documents
+
+    docs = _t(spark, sf, "documents")
+    chunks = chunk_documents(docs, size=64, stride=64).select(
+        F.concat_ws("#", "doc_id", "chunk_idx").alias("chunk_id"),
+        "doc_id",
+        "chunk_text",
+    )
+    pairs = minhash_lsh_pairs(
+        chunks, "chunk_id", "chunk_text", n=4, bands=4, hash_fn="md5"
+    )
+    cross = pairs.where(
+        F.split(F.col("id_a"), "#").getItem(0)
+        != F.split(F.col("id_b"), "#").getItem(0)
+    )
+    dupc = (
+        cross.select(F.col("id_a").alias("chunk_id"))
+        .union(cross.select(F.col("id_b").alias("chunk_id")))
+        .distinct()
+        .withColumn("_d", F.lit(1))
+    )
+    return (
+        chunks.join(dupc, "chunk_id", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum(F.when(F.col("_d").isNotNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_dup_chunks"),
+        )
+        .withColumn(
+            "dup_chunk_frac",
+            F.round(F.col("n_dup_chunks") / F.col("n_chunks"), 6),
+        )
+    )
+
+
 # =========================================================================
 # Registry ordering: the driver's correctness gate hash-checks the FIRST
 # 50 insertion-order entries of ``queries()``. Definition order above is

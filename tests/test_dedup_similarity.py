@@ -375,3 +375,30 @@ def test_semantic_dedup_keeps_one_per_tight_group(spark):
     kept = {r.vec_id for r in semantic_dedup(emb, tau=0.97, k=3, iters=2).collect()}
     # lowest id in each tight group survives; the isolated vector survives
     assert kept == {1, 2, 3}
+
+
+def test_chunk_neardup_profile_cross_doc_only(spark):
+    """q113 semantics: a chunk repeated across docs counts; a doc whose
+    chunks are unique contributes zero even if it IS the copy source."""
+    from bran_spark.plans.oracle_queries import QUERIES
+    import os, tempfile
+
+    para = " ".join(f"w{i}" for i in range(64))          # one shared chunk
+    uniq = " ".join(f"u{i}" for i in range(64))
+    other = " ".join(f"z{i}" for i in range(64))
+    df = spark.createDataFrame(
+        [
+            (1, para + " " + uniq, "en", "s", 1),
+            (2, para + " " + other, "en", "s", 1),
+            (3, " ".join(f"q{i}" for i in range(80)), "en", "s", 1),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    with tempfile.TemporaryDirectory(dir="/root/repo") as td:
+        df.write.parquet(os.path.join(td, "documents.parquet"))
+        got = {
+            r.doc_id: (r.n_chunks, r.n_dup_chunks)
+            for r in QUERIES["q113_chunk_neardup_profile"](spark, td).collect()
+        }
+    assert got[1] == (2, 1) and got[2] == (2, 1)  # the shared first chunk
+    assert got[3] == (2, 0)                        # all-unique doc untouched
