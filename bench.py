@@ -106,6 +106,12 @@ def main() -> None:
         "q99_product_quantize",
         "q100_pq_adc_topk",
         "q101_bootstrap_prf",
+        "q108_decontaminate",
+        "q109_dup_span_removal",
+        "q110_semantic_dedup",
+        "q111_personalized_pagerank",
+        "q112_weighted_sssp",
+        "q113_chunk_neardup_profile",
     ]
     for name in bench_queries:
         t0 = time.time()

@@ -4241,6 +4241,67 @@ def q113(spark, sf):
     )
 
 
+@_q("rerank_fixture")
+def rerank_fixture(spark, sf):
+    """Two-stage retrieval over the fixture corpus: BM25 recall (q53's
+    scorer) proposes top-10 candidates, the cross-encoder reranks them with
+    a JOINT [query ; passage] encoder pass (model/rerank.py) — the
+    standard precision stage of a RAG service; the expensive model touches
+    only k rows, never the corpus. Model forward — rows-only check; bitwise
+    parity vs local NumPy pinned by tests/test_model.py."""
+    from bran_spark.fixtures.gen import ensure, fixture_dir
+    from bran_spark.functions.bpe import full_text_col, with_token_arrays
+    from bran_spark.model.rerank import rerank_pairs
+    from bran_spark.operators.search import bm25_topk
+    from bran_spark.plans.pipeline import Pipeline, PipelineConfig
+
+    s = _fixture_sf_for(sf)
+    ensure(s)
+    cfg = PipelineConfig(
+        fixture_dir=fixture_dir(s),
+        checkpoint_root="/tmp/bran_ckpt_q",
+        checkpoint=False,
+    )
+    p = Pipeline(spark, cfg)
+    docs = p._even_repartition(p.documents()).withColumn(
+        "full_text", full_text_col("spans")
+    )
+    # query = the corpus's two most frequent words (deterministic count +
+    # lexicographic tie-break): the fixture lexicon is synthetic, so the
+    # query must be derived from the corpus itself, exactly as a smoke
+    # query against an unknown corpus would be
+    terms = [
+        r.word
+        for r in docs.select(
+            F.explode(F.split(F.lower("full_text"), " +")).alias("word")
+        )
+        .groupBy("word")
+        .count()
+        .orderBy(F.desc("count"), "word")
+        .limit(2)
+        .collect()
+    ]
+    cands = bm25_topk(
+        docs, terms, id_col="doc_id", text_col="full_text", k=10
+    )
+    cand_toks = with_token_arrays(
+        docs.join(cands.select("doc_id"), "doc_id"),
+        p.codec_bc(),
+        max_tokens=cfg.max_tokens,
+    ).select(
+        F.col("doc_id").alias("cand_id"), F.col("tok_ids").alias("c_tok_ids")
+    )
+    query = with_token_arrays(
+        spark.createDataFrame(
+            [("q0", " ".join(terms))], "query_id string, full_text string"
+        ),
+        p.codec_bc(),
+        max_tokens=cfg.max_tokens,
+    ).select("query_id", F.col("tok_ids").alias("q_tok_ids"))
+    pairs = cand_toks.crossJoin(F.broadcast(query))
+    return rerank_pairs(pairs, p.weights_bc())
+
+
 # =========================================================================
 # Registry ordering: the driver's correctness gate hash-checks the FIRST
 # 50 insertion-order entries of ``queries()``. Definition order above is

@@ -176,3 +176,48 @@ def test_batched_scorer_matches_solo_scorer(spark):
     assert set(solo) == set(batched)
     for k in solo:
         np.testing.assert_allclose(batched[k], solo[k], rtol=0, atol=1e-6)
+
+
+def test_rerank_matches_local_numpy(spark):
+    """Cross-encoder rerank parity: the Spark mapInPandas path must be
+    bitwise-equal (float32) to the local joint-encode + segment-meanpool
+    cosine — and deterministic across repeated runs."""
+    from bran_spark.model.rerank import rerank_pairs
+
+    w = _weights()
+    wbc = spark.sparkContext.broadcast(w)
+    rng = np.random.default_rng(5)
+    q = rng.integers(2, 90, size=7).astype(np.int64)
+    cands = {
+        "c1": rng.integers(2, 90, size=23).astype(np.int64),
+        "c2": rng.integers(2, 90, size=61).astype(np.int64),
+        "c3": np.array([], dtype=np.int64),  # empty candidate -> score 0
+    }
+
+    def local(qi, ci):
+        if len(ci) == 0:
+            return np.float32(0.0)
+        enc = encode_one(np.concatenate([qi, ci]), w)
+        qv = enc[: len(qi)].mean(axis=0)
+        cv = enc[len(qi):].mean(axis=0)
+        return np.float32(float(qv @ cv) / float(np.linalg.norm(qv) * np.linalg.norm(cv)))
+
+    expect = {cid: local(q, ci) for cid, ci in cands.items()}
+    pairs = spark.createDataFrame(
+        [("q0", cid, q.tolist(), ci.tolist()) for cid, ci in cands.items()],
+        "query_id string, cand_id string, q_tok_ids array<int>, c_tok_ids array<int>",
+    )
+    runs = []
+    for _ in range(2):
+        got = {r.cand_id: r.rerank_score for r in rerank_pairs(pairs, wbc).collect()}
+        assert set(got) == set(expect)
+        for cid in expect:
+            # executors run pinned single-thread BLAS; this test process
+            # does not, so the local reference can differ in the last
+            # float32 bit (same tolerance rationale as the NER parity test)
+            np.testing.assert_allclose(
+                np.float32(got[cid]), expect[cid], rtol=0, atol=1e-6
+            )
+        runs.append(got)
+    assert runs[0] == runs[1]  # the Spark path itself is deterministic
+    assert got["c3"] == 0.0
