@@ -3,14 +3,15 @@ counterpart of the KG DAG (jobs/run_pipeline.py):
 
     quality filter → repetition filter → optional unigram-LM gate →
     exact dedup → near-dup survivor dedup (MinHash-LSH + connected
-    components) → stratified language sample → optional domain-mix
-    rebalance → curated parquet + one JSON stats line.
+    components) → optional benchmark decontamination → optional
+    duplicate-span masking → stratified language sample → optional
+    domain-mix rebalance → curated parquet + one JSON stats line.
 
     spark-submit --master local[8] --py-files dist/bran_spark.zip \
         jobs/run_curation.py --sf-dir /root/testdata/sf0.01 --out /tmp/curated
 
 Every stage is a registered, oracle-checked operator (q32, q52, q27,
-q29/q50/q74, q61); this job is the composed flow a user runs end-to-end.
+q29/q50/q74, q108, q109, q61); this job is the composed flow a user runs end-to-end.
 Funnel counters come from ONE aggregate per stage boundary over the lazily
 chained plan — no extra passes over the corpus.
 """
@@ -39,6 +40,17 @@ def main() -> None:
         "--min-logprob", type=float, default=None,
         help="unigram-LM gate: drop docs with mean ln p(word) below this "
              "(perplexity-proxy filter, operators/quality.unigram_logprob)",
+    )
+    ap.add_argument(
+        "--bench", default=None,
+        help="benchmark decontamination: parquet of (bench_id, btext) eval "
+             "prompts; docs sharing any 8-word n-gram with it are dropped "
+             "(operators/dedup.decontaminate)",
+    )
+    ap.add_argument(
+        "--mask-dup-spans", action="store_true",
+        help="rewrite surviving docs with corpus-duplicated 8-word windows "
+             "removed (operators/dedup.mask_duplicate_spans)",
     )
     ap.add_argument(
         "--mix", default=None,
@@ -101,6 +113,41 @@ def main() -> None:
     kept = dedup_corpus(kept, pairs)
     n_neardup = kept.count()
 
+    # 3b. optional benchmark decontamination (eval-leak drop)
+    n_decontam = None
+    if args.bench:
+        from bran_spark.operators.dedup import decontaminate
+
+        bench = spark.read.parquet(args.bench)
+        leaked = decontaminate(
+            kept, bench, "doc_id", "text", "bench_id", "btext", n=8
+        )
+        kept = kept.join(
+            leaked.select("doc_id"), "doc_id", "left_anti"
+        )
+        n_decontam = kept.count()
+
+    # 3c. optional duplicate-span masking (rewrites text; doc count
+    # unchanged — the funnel records how many docs were edited)
+    n_span_edited = None
+    if args.mask_dup_spans:
+        from bran_spark.operators.dedup import mask_duplicate_spans
+
+        masked = mask_duplicate_spans(kept, "doc_id", "text", n=8)
+        n_span_edited = masked.where(
+            F.col("n_kept") < F.col("n_words")
+        ).count()
+        kept = (
+            kept.drop("text")
+            .join(
+                masked.select(
+                    F.col("id").alias("doc_id"),
+                    F.col("clean_text").alias("text"),
+                ),
+                "doc_id",
+            )
+        )
+
     # 4. deterministic stratified sample
     rates = {"en": args.sample_en}
     kept = stratified_sample(kept, "lang", rates, default_rate=args.sample_rest)
@@ -131,6 +178,8 @@ def main() -> None:
                 **({"after_lm_gate": n_lm} if n_lm is not None else {}),
                 "after_exact_dedup": n_exact,
                 "after_neardup_dedup": n_neardup,
+                **({"after_decontam": n_decontam} if n_decontam is not None else {}),
+                **({"span_edited_docs": n_span_edited} if n_span_edited is not None else {}),
                 **({"after_mix": n_mix} if n_mix is not None else {}),
                 "curated_docs": n_out,
                 "wall_s": round(time.time() - t0, 3),

@@ -124,11 +124,26 @@ def test_curation_job_funnel(tmp_path, testdata_dir):
     import subprocess
     import sys
 
+    import duckdb as _ddb
+
+    # a tiny benchmark file: the 12-word prefix of every 41st doc (same
+    # deterministic derivation as q108) — guarantees the decontamination
+    # stage has real positives to drop
+    bench = str(tmp_path / "bench.parquet")
+    _ddb.sql(
+        f"""COPY (SELECT doc_id AS bench_id,
+                     array_to_string(list_slice(
+                       string_split_regex(trim(lower(text)), ' +'), 1, 12), ' ')
+                       AS btext
+              FROM '{testdata_dir}/documents.parquet'
+              WHERE doc_id % 41 = 0) TO '{bench}' (FORMAT PARQUET)"""
+    )
     out = str(tmp_path / "curated")
     r = subprocess.run(
         [sys.executable, "jobs/run_curation.py", "--sf-dir", testdata_dir,
          "--out", out, "--master", "local[4]",
          "--min-logprob", "-20.0",
+         "--bench", bench, "--mask-dup-spans",
          "--mix", "src0=0.25,src1=0.25,src2=0.25,src3=0.25",
          "--mix-total", "200"],
         capture_output=True, text=True, timeout=420,
@@ -140,8 +155,12 @@ def test_curation_job_funnel(tmp_path, testdata_dir):
         stats["input_docs"] >= stats["after_quality"]
         >= stats["after_lm_gate"]
         >= stats["after_exact_dedup"] >= stats["after_neardup_dedup"]
+        >= stats["after_decontam"]
         >= stats["after_mix"] == stats["curated_docs"] > 0
     )
+    # decontamination dropped at least the surviving bench-source docs
+    assert stats["after_decontam"] < stats["after_neardup_dedup"]
+    assert stats["span_edited_docs"] >= 0
     import duckdb
 
     n = duckdb.sql(f"SELECT COUNT(*) FROM '{out}/*.parquet'").fetchone()[0]
