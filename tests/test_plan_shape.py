@@ -219,3 +219,56 @@ def test_mix_rebalance_broadcasts_rates(spark, testdata_dir):
     plan = _plan(QUERIES["q98_mix_rebalance"](spark, testdata_dir))
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_decontaminate_broadcasts_bench_not_corpus(spark, testdata_dir):
+    """q108's scale contract: the benchmark shingle set is the BROADCAST
+    side of the contamination join — the corpus n-gram stream must never
+    be shuffled on the shingle key (an Exchange there is the 10^12-doc
+    scan being re-keyed on a string column)."""
+    from bran_spark.operators.dedup import decontaminate
+    from bran_spark.functions.text import words
+
+    docs = spark.read.parquet(f"{testdata_dir}/documents.parquet")
+    bench = docs.where(F.col("doc_id") % 41 == 0).select(
+        F.col("doc_id").alias("bench_id"),
+        F.array_join(F.slice(words("text"), 1, 12), " ").alias("btext"),
+    )
+    df = decontaminate(docs, bench, "doc_id", "text", "bench_id", "btext")
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    # no Python stage anywhere — pure JVM expressions
+    assert "EvalPython" not in plan
+
+
+def test_semantic_dedup_no_cartesian_and_no_python(spark, testdata_dir):
+    """q110: the pairwise sweep must stay an EQUI-join on the cell key — a
+    CartesianProduct there means the (N/k)^2-bounded design regressed to
+    N^2 global. BroadcastNestedLoopJoins DO appear and are correct: they
+    are kmeans_cells' centroid-argmin assignment, whose build side is the
+    k-row centroid table (the documented broadcast — same accepted shape
+    as q47); the vector-vs-vector join must not take that form."""
+    from bran_spark.operators.dedup import semantic_dedup
+
+    emb = spark.read.parquet(f"{testdata_dir}/embeddings.parquet")
+    plan = _plan(semantic_dedup(emb, tau=0.4, k=8, iters=2))
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan
+    # the intra-cell sweep: an equi-join keyed on cell with the id_a < id_b
+    # pair condition — present as a real (sort-merge or shuffled-hash) join
+    import re
+
+    assert re.search(r"(SortMergeJoin|ShuffledHashJoin) \[cell#\d+L?\]", plan), plan[:2000]
+
+
+def test_mask_duplicate_spans_single_window_key_shuffle(spark, testdata_dir):
+    """q109 stays pure-JVM (row-local array math, no UDF) and its only
+    corpus-keyed aggregation exchanges are on the window key and doc id —
+    no join writes the corpus twice."""
+    from bran_spark.operators.dedup import mask_duplicate_spans
+
+    docs = spark.read.parquet(f"{testdata_dir}/documents.parquet")
+    plan = _plan(mask_duplicate_spans(docs, "doc_id", "text"))
+    assert "EvalPython" not in plan
+    assert "CartesianProduct" not in plan
