@@ -528,17 +528,42 @@ def weighted_sssp(
     which is what makes a fixed-round oracle twin possible.
     """
     wedges = wedges.localCheckpoint(eager=True)
-    dist = seeds.select("u").distinct().withColumn(
-        "dist", F.lit(0).cast("long")
+    dist = (
+        seeds.select("u").distinct().withColumn("dist", F.lit(0).cast("long"))
+        .localCheckpoint(eager=True)
     )
+    # frontier-only relaxation (same exactness argument as bfs_distances:
+    # any path improving dist(v) at round i extends one that improved at
+    # round i-1, so relaxing ONLY last round's improved nodes computes the
+    # identical ≤k-edge minimum) — the relax join shrinks every round as
+    # the wavefront passes instead of rescanning all settled distances
+    frontier = dist
     for _ in range(iters):
-        relaxed = dist.join(wedges, "u").select(
-            F.col("v").alias("u"), (F.col("dist") + F.col("w")).cast("long").alias("dist")
-        )
-        dist = (
-            dist.unionByName(relaxed)
+        relaxed = (
+            frontier.join(wedges, "u")
+            .select(
+                F.col("v").alias("u"),
+                (F.col("dist") + F.col("w")).cast("long").alias("cand"),
+            )
             .groupBy("u")
-            .agg(F.min("dist").alias("dist"))
+            .agg(F.min("cand").alias("cand"))
+        )
+        merged = (
+            dist.join(relaxed, "u", "full")
+            .select(
+                "u",
+                # least() skips NULLs (only all-NULL yields NULL), so the
+                # full-outer join's missing side never wins spuriously
+                F.least("dist", "cand").alias("new_dist"),
+                (
+                    F.col("dist").isNull()
+                    | (F.col("cand") < F.col("dist"))
+                ).alias("_improved"),
+            )
             .localCheckpoint(eager=True)
         )
+        frontier = merged.where(
+            F.col("_improved") & F.col("new_dist").isNotNull()
+        ).select("u", F.col("new_dist").alias("dist"))
+        dist = merged.select("u", F.col("new_dist").alias("dist"))
     return dist.select(F.col("u").alias("entity"), "dist")
