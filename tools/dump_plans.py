@@ -50,9 +50,24 @@ NOTES = {
         "components loop; the final corpus anti-join builds on the small "
         "drop set."
     ),
+    "q108_decontaminate": (
+        "bench shingle set is the BROADCAST build side of the contamination "
+        "join; the corpus n-gram stream is never exchanged on the shingle "
+        "key — only the final per-doc partial-agg shuffles."
+    ),
+    "q110_semantic_dedup": (
+        "kmeans argmin = BroadcastNestedLoopJoin against the k-row centroid "
+        "table (legal broadcast); the pairwise cosine sweep is an equi-join "
+        "keyed on cell — no CartesianProduct anywhere."
+    ),
+    "q113_chunk_neardup_profile": (
+        "chunking is row-local (Generate, no exchange); the chunk-level "
+        "minhash reuses the banded (band, minhash) equi-join — corpus "
+        "fan-out multiplies rows, not shuffles."
+    ),
 }
 
-HEADER = """# PLANS — physical-plan audit of representative queries (round 2)
+HEADER = """# PLANS — physical-plan audit of representative queries (rounds 2-3)
 
 Formatted `explain` output captured at sf0.01 on local[8] for the queries a
 scale reviewer would audit first, each with the property that makes it hold
