@@ -50,17 +50,29 @@ def exact_dedup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 def _shingle_common_sizes(
     df: DataFrame, id_col: str, text_col: str, n: int, max_df: int,
-    shingler=shingles,
+    shingler=shingles, sample_mod: int | None = None,
 ):
     """Shared inverted-index scaffolding for the shingle-overlap family
     (Jaccard, containment): distinct-shingle explode, per-doc sizes, hot-
     shingle df-cut (broadcast-anti — see ngram_jaccard_pairs for the
     direction argument), and per-pair common counts with id_a < id_b.
-    Returns (common(id_a, id_b, common), sizes(id, n_sh))."""
+    Returns (common(id_a, id_b, common), sizes(id, n_sh)).
+
+    ``sample_mod=p`` keeps only shingles whose md5-derived coin ≡ 0 mod p
+    (Broder's mod-p shingle sketch): the inverted index, sizes, and common
+    counts all live in the SAME 1/p-sampled shingle subspace, so the
+    overlap ratios stay unbiased estimators while index build + join cost
+    drop by ~p×. This is the knob that keeps shingle-overlap feasible at
+    10^12 docs — exact indexing is for corpus slices, the sketch is the
+    corpus-wide path. The coin is content-keyed (md5 of the shingle), so
+    sampling is deterministic and engine-replayable."""
     sh = _even_parallelism(df).select(
         F.col(id_col).alias("id"),
         F.explode(F.array_distinct(shingler(text_col, n))).alias("shingle"),
     )
+    if sample_mod:
+        coin = F.conv(F.substring(F.md5("shingle"), 1, 8), 16, 10).cast("long")
+        sh = sh.where(coin % sample_mod == 0)
     sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
     hot = sh.groupBy("shingle").agg(F.count("*").alias("df")).where(
         F.col("df") > max_df
@@ -355,6 +367,7 @@ def containment_pairs(
     n: int = 8,
     min_containment: float = 0.6,
     max_df: int = 50,
+    sample_mod: int | None = None,
 ) -> DataFrame:
     """ASYMMETRIC near-dup: containment(A in B) = |sh(A) ∩ sh(B)| / |sh(A)|
     over distinct word n-gram shingles. Catches the subset-duplication that
@@ -368,7 +381,9 @@ def containment_pairs(
     row per unordered candidate pair with BOTH directions' scores,
     (id_a, id_b, containment_a, containment_b), id_a < id_b, kept when
     either direction clears the threshold."""
-    common, sizes = _shingle_common_sizes(df, id_col, text_col, n, max_df)
+    common, sizes = _shingle_common_sizes(
+        df, id_col, text_col, n, max_df, sample_mod=sample_mod
+    )
     sa = sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a"))
     sb = sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b"))
     return (

@@ -4302,6 +4302,52 @@ def rerank_fixture(spark, sf):
     return rerank_pairs(pairs, p.weights_bc())
 
 
+# integer value of the first 8 md5 hex digits of the shingle — the mod-p
+# sampling coin of the Broder shingle sketch (q114), engine-replayable
+_SHINGLE_COIN_SQL = "((strpos('0123456789abcdef', substr(md5(shingle), 1, 1)) - 1) * 268435456 + (strpos('0123456789abcdef', substr(md5(shingle), 2, 1)) - 1) * 16777216 + (strpos('0123456789abcdef', substr(md5(shingle), 3, 1)) - 1) * 1048576 + (strpos('0123456789abcdef', substr(md5(shingle), 4, 1)) - 1) * 65536 + (strpos('0123456789abcdef', substr(md5(shingle), 5, 1)) - 1) * 4096 + (strpos('0123456789abcdef', substr(md5(shingle), 6, 1)) - 1) * 256 + (strpos('0123456789abcdef', substr(md5(shingle), 7, 1)) - 1) * 16 + (strpos('0123456789abcdef', substr(md5(shingle), 8, 1)) - 1) * 1)"
+
+
+@_q(
+    "q114_containment_sampled",
+    f"""
+    WITH d AS (SELECT doc_id,
+                      string_split_regex(trim(lower(text)), ' +') AS ws
+               FROM documents),
+    sh0 AS (SELECT doc_id, unnest(list_distinct(list_transform(range(greatest(len(ws) - 3, 0) + 1), i -> array_to_string(list_slice(ws, i + 1, i + 3), ' ')))) AS shingle
+           FROM d),
+    sh AS (SELECT doc_id, shingle FROM sh0
+           WHERE {_SHINGLE_COIN_SQL} % 4 = 0),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+    kept AS (SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= 30),
+    shk AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN kept USING (shingle)),
+    common AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS common
+               FROM shk a JOIN shk b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+               GROUP BY a.doc_id, b.doc_id)
+    SELECT id_a, id_b,
+           ROUND(common / sa.n_sh, 6) AS containment_a,
+           ROUND(common / sb.n_sh, 6) AS containment_b
+    FROM common
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE common / sa.n_sh >= 0.4 OR common / sb.n_sh >= 0.4
+    """,
+)
+def q114(spark, sf):
+    """Mod-4 SAMPLED containment (Broder's shingle sketch over q95's exact
+    form): index, sizes, and overlap counts all live in the same
+    1/4-sampled shingle subspace — unbiased containment estimates at ~4×
+    lower index/join cost. Exact containment (q95) is the corpus-slice
+    tool; this sketch is the 10^12-doc corpus-wide path. The sampling coin
+    is md5-content-keyed, deterministic on both engines
+    (operators/dedup.containment_pairs sample_mod=4)."""
+    from bran_spark.operators.dedup import containment_pairs
+
+    return containment_pairs(
+        _t(spark, sf, "documents"), "doc_id", "text",
+        n=3, min_containment=0.4, max_df=30, sample_mod=4,
+    )
+
+
 # =========================================================================
 # Registry ordering: the driver's correctness gate hash-checks the FIRST
 # 50 insertion-order entries of ``queries()``. Definition order above is

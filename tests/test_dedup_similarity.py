@@ -402,3 +402,35 @@ def test_chunk_neardup_profile_cross_doc_only(spark):
         }
     assert got[1] == (2, 1) and got[2] == (2, 1)  # the shared first chunk
     assert got[3] == (2, 0)                        # all-unique doc untouched
+
+
+def test_containment_sample_mod_subspace_consistency(spark):
+    """Mod-p sampled containment: exact duplicates still score 1.0 in the
+    sampled subspace (every sampled shingle is shared), and the sampled
+    per-doc index is a strict subset of the exact one."""
+    from bran_spark.operators.dedup import containment_pairs, _shingle_common_sizes
+
+    # long docs so the 1/4 sample keeps several shingles per doc
+    base = " ".join(f"t{i}" for i in range(120))
+    df = spark.createDataFrame(
+        [(1, base), (2, base), (3, " ".join(f"z{i}" for i in range(120)))],
+        "doc_id long, text string",
+    )
+    pairs = {
+        (r.id_a, r.id_b): (r.containment_a, r.containment_b)
+        for r in containment_pairs(
+            df, "doc_id", "text", n=3, min_containment=0.4, max_df=10,
+            sample_mod=4,
+        ).collect()
+    }
+    assert pairs[(1, 2)] == (1.0, 1.0)
+    assert all(a == b == 1.0 for a, b in pairs.values())  # 3 is disjoint
+
+    _, exact_sizes = _shingle_common_sizes(df, "doc_id", "text", 3, 10)
+    _, samp_sizes = _shingle_common_sizes(
+        df, "doc_id", "text", 3, 10, sample_mod=4
+    )
+    ex = {r.id: r.n_sh for r in exact_sizes.collect()}
+    sm = {r.id: r.n_sh for r in samp_sizes.collect()}
+    for i in sm:
+        assert 0 < sm[i] < ex[i]
