@@ -467,9 +467,11 @@ def personalized_pagerank(
     rank'(v) = 1[v∈S]·(15·scale)//100 + (85·Σ_u rank(u) DIV deg(u))//100.
 
     ``seeds`` is a 1-column (u) frame and is BROADCAST — personalization
-    sets are user-query-sized, never corpus-sized. Nodes never reached
-    hold rank 0 and are dropped from the output, so the result is the
-    seed's neighborhood, not a |V|-sized table. Same scale notes as the
+    sets are user-query-sized, never corpus-sized. A seed with no edges in
+    ``sym`` is not a node of the graph and silently contributes nothing
+    (it cannot hold or spread mass). Nodes never reached hold rank 0 and
+    are dropped from the output, so the result is the seed's
+    neighborhood, not a |V|-sized table. Same scale notes as the
     global variant (integer overflow bound, one shuffle/iteration,
     localCheckpoint truncation; float production path = pagerank_float's
     shape with the seeded base).
