@@ -541,3 +541,61 @@ def semantic_dedup(
         .distinct()
     )
     return cells.join(dropped, "vec_id", "left_anti").select("vec_id", "cell")
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    window: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
+    SIGMOD 2003 — the MOSS algorithm): hash every word ``n``-gram, slide a
+    ``window`` of consecutive hashes, and select the minimum of each
+    window (rightmost occurrence on ties, per the paper's robust
+    winnowing). Guarantees: every ``window`` consecutive shingles
+    contribute at least one fingerprint (no gap longer than the window —
+    the local-coverage property total-min sampling like mod-p lacks), and
+    expected density is 2/(window+1) of all shingles. The selected
+    (position, hash) set is the standard local similarity fingerprint for
+    plagiarism/near-dup detection at sub-document granularity.
+
+    Scale shape: entirely row-local — word split, shingle hash, window
+    minima, and the per-doc de-dup of selections are array expressions
+    inside one projection; the operator adds ZERO shuffles to whatever
+    reads it. Hashes are md5-derived 32-bit ints (engine-portable).
+    Docs shorter than ``n`` words hash their single truncated shingle;
+    docs with fewer shingles than ``window`` emit their global minimum.
+    Returns (doc_id, pos, fp) with pos the 0-based shingle index.
+    """
+    win_of = lambda j: F.slice("h", j + 1, window)  # noqa: E731
+    wl = df.select(F.col(id_col).alias("doc_id"), words(text_col).alias("ws"))
+    hashed = wl.select(
+        "doc_id",
+        F.transform(
+            shingles_of_array("ws", n),
+            lambda s: F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long"),
+        ).alias("h"),
+    )
+    selected = hashed.select(
+        "doc_id",
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), F.greatest(F.size("h") - window, F.lit(0))),
+                lambda j: F.struct(
+                    (
+                        j
+                        + F.size(win_of(j))
+                        - F.array_position(
+                            F.reverse(win_of(j)), F.array_min(win_of(j))
+                        )
+                    ).cast("long").alias("pos"),
+                    F.array_min(win_of(j)).alias("fp"),
+                ),
+            )
+        ).alias("sel"),
+    )
+    return selected.select(
+        "doc_id", F.explode("sel").alias("s")
+    ).select("doc_id", F.col("s.pos").alias("pos"), F.col("s.fp").alias("fp"))

@@ -282,3 +282,90 @@ def contrastive_pairs(
         F.lit(0).alias("is_collision"),
     )
     return pos_out.unionByName(neg_flagged)
+
+
+def importance_resample(
+    raw: DataFrame,
+    target: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int,
+    hot_words: int = 1000,
+) -> DataFrame:
+    """DSIR-style importance resampling (Xie et al., NeurIPS 2023): select
+    the k raw-corpus documents that look most like a small in-domain
+    ``target`` corpus, weighting each doc by its unigram log-likelihood
+    ratio and drawing via deterministic Gumbel top-k.
+
+    Per word, lr(w) = ln p_t(w) − ln p_r(w) with Laplace-smoothed unigram
+    models over the UNION vocabulary (α=1), so target-unseen words get a
+    finite negative score instead of −inf; every raw token exists in the
+    raw model by construction, so the token→lr attach is an inner join
+    that loses nothing. Per doc, logratio = mean lr over its tokens; the
+    Gumbel key is logratio − ln(−ln(u)) with u the md5-uniform of
+    ``sample_key`` — the Gumbel-max trick makes top-k by key a sample
+    ∝ exp(logratio) without replacement, and md5 keeps it reproducible
+    and engine-replayable.
+
+    Scale shape: two word aggregates (map-side partial combine) + one
+    full-outer merge build the lr table, sized by the union vocabulary —
+    dimension-scale, never corpus-scale. The token→lr attach is
+    word-keyed and maximally Zipf-skewed, so like
+    quality.unigram_logprob the top ``hot_words`` raw-frequency words
+    ride a broadcast join and only the bounded tail takes the shuffle.
+    The draw itself is TakeOrderedAndProject (top-k, never a full sort).
+    Returns (doc_id, n_tok, logratio, resample_key), both floats rounded.
+    """
+    from bran_spark.functions.text import words
+
+    tok = raw.select(
+        F.col(id_col).alias("doc_id"), F.explode(words(text_col)).alias("w")
+    )
+    ttok = target.select(F.explode(words(text_col)).alias("w"))
+    rf = tok.groupBy("w").agg(F.count(F.lit(1)).cast("double").alias("c_r"))
+    tf = ttok.groupBy("w").agg(F.count(F.lit(1)).cast("double").alias("c_t"))
+    vocab = rf.join(tf, "w", "full_outer").select(
+        "w",
+        F.coalesce("c_r", F.lit(0.0)).alias("c_r"),
+        F.coalesce("c_t", F.lit(0.0)).alias("c_t"),
+    )
+    tots = vocab.agg(
+        F.count(F.lit(1)).cast("double").alias("v"),
+        F.sum("c_r").alias("tot_r"),
+        F.sum("c_t").alias("tot_t"),
+    )
+    lr = vocab.crossJoin(F.broadcast(tots)).select(
+        "w",
+        "c_r",
+        (
+            F.log((F.col("c_t") + 1) / (F.col("tot_t") + F.col("v")))
+            - F.log((F.col("c_r") + 1) / (F.col("tot_r") + F.col("v")))
+        ).alias("lr"),
+    )
+    hot = (
+        lr.orderBy(F.desc("c_r"), F.asc("w"))
+        .limit(hot_words)
+        .select("w", "lr")
+    )
+    tok_hot = tok.join(F.broadcast(hot), "w")
+    tok_cold = tok.join(F.broadcast(hot.select("w")), "w", "left_anti").join(
+        lr.select("w", "lr"), "w"
+    )
+    scored = (
+        tok_hot.unionByName(tok_cold)
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tok"),
+            F.round(F.avg("lr") + F.lit(1e-9), 6).alias("logratio"),
+        )
+    )
+    u = (sample_key("doc_id") + F.lit(1).cast("double")) / F.lit(
+        float(KEY_SPACE + 1)
+    )
+    return (
+        scored.withColumn(
+            "resample_key", F.round(F.col("logratio") - F.log(-F.log(u)), 6)
+        )
+        .orderBy(F.desc("resample_key"), F.asc("doc_id"))
+        .limit(k)
+    )

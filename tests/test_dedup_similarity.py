@@ -434,3 +434,33 @@ def test_containment_sample_mod_subspace_consistency(spark):
     sm = {r.id: r.n_sh for r in samp_sizes.collect()}
     for i in sm:
         assert 0 < sm[i] < ex[i]
+
+
+def test_winnow_fingerprints_coverage_guarantees(spark):
+    """Winnowing invariants (Schleimer et al. 2003): every window of 4
+    consecutive shingle hashes contributes >=1 selected position (no
+    coverage gap), a shared run >= window+n-1 words yields >=1 common
+    fingerprint value across docs, and a shorter-than-n doc still emits
+    its single truncated-shingle fingerprint."""
+    from bran_spark.operators.dedup import winnow_fingerprints
+
+    vocab = [f"w{(i * 7) % 23}" for i in range(40)]
+    doc_a = " ".join(vocab)
+    # doc_b embeds a 20-word span of doc_a inside unrelated words
+    span = " ".join(vocab[10:30])
+    doc_b = "x1 x2 x3 " + span + " y1 y2 y3"
+    df = spark.createDataFrame(
+        [(0, doc_a), (1, doc_b), (2, "solo")],
+        "doc_id long, text string",
+    )
+    rows = winnow_fingerprints(df, "doc_id", "text", n=3, window=4).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append((r.pos, r.fp))
+    pos_a = sorted(p for p, _ in by_doc[0])
+    n_sh = 40 - 3 + 1
+    for j in range(n_sh - 4 + 1):
+        assert any(j <= p <= j + 3 for p in pos_a), f"gap at window {j}"
+    # guaranteed common fingerprint on the shared 20-word run
+    assert {f for _, f in by_doc[0]} & {f for _, f in by_doc[1]}
+    assert by_doc[2] == [(0, by_doc[2][0][1])]  # single truncated shingle

@@ -416,3 +416,28 @@ def test_weighted_sssp_prefers_cheap_multi_hop_path(spark):
     # bounded-round contract: with 1 round only direct edges are relaxed
     one = {r.entity: r.dist for r in weighted_sssp(wedges, seeds, iters=1).collect()}
     assert one == {"a": 0, "b": 10, "c": 1}
+
+
+def test_adamic_adar_scores_and_cuts(spark):
+    """AA on a planted graph: two shared low-degree neighbors produce the
+    hand-computed 2/ln 2 score; adjacent pairs are excluded even with
+    enough common neighbors; wedge centers above the hub cap contribute
+    nothing."""
+    import math
+
+    from bran_spark.operators.graphalgo import adamic_adar, symmetric_edges
+
+    edges = [("z1", "a"), ("z1", "b"), ("z2", "a"), ("z2", "b"),
+             ("p", "q"), ("p", "c1"), ("q", "c1"), ("p", "c2"), ("q", "c2")]
+    # hub h connects f0..f5 — with max_hub_deg=5 its wedges must vanish
+    edges += [("h", f"f{i}") for i in range(6)]
+    sym = symmetric_edges(_edges(spark, edges))
+    out = {(r.u, r.v): (r.common, r.aa_score)
+           for r in adamic_adar(sym, max_hub_deg=5, min_common=2).collect()}
+    # deg(z1)=deg(z2)=2 -> score = 2/ln 2; (a,b) non-adjacent
+    assert out[("a", "b")][0] == 2
+    assert abs(out[("a", "b")][1] - 2 / math.log(2)) < 1e-5
+    # z1,z2 share neighbors a,b (deg 3 each: z1/z2 + p-side? no — deg(a)=2)
+    assert ("p", "q") not in out          # adjacent, despite common=2
+    assert all(not (u.startswith("f") and v.startswith("f"))
+               for u, v in out)           # hub wedges cut

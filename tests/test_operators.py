@@ -509,3 +509,36 @@ def test_alias_clusters_group_spelling_variants(spark):
     comps = {r.node: r.component for r in connected_components(verified).collect()}
     assert comps.get("M1") == comps.get("M2") == comps.get("M3") == "M1"
     assert "M4" not in comps and "M5" not in comps  # isolated, never enter edges
+
+
+def test_importance_resample_prefers_target_like_docs(spark):
+    """DSIR draw: docs sharing the target slice's vocabulary dominate the
+    top-k; smoothing keeps target-unseen words finite; the hot-word
+    broadcast split never changes results; deterministic across reruns."""
+    from bran_spark.operators.sampling import importance_resample
+
+    a_words = ["alpha", "beta", "gamma", "delta"]
+    b_words = ["omega", "sigma", "tau", "rho"]
+    rows = [
+        (i, " ".join(a_words[(i + j) % 4] for j in range(8)), "A")
+        for i in range(40)
+    ] + [
+        (i, " ".join(b_words[(i + j) % 4] for j in range(8)), "B")
+        for i in range(40, 80)
+    ]
+    raw = spark.createDataFrame(rows, "doc_id long, text string, dom string")
+    target = raw.where("dom = 'A'").where("doc_id < 10")
+    out = importance_resample(raw, target, "doc_id", "text", k=20).collect()
+    assert len(out) == 20
+    by_id = {r.doc_id: r for r in out}
+    # in-domain docs carry positive logratio, off-domain strongly negative
+    for r in out:
+        assert (r.logratio > 0) == (r.doc_id < 40)
+    n_a = sum(1 for d in by_id if d < 40)
+    assert n_a >= 14  # Gumbel noise may admit a few off-domain draws
+    again = importance_resample(raw, target, "doc_id", "text", k=20).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+    no_hot = importance_resample(
+        raw, target, "doc_id", "text", k=20, hot_words=0
+    ).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, no_hot))
