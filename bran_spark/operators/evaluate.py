@@ -155,3 +155,39 @@ def bootstrap_prf(
         F.round(r, 6).alias("recall"),
         F.round(f1, 6).alias("f1"),
     )
+
+
+def confusion_by(
+    predicted: DataFrame, gold: DataFrame, slice_col: str
+) -> DataFrame:
+    """Sliced evaluation: micro P/R/F1 per value of ``slice_col`` (one of
+    the eval key columns, e.g. the chemical entity) — the per-entity /
+    per-slice error breakdown that tells a KG builder WHICH entities the
+    extractor fails on, where the corpus-level micro numbers (confusion)
+    hide exactly that. Macro-averages are a trivial aggregate over the
+    returned table.
+
+    Same single union+marker shape as ``confusion``: one shuffle keyed by
+    the eval keys builds the per-key cells (deduping both sides in the
+    same pass), then a second aggregate — keyed by the slice, whose
+    cardinality is dimension-scale — folds cells into slices. Returns
+    (slice, tp, fp, fn, precision, recall, f1)."""
+    if slice_col not in KEYS:
+        raise ValueError(f"slice_col must be one of {KEYS}")
+    marked = predicted.select(
+        *KEYS, F.lit(1).alias("_p"), F.lit(0).alias("_g")
+    ).unionByName(gold.select(*KEYS, F.lit(0).alias("_p"), F.lit(1).alias("_g")))
+    cells = marked.groupBy(*KEYS).agg(
+        F.max("_p").alias("p"), F.max("_g").alias("g")
+    )
+    per = cells.groupBy(F.col(slice_col).alias("slice")).agg(
+        F.sum(F.col("p") * F.col("g")).cast("long").alias("tp"),
+        F.sum(F.col("p") * (1 - F.col("g"))).cast("long").alias("fp"),
+        F.sum((1 - F.col("p")) * F.col("g")).cast("long").alias("fn"),
+    )
+    return per.selectExpr(
+        "slice", "tp", "fp", "fn",
+        "CAST(CASE WHEN tp+fp = 0 THEN 0.0 ELSE tp/(tp+fp) END AS DOUBLE) AS precision",
+        "CAST(CASE WHEN tp+fn = 0 THEN 0.0 ELSE tp/(tp+fn) END AS DOUBLE) AS recall",
+        "CAST(CASE WHEN 2*tp+fp+fn = 0 THEN 0.0 ELSE 2.0*tp/(2*tp+fp+fn) END AS DOUBLE) AS f1",
+    )

@@ -612,3 +612,48 @@ def adamic_adar(
     )
     edges = sym.where(F.col("u") < F.col("v"))
     return cand.join(edges, ["u", "v"], "left_anti")
+
+
+def cycle_residue(edges: DataFrame, max_rounds: int = 8) -> DataFrame:
+    """Cycle detection for ontology/hierarchy validation: iteratively trim
+    edges whose source has no incoming edge or whose target has no
+    outgoing edge (the forward+backward trim step of SCC algorithms).
+    A DAG trims to EMPTY; anything left is entangled in cycles (nodes on
+    a cycle, or on a path connecting two cycles). The data-contract gate
+    a KG runs before trusting a hierarchy for closure/hypernym filtering
+    — ancestor_closure on a cyclic input silently double-counts.
+
+    Each round: two distinct-projections of the shrinking edge list +
+    two semi-joins; lineage truncated per round. Converges in ~longest
+    acyclic tail length rounds; like kcore, a bounded-round partial trim
+    is never returned — raise instead. Returns distinct entangled nodes
+    (node); empty ⟺ the input is a DAG."""
+    e = edges.select("u", "v").distinct().localCheckpoint(eager=True)
+    prev = None
+    converged = False
+    for _ in range(max_rounds):
+        sources = e.select("u").distinct()
+        targets = e.select(F.col("v").alias("u")).distinct()
+        e = (
+            e.join(targets, "u", "left_semi")  # u has an incoming edge
+            .join(
+                sources.withColumnRenamed("u", "v"), "v", "left_semi"
+            )  # v has an outgoing edge
+            .select("u", "v")
+            .localCheckpoint(eager=True)
+        )
+        n = e.count()
+        if n == prev:
+            converged = True
+            break
+        prev = n
+    if not converged:
+        raise RuntimeError(
+            f"cycle_residue did not converge in {max_rounds} rounds; "
+            f"raise max_rounds (long acyclic tails trim one layer/round)"
+        )
+    return (
+        e.select(F.col("u").alias("node"))
+        .union(e.select(F.col("v").alias("node")))
+        .distinct()
+    )

@@ -441,3 +441,20 @@ def test_adamic_adar_scores_and_cuts(spark):
     assert ("p", "q") not in out          # adjacent, despite common=2
     assert all(not (u.startswith("f") and v.startswith("f"))
                for u, v in out)           # hub wedges cut
+
+
+def test_cycle_residue_trims_dag_keeps_cycles(spark):
+    """A DAG trims to empty; a 2-cycle with an acyclic tail leaves exactly
+    the cycle nodes; a path CONNECTING two cycles survives with them."""
+    from bran_spark.operators.graphalgo import cycle_residue
+
+    def run(edges):
+        df = spark.createDataFrame(edges, "u string, v string")
+        return {r.node for r in cycle_residue(df, max_rounds=8).collect()}
+
+    assert run([("a", "b"), ("b", "c"), ("a", "c"), ("c", "d")]) == set()
+    assert run([("t1", "x"), ("t2", "t1"), ("x", "y"), ("y", "x"),
+                ("y", "z")]) == {"x", "y"}
+    # cycle1 (a,b) -> bridge m -> cycle2 (c,d): bridge is entangled
+    assert run([("a", "b"), ("b", "a"), ("b", "m"), ("m", "c"),
+                ("c", "d"), ("d", "c")]) == {"a", "b", "m", "c", "d"}

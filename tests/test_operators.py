@@ -542,3 +542,26 @@ def test_importance_resample_prefers_target_like_docs(spark):
         raw, target, "doc_id", "text", k=20, hot_words=0
     ).collect()
     assert sorted(map(tuple, out)) == sorted(map(tuple, no_hot))
+
+
+def test_confusion_by_slices_sum_to_global(spark):
+    """Per-slice cells: hand-checked P/R/F1 per chemical, and the slice
+    tp/fp/fn totals reproduce the global confusion() micro numbers."""
+    from bran_spark.operators.evaluate import confusion, confusion_by
+
+    pred = spark.createDataFrame(
+        [(1, "C1", "D1"), (1, "C1", "D2"), (1, "C2", "D1"), (2, "C1", "D1")],
+        "doc_id long, chem_mesh string, dis_mesh string",
+    )
+    gold = spark.createDataFrame(
+        [(1, "C1", "D1"), (1, "C2", "D2"), (2, "C1", "D1"), (2, "C2", "D1")],
+        "doc_id long, chem_mesh string, dis_mesh string",
+    )
+    per = {r.slice: r for r in confusion_by(pred, gold, "chem_mesh").collect()}
+    assert (per["C1"].tp, per["C1"].fp, per["C1"].fn) == (2, 1, 0)
+    assert (per["C2"].tp, per["C2"].fp, per["C2"].fn) == (0, 1, 2)
+    assert per["C1"].precision == 2 / 3 and per["C1"].recall == 1.0
+    g = confusion(pred, gold).head()
+    assert (sum(r.tp for r in per.values()),
+            sum(r.fp for r in per.values()),
+            sum(r.fn for r in per.values())) == (g.tp, g.fp, g.fn)
