@@ -105,3 +105,126 @@ def unigram_logprob(
             ).alias("logprob"),
         )
     )
+
+
+def mix_divergence(
+    a: DataFrame, b: DataFrame, group_col: str, alpha: float = 0.5
+) -> DataFrame:
+    """Domain-mix drift between two corpus snapshots: per-group smoothed
+    shares plus pointwise KL and Jensen-Shannon terms — the monitor a
+    pretraining pipeline runs when a new crawl lands (did the source /
+    language / domain mixture move?). Totals are SUM over the returned
+    dimension-scale table: KL(a‖b) = Σ kl_ab_term, JS = Σ js_term.
+
+    Additive-α smoothing over the UNION group set keeps every term
+    finite when a group exists in only one snapshot (exactly the case
+    drift detection is for). Scale shape: two group-count aggregates
+    (map-side combined), a full-outer merge of two dimension-scale
+    tables, and one 1-row totals broadcast — the corpora are each
+    scanned once, nothing corpus-scale shuffles. Returns
+    (g, p_a, p_b, kl_ab_term, kl_ba_term, js_term), rounded 6dp."""
+    ca = a.groupBy(F.col(group_col).alias("g")).agg(
+        F.count(F.lit(1)).cast("double").alias("n_a")
+    )
+    cb = b.groupBy(F.col(group_col).alias("g")).agg(
+        F.count(F.lit(1)).cast("double").alias("n_b")
+    )
+    merged = ca.join(cb, "g", "full_outer").select(
+        "g",
+        F.coalesce("n_a", F.lit(0.0)).alias("n_a"),
+        F.coalesce("n_b", F.lit(0.0)).alias("n_b"),
+    )
+    tots = merged.agg(
+        F.count(F.lit(1)).cast("double").alias("k"),
+        F.sum("n_a").alias("tot_a"),
+        F.sum("n_b").alias("tot_b"),
+    )
+    al = F.lit(float(alpha))
+    p = (F.col("n_a") + al) / (F.col("tot_a") + al * F.col("k"))
+    q = (F.col("n_b") + al) / (F.col("tot_b") + al * F.col("k"))
+    m = (p + q) / 2
+    return merged.crossJoin(F.broadcast(tots)).select(
+        "g",
+        F.round(p, 6).alias("p_a"),
+        F.round(q, 6).alias("p_b"),
+        F.round(p * F.log(p / q) + F.lit(1e-9), 6).alias("kl_ab_term"),
+        F.round(q * F.log(q / p) + F.lit(1e-9), 6).alias("kl_ba_term"),
+        F.round(
+            (p * F.log(p / m) + q * F.log(q / m)) / 2 + F.lit(1e-9), 6
+        ).alias("js_term"),
+    )
+
+
+def bigram_logprob(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    alpha: float = 0.1,
+    hot_bigrams: int = 1000,
+) -> DataFrame:
+    """Bigram-LM quality score: mean ln p(w₂|w₁) per document under the
+    corpus's own add-α bigram model, p(w₂|w₁) = (c(w₁w₂)+α)/(c(w₁·)+α·V)
+    — the next step up from the unigram perplexity proxy
+    (``unigram_logprob``), in the spirit of CCNet's LM-based quality
+    bucketing (Wenzek et al. 2020): repetitive or shuffled-word docs
+    score low even when their unigram mix looks normal.
+
+    Scale shape: c(w₁w₂) and c(w₁·) are both aggregates with map-side
+    combine; the conditional-probability table is assembled by joining
+    the two DIMENSION-scale count tables on w₁ (never the token stream
+    on the Zipf-skewed first word). The corpus bigram stream then joins
+    the probability table once on the composite (w₁,w₂) key — far flatter
+    than any single-word key — with the top ``hot_bigrams`` entries split
+    onto a broadcast join exactly like unigram_logprob's hot path.
+    Docs with fewer than 2 words have no bigram and are excluded (same
+    contract as repetition_stats). Returns (doc_id, n_bigram, logprob)."""
+    wl = df.select(F.col(id_col).alias("doc_id"), words(text_col).alias("ws"))
+    big = wl.where(F.size("ws") >= 2).select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("ws") - 2),
+                lambda i: F.struct(
+                    F.element_at("ws", i + 1).alias("w1"),
+                    F.element_at("ws", i + 2).alias("w2"),
+                ),
+            )
+        ).alias("b"),
+    ).select("doc_id", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
+    c12 = big.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).cast("double").alias("c12")
+    )
+    c1 = c12.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    vocab_n = df.select(
+        F.explode(words(text_col)).alias("w")
+    ).agg(F.countDistinct("w").cast("double").alias("v"))
+    probs = (
+        c12.join(c1, "w1")
+        .crossJoin(F.broadcast(vocab_n))
+        .select(
+            "w1",
+            "w2",
+            "c12",
+            F.log(
+                (F.col("c12") + F.lit(float(alpha)))
+                / (F.col("c1") + F.lit(float(alpha)) * F.col("v"))
+            ).alias("lp"),
+        )
+    )
+    hot = (
+        probs.orderBy(F.desc("c12"), F.asc("w1"), F.asc("w2"))
+        .limit(hot_bigrams)
+        .select("w1", "w2", "lp")
+    )
+    big_hot = big.join(F.broadcast(hot), ["w1", "w2"])
+    big_cold = big.join(
+        F.broadcast(hot.select("w1", "w2")), ["w1", "w2"], "left_anti"
+    ).join(probs.select("w1", "w2", "lp"), ["w1", "w2"])
+    return (
+        big_hot.unionByName(big_cold)
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bigram"),
+            F.round(F.avg("lp") + F.lit(1e-9), 6).alias("logprob"),
+        )
+    )

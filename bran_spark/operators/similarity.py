@@ -692,3 +692,80 @@ def ivf_pq_topk(
         candidates=cand,
     )
     return adc.orderBy(F.asc("approx_dist"), F.asc("vec_id")).limit(k)
+
+
+def embedding_outliers(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    z_cut: float = 3.0,
+) -> DataFrame:
+    """Embedding-store hygiene: flag corrupt / degenerate vectors by
+    z-scoring (a) the L2 norm and (b) the distance to the global centroid
+    — the two cheapest detectors for zeroed, clipped, duplicated-constant
+    or wrong-scale vectors before they poison ANN indexes and semantic
+    dedup. A vector is flagged when either |z| exceeds ``z_cut``.
+
+    Scale shape: pass 1 computes the d-dimensional centroid and the norm
+    moments in ONE partial aggregate (posexplode-free: element-wise
+    F.aggregate per row, then avg/stddev_pop over scalars + an
+    array-mean via per-dimension avg on the posexploded pairs, which
+    map-side combines to d rows); the centroid and moments — O(d) values
+    — broadcast back for pass 2's pure projection. Nothing corpus-scale
+    shuffles; the output is row-per-vector. Rounding to 6dp before the
+    cut keeps the flag engine-stable. Returns
+    (vec_id, norm_z, dist_z, is_outlier)."""
+    v = emb.select(
+        F.col(id_col).alias("vec_id"), _as_double(F.col(vec_col)).alias("v")
+    )
+    cent = (
+        v.select(F.posexplode("v").alias("dim", "x"))
+        .groupBy("dim")
+        .agg(F.avg("x").alias("c"))
+        .groupBy()
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("dim", "c"))
+            ).alias("cs")
+        )
+        .select(F.transform("cs", lambda s: s["c"]).alias("centroid"))
+    )
+    with_norm = v.crossJoin(F.broadcast(cent)).select(
+        "vec_id",
+        norm(F.col("v")).alias("nrm"),
+        F.sqrt(
+            F.aggregate(
+                F.zip_with("v", "centroid", lambda x, c: (x - c) * (x - c)),
+                F.lit(0.0),
+                lambda s, x: s + x,
+            )
+        ).alias("dist"),
+    )
+    moments = with_norm.agg(
+        F.avg("nrm").alias("mu_n"),
+        F.stddev_pop("nrm").alias("sd_n"),
+        F.avg("dist").alias("mu_d"),
+        F.stddev_pop("dist").alias("sd_d"),
+    )
+    scored = with_norm.crossJoin(F.broadcast(moments)).select(
+        "vec_id",
+        F.round(
+            (F.col("nrm") - F.col("mu_n"))
+            / F.greatest(F.col("sd_n"), F.lit(1e-12))
+            + F.lit(1e-9),
+            6,
+        ).alias("norm_z"),
+        F.round(
+            (F.col("dist") - F.col("mu_d"))
+            / F.greatest(F.col("sd_d"), F.lit(1e-12))
+            + F.lit(1e-9),
+            6,
+        ).alias("dist_z"),
+    )
+    return scored.withColumn(
+        "is_outlier",
+        (
+            (F.abs("norm_z") > F.lit(float(z_cut)))
+            | (F.abs("dist_z") > F.lit(float(z_cut)))
+        ).cast("int"),
+    )

@@ -464,3 +464,24 @@ def test_winnow_fingerprints_coverage_guarantees(spark):
     # guaranteed common fingerprint on the shared 20-word run
     assert {f for _, f in by_doc[0]} & {f for _, f in by_doc[1]}
     assert by_doc[2] == [(0, by_doc[2][0][1])]  # single truncated shingle
+
+
+def test_embedding_outliers_flags_planted_corrupt_vector(spark):
+    """A wrong-scale vector and a far-from-centroid vector are flagged at
+    |z|>3 among tight inliers; degenerate zero-variance inputs stay
+    finite (no NaN/inf) thanks to the sd floor."""
+    from bran_spark.operators.similarity import embedding_outliers
+
+    base = [[1.0 + 0.01 * ((i * 7 + j) % 5) for j in range(8)]
+            for i in range(60)]
+    rows = [(i, base[i]) for i in range(60)]
+    rows.append((100, [50.0] * 8))               # wrong scale -> huge norm
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {r.vec_id: r for r in embedding_outliers(df).collect()}
+    assert out[100].is_outlier == 1
+    assert sum(r.is_outlier for r in out.values()) <= 3   # inliers stay in
+    const = spark.createDataFrame(
+        [(i, [1.0] * 4) for i in range(10)], "vec_id long, embedding array<double>"
+    )
+    cz = embedding_outliers(const).collect()
+    assert all(abs(r.norm_z) < 1e6 and abs(r.dist_z) < 1e6 for r in cz)

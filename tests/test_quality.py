@@ -22,3 +22,48 @@ def test_repetition_stats_values(spark):
     assert rows[2]["top_bigram_frac"] == 0.5        # all bigrams unique: 1 of 2
     assert rows[4]["dup_word_frac"] == 0.75         # 1 - 1/4
     assert rows[4]["top_bigram_frac"] == 1.0        # "w w" is every bigram
+
+
+def test_mix_divergence_zero_on_identical_and_finite_on_missing(spark):
+    """KL/JS terms sum to ~0 for identical mixes, strictly positive under
+    drift, and stay finite when a group exists in only one snapshot."""
+    from bran_spark.operators.quality import mix_divergence
+
+    a = spark.createDataFrame(
+        [(i, ["s0", "s1"][i % 2]) for i in range(100)], "doc_id long, g string"
+    )
+    same = mix_divergence(a, a, "g").collect()
+    assert abs(sum(r.kl_ab_term for r in same)) < 1e-4
+    assert abs(sum(r.js_term for r in same)) < 1e-4
+
+    b = spark.createDataFrame(
+        [(i, ["s0", "s2"][i % 4 == 0 and 1 or 0]) for i in range(100)],
+        "doc_id long, g string",
+    )
+    drift = mix_divergence(a, b, "g").collect()
+    gs = {r.g: r for r in drift}
+    assert set(gs) == {"s0", "s1", "s2"}          # union of groups
+    assert all(abs(r.kl_ab_term) < 1e6 for r in drift)   # finite
+    assert sum(r.js_term for r in drift) > 0.01   # real drift registers
+
+
+def test_bigram_logprob_ranks_predictable_text_higher(spark):
+    """A doc of corpus-frequent bigrams outscores one whose words are
+    corpus-frequent but whose TRANSITIONS are rare (the case unigram
+    scoring cannot separate); <2-word docs are excluded; the hot-bigram
+    broadcast split never changes results."""
+    from bran_spark.operators.quality import bigram_logprob
+
+    common = "the cat sat on the mat"
+    rows = [(i, common) for i in range(20)]
+    rows.append((100, "the cat sat on the mat"))      # frequent transitions
+    rows.append((101, "mat the on sat cat the"))      # same words, rare ones
+    rows.append((102, "solo"))                        # no bigram
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in bigram_logprob(df, "doc_id", "text").collect()}
+    assert 102 not in out
+    assert out[100].logprob > out[101].logprob
+    no_hot = {r.doc_id: r for r in
+              bigram_logprob(df, "doc_id", "text", hot_bigrams=0).collect()}
+    assert {k: (v.n_bigram, v.logprob) for k, v in out.items()} == \
+           {k: (v.n_bigram, v.logprob) for k, v in no_hot.items()}
