@@ -224,3 +224,84 @@ def keyword_contexts(
             F.col("c.context").alias("context"),
         )
     )
+
+
+def countmin_heavy_hitters(
+    df,
+    id_col: str,
+    text_col: str,
+    width: int = 256,
+    depth: int = 4,
+    k: int = 20,
+):
+    """Count-min sketch audit over the corpus word stream (Cormode &
+    Muthukrishnan 2005): the sketch is the depth×width cell-count table —
+    the fixed-size structure that replaces an unbounded word-count
+    aggregate at 10^12 tokens — and the output compares the exact top-k
+    words' true counts with their CMS estimates (min over depth rows of
+    the word's cells). CMS guarantees est ≥ exact, with overestimate
+    ≤ εN (ε = e/width) w.p. 1-δ (δ = e^-depth); emitting both sides
+    makes the error bound auditable instead of asserted.
+
+    Scale shape: the token stream expands ×depth into cells and
+    aggregates STRAIGHT to the (row, col) table — depth·width rows,
+    independent of corpus size (this map-side-combining aggregate is the
+    whole point of the sketch). The exact top-k is a second aggregate +
+    TakeOrdered (kept here to audit the sketch; a pure production path
+    drops it). The tiny sketch broadcasts back to score the k words.
+    Hashes are md5 coins on (row, word) — engine-replayable. Returns
+    (w, exact, est)."""
+    from pyspark.sql import functions as F
+
+    tok = df.select(F.explode(words(text_col)).alias("w"))
+
+    def cell(row):
+        return (
+            F.conv(
+                F.substring(F.md5(F.concat_ws("|", F.lit(row), F.col("w"))), 1, 8),
+                16,
+                10,
+            ).cast("long")
+            % width
+        )
+
+    cells = tok.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).cast("long").alias("row"), cell(r).alias("col")
+                    )
+                    for r in range(depth)
+                ]
+            )
+        ).alias("c")
+    ).select(F.col("c.row").alias("row"), F.col("c.col").alias("col"))
+    sketch = cells.groupBy("row", "col").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    exact = (
+        tok.groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("exact"))
+        .orderBy(F.desc("exact"), F.asc("w"))
+        .limit(k)
+    )
+    probes = exact.select(
+        "w",
+        "exact",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).cast("long").alias("row"), cell(r).alias("col")
+                    )
+                    for r in range(depth)
+                ]
+            )
+        ).alias("c"),
+    ).select("w", "exact", F.col("c.row").alias("row"), F.col("c.col").alias("col"))
+    return (
+        probes.join(F.broadcast(sketch), ["row", "col"])
+        .groupBy("w", "exact")
+        .agg(F.min("cnt").alias("est"))
+    )

@@ -568,34 +568,89 @@ def winnow_fingerprints(
     Docs shorter than ``n`` words hash their single truncated shingle;
     docs with fewer shingles than ``window`` emit their global minimum.
     Returns (doc_id, pos, fp) with pos the 0-based shingle index.
+
+    Expression shape matters here: the hash array and each window slice
+    are bound ONCE as lambda variables (the 1-element-array transform
+    trick) before any reuse. Left as plain column aliases, Catalyst's
+    projection collapse inlines the md5-hash transform into every
+    reference site inside the window lambda, where it is re-evaluated
+    per window element — an O(len²·window) blowup that turned this
+    row-local operator into the slowest query in the registry.
     """
-    win_of = lambda j: F.slice("h", j + 1, window)  # noqa: E731
-    wl = df.select(F.col(id_col).alias("doc_id"), words(text_col).alias("ws"))
-    hashed = wl.select(
-        "doc_id",
-        F.transform(
-            shingles_of_array("ws", n),
-            lambda s: F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long"),
-        ).alias("h"),
+    hash_arr = F.transform(
+        shingles_of_array("ws", n),
+        lambda s: F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long"),
     )
-    selected = hashed.select(
-        "doc_id",
-        F.array_distinct(
+
+    def per_window(h, j):
+        # bind the window slice once; all four uses are cheap value refs
+        return F.transform(
+            F.array(F.slice(h, j + 1, window)),
+            lambda win: F.struct(
+                (
+                    j
+                    + F.size(win)
+                    - F.array_position(F.reverse(win), F.array_min(win))
+                ).cast("long").alias("pos"),
+                F.array_min(win).alias("fp"),
+            ),
+        )[0]
+
+    sel = F.transform(
+        F.array(hash_arr),  # bind the hash array once
+        lambda h: F.array_distinct(
             F.transform(
-                F.sequence(F.lit(0), F.greatest(F.size("h") - window, F.lit(0))),
-                lambda j: F.struct(
-                    (
-                        j
-                        + F.size(win_of(j))
-                        - F.array_position(
-                            F.reverse(win_of(j)), F.array_min(win_of(j))
-                        )
-                    ).cast("long").alias("pos"),
-                    F.array_min(win_of(j)).alias("fp"),
-                ),
+                F.sequence(F.lit(0), F.greatest(F.size(h) - window, F.lit(0))),
+                lambda j: per_window(h, j),
             )
-        ).alias("sel"),
+        ),
+    )[0]
+    wl = df.select(F.col(id_col).alias("doc_id"), words(text_col).alias("ws"))
+    return wl.select("doc_id", F.explode(sel).alias("s")).select(
+        "doc_id", F.col("s.pos").alias("pos"), F.col("s.fp").alias("fp")
     )
-    return selected.select(
-        "doc_id", F.explode("sel").alias("s")
-    ).select("doc_id", F.col("s.pos").alias("pos"), F.col("s.fp").alias("fp"))
+
+
+def winnow_overlap_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    window: int = 4,
+    min_shared: int = 3,
+    max_df: int = 30,
+) -> DataFrame:
+    """MOSS-style local-overlap candidates: document pairs sharing at
+    least ``min_shared`` distinct winnowing fingerprints — the
+    sub-document plagiarism/copy signal. Where Jaccard/MinHash compare
+    WHOLE-document shingle sets, shared winnowed fingerprints localize:
+    any copied run ≥ window+n-1 words is guaranteed to contribute a
+    shared fingerprint, however small a fraction of either doc it is.
+
+    Scale shape: the fingerprint index is ≈ 2/(window+1) the size of the
+    full shingle index (winnowing IS the sampling), and the pair join
+    reuses the inverted-index discipline of the shingle family: hot
+    fingerprints (df > ``max_df``) are broadcast-anti-cut before the
+    equi-self-join, so no quadratic hot-key blowup exists. Returns
+    (id_a, id_b, shared) with id_a < id_b.
+    """
+    fp = (
+        winnow_fingerprints(df, id_col, text_col, n, window)
+        .select(F.col("doc_id").alias("id"), "fp")
+        .distinct()
+    )
+    hot = (
+        fp.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") > max_df)
+    )
+    kept = fp.join(F.broadcast(hot.select("fp")), "fp", "left_anti")
+    a = kept.select(F.col("id").alias("id_a"), "fp")
+    b = kept.select(F.col("id").alias("id_b"), "fp")
+    return (
+        a.join(b, "fp")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("shared"))
+        .where(F.col("shared") >= min_shared)
+    )

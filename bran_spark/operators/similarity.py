@@ -769,3 +769,69 @@ def embedding_outliers(
             | (F.abs("dist_z") > F.lit(float(z_cut)))
         ).cast("int"),
     )
+
+
+def jl_project(
+    emb: DataFrame,
+    in_dims: int,
+    out_dims: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Johnson-Lindenstrauss random projection, ±1 (Achlioptas 2003)
+    variant: y_o = (1/√k) Σ_d v_d·sign(d,o) with the sign drawn from an
+    md5 coin on (d,o) — the dimensionality-reduction sketch run before
+    LSH/clustering when the store's native d is wasteful. No matrix is
+    stored ANYWHERE: the d×k ±1 matrix is regenerated from the hash on
+    both engines, so the sketch is reproducible across reruns, engines
+    and partitionings (the property a 10^12-row store needs when the
+    projection must be recomputed incrementally for new arrivals).
+
+    Scale shape: the generated matrix is d×k rows — tiny, broadcast;
+    projection = posexplode of the vector joined to it (the explicit
+    d×k multiply-add any dense projection costs) + one (vec, o)
+    aggregate with map-side combine. Emits EXPLODED rows
+    (vec_id, o, val) — scalar columns, rounded 6dp."""
+    spark = emb.sparkSession
+    mat = spark.range(in_dims * out_dims).select(
+        (F.col("id") / out_dims).cast("long").alias("dim"),
+        (F.col("id") % out_dims).alias("o"),
+        (
+            1
+            - 2
+            * (
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat_ws(
+                                "|",
+                                (F.col("id") / out_dims).cast("long"),
+                                F.col("id") % out_dims,
+                            )
+                        ),
+                        1,
+                        8,
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+                % 2
+            )
+        ).alias("sgn"),
+    )
+    ex = emb.select(
+        F.col(id_col).alias("vec_id"),
+        F.posexplode(_as_double(F.col(vec_col))).alias("dim", "x"),
+    )
+    return (
+        ex.join(F.broadcast(mat), "dim")
+        .groupBy("vec_id", "o")
+        .agg(
+            F.round(
+                F.sum(F.col("x") * F.col("sgn"))
+                / F.sqrt(F.lit(float(out_dims)))
+                + F.lit(1e-9),
+                6,
+            ).alias("val")
+        )
+    )

@@ -4404,12 +4404,10 @@ _MD5INT8 = "(" + " + ".join(
 _WINNOW_WIN = "list_slice(h, j + 1, j + 4)"
 
 
-@_q(
-    "q116_winnow_fingerprints",
-    f"""
-    WITH d AS (SELECT doc_id,
-                      string_split_regex(trim(lower(text)), ' +') AS ws
-               FROM documents),
+_WINNOW_CTES = f"""
+    d AS (SELECT doc_id,
+                 string_split_regex(trim(lower(text)), ' +') AS ws
+          FROM documents),
     s AS (SELECT doc_id, {_SHINGLE_SQL.format(n=3)} AS sh FROM d),
     hh AS (SELECT doc_id,
                   list_transform(sh, s -> {_MD5INT8.format(x="s")}) AS h
@@ -4421,11 +4419,15 @@ _WINNOW_WIN = "list_slice(h, j + 1, j + 4)"
                                      - list_position(list_reverse({_WINNOW_WIN}),
                                                      list_min({_WINNOW_WIN})),
                              'fp': list_min({_WINNOW_WIN})}})) AS s
-            FROM hh)
-    SELECT DISTINCT doc_id, CAST(s.pos AS BIGINT) AS pos,
-                    CAST(s.fp AS BIGINT) AS fp
-    FROM sel
-    """,
+            FROM hh),
+    wfp AS MATERIALIZED (SELECT DISTINCT doc_id, CAST(s.pos AS BIGINT) AS pos,
+                   CAST(s.fp AS BIGINT) AS fp
+            FROM sel)"""
+
+
+@_q(
+    "q116_winnow_fingerprints",
+    f"WITH {_WINNOW_CTES} SELECT doc_id, pos, fp FROM wfp",
 )
 def q116(spark, sf):
     """Winnowing fingerprints (Schleimer et al. 2003, MOSS): per-window
@@ -4677,6 +4679,95 @@ def q122(spark, sf):
     from bran_spark.operators.similarity import embedding_outliers
 
     return embedding_outliers(_t(spark, sf, "embeddings"))
+
+
+@_q(
+    "q123_winnow_overlap",
+    f"""
+    WITH {_WINNOW_CTES},
+    fpd AS (SELECT DISTINCT doc_id, fp FROM wfp),
+    hot AS (SELECT fp FROM fpd GROUP BY fp HAVING COUNT(*) > 30),
+    kept AS (SELECT doc_id, fp FROM fpd
+             WHERE fp NOT IN (SELECT fp FROM hot))
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*)::BIGINT AS shared
+    FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
+    GROUP BY id_a, id_b HAVING COUNT(*) >= 3
+    """,
+)
+def q123(spark, sf):
+    """MOSS-style local-overlap candidates: doc pairs sharing ≥3 distinct
+    winnowing fingerprints — localized copy detection where whole-doc
+    Jaccard dilutes away small shared runs. Fingerprint index is
+    ~2/(w+1) of the shingle index; hot fingerprints broadcast-anti-cut
+    before the self-join (operators/dedup.winnow_overlap_pairs)."""
+    from bran_spark.operators.dedup import winnow_overlap_pairs
+
+    return winnow_overlap_pairs(
+        _t(spark, sf, "documents"), "doc_id", "text",
+        n=3, window=4, min_shared=3, max_df=30,
+    )
+
+
+@_q(
+    "q124_jl_projection",
+    f"""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    mat AS (SELECT dd.dim AS dim, oo.o AS o,
+                   1 - 2 * ({_MD5INT8.format(x="dd.dim || '|' || oo.o")} % 2)
+                   AS sgn
+            FROM (SELECT unnest(range(64)) AS dim) dd,
+                 (SELECT unnest(range(16)) AS o) oo),
+    e AS (SELECT vec_id, ix.dim AS dim, v[ix.dim + 1] AS x
+          FROM v, (SELECT unnest(range(64)) AS dim) ix)
+    SELECT vec_id, o, ROUND(SUM(x * sgn) / sqrt(16.0) + 1e-9, 6) AS val
+    FROM e JOIN mat USING (dim)
+    GROUP BY vec_id, o
+    """,
+)
+def q124(spark, sf):
+    """Johnson-Lindenstrauss ±1 random projection 64→16 dims (Achlioptas
+    2003): the matrix is REGENERATED from md5 coins on (dim, out) — no
+    stored state, identical on both engines and for incrementally
+    arriving vectors. Matrix broadcast, one (vec, o) aggregate
+    (operators/similarity.jl_project)."""
+    from bran_spark.operators.similarity import jl_project
+
+    return jl_project(_t(spark, sf, "embeddings"), in_dims=64, out_dims=16)
+
+
+@_q(
+    "q125_countmin_audit",
+    f"""
+    WITH tok AS (SELECT unnest(string_split_regex(trim(lower(text)), ' +'))
+                 AS w FROM documents),
+    cells AS (SELECT r.row AS row,
+                     {_MD5INT8.format(x="r.row || '|' || w")} % 256 AS col
+              FROM tok, (SELECT unnest(range(4)) AS row) r),
+    sketch AS (SELECT row, col, COUNT(*)::BIGINT AS cnt
+               FROM cells GROUP BY row, col),
+    exact AS (SELECT w, COUNT(*)::BIGINT AS exact FROM tok GROUP BY w
+              ORDER BY exact DESC, w LIMIT 20),
+    probes AS (SELECT w, exact, r.row AS row,
+                      {_MD5INT8.format(x="r.row || '|' || w")} % 256 AS col
+               FROM exact, (SELECT unnest(range(4)) AS row) r)
+    SELECT probes.w AS w, exact, MIN(cnt) AS est
+    FROM probes JOIN sketch USING (row, col)
+    GROUP BY probes.w, exact
+    """,
+)
+def q125(spark, sf):
+    """Count-min sketch audit (Cormode & Muthukrishnan 2005): 4×256
+    md5-hashed cell counts — the fixed-size replacement for an unbounded
+    word-count aggregate — scored against the exact top-20 words
+    (est ≥ exact always; overestimate bounded by εN). The token stream
+    aggregates straight to depth×width rows with map-side combine
+    (functions/text.countmin_heavy_hitters)."""
+    from bran_spark.functions.text import countmin_heavy_hitters
+
+    return countmin_heavy_hitters(
+        _t(spark, sf, "documents"), "doc_id", "text",
+        width=256, depth=4, k=20,
+    )
 
 
 # =========================================================================

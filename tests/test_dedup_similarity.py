@@ -485,3 +485,39 @@ def test_embedding_outliers_flags_planted_corrupt_vector(spark):
     )
     cz = embedding_outliers(const).collect()
     assert all(abs(r.norm_z) < 1e6 and abs(r.dist_z) < 1e6 for r in cz)
+
+
+def test_winnow_overlap_pairs_find_shared_run(spark):
+    """Docs sharing a long word run pair up on shared fingerprints;
+    disjoint-vocabulary docs never do."""
+    from bran_spark.operators.dedup import winnow_overlap_pairs
+
+    run = " ".join(f"r{(i * 5) % 31}" for i in range(30))
+    rows = [
+        (0, "a1 a2 a3 " + run),
+        (1, run + " b1 b2 b3"),
+        (2, " ".join(f"c{i}" for i in range(30))),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = {(r.id_a, r.id_b): r.shared
+             for r in winnow_overlap_pairs(df, "doc_id", "text").collect()}
+    assert (0, 1) in pairs and pairs[(0, 1)] >= 3
+    assert all(2 not in p for p in pairs)
+
+
+def test_jl_project_shape_linearity_determinism(spark):
+    """JL sketch: 16 outputs per vector; doubling the input doubles the
+    output (linearity of the fixed ±1 matrix); reruns identical."""
+    from bran_spark.operators.similarity import jl_project
+
+    rows = [(0, [float((i * 3) % 7) for i in range(32)]),
+            (1, [2.0 * ((i * 3) % 7) for i in range(32)])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = jl_project(df, in_dims=32, out_dims=16).collect()
+    v0 = {r.o: r.val for r in out if r.vec_id == 0}
+    v1 = {r.o: r.val for r in out if r.vec_id == 1}
+    assert len(v0) == len(v1) == 16
+    for o in v0:
+        assert abs(v1[o] - 2 * v0[o]) < 1e-4
+    again = jl_project(df, in_dims=32, out_dims=16).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))

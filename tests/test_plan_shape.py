@@ -272,3 +272,48 @@ def test_mask_duplicate_spans_single_window_key_shuffle(spark, testdata_dir):
     plan = _plan(mask_duplicate_spans(docs, "doc_id", "text"))
     assert "EvalPython" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_winnowing_is_row_local_zero_exchange(spark, testdata_dir):
+    """q116 winnowing fingerprints are pure array math in one projection:
+    no Exchange, no Python stage."""
+    plan = _plan(QUERIES["q116_winnow_fingerprints"](spark, testdata_dir))
+    assert "Exchange" not in plan
+    assert "Python" not in plan
+
+
+def test_dsir_draw_take_ordered_and_hot_broadcast(spark, testdata_dir):
+    """q115's final draw must be TakeOrderedAndProject (top-k, never a
+    full sort) and the Zipf-hot word attach must ride broadcast joins
+    (hot attach + anti carve-out), mirroring q97's contract."""
+    plan = _plan(QUERIES["q115_dsir_resample"](spark, testdata_dir))
+    assert "TakeOrderedAndProject" in plan
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "LeftAnti" in plan
+
+
+def test_jl_projection_broadcasts_generated_matrix(spark, testdata_dir):
+    """q124's d×k ±1 matrix is generated and must be the broadcast side;
+    no cartesian product, no Python stage."""
+    plan = _plan(QUERIES["q124_jl_projection"](spark, testdata_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "Python" not in plan
+
+
+def test_countmin_probe_join_is_broadcast(spark, testdata_dir):
+    """q125: the depth×width sketch is tiny and must broadcast to the
+    probe side — a SortMergeJoin here would shuffle the audit through
+    the cluster for a 1024-row table."""
+    plan = _plan(QUERIES["q125_countmin_audit"](spark, testdata_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_embedding_outliers_no_corpus_join(spark, testdata_dir):
+    """q122: centroid and moments attach as 1-row/O(d) broadcasts
+    (BroadcastNestedLoopJoin is the legal 1-row cross); the scoring pass
+    must not shuffle the store on any key."""
+    plan = _plan(QUERIES["q122_embedding_outliers"](spark, testdata_dir))
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan

@@ -67,3 +67,20 @@ def test_bigram_logprob_ranks_predictable_text_higher(spark):
               bigram_logprob(df, "doc_id", "text", hot_bigrams=0).collect()}
     assert {k: (v.n_bigram, v.logprob) for k, v in out.items()} == \
            {k: (v.n_bigram, v.logprob) for k, v in no_hot.items()}
+
+
+def test_countmin_never_underestimates(spark):
+    """CMS guarantee: est >= exact for every audited word; with width far
+    above vocabulary size collisions vanish and est == exact."""
+    from bran_spark.functions.text import countmin_heavy_hitters
+
+    rows = [(i, " ".join(f"w{j % 13}" for j in range(i % 20 + 1)))
+            for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = countmin_heavy_hitters(df, "doc_id", "text",
+                                 width=64, depth=4, k=10).collect()
+    assert len(out) == 10
+    assert all(r.est >= r.exact for r in out)
+    wide = countmin_heavy_hitters(df, "doc_id", "text",
+                                  width=4096, depth=4, k=10).collect()
+    assert all(r.est == r.exact for r in wide)
