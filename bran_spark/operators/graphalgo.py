@@ -36,7 +36,7 @@ classic shuffle hazards):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 PR_SCALE = 10**12      # fixed-point rank unit (1.0 == 10^12)
@@ -657,3 +657,59 @@ def cycle_residue(edges: DataFrame, max_rounds: int = 8) -> DataFrame:
         .union(e.select(F.col("v").alias("node")))
         .distinct()
     )
+
+
+def luby_mis(sym: DataFrame, max_rounds: int = 8) -> DataFrame:
+    """Deterministic maximal independent set (Luby 1986, parallel
+    random-priority rounds; priorities here are md5 strings so the
+    "random" order is reproducible and engine-replayable): each round
+    every active node whose priority beats all active neighbors joins
+    the MIS, then it and its neighbors deactivate. Converges in O(log n)
+    rounds w.h.p. The conflict-free scheduling primitive: a batch of KG
+    entity merges / cluster representatives where no two chosen items
+    are adjacent (independent merges can apply in one pass without
+    read-write conflicts).
+
+    Priorities are md5(node)‖node — unique strings, comparing byte-wise
+    identically on both engines; derived inline from the node id, so no
+    |V|-sized broadcast exists. Each round: two semi-joins restrict the
+    edge list to active endpoints, one max-aggregate per node, one
+    anti-join pair deactivates. Lineage truncated per round; like kcore,
+    a partial result is never returned — raise on non-convergence.
+    Returns (node) — the MIS members."""
+    def pr(c: Column) -> Column:
+        return F.concat(F.md5(c), c)
+
+    nodes = sym.select("u").distinct()
+    active = nodes.localCheckpoint(eager=True)
+    mis = None
+    converged = False
+    for _ in range(max_rounds):
+        if active.isEmpty():
+            converged = True
+            break
+        act_e = sym.join(active, "u", "left_semi").join(
+            active.withColumnRenamed("u", "v"), "v", "left_semi"
+        )
+        nbrmax = act_e.groupBy("u").agg(F.max(pr(F.col("v"))).alias("mx"))
+        sel = (
+            active.join(nbrmax, "u", "left")
+            .where(F.col("mx").isNull() | (pr(F.col("u")) > F.col("mx")))
+            .select("u")
+            .localCheckpoint(eager=True)
+        )
+        mis = sel if mis is None else mis.union(sel)
+        nbr_of_sel = act_e.join(
+            sel.withColumnRenamed("u", "v"), "v", "left_semi"
+        ).select("u")
+        active = (
+            active.join(sel, "u", "left_anti")
+            .join(nbr_of_sel, "u", "left_anti")
+            .localCheckpoint(eager=True)
+        )
+    if not converged:
+        raise RuntimeError(
+            f"luby_mis did not deactivate all nodes in {max_rounds} rounds; "
+            f"raise max_rounds (expected O(log n) w.h.p.)"
+        )
+    return mis.select(F.col("u").alias("node")).distinct()

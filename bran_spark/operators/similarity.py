@@ -835,3 +835,38 @@ def jl_project(
             ).alias("val")
         )
     )
+
+
+def ann_recall(
+    exact: DataFrame,
+    approx: DataFrame,
+    query_col: str = "query_id",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """ANN quality gate as an operator: per-query recall@k of an
+    approximate top-k result against the exact one — the number an index
+    owner watches when trading probes/bands for latency. recall =
+    |exact ∩ approx| / |exact| per query; mean recall is one tiny
+    aggregate over the output.
+
+    Both inputs are (query_id, vec_id) lists, k rows per query —
+    dimension-scale relative to the store (queries × k). One equi-join
+    on (query, id) + two per-query aggregates; at a 10^12-vector store
+    this costs nothing compared to producing either ranking. Returns
+    (query_id, n_exact, n_hit, recall) rounded 6dp."""
+    hits = (
+        exact.join(approx, [query_col, id_col])
+        .groupBy(query_col)
+        .agg(F.count(F.lit(1)).cast("long").alias("n_hit"))
+    )
+    tot = exact.groupBy(query_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_exact")
+    )
+    return tot.join(hits, query_col, "left").select(
+        query_col,
+        "n_exact",
+        F.coalesce("n_hit", F.lit(0)).cast("long").alias("n_hit"),
+        F.round(
+            F.coalesce("n_hit", F.lit(0)) / F.col("n_exact").cast("double"), 6
+        ).alias("recall"),
+    )

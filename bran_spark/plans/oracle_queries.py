@@ -4770,6 +4770,104 @@ def q125(spark, sf):
     )
 
 
+def _luby_sql(rounds: int) -> str:
+    """Unrolled Luby MIS twin over the fixture co-occurrence graph:
+    md5-string priorities, per-round select/deactivate, MATERIALIZED so
+    the multiply-referenced per-round sets are not exponentially
+    inlined."""
+    parts = [
+        _FX_PAIRS_SQL
+        + """
+    , act0 AS MATERIALIZED (SELECT DISTINCT u FROM sym)"""
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(f"""
+    , ae{r} AS MATERIALIZED (SELECT e.u, e.v FROM sym e
+                 JOIN act{r - 1} a1 ON e.u = a1.u
+                 JOIN act{r - 1} a2 ON e.v = a2.u),
+    nm{r} AS (SELECT u, MAX(md5(v) || v) AS mx FROM ae{r} GROUP BY u),
+    sel{r} AS MATERIALIZED (SELECT a.u FROM act{r - 1} a
+                 LEFT JOIN nm{r} m ON m.u = a.u
+                 WHERE m.mx IS NULL OR md5(a.u) || a.u > m.mx),
+    act{r} AS MATERIALIZED (SELECT u FROM act{r - 1}
+                 WHERE u NOT IN (SELECT u FROM sel{r})
+                   AND u NOT IN (SELECT e.u FROM ae{r} e
+                                 JOIN sel{r} s ON e.v = s.u))""")
+    union = " UNION ".join(f"SELECT u FROM sel{r}" for r in range(1, rounds + 1))
+    parts.append(f"""
+    SELECT u AS node FROM ({union})""")
+    return "".join(parts)
+
+
+@_q("q126_luby_mis", _luby_sql(8))
+def q126(spark, sf):
+    """Deterministic Luby maximal independent set over the KG
+    co-occurrence graph (md5-string priorities — reproducible parallel
+    rounds): the conflict-free batch-scheduling primitive (no two chosen
+    entities adjacent, every unchosen entity blocked by a chosen
+    neighbor). Per round: two semi-joins + one max-aggregate + two
+    anti-joins on the shrinking active set
+    (operators/graphalgo.luby_mis)."""
+    from bran_spark.operators.graphalgo import luby_mis, symmetric_edges
+
+    return luby_mis(symmetric_edges(_fx_entity_pairs(spark, sf)), max_rounds=8)
+
+
+@_q(
+    "q127_ann_recall",
+    """
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    c AS (SELECT vec_id AS cid, v AS cv FROM e ORDER BY vec_id LIMIT 8),
+    d AS (SELECT e.vec_id, e.v, c.cid,
+            ROUND(list_dot_product(e.v, e.v) - 2 * list_dot_product(e.v, c.cv)
+              + list_dot_product(c.cv, c.cv), 6) AS dist
+          FROM e CROSS JOIN c),
+    a AS (SELECT vec_id, v, cid AS cell FROM
+            (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+             FROM d)
+          WHERE rn = 1),
+    q AS (SELECT v AS qv FROM a WHERE vec_id = 0),
+    probe AS (SELECT c.cid AS cell FROM c, q
+              ORDER BY ROUND(list_dot_product(c.cv, c.cv)
+                        - 2 * list_dot_product(c.cv, q.qv)
+                        + list_dot_product(q.qv, q.qv), 6), c.cid
+              LIMIT 1),
+    appr AS (SELECT a.vec_id FROM a, q, probe
+             WHERE a.vec_id != 0 AND a.cell = probe.cell
+             ORDER BY ROUND(list_dot_product(a.v, q.qv)
+                   / (sqrt(list_dot_product(a.v, a.v))
+                      * sqrt(list_dot_product(q.qv, q.qv))), 6) DESC, vec_id
+             LIMIT 10),
+    exct AS (SELECT a.vec_id FROM a, q WHERE a.vec_id != 0
+             ORDER BY ROUND(list_dot_product(a.v, q.qv)
+                   / (sqrt(list_dot_product(a.v, a.v))
+                      * sqrt(list_dot_product(q.qv, q.qv))), 6) DESC, vec_id
+             LIMIT 10)
+    SELECT CAST(0 AS BIGINT) AS query_id,
+           CAST((SELECT COUNT(*) FROM exct) AS BIGINT) AS n_exact,
+           CAST(COUNT(*) AS BIGINT) AS n_hit,
+           ROUND(COUNT(*) / (SELECT COUNT(*) FROM exct)::DOUBLE, 6) AS recall
+    FROM exct JOIN appr USING (vec_id)
+    """,
+)
+def q127(spark, sf):
+    """ANN recall@10 as a first-class eval operator: single-probe IVF
+    (q42's index) scored against the exact cosine ranking (q30) for
+    query 0 — the probes-vs-recall dial an index owner tunes. One
+    (query, id) equi-join over two k-row lists
+    (operators/similarity.ann_recall)."""
+    from bran_spark.operators.similarity import ann_recall, cosine_topk, ivf_topk
+
+    emb = _t(spark, sf, "embeddings")
+    ex = cosine_topk(emb, query_id=0, k=10).select(
+        F.lit(0).cast("long").alias("query_id"), "vec_id"
+    )
+    ap = ivf_topk(emb, query_id=0, k=10).select(
+        F.lit(0).cast("long").alias("query_id"), "vec_id"
+    )
+    return ann_recall(ex, ap)
+
+
 # =========================================================================
 # Registry ordering: the driver's correctness gate hash-checks the FIRST
 # 50 insertion-order entries of ``queries()``. Definition order above is

@@ -53,6 +53,16 @@ def main() -> None:
              "removed (operators/dedup.mask_duplicate_spans)",
     )
     ap.add_argument(
+        "--dsir-target", default=None,
+        help="DSIR importance resampling: keep the --dsir-k docs whose "
+             "unigram profile is most like this `source` slice "
+             "(operators/sampling.importance_resample)",
+    )
+    ap.add_argument(
+        "--dsir-k", type=int, default=200,
+        help="document budget of the --dsir-target draw",
+    )
+    ap.add_argument(
         "--mix", default=None,
         help="domain-mix rebalance as src=share,... applied to the `source` "
              "column after sampling, e.g. 'src0=0.5,src1=0.5'",
@@ -148,6 +158,22 @@ def main() -> None:
             )
         )
 
+    # 3d. optional DSIR importance resampling toward an in-domain slice
+    n_dsir = None
+    if args.dsir_target:
+        from bran_spark.operators.sampling import importance_resample
+
+        target = kept.where(F.col("source") == args.dsir_target)
+        drawn = importance_resample(
+            kept, target, "doc_id", "text", k=args.dsir_k
+        )
+        kept = kept.join(drawn.select("doc_id"), "doc_id", "left_semi")
+        # the draw collapses the corpus to <= dsir-k rows: materialize the
+        # tiny survivor set so later funnel counts / the write do not
+        # re-execute the two-model DSIR subtree per action
+        kept = kept.localCheckpoint(eager=True)
+        n_dsir = kept.count()
+
     # 4. deterministic stratified sample
     rates = {"en": args.sample_en}
     kept = stratified_sample(kept, "lang", rates, default_rate=args.sample_rest)
@@ -180,6 +206,7 @@ def main() -> None:
                 "after_neardup_dedup": n_neardup,
                 **({"after_decontam": n_decontam} if n_decontam is not None else {}),
                 **({"span_edited_docs": n_span_edited} if n_span_edited is not None else {}),
+                **({"after_dsir": n_dsir} if n_dsir is not None else {}),
                 **({"after_mix": n_mix} if n_mix is not None else {}),
                 "curated_docs": n_out,
                 "wall_s": round(time.time() - t0, 3),

@@ -521,3 +521,23 @@ def test_jl_project_shape_linearity_determinism(spark):
         assert abs(v1[o] - 2 * v0[o]) < 1e-4
     again = jl_project(df, in_dims=32, out_dims=16).collect()
     assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+
+def test_ann_recall_counts_hits_per_query(spark):
+    """Recall arithmetic: full overlap -> 1.0, half -> 0.5, disjoint ->
+    0.0 (left join keeps the zero-hit query)."""
+    from bran_spark.operators.similarity import ann_recall
+
+    ex = spark.createDataFrame(
+        [(q, v) for q in (1, 2, 3) for v in range(4)],
+        "query_id long, vec_id long",
+    )
+    ap = spark.createDataFrame(
+        [(1, 0), (1, 1), (1, 2), (1, 3),        # all 4
+         (2, 0), (2, 1), (2, 90), (2, 91)],     # half
+        "query_id long, vec_id long",           # q3 absent entirely
+    )
+    out = {r.query_id: r for r in ann_recall(ex, ap).collect()}
+    assert (out[1].n_hit, out[1].recall) == (4, 1.0)
+    assert (out[2].n_hit, out[2].recall) == (2, 0.5)
+    assert (out[3].n_hit, out[3].recall) == (0, 0.0)

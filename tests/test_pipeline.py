@@ -144,9 +144,10 @@ def test_curation_job_funnel(tmp_path, testdata_dir):
          "--out", out, "--master", "local[4]",
          "--min-logprob", "-20.0",
          "--bench", bench, "--mask-dup-spans",
+         "--dsir-target", "src0", "--dsir-k", "120",
          "--mix", "src0=0.25,src1=0.25,src2=0.25,src3=0.25",
          "--mix-total", "200"],
-        capture_output=True, text=True, timeout=420,
+        capture_output=True, text=True, timeout=600,
         cwd=__import__("os").path.dirname(__import__("os").path.dirname(__file__)),
     )
     assert r.returncode == 0, r.stderr[-2000:]
@@ -156,8 +157,10 @@ def test_curation_job_funnel(tmp_path, testdata_dir):
         >= stats["after_lm_gate"]
         >= stats["after_exact_dedup"] >= stats["after_neardup_dedup"]
         >= stats["after_decontam"]
+        >= stats["after_dsir"]
         >= stats["after_mix"] == stats["curated_docs"] > 0
     )
+    assert stats["after_dsir"] <= 120          # DSIR respects its budget
     # decontamination dropped at least the surviving bench-source docs
     assert stats["after_decontam"] < stats["after_neardup_dedup"]
     assert stats["span_edited_docs"] >= 0
