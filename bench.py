@@ -112,6 +112,12 @@ def main() -> None:
         "q111_personalized_pagerank",
         "q112_weighted_sssp",
         "q113_chunk_neardup_profile",
+        "q115_dsir_resample",
+        "q116_winnow_fingerprints",
+        "q117_adamic_adar",
+        "q121_bigram_logprob",
+        "q123_winnow_overlap",
+        "q126_luby_mis",
     ]
     for name in bench_queries:
         t0 = time.time()

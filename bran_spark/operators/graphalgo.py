@@ -713,3 +713,62 @@ def luby_mis(sym: DataFrame, max_rounds: int = 8) -> DataFrame:
             f"raise max_rounds (expected O(log n) w.h.p.)"
         )
     return mis.select(F.col("u").alias("node")).distinct()
+
+
+def harmonic_centrality(
+    sym: DataFrame, seeds: DataFrame, max_hops: int = 4
+) -> DataFrame:
+    """Sampled harmonic centrality (the Eppstein-Wang estimator family):
+    H(v) ≈ Σ_{s∈S} 1/d(s,v) over a small deterministic seed sample S,
+    distances bounded by ``max_hops`` — the "how reachable is this
+    entity" ranking that PageRank's stationary mass does not give
+    (harmonic rewards being CLOSE to everything, not being linked by
+    important things). Exact all-pairs harmonic is O(n·m) and off the
+    table at KG scale; the seed-sampled bounded-hop form is the standard
+    production estimator, and the sampling is explicit in the output
+    contract (n_reached says how many seeds actually reached the node).
+
+    Scale shape: one multi-source BFS — the |S| frontiers advance
+    SIMULTANEOUSLY as (seed, node) rows through the same per-hop join,
+    so the hop count, not the seed count, sets the number of shuffles.
+    Frontier-only expansion with per-round lineage truncation, exactly
+    like bfs_distances. Returns (entity, n_reached, harmonic) for nodes
+    reached by ≥1 seed at dist ≥ 1."""
+    sym = sym.localCheckpoint(eager=True)
+    visited = (
+        seeds.select(F.col(seeds.columns[0]).alias("seed"))
+        .distinct()
+        .select(
+            "seed",
+            F.col("seed").alias("u"),
+            F.lit(0).cast("int").alias("dist"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    frontier = visited
+    for hop in range(1, max_hops + 1):
+        nxt = (
+            sym.join(frontier.select("seed", "u"), "u")
+            .select(
+                "seed",
+                F.col("v").alias("u"),
+                F.lit(hop).cast("int").alias("dist"),
+            )
+            .distinct()
+            .join(visited.select("seed", "u"), ["seed", "u"], "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        if not nxt.head(1):
+            break
+        visited = visited.union(nxt).localCheckpoint(eager=True)
+        frontier = nxt
+    return (
+        visited.where(F.col("dist") > 0)
+        .groupBy(F.col("u").alias("entity"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_reached"),
+            F.round(
+                F.sum(F.lit(1.0) / F.col("dist")) + F.lit(1e-9), 6
+            ).alias("harmonic"),
+        )
+    )

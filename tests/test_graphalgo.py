@@ -483,3 +483,24 @@ def test_luby_mis_independent_maximal_deterministic(spark):
         assert adj[u] & mis, f"{u} not blocked by any MIS member"
     again = {r.node for r in luby_mis(sym, max_rounds=8).collect()}
     assert mis == again
+
+
+def test_harmonic_centrality_path_graph_exact(spark):
+    """Hand-computed harmonic sums on a path a-b-c-d with seeds {a, b}:
+    multi-seed contributions add 1/d per seed; seeds reached by the other
+    seed count it; hop bound truncates honestly."""
+    from bran_spark.operators.graphalgo import harmonic_centrality, symmetric_edges
+
+    sym = symmetric_edges(_edges(spark, [("a", "b"), ("b", "c"), ("c", "d")]))
+    seeds = spark.createDataFrame([("a",), ("b",)], "u string")
+    out = {r.entity: (r.n_reached, r.harmonic)
+           for r in harmonic_centrality(sym, seeds, max_hops=3).collect()}
+    # d(a,·): b=1 c=2 d=3 ; d(b,·): a=1 c=1 d=2
+    assert out["c"] == (2, round(1 / 2 + 1 / 1 + 1e-9, 6))
+    assert out["d"] == (2, round(1 / 3 + 1 / 2 + 1e-9, 6))
+    assert out["a"] == (1, round(1.0 + 1e-9, 6))     # reached by seed b
+    assert out["b"] == (1, round(1.0 + 1e-9, 6))     # reached by seed a
+    # hop bound: with max_hops=1 d is unreached
+    short = {r.entity for r in
+             harmonic_centrality(sym, seeds, max_hops=1).collect()}
+    assert "d" not in short
