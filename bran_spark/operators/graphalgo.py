@@ -712,6 +712,8 @@ def luby_mis(sym: DataFrame, max_rounds: int = 8) -> DataFrame:
             f"luby_mis did not deactivate all nodes in {max_rounds} rounds; "
             f"raise max_rounds (expected O(log n) w.h.p.)"
         )
+    if mis is None:  # empty input graph: MIS of nothing is nothing
+        return nodes.select(F.col("u").alias("node")).limit(0)
     return mis.select(F.col("u").alias("node")).distinct()
 
 

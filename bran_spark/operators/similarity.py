@@ -791,7 +791,12 @@ def jl_project(
     projection = posexplode of the vector joined to it (the explicit
     d×k multiply-add any dense projection costs) + one (vec, o)
     aggregate with map-side combine. Emits EXPLODED rows
-    (vec_id, o, val) — scalar columns, rounded 6dp."""
+    (vec_id, o, val) — scalar columns, rounded 6dp.
+
+    ``in_dims`` must equal the store's true dimensionality: coordinates
+    at index ≥ in_dims have no matrix row and drop out of the inner join
+    (silently truncating the projection), while vectors shorter than
+    in_dims simply contribute fewer terms."""
     spark = emb.sparkSession
     mat = spark.range(in_dims * out_dims).select(
         (F.col("id") / out_dims).cast("long").alias("dim"),

@@ -504,3 +504,10 @@ def test_harmonic_centrality_path_graph_exact(spark):
     short = {r.entity for r in
              harmonic_centrality(sym, seeds, max_hops=1).collect()}
     assert "d" not in short
+
+
+def test_luby_mis_empty_graph(spark):
+    from bran_spark.operators.graphalgo import luby_mis
+
+    empty = spark.createDataFrame([], "u string, v string")
+    assert luby_mis(empty, max_rounds=2).count() == 0

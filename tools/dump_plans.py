@@ -65,6 +65,34 @@ NOTES = {
         "minhash reuses the banded (band, minhash) equi-join — corpus "
         "fan-out multiplies rows, not shuffles."
     ),
+    "q115_dsir_resample": (
+        "DSIR draw: hot-word BroadcastHashJoin + LeftAnti carve-out on the "
+        "token attach (q97's split), lr table from two dimension-scale "
+        "aggregates, final draw is TakeOrderedAndProject — never a full "
+        "sort."
+    ),
+    "q116_winnow_fingerprints": (
+        "winnowing is one row-local projection: zero Exchange, zero Python; "
+        "hash array and window slices bound as lambda variables so "
+        "projection collapse cannot re-inline the md5 transform per "
+        "element."
+    ),
+    "q117_adamic_adar": (
+        "wedge centers df-cut before the z-keyed self-join (d-squared hub "
+        "bound); the degree attach stays a shuffle join — no |V|-sized "
+        "BroadcastExchange; known edges leave via anti-join."
+    ),
+    "q121_bigram_logprob": (
+        "conditional-probability table assembled from the two "
+        "dimension-scale count aggregates joined on w1 — the corpus bigram "
+        "stream attaches once on the flat (w1,w2) key with a hot-bigram "
+        "broadcast split."
+    ),
+    "q125_countmin_audit": (
+        "token stream aggregates straight to the depth-by-width cell table "
+        "(partial HashAggregate, fixed output size); the probe join against "
+        "the sketch is broadcast — no SortMergeJoin anywhere."
+    ),
 }
 
 HEADER = """# PLANS — physical-plan audit of representative queries (rounds 2-3)
