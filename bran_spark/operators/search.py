@@ -125,3 +125,52 @@ def tfidf_top_terms(
         .where(F.col("rk") <= k)
         .select("doc_id", "term", "tf", "df", "tfidf")
     )
+
+
+def rrf_fuse(
+    rankings: "list[DataFrame]",
+    id_col: str = "doc_id",
+    k: int = 60,
+    top: int = 10,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack, Clarke & Büttcher, SIGIR 2009):
+    fused(d) = Σ_lists 1/(k + rank(d)) — the standard hybrid-retrieval
+    combiner (BM25 lexical + embedding ANN is the modern RAG default);
+    rank fusion needs no score calibration across retrievers, which is
+    exactly why it beats weighted-score mixing across heterogeneous
+    scorers. Docs missing from a list simply contribute nothing.
+
+    Each input is an ALREADY-TRUNCATED candidate list — two columns
+    (id, score), higher score = better, at most top-k rows per query —
+    so the single-partition rank window here runs over k-row frames,
+    never corpus-scale data (the retrievers upstream did the heavy
+    lifting with their own scale-safe plans). Ranks derive from the
+    rounded scores with id tie-break, so they are engine-reproducible.
+    Returns (id_col, n_lists, rrf_score) — the ``top`` fused results."""
+    parts = []
+    for r in rankings:
+        score_col = [c for c in r.columns if c != id_col][0]
+        ranked = r.select(
+            F.col(id_col).alias("id"), F.col(score_col).alias("s")
+        ).withColumn(
+            "rank",
+            F.row_number().over(Window.orderBy(F.desc("s"), F.asc("id"))),
+        )
+        parts.append(
+            ranked.select(
+                "id", (F.lit(1.0) / (F.lit(k) + F.col("rank"))).alias("c")
+            )
+        )
+    allc = parts[0]
+    for p in parts[1:]:
+        allc = allc.unionByName(p)
+    return (
+        allc.groupBy("id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_lists"),
+            F.round(F.sum("c") + F.lit(1e-9), 6).alias("rrf_score"),
+        )
+        .orderBy(F.desc("rrf_score"), F.asc("id"))
+        .limit(top)
+        .select(F.col("id").alias(id_col), "n_lists", "rrf_score")
+    )

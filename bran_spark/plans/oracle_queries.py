@@ -4913,6 +4913,62 @@ def q128(spark, sf):
     )
 
 
+@_q(
+    "q129_rrf_hybrid",
+    f"""
+    WITH wl AS (SELECT doc_id, string_split(trim(lower(text)), ' ') AS ws
+                FROM documents),
+    base AS (SELECT doc_id, len(ws)::DOUBLE AS dl, ws FROM wl),
+    stats AS (SELECT COUNT(*)::DOUBLE AS n_docs, AVG(dl) AS avgdl FROM base),
+    tok AS (SELECT doc_id, dl, unnest(ws) AS term FROM base),
+    tf AS (SELECT doc_id, dl, term, COUNT(*)::DOUBLE AS tf FROM tok
+           WHERE term IN ('{_BM25_TERMS[0]}', '{_BM25_TERMS[1]}')
+           GROUP BY doc_id, dl, term),
+    dft AS (SELECT term, COUNT(*)::DOUBLE AS df FROM tf GROUP BY term),
+    bmr AS (SELECT doc_id,
+                   ROUND(SUM(ln(1 + (n_docs - df + 0.5) / (df + 0.5))
+                             * (tf * 2.2)
+                             / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))),
+                         6) AS s
+            FROM tf JOIN dft USING (term), stats
+            GROUP BY doc_id ORDER BY s DESC, doc_id LIMIT 20),
+    e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+    cosr AS (SELECT vec_id AS doc_id,
+                    ROUND(list_dot_product(e.v, q.qv)
+                          / (sqrt(list_dot_product(e.v, e.v))
+                             * sqrt(list_dot_product(q.qv, q.qv))), 6) AS s
+             FROM e, q WHERE vec_id != 0
+             ORDER BY s DESC, doc_id LIMIT 20),
+    r1 AS (SELECT doc_id, ROW_NUMBER() OVER (ORDER BY s DESC, doc_id) AS rank
+           FROM bmr),
+    r2 AS (SELECT doc_id, ROW_NUMBER() OVER (ORDER BY s DESC, doc_id) AS rank
+           FROM cosr),
+    allc AS (SELECT doc_id, 1.0 / (60 + rank) AS c FROM r1
+             UNION ALL SELECT doc_id, 1.0 / (60 + rank) FROM r2)
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_lists,
+           ROUND(SUM(c) + 1e-9, 6) AS rrf_score
+    FROM allc GROUP BY doc_id
+    ORDER BY rrf_score DESC, doc_id LIMIT 10
+    """,
+)
+def q129(spark, sf):
+    """Hybrid retrieval via reciprocal-rank fusion (Cormack et al. 2009):
+    BM25 lexical top-20 + exact-cosine embedding top-20 (doc_id ≡ vec_id
+    in the synthetic store) fused as Σ 1/(60+rank) — the modern RAG
+    default; rank fusion needs no cross-retriever score calibration.
+    Each list is 20 rows, so the fusion windows are trivially bounded
+    (operators/search.rrf_fuse)."""
+    from bran_spark.operators.search import bm25_topk, rrf_fuse
+    from bran_spark.operators.similarity import cosine_topk
+
+    bm = bm25_topk(_t(spark, sf, "documents"), list(_BM25_TERMS), k=20)
+    cos = cosine_topk(_t(spark, sf, "embeddings"), query_id=0, k=20).select(
+        F.col("vec_id").alias("doc_id"), "cos"
+    )
+    return rrf_fuse([bm, cos], id_col="doc_id", k=60, top=10)
+
+
 # =========================================================================
 # Registry ordering: the driver's correctness gate hash-checks the FIRST
 # 50 insertion-order entries of ``queries()``. Definition order above is

@@ -94,3 +94,25 @@ def test_ann_knn_join_ranks_by_cosine(spark):
         for r in rs:
             assert r["id_b"] // 10 == qid // 10
             assert r["cos"] > 0.9
+
+
+def test_rrf_fuse_arithmetic_and_missing_lists(spark):
+    """Hand-computed fusion: a doc ranked 1st in both lists gets
+    2/(k+1); a doc present in only one list gets its single term;
+    ordering follows fused score with id tie-break."""
+    from bran_spark.operators.search import rrf_fuse
+
+    a = spark.createDataFrame(
+        [(10, 5.0), (20, 4.0), (30, 3.0)], "doc_id long, score double"
+    )
+    b = spark.createDataFrame(
+        [(10, 0.9), (40, 0.8)], "doc_id long, cos double"
+    )
+    out = {r.doc_id: r for r in rrf_fuse([a, b], k=60, top=10).collect()}
+    assert out[10].n_lists == 2
+    assert abs(out[10].rrf_score - (1 / 61 + 1 / 61)) < 1e-5
+    assert out[20].n_lists == 1 and abs(out[20].rrf_score - 1 / 62) < 1e-5
+    assert abs(out[40].rrf_score - 1 / 62) < 1e-5
+    ordered = [r.doc_id for r in rrf_fuse([a, b], k=60, top=10)
+               .orderBy("rrf_score", ascending=False).collect()]
+    assert ordered[0] == 10
