@@ -174,3 +174,62 @@ def rrf_fuse(
         .limit(top)
         .select(F.col("id").alias(id_col), "n_lists", "rrf_score")
     )
+
+
+def mmr_rerank(
+    cands: DataFrame,
+    sims: DataFrame,
+    k: int = 5,
+    lam: float = 0.7,
+    id_col: str = "id",
+) -> DataFrame:
+    """Maximal-marginal-relevance re-ranking (Carbonell & Goldstein,
+    SIGIR 1998): greedily pick argmax λ·rel − (1−λ)·max_sim-to-selected —
+    the diversification pass a RAG serving stack runs on its fused top-k
+    so the context window is not five paraphrases of the same passage.
+
+    Inputs are dimension-scale by contract: ``cands`` = (id, rel) is an
+    already-truncated candidate list (k-to-dozens of rows), ``sims`` =
+    (id_a, id_b, sim) its pairwise similarities (list², still tiny).
+    The greedy loop therefore runs k driver-side single-row selections
+    over these bounded frames — the same legality as collecting a
+    dimension table; nothing corpus-scale is touched. MMR scores are
+    rounded 6dp before each argmax (id tie-break), so the selection
+    sequence is engine-reproducible. Returns (rank, id, mmr) in pick
+    order, rank starting at 1."""
+    rel_col = [c for c in cands.columns if c != id_col][0]
+    base = cands.select(F.col(id_col).alias("id"), F.col(rel_col).alias("rel"))
+    picked: list = []
+    out_rows = []
+    for step in range(1, k + 1):
+        remaining = base.where(~F.col("id").isin(picked)) if picked else base
+        if picked:
+            ms = (
+                sims.where(F.col("id_b").isin(picked))
+                .groupBy(F.col("id_a").alias("id"))
+                .agg(F.max("sim").alias("ms"))
+            )
+            scored = remaining.join(ms, "id", "left").select(
+                "id",
+                F.round(
+                    F.lit(lam) * F.col("rel")
+                    - F.lit(1 - lam) * F.coalesce("ms", F.lit(0.0))
+                    + F.lit(1e-9),
+                    6,
+                ).alias("mmr"),
+            )
+        else:
+            scored = remaining.select(
+                "id",
+                F.round(F.lit(lam) * F.col("rel") + F.lit(1e-9), 6).alias("mmr"),
+            )
+        row = scored.orderBy(F.desc("mmr"), F.asc("id")).limit(1).head()
+        if row is None:
+            break
+        picked.append(row.id)
+        out_rows.append((step, row.id, float(row.mmr)))
+    spark = cands.sparkSession
+    schema = f"rank int, {id_col} " + dict(
+        (f.name, f.dataType.simpleString()) for f in base.schema.fields
+    )["id"] + ", mmr double"
+    return spark.createDataFrame(out_rows, schema)

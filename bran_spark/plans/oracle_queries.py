@@ -4969,6 +4969,76 @@ def q129(spark, sf):
     return rrf_fuse([bm, cos], id_col="doc_id", k=60, top=10)
 
 
+def _mmr_sql(k: int) -> str:
+    """Unrolled greedy MMR twin: 15 cosine candidates + pairwise sims,
+    then ``k`` argmax-pick rounds (MATERIALIZED — each selected set is
+    referenced by the next round's correlated max-sim subquery)."""
+    parts = [
+        """
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+    cand AS MATERIALIZED (
+        SELECT vec_id AS id,
+               ROUND(list_dot_product(e.v, q.qv)
+                     / (sqrt(list_dot_product(e.v, e.v))
+                        * sqrt(list_dot_product(q.qv, q.qv))), 6) AS rel,
+               v
+        FROM e, q WHERE vec_id != 0 ORDER BY rel DESC, vec_id LIMIT 15),
+    sims AS MATERIALIZED (
+        SELECT a.id AS id_a, b.id AS id_b,
+               ROUND(list_dot_product(a.v, b.v)
+                     / (sqrt(list_dot_product(a.v, a.v))
+                        * sqrt(list_dot_product(b.v, b.v))), 6) AS sim
+        FROM cand a JOIN cand b ON a.id != b.id),
+    p1 AS MATERIALIZED (SELECT id, ROUND(0.7 * rel + 1e-9, 6) AS mmr,
+                               1 AS rank
+                        FROM cand ORDER BY mmr DESC, id LIMIT 1),
+    sel1 AS MATERIALIZED (SELECT id, mmr, rank FROM p1)"""
+    ]
+    for i in range(2, k + 1):
+        parts.append(f"""
+    , p{i} AS MATERIALIZED (
+        SELECT id, ROUND(0.7 * rel - (1 - 0.7) * COALESCE(ms, 0) + 1e-9, 6)
+                   AS mmr, {i} AS rank
+        FROM (SELECT c.id, c.rel,
+                     (SELECT MAX(s.sim) FROM sims s
+                      JOIN sel{i - 1} p ON s.id_b = p.id
+                      WHERE s.id_a = c.id) AS ms
+              FROM cand c WHERE c.id NOT IN (SELECT id FROM sel{i - 1}))
+        ORDER BY mmr DESC, id LIMIT 1),
+    sel{i} AS MATERIALIZED (SELECT id, mmr, rank FROM sel{i - 1}
+                            UNION ALL SELECT id, mmr, rank FROM p{i})""")
+    parts.append(f"""
+    SELECT rank, id AS vec_id, mmr FROM sel{k}""")
+    return "".join(parts)
+
+
+@_q("q130_mmr_rerank", _mmr_sql(5))
+def q130(spark, sf):
+    """MMR diversification (Carbonell & Goldstein 1998) of the exact-
+    cosine top-15 for query 0: greedy λ·rel − (1−λ)·max-sim-to-selected,
+    5 picks — the RAG-serving pass that stops the context window being
+    five paraphrases of one passage. Greedy runs over the bounded
+    candidate list only (operators/search.mmr_rerank)."""
+    from bran_spark.operators.search import mmr_rerank
+    from bran_spark.operators.similarity import cosine, cosine_topk, _as_double
+
+    emb = _t(spark, sf, "embeddings")
+    cand = cosine_topk(emb, query_id=0, k=15)
+    cvec = emb.join(cand.select("vec_id"), "vec_id", "left_semi").select(
+        "vec_id", _as_double(F.col("embedding")).alias("v")
+    )
+    a = cvec.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va"))
+    b = cvec.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb"))
+    sims = a.join(F.broadcast(b), F.col("id_a") != F.col("id_b")).select(
+        "id_a", "id_b", F.round(cosine(F.col("va"), F.col("vb")), 6).alias("sim")
+    )
+    out = mmr_rerank(
+        cand.select(F.col("vec_id").alias("id"), "cos"), sims, k=5, lam=0.7
+    )
+    return out.select("rank", F.col("id").alias("vec_id"), "mmr")
+
+
 # =========================================================================
 # Registry ordering: the driver's correctness gate hash-checks the FIRST
 # 50 insertion-order entries of ``queries()``. Definition order above is

@@ -116,3 +116,30 @@ def test_rrf_fuse_arithmetic_and_missing_lists(spark):
     ordered = [r.doc_id for r in rrf_fuse([a, b], k=60, top=10)
                .orderBy("rrf_score", ascending=False).collect()]
     assert ordered[0] == 10
+
+
+def test_mmr_rerank_diversifies_redundant_top(spark):
+    """Planted redundancy: two near-identical high-relevance docs — MMR
+    picks one, then prefers a diverse lower-relevance doc over the twin;
+    rank order and budget respected; determinism across reruns."""
+    from bran_spark.operators.search import mmr_rerank
+
+    cands = spark.createDataFrame(
+        [(1, 0.95), (2, 0.94), (3, 0.80), (4, 0.10)],
+        "id long, rel double",
+    )
+    # docs 1 and 2 are near-duplicates (sim .99); 3 is diverse
+    sims_rows = [(1, 2, 0.99), (2, 1, 0.99),
+                 (1, 3, 0.10), (3, 1, 0.10),
+                 (2, 3, 0.10), (3, 2, 0.10),
+                 (1, 4, 0.0), (4, 1, 0.0), (2, 4, 0.0), (4, 2, 0.0),
+                 (3, 4, 0.0), (4, 3, 0.0)]
+    sims = spark.createDataFrame(sims_rows, "id_a long, id_b long, sim double")
+    out = mmr_rerank(cands, sims, k=3, lam=0.7).collect()
+    order = [r.id for r in out]
+    assert order[0] == 1                 # best relevance first
+    assert order[1] == 3                 # diverse beats the 0.94 twin
+    assert order[2] == 2
+    assert [r.rank for r in out] == [1, 2, 3]
+    again = [r.id for r in mmr_rerank(cands, sims, k=3, lam=0.7).collect()]
+    assert order == again
