@@ -157,3 +157,46 @@ def dedup_corpus(
     return docs.join(
         drop, docs[id_col] == drop["node"], "left_anti"
     )
+
+
+def cluster_safe_split(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    train_pct: int = 80,
+    val_pct: int = 10,
+) -> DataFrame:
+    """Leakage-safe train/val/test split: the md5 split coin is drawn on
+    the near-dup CLUSTER id, not the document id, so every member of a
+    duplicate cluster lands in the SAME split. Splitting on doc ids
+    leaks — near-identical copies of one page straddle train and test
+    and inflate eval (the classic contamination bug dedup-then-split
+    pipelines exist to prevent; this operator makes the safe order a
+    single step).
+
+    Composition: connected components over the candidate ``pairs``
+    (large-star/small-star, O(log² n) rounds) label the clustered docs;
+    isolated docs fall back to their own id via left join + coalesce —
+    no |V|-sized structure is ever collected. Returns
+    (doc_id, cluster, split) with split ∈ train|val|test at approximately
+    train_pct/val_pct/remainder percent OF CLUSTERS (clusters, not docs,
+    are the i.i.d. units — exactly the point)."""
+    comp = connected_components(pairs)
+    labeled = docs.select(F.col(id_col).alias("doc_id")).join(
+        comp.select(F.col("node").alias("doc_id"), "component"),
+        "doc_id",
+        "left",
+    ).select(
+        "doc_id",
+        F.coalesce("component", F.col("doc_id")).alias("cluster"),
+    )
+    coin = (
+        F.conv(F.substring(F.md5(F.col("cluster").cast("string")), 1, 8), 16, 10)
+        .cast("long") % 100
+    )
+    return labeled.withColumn(
+        "split",
+        F.when(coin < train_pct, F.lit("train"))
+        .when(coin < train_pct + val_pct, F.lit("val"))
+        .otherwise(F.lit("test")),
+    )

@@ -654,3 +654,100 @@ def winnow_overlap_pairs(
         .agg(F.count(F.lit(1)).cast("long").alias("shared"))
         .where(F.col("shared") >= min_shared)
     )
+
+
+def bloom_audit(
+    members: DataFrame,
+    probes: DataFrame,
+    id_col: str,
+    m_bits: int = 4096,
+    k_hashes: int = 3,
+) -> DataFrame:
+    """Bloom-filter membership audit (Bloom 1970): build the m-bit filter
+    of the ``members`` ids (as the SET of set-bit positions — the
+    relational representation of the bitmap; its size is min(k·n, m)
+    rows regardless of corpus size), probe with known-NON-members, and
+    report the measured false-positive rate next to the theoretical
+    bound (1 − e^{−kn/m})^k — the audit that sizes the filter before it
+    gates a 10^12-row anti-join (Bloom-gated shuffle pruning: ship the
+    tiny bit-set, drop non-members map-side, never shuffle them).
+
+    bit_j(x) = md5(j | x) mod m — engine-replayable. One aggregate
+    builds the bit set (map-side combine to ≤ m rows); probes explode
+    ×k, join the broadcast bit set, and a doc is a false positive iff
+    all k of its bits are present. Returns ONE row
+    (n_members, n_bits_set, n_probes, n_fp, fpr, fpr_bound)."""
+    def bits_of(frame):
+        return frame.select(
+            F.col(id_col).alias("id"),
+            F.explode(
+                F.array(
+                    *[
+                        (
+                            F.conv(
+                                F.substring(
+                                    F.md5(
+                                        F.concat_ws(
+                                            "|",
+                                            F.lit(j),
+                                            F.col(id_col).cast("string"),
+                                        )
+                                    ),
+                                    1,
+                                    8,
+                                ),
+                                16,
+                                10,
+                            ).cast("long")
+                            % m_bits
+                        )
+                        for j in range(k_hashes)
+                    ]
+                )
+            ).alias("bit"),
+        )
+
+    bit_set = bits_of(members).select("bit").distinct()
+    n_members = members.select(F.col(id_col)).distinct().count()
+    probe_hits = (
+        bits_of(probes)
+        .join(F.broadcast(bit_set), "bit", "left_semi")
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("hits"))
+        .where(F.col("hits") == k_hashes)
+    )
+    spark = members.sparkSession
+    stats = (
+        probes.select(F.col(id_col).alias("id"))
+        .distinct()
+        .agg(F.count(F.lit(1)).cast("long").alias("n_probes"))
+        .crossJoin(
+            F.broadcast(
+                bit_set.agg(
+                    F.count(F.lit(1)).cast("long").alias("n_bits_set")
+                )
+            )
+        )
+        .crossJoin(
+            F.broadcast(
+                probe_hits.agg(
+                    F.coalesce(F.count(F.lit(1)), F.lit(0))
+                    .cast("long")
+                    .alias("n_fp")
+                )
+            )
+        )
+    )
+    import math
+
+    bound = (1.0 - math.exp(-k_hashes * n_members / float(m_bits))) ** k_hashes
+    return stats.select(
+        F.lit(n_members).cast("long").alias("n_members"),
+        "n_bits_set",
+        "n_probes",
+        "n_fp",
+        F.round(F.col("n_fp") / F.col("n_probes").cast("double"), 6).alias(
+            "fpr"
+        ),
+        F.round(F.lit(bound), 6).alias("fpr_bound"),
+    )

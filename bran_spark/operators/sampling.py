@@ -369,3 +369,42 @@ def importance_resample(
         .orderBy(F.desc("resample_key"), F.asc("doc_id"))
         .limit(k)
     )
+
+
+def rendezvous_assign(
+    df: DataFrame, id_col: str, n_shards: int
+) -> DataFrame:
+    """Rendezvous / highest-random-weight sharding (Thaler & Ravishankar
+    1998): shard(x) = argmax_s hash(s, x) over the shard ids — the
+    consistent data-placement primitive: when n_shards grows N→N+1 only
+    ~1/(N+1) of keys move (a mod-N scheme moves nearly all of them),
+    which is what keeps bucket reassignment affordable when a 100 TB
+    store adds capacity.
+
+    Row-local: the N md5 coins and their argmax are array expressions in
+    ONE projection — zero shuffle, no shard table anywhere. The argmax
+    is array_max over (coin, shard) structs (field-order comparison), so
+    ties — already md5-improbable — break toward the higher shard id,
+    deterministically on both engines. Returns the row + ``shard``."""
+    coins = F.array(
+        *[
+            F.struct(
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat_ws(
+                                "|", F.lit(s), F.col(id_col).cast("string")
+                            )
+                        ),
+                        1,
+                        8,
+                    ),
+                    16,
+                    10,
+                ).cast("long").alias("c"),
+                F.lit(s).cast("int").alias("s"),
+            )
+            for s in range(n_shards)
+        ]
+    )
+    return df.withColumn("shard", F.array_max(coins)["s"])

@@ -79,3 +79,26 @@ def test_dedup_corpus_keeps_one_per_cluster_and_isolated_docs(spark):
     )
     got = sorted(r["doc_id"] for r in dedup_corpus(docs, pairs).collect())
     assert got == [0, 3, 5]
+
+
+def test_cluster_safe_split_keeps_duplicates_together(spark):
+    """Near-dup cluster members always share a split; singletons split
+    ~80/10/10; output covers every doc exactly once."""
+    from bran_spark.operators.components import cluster_safe_split
+
+    # doc pairs (i, i+1000) are near-dups; 2000..2999 are singletons
+    pairs = spark.createDataFrame(
+        [(i, i + 1000) for i in range(200)], "id_a long, id_b long"
+    )
+    ids = list(range(200)) + list(range(1000, 1200)) + list(range(2000, 3000))
+    docs = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    out = {r.doc_id: (r.cluster, r.split)
+           for r in cluster_safe_split(docs, pairs, "doc_id").collect()}
+    assert len(out) == len(ids)
+    for i in range(200):
+        assert out[i][1] == out[i + 1000][1], f"pair {i} straddles splits"
+        assert out[i][0] == out[i + 1000][0] == min(i, i + 1000)
+    singles = [out[i][1] for i in range(2000, 3000)]
+    assert 700 < singles.count("train") < 880
+    assert 50 < singles.count("val") < 160
+    assert 40 < singles.count("test") < 160

@@ -565,3 +565,35 @@ def test_confusion_by_slices_sum_to_global(spark):
     assert (sum(r.tp for r in per.values()),
             sum(r.fp for r in per.values()),
             sum(r.fn for r in per.values())) == (g.tp, g.fp, g.fn)
+
+
+def test_rendezvous_assign_consistency_on_resize(spark):
+    """HRW invariant: growing 8->9 shards moves only ~1/9 of keys (a
+    mod-N scheme would move ~8/9); assignment is deterministic and every
+    shard receives work."""
+    from bran_spark.operators.sampling import rendezvous_assign
+
+    df = spark.createDataFrame([(i,) for i in range(2000)], "doc_id long")
+    a8 = {r.doc_id: r.shard for r in rendezvous_assign(df, "doc_id", 8).collect()}
+    a9 = {r.doc_id: r.shard for r in rendezvous_assign(df, "doc_id", 9).collect()}
+    moved = sum(1 for d in a8 if a8[d] != a9[d])
+    assert 2000 / 9 * 0.5 < moved < 2000 / 9 * 1.8   # ~222 expected
+    assert set(a8.values()) == set(range(8))
+    again = {r.doc_id: r.shard for r in rendezvous_assign(df, "doc_id", 8).collect()}
+    assert a8 == again
+
+
+def test_bloom_audit_fpr_regimes(spark):
+    """A generously-sized filter yields zero/near-zero measured FPR; a
+    tiny filter saturates and flags most probes; est >= 0 and counts are
+    consistent."""
+    from bran_spark.operators.dedup import bloom_audit
+
+    mem = spark.createDataFrame([(i,) for i in range(200)], "doc_id long")
+    prb = spark.createDataFrame([(i,) for i in range(1000, 1400)], "doc_id long")
+    wide = bloom_audit(mem, prb, "doc_id", m_bits=65536, k_hashes=3).head()
+    assert wide.n_members == 200 and wide.n_probes == 400
+    assert wide.fpr <= wide.fpr_bound + 0.01
+    tiny = bloom_audit(mem, prb, "doc_id", m_bits=64, k_hashes=3).head()
+    assert tiny.fpr > 0.5          # saturated filter flags most probes
+    assert tiny.n_bits_set <= 64
