@@ -118,6 +118,9 @@ def main() -> None:
         "q121_bigram_logprob",
         "q123_winnow_overlap",
         "q126_luby_mis",
+        "q129_rrf_hybrid",
+        "q131_rendezvous_shards",
+        "q133_cluster_safe_split",
     ]
     for name in bench_queries:
         t0 = time.time()
