@@ -181,3 +181,59 @@ def trend_slope_grouped_map(events: DataFrame, min_n: int = 2) -> DataFrame:
     return p.groupBy("user_id").applyInPandas(
         fit, "user_id long, n long, slope_per_hour double"
     )
+
+
+def ewma_scores(
+    events: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    order_col: str,
+    half_life_s: float = 86400.0,
+) -> DataFrame:
+    """Exponentially-decayed running score per key: ewma_i =
+    Σ_{j≤i} v_j · 2^{−(t_i−t_j)/half_life} — the recency-weighted
+    activity feature (user engagement, entity trendiness) that a plain
+    windowed sum cannot express because every arrival re-weights all
+    history.
+
+    The recurrence is NOT computed iteratively: the closed form
+    ewma_i = 2^{−(t_i−t0)/h} · Σ_{j≤i} v_j·2^{(t_j−t0)/h} turns it into
+    ONE per-key running sum — a single window shuffle, no self-join, no
+    loop. t0 = per-key min timestamp rebases the exponent so the KEY'S
+    OWN SPAN, not the epoch, sets the magnitude; spans beyond ~50
+    half-lives overflow the 2^x term in doubles and need chunked
+    rebasing (documented, not hidden). Ordering ties break on
+    ``order_col`` so the running sum is engine-deterministic. Returns
+    (order_col, key_col, ewma) rounded 6dp."""
+    w_key = Window.partitionBy("k")
+    w_run = (
+        Window.partitionBy("k")
+        .orderBy("t", "o")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    h = float(half_life_s)
+    base = events.select(
+        F.col(order_col).alias("o"),
+        F.col(key_col).alias("k"),
+        # NTZ timestamps reject a direct double cast; route via LTZ. The
+        # session-timezone offset this introduces cancels in t - t0 (only
+        # relative time enters the decay), so the oracle's epoch() agrees.
+        F.col(ts_col).cast("timestamp_ltz").cast("double").alias("t"),
+        F.col(value_col).cast("double").alias("v"),
+    ).withColumn("t0", F.min("t").over(w_key))
+    run = base.withColumn(
+        "S",
+        F.sum(
+            F.col("v") * F.pow(F.lit(2.0), (F.col("t") - F.col("t0")) / h)
+        ).over(w_run),
+    )
+    return run.select(
+        F.col("o").alias(order_col),
+        F.col("k").alias(key_col),
+        F.round(
+            F.pow(F.lit(2.0), -(F.col("t") - F.col("t0")) / h) * F.col("S")
+            + F.lit(1e-9),
+            6,
+        ).alias("ewma"),
+    )

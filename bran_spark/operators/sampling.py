@@ -408,3 +408,72 @@ def rendezvous_assign(
         ]
     )
     return df.withColumn("shard", F.array_max(coins)["s"])
+
+
+def greedy_set_cover(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    pool: int = 20,
+    k: int = 5,
+) -> DataFrame:
+    """Greedy maximum-coverage corpus selection (the classic (1−1/e)
+    approximation; facility-location/coreset family — Wolsey 1982):
+    iteratively pick the document adding the most NOT-YET-COVERED
+    distinct words — the "smallest subset that still spans the
+    vocabulary" primitive behind eval-set construction and
+    diversity-first data selection, where top-k-by-quality picks k
+    near-copies of the same thing.
+
+    Scale contract: the greedy loop runs over a bounded candidate
+    ``pool`` (top-``pool`` docs by distinct-word count, deterministic
+    tie-break) — selection is k driver-side single-row argmaxes over
+    dimension-scale frames, the same legality as MMR re-ranking; the
+    only corpus-scale work is the one tokenize+distinct pass that
+    builds the pool's inverted lists. Gains are exact set differences
+    (integers), so the pick sequence is engine-exact. Returns
+    (rank, id, gain, covered_total) in pick order."""
+    from bran_spark.functions.text import words
+
+    tok_all = docs.select(
+        F.col(id_col).alias("id"), F.explode(words(text_col)).alias("w")
+    ).distinct()
+    pool_ids = (
+        tok_all.groupBy("id")
+        .agg(F.count(F.lit(1)).alias("nw"))
+        .orderBy(F.desc("nw"), F.asc("id"))
+        .limit(pool)
+        .select("id")
+    )
+    tok = tok_all.join(pool_ids, "id", "left_semi").localCheckpoint(eager=True)
+    covered = None
+    picked: list = []
+    rows = []
+    total = 0
+    for step in range(1, k + 1):
+        remaining = tok.where(~F.col("id").isin(picked)) if picked else tok
+        fresh = (
+            remaining.join(covered, "w", "left_anti")
+            if covered is not None
+            else remaining
+        )
+        gain = fresh.groupBy("id").agg(F.count(F.lit(1)).alias("gain"))
+        top = gain.orderBy(F.desc("gain"), F.asc("id")).limit(1).head()
+        if top is None or top.gain == 0:
+            break
+        picked.append(top.id)
+        total += top.gain
+        rows.append((step, top.id, int(top.gain), total))
+        new_words = tok.where(F.col("id") == top.id).select("w")
+        covered = (
+            new_words
+            if covered is None
+            else covered.union(new_words).distinct()
+        ).localCheckpoint(eager=True)
+    spark = docs.sparkSession
+    id_type = dict(
+        (f.name, f.dataType.simpleString()) for f in tok.schema.fields
+    )["id"]
+    return spark.createDataFrame(
+        rows, f"rank int, id {id_type}, gain long, covered_total long"
+    )

@@ -5147,6 +5147,94 @@ def q133(spark, sf):
     return cluster_safe_split(docs, pairs, "doc_id")
 
 
+def _setcover_sql(k: int, pool: int) -> str:
+    """Unrolled greedy max-coverage twin: bounded candidate pool, per-step
+    argmax of uncovered-word gain, MATERIALIZED covered/selected sets."""
+    parts = [
+        f"""
+    WITH tok0 AS MATERIALIZED (
+        SELECT DISTINCT doc_id AS id, w FROM (
+            SELECT doc_id,
+                   unnest(string_split_regex(trim(lower(text)), ' +')) AS w
+            FROM documents)),
+    poolids AS MATERIALIZED (
+        SELECT id FROM (SELECT id, COUNT(*) AS nw FROM tok0 GROUP BY id
+                        ORDER BY nw DESC, id LIMIT {pool})),
+    tok AS MATERIALIZED (SELECT tok0.id, tok0.w FROM tok0
+                         JOIN poolids USING (id)),
+    g1 AS (SELECT id, COUNT(*) AS gain FROM tok GROUP BY id),
+    p1 AS MATERIALIZED (SELECT id, gain, 1 AS rank FROM g1
+                        ORDER BY gain DESC, id LIMIT 1),
+    cov1 AS MATERIALIZED (SELECT DISTINCT w FROM tok JOIN p1 USING (id)),
+    sel1 AS MATERIALIZED (SELECT rank, id, gain FROM p1)"""
+    ]
+    for i in range(2, k + 1):
+        parts.append(f"""
+    , g{i} AS (SELECT t.id, COUNT(*) AS gain FROM tok t
+               WHERE t.id NOT IN (SELECT id FROM sel{i - 1})
+                 AND t.w NOT IN (SELECT w FROM cov{i - 1})
+               GROUP BY t.id),
+    p{i} AS MATERIALIZED (SELECT id, gain, {i} AS rank FROM g{i}
+                          ORDER BY gain DESC, id LIMIT 1),
+    cov{i} AS MATERIALIZED (SELECT w FROM cov{i - 1}
+                            UNION SELECT w FROM tok JOIN p{i} USING (id)),
+    sel{i} AS MATERIALIZED (SELECT rank, id, gain FROM sel{i - 1}
+                            UNION ALL SELECT rank, id, gain FROM p{i})""")
+    parts.append(f"""
+    SELECT rank, id, CAST(gain AS BIGINT) AS gain,
+           CAST(SUM(gain) OVER (ORDER BY rank) AS BIGINT) AS covered_total
+    FROM sel{k}""")
+    return "".join(parts)
+
+
+@_q("q134_greedy_set_cover", _setcover_sql(5, 20))
+def q134(spark, sf):
+    """Greedy maximum-coverage corpus selection ((1−1/e) guarantee):
+    5 picks from the 20 largest-vocabulary docs, each maximizing newly
+    covered distinct words — diversity-first data selection where
+    quality-top-k picks near-copies. Bounded-pool greedy (k driver-side
+    argmaxes, MMR legality); one corpus tokenize pass
+    (operators/sampling.greedy_set_cover)."""
+    from bran_spark.operators.sampling import greedy_set_cover
+
+    return greedy_set_cover(
+        _t(spark, sf, "documents"), "doc_id", "text", pool=20, k=5
+    )
+
+
+@_q(
+    "q135_ewma_activity",
+    """
+    WITH e AS (SELECT event_id, user_id, epoch(ts)::DOUBLE AS t, value
+               FROM events WHERE event_type = 'purchase'),
+    b AS (SELECT *, MIN(t) OVER (PARTITION BY user_id) AS t0 FROM e),
+    g AS (SELECT event_id, user_id, t, t0,
+                 value * pow(2.0, (t - t0) / 86400.0) AS gv FROM b),
+    s AS (SELECT event_id, user_id, t, t0,
+                 SUM(gv) OVER (PARTITION BY user_id ORDER BY t, event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW) AS S
+          FROM g)
+    SELECT event_id, user_id,
+           ROUND(pow(2.0, -(t - t0) / 86400.0) * S + 1e-9, 6) AS ewma
+    FROM s
+    """,
+)
+def q135(spark, sf):
+    """Exponentially-decayed running activity score (1-day half-life)
+    per user over purchase events — the recency-weighted feature a plain
+    windowed sum cannot express. Closed form (per-key exponent rebasing
+    + ONE running sum) replaces the naive per-arrival re-weighting
+    self-join; single window shuffle
+    (operators/asof.ewma_scores)."""
+    from bran_spark.operators.asof import ewma_scores
+
+    ev = _t(spark, sf, "events").where(F.col("event_type") == "purchase")
+    return ewma_scores(
+        ev, "user_id", "ts", "value", "event_id", half_life_s=86400.0
+    )
+
+
 # =========================================================================
 # Registry ordering: the driver's correctness gate hash-checks the FIRST
 # 50 insertion-order entries of ``queries()``. Definition order above is

@@ -597,3 +597,48 @@ def test_bloom_audit_fpr_regimes(spark):
     tiny = bloom_audit(mem, prb, "doc_id", m_bits=64, k_hashes=3).head()
     assert tiny.fpr > 0.5          # saturated filter flags most probes
     assert tiny.n_bits_set <= 64
+
+
+def test_greedy_set_cover_prefers_new_coverage(spark):
+    """Greedy picks the biggest-vocab doc first, then the doc adding the
+    most NEW words — not the second-biggest doc that mostly overlaps."""
+    from bran_spark.operators.sampling import greedy_set_cover
+
+    a = " ".join(f"w{i}" for i in range(10))          # 10 fresh words
+    b = " ".join(f"w{i}" for i in range(9)) + " x1"   # 1 new after a
+    c = "y1 y2 y3 y4 y5"                              # 5 new
+    df = spark.createDataFrame(
+        [(1, a), (2, b), (3, c)], "doc_id long, text string"
+    )
+    out = greedy_set_cover(df, "doc_id", "text", pool=10, k=3).collect()
+    assert [(r.rank, r.id, r.gain) for r in out] == [
+        (1, 1, 10), (2, 3, 5), (3, 2, 1)
+    ]
+    assert [r.covered_total for r in out] == [10, 15, 16]
+
+
+def test_ewma_scores_half_life_arithmetic(spark):
+    """Closed-form EWMA equals the hand recurrence: at one half-life the
+    previous mass halves; per-key isolation holds."""
+    from datetime import datetime
+
+    from bran_spark.operators.asof import ewma_scores
+
+    h = 3600.0
+    t0 = datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        (1, 7, t0, 10.0),
+        (2, 7, datetime(2024, 1, 1, 1, 0, 0), 4.0),    # +1 half-life
+        (3, 7, datetime(2024, 1, 1, 2, 0, 0), 2.0),    # +2 half-lives
+        (4, 9, datetime(2024, 1, 1, 5, 0, 0), 100.0),  # other key
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, value double"
+    )
+    out = {r.event_id: r.ewma
+           for r in ewma_scores(ev, "user_id", "ts", "value",
+                                "event_id", half_life_s=h).collect()}
+    assert abs(out[1] - 10.0) < 1e-4
+    assert abs(out[2] - (4.0 + 10.0 * 0.5)) < 1e-4
+    assert abs(out[3] - (2.0 + 4.0 * 0.5 + 10.0 * 0.25)) < 1e-4
+    assert abs(out[4] - 100.0) < 1e-4                  # key isolation
