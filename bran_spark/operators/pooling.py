@@ -142,3 +142,49 @@ def triple_provenance(
         F.count(F.lit(1)).cast("long").alias("support")
     )
     return support.join(ev, keys)
+
+
+def entity_salience(mentions: DataFrame, k: int = 3) -> DataFrame:
+    """Per-document entity salience: n_mentions · ln(N/df) — tf·idf over
+    the LINKED MENTION stream, ranking which entities are TOPICAL for a
+    document versus corpus background (the weight a KG uses to score
+    doc-level evidence and to pick anchor entities per abstract; raw
+    mention counts rank ubiquitous entities first everywhere).
+
+    Input: mention rows (doc_id, mesh_id, ...). Two counting aggregates
+    (per-doc-entity tf, then entity df — both map-side combined and
+    dimension-scale outputs), a 1-row N broadcast, and a per-doc window
+    cut to the top ``k`` (WindowGroupLimit prunes before the exchange).
+    Returns (doc_id, mesh_id, n_mentions, salience, rank ≤ k)."""
+    cnt = mentions.groupBy("doc_id", "mesh_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_mentions")
+    )
+    dfm = cnt.groupBy("mesh_id").agg(
+        F.count(F.lit(1)).cast("double").alias("df")
+    )
+    nd = cnt.select("doc_id").distinct().agg(
+        F.count(F.lit(1)).cast("double").alias("nd")
+    )
+    sal = (
+        cnt.join(dfm, "mesh_id")
+        .crossJoin(F.broadcast(nd))
+        .select(
+            "doc_id",
+            "mesh_id",
+            "n_mentions",
+            F.round(
+                F.col("n_mentions") * F.log(F.col("nd") / F.col("df"))
+                + F.lit(1e-9),
+                6,
+            ).alias("salience"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("salience"), F.asc("mesh_id")
+    )
+    return (
+        sal.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("doc_id", "mesh_id", "n_mentions", "salience",
+                F.col("rank").cast("int").alias("rank"))
+    )

@@ -228,3 +228,41 @@ def bigram_logprob(
             F.round(F.avg("lp") + F.lit(1e-9), 6).alias("logprob"),
         )
     )
+
+
+def token_entropy(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-document Shannon entropy of the word distribution, plus the
+    length-normalized form H/ln(n_distinct) ∈ [0,1] — the diversity
+    signal repetition fractions miss: a doc can have a low dup_word_frac
+    (many distinct words) while its probability mass still collapses
+    onto a few tokens (template text, keyword stuffing). Low normalized
+    entropy flags exactly that.
+
+    One (doc, word) counting aggregate — the key is doc-prefixed, so no
+    cross-doc hot word exists by construction — then a per-doc fold.
+    Single-word docs define norm_entropy = 0 (ln 1 = 0 guard). Returns
+    (doc_id, n_tok, n_distinct, entropy, norm_entropy) rounded 6dp."""
+    tok = df.select(
+        F.col(id_col).alias("doc_id"), F.explode(words(text_col)).alias("w")
+    )
+    cnt = tok.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("c"))
+    per = cnt.groupBy("doc_id").agg(
+        F.sum("c").cast("long").alias("n_tok"),
+        F.count(F.lit(1)).cast("long").alias("n_distinct"),
+        (
+            -F.sum(F.col("c") * F.log(F.col("c")))
+        ).alias("_sclogc"),
+    )
+    h = F.log(F.col("n_tok").cast("double")) + F.col("_sclogc") / F.col("n_tok")
+    return per.select(
+        "doc_id",
+        "n_tok",
+        "n_distinct",
+        F.round(h + F.lit(1e-9), 6).alias("entropy"),
+        F.round(
+            F.when(F.col("n_distinct") > 1, h / F.log(F.col("n_distinct").cast("double")))
+            .otherwise(F.lit(0.0))
+            + F.lit(1e-9),
+            6,
+        ).alias("norm_entropy"),
+    )

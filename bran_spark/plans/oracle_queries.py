@@ -5235,6 +5235,69 @@ def q135(spark, sf):
     )
 
 
+@_q(
+    "q136_entity_salience",
+    _FX_MENTIONS_SQL
+    + """
+    , cnt AS (SELECT doc_id, mesh_id, COUNT(*)::BIGINT AS n_mentions
+              FROM m GROUP BY doc_id, mesh_id),
+    dfm AS (SELECT mesh_id, COUNT(*)::DOUBLE AS df FROM cnt GROUP BY mesh_id),
+    nd AS (SELECT COUNT(DISTINCT doc_id)::DOUBLE AS nd FROM cnt),
+    sal AS (SELECT doc_id, mesh_id, n_mentions,
+                   ROUND(n_mentions * ln(nd / df) + 1e-9, 6) AS salience
+            FROM cnt JOIN dfm USING (mesh_id), nd),
+    rk AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                                        ORDER BY salience DESC, mesh_id)
+                     AS rank
+           FROM sal)
+    SELECT doc_id, mesh_id, n_mentions, salience, CAST(rank AS INT) AS rank
+    FROM rk WHERE rank <= 3
+    """,
+)
+def q136(spark, sf):
+    """Per-document entity salience (tf·idf over the linked mention
+    stream, top-3 per doc): which entities are TOPICAL for this abstract
+    vs corpus background — the doc-level evidence weight raw mention
+    counts get wrong for ubiquitous entities. Two dimension-scale
+    counting aggregates + 1-row N broadcast + WindowGroupLimit
+    (operators/pooling.entity_salience)."""
+    from bran_spark.operators.pooling import entity_salience
+
+    return entity_salience(_fx_mentions(spark, sf), k=3)
+
+
+@_q(
+    "q137_token_entropy",
+    """
+    WITH tok AS (SELECT doc_id,
+                        unnest(string_split_regex(trim(lower(text)), ' +'))
+                        AS w
+                 FROM documents),
+    cnt AS (SELECT doc_id, w, COUNT(*)::DOUBLE AS c FROM tok
+            GROUP BY doc_id, w),
+    per AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tok,
+                   COUNT(*)::BIGINT AS n_distinct,
+                   -SUM(c * ln(c)) AS sclogc
+            FROM cnt GROUP BY doc_id)
+    SELECT doc_id, n_tok, n_distinct,
+           ROUND(ln(n_tok) + sclogc / n_tok + 1e-9, 6) AS entropy,
+           ROUND(CASE WHEN n_distinct > 1
+                      THEN (ln(n_tok) + sclogc / n_tok) / ln(n_distinct)
+                      ELSE 0.0 END + 1e-9, 6) AS norm_entropy
+    FROM per
+    """,
+)
+def q137(spark, sf):
+    """Per-doc Shannon entropy of the word distribution + the
+    H/ln(n_distinct) normalized form — catches mass collapsed onto few
+    tokens even when dup_word_frac looks healthy (template text,
+    keyword stuffing). One doc-prefixed counting aggregate, skew-free
+    by construction (operators/quality.token_entropy)."""
+    from bran_spark.operators.quality import token_entropy
+
+    return token_entropy(_t(spark, sf, "documents"), "doc_id", "text")
+
+
 # =========================================================================
 # Registry ordering: the driver's correctness gate hash-checks the FIRST
 # 50 insertion-order entries of ``queries()``. Definition order above is

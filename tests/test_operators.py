@@ -642,3 +642,19 @@ def test_ewma_scores_half_life_arithmetic(spark):
     assert abs(out[2] - (4.0 + 10.0 * 0.5)) < 1e-4
     assert abs(out[3] - (2.0 + 4.0 * 0.5 + 10.0 * 0.25)) < 1e-4
     assert abs(out[4] - 100.0) < 1e-4                  # key isolation
+
+
+def test_entity_salience_downweights_ubiquitous_entities(spark):
+    """A corpus-wide entity (df = N, idf = 0) scores zero; a topical
+    entity mentioned 3x in one doc tops that doc's ranking."""
+    from bran_spark.operators.pooling import entity_salience
+
+    rows = []
+    for d in range(1, 5):
+        rows.append((d, "UBIQ"))
+    rows += [(1, "TOPIC")] * 3 + [(2, "OTHER")]
+    m = spark.createDataFrame(rows, "doc_id long, mesh_id string")
+    out = {(r.doc_id, r.mesh_id): r for r in entity_salience(m, k=3).collect()}
+    assert out[(1, "TOPIC")].rank == 1 and out[(1, "TOPIC")].salience > 1.0
+    assert abs(out[(1, "UBIQ")].salience) < 1e-4   # idf ln(4/4) = 0
+    assert out[(2, "OTHER")].rank == 1

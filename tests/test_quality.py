@@ -84,3 +84,21 @@ def test_countmin_never_underestimates(spark):
     wide = countmin_heavy_hitters(df, "doc_id", "text",
                                   width=4096, depth=4, k=10).collect()
     assert all(r.est == r.exact for r in wide)
+
+
+def test_token_entropy_separates_skewed_from_uniform(spark):
+    """Uniform word mix -> norm_entropy ~1; mass collapsed on one token
+    among many distinct words -> low norm_entropy despite low
+    dup_word_frac-style distinctness; single-word doc guard -> 0."""
+    from bran_spark.operators.quality import token_entropy
+
+    uniform = " ".join(f"w{i}" for i in range(16))
+    skewed = " ".join(["the"] * 48 + [f"w{i}" for i in range(16)])
+    rows = [(1, uniform), (2, skewed), (3, "solo solo solo")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in token_entropy(df, "doc_id", "text").collect()}
+    assert abs(out[1].norm_entropy - 1.0) < 1e-4
+    assert out[2].n_distinct == 17 and out[2].norm_entropy < 0.6
+    assert out[3].norm_entropy == round(0.0 + 1e-9, 6)
+    import math
+    assert abs(out[1].entropy - math.log(16)) < 1e-4
