@@ -191,3 +191,48 @@ def confusion_by(
         "CAST(CASE WHEN tp+fn = 0 THEN 0.0 ELSE tp/(tp+fn) END AS DOUBLE) AS recall",
         "CAST(CASE WHEN 2*tp+fp+fn = 0 THEN 0.0 ELSE 2.0*tp/(2*tp+fp+fn) END AS DOUBLE) AS f1",
     )
+
+
+def calibration_bins(
+    scored: DataFrame,
+    score_col: str = "s",
+    label_col: str = "label",
+    n_bins: int = 10,
+) -> DataFrame:
+    """Reliability-diagram bins for a sigmoid-calibrated scorer: map each
+    raw score to p = sigmoid(score), bucket p into ``n_bins`` equal-width
+    bins, and report per bin the count, mean predicted confidence, observed
+    positive rate, and their absolute gap (the per-bin term of Expected
+    Calibration Error). A KG-construction pipeline runs this on the dev
+    split before picking an acceptance threshold — a scorer whose
+    confidence 0.9 bucket is only 60% precise poisons every downstream
+    triple consumer that treats the score as a probability.
+
+    One counting aggregate over ``n_bins`` keys — shuffle-free in practice
+    (partial aggregation collapses each partition to <= n_bins rows).
+    Cross-engine hash safety: p is ROUND-ed to 6 decimals BEFORE the
+    bin-edge floor (both engines then floor the identical double), and all
+    reported means are ROUND-ed to 6 — the same idiom every threshold
+    comparison in this repo uses.
+    """
+    p = F.round(
+        F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col(score_col))), 6
+    )
+    binned = scored.withColumn(
+        "bin",
+        F.least(
+            F.lit(n_bins - 1),
+            F.greatest(F.lit(0), F.floor(p * n_bins).cast("int")),
+        ).cast("int"),
+    ).withColumn("_p", p)
+    return (
+        binned.groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.round(F.avg("_p"), 6).alias("avg_conf"),
+            F.round(F.avg(F.col(label_col).cast("double")), 6).alias("frac_pos"),
+        )
+        .withColumn(
+            "gap", F.round(F.abs(F.col("avg_conf") - F.col("frac_pos")), 6)
+        )
+    )

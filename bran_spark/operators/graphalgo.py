@@ -774,3 +774,130 @@ def harmonic_centrality(
             ).alias("harmonic"),
         )
     )
+
+
+def transitive_reduction(
+    edges: DataFrame,
+    child: str = "child",
+    parent: str = "parent",
+    max_depth: int = 6,
+) -> DataFrame:
+    """Minimal equivalent DAG: drop every (child, parent) edge that is also
+    implied by a parent-path of length >= 2 (bounded by ``max_depth``), i.e.
+    the inverse of ``ancestor_closure`` — ontology ingest pipelines run this
+    to strip redundant shortcut edges before closure/rollup so downstream
+    hypernym filters see each ancestry fact exactly once.
+
+    A redundant edge CANNOT be read off the shortest-depth closure (a direct
+    edge forces depth=1 there even when a longer path exists). Instead the
+    >=2-hop reachability set is one extra join away: reach2(c, a) holds iff
+    some mid exists with edge(c, mid) and closure(mid, a). One equi-join on
+    the mid node plus one left-anti join — both shuffle on entity keys that
+    partial-aggregate cleanly; nothing is broadcast (the closure is
+    O(V * depth) rows and may exceed driver memory on a 10^8-node ontology).
+    """
+    e = (
+        edges.select(F.col(child).alias("child"), F.col(parent).alias("parent"))
+        .where(F.col("child") != F.col("parent"))
+        .distinct()
+    )
+    clo = ancestor_closure(e, max_depth=max_depth - 1)
+    reach2 = (
+        e.select("child", F.col("parent").alias("mid"))
+        .join(
+            clo.select(F.col("child").alias("mid"), "ancestor"),
+            "mid",
+        )
+        .select("child", F.col("ancestor").alias("parent"))
+        .distinct()
+    )
+    return e.join(reach2, ["child", "parent"], "left_anti")
+
+
+def mine_path_rules(
+    triples: DataFrame,
+    min_support: int = 1,
+    max_mid_deg: int | None = None,
+) -> DataFrame:
+    """AMIE-style closed horn rules of the composition shape
+    ``p1(x, y) AND p2(y, z) => p3(x, z)`` with their standard support and
+    confidence — the rule-mining pass a KG-construction pipeline runs over
+    its own freshly-emitted triple table to propose schema-level inferences
+    (and to flag predicate pairs that are near-deterministic functions of
+    each other). Returns (p1, p2, p3, support, body_size, confidence) where
+    body_size = |distinct (x, z) satisfying the body|, support = |distinct
+    (x, z) satisfying body AND head|, confidence = support / body_size.
+
+    Scale shape: the body is a single self-equi-join on the mid entity y,
+    DISTINCT-ed on (p1, p2, x, z) BEFORE any counting so multi-path pairs
+    cannot blow up the aggregates; the head attach is one equi-join on the
+    (x, z) pair key. Both shuffles partial-aggregate. Hub mid-entities are
+    the one real hazard (a y with in-deg * out-deg ~ 10^8 dominates the
+    body join): ``max_mid_deg`` applies the same df-cut used by
+    triangle_counts — drop mid nodes whose in+out degree exceeds the cap
+    before the join (a plain shuffle join against the degree table, never a
+    |V|-sized broadcast). Rules are about predicate-level regularities, so
+    excluding a handful of super-hubs barely moves the estimates while
+    bounding the join fan-out.
+    """
+    t = triples.select("subj", "pred", "obj").distinct()
+    t1 = t
+    t2 = t
+    if max_mid_deg is not None:
+        outd = t.groupBy(F.col("subj").alias("node")).agg(
+            F.count(F.lit(1)).alias("od")
+        )
+        ind = t.groupBy(F.col("obj").alias("node")).agg(
+            F.count(F.lit(1)).alias("id_")
+        )
+        hot = (
+            outd.join(ind, "node", "full_outer")
+            .where(
+                F.coalesce("od", F.lit(0)) + F.coalesce("id_", F.lit(0))
+                > max_mid_deg
+            )
+            .select("node")
+        )
+        t1 = t.join(hot.select(F.col("node").alias("obj")), "obj", "left_anti")
+        t2 = t.join(hot.select(F.col("node").alias("subj")), "subj", "left_anti")
+    body = (
+        t1.select(
+            F.col("pred").alias("p1"),
+            F.col("subj").alias("x"),
+            F.col("obj").alias("mid"),
+        )
+        .join(
+            t2.select(
+                F.col("subj").alias("mid"),
+                F.col("pred").alias("p2"),
+                F.col("obj").alias("z"),
+            ),
+            "mid",
+        )
+        .select("p1", "p2", "x", "z")
+        .distinct()
+    )
+    body_n = body.groupBy("p1", "p2").agg(
+        F.count(F.lit(1)).cast("long").alias("body_size")
+    )
+    supp = (
+        body.join(
+            t.select(
+                F.col("subj").alias("x"),
+                F.col("pred").alias("p3"),
+                F.col("obj").alias("z"),
+            ),
+            ["x", "z"],
+        )
+        .groupBy("p1", "p2", "p3")
+        .agg(F.count(F.lit(1)).cast("long").alias("support"))
+        .where(F.col("support") >= min_support)
+    )
+    return supp.join(body_n, ["p1", "p2"]).select(
+        "p1",
+        "p2",
+        "p3",
+        "support",
+        "body_size",
+        F.round(F.col("support") / F.col("body_size"), 6).alias("confidence"),
+    )

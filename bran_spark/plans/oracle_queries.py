@@ -5298,6 +5298,195 @@ def q137(spark, sf):
     return token_entropy(_t(spark, sf, "documents"), "doc_id", "text")
 
 
+_KG_TRIPLES_SQL = """
+    WITH t AS (
+      SELECT DISTINCT subj, pred, obj FROM (
+        SELECT 'O:' || o_orderkey AS subj, 'placed_by' AS pred,
+               'C:' || o_custkey AS obj FROM orders
+        UNION ALL
+        SELECT 'C:' || c_custkey, 'in_nation', 'N:' || c_nationkey
+        FROM customer
+        UNION ALL
+        SELECT 'S:' || s_suppkey, 'in_nation', 'N:' || s_nationkey
+        FROM supplier
+        UNION ALL
+        SELECT 'N:' || n_nationkey, 'in_region', 'R:' || n_regionkey
+        FROM nation
+        UNION ALL
+        SELECT 'O:' || l_orderkey, 'contains', 'P:' || l_partkey
+        FROM lineitem
+        UNION ALL
+        SELECT 'O:' || l_orderkey, 'uses_supplier', 'S:' || l_suppkey
+        FROM lineitem
+        UNION ALL
+        SELECT 'P:' || l_partkey, 'supplied_by', 'S:' || l_suppkey
+        FROM lineitem
+        UNION ALL
+        SELECT 'C:' || c_custkey, 'in_region_of', 'R:' || n_regionkey
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+        UNION ALL
+        SELECT 'O:' || o_orderkey, 'from_nation', 'N:' || c_nationkey
+        FROM orders JOIN customer ON o_custkey = c_custkey
+      )
+    )
+"""
+
+
+def _kg_relational_triples(spark, sf) -> DataFrame:
+    """Multi-predicate KG lifted from the relational tables — the typed
+    triple view a KG-construction pipeline materializes when it ingests a
+    warehouse alongside text (entity ids are type-prefixed so key spaces
+    never collide). Seven narrow projections + one DISTINCT; every branch
+    prunes to two columns at the scan."""
+
+    def tr(df, s_pre, s_col, pred, o_pre, o_col):
+        return df.select(
+            F.concat(F.lit(s_pre), F.col(s_col).cast("string")).alias("subj"),
+            F.lit(pred).alias("pred"),
+            F.concat(F.lit(o_pre), F.col(o_col).cast("string")).alias("obj"),
+        )
+
+    orders = _t(spark, sf, "orders")
+    li = _t(spark, sf, "lineitem")
+    parts = [
+        tr(orders, "O:", "o_orderkey", "placed_by", "C:", "o_custkey"),
+        tr(_t(spark, sf, "customer"), "C:", "c_custkey", "in_nation", "N:", "c_nationkey"),
+        tr(_t(spark, sf, "supplier"), "S:", "s_suppkey", "in_nation", "N:", "s_nationkey"),
+        tr(_t(spark, sf, "nation"), "N:", "n_nationkey", "in_region", "R:", "n_regionkey"),
+        tr(li, "O:", "l_orderkey", "contains", "P:", "l_partkey"),
+        tr(li, "O:", "l_orderkey", "uses_supplier", "S:", "l_suppkey"),
+        tr(li, "P:", "l_partkey", "supplied_by", "S:", "l_suppkey"),
+        # join-derived edges (both dims broadcast-sized): they seed rules
+        # whose confidence is genuinely partial — e.g. uses_supplier AND
+        # in_nation => from_nation holds only when supplier and customer
+        # nations coincide
+        tr(
+            _t(spark, sf, "customer").join(
+                F.broadcast(_t(spark, sf, "nation")),
+                F.col("c_nationkey") == F.col("n_nationkey"),
+            ),
+            "C:", "c_custkey", "in_region_of", "R:", "n_regionkey",
+        ),
+        tr(
+            orders.join(
+                F.broadcast(_t(spark, sf, "customer")),
+                F.col("o_custkey") == F.col("c_custkey"),
+            ),
+            "O:", "o_orderkey", "from_nation", "N:", "c_nationkey",
+        ),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.distinct()
+
+
+@_q(
+    "q138_rule_mining",
+    _KG_TRIPLES_SQL
+    + """
+    , body AS (SELECT DISTINCT t1.pred AS p1, t2.pred AS p2,
+                      t1.subj AS x, t2.obj AS z
+               FROM t t1 JOIN t t2 ON t1.obj = t2.subj),
+    bodyn AS (SELECT p1, p2, CAST(COUNT(*) AS BIGINT) AS body_size
+              FROM body GROUP BY p1, p2),
+    supp AS (SELECT b.p1, b.p2, h.pred AS p3,
+                    CAST(COUNT(*) AS BIGINT) AS support
+             FROM body b JOIN t h ON h.subj = b.x AND h.obj = b.z
+             GROUP BY b.p1, b.p2, h.pred)
+    SELECT s.p1, s.p2, s.p3, s.support, n.body_size,
+           ROUND(CAST(s.support AS DOUBLE) / n.body_size, 6) AS confidence
+    FROM supp s JOIN bodyn n USING (p1, p2)
+    WHERE s.support >= 1
+    """,
+)
+def q138(spark, sf):
+    """AMIE-style horn-rule mining over the lifted relational KG:
+    p1(x,y) AND p2(y,z) => p3(x,z) with standard support / body-size /
+    confidence (graphalgo.mine_path_rules). Surfaces e.g.
+    contains AND supplied_by => uses_supplier with high confidence while
+    placed_by AND in_nation compositions yield no head. Body is DISTINCT-ed
+    before counting; head attach is one (x,z)-pair equi-join; the optional
+    hub df-cut (max_mid_deg) is exercised by unit test, left off here so
+    the oracle stays parameter-free."""
+    from bran_spark.operators.graphalgo import mine_path_rules
+
+    return mine_path_rules(_kg_relational_triples(spark, sf))
+
+
+@_q(
+    "q139_transitive_reduction",
+    f"""
+    WITH e AS (SELECT mesh_id AS child, unnest(parents) AS parent
+               FROM read_parquet('{_FX01}/mesh_dict.parquet')),
+    e2 AS (SELECT DISTINCT child, parent FROM e WHERE child <> parent),
+    a1 AS (SELECT child, parent, 1 AS depth FROM e2),
+    a2 AS (SELECT a1.child, e2.parent, 2 AS depth
+           FROM a1 JOIN e2 ON e2.child = a1.parent),
+    a3 AS (SELECT a2.child, e2.parent, 3 AS depth
+           FROM a2 JOIN e2 ON e2.child = a2.parent),
+    a4 AS (SELECT a3.child, e2.parent, 4 AS depth
+           FROM a3 JOIN e2 ON e2.child = a3.parent),
+    a5 AS (SELECT a4.child, e2.parent, 5 AS depth
+           FROM a4 JOIN e2 ON e2.child = a4.parent),
+    allp AS (SELECT * FROM a1 UNION ALL SELECT * FROM a2
+             UNION ALL SELECT * FROM a3 UNION ALL SELECT * FROM a4
+             UNION ALL SELECT * FROM a5),
+    reach2 AS (SELECT DISTINCT e2.child, a.parent
+               FROM e2 JOIN allp a ON a.child = e2.parent)
+    SELECT child, parent FROM e2
+    EXCEPT
+    SELECT child, parent FROM reach2
+    """,
+)
+def q139(spark, sf):
+    """Transitive reduction of the MeSH parent DAG — the ontology-ingest
+    cleanup that strips shortcut edges already implied by a >=2-hop path
+    (graphalgo.transitive_reduction; same edge source as the q66 closure).
+    The engine derives >=2-hop reachability as one join of the edge table
+    against the level-synchronous closure (never the quadratic all-paths
+    enumeration the oracle is allowed); the oracle's EXCEPT is the anti-join
+    twin."""
+    from bran_spark.fixtures.gen import ensure, fixture_dir
+    from bran_spark.operators.graphalgo import transitive_reduction
+
+    s = _fixture_sf_for(sf)
+    ensure(s)
+    dict_df = spark.read.parquet(f"{fixture_dir(s)}/mesh_dict.parquet")
+    edges = dict_df.select(
+        F.col("mesh_id").alias("child"), F.explode("parents").alias("parent")
+    )
+    return transitive_reduction(edges, max_depth=6)
+
+
+@_q(
+    "q140_calibration_bins",
+    f"""
+    WITH {_PIPE_CTES} ,
+    conf AS (SELECT ROUND(1.0 / (1.0 + exp(-s)), 6) AS p, label FROM scored),
+    binned AS (SELECT LEAST(9, GREATEST(0, CAST(FLOOR(p * 10) AS INT))) AS bin,
+                      p, label
+               FROM conf)
+    SELECT bin, CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(AVG(p), 6) AS avg_conf,
+           ROUND(AVG(CAST(label AS DOUBLE)), 6) AS frac_pos,
+           ROUND(ABS(ROUND(AVG(p), 6) - ROUND(AVG(CAST(label AS DOUBLE)), 6)), 6) AS gap
+    FROM binned GROUP BY bin
+    """,
+)
+def q140(spark, sf):
+    """Reliability-diagram calibration bins over the deterministic scored
+    dev pairs (evaluate.calibration_bins): sigmoid confidence bucketed into
+    10 equal-width bins with per-bin count, mean confidence, observed
+    positive rate and |gap| — the per-bin ECE terms consulted before
+    freezing the acceptance threshold (q24). Confidence is ROUND(.,6)-ed
+    BEFORE the bin floor so both engines floor the identical double."""
+    from bran_spark.operators.evaluate import calibration_bins
+
+    scored = _scored(spark, sf).select("s", "label")
+    return calibration_bins(scored)
+
+
 # =========================================================================
 # Registry ordering: the driver's correctness gate hash-checks the FIRST
 # 50 insertion-order entries of ``queries()``. Definition order above is

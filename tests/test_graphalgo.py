@@ -511,3 +511,100 @@ def test_luby_mis_empty_graph(spark):
 
     empty = spark.createDataFrame([], "u string, v string")
     assert luby_mis(empty, max_rounds=2).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# transitive reduction and AMIE-style rule mining (round-3 additions)
+# ---------------------------------------------------------------------------
+
+
+def test_transitive_reduction_drops_shortcut_edge(spark):
+    from bran_spark.operators.graphalgo import transitive_reduction
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("a", "c"), ("d", "e")],
+        "child string, parent string",
+    )
+    out = {
+        (r.child, r.parent)
+        for r in transitive_reduction(edges, max_depth=6).collect()
+    }
+    # a->c is implied by a->b->c; d->e has no alternative path
+    assert out == {("a", "b"), ("b", "c"), ("d", "e")}
+
+
+def test_transitive_reduction_keeps_diamond_edges(spark):
+    from bran_spark.operators.graphalgo import transitive_reduction
+
+    # diamond a->{b,c}->d: every edge is on SOME shortest path, none is
+    # implied by a 2-hop alternative between ITS OWN endpoints
+    edges = spark.createDataFrame(
+        [("a", "b"), ("a", "c"), ("b", "d"), ("c", "d")],
+        "child string, parent string",
+    )
+    out = {
+        (r.child, r.parent)
+        for r in transitive_reduction(edges, max_depth=6).collect()
+    }
+    assert out == {("a", "b"), ("a", "c"), ("b", "d"), ("c", "d")}
+
+
+def test_transitive_reduction_long_shortcut(spark):
+    from bran_spark.operators.graphalgo import transitive_reduction
+
+    # a->e is implied only by the 4-hop chain: needs the closure, not just
+    # a single 2-hop probe
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("d", "e"), ("a", "e")],
+        "child string, parent string",
+    )
+    out = {
+        (r.child, r.parent)
+        for r in transitive_reduction(edges, max_depth=6).collect()
+    }
+    assert ("a", "e") not in out and len(out) == 4
+
+
+def _triples(spark, rows):
+    return spark.createDataFrame(rows, "subj string, pred string, obj string")
+
+
+def test_mine_path_rules_support_confidence(spark):
+    from bran_spark.operators.graphalgo import mine_path_rules
+
+    # works_in(x,y) & located_in(y,z) => based_in(x,z) holds for 2 of the
+    # 3 distinct body pairs
+    rows = [
+        ("p1", "works_in", "o1"),
+        ("p2", "works_in", "o1"),
+        ("p3", "works_in", "o2"),
+        ("o1", "located_in", "n1"),
+        ("o2", "located_in", "n2"),
+        ("p1", "based_in", "n1"),
+        ("p2", "based_in", "n1"),
+    ]
+    out = {
+        (r.p1, r.p2, r.p3): (r.support, r.body_size, r.confidence)
+        for r in mine_path_rules(_triples(spark, rows)).collect()
+    }
+    assert out[("works_in", "located_in", "based_in")] == (2, 3, 0.666667)
+
+
+def test_mine_path_rules_hub_cut_binds(spark):
+    from bran_spark.operators.graphalgo import mine_path_rules
+
+    # hub mid-node h has in+out degree 6 > cap 4: every body pair through
+    # it disappears; the rule through the cold mid node survives
+    rows = (
+        [("a%d" % i, "p", "h") for i in range(3)]
+        + [("h", "q", "b%d" % i) for i in range(3)]
+        + [("x", "p", "m"), ("m", "q", "y"), ("x", "r", "y")]
+    )
+    uncut = mine_path_rules(_triples(spark, rows))
+    assert {r.body_size for r in uncut.where("p1='p' AND p2='q'").collect()} == {10}
+    cut = mine_path_rules(_triples(spark, rows), max_mid_deg=4)
+    got = {
+        (r.p1, r.p2, r.p3): (r.support, r.body_size)
+        for r in cut.collect()
+    }
+    assert got == {("p", "q", "r"): (1, 1)}

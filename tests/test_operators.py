@@ -658,3 +658,18 @@ def test_entity_salience_downweights_ubiquitous_entities(spark):
     assert out[(1, "TOPIC")].rank == 1 and out[(1, "TOPIC")].salience > 1.0
     assert abs(out[(1, "UBIQ")].salience) < 1e-4   # idf ln(4/4) = 0
     assert out[(2, "OTHER")].rank == 1
+
+
+def test_calibration_bins_hand_example(spark):
+    from bran_spark.operators.evaluate import calibration_bins
+
+    # sigmoid(0)=0.5 -> bin 5; sigmoid(-100)~0 -> bin 0; sigmoid(100)~1
+    # -> clamped to bin 9
+    rows = [(-100.0, 0), (-100.0, 1), (0.0, 1), (100.0, 1), (100.0, 0)]
+    df = spark.createDataFrame(rows, "s double, label int")
+    out = {r.bin: (r.n, r.avg_conf, r.frac_pos, r.gap)
+           for r in calibration_bins(df).collect()}
+    assert set(out) == {0, 5, 9}
+    assert out[0] == (2, 0.0, 0.5, 0.5)
+    assert out[5] == (1, 0.5, 1.0, 0.5)
+    assert out[9] == (2, 1.0, 0.5, 0.5)
