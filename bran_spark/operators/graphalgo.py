@@ -901,3 +901,51 @@ def mine_path_rules(
         "body_size",
         F.round(F.col("support") / F.col("body_size"), 6).alias("confidence"),
     )
+
+
+def align_predicates(triples: DataFrame, min_common: int = 1) -> DataFrame:
+    """PARIS-style predicate alignment by extension overlap: for every
+    unordered predicate pair, the size of the intersection of their
+    (subj, obj) extension sets plus Jaccard and containment — the signal an
+    ontology-merge stage uses to flag synonym / sub-property predicates
+    when KGs from heterogeneous sources are fused (two feeds calling the
+    same relation 'supplied_by' and 'bulk_supplier' must be reconciled
+    before dedup-by-support means anything).
+
+    Shape: one DISTINCT over (pred, subj, obj); the candidate join is an
+    equi-join on the (subj, obj) PAIR key — never a predicate cross
+    product — so its fan-out per pair is (#predicates sharing that exact
+    pair choose 2), tiny by construction since predicate vocabularies are
+    small and typed subject/object spaces rarely collide. Per-predicate
+    extension sizes are a #preds-row table, broadcast to both attach
+    sites."""
+    ext = triples.select("pred", "subj", "obj").distinct()
+    sizes = ext.groupBy("pred").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    common = (
+        ext.select(F.col("pred").alias("p1"), "subj", "obj")
+        .join(
+            ext.select(F.col("pred").alias("p2"), "subj", "obj"),
+            ["subj", "obj"],
+        )
+        .where(F.col("p1") < F.col("p2"))
+        .groupBy("p1", "p2")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_common"))
+        .where(F.col("n_common") >= min_common)
+    )
+    s1 = F.broadcast(sizes.select(F.col("pred").alias("p1"), F.col("n").alias("n1")))
+    s2 = F.broadcast(sizes.select(F.col("pred").alias("p2"), F.col("n").alias("n2")))
+    return (
+        common.join(s1, "p1")
+        .join(s2, "p2")
+        .select(
+            "p1", "p2", "n_common", "n1", "n2",
+            F.round(
+                F.col("n_common")
+                / (F.col("n1") + F.col("n2") - F.col("n_common")),
+                6,
+            ).alias("jaccard"),
+            F.round(
+                F.col("n_common") / F.least("n1", "n2"), 6
+            ).alias("containment"),
+        )
+    )

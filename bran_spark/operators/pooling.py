@@ -188,3 +188,28 @@ def entity_salience(mentions: DataFrame, k: int = 3) -> DataFrame:
         .select("doc_id", "mesh_id", "n_mentions", "salience",
                 F.col("rank").cast("int").alias("rank"))
     )
+
+
+def merge_support_states(states: list[DataFrame], keys: list[str]) -> DataFrame:
+    """Incremental triple-support maintenance for append-only corpus ingest:
+    additively merge per-batch support aggregates (every non-key column is
+    summed as a long) so a new document batch updates the KG's support
+    table WITHOUT re-aggregating the historical corpus — the 100 TB path
+    re-reads only the delta plus the (much smaller, one row per distinct
+    triple) state table.
+
+    Precondition: the batches PARTITION the provenance space (each doc_id
+    lands in exactly one batch — automatically true for append-only ingest
+    where new docs carry fresh ids). Under that precondition per-batch
+    COUNT(DISTINCT doc_id) values are additive, and the merged state is
+    bit-identical to a from-scratch batch aggregate — which is exactly what
+    the q141 oracle twin asserts (incremental engine vs full-recompute SQL).
+    One union + one partial-aggregating shuffle on the triple key.
+    """
+    out = states[0]
+    for s in states[1:]:
+        out = out.unionByName(s)
+    vals = [c for c in out.columns if c not in keys]
+    return out.groupBy(*keys).agg(
+        *[F.sum(c).cast("long").alias(c) for c in vals]
+    )

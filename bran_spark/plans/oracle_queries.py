@@ -5298,9 +5298,7 @@ def q137(spark, sf):
     return token_entropy(_t(spark, sf, "documents"), "doc_id", "text")
 
 
-_KG_TRIPLES_SQL = """
-    WITH t AS (
-      SELECT DISTINCT subj, pred, obj FROM (
+_KG_TRIPLES_UNION_SQL = """
         SELECT 'O:' || o_orderkey AS subj, 'placed_by' AS pred,
                'C:' || o_custkey AS obj FROM orders
         UNION ALL
@@ -5327,7 +5325,11 @@ _KG_TRIPLES_SQL = """
         UNION ALL
         SELECT 'O:' || o_orderkey, 'from_nation', 'N:' || c_nationkey
         FROM orders JOIN customer ON o_custkey = c_custkey
-      )
+"""
+
+_KG_TRIPLES_SQL = f"""
+    WITH t AS (
+      SELECT DISTINCT subj, pred, obj FROM ({_KG_TRIPLES_UNION_SQL})
     )
 """
 
@@ -5485,6 +5487,100 @@ def q140(spark, sf):
 
     scored = _scored(spark, sf).select("s", "label")
     return calibration_bins(scored)
+
+
+@_q(
+    "q141_incremental_support",
+    f"""
+    WITH {_PIPE_CTES}
+    SELECT chem_mesh, dis_mesh,
+           COUNT(DISTINCT doc_id) AS support, COUNT(*) AS n
+    FROM labeled WHERE label = 1
+    GROUP BY chem_mesh, dis_mesh
+    """,
+)
+def q141(spark, sf):
+    """Incremental triple-support maintenance: the positive corpus is split
+    into two doc-disjoint ingest batches (even / odd doc_id), each batch is
+    aggregated independently (same salted count-distinct as q23), and the
+    per-batch states are additively merged (pooling.merge_support_states).
+    The oracle is the FULL-corpus recompute — the hash gate itself proves
+    incremental == batch, which is the invariant that lets a 100 TB KG
+    absorb a new document batch without re-reading history."""
+    from bran_spark.operators.pooling import merge_support_states
+
+    pos = _labeled(spark, sf).where(F.col("label") == 1)
+
+    def batch_state(df):
+        support = salted_count_distinct(
+            df, ["chem_mesh", "dis_mesh"], "doc_id", buckets=16
+        ).withColumnRenamed("distinct_count", "support")
+        n = df.groupBy("chem_mesh", "dis_mesh").agg(
+            F.count(F.lit(1)).cast("long").alias("n")
+        )
+        return support.join(n, ["chem_mesh", "dis_mesh"])
+
+    old = batch_state(pos.where(F.col("doc_id") % 2 == 0))
+    delta = batch_state(pos.where(F.col("doc_id") % 2 == 1))
+    return merge_support_states([old, delta], ["chem_mesh", "dis_mesh"])
+
+
+@_q(
+    "q142_predicate_alignment",
+    f"""
+    WITH t AS (
+      SELECT DISTINCT subj, pred, obj FROM ({_KG_TRIPLES_UNION_SQL}
+        UNION ALL
+        SELECT 'P:' || l_partkey, 'major_supplier', 'S:' || l_suppkey
+        FROM lineitem WHERE l_quantity > 20
+        UNION ALL
+        SELECT 'P:' || l_partkey, 'bulk_supplier', 'S:' || l_suppkey
+        FROM lineitem WHERE l_quantity < 40)
+    ),
+    ext AS (SELECT DISTINCT pred, subj, obj FROM t),
+    sizes AS (SELECT pred, CAST(COUNT(*) AS BIGINT) AS n
+              FROM ext GROUP BY pred),
+    common AS (SELECT a.pred AS p1, b.pred AS p2,
+                      CAST(COUNT(*) AS BIGINT) AS n_common
+               FROM ext a JOIN ext b
+                 ON a.subj = b.subj AND a.obj = b.obj AND a.pred < b.pred
+               GROUP BY a.pred, b.pred
+               HAVING COUNT(*) >= 1)
+    SELECT c.p1, c.p2, c.n_common, s1.n AS n1, s2.n AS n2,
+           ROUND(CAST(c.n_common AS DOUBLE)
+                 / (s1.n + s2.n - c.n_common), 6) AS jaccard,
+           ROUND(CAST(c.n_common AS DOUBLE) / LEAST(s1.n, s2.n), 6)
+             AS containment
+    FROM common c
+    JOIN sizes s1 ON s1.pred = c.p1
+    JOIN sizes s2 ON s2.pred = c.p2
+    """,
+)
+def q142(spark, sf):
+    """PARIS-style predicate alignment over the lifted KG plus two noisy
+    supplier-relation variants from overlapping quantity ranges — the
+    ontology-merge reconciliation pass (graphalgo.align_predicates).
+    Expected shape: supplied_by fully CONTAINS both variants
+    (containment 1.0, partial Jaccard) while the two variants overlap
+    partially in both directions; cross-typed predicates share no
+    (subj, obj) pair and never reach the output."""
+    from bran_spark.operators.graphalgo import align_predicates
+
+    li = _t(spark, sf, "lineitem")
+
+    def supplier_variant(pred, cond):
+        return li.where(cond).select(
+            F.concat(F.lit("P:"), F.col("l_partkey").cast("string")).alias("subj"),
+            F.lit(pred).alias("pred"),
+            F.concat(F.lit("S:"), F.col("l_suppkey").cast("string")).alias("obj"),
+        )
+
+    triples = (
+        _kg_relational_triples(spark, sf)
+        .unionByName(supplier_variant("major_supplier", F.col("l_quantity") > 20))
+        .unionByName(supplier_variant("bulk_supplier", F.col("l_quantity") < 40))
+    )
+    return align_predicates(triples)
 
 
 # =========================================================================

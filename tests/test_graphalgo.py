@@ -608,3 +608,25 @@ def test_mine_path_rules_hub_cut_binds(spark):
         for r in cut.collect()
     }
     assert got == {("p", "q", "r"): (1, 1)}
+
+
+def test_align_predicates_hand_example(spark):
+    from bran_spark.operators.graphalgo import align_predicates
+
+    # ext(p)= {(a,b),(a,c),(d,e)}, ext(q)={(a,b),(a,c)} subset,
+    # ext(r)={(a,c),(d,e),(x,y)} partial overlap with p
+    rows = [
+        ("a", "p", "b"), ("a", "p", "c"), ("d", "p", "e"),
+        ("a", "q", "b"), ("a", "q", "c"),
+        ("a", "r", "c"), ("d", "r", "e"), ("x", "r", "y"),
+        # duplicate assertion must not inflate extension sizes
+        ("a", "p", "b"),
+    ]
+    out = {
+        (row.p1, row.p2): (row.n_common, row.n1, row.n2,
+                           row.jaccard, row.containment)
+        for row in align_predicates(_triples(spark, rows)).collect()
+    }
+    assert out[("p", "q")] == (2, 3, 2, 0.666667, 1.0)
+    assert out[("p", "r")] == (2, 3, 3, 0.5, 0.666667)
+    assert out[("q", "r")] == (1, 2, 3, 0.25, 0.5)

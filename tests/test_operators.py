@@ -673,3 +673,24 @@ def test_calibration_bins_hand_example(spark):
     assert out[0] == (2, 0.0, 0.5, 0.5)
     assert out[5] == (1, 0.5, 1.0, 0.5)
     assert out[9] == (2, 1.0, 0.5, 0.5)
+
+
+def test_merge_support_states_equals_batch(spark):
+    from bran_spark.operators.pooling import merge_support_states
+
+    rows = [("t1", 1), ("t1", 2), ("t1", 2), ("t2", 3), ("t2", 4), ("t3", 5)]
+    df = spark.createDataFrame(rows, "triple string, doc_id int")
+
+    def state(d):
+        return d.groupBy("triple").agg(
+            F.countDistinct("doc_id").cast("long").alias("support"),
+            F.count(F.lit(1)).cast("long").alias("n"),
+        )
+
+    batches = [state(df.where(F.col("doc_id") % 3 == i)) for i in range(3)]
+    merged = {
+        (r.triple): (r.support, r.n)
+        for r in merge_support_states(batches, ["triple"]).collect()
+    }
+    full = {(r.triple): (r.support, r.n) for r in state(df).collect()}
+    assert merged == full == {"t1": (2, 3), "t2": (2, 2), "t3": (1, 1)}
