@@ -949,3 +949,56 @@ def align_predicates(triples: DataFrame, min_common: int = 1) -> DataFrame:
             ).alias("containment"),
         )
     )
+
+
+def apply_rules(
+    triples: DataFrame,
+    rules: DataFrame,
+    min_confidence: float = 0.8,
+) -> DataFrame:
+    """One forward-chaining step of KB completion: for every accepted rule
+    p1(x,y) AND p2(y,z) => p3(x,z) (confidence >= ``min_confidence``),
+    materialize the head triples whose body holds but which are MISSING
+    from the KG — mined regularities turned into new candidate knowledge
+    (e.g. suppliers inherit in_region_of through in_nation AND in_region
+    when only customers were asserted with it).
+
+    The accepted rule set is a handful of (p1, p2, p3) rows — broadcast
+    onto the body join's output; the body itself is the same single
+    mid-entity self-join as mine_path_rules (DISTINCT-ed before the rule
+    attach), and novelty is one left-anti join on the full triple key.
+    Inferred triples carry their rule's confidence as a provenance score.
+    """
+    acc = F.broadcast(
+        rules.where(F.col("confidence") >= min_confidence).select(
+            "p1", "p2", "p3", "confidence"
+        )
+    )
+    t = triples.select("subj", "pred", "obj").distinct()
+    body = (
+        t.select(
+            F.col("pred").alias("p1"),
+            F.col("subj").alias("x"),
+            F.col("obj").alias("mid"),
+        )
+        .join(
+            t.select(
+                F.col("subj").alias("mid"),
+                F.col("pred").alias("p2"),
+                F.col("obj").alias("z"),
+            ),
+            "mid",
+        )
+        .select("p1", "p2", "x", "z")
+        .distinct()
+    )
+    inferred = (
+        body.join(acc, ["p1", "p2"])
+        .groupBy(
+            F.col("x").alias("subj"),
+            F.col("p3").alias("pred"),
+            F.col("z").alias("obj"),
+        )
+        .agg(F.round(F.max("confidence"), 6).alias("confidence"))
+    )
+    return inferred.join(t, ["subj", "pred", "obj"], "left_anti")

@@ -5583,6 +5583,49 @@ def q142(spark, sf):
     return align_predicates(triples)
 
 
+@_q(
+    "q143_rule_inference",
+    _KG_TRIPLES_SQL
+    + """
+    , body AS (SELECT DISTINCT t1.pred AS p1, t2.pred AS p2,
+                      t1.subj AS x, t2.obj AS z
+               FROM t t1 JOIN t t2 ON t1.obj = t2.subj),
+    bodyn AS (SELECT p1, p2, CAST(COUNT(*) AS BIGINT) AS body_size
+              FROM body GROUP BY p1, p2),
+    supp AS (SELECT b.p1, b.p2, h.pred AS p3,
+                    CAST(COUNT(*) AS BIGINT) AS support
+             FROM body b JOIN t h ON h.subj = b.x AND h.obj = b.z
+             GROUP BY b.p1, b.p2, h.pred),
+    rules AS (SELECT s.p1, s.p2, s.p3,
+                     ROUND(CAST(s.support AS DOUBLE) / n.body_size, 6)
+                       AS confidence
+              FROM supp s JOIN bodyn n USING (p1, p2)
+              WHERE ROUND(CAST(s.support AS DOUBLE) / n.body_size, 6)
+                    >= 0.8),
+    inferred AS (SELECT b.x AS subj, r.p3 AS pred, b.z AS obj,
+                        ROUND(MAX(r.confidence), 6) AS confidence
+                 FROM body b JOIN rules r USING (p1, p2)
+                 GROUP BY b.x, r.p3, b.z)
+    SELECT i.subj, i.pred, i.obj, i.confidence
+    FROM inferred i
+    WHERE NOT EXISTS (SELECT 1 FROM t
+                      WHERE t.subj = i.subj AND t.pred = i.pred
+                        AND t.obj = i.obj)
+    """,
+)
+def q143(spark, sf):
+    """KB completion by forward chaining (graphalgo.apply_rules): mine the
+    composition rules on the lifted KG (q138), accept those with
+    confidence >= 0.8, and materialize the missing head triples — e.g.
+    suppliers inherit in_region_of (asserted only for customers) through
+    the in_nation AND in_region => in_region_of rule. Inferred triples
+    carry the max accepting-rule confidence as provenance."""
+    from bran_spark.operators.graphalgo import apply_rules, mine_path_rules
+
+    triples = _kg_relational_triples(spark, sf)
+    return apply_rules(triples, mine_path_rules(triples), min_confidence=0.8)
+
+
 # =========================================================================
 # Registry ordering: the driver's correctness gate hash-checks the FIRST
 # 50 insertion-order entries of ``queries()``. Definition order above is

@@ -630,3 +630,22 @@ def test_align_predicates_hand_example(spark):
     assert out[("p", "q")] == (2, 3, 2, 0.666667, 1.0)
     assert out[("p", "r")] == (2, 3, 3, 0.5, 0.666667)
     assert out[("q", "r")] == (1, 2, 3, 0.25, 0.5)
+
+
+def test_apply_rules_infers_missing_heads_only(spark):
+    from bran_spark.operators.graphalgo import apply_rules, mine_path_rules
+
+    # p&q => r holds for (a,c1) but is missing for (b,c2); low-confidence
+    # compositions must not fire
+    rows = [
+        ("a", "p", "m1"), ("m1", "q", "c1"), ("a", "r", "c1"),
+        ("b", "p", "m2"), ("m2", "q", "c2"),
+    ]
+    t = _triples(spark, rows)
+    rules = mine_path_rules(t)
+    out = apply_rules(t, rules, min_confidence=0.4).collect()
+    assert [(r.subj, r.pred, r.obj, r.confidence) for r in out] == [
+        ("b", "r", "c2", 0.5)
+    ]
+    # raising the bar past the rule's 0.5 confidence silences inference
+    assert apply_rules(t, rules, min_confidence=0.8).count() == 0
