@@ -108,3 +108,62 @@ def name_neardup_pairs(
         max_df=max_df,
         shingler=char_shingles,
     )
+
+
+def truth_discovery(
+    claims: DataFrame,
+    iters: int = 2,
+    source_col: str = "source",
+    key_col: str = "key",
+    value_col: str = "value",
+) -> DataFrame:
+    """Conflict resolution for functional attributes by iterated
+    source-trust voting (Sums / TruthFinder-lite): when heterogeneous
+    sources assert different values for the same (entity, attribute) key,
+    alternate between value confidence (trust-weighted vote share within
+    the key) and source trust (mean confidence of the source's claims),
+    then emit the arg-max value per key with its final confidence. This is
+    the fusion step between extraction and the canonical triple sink —
+    majority vote weighted by how often each source agrees with the
+    emerging consensus, so a feed that is wrong everywhere stops outvoting
+    two reliable feeds that agree.
+
+    Every round is two key-partitioned aggregates plus one tiny
+    source-keyed aggregate (trust is one row per source — broadcast onto
+    the claims at the next round's attach). All reductions are ROUND(.,6)-
+    ed at round boundaries so float summation order cannot leak into the
+    cross-engine hash; the final arg-max breaks exact confidence ties by
+    value string, deterministically.
+    """
+    c = claims.select(
+        F.col(source_col).alias("source"),
+        F.col(key_col).alias("key"),
+        F.col(value_col).alias("value"),
+    ).distinct()
+    trust = c.select("source").distinct().withColumn(
+        "trust", F.lit(1.0)
+    )
+    conf = None
+    for _ in range(iters):
+        vote = (
+            c.join(F.broadcast(trust), "source")
+            .groupBy("key", "value")
+            .agg(F.round(F.sum("trust"), 6).alias("vote"))
+        )
+        tot = vote.groupBy("key").agg(F.round(F.sum("vote"), 6).alias("tot"))
+        conf = vote.join(tot, "key").select(
+            "key", "value", F.round(F.col("vote") / F.col("tot"), 6).alias("conf")
+        )
+        trust = (
+            c.join(conf, ["key", "value"])
+            .groupBy("source")
+            .agg(F.round(F.avg("conf"), 6).alias("trust"))
+        )
+    w = Window.partitionBy("key").orderBy(
+        F.col("conf").desc(), F.col("value").desc()
+    )
+    return (
+        conf.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("key", "value", F.col("conf").alias("confidence"))
+    )

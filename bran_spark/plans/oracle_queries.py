@@ -5626,6 +5626,63 @@ def q143(spark, sf):
     return apply_rules(triples, mine_path_rules(triples), min_confidence=0.8)
 
 
+@_q(
+    "q144_truth_discovery",
+    """
+    WITH claims AS (
+      SELECT DISTINCT 'S:' || l_suppkey AS source, 'P:' || l_partkey AS key,
+             CASE WHEN (l_partkey * 7 + l_suppkey * 13) % 5 = 0
+                  THEN 'X' || (l_partkey % 3) ELSE p_brand END AS value
+      FROM lineitem JOIN part ON l_partkey = p_partkey),
+    t0 AS (SELECT DISTINCT source, 1.0 AS trust FROM claims),
+    v1 AS MATERIALIZED (
+      SELECT c.key, c.value, ROUND(SUM(t.trust), 6) AS vote
+      FROM claims c JOIN t0 t USING (source) GROUP BY c.key, c.value),
+    tot1 AS (SELECT key, ROUND(SUM(vote), 6) AS tot FROM v1 GROUP BY key),
+    c1 AS MATERIALIZED (
+      SELECT v1.key, v1.value, ROUND(vote / tot, 6) AS conf
+      FROM v1 JOIN tot1 USING (key)),
+    t1 AS (SELECT source, ROUND(AVG(conf), 6) AS trust
+           FROM claims c JOIN c1 ON c.key = c1.key AND c.value = c1.value
+           GROUP BY source),
+    v2 AS MATERIALIZED (
+      SELECT c.key, c.value, ROUND(SUM(t.trust), 6) AS vote
+      FROM claims c JOIN t1 t USING (source) GROUP BY c.key, c.value),
+    tot2 AS (SELECT key, ROUND(SUM(vote), 6) AS tot FROM v2 GROUP BY key),
+    c2 AS MATERIALIZED (
+      SELECT v2.key, v2.value, ROUND(vote / tot, 6) AS conf
+      FROM v2 JOIN tot2 USING (key))
+    SELECT key, value, conf AS confidence
+    FROM (SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY key ORDER BY conf DESC, value DESC) AS rn
+          FROM c2)
+    WHERE rn = 1
+    """,
+)
+def q144(spark, sf):
+    """Truth discovery / claim fusion (linking.truth_discovery): suppliers
+    assert their parts' brand, with a deterministic 20% of claims noised
+    onto three shared wrong values; two rounds of trust-weighted voting
+    converge on the consensus brand per part and demote the noisy
+    assertions. The oracle unrolls both voting rounds (MATERIALIZED CTEs)
+    and replays the same ROUND-at-boundary discipline."""
+    from bran_spark.operators.linking import truth_discovery
+
+    li = _t(spark, sf, "lineitem")
+    part = F.broadcast(_t(spark, sf, "part"))
+    claims = li.join(part, li.l_partkey == part.p_partkey).select(
+        F.concat(F.lit("S:"), F.col("l_suppkey").cast("string")).alias("source"),
+        F.concat(F.lit("P:"), F.col("l_partkey").cast("string")).alias("key"),
+        F.when(
+            (F.col("l_partkey") * 7 + F.col("l_suppkey") * 13) % 5 == 0,
+            F.concat(F.lit("X"), (F.col("l_partkey") % 3).cast("string")),
+        )
+        .otherwise(F.col("p_brand"))
+        .alias("value"),
+    )
+    return truth_discovery(claims, iters=2)
+
+
 # =========================================================================
 # Registry ordering: the driver's correctness gate hash-checks the FIRST
 # 50 insertion-order entries of ``queries()``. Definition order above is

@@ -694,3 +694,24 @@ def test_merge_support_states_equals_batch(spark):
     }
     full = {(r.triple): (r.support, r.n) for r in state(df).collect()}
     assert merged == full == {"t1": (2, 3), "t2": (2, 2), "t3": (1, 1)}
+
+
+def test_truth_discovery_demotes_disagreeing_source(spark):
+    from bran_spark.operators.linking import truth_discovery
+
+    # A and B agree everywhere; C disagrees everywhere it overlaps — after
+    # trust iteration C's vote share collapses, but its uncontested solo
+    # claim still resolves at confidence 1.0
+    rows = [
+        ("A", "k1", "v"), ("B", "k1", "v"), ("C", "k1", "w"),
+        ("A", "k2", "v2"), ("B", "k2", "v2"), ("C", "k2", "w2"),
+        ("C", "k3", "w3"),
+    ]
+    df = spark.createDataFrame(rows, "source string, key string, value string")
+    out = {r.key: (r.value, r.confidence)
+           for r in truth_discovery(df, iters=2).collect()}
+    assert out["k1"][0] == "v" and out["k2"][0] == "v2"
+    assert out["k3"] == ("w3", 1.0)
+    # round-2 share of the consensus value beats the plain 2/3 majority of
+    # round 1 (trust reweighting did something)
+    assert out["k1"][1] > 0.667
