@@ -1002,3 +1002,47 @@ def apply_rules(
         .agg(F.round(F.max("confidence"), 6).alias("confidence"))
     )
     return inferred.join(t, ["subj", "pred", "obj"], "left_anti")
+
+
+def predicate_profile(triples: DataFrame) -> DataFrame:
+    """Per-predicate cardinality profile: triple/subject/object counts,
+    max and mean out/in fan-out, and the functional / inverse-functional
+    flags (max fan-out == 1). Schema discovery for a freshly-constructed
+    KG — functional predicates are the ones conflict resolution
+    (truth_discovery) may legally arbitrate, near-functional ones with a
+    long fan-out tail usually indicate extraction noise, and the flags
+    feed join-strategy hints (a functional predicate's edge table joins
+    like a dimension).
+
+    Two two-level aggregations — (pred, subj) then pred, and (pred, obj)
+    then pred — all partial-aggregating; output is one row per predicate
+    (a vocabulary-sized table, safely collectable/broadcastable).
+    """
+    t = triples.select("pred", "subj", "obj").distinct()
+    out_f = (
+        t.groupBy("pred", "subj")
+        .agg(F.count(F.lit(1)).alias("fanout"))
+        .groupBy("pred")
+        .agg(
+            F.sum("fanout").cast("long").alias("n_triples"),
+            F.count(F.lit(1)).cast("long").alias("n_subj"),
+            F.max("fanout").cast("long").alias("max_out"),
+            F.round(F.avg("fanout"), 6).alias("avg_out"),
+        )
+    )
+    in_f = (
+        t.groupBy("pred", "obj")
+        .agg(F.count(F.lit(1)).alias("fanin"))
+        .groupBy("pred")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_obj"),
+            F.max("fanin").cast("long").alias("max_in"),
+            F.round(F.avg("fanin"), 6).alias("avg_in"),
+        )
+    )
+    return out_f.join(in_f, "pred").select(
+        "pred", "n_triples", "n_subj", "n_obj",
+        "max_out", "avg_out", "max_in", "avg_in",
+        (F.col("max_out") == 1).alias("functional"),
+        (F.col("max_in") == 1).alias("inverse_functional"),
+    )

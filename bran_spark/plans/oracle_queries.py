@@ -5683,6 +5683,41 @@ def q144(spark, sf):
     return truth_discovery(claims, iters=2)
 
 
+@_q(
+    "q145_predicate_profile",
+    _KG_TRIPLES_SQL
+    + """
+    , outf AS (
+      SELECT pred, CAST(SUM(fanout) AS BIGINT) AS n_triples,
+             CAST(COUNT(*) AS BIGINT) AS n_subj,
+             CAST(MAX(fanout) AS BIGINT) AS max_out,
+             ROUND(AVG(CAST(fanout AS DOUBLE)), 6) AS avg_out
+      FROM (SELECT pred, subj, COUNT(*) AS fanout FROM t GROUP BY pred, subj)
+      GROUP BY pred),
+    inf AS (
+      SELECT pred, CAST(COUNT(*) AS BIGINT) AS n_obj,
+             CAST(MAX(fanin) AS BIGINT) AS max_in,
+             ROUND(AVG(CAST(fanin AS DOUBLE)), 6) AS avg_in
+      FROM (SELECT pred, obj, COUNT(*) AS fanin FROM t GROUP BY pred, obj)
+      GROUP BY pred)
+    SELECT o.pred, o.n_triples, o.n_subj, i.n_obj,
+           o.max_out, o.avg_out, i.max_in, i.avg_in,
+           o.max_out = 1 AS functional,
+           i.max_in = 1 AS inverse_functional
+    FROM outf o JOIN inf i USING (pred)
+    """,
+)
+def q145(spark, sf):
+    """Predicate cardinality profiling over the lifted KG
+    (graphalgo.predicate_profile): placed_by / in_nation / in_region /
+    in_region_of / from_nation come out functional (each subject has one
+    object), the lineitem-derived relations do not — exactly the
+    precondition split truth_discovery (q144) and fusion need."""
+    from bran_spark.operators.graphalgo import predicate_profile
+
+    return predicate_profile(_kg_relational_triples(spark, sf))
+
+
 # =========================================================================
 # Registry ordering: the driver's correctness gate hash-checks the FIRST
 # 50 insertion-order entries of ``queries()``. Definition order above is

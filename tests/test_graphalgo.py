@@ -649,3 +649,22 @@ def test_apply_rules_infers_missing_heads_only(spark):
     ]
     # raising the bar past the rule's 0.5 confidence silences inference
     assert apply_rules(t, rules, min_confidence=0.8).count() == 0
+
+
+def test_predicate_profile_flags(spark):
+    from bran_spark.operators.graphalgo import predicate_profile
+
+    rows = [
+        # f: functional AND inverse-functional (a bijection)
+        ("a", "f", "1"), ("b", "f", "2"),
+        # g: functional but many-to-one on the object side
+        ("a", "g", "z"), ("b", "g", "z"),
+        # h: neither (a fans out, z fans in)
+        ("a", "h", "z"), ("a", "h", "y"), ("b", "h", "z"),
+    ]
+    out = {r.pred: r for r in predicate_profile(_triples(spark, rows)).collect()}
+    assert (out["f"].functional, out["f"].inverse_functional) == (True, True)
+    assert (out["g"].functional, out["g"].inverse_functional) == (True, False)
+    assert (out["h"].functional, out["h"].inverse_functional) == (False, False)
+    assert out["h"].n_triples == 3 and out["h"].max_out == 2 and out["h"].max_in == 2
+    assert out["h"].avg_out == 1.5
