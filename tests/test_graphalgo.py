@@ -668,3 +668,25 @@ def test_predicate_profile_flags(spark):
     assert (out["h"].functional, out["h"].inverse_functional) == (False, False)
     assert out["h"].n_triples == 3 and out["h"].max_out == 2 and out["h"].max_in == 2
     assert out["h"].avg_out == 1.5
+
+
+def test_mine_and_apply_with_shared_body(spark):
+    from bran_spark.operators.graphalgo import (
+        apply_rules,
+        composition_body,
+        mine_path_rules,
+    )
+
+    rows = [
+        ("a", "p", "m1"), ("m1", "q", "c1"), ("a", "r", "c1"),
+        ("b", "p", "m2"), ("m2", "q", "c2"),
+    ]
+    t = _triples(spark, rows)
+    body = composition_body(t)
+    rules_shared = mine_path_rules(t, body=body)
+    rules_plain = mine_path_rules(t)
+    assert sorted(map(tuple, rules_shared.collect())) == sorted(
+        map(tuple, rules_plain.collect())
+    )
+    out = apply_rules(t, rules_shared, min_confidence=0.4, body=body).collect()
+    assert [(r.subj, r.pred, r.obj) for r in out] == [("b", "r", "c2")]
