@@ -5746,11 +5746,18 @@ _FIRST_50 = [
     "q21_gold_label_join", "q22_hypernym_anti_join",
     "q23_triple_dedup_support", "q24_threshold_sweep", "q25_eval_prf",
     "q26_char_align",
-    # dedup family (exact, n-gram Jaccard, MinHash+LSH, SimHash,
-    # embedding near-dup, connected components, composed end-to-end)
-    "q27_dedup_exact", "q28_dedup_ngram_jaccard", "q29_dedup_minhash_lsh",
+    # dedup family (n-gram Jaccard, MinHash+LSH, embedding near-dup,
+    # connected components, composed end-to-end; exact dedup q27 is the
+    # simplest op in the corpus and stays mirror-covered — its slot goes
+    # to the round-3 KG-fusion family below)
+    "q28_dedup_ngram_jaccard", "q29_dedup_minhash_lsh",
     "q35_embedding_neardup", "q50_dedup_components",
     "q74_dedup_survivors", "q52_repetition_stats",
+    # KG-fusion family (round-3 session additions): AMIE rule mining and
+    # truth discovery are its two distinct algorithm shapes (inference
+    # q143 / alignment q142 / profile q145 / incremental q141 /
+    # reduction q139 / calibration q140 stay mirror-covered)
+    "q138_rule_mining", "q144_truth_discovery",
     # round-3 session additions: eval-leak decontamination, ExactSubstr-
     # style span removal, SemDeDup — each a distinct curation family.
     # (simhash stays mirror-covered via q40 + the rows-only fixture;
@@ -5775,8 +5782,9 @@ _FIRST_50 = [
     "q93_doc_chunking",
     # sampling family
     "q61_stratified_sample", "q65_negative_samples",
-    # as-of / CDC / reconciliation family
-    "q41_asof_join", "q67_merge_latest", "q81_snapshot_diff",
+    # as-of / CDC / reconciliation family (snapshot_diff q81 stays
+    # mirror-covered; its slot funds the KG-fusion family above)
+    "q41_asof_join", "q67_merge_latest",
     # text-analysis family
     "q36_lang_id", "q92_levenshtein_verify", "q59_tfidf_terms",
     # multimodal
