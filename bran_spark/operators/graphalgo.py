@@ -852,9 +852,13 @@ def mine_path_rules(
     confidence — the rule-mining pass a KG-construction pipeline runs over
     its own freshly-emitted triple table to propose schema-level inferences
     (and to flag predicate pairs that are near-deterministic functions of
-    each other). Returns (p1, p2, p3, support, body_size, confidence) where
-    body_size = |distinct (x, z) satisfying the body|, support = |distinct
-    (x, z) satisfying body AND head|, confidence = support / body_size.
+    each other). Returns (p1, p2, p3, support, body_size, confidence,
+    pca_body, pca_confidence) where body_size = |distinct (x, z) satisfying
+    the body|, support = |distinct (x, z) satisfying body AND head|,
+    confidence = support / body_size, and pca_confidence divides by only
+    the body pairs whose subject has SOME p3 edge (AMIE's partial-
+    completeness assumption — under open-world KGs a missing fact is not
+    a counter-example, so PCA confidence is the ranking that matters).
 
     Scale shape: the body is a single self-equi-join on the mid entity y,
     DISTINCT-ed on (p1, p2, x, z) BEFORE any counting so multi-path pairs
@@ -910,13 +914,36 @@ def mine_path_rules(
         .agg(F.count(F.lit(1)).cast("long").alias("support"))
         .where(F.col("support") >= min_support)
     )
-    return supp.join(body_n, ["p1", "p2"]).select(
-        "p1",
-        "p2",
-        "p3",
-        "support",
-        "body_size",
-        F.round(F.col("support") / F.col("body_size"), 6).alias("confidence"),
+    # PCA denominator (Galárraga et al., AMIE): body pairs whose subject
+    # has SOME p3 edge — the open-world correction that stops missing
+    # facts from reading as counter-examples. body rows are distinct, so
+    # the heads attach needs no re-dedup; fan-out per row is bounded by
+    # the (tiny) predicate vocabulary of x.
+    heads = t.select(
+        F.col("pred").alias("p3"), F.col("subj").alias("x")
+    ).distinct()
+    pca_n = (
+        body.join(heads, "x")
+        .groupBy("p1", "p2", "p3")
+        .agg(F.count(F.lit(1)).cast("long").alias("pca_body"))
+    )
+    return (
+        supp.join(body_n, ["p1", "p2"])
+        .join(pca_n, ["p1", "p2", "p3"])
+        .select(
+            "p1",
+            "p2",
+            "p3",
+            "support",
+            "body_size",
+            F.round(F.col("support") / F.col("body_size"), 6).alias(
+                "confidence"
+            ),
+            "pca_body",
+            F.round(F.col("support") / F.col("pca_body"), 6).alias(
+                "pca_confidence"
+            ),
+        )
     )
 
 

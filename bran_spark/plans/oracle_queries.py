@@ -5395,10 +5395,18 @@ def _kg_relational_triples(spark, sf) -> DataFrame:
     supp AS (SELECT b.p1, b.p2, h.pred AS p3,
                     CAST(COUNT(*) AS BIGINT) AS support
              FROM body b JOIN t h ON h.subj = b.x AND h.obj = b.z
-             GROUP BY b.p1, b.p2, h.pred)
+             GROUP BY b.p1, b.p2, h.pred),
+    heads AS (SELECT DISTINCT pred AS p3, subj AS x FROM t),
+    pca AS (SELECT b.p1, b.p2, h.p3, CAST(COUNT(*) AS BIGINT) AS pca_body
+            FROM body b JOIN heads h USING (x) GROUP BY b.p1, b.p2, h.p3)
     SELECT s.p1, s.p2, s.p3, s.support, n.body_size,
-           ROUND(CAST(s.support AS DOUBLE) / n.body_size, 6) AS confidence
-    FROM supp s JOIN bodyn n USING (p1, p2)
+           ROUND(CAST(s.support AS DOUBLE) / n.body_size, 6) AS confidence,
+           p.pca_body,
+           ROUND(CAST(s.support AS DOUBLE) / p.pca_body, 6)
+             AS pca_confidence
+    FROM supp s
+    JOIN bodyn n USING (p1, p2)
+    JOIN pca p ON p.p1 = s.p1 AND p.p2 = s.p2 AND p.p3 = s.p3
     WHERE s.support >= 1
     """,
 )

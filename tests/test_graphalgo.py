@@ -690,3 +690,25 @@ def test_mine_and_apply_with_shared_body(spark):
     )
     out = apply_rules(t, rules_shared, min_confidence=0.4, body=body).collect()
     assert [(r.subj, r.pred, r.obj) for r in out] == [("b", "r", "c2")]
+
+
+def test_mine_path_rules_pca_confidence(spark):
+    from bran_spark.operators.graphalgo import mine_path_rules
+
+    # body (works_in, located_in) = {(p1,n1),(p2,n1),(p3,n2)}; only p1 and
+    # p2 have ANY based_in edge, so the PCA denominator drops p3's pair:
+    # standard confidence 2/3, PCA confidence 2/2
+    rows = [
+        ("p1", "works_in", "o1"),
+        ("p2", "works_in", "o1"),
+        ("p3", "works_in", "o2"),
+        ("o1", "located_in", "n1"),
+        ("o2", "located_in", "n2"),
+        ("p1", "based_in", "n1"),
+        ("p2", "based_in", "n1"),
+    ]
+    out = {
+        (r.p1, r.p2, r.p3): (r.confidence, r.pca_body, r.pca_confidence)
+        for r in mine_path_rules(_triples(spark, rows)).collect()
+    }
+    assert out[("works_in", "located_in", "based_in")] == (0.666667, 2, 1.0)
