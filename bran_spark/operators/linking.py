@@ -116,6 +116,7 @@ def truth_discovery(
     source_col: str = "source",
     key_col: str = "key",
     value_col: str = "value",
+    checkpoint: bool = False,
 ) -> DataFrame:
     """Conflict resolution for functional attributes by iterated
     source-trust voting (Sums / TruthFinder-lite): when heterogeneous
@@ -134,12 +135,23 @@ def truth_discovery(
     ed at round boundaries so float summation order cannot leak into the
     cross-engine hash; the final arg-max breaks exact confidence ties by
     value string, deterministically.
+
+    ``checkpoint=True`` lineage-truncates the per-round trust table (and
+    the distinct claim set, re-read twice per round) so round N's plan
+    never nests the full DAG of rounds 1..N-1 — use it for deep ``iters``
+    on a real cluster. Default off: at the default 2 rounds the measured
+    single-box wall is ~20% better lazy (5.0 s vs 6.2 s median-of-3 at
+    sf0.1), the same lazy-beats-materialize result as rule_inference.
     """
+    if iters < 1:
+        raise ValueError(f"iters must be >= 1, got {iters}")
     c = claims.select(
         F.col(source_col).alias("source"),
         F.col(key_col).alias("key"),
         F.col(value_col).alias("value"),
     ).distinct()
+    if checkpoint:
+        c = c.localCheckpoint(eager=True)
     trust = c.select("source").distinct().withColumn(
         "trust", F.lit(1.0)
     )
@@ -154,11 +166,16 @@ def truth_discovery(
         conf = vote.join(tot, "key").select(
             "key", "value", F.round(F.col("vote") / F.col("tot"), 6).alias("conf")
         )
+        # one tiny row-per-source table — the broadcast payload of the
+        # next round; checkpointing it caps the conf->trust->conf plan
+        # recursion when iters is deep
         trust = (
             c.join(conf, ["key", "value"])
             .groupBy("source")
             .agg(F.round(F.avg("conf"), 6).alias("trust"))
         )
+        if checkpoint:
+            trust = trust.localCheckpoint(eager=True)
     w = Window.partitionBy("key").orderBy(
         F.col("conf").desc(), F.col("value").desc()
     )

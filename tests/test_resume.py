@@ -80,36 +80,6 @@ def test_resume_invalidates_on_config_change(spark, fx_dir, tmp_path):
     assert os.path.getmtime(score_manifest) > score_mtime
 
 
-def test_iceberg_tableio_contract(spark):
-    """No iceberg-spark-runtime jar exists offline, so pin the V2 writeTo
-    call sequence with a mock: writeTo(catalog.table) → partitionedBy →
-    createOrReplace, then the snapshot-id readback from <table>.snapshots —
-    any API drift in the adapter fails here instead of silently at deploy."""
-    from unittest.mock import MagicMock
-
-    from bran_spark.sources.tableio import IcebergTableIO
-
-    io = IcebergTableIO(catalog="cat")
-    df = MagicMock()
-    writer = MagicMock()
-    df.writeTo.return_value = writer
-    writer.partitionedBy.return_value = writer
-    df.sparkSession.sql.return_value.head.return_value = [42]
-
-    snap = io.write(df, "tbl", stage="s", partition_by=["pred"])
-
-    df.writeTo.assert_called_once_with("cat.tbl")
-    writer.partitionedBy.assert_called_once()
-    writer.createOrReplace.assert_called_once()
-    assert snap == 42
-    assert "cat.tbl.snapshots" in df.sparkSession.sql.call_args[0][0]
-
-    rspark = MagicMock()
-    io.read(rspark, "tbl", snap=42)
-    rspark.read.option.assert_called_once_with("snapshot-id", 42)
-    rspark.read.option.return_value.table.assert_called_once_with("cat.tbl")
-
-
 def test_time_travel_read_returns_past_snapshot(spark, tmp_path):
     """S7 lineage: read(table, snap=N) reproduces snapshot N byte-for-byte
     after later snapshots supersede it (the local-manifest analog of
