@@ -184,3 +184,86 @@ def truth_discovery(
         .where(F.col("rn") == 1)
         .select("key", "value", F.col("conf").alias("confidence"))
     )
+
+
+def blocking_pairs(
+    records: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_block: int = 20,
+    n: int = 1,
+) -> DataFrame:
+    """Token blocking + CBS meta-blocking for entity resolution
+    (Papadakis et al., TKDE'14 family): every distinct token ``n``-gram a
+    record contains is a block (n=1 is classic token blocking; raise n
+    when the vocabulary is too small for unigrams to discriminate —
+    every blocking key then lands either purged-hot or singleton);
+    records sharing a block become candidate pairs
+    weighted by Common Block Scheme (number of shared blocks); weighted
+    node pruning then keeps a pair only if its weight reaches the mean
+    pair weight of EITHER endpoint. The blocking-graph complement to
+    name_neardup_pairs' string-similarity verify — this one never
+    compares strings, it prunes purely on co-occurrence structure.
+
+    Scale shape: the block-size pass is the df-cut — blocks larger than
+    ``max_block`` are purged BEFORE pair generation (a stop-word block of
+    10^6 records would otherwise contribute 10^12 pairs; purging huge
+    blocks is the standard blocking move and loses only signal-free
+    pairs), singleton blocks are skipped (no pairs). Pair generation is
+    a same-key self-join bounded by max_block per block; CBS is one pair
+    aggregate; the node-mean attach is two node-keyed shuffle joins
+    (node table can be corpus-scale — never broadcast).
+
+    Returns (id_a, id_b, cbs) with id_a < id_b, kept pairs only.
+    """
+    from bran_spark.functions.text import shingles, words
+
+    keys = words(text_col) if n == 1 else shingles(text_col, n)
+    tok = (
+        records.select(
+            F.col(id_col).alias("rid"),
+            F.explode(keys).alias("w"),
+        )
+        .where(F.col("w") != "")
+        .distinct()
+    )
+    bs = tok.groupBy("w").agg(F.count(F.lit(1)).alias("b"))
+    keep = tok.join(
+        bs.where((F.col("b") <= max_block) & (F.col("b") >= 2)), "w"
+    ).select("rid", "w")
+    pairs = (
+        keep.alias("l")
+        .join(
+            keep.alias("r"),
+            (F.col("l.w") == F.col("r.w"))
+            & (F.col("l.rid") < F.col("r.rid")),
+        )
+        .groupBy(
+            F.col("l.rid").alias("id_a"), F.col("r.rid").alias("id_b")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("cbs"))
+    )
+    ends = pairs.select(F.col("id_a").alias("node"), "cbs").unionByName(
+        pairs.select(F.col("id_b").alias("node"), "cbs")
+    )
+    nodeavg = ends.groupBy("node").agg(
+        F.round(F.avg("cbs"), 6).alias("avgw")
+    )
+    return (
+        pairs.join(
+            nodeavg.withColumnRenamed("node", "id_a").withColumnRenamed(
+                "avgw", "avg_a"
+            ),
+            "id_a",
+        )
+        .join(
+            nodeavg.withColumnRenamed("node", "id_b").withColumnRenamed(
+                "avgw", "avg_b"
+            ),
+            "id_b",
+        )
+        .where(
+            (F.col("cbs") >= F.col("avg_a")) | (F.col("cbs") >= F.col("avg_b"))
+        )
+        .select("id_a", "id_b", "cbs")
+    )

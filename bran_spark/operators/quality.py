@@ -266,3 +266,78 @@ def token_entropy(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
             6,
         ).alias("norm_entropy"),
     )
+
+
+def psi_drift(
+    ref: DataFrame,
+    cur: DataFrame,
+    value_col: str,
+    lo: float,
+    hi: float,
+    n_bins: int = 10,
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Population Stability Index between two snapshots of a continuous
+    signal (score, doc length, price): fixed-width bins over [lo, hi),
+    values outside clamp into the edge bins, per-bin smoothed shares and
+    the PSI contribution (p_ref - p_cur)·ln(p_ref/p_cur). Total PSI is
+    SUM(psi_term) over the returned n_bins-row table (rule of thumb:
+    <0.1 stable, >0.25 action). The continuous-valued sibling of
+    mix_divergence — drift monitors need both.
+
+    Bins are FIXED-WIDTH from explicit bounds, not quantiles: the bin of
+    a value never depends on the rest of the data, so the metric is
+    deterministic, replayable cross-engine, and two snapshots bin
+    identically (quantile bins would move with the data being tested —
+    at 10^12 rows an approx-quantile pass would also cost a second scan).
+    NULL values are dropped. Scale: one map-side-combined n_bins-card
+    aggregate per snapshot, a bin-spine outer merge, one 1-row totals
+    broadcast — each corpus scanned exactly once.
+    """
+    if n_bins < 1:
+        raise ValueError(f"n_bins must be >= 1, got {n_bins}")
+    if not hi > lo:
+        raise ValueError(f"need hi > lo, got [{lo}, {hi})")
+    width = (hi - lo) / n_bins
+
+    def binned(df: DataFrame, out: str) -> DataFrame:
+        v = F.col(value_col).cast("double")
+        b = F.least(
+            F.greatest(
+                F.floor((v - F.lit(lo)) / F.lit(width)), F.lit(0)
+            ),
+            F.lit(n_bins - 1),
+        )
+        return (
+            df.where(v.isNotNull())
+            .groupBy(b.cast("int").alias("bin"))
+            .agg(F.count(F.lit(1)).cast("double").alias(out))
+        )
+
+    spark = ref.sparkSession
+    spine = spark.range(n_bins).select(F.col("id").cast("int").alias("bin"))
+    merged = (
+        spine.join(binned(ref, "n_ref"), "bin", "left")
+        .join(binned(cur, "n_cur"), "bin", "left")
+        .select(
+            "bin",
+            F.coalesce("n_ref", F.lit(0.0)).alias("n_ref"),
+            F.coalesce("n_cur", F.lit(0.0)).alias("n_cur"),
+        )
+    )
+    tots = merged.agg(
+        F.sum("n_ref").alias("tot_ref"), F.sum("n_cur").alias("tot_cur")
+    )
+    al = F.lit(float(alpha))
+    k = F.lit(float(n_bins))
+    p = (F.col("n_ref") + al) / (F.col("tot_ref") + al * k)
+    q = (F.col("n_cur") + al) / (F.col("tot_cur") + al * k)
+    return merged.crossJoin(F.broadcast(tots)).select(
+        "bin",
+        F.round(F.lit(lo) + F.lit(width) * F.col("bin"), 6).alias("bin_lo"),
+        F.col("n_ref").cast("long").alias("n_ref"),
+        F.col("n_cur").cast("long").alias("n_cur"),
+        F.round(p, 6).alias("p_ref"),
+        F.round(q, 6).alias("p_cur"),
+        F.round((p - q) * F.log(p / q) + F.lit(1e-9), 6).alias("psi_term"),
+    )

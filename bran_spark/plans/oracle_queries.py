@@ -5731,6 +5731,322 @@ def q145(spark, sf):
     return predicate_profile(_kg_relational_triples(spark, sf))
 
 
+_KG_CONSTRAINTS = [
+    # (pred, domain, range, functional) — intentionally declares in_nation
+    # with domain C (suppliers assert it too → real domain violations) and
+    # contains as functional (multi-part orders → cardinality violations):
+    # the ontology-vs-data mismatch the validator exists to surface.
+    ("placed_by", "O", "C", True),
+    ("in_nation", "C", "N", True),
+    ("contains", "O", "P", True),
+    ("uses_supplier", "O", "S", False),
+    ("in_region", "N", "R", True),
+]
+
+_KG_CONSTRAINTS_SQL = "VALUES " + ", ".join(
+    f"('{p}', '{d}', '{r}', {str(f).upper()})" for p, d, r, f in _KG_CONSTRAINTS
+)
+
+
+@_q(
+    "q146_kg_constraints",
+    _KG_TRIPLES_SQL
+    + f"""
+    , c AS (SELECT * FROM ({_KG_CONSTRAINTS_SQL})
+            v(pred, dom, rng, functional)),
+    j AS (SELECT t.*, c.dom, c.rng, c.functional
+          FROM t JOIN c USING (pred)),
+    dr AS (SELECT pred, CAST(COUNT(*) AS BIGINT) AS n_checked,
+             CAST(SUM(CASE WHEN string_split(subj, ':')[1] = dom
+                           THEN 0 ELSE 1 END) AS BIGINT) AS dv,
+             CAST(SUM(CASE WHEN string_split(obj, ':')[1] = rng
+                           THEN 0 ELSE 1 END) AS BIGINT) AS rv
+          FROM j GROUP BY pred),
+    fn AS (SELECT pred, CAST(COUNT(*) AS BIGINT) AS n_checked,
+             CAST(SUM(CASE WHEN n_obj > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_violations
+           FROM (SELECT pred, subj, COUNT(DISTINCT obj) AS n_obj
+                 FROM j WHERE functional GROUP BY pred, subj)
+           GROUP BY pred)
+    SELECT pred, 'domain' AS kind, n_checked, dv AS n_violations FROM dr
+    UNION ALL SELECT pred, 'range', n_checked, rv FROM dr
+    UNION ALL SELECT pred, 'functional', n_checked, n_violations FROM fn
+    """,
+)
+def q146(spark, sf):
+    """SHACL-lite ontology validation over the lifted KG
+    (kgquality.validate_kg): domain/range/cardinality checks against a
+    declared constraint table. The constraints deliberately mismatch the
+    data where real ontologies do — in_nation declared customer-only
+    (suppliers assert it too → domain violations) and contains declared
+    functional (multi-part orders → cardinality violations) — while
+    placed_by/in_region/uses_supplier come back clean. Broadcast
+    constraint dim + one domain/range pass + one (pred, subj) rollup."""
+    from bran_spark.operators.kgquality import validate_kg
+
+    constraints = spark.createDataFrame(
+        _KG_CONSTRAINTS,
+        "pred string, domain string, range string, functional boolean",
+    )
+    return validate_kg(_kg_relational_triples(spark, sf), constraints)
+
+
+_PROP_PREDS = ["placed_by", "from_nation", "in_nation", "in_region_of"]
+
+
+@_q(
+    "q147_property_table",
+    _KG_TRIPLES_SQL
+    + f"""
+    SELECT subj,
+           MAX(CASE WHEN pred = 'placed_by' THEN obj END) AS placed_by,
+           MAX(CASE WHEN pred = 'from_nation' THEN obj END) AS from_nation,
+           MAX(CASE WHEN pred = 'in_nation' THEN obj END) AS in_nation,
+           MAX(CASE WHEN pred = 'in_region_of' THEN obj END)
+             AS in_region_of
+    FROM t
+    WHERE pred IN ({", ".join(repr(p) for p in _PROP_PREDS)})
+    GROUP BY subj
+    """,
+)
+def q147(spark, sf):
+    """RDF property-table materialization (kgquality.property_table):
+    pivot the functional predicates into a wide entity table — orders get
+    (placed_by, from_nation), customers (in_nation, in_region_of),
+    suppliers (in_nation) — so star lookups become column reads instead
+    of per-arm self-joins (SW-Store lineage). One pivot aggregate with an
+    explicit predicate list: no distinct-values pre-pass, pred filter
+    pushed below the shuffle."""
+    from bran_spark.operators.kgquality import property_table
+
+    return property_table(_kg_relational_triples(spark, sf), _PROP_PREDS)
+
+
+@_q(
+    "q148_entity_alignment",
+    """
+    WITH s AS (
+      SELECT p_partkey AS k, 0 AS pi, 'label' AS pred,
+             p_name || ' ' || p_brand || ' sz' || p_size AS obj FROM part
+      UNION ALL
+      SELECT p_partkey, 1, 'brand', p_brand FROM part
+      UNION ALL
+      SELECT p_partkey, 2, 'type', p_type FROM part
+      UNION ALL
+      SELECT p_partkey, 3, 'size_band',
+             CAST(p_size // 10 AS VARCHAR) FROM part),
+    a AS (SELECT DISTINCT 'P:' || k AS subj, pred, obj FROM s
+          WHERE (k * 7 + pi) % 10 < 7),
+    b AS (SELECT DISTINCT 'B_P:' || k AS subj, pred, obj FROM s
+          WHERE (k * 7 + pi) % 10 >= 3),
+    fa AS (SELECT pred, obj FROM a GROUP BY pred, obj
+           HAVING COUNT(*) <= 4),
+    fb AS (SELECT pred, obj FROM b GROUP BY pred, obj
+           HAVING COUNT(*) <= 4),
+    ka AS (SELECT a.* FROM a JOIN fa USING (pred, obj)),
+    kb AS (SELECT b.* FROM b JOIN fb USING (pred, obj)),
+    sh AS (SELECT ka.subj AS subj_a, kb.subj AS subj_b,
+                  CAST(COUNT(*) AS BIGINT) AS shared
+           FROM ka JOIN kb USING (pred, obj) GROUP BY ka.subj, kb.subj),
+    na AS (SELECT subj AS subj_a, COUNT(*) AS n_a FROM a GROUP BY subj),
+    nb AS (SELECT subj AS subj_b, COUNT(*) AS n_b FROM b GROUP BY subj),
+    sc AS (SELECT subj_a, subj_b, shared,
+                  ROUND(CAST(shared AS DOUBLE) / (n_a + n_b - shared), 6)
+                    AS jaccard
+           FROM sh JOIN na USING (subj_a) JOIN nb USING (subj_b))
+    SELECT subj_a, subj_b, shared, jaccard FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY subj_a
+                                   ORDER BY jaccard DESC, subj_b) AS rn
+      FROM sc)
+    WHERE rn = 1
+    """,
+)
+def q148(spark, sf):
+    """Instance-level entity alignment between two attribute stores
+    (kgquality.align_entities): each part's statements — a near-unique
+    label plus hot brand/type/size_band attributes — are split
+    deterministically into two overlapping views (statement coin
+    (k·7+pi)%10: A keeps <7, B keeps ≥3, B re-prefixed 'B_'), then
+    aligned. The fanout≤4 df-cut drops brand/type keys (shared by
+    hundreds of parts — pure quadratic noise) so candidates come from
+    discriminative labels only, while Jaccard runs over the FULL
+    statement sets. The PARIS functionality heuristic as a hard cut."""
+    from bran_spark.operators.kgquality import align_entities
+
+    part = _t(spark, sf, "part")
+    stmts = None
+    for pi, pred, obj in [
+        (
+            0,
+            "label",
+            F.concat_ws(
+                " ",
+                F.col("p_name"),
+                F.col("p_brand"),
+                F.concat(F.lit("sz"), F.col("p_size").cast("string")),
+            ),
+        ),
+        (1, "brand", F.col("p_brand")),
+        (2, "type", F.col("p_type")),
+        (
+            3,
+            "size_band",
+            F.floor(F.col("p_size") / 10).cast("int").cast("string"),
+        ),
+    ]:
+        s = part.select(
+            F.col("p_partkey").alias("k"),
+            F.lit(pi).alias("pi"),
+            F.lit(pred).alias("pred"),
+            obj.alias("obj"),
+        )
+        stmts = s if stmts is None else stmts.unionByName(s)
+    coin = (F.col("k") * 7 + F.col("pi")) % 10
+    a = stmts.where(coin < 7).select(
+        F.concat(F.lit("P:"), F.col("k").cast("string")).alias("subj"),
+        "pred",
+        "obj",
+    )
+    b = stmts.where(coin >= 3).select(
+        F.concat(F.lit("B_P:"), F.col("k").cast("string")).alias("subj"),
+        "pred",
+        "obj",
+    )
+    return align_entities(a, b, max_key_fanout=4)
+
+
+@_q(
+    "q149_blocking_pairs",
+    """
+    WITH ws AS (SELECT doc_id,
+                       string_split_regex(trim(lower(text)), ' +') AS ws
+                FROM documents),
+    tok AS (SELECT DISTINCT doc_id AS rid, w FROM (
+              SELECT doc_id,
+                     unnest(list_transform(
+                       range(greatest(len(ws) - 2, 0) + 1),
+                       i -> array_to_string(list_slice(ws, i + 1, i + 2),
+                                            ' '))) AS w
+              FROM ws) WHERE w <> ''),
+    bs AS (SELECT w, COUNT(*) AS b FROM tok GROUP BY w),
+    keep AS (SELECT rid, w FROM tok JOIN bs USING (w)
+             WHERE b <= 20 AND b >= 2),
+    pairs AS (SELECT l.rid AS id_a, r.rid AS id_b,
+                     CAST(COUNT(*) AS BIGINT) AS cbs
+              FROM keep l JOIN keep r
+                ON l.w = r.w AND l.rid < r.rid
+              GROUP BY l.rid, r.rid),
+    nodeavg AS (SELECT node, ROUND(AVG(cbs), 6) AS avgw FROM (
+                  SELECT id_a AS node, cbs FROM pairs
+                  UNION ALL SELECT id_b, cbs FROM pairs)
+                GROUP BY node)
+    SELECT p.id_a, p.id_b, p.cbs
+    FROM pairs p
+    JOIN nodeavg na ON na.node = p.id_a
+    JOIN nodeavg nb ON nb.node = p.id_b
+    WHERE p.cbs >= na.avgw OR p.cbs >= nb.avgw
+    """,
+)
+def q149(spark, sf):
+    """Token blocking + CBS meta-blocking over the document corpus
+    (linking.blocking_pairs): rare shared word BIGRAMS form blocks (the
+    synthetic lexicon is ~31 words, every unigram block is purged-hot —
+    exactly the too-small-vocabulary case the ``n`` knob exists for),
+    block-size purge (b>20 cut, b=1 skipped) kills stop-phrase quadratic
+    blowup BEFORE pair generation, common-block counts weight the
+    blocking graph, and weighted-node pruning keeps a pair only if it
+    reaches the mean weight of either endpoint — co-occurrence-structure
+    candidate pruning with zero string comparisons (the q72 verify
+    step's upstream)."""
+    from bran_spark.operators.linking import blocking_pairs
+
+    return blocking_pairs(
+        _t(spark, sf, "documents"), "doc_id", "text", max_block=20, n=2
+    )
+
+
+@_q(
+    "q150_star_pattern",
+    _KG_TRIPLES_SQL
+    + """
+    SELECT DISTINCT subj, obj AS part FROM t
+    WHERE pred = 'contains'
+      AND subj IN (SELECT subj FROM t
+                   WHERE pred = 'from_nation' AND obj = 'N:5')
+      AND subj IN (SELECT subj FROM t WHERE pred = 'uses_supplier')
+    """,
+)
+def q150(spark, sf):
+    """SPARQL-ish star-pattern match over the triple table
+    (kgquality.star_pattern): parts contained in orders placed from
+    nation N:5 that use at least one supplier — ?s contains ?part .
+    ?s from_nation N:5 . ?s uses_supplier ?any. Every arm is a
+    pred-filtered DISTINCT-subj set applied as a LEFT SEMI join
+    (partition-pruned arms on a pred-partitioned sink; fan-out can never
+    multiply bindings)."""
+    from bran_spark.operators.kgquality import star_pattern
+
+    return star_pattern(
+        _kg_relational_triples(spark, sf),
+        {"from_nation": "N:5", "uses_supplier": None},
+        select_pred="contains",
+        binding_name="part",
+    )
+
+
+@_q(
+    "q151_psi_drift",
+    """
+    WITH spine AS (SELECT UNNEST(range(10)) AS bin),
+    r AS (SELECT CAST(LEAST(GREATEST(FLOOR(value / 50.0), 0), 9) AS INT)
+                   AS bin,
+                 COUNT(*)::DOUBLE AS n
+          FROM events WHERE event_type = 'view' AND value IS NOT NULL
+          GROUP BY 1),
+    c AS (SELECT CAST(LEAST(GREATEST(FLOOR(value / 50.0), 0), 9) AS INT)
+                   AS bin,
+                 COUNT(*)::DOUBLE AS n
+          FROM events WHERE event_type = 'purchase' AND value IS NOT NULL
+          GROUP BY 1),
+    m AS (SELECT CAST(spine.bin AS INT) AS bin,
+                 COALESCE(r.n, 0) AS n_ref, COALESCE(c.n, 0) AS n_cur
+          FROM spine LEFT JOIN r ON r.bin = spine.bin
+                     LEFT JOIN c ON c.bin = spine.bin),
+    tt AS (SELECT SUM(n_ref) AS tr, SUM(n_cur) AS tc FROM m)
+    SELECT bin, ROUND(50.0 * bin, 6) AS bin_lo,
+           CAST(n_ref AS BIGINT) AS n_ref, CAST(n_cur AS BIGINT) AS n_cur,
+           ROUND((n_ref + 0.5) / (tr + 5.0), 6) AS p_ref,
+           ROUND((n_cur + 0.5) / (tc + 5.0), 6) AS p_cur,
+           ROUND(((n_ref + 0.5) / (tr + 5.0) - (n_cur + 0.5) / (tc + 5.0))
+                 * ln(((n_ref + 0.5) / (tr + 5.0))
+                      / ((n_cur + 0.5) / (tc + 5.0))) + 1e-9, 6)
+             AS psi_term
+    FROM m, tt
+    """,
+)
+def q151(spark, sf):
+    """Population Stability Index between the 'view' and 'purchase'
+    event-value distributions (quality.psi_drift): 10 fixed-width bins
+    over [0, 500), smoothed shares, per-bin PSI contributions (total =
+    SUM(psi_term); these two snapshots come out stable — the monitor's
+    common case). Fixed bounds, not quantiles: bins never depend on the
+    data being tested, so the metric replays cross-engine and costs one
+    scan per snapshot. The continuous-valued sibling of q120's
+    categorical KL/JS."""
+    from bran_spark.operators.quality import psi_drift
+
+    ev = _t(spark, sf, "events")
+    return psi_drift(
+        ev.where(F.col("event_type") == "view"),
+        ev.where(F.col("event_type") == "purchase"),
+        "value",
+        lo=0.0,
+        hi=500.0,
+        n_bins=10,
+        alpha=0.5,
+    )
+
+
 # =========================================================================
 # Registry ordering: the driver's correctness gate hash-checks the FIRST
 # 50 insertion-order entries of ``queries()``. Definition order above is

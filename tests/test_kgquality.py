@@ -1,0 +1,253 @@
+"""Unit semantics for the KG-quality family (operators/kgquality.py,
+quality.psi_drift, linking.blocking_pairs) on hand-built frames — the
+registry entries (q146-q151) replay each at corpus scale vs DuckDB."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _rows(df):
+    return {tuple(r) for r in df.collect()}
+
+
+# ---------------------------------------------------------------- validate_kg
+
+
+def _constraints(spark, rows):
+    return spark.createDataFrame(
+        rows, "pred string, domain string, range string, functional boolean"
+    )
+
+
+def test_validate_kg_domain_range_functional(spark):
+    from bran_spark.operators.kgquality import validate_kg
+
+    t = spark.createDataFrame(
+        [
+            ("C:1", "in_nation", "N:1"),
+            ("C:2", "in_nation", "N:1"),
+            ("S:9", "in_nation", "N:2"),   # domain violation (S not C)
+            ("O:1", "placed_by", "C:1"),
+            ("O:1", "placed_by", "C:2"),   # functional violation for O:1
+            ("O:2", "placed_by", "X9"),    # malformed obj -> range violation
+            ("O:3", "ships_to", "C:1"),    # ungoverned pred: not checked
+        ],
+        "subj string, pred string, obj string",
+    )
+    c = _constraints(
+        spark,
+        [
+            ("in_nation", "C", "N", True),
+            ("placed_by", "O", "C", True),
+        ],
+    )
+    got = {(r.pred, r.kind): (r.n_checked, r.n_violations)
+           for r in validate_kg(t, c).collect()}
+    assert got[("in_nation", "domain")] == (3, 1)
+    assert got[("in_nation", "range")] == (3, 0)
+    assert got[("in_nation", "functional")] == (3, 0)
+    assert got[("placed_by", "domain")] == (3, 0)
+    # 'X9' has no ':' prefix -> split()[0] = 'X9' != 'C' -> violation
+    assert got[("placed_by", "range")] == (3, 1)
+    # subjects O:1 (2 objs -> viol), O:2 (1 obj)
+    assert got[("placed_by", "functional")] == (2, 1)
+    assert ("ships_to", "domain") not in got
+
+
+def test_validate_kg_null_counts_as_violation(spark):
+    from bran_spark.operators.kgquality import validate_kg
+
+    t = spark.createDataFrame(
+        [("O:1", "placed_by", None)], "subj string, pred string, obj string"
+    )
+    c = _constraints(spark, [("placed_by", "O", "C", False)])
+    got = {(r.pred, r.kind): r.n_violations for r in validate_kg(t, c).collect()}
+    assert got[("placed_by", "range")] == 1
+    assert got[("placed_by", "domain")] == 0
+
+
+# ------------------------------------------------------------- property_table
+
+
+def test_property_table_pivots_and_prunes(spark):
+    from bran_spark.operators.kgquality import property_table
+
+    t = spark.createDataFrame(
+        [
+            ("O:1", "placed_by", "C:1"),
+            ("O:1", "from_nation", "N:3"),
+            ("O:2", "placed_by", "C:2"),
+            ("O:1", "contains", "P:9"),   # not in preds -> ignored
+            ("P:9", "supplied_by", "S:1"),  # subject with no listed pred
+        ],
+        "subj string, pred string, obj string",
+    )
+    out = property_table(t, ["placed_by", "from_nation"])
+    assert set(out.columns) == {"subj", "placed_by", "from_nation"}
+    assert _rows(out) == {("O:1", "C:1", "N:3"), ("O:2", "C:2", None)}
+
+
+def test_property_table_multivalue_collapses_to_max(spark):
+    from bran_spark.operators.kgquality import property_table
+
+    t = spark.createDataFrame(
+        [("O:1", "contains", "P:2"), ("O:1", "contains", "P:11")],
+        "subj string, pred string, obj string",
+    )
+    assert _rows(property_table(t, ["contains"])) == {("O:1", "P:2")}  # max str
+
+
+# --------------------------------------------------------------- star_pattern
+
+
+def test_star_pattern_arms_and_bindings(spark):
+    from bran_spark.operators.kgquality import star_pattern
+
+    t = spark.createDataFrame(
+        [
+            ("O:1", "contains", "P:1"),
+            ("O:1", "contains", "P:2"),
+            ("O:1", "from_nation", "N:5"),
+            ("O:1", "uses_supplier", "S:1"),
+            ("O:1", "uses_supplier", "S:2"),  # fan-out must not dup bindings
+            ("O:2", "contains", "P:3"),
+            ("O:2", "from_nation", "N:6"),    # fails equality arm
+            ("O:2", "uses_supplier", "S:1"),
+            ("O:3", "contains", "P:4"),
+            ("O:3", "from_nation", "N:5"),    # no uses_supplier -> fails arm
+        ],
+        "subj string, pred string, obj string",
+    )
+    out = star_pattern(
+        t,
+        {"from_nation": "N:5", "uses_supplier": None},
+        select_pred="contains",
+        binding_name="part",
+    )
+    assert set(out.columns) == {"subj", "part"}
+    assert _rows(out) == {("O:1", "P:1"), ("O:1", "P:2")}
+
+
+# ------------------------------------------------------------- align_entities
+
+
+def test_align_entities_hot_keys_cut_and_jaccard(spark):
+    from bran_spark.operators.kgquality import align_entities
+
+    # label is near-unique (fanout 1); brand is hot on side a (fanout 3 > 2)
+    a = spark.createDataFrame(
+        [
+            ("P:1", "label", "red widget sz3"),
+            ("P:1", "brand", "B1"),
+            ("P:2", "label", "blue bolt sz9"),
+            ("P:2", "brand", "B1"),
+            ("P:3", "brand", "B1"),
+        ],
+        "subj string, pred string, obj string",
+    )
+    b = spark.createDataFrame(
+        [
+            ("X:7", "label", "red widget sz3"),
+            ("X:7", "brand", "B1"),
+            ("X:8", "label", "green gear sz2"),
+        ],
+        "subj string, pred string, obj string",
+    )
+    out = {r.subj_a: r for r in align_entities(a, b, max_key_fanout=2).collect()}
+    # P:1 matches X:7 only via label (brand key cut on side a: fanout 3);
+    # jaccard over FULL sets: shared=1, |a|=2, |b|=2 -> 1/3
+    assert set(out) == {"P:1"}
+    r = out["P:1"]
+    assert (r.subj_b, r.shared) == ("X:7", 1)
+    assert r.jaccard == pytest.approx(round(1 / 3, 6))
+
+
+def test_align_entities_best_match_deterministic_tie(spark):
+    from bran_spark.operators.kgquality import align_entities
+
+    a = spark.createDataFrame(
+        [("E:1", "k", "v")], "subj string, pred string, obj string"
+    )
+    b = spark.createDataFrame(
+        [("Z:2", "k", "v"), ("Z:1", "k", "v")],
+        "subj string, pred string, obj string",
+    )
+    out = align_entities(a, b, max_key_fanout=4).collect()
+    assert len(out) == 1 and out[0].subj_b == "Z:1"  # tie -> subj_b asc
+
+
+# ------------------------------------------------------------- blocking_pairs
+
+
+def test_blocking_pairs_purge_and_wnp(spark):
+    from bran_spark.operators.linking import blocking_pairs
+
+    # 'common' appears in all 4 docs -> purged at max_block=3;
+    # 'rare'/'gem' shared by d1,d2 (cbs 2); 'odd' shared by d3,d4 (cbs 1)
+    recs = spark.createDataFrame(
+        [
+            (1, "common rare gem"),
+            (2, "common rare gem"),
+            (3, "common odd"),
+            (4, "common odd extra"),
+        ],
+        "doc_id long, text string",
+    )
+    out = _rows(blocking_pairs(recs, max_block=3))
+    # every pair here reaches its endpoints' mean (each node has 1 pair)
+    assert out == {(1, 2, 2), (3, 4, 1)}
+
+
+def test_blocking_pairs_wnp_prunes_below_both_means(spark):
+    from bran_spark.operators.linking import blocking_pairs
+
+    # d1-d2 share 2 tokens; d1-d3 and d2-d3 share 1 token each.
+    # means: d1 = d2 = 1.5, d3 = 1.0. WNP keeps d1-d2 (2 >= 1.5) and
+    # keeps d1-d3/d2-d3 via d3's own mean (1 >= 1.0) — the OR semantics.
+    recs = spark.createDataFrame(
+        [(1, "aa bb cc"), (2, "aa bb dd"), (3, "cc dd")],
+        "doc_id long, text string",
+    )
+    out = _rows(blocking_pairs(recs, max_block=3))
+    assert out == {(1, 2, 2), (1, 3, 1), (2, 3, 1)}
+
+
+# ------------------------------------------------------------------ psi_drift
+
+
+def test_psi_drift_two_bins_hand_computed(spark):
+    from bran_spark.operators.quality import psi_drift
+
+    ref = spark.createDataFrame([(1.0,), (1.0,), (9.0,)], "v double")
+    cur = spark.createDataFrame([(1.0,), (9.0,), (9.0,)], "v double")
+    out = {r.bin: r for r in psi_drift(
+        ref, cur, "v", lo=0.0, hi=10.0, n_bins=2, alpha=0.5
+    ).collect()}
+    assert set(out) == {0, 1}
+    p0 = (2 + 0.5) / (3 + 1.0)
+    q0 = (1 + 0.5) / (3 + 1.0)
+    assert out[0].p_ref == pytest.approx(round(p0, 6))
+    assert out[0].p_cur == pytest.approx(round(q0, 6))
+    expect = (p0 - q0) * math.log(p0 / q0)
+    assert out[0].psi_term == pytest.approx(round(expect + 1e-9, 6), abs=2e-6)
+    assert out[0].bin_lo == 0.0 and out[1].bin_lo == 5.0
+    assert (out[0].n_ref, out[0].n_cur) == (2, 1)
+
+
+def test_psi_drift_clamps_outliers_drops_nulls_keeps_empty_bins(spark):
+    from bran_spark.operators.quality import psi_drift
+
+    ref = spark.createDataFrame([(-5.0,), (99.0,), (None,)], "v double")
+    cur = spark.createDataFrame([(0.5,)], "v double")
+    out = {r.bin: r for r in psi_drift(
+        ref, cur, "v", lo=0.0, hi=3.0, n_bins=3
+    ).collect()}
+    assert set(out) == {0, 1, 2}            # spine keeps empty bins
+    assert (out[0].n_ref, out[2].n_ref) == (1, 1)  # clamped into edges
+    assert out[1].n_ref == 0                 # NULL dropped, not binned
+    assert out[0].n_cur == 1
+
+    with pytest.raises(ValueError):
+        psi_drift(ref, cur, "v", lo=1.0, hi=1.0)

@@ -317,3 +317,30 @@ def test_embedding_outliers_no_corpus_join(spark, testdata_dir):
     plan = _plan(QUERIES["q122_embedding_outliers"](spark, testdata_dir))
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_validate_kg_constraint_dim_is_broadcast(spark, testdata_dir):
+    """q146: the constraint table is predicate-vocabulary-sized and must
+    attach as a broadcast onto the single triple scan — and the whole
+    validator stays JVM-side."""
+    plan = _plan(QUERIES["q146_kg_constraints"](spark, testdata_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "Python" not in plan
+
+
+def test_star_pattern_arms_are_semi_joins(spark, testdata_dir):
+    """q150: every arm applies as a LEFT SEMI join (bindings can never be
+    multiplied by arm fan-out) and no arm degenerates to a cartesian."""
+    plan = _plan(QUERIES["q150_star_pattern"](spark, testdata_dir))
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_alignment_and_blocking_no_cartesian_no_python(spark, testdata_dir):
+    """q148/q149: candidate generation is a (pred,obj)/block equi-join
+    after the hot-key df-cut — never an all-pairs product, never Python."""
+    for name in ["q148_entity_alignment", "q149_blocking_pairs"]:
+        plan = _plan(QUERIES[name](spark, testdata_dir))
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+        assert "Python" not in plan, name
