@@ -123,6 +123,8 @@ def main() -> None:
         "q133_cluster_safe_split",
         "q138_rule_mining",
         "q144_truth_discovery",
+        "q146_kg_constraints",
+        "q148_entity_alignment",
     ]
     for name in bench_queries:
         t0 = time.time()

@@ -236,3 +236,67 @@ def calibration_bins(
             "gap", F.round(F.abs(F.col("avg_conf") - F.col("frac_pos")), 6)
         )
     )
+
+
+def blocking_quality(
+    candidates: DataFrame, gold: DataFrame, n_records: int
+) -> DataFrame:
+    """Blocking/candidate-generation evaluation (the ER-survey standard
+    triple): pair completeness PC = |C∩G|/|G| (recall of true matches),
+    pairs quality PQ = |C∩G|/|C| (precision of the candidate set), and
+    reduction ratio RR = 1 - |C|/(n·(n-1)/2) (how much of the quadratic
+    comparison space blocking avoided). The gate that decides whether a
+    blocking scheme (linking.blocking_pairs, dedup LSH bands) is safe to
+    put in front of an expensive verify stage: PC is the bound on
+    end-to-end recall, RR is the bound on cost.
+
+    Inputs are (id_a, id_b) frames with id_a < id_b (both sides
+    normalized defensively here). |C∩G| is one equi-join on the pair key
+    — gold is match-scale (tiny vs the corpus) so Spark broadcasts it
+    under AQE; counts are single-row aggregates. Returns one row
+    (n_candidates, n_gold, n_hit, pc, pq, rr), ratios rounded 6 dp;
+    PC/PQ are NULL when their denominator is empty (no gold / no
+    candidates) rather than a misleading 0.
+    """
+    if n_records < 2:
+        raise ValueError(f"n_records must be >= 2, got {n_records}")
+
+    def norm(df: DataFrame) -> DataFrame:
+        a, b = df.columns[0], df.columns[1]
+        return df.select(
+            F.least(F.col(a), F.col(b)).alias("id_a"),
+            F.greatest(F.col(a), F.col(b)).alias("id_b"),
+        ).distinct()
+
+    c = norm(candidates)
+    g = norm(gold)
+    hit = c.join(g, ["id_a", "id_b"])
+    nc = c.agg(F.count(F.lit(1)).alias("n_candidates"))
+    ng = g.agg(F.count(F.lit(1)).alias("n_gold"))
+    nh = hit.agg(F.count(F.lit(1)).alias("n_hit"))
+    total_pairs = float(n_records) * (n_records - 1) / 2.0
+    return (
+        nc.crossJoin(ng)
+        .crossJoin(nh)
+        .select(
+            F.col("n_candidates").cast("long"),
+            F.col("n_gold").cast("long"),
+            F.col("n_hit").cast("long"),
+            F.round(
+                F.when(
+                    F.col("n_gold") > 0, F.col("n_hit") / F.col("n_gold")
+                ),
+                6,
+            ).alias("pc"),
+            F.round(
+                F.when(
+                    F.col("n_candidates") > 0,
+                    F.col("n_hit") / F.col("n_candidates"),
+                ),
+                6,
+            ).alias("pq"),
+            F.round(
+                F.lit(1.0) - F.col("n_candidates") / F.lit(total_pairs), 6
+            ).alias("rr"),
+        )
+    )

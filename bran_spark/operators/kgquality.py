@@ -38,6 +38,7 @@ __all__ = [
     "property_table",
     "star_pattern",
     "align_entities",
+    "schema_graph",
 ]
 
 
@@ -237,4 +238,31 @@ def align_entities(
         scored.withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") == 1)
         .drop("rn")
+    )
+
+
+def schema_graph(triples: DataFrame) -> DataFrame:
+    """ABox→TBox summarization: collapse the instance-level triple store
+    to its schema graph — one row per (subj_type, pred, obj_type) edge
+    class with triple count and distinct subject/object cardinalities.
+    The first thing a KG browser or a join planner asks of a 10^12-triple
+    store ("what links orders to suppliers, and how many-to-how-many?"),
+    and the sanity gate that catches a mis-prefixed feed as a brand-new
+    edge class instead of silent pollution.
+
+    One aggregate over a single scan (types are prefix-parses, no join);
+    countDistinct on subj/obj partial-aggregates per group. Output is
+    schema-scale (|types|² · |preds| rows) — tiny by construction.
+    """
+    return (
+        triples.groupBy(
+            _etype("subj").alias("subj_type"),
+            F.col("pred"),
+            _etype("obj").alias("obj_type"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_triples"),
+            F.countDistinct("subj").cast("long").alias("n_subj"),
+            F.countDistinct("obj").cast("long").alias("n_obj"),
+        )
     )

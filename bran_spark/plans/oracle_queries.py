@@ -6047,6 +6047,112 @@ def q151(spark, sf):
     )
 
 
+@_q(
+    "q152_schema_graph",
+    _KG_TRIPLES_SQL
+    + """
+    SELECT string_split(subj, ':')[1] AS subj_type, pred,
+           string_split(obj, ':')[1] AS obj_type,
+           CAST(COUNT(*) AS BIGINT) AS n_triples,
+           CAST(COUNT(DISTINCT subj) AS BIGINT) AS n_subj,
+           CAST(COUNT(DISTINCT obj) AS BIGINT) AS n_obj
+    FROM t GROUP BY 1, 2, 3
+    """,
+)
+def q152(spark, sf):
+    """ABox→TBox schema-graph summarization (kgquality.schema_graph):
+    collapse the instance triple store to (subj_type, pred, obj_type)
+    edge classes with triple counts and distinct-endpoint cardinalities
+    — 'what links orders to suppliers, how many-to-how-many' — the KG
+    browser / join-planner view and the gate that catches a mis-prefixed
+    feed as a new edge class. One aggregate over one scan; output is
+    schema-scale."""
+    from bran_spark.operators.kgquality import schema_graph
+
+    return schema_graph(_kg_relational_triples(spark, sf))
+
+
+@_q(
+    "q153_blocking_quality",
+    f"""
+    WITH ws AS (SELECT doc_id,
+                       string_split_regex(trim(lower(text)), ' +') AS ws
+                FROM documents),
+    tok AS (SELECT DISTINCT doc_id AS rid, w FROM (
+              SELECT doc_id,
+                     unnest(list_transform(
+                       range(greatest(len(ws) - 2, 0) + 1),
+                       i -> array_to_string(list_slice(ws, i + 1, i + 2),
+                                            ' '))) AS w
+              FROM ws) WHERE w <> ''),
+    bs AS (SELECT w, COUNT(*) AS b FROM tok GROUP BY w),
+    keep AS (SELECT rid, w FROM tok JOIN bs USING (w)
+             WHERE b <= 20 AND b >= 2),
+    pairs AS (SELECT l.rid AS id_a, r.rid AS id_b,
+                     CAST(COUNT(*) AS BIGINT) AS cbs
+              FROM keep l JOIN keep r
+                ON l.w = r.w AND l.rid < r.rid
+              GROUP BY l.rid, r.rid),
+    nodeavg AS (SELECT node, ROUND(AVG(cbs), 6) AS avgw FROM (
+                  SELECT id_a AS node, cbs FROM pairs
+                  UNION ALL SELECT id_b, cbs FROM pairs)
+                GROUP BY node),
+    kept AS (SELECT p.id_a, p.id_b FROM pairs p
+             JOIN nodeavg na ON na.node = p.id_a
+             JOIN nodeavg nb ON nb.node = p.id_b
+             WHERE p.cbs >= na.avgw OR p.cbs >= nb.avgw),
+    wl AS (SELECT doc_id, string_split(lower(text), ' ') AS ws
+           FROM documents),
+    sh AS (SELECT doc_id,
+                  unnest(list_distinct({_SHINGLE_SQL.format(n=3)}))
+                    AS shingle
+           FROM wl),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+    gkept AS (SELECT shingle FROM sh GROUP BY shingle
+              HAVING COUNT(*) <= 30),
+    shk AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN gkept USING (shingle)),
+    common AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS common
+               FROM shk a JOIN shk b
+                 ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+               GROUP BY a.doc_id, b.doc_id),
+    gold AS (SELECT id_a, id_b FROM common
+             JOIN sizes sa ON sa.doc_id = id_a
+             JOIN sizes sb ON sb.doc_id = id_b
+             WHERE common / (sa.n_sh + sb.n_sh - common) >= 0.1)
+    SELECT CAST(nc AS BIGINT) AS n_candidates, CAST(ng AS BIGINT) AS n_gold,
+           CAST(nh AS BIGINT) AS n_hit,
+           ROUND(CASE WHEN ng > 0 THEN CAST(nh AS DOUBLE) / ng END, 6)
+             AS pc,
+           ROUND(CASE WHEN nc > 0 THEN CAST(nh AS DOUBLE) / nc END, 6)
+             AS pq,
+           ROUND(1.0 - nc / (CAST(n AS DOUBLE) * (n - 1) / 2), 6) AS rr
+    FROM (SELECT COUNT(*) AS nc FROM kept),
+         (SELECT COUNT(*) AS ng FROM gold),
+         (SELECT COUNT(*) AS nh FROM kept JOIN gold USING (id_a, id_b)),
+         (SELECT COUNT(*) AS n FROM documents)
+    """,
+)
+def q153(spark, sf):
+    """Blocking-scheme evaluation (evaluate.blocking_quality): score the
+    q149 bigram blocking candidates against the VERIFIED near-duplicate
+    gold pairs (q28's trigram-Jaccard ≥ 0.1 — the corpus has near-dups,
+    not byte dups) — pair completeness bounds end-to-end dedup recall,
+    pairs quality its precision, reduction ratio the fraction of the
+    quadratic comparison space avoided. The 'safe to put this blocking
+    in front of the expensive verify stage' certificate. The single
+    docs.count() is a 1-row scalar (dimension-table legality), not a
+    driver-side loop."""
+    from bran_spark.operators.evaluate import blocking_quality
+    from bran_spark.operators.linking import blocking_pairs
+
+    docs = _t(spark, sf, "documents")
+    cand = blocking_pairs(docs, "doc_id", "text", max_block=20, n=2)
+    gold = ngram_jaccard_pairs(
+        docs, "doc_id", "text", n=3, min_jaccard=0.1, max_df=30
+    ).select("id_a", "id_b")
+    return blocking_quality(cand, gold, n_records=docs.count())
+
+
 # =========================================================================
 # Registry ordering: the driver's correctness gate hash-checks the FIRST
 # 50 insertion-order entries of ``queries()``. Definition order above is
@@ -6082,6 +6188,12 @@ _FIRST_50 = [
     # q143 / alignment q142 / profile q145 / incremental q141 /
     # reduction q139 / calibration q140 stay mirror-covered)
     "q138_rule_mining", "q144_truth_discovery",
+    # KG-quality family (round-3): ontology validation and instance-level
+    # entity alignment are its two distinct shapes (property table q147 /
+    # star pattern q150 / blocking q149 / PSI q151 stay mirror-covered).
+    # Slots funded by q59 (tf-idf ≈ BM25's q53 family) and q63 (graph
+    # family keeps pagerank/triangles/closure).
+    "q146_kg_constraints", "q148_entity_alignment",
     # round-3 session additions: eval-leak decontamination, ExactSubstr-
     # style span removal, SemDeDup — each a distinct curation family.
     # (simhash stays mirror-covered via q40 + the rows-only fixture;
@@ -6098,8 +6210,7 @@ _FIRST_50 = [
     # graph family (BFS/LPA/degree stay mirror-covered; PageRank,
     # triangles, PMI weighting and hierarchy closure are the four
     # distinct algorithm shapes)
-    "q56_pagerank", "q57_triangle_counts",
-    "q63_cooccurrence_pmi", "q66_ancestor_closure",
+    "q56_pagerank", "q57_triangle_counts", "q66_ancestor_closure",
     # KG provenance + eval-CI (round-3 families)
     "q96_triple_provenance", "q101_bootstrap_prf",
     # training-data prep (round-3)
@@ -6110,7 +6221,7 @@ _FIRST_50 = [
     # mirror-covered; its slot funds the KG-fusion family above)
     "q41_asof_join", "q67_merge_latest",
     # text-analysis family
-    "q36_lang_id", "q92_levenshtein_verify", "q59_tfidf_terms",
+    "q36_lang_id", "q92_levenshtein_verify",
     # multimodal
     "q46_media_features",
     # relational representative

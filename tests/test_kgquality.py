@@ -251,3 +251,61 @@ def test_psi_drift_clamps_outliers_drops_nulls_keeps_empty_bins(spark):
 
     with pytest.raises(ValueError):
         psi_drift(ref, cur, "v", lo=1.0, hi=1.0)
+
+
+# --------------------------------------------------------------- schema_graph
+
+
+def test_schema_graph_edge_classes(spark):
+    from bran_spark.operators.kgquality import schema_graph
+
+    t = spark.createDataFrame(
+        [
+            ("O:1", "placed_by", "C:1"),
+            ("O:2", "placed_by", "C:1"),
+            ("O:2", "placed_by", "C:2"),
+            ("S:9", "in_nation", "N:1"),
+            ("C:1", "in_nation", "N:1"),
+        ],
+        "subj string, pred string, obj string",
+    )
+    got = {(r.subj_type, r.pred, r.obj_type): (r.n_triples, r.n_subj, r.n_obj)
+           for r in schema_graph(t).collect()}
+    assert got[("O", "placed_by", "C")] == (3, 2, 2)
+    # same pred from two subject types -> two distinct edge classes
+    assert got[("S", "in_nation", "N")] == (1, 1, 1)
+    assert got[("C", "in_nation", "N")] == (1, 1, 1)
+    assert len(got) == 3
+
+
+# ----------------------------------------------------------- blocking_quality
+
+
+def test_blocking_quality_pc_pq_rr(spark):
+    import pytest as _pytest
+
+    from bran_spark.operators.evaluate import blocking_quality
+
+    cand = spark.createDataFrame(
+        [(1, 2), (3, 1), (4, 5)], "x long, y long"  # (3,1) normalizes to (1,3)
+    )
+    gold = spark.createDataFrame([(1, 2), (1, 3), (2, 6)], "x long, y long")
+    r = blocking_quality(cand, gold, n_records=6).collect()[0]
+    assert (r.n_candidates, r.n_gold, r.n_hit) == (3, 3, 2)
+    assert r.pc == _pytest.approx(round(2 / 3, 6))
+    assert r.pq == _pytest.approx(round(2 / 3, 6))
+    assert r.rr == _pytest.approx(round(1 - 3 / 15, 6))
+
+
+def test_blocking_quality_null_ratios_when_empty(spark):
+    import pytest as _pytest
+
+    from bran_spark.operators.evaluate import blocking_quality
+
+    empty = spark.createDataFrame([], "x long, y long")
+    gold = spark.createDataFrame([(1, 2)], "x long, y long")
+    r = blocking_quality(empty, gold, n_records=4).collect()[0]
+    assert r.n_candidates == 0 and r.pq is None and r.pc == 0.0
+    assert r.rr == _pytest.approx(1.0)
+    with _pytest.raises(ValueError):
+        blocking_quality(empty, gold, n_records=1)
