@@ -1085,3 +1085,75 @@ def predicate_profile(triples: DataFrame) -> DataFrame:
         (F.col("max_out") == 1).alias("functional"),
         (F.col("max_in") == 1).alias("inverse_functional"),
     )
+
+
+def edge_support(edges: DataFrame, broadcast_keys: bool = False) -> DataFrame:
+    """(u, v, support): triangles through each undirected edge (input as
+    (u, v) with u < v). Same degree-ordered orientation as
+    triangle_counts — each triangle enumerated once at its lowest-key
+    apex — but credited to its three EDGES (mapped back to id order with
+    least/greatest) instead of its three vertices. Edges on no triangle
+    come back with support 0 (left join), because truss peeling must see
+    them to remove them."""
+    oriented = oriented_edges(edges, broadcast_keys).localCheckpoint(
+        eager=True
+    )
+    w1 = oriented.select(
+        F.col("src").alias("a"), F.col("dst").alias("b"),
+        F.col("kdst").alias("kb"),
+    )
+    w2 = oriented.select(
+        F.col("src").alias("a"), F.col("dst").alias("c"),
+        F.col("kdst").alias("kc"),
+    )
+    wedges = w1.join(w2, "a").where(F.col("kb") < F.col("kc"))
+    closing = oriented.select(F.col("src").alias("b"), F.col("dst").alias("c"))
+    tri = wedges.join(closing, ["b", "c"]).select("a", "b", "c")
+
+    def und(x, y):
+        return [F.least(x, y).alias("u"), F.greatest(x, y).alias("v")]
+
+    roles = (
+        tri.select(*und(F.col("a"), F.col("b")))
+        .union(tri.select(*und(F.col("b"), F.col("c"))))
+        .union(tri.select(*und(F.col("a"), F.col("c"))))
+    )
+    sup = roles.groupBy("u", "v").agg(F.count("*").alias("support"))
+    return edges.join(sup, ["u", "v"], "left").select(
+        "u", "v", F.coalesce("support", F.lit(0)).cast("long").alias("support")
+    )
+
+
+def ktruss(
+    edges: DataFrame,
+    k: int = 3,
+    iters: int = 3,
+    broadcast_keys: bool = False,
+) -> DataFrame:
+    """k-truss peeling (Cohen 2008): iteratively remove edges lying on
+    fewer than k-2 triangles, ``iters`` rounds, then report the
+    surviving edges with their support WITHIN the surviving subgraph —
+    the cohesive-subgraph extractor one notch stronger than k-core
+    (edge-level, triangle-based: a star hub survives k-core but owns no
+    triangles and dissolves here). Fixed round count, not run-to-
+    convergence: the result is a deterministic iterate replayable
+    cross-engine, and once the peel converges extra rounds are no-ops,
+    so iters only needs to cover the peel depth (log-ish in practice).
+
+    Each round is one edge_support pass — O(m^1.5) wedge-bounded via the
+    degree orientation, one shuffle for the key attach, one for the
+    wedge join, one for the per-edge rollup — with the edge set lineage-
+    truncated per round (multiplicative joins nest otherwise). Returns
+    (u, v, support), u < v.
+    """
+    if k < 3:
+        raise ValueError(f"k-truss needs k >= 3, got {k}")
+    e = edges.select("u", "v").distinct()
+    for _ in range(iters):
+        e = (
+            edge_support(e, broadcast_keys)
+            .where(F.col("support") >= k - 2)
+            .select("u", "v")
+            .localCheckpoint(eager=True)
+        )
+    return edge_support(e, broadcast_keys)

@@ -39,6 +39,9 @@ __all__ = [
     "star_pattern",
     "align_entities",
     "schema_graph",
+    "infer_entity_types",
+    "temporal_conflicts",
+    "path_cardinality_est",
 ]
 
 
@@ -265,4 +268,182 @@ def schema_graph(triples: DataFrame) -> DataFrame:
             F.countDistinct("subj").cast("long").alias("n_subj"),
             F.countDistinct("obj").cast("long").alias("n_obj"),
         )
+    )
+
+
+def infer_entity_types(
+    triples: DataFrame, constraints: DataFrame
+) -> DataFrame:
+    """Vote-based entity typing from ontology declarations: every triple
+    whose predicate is governed casts one vote for its subject being the
+    declared domain type and one for its object being the range type;
+    each node gets the majority type with an agreement ratio. The typing
+    bootstrap for feeds that arrive WITHOUT type prefixes — and the
+    diagnostic twin of validate_kg (a node whose agreement is well below
+    1.0 sits on conflicting declarations or a polluted feed).
+
+    Scale: broadcast the vocabulary-sized constraint dim, one
+    (node, type) counting aggregate (map-side combined), one node-keyed
+    rollup + argmax window on the already-aggregated table. Ties break
+    by type string ascending — deterministic. Returns
+    (node, inferred_type, n_votes, n_total, agreement[6dp]).
+    """
+    dim = F.broadcast(
+        constraints.select("pred", "domain", "range")
+    )
+    j = triples.join(dim, "pred")
+    votes = j.select(
+        F.col("subj").alias("node"), F.col("domain").alias("vote_type")
+    ).unionByName(
+        j.select(F.col("obj").alias("node"), F.col("range").alias("vote_type"))
+    )
+    counts = votes.groupBy("node", "vote_type").agg(
+        F.count(F.lit(1)).alias("n_votes")
+    )
+    tot = counts.groupBy("node").agg(F.sum("n_votes").alias("n_total"))
+    w = Window.partitionBy("node").orderBy(
+        F.col("n_votes").desc(), F.col("vote_type").asc()
+    )
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .join(tot, "node")
+        .select(
+            "node",
+            F.col("vote_type").alias("inferred_type"),
+            F.col("n_votes").cast("long"),
+            F.col("n_total").cast("long"),
+            F.round(F.col("n_votes") / F.col("n_total"), 6).alias(
+                "agreement"
+            ),
+        )
+    )
+
+
+def temporal_conflicts(
+    claims: DataFrame,
+    max_claims_per_key: int = 32,
+) -> DataFrame:
+    """Temporal contradiction detection for functional predicates:
+    given claims (subj, pred, obj, valid_from, valid_to), emit every
+    pair of claims on the same (subj, pred) that assert DIFFERENT
+    objects over OVERLAPPING validity windows — the thing claim fusion
+    (truth_discovery) must resolve and a snapshot publisher must not
+    silently serialize ('this order shipping via two suppliers in the
+    same window').
+
+    The pair join runs WITHIN (subj, pred) keys only — one shuffle on
+    the key, never a global self-join. Keys carrying more than
+    ``max_claims_per_key`` claims are cut first (same df-cut discipline
+    as every pair generator here: a pathological feed asserting 10^4
+    values for one key would contribute C(10^4, 2) pairs and is a feed
+    bug, not a conflict to enumerate pairwise). Output: (subj, pred,
+    obj_a, obj_b, overlap_from, overlap_to, overlap_days) with
+    obj_a < obj_b; intervals are closed, overlap_days inclusive.
+    """
+    c = claims.select(
+        "subj", "pred", "obj",
+        F.col("valid_from").alias("f"),
+        F.col("valid_to").alias("t"),
+    ).distinct()
+    fan = c.groupBy("subj", "pred").agg(F.count(F.lit(1)).alias("n"))
+    kept = c.join(
+        fan.where(F.col("n") <= max_claims_per_key), ["subj", "pred"]
+    ).select("subj", "pred", "obj", "f", "t")
+    l = kept.alias("l")
+    r = (
+        kept.select(
+            "subj", "pred",
+            F.col("obj").alias("obj_b"),
+            F.col("f").alias("fb"),
+            F.col("t").alias("tb"),
+        ).alias("r")
+    )
+    return (
+        l.join(r, ["subj", "pred"])
+        .where(
+            (F.col("l.obj") < F.col("obj_b"))
+            & (F.col("l.f") <= F.col("tb"))
+            & (F.col("fb") <= F.col("l.t"))
+        )
+        .select(
+            "subj",
+            "pred",
+            F.col("l.obj").alias("obj_a"),
+            "obj_b",
+            F.greatest("l.f", "fb").alias("overlap_from"),
+            F.least("l.t", "tb").alias("overlap_to"),
+            (
+                F.datediff(
+                    F.least("l.t", "tb"), F.greatest("l.f", "fb")
+                )
+                + 1
+            ).cast("int").alias("overlap_days"),
+        )
+    )
+
+
+def path_cardinality_est(triples: DataFrame) -> DataFrame:
+    """Optimizer-statistics validation for metapath joins: estimate
+    |p1 ⋈ p2| (t1.obj = t2.subj) for every type-composable predicate
+    pair from schema-graph statistics alone — the System-R uniform-
+    frequency formula |R|·|S| / max(V(R.obj), V(S.subj)) summed over
+    matching (obj_type, subj_type) edge classes — and report it against
+    the true join size. At 10^12 triples the estimate is what a planner
+    must decide shuffle strategies with; this operator is the audit that
+    says how far off it runs on the actual graph (ratio ≈ 1 on
+    uniform-ish predicates, ≫1 where fanout is skewed).
+
+    Scale: the estimate side is pure schema-stats arithmetic (the
+    schema_graph aggregate, then a tiny self-join). The ``actual``
+    column is the one corpus-scale join — the audit cost, not the
+    planning cost. Returns (p1, p2, est[6dp], actual, err_ratio[6dp],
+    NULL when actual = 0).
+    """
+    stats = schema_graph(triples).localCheckpoint(eager=True)
+    s1 = stats.select(
+        F.col("pred").alias("p1"),
+        F.col("obj_type").alias("mid_type"),
+        F.col("n_triples").alias("n1"),
+        F.col("n_obj").alias("v1"),
+    )
+    s2 = stats.select(
+        F.col("pred").alias("p2"),
+        F.col("subj_type").alias("mid_type"),
+        F.col("n_triples").alias("n2"),
+        F.col("n_subj").alias("v2"),
+    )
+    est = (
+        s1.join(s2, "mid_type")
+        .groupBy("p1", "p2")
+        .agg(
+            F.round(
+                F.sum(
+                    F.col("n1")
+                    * F.col("n2")
+                    / F.greatest("v1", "v2").cast("double")
+                ),
+                6,
+            ).alias("est")
+        )
+    )
+    t1 = triples.select(F.col("pred").alias("p1"), F.col("obj").alias("mid"))
+    t2 = triples.select(F.col("pred").alias("p2"), F.col("subj").alias("mid"))
+    actual = (
+        t1.join(t2, "mid")
+        .groupBy("p1", "p2")
+        .agg(F.count(F.lit(1)).cast("long").alias("actual"))
+    )
+    return est.join(actual, ["p1", "p2"], "left").select(
+        "p1",
+        "p2",
+        "est",
+        F.coalesce("actual", F.lit(0)).cast("long").alias("actual"),
+        F.round(
+            F.when(
+                F.coalesce("actual", F.lit(0)) > 0,
+                F.col("est") / F.col("actual"),
+            ),
+            6,
+        ).alias("err_ratio"),
     )

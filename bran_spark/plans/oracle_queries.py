@@ -6153,6 +6153,195 @@ def q153(spark, sf):
     return blocking_quality(cand, gold, n_records=docs.count())
 
 
+@_q(
+    "q154_entity_type_inference",
+    _KG_TRIPLES_SQL
+    + f"""
+    , c AS (SELECT * FROM ({_KG_CONSTRAINTS_SQL})
+            v(pred, dom, rng, functional)),
+    j AS (SELECT t.subj, t.obj, c.dom, c.rng FROM t JOIN c USING (pred)),
+    votes AS (SELECT subj AS node, dom AS vote_type FROM j
+              UNION ALL SELECT obj, rng FROM j),
+    cnt AS (SELECT node, vote_type, CAST(COUNT(*) AS BIGINT) AS n_votes
+            FROM votes GROUP BY 1, 2),
+    tot AS (SELECT node, CAST(SUM(n_votes) AS BIGINT) AS n_total
+            FROM cnt GROUP BY node),
+    rk AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY node
+                                        ORDER BY n_votes DESC, vote_type)
+                     AS rn
+           FROM cnt)
+    SELECT node, vote_type AS inferred_type, n_votes, n_total,
+           ROUND(CAST(n_votes AS DOUBLE) / n_total, 6) AS agreement
+    FROM rk JOIN tot USING (node) WHERE rn = 1
+    """,
+)
+def q154(spark, sf):
+    """Vote-based entity typing from the ontology declarations
+    (kgquality.infer_entity_types): every governed triple votes its
+    subject into the declared domain and its object into the range;
+    majority type + agreement per node. Under the deliberately-mismatched
+    q146 constraints, suppliers surface with split C/S votes (agreement
+    < 1) — the inference-side view of the same ontology defect the
+    validator counts. Broadcast dim + two counting aggregates + argmax
+    window on the aggregated table."""
+    from bran_spark.operators.kgquality import infer_entity_types
+
+    constraints = spark.createDataFrame(
+        _KG_CONSTRAINTS,
+        "pred string, domain string, range string, functional boolean",
+    )
+    return infer_entity_types(_kg_relational_triples(spark, sf), constraints)
+
+
+@_q(
+    "q155_temporal_conflicts",
+    """
+    WITH c AS (SELECT DISTINCT 'O:' || l_orderkey AS subj, 'ships' AS pred,
+                      'S:' || l_suppkey AS obj,
+                      CAST(l_shipdate AS DATE) AS f,
+                      CAST(l_shipdate AS DATE) + 10 AS t
+               FROM lineitem),
+    fan AS (SELECT subj, pred FROM c GROUP BY subj, pred
+            HAVING COUNT(*) <= 32),
+    kept AS (SELECT c.* FROM c JOIN fan USING (subj, pred))
+    SELECT l.subj, l.pred, l.obj AS obj_a, r.obj AS obj_b,
+           GREATEST(l.f, r.f) AS overlap_from,
+           LEAST(l.t, r.t) AS overlap_to,
+           CAST(date_diff('day', GREATEST(l.f, r.f), LEAST(l.t, r.t)) + 1
+                AS INT) AS overlap_days
+    FROM kept l JOIN kept r
+      ON l.subj = r.subj AND l.pred = r.pred AND l.obj < r.obj
+     AND l.f <= r.t AND r.f <= l.t
+    """,
+)
+def q155(spark, sf):
+    """Temporal contradiction detection (kgquality.temporal_conflicts):
+    per-order shipping claims with 10-day closed validity windows —
+    pairs of DIFFERENT suppliers asserted for the same order over
+    overlapping windows are the contradictions claim fusion must
+    resolve before a snapshot publishes. Pair join confined within
+    (subj, pred) keys after the ≤32-claims df-cut; one key shuffle,
+    never a global self-join."""
+    from bran_spark.operators.kgquality import temporal_conflicts
+
+    li = _t(spark, sf, "lineitem")
+    claims = li.select(
+        F.concat(F.lit("O:"), F.col("l_orderkey").cast("string")).alias(
+            "subj"
+        ),
+        F.lit("ships").alias("pred"),
+        F.concat(F.lit("S:"), F.col("l_suppkey").cast("string")).alias(
+            "obj"
+        ),
+        F.to_date("l_shipdate").alias("valid_from"),
+        F.date_add(F.to_date("l_shipdate"), 10).alias("valid_to"),
+    )
+    return temporal_conflicts(claims, max_claims_per_key=32)
+
+
+@_q(
+    "q156_path_cardinality",
+    _KG_TRIPLES_SQL
+    + """
+    , sg AS (SELECT string_split(subj, ':')[1] AS subj_type, pred,
+                    string_split(obj, ':')[1] AS obj_type,
+                    CAST(COUNT(*) AS BIGINT) AS n_triples,
+                    CAST(COUNT(DISTINCT subj) AS BIGINT) AS n_subj,
+                    CAST(COUNT(DISTINCT obj) AS BIGINT) AS n_obj
+             FROM t GROUP BY 1, 2, 3),
+    est AS (SELECT s1.pred AS p1, s2.pred AS p2,
+                   ROUND(SUM(s1.n_triples * s2.n_triples /
+                         CAST(GREATEST(s1.n_obj, s2.n_subj) AS DOUBLE)), 6)
+                     AS est
+            FROM sg s1 JOIN sg s2 ON s1.obj_type = s2.subj_type
+            GROUP BY 1, 2),
+    act AS (SELECT t1.pred AS p1, t2.pred AS p2,
+                   CAST(COUNT(*) AS BIGINT) AS actual
+            FROM t t1 JOIN t t2 ON t1.obj = t2.subj GROUP BY 1, 2)
+    SELECT e.p1, e.p2, e.est, COALESCE(a.actual, 0) AS actual,
+           ROUND(CASE WHEN COALESCE(a.actual, 0) > 0
+                      THEN e.est / a.actual END, 6) AS err_ratio
+    FROM est e LEFT JOIN act a ON a.p1 = e.p1 AND a.p2 = e.p2
+    """,
+)
+def q156(spark, sf):
+    """Join-cardinality estimation audit (kgquality.path_cardinality_est):
+    the System-R formula |R|·|S|/max(V(R.obj), V(S.subj)) from
+    schema-graph statistics vs the true metapath join size for every
+    type-composable predicate pair — err_ratio ≈ 1 on uniform predicates
+    (placed_by∘in_nation), drifting where fanout skews. The statistics a
+    1000-executor planner would pick shuffle strategies with, audited
+    against ground truth."""
+    from bran_spark.operators.kgquality import path_cardinality_est
+
+    return path_cardinality_est(_kg_relational_triples(spark, sf))
+
+
+def _truss_sql(k: int, rounds: int) -> str:
+    """Unrolled k-truss peel: per round, naive triangle enumeration on
+    e{i} (u<v ordering makes every triangle's three edges id-ordered),
+    per-edge support, filter at k-2. MATERIALIZED is load-bearing — each
+    e{i} is referenced 3× by the triangle join (see memory: the planner
+    inlines 3^rounds scans otherwise)."""
+    parts = []
+    for i in range(rounds):
+        parts.append(f"""
+    , t{i} AS MATERIALIZED (
+        SELECT e1.u AS a, e1.v AS b, e2.v AS c
+        FROM e{i} e1 JOIN e{i} e2 ON e2.u = e1.v
+        JOIN e{i} e3 ON e3.u = e1.u AND e3.v = e2.v),
+    s{i} AS MATERIALIZED (SELECT u, v, COUNT(*) AS sup FROM (
+        SELECT a AS u, b AS v FROM t{i}
+        UNION ALL SELECT b, c FROM t{i}
+        UNION ALL SELECT a, c FROM t{i}) GROUP BY u, v),
+    e{i + 1} AS MATERIALIZED (
+        SELECT e.u, e.v FROM e{i} e JOIN s{i} s USING (u, v)
+        WHERE s.sup >= {k - 2})""")
+    r = rounds
+    parts.append(f"""
+    , tf AS MATERIALIZED (
+        SELECT e1.u AS a, e1.v AS b, e2.v AS c
+        FROM e{r} e1 JOIN e{r} e2 ON e2.u = e1.v
+        JOIN e{r} e3 ON e3.u = e1.u AND e3.v = e2.v),
+    sf AS (SELECT u, v, COUNT(*) AS sup FROM (
+        SELECT a AS u, b AS v FROM tf
+        UNION ALL SELECT b, c FROM tf
+        UNION ALL SELECT a, c FROM tf) GROUP BY u, v)
+    SELECT e.u, e.v, CAST(COALESCE(s.sup, 0) AS BIGINT) AS support
+    FROM e{r} e LEFT JOIN sf s USING (u, v)""")
+    return "".join(parts)
+
+
+@_q(
+    "q157_ktruss",
+    _FX_PAIRS_SQL
+    + """
+    , pe AS (SELECT DISTINCT subj AS s, obj AS p FROM pairs),
+    hotp AS (SELECT p FROM (SELECT p, COUNT(*) AS d FROM pe GROUP BY p) t
+             WHERE d > 25),
+    kept AS (SELECT s, p FROM pe WHERE p NOT IN (SELECT p FROM hotp)),
+    e0 AS MATERIALIZED (SELECT DISTINCT a.s AS u, b.s AS v
+                        FROM kept a JOIN kept b ON a.p = b.p
+                        WHERE a.s < b.s)
+    """
+    + _truss_sql(k=4, rounds=2),
+)
+def q157(spark, sf):
+    """4-truss extraction on the chemical co-occurrence projection
+    (graphalgo.ktruss): two peel rounds removing edges on <2 triangles
+    (cascades included — peeling an edge can strand its neighbors),
+    then per-edge support within the surviving subgraph. The
+    edge-level cohesive-core extractor one notch stronger than k-core
+    (q83): a star hub survives coreness but owns no triangles and
+    dissolves here. Spark side peels with the degree-ordered O(m^1.5)
+    orientation per round; the oracle replays the naive u<v
+    formulation — per-edge supports agree."""
+    from bran_spark.operators.graphalgo import ktruss, project_bipartite
+
+    proj = project_bipartite(_fx_entity_pairs(spark, sf), max_pivot_deg=25)
+    return ktruss(proj, k=4, iters=2)
+
+
 # =========================================================================
 # Registry ordering: the driver's correctness gate hash-checks the FIRST
 # 50 insertion-order entries of ``queries()``. Definition order above is

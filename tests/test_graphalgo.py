@@ -712,3 +712,45 @@ def test_mine_path_rules_pca_confidence(spark):
         for r in mine_path_rules(_triples(spark, rows)).collect()
     }
     assert out[("works_in", "located_in", "based_in")] == (0.666667, 2, 1.0)
+
+
+def test_edge_support_counts_triangles_per_edge(spark):
+    from bran_spark.operators.graphalgo import edge_support
+
+    # K4 on 1..4 plus pendant edge (4,9): every K4 edge lies on 2
+    # triangles, the pendant on none.
+    k4 = [(a, b) for a in range(1, 5) for b in range(a + 1, 5)]
+    e = spark.createDataFrame(k4 + [(4, 9)], "u long, v long")
+    got = {(r.u, r.v): r.support for r in edge_support(e).collect()}
+    assert got[(4, 9)] == 0
+    assert all(got[p] == 2 for p in k4)
+
+
+def test_ktruss_peeling_cascades(spark):
+    import pytest as _pytest
+
+    from bran_spark.operators.graphalgo import ktruss
+
+    # two triangles sharing edge (1,2): outer edges have support 1, the
+    # shared edge 2. k=4 needs support >= 2: round 1 peels the four
+    # outer edges, which strands (1,2) at support 0 -> round 2 peels it.
+    e = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (1, 4), (2, 4)], "u long, v long"
+    )
+    assert ktruss(e, k=4, iters=2).count() == 0
+    # k=3 (support >= 1) keeps everything, supports recomputed in place
+    got = {(r.u, r.v): r.support for r in ktruss(e, k=3, iters=2).collect()}
+    assert got == {(1, 2): 2, (1, 3): 1, (2, 3): 1, (1, 4): 1, (2, 4): 1}
+    with _pytest.raises(ValueError):
+        ktruss(e, k=2)
+
+
+def test_ktruss_converged_iterate_is_stable(spark):
+    from bran_spark.operators.graphalgo import ktruss
+
+    # K4: 4-truss in one round; extra rounds must be no-ops
+    k4 = [(a, b) for a in range(1, 5) for b in range(a + 1, 5)]
+    e = spark.createDataFrame(k4, "u long, v long")
+    one = sorted(tuple(r) for r in ktruss(e, k=4, iters=1).collect())
+    three = sorted(tuple(r) for r in ktruss(e, k=4, iters=3).collect())
+    assert one == three == [(a, b, 2) for a, b in k4]

@@ -309,3 +309,116 @@ def test_blocking_quality_null_ratios_when_empty(spark):
     assert r.rr == _pytest.approx(1.0)
     with _pytest.raises(ValueError):
         blocking_quality(empty, gold, n_records=1)
+
+
+# --------------------------------------------------------- infer_entity_types
+
+
+def test_infer_entity_types_majority_and_agreement(spark):
+    from bran_spark.operators.kgquality import infer_entity_types
+
+    t = spark.createDataFrame(
+        [
+            ("n1", "placed_by", "n2"),   # n1: O-vote, n2: C-vote
+            ("n1", "placed_by", "n3"),   # n1: O-vote
+            ("n1", "in_nation", "n4"),   # n1: C-vote (conflicting decl)
+            ("n5", "unknown_pred", "n1"),  # ungoverned: no votes
+        ],
+        "subj string, pred string, obj string",
+    )
+    c = _constraints(
+        spark,
+        [("placed_by", "O", "C", True), ("in_nation", "C", "N", True)],
+    )
+    got = {r.node: r for r in infer_entity_types(t, c).collect()}
+    assert got["n1"].inferred_type == "O"
+    assert (got["n1"].n_votes, got["n1"].n_total) == (2, 3)
+    assert got["n1"].agreement == pytest.approx(round(2 / 3, 6))
+    assert got["n2"].inferred_type == "C" and got["n2"].agreement == 1.0
+    assert got["n4"].inferred_type == "N"
+    assert "n5" not in got  # only governed predicates vote
+
+
+def test_infer_entity_types_tie_breaks_by_type_asc(spark):
+    from bran_spark.operators.kgquality import infer_entity_types
+
+    t = spark.createDataFrame(
+        [("x", "p1", "y"), ("x", "p2", "y")],
+        "subj string, pred string, obj string",
+    )
+    c = _constraints(spark, [("p1", "Z", "R", False), ("p2", "A", "R", False)])
+    got = {r.node: r for r in infer_entity_types(t, c).collect()}
+    assert got["x"].inferred_type == "A"  # A < Z on equal votes
+
+
+# --------------------------------------------------------- temporal_conflicts
+
+
+def test_temporal_conflicts_overlap_semantics(spark):
+    import datetime as dt
+
+    from bran_spark.operators.kgquality import temporal_conflicts
+
+    d = dt.date
+    claims = spark.createDataFrame(
+        [
+            ("O:1", "ships", "S:1", d(2024, 1, 1), d(2024, 1, 10)),
+            ("O:1", "ships", "S:2", d(2024, 1, 8), d(2024, 1, 20)),  # overlap
+            ("O:1", "ships", "S:3", d(2024, 2, 1), d(2024, 2, 5)),   # disjoint
+            ("O:2", "ships", "S:1", d(2024, 1, 1), d(2024, 1, 10)),  # other key
+            ("O:3", "ships", "S:9", d(2024, 3, 1), d(2024, 3, 10)),
+            ("O:3", "ships", "S:9", d(2024, 3, 5), d(2024, 3, 15)),  # same obj
+        ],
+        "subj string, pred string, obj string, valid_from date, valid_to date",
+    )
+    out = temporal_conflicts(claims).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.subj, r.obj_a, r.obj_b) == ("O:1", "S:1", "S:2")
+    assert str(r.overlap_from) == "2024-01-08"
+    assert str(r.overlap_to) == "2024-01-10"
+    assert r.overlap_days == 3  # closed intervals: 8th, 9th, 10th
+
+
+def test_temporal_conflicts_hot_key_cut(spark):
+    import datetime as dt
+
+    from bran_spark.operators.kgquality import temporal_conflicts
+
+    d = dt.date(2024, 1, 1)
+    rows = [("K", "p", f"V:{i}", d, dt.date(2024, 12, 31)) for i in range(5)]
+    claims = spark.createDataFrame(
+        rows,
+        "subj string, pred string, obj string, valid_from date, valid_to date",
+    )
+    assert temporal_conflicts(claims, max_claims_per_key=4).count() == 0
+    assert temporal_conflicts(claims, max_claims_per_key=5).count() == 10
+
+
+# ------------------------------------------------------- path_cardinality_est
+
+
+def test_path_cardinality_est_exact_on_uniform_graph(spark):
+    from bran_spark.operators.kgquality import path_cardinality_est
+
+    # p1: O->C uniform 2-per-obj fanin (4 triples, 2 distinct objs);
+    # p2: C->N functional (2 triples, 2 distinct subjs).
+    t = spark.createDataFrame(
+        [
+            ("O:1", "placed_by", "C:1"),
+            ("O:2", "placed_by", "C:1"),
+            ("O:3", "placed_by", "C:2"),
+            ("O:4", "placed_by", "C:2"),
+            ("C:1", "in_nation", "N:1"),
+            ("C:2", "in_nation", "N:2"),
+        ],
+        "subj string, pred string, obj string",
+    )
+    got = {(r.p1, r.p2): r for r in path_cardinality_est(t).collect()}
+    r = got[("placed_by", "in_nation")]
+    # est = 4*2/max(2,2) = 4.0; actual = 4; uniform graph -> exact
+    assert r.est == pytest.approx(4.0)
+    assert r.actual == 4
+    assert r.err_ratio == pytest.approx(1.0)
+    # self-composition rows exist for type-compatible self pairs only
+    assert ("in_nation", "placed_by") not in got  # N mids meet no subjects
