@@ -422,3 +422,52 @@ def streaming_sessionize(
         .start()
     )
     q.awaitTermination()
+
+
+def streaming_kg_monitor(
+    spark: SparkSession,
+    triples_dir: str,
+    constraints: DataFrame,
+    checkpoint_dir: str,
+    out_dir: str,
+) -> None:
+    """Streaming ontology-violation monitor: as triple files land from
+    the extraction pipeline, each micro-batch is validated against the
+    declared constraints (the SAME batch operator — kgquality.validate_kg
+    runs inside foreachBatch, so stream and batch can never disagree on
+    what counts as a violation) and the per-batch violation report is
+    appended to a parquet sink with its batch id. The alerting feed in
+    front of the canonical sink: a feed that suddenly ships mis-typed
+    ids shows up as a domain-violation spike in the NEXT micro-batch,
+    not at the next nightly audit.
+
+    ``Trigger.AvailableNow`` drains and stops (test/catch-up mode); drop
+    the trigger to run continuously. Exactly-once per input file via the
+    streaming checkpoint; the report sink is append-only and keyed by
+    batch_id, so a restarted job never double-counts a batch. State is
+    empty — validation is per-batch aggregation, nothing carries across
+    batches — which is what keeps the monitor runnable forever.
+    """
+    from bran_spark.operators.kgquality import validate_kg
+
+    triples = spark.readStream.schema(
+        "subj string, pred string, obj string"
+    ).parquet(triples_dir)
+
+    def _validate(batch: DataFrame, batch_id: int) -> None:
+        (
+            validate_kg(batch, constraints)
+            .withColumn("batch_id", F.lit(batch_id).cast("long"))
+            .write.mode("append")
+            .parquet(out_dir)
+        )
+
+    q = (
+        triples.writeStream.foreachBatch(_validate)
+        .option(
+            "checkpointLocation", os.path.join(checkpoint_dir, "kg_monitor")
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

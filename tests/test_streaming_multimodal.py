@@ -326,3 +326,48 @@ def test_streaming_sessionize_matches_batch(spark, testdata_dir, tmp_path):
     for k, v in got.items():
         assert k in batch, k
         assert batch[k] == v, (k, v, batch[k])
+
+
+def test_streaming_kg_monitor_per_batch_reports(spark, tmp_path):
+    """Micro-batch validation: each arriving triple file chunk gets its
+    own violation report (batch_id column), counts match the batch
+    operator run on the same rows, and catch-up with nothing new appends
+    no report rows (exactly-once per input file)."""
+    from bran_spark.streaming.incremental import streaming_kg_monitor
+
+    src = str(tmp_path / "triples")
+    out = str(tmp_path / "report")
+    ck = str(tmp_path / "ck")
+    constraints = spark.createDataFrame(
+        [("placed_by", "O", "C", True)],
+        "pred string, domain string, range string, functional boolean",
+    )
+
+    chunk1 = spark.createDataFrame(
+        [("O:1", "placed_by", "C:1"), ("O:1", "placed_by", "C:2")],
+        "subj string, pred string, obj string",
+    )
+    chunk1.coalesce(1).write.mode("append").parquet(src)
+    streaming_kg_monitor(spark, src, constraints, ck, out)
+    r1 = {(r.kind): r for r in spark.read.parquet(out).collect()}
+    assert r1["functional"].n_violations == 1  # O:1 asserts two objects
+    assert r1["domain"].n_violations == 0
+    n_rows1 = spark.read.parquet(out).count()
+
+    # chunk 2: a mis-typed feed -> domain violations in ITS batch report
+    chunk2 = spark.createDataFrame(
+        [("S:9", "placed_by", "C:3")], "subj string, pred string, obj string"
+    )
+    chunk2.coalesce(1).write.mode("append").parquet(src)
+    streaming_kg_monitor(spark, src, constraints, ck, out)
+    rep = spark.read.parquet(out)
+    assert rep.select("batch_id").distinct().count() == 2
+    spike = rep.where(
+        (F.col("kind") == "domain") & (F.col("n_violations") == 1)
+    )
+    assert spike.count() == 1  # only chunk 2's batch reports the bad feed
+
+    # idempotent catch-up: no new files -> no new report rows
+    streaming_kg_monitor(spark, src, constraints, ck, out)
+    assert spark.read.parquet(out).count() == rep.count()
+    assert rep.count() > n_rows1
