@@ -6499,6 +6499,55 @@ def q160(spark, sf):
     return lin_similarity(sim, ic)
 
 
+def _hits_iter_sql(iters: int, scale: int) -> str:
+    """Unrolled fixed-point HITS iterations — exact integer math, see
+    graphalgo.hits_fixed_point for why this is hash-exact cross-engine.
+    MATERIALIZED on every per-round CTE: each is referenced 2-3x (the
+    normalize subquery + the next round) and the planner would otherwise
+    inline exponentially many scans."""
+    parts = [
+        f"""
+    , he AS MATERIALIZED (SELECT DISTINCT subj AS src, obj AS dst
+                          FROM pairs WHERE subj <> obj),
+    hn AS MATERIALIZED (SELECT src AS node FROM he UNION SELECT dst FROM he),
+    h0 AS (SELECT node, CAST({scale} AS BIGINT) AS hub FROM hn)"""
+    ]
+    for i in range(1, iters + 1):
+        parts.append(f"""
+    , ra{i} AS (SELECT e.dst AS node, SUM(h.hub) AS raw
+                FROM he e JOIN h{i - 1} h ON h.node = e.src GROUP BY e.dst),
+    af{i} AS MATERIALIZED (SELECT n.node, COALESCE(r.raw, 0) AS raw
+                FROM hn n LEFT JOIN ra{i} r ON r.node = n.node),
+    an{i} AS MATERIALIZED (SELECT node,
+                CAST((raw * {scale}) // (SELECT SUM(raw) FROM af{i}) AS BIGINT) AS auth
+                FROM af{i}),
+    rh{i} AS (SELECT e.src AS node, SUM(a.auth) AS raw
+              FROM he e JOIN an{i} a ON a.node = e.dst GROUP BY e.src),
+    hf{i} AS MATERIALIZED (SELECT n.node, COALESCE(r.raw, 0) AS raw
+                FROM hn n LEFT JOIN rh{i} r ON r.node = n.node),
+    h{i} AS MATERIALIZED (SELECT node,
+                CAST((raw * {scale}) // (SELECT SUM(raw) FROM hf{i}) AS BIGINT) AS hub
+                FROM hf{i})""")
+    parts.append(f"""
+    SELECT h.node, h.hub AS hub_fp, a.auth AS auth_fp
+    FROM h{iters} h JOIN an{iters} a ON a.node = h.node""")
+    return "".join(parts)
+
+
+@_q("q161_hits", _FX_PAIRS_SQL + _hits_iter_sql(4, 10**6))
+def q161(spark, sf):
+    """HITS hubs & authorities on the directed chem→disease entity graph
+    (graphalgo.hits_fixed_point): chemicals ranked by how many
+    well-attested diseases they link (hub side), diseases by how many
+    broadly-linked chemicals assert them (authority side) — the
+    role-separating complement to q56's symmetric PageRank. Exact
+    integer fixed-point with sum-normalization; the oracle unrolls the
+    identical recurrence."""
+    from bran_spark.operators.graphalgo import hits_fixed_point
+
+    return hits_fixed_point(_fx_entity_pairs(spark, sf), iters=4)
+
+
 # =========================================================================
 # Registry ordering: the driver's correctness gate hash-checks the FIRST
 # 50 insertion-order entries of ``queries()``. Definition order above is

@@ -754,3 +754,42 @@ def test_ktruss_converged_iterate_is_stable(spark):
     one = sorted(tuple(r) for r in ktruss(e, k=4, iters=1).collect())
     three = sorted(tuple(r) for r in ktruss(e, k=4, iters=3).collect())
     assert one == three == [(a, b, 2) for a, b in k4]
+
+
+def _local_hits(edges, iters, scale=10**6):
+    """Reference implementation of the exact integer HITS recurrence."""
+    nodes = sorted({u for u, _ in edges} | {v for _, v in edges})
+    hub = {n: scale for n in nodes}
+    auth = {n: 0 for n in nodes}
+    for _ in range(iters):
+        raw = {n: 0 for n in nodes}
+        for u, v in edges:
+            raw[v] += hub[u]
+        tot = sum(raw.values())
+        auth = {n: raw[n] * scale // tot for n in nodes}
+        raw = {n: 0 for n in nodes}
+        for u, v in edges:
+            raw[u] += auth[v]
+        tot = sum(raw.values())
+        hub = {n: raw[n] * scale // tot for n in nodes}
+    return hub, auth
+
+
+def test_hits_matches_local_reference(spark):
+    from bran_spark.operators.graphalgo import hits_fixed_point
+
+    # bipartite-ish with a pure source (a), pure sink (z), and a node
+    # playing both roles (x) — hub and auth must separate them
+    pairs = [("a", "x"), ("a", "y"), ("b", "x"), ("c", "y"),
+             ("c", "z"), ("x", "z")]
+    hub, auth = _local_hits(pairs, iters=4)
+    got = {
+        r["node"]: (r["hub_fp"], r["auth_fp"])
+        for r in hits_fixed_point(_edges(spark, pairs), iters=4).collect()
+    }
+    assert got == {n: (hub[n], auth[n]) for n in hub}
+    # role separation: the pure source has auth 0, the pure sink hub 0
+    assert got["a"][1] == 0 and got["z"][0] == 0
+    # normalization: each side's mass never exceeds scale
+    assert sum(h for h, _ in got.values()) <= 10**6
+    assert sum(a for _, a in got.values()) <= 10**6
