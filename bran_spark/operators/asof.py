@@ -237,3 +237,89 @@ def ewma_scores(
             6,
         ).alias("ewma"),
     )
+
+
+def coalesce_intervals(
+    df: DataFrame,
+    keys: list[str],
+    start_col: str = "valid_from",
+    end_col: str = "valid_to",
+) -> DataFrame:
+    """Merge overlapping-or-touching CLOSED validity intervals per key —
+    the temporal-KG compaction step after claim fusion: a fact asserted
+    by many extractions with ragged windows becomes one row per maximal
+    continuous validity span, with the supporting claim count.
+
+    Classic gaps-and-islands as two key-partitioned window passes: a
+    running max of end over PRECEDING rows marks where a new island
+    starts (start > max end seen so far), a running sum of those marks
+    numbers the islands, then one aggregate per (keys, island). All
+    windows partition by the fact key — never a global sort — so the
+    shape at 10^12 claims is one shuffle on the key plus per-key linear
+    scans; skewed keys fall under the standard salting/AQE story.
+    Output: keys + (valid_from, valid_to, n_claims). Rows with a NULL
+    endpoint or end < start are the caller's problem (pre-filter like
+    sessions.bucketed_interval_join documents)."""
+    w = Window.partitionBy(*keys).orderBy(start_col, end_col)
+    prev_max_end = F.max(end_col).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    marked = df.withColumn(
+        "_new_island",
+        F.when(
+            prev_max_end.isNull() | (F.col(start_col) > prev_max_end),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    islands = marked.withColumn(
+        "_island",
+        F.sum("_new_island").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    return (
+        islands.groupBy(*keys, "_island")
+        .agg(
+            F.min(start_col).alias("valid_from"),
+            F.max(end_col).alias("valid_to"),
+            F.count(F.lit(1)).cast("long").alias("n_claims"),
+        )
+        .drop("_island")
+    )
+
+
+def scd2_history(
+    changes: DataFrame,
+    keys: list[str],
+    order_col: str,
+    value_col: str,
+    tiebreak: str,
+) -> DataFrame:
+    """Slowly-changing-dimension type-2 history from a change log — the
+    persistent sibling of merge_latest (which keeps only the survivor):
+    one row per VALUE EPISODE with (effective_from, effective_to,
+    is_current). Consecutive log rows with an unchanged value collapse
+    into their episode's first row (null-safe compare, so NULL→NULL is
+    'unchanged' and NULL→x is a change); effective_to is the next
+    episode's start (open-ended NULL on the current row), giving the
+    standard point-in-time lookup contract
+    ``effective_from <= ts < effective_to``.
+
+    Two window passes over the same (keys, order) partitioning — Spark
+    plans them as ONE shuffle + one sort, linear per key."""
+    w = Window.partitionBy(*keys).orderBy(order_col, tiebreak)
+    changed = changes.withColumn(
+        "_prev", F.lag(value_col).over(w)
+    ).withColumn(
+        "_first", F.row_number().over(w) == 1
+    )
+    episodes = changed.where(
+        F.col("_first") | ~F.col(value_col).eqNullSafe(F.col("_prev"))
+    ).select(*keys, value_col, F.col(order_col).alias("effective_from"), tiebreak)
+    w2 = Window.partitionBy(*keys).orderBy("effective_from", tiebreak)
+    return episodes.select(
+        *keys,
+        value_col,
+        "effective_from",
+        F.lead("effective_from").over(w2).alias("effective_to"),
+    ).withColumn("is_current", F.col("effective_to").isNull())

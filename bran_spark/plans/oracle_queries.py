@@ -6548,6 +6548,97 @@ def q161(spark, sf):
     return hits_fixed_point(_fx_entity_pairs(spark, sf), iters=4)
 
 
+@_q(
+    "q162_coalesce_intervals",
+    """
+    WITH c AS (SELECT 'O:' || l_orderkey AS subj, 'ships' AS pred,
+                      'S:' || l_suppkey AS obj,
+                      CAST(l_shipdate AS DATE) AS f,
+                      CAST(l_shipdate AS DATE) + 10 AS t
+               FROM lineitem),
+    m AS (SELECT subj, pred, obj, f, t,
+                 CASE WHEN MAX(t) OVER (PARTITION BY subj, pred, obj
+                            ORDER BY f, t
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                        IS NULL
+                      OR f > MAX(t) OVER (PARTITION BY subj, pred, obj
+                            ORDER BY f, t
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                      THEN 1 ELSE 0 END AS ni
+          FROM c),
+    i AS (SELECT *, SUM(ni) OVER (PARTITION BY subj, pred, obj
+                ORDER BY f, t
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+          FROM m)
+    SELECT subj, pred, obj, MIN(f) AS valid_from, MAX(t) AS valid_to,
+           CAST(COUNT(*) AS BIGINT) AS n_claims
+    FROM i GROUP BY subj, pred, obj, island
+    """,
+)
+def q162(spark, sf):
+    """Temporal-KG interval compaction (asof.coalesce_intervals): the
+    same per-order shipping claims q155 checks for contradictions, here
+    COALESCED per (subj, pred, obj) — overlapping/touching 10-day
+    validity windows from repeated extractions merge into one maximal
+    span with its supporting claim count. Gaps-and-islands via two
+    key-partitioned windows; islands survive only where a real gap
+    (> 10 days between shipments of the same order/supplier) exists."""
+    from bran_spark.operators.asof import coalesce_intervals
+
+    li = _t(spark, sf, "lineitem")
+    claims = li.select(
+        F.concat(F.lit("O:"), F.col("l_orderkey").cast("string")).alias("subj"),
+        F.lit("ships").alias("pred"),
+        F.concat(F.lit("S:"), F.col("l_suppkey").cast("string")).alias("obj"),
+        F.to_date("l_shipdate").alias("valid_from"),
+        F.date_add(F.to_date("l_shipdate"), 10).alias("valid_to"),
+    )
+    return coalesce_intervals(claims, keys=["subj", "pred", "obj"])
+
+
+@_q(
+    "q163_scd2_history",
+    """
+    WITH c AS (SELECT user_id, CAST(FLOOR(value / 25) AS BIGINT) AS tier,
+                      ts, event_id
+               FROM events),
+    r AS (SELECT *,
+                 LAG(tier) OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id) AS prev,
+                 ROW_NUMBER() OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS rn
+          FROM c),
+    ep AS (SELECT user_id, tier, ts AS effective_from, event_id
+           FROM r WHERE rn = 1 OR tier IS DISTINCT FROM prev)
+    SELECT user_id, tier, effective_from,
+           LEAD(effective_from) OVER (PARTITION BY user_id
+                ORDER BY effective_from, event_id) AS effective_to,
+           LEAD(effective_from) OVER (PARTITION BY user_id
+                ORDER BY effective_from, event_id) IS NULL AS is_current
+    FROM ep
+    """,
+)
+def q163(spark, sf):
+    """SCD type-2 dimension build (asof.scd2_history) — merge_latest's
+    persistent sibling: per-user value-TIER episode history with
+    (effective_from, effective_to, is_current), consecutive unchanged
+    tiers collapsed null-safely, open-ended current row. The standard
+    point-in-time lookup contract effective_from <= ts < effective_to,
+    built with one shuffle on the key."""
+    from bran_spark.operators.asof import scd2_history
+
+    ev = _t(spark, sf, "events").select(
+        "user_id",
+        F.floor(F.col("value") / 25).cast("long").alias("tier"),
+        "ts",
+        "event_id",
+    )
+    return scd2_history(
+        ev, keys=["user_id"], order_col="ts", value_col="tier",
+        tiebreak="event_id",
+    )
+
+
 # =========================================================================
 # Registry ordering: the driver's correctness gate hash-checks the FIRST
 # 50 insertion-order entries of ``queries()``. Definition order above is

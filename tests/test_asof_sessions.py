@@ -242,3 +242,67 @@ def test_merge_latest_tiebreak_deterministic(spark):
     empty = base.where(F.lit(False))
     r = merge_latest(base, empty, ["k"], "ts", "event_id").collect()
     assert len(r) == 1 and r[0]["event_id"] == 2  # equal ts → max event_id
+
+
+def test_coalesce_intervals_islands_and_touching(spark):
+    from bran_spark.operators.asof import coalesce_intervals
+
+    rows = [
+        # key A: [1,5] [4,8] overlap; [8,9] touches (closed intervals);
+        # [11,12] is a gap -> second island
+        ("A", 1, 5), ("A", 4, 8), ("A", 8, 9), ("A", 11, 12),
+        # key B: single claim passes through
+        ("B", 3, 3),
+    ]
+    df = spark.createDataFrame(rows, "k string, valid_from int, valid_to int")
+    got = {
+        (r.k, r.valid_from, r.valid_to): r.n_claims
+        for r in coalesce_intervals(df, keys=["k"]).collect()
+    }
+    assert got == {("A", 1, 9): 3, ("A", 11, 12): 1, ("B", 3, 3): 1}
+
+
+def test_coalesce_intervals_contained_interval(spark):
+    from bran_spark.operators.asof import coalesce_intervals
+
+    # [1,10] contains [2,3]; [4,5] must still merge via the RUNNING max
+    # of end (a lag(end) formulation would wrongly split at [4,5])
+    rows = [("A", 1, 10), ("A", 2, 3), ("A", 4, 5), ("A", 12, 13)]
+    df = spark.createDataFrame(rows, "k string, valid_from int, valid_to int")
+    got = sorted(
+        (r.valid_from, r.valid_to, r.n_claims)
+        for r in coalesce_intervals(df, keys=["k"]).collect()
+    )
+    assert got == [(1, 10, 3), (12, 13, 1)]
+
+
+def test_scd2_history_episodes(spark):
+    from bran_spark.operators.asof import scd2_history
+
+    rows = [
+        # user 1: tier 1,1,2,2,1 -> episodes (1@t1, 2@t3, 1@t5)
+        (1, 1, 1, 10), (1, 1, 2, 11), (1, 2, 3, 12),
+        (1, 2, 4, 13), (1, 1, 5, 14),
+        # user 2: NULL,NULL,3 -> NULL collapses null-safely, then 3
+        (2, None, 1, 20), (2, None, 2, 21), (2, 3, 3, 22),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id int, tier int, ts int, event_id int"
+    )
+    out = scd2_history(
+        df, keys=["user_id"], order_col="ts", value_col="tier",
+        tiebreak="event_id",
+    ).collect()
+    got = {
+        (r.user_id, r.effective_from): (r.tier, r.effective_to, r.is_current)
+        for r in out
+    }
+    assert got == {
+        (1, 1): (1, 3, False),
+        (1, 3): (2, 5, False),
+        (1, 5): (1, None, True),
+        (2, 1): (None, 3, False),
+        (2, 3): (3, None, True),
+    }
+    # exactly one current row per key
+    assert sum(1 for v in got.values() if v[2]) == 2
