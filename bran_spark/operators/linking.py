@@ -267,3 +267,167 @@ def blocking_pairs(
         )
         .select("id_a", "id_b", "cbs")
     )
+
+
+FS_SCALE = 10**6  # fixed-point log-weight unit (micro-nats)
+
+
+def mention_dict_candidates(
+    mentions: DataFrame,
+    mesh_dict: DataFrame,
+    prefix_len: int = 3,
+    max_block: int = 50,
+) -> DataFrame:
+    """Blocked mention × dictionary candidate pairs with per-field
+    agreement flags — the comparison-vector input Fellegi-Sunter needs.
+
+    Blocks are lowercase name prefixes (mention surface vs every
+    dictionary name, canonical + synonyms); blocks bigger than
+    ``max_block`` on the dictionary side are purged BEFORE the join
+    (same df-cut argument as blocking_pairs — a hot prefix contributes
+    |mentions_in_block|·|names_in_block| candidates and near-zero
+    signal). Per candidate (mention_id, mesh_id):
+
+      agree_name — surface equals the canonical name exactly
+      agree_syn  — surface equals ANY dictionary name (bool_or over the
+                   block join's multiple synonym rows)
+      agree_type — mention type equals the dictionary entry type
+      is_match   — gold label (the mention's linked id; training signal
+                   for the m/u estimates, never used in scoring)
+    """
+    names = (
+        mesh_dict.select(
+            "mesh_id",
+            F.col("type").alias("dict_type"),
+            F.lower("canonical_name").alias("canon"),
+            F.explode(
+                F.array_union(F.array(F.col("canonical_name")), F.col("synonyms"))
+            ).alias("name0"),
+        )
+        .select(
+            "mesh_id", "dict_type", "canon", F.lower("name0").alias("name")
+        )
+        .distinct()
+        .withColumn("block", F.substring("name", 1, prefix_len))
+    )
+    bs = names.groupBy("block").agg(F.count(F.lit(1)).alias("b"))
+    names = names.join(bs.where(F.col("b") <= max_block), "block").drop("b")
+    m = mentions.select(
+        "mention_id",
+        F.col("type").alias("m_type"),
+        F.col("mesh_id").alias("gold_id"),
+        F.lower(F.trim(F.col("text"))).alias("surface"),
+    ).withColumn("block", F.substring("surface", 1, prefix_len))
+    return (
+        m.join(names, "block")
+        .groupBy("mention_id", "mesh_id")
+        .agg(
+            F.max(F.col("surface") == F.col("canon")).alias("agree_name"),
+            F.max(F.col("surface") == F.col("name")).alias("agree_syn"),
+            F.max(F.col("m_type") == F.col("dict_type")).alias("agree_type"),
+            F.max(F.col("gold_id") == F.col("mesh_id")).alias("is_match"),
+        )
+    )
+
+
+def fs_field_weights(
+    cand: DataFrame,
+    agree_cols: list[str],
+    label_col: str = "is_match",
+    scale: int = FS_SCALE,
+) -> DataFrame:
+    """Fellegi-Sunter (1969) per-field m/u probabilities and log-weights
+    from a labeled candidate set, add-1 smoothed so no weight is ±inf:
+
+      m_k = P(agree_k | match)     = (Σ agree∧match + 1) / (n_match + 2)
+      u_k = P(agree_k | non-match) = (Σ agree∧¬match + 1) / (n_nonmatch + 2)
+      w_agree_fp    = round(ln(m/u)·scale)          (micro-nats, BIGINT)
+      w_disagree_fp = round(ln((1-m)/(1-u))·scale)
+
+    One aggregate over the candidate set (1 row), melted to one row per
+    field — the weights table is fields-sized, the canonical broadcast
+    dimension. Fixed-point integer weights make downstream score sums
+    exactly associative (the pagerank/HITS determinism argument)."""
+    lbl = F.col(label_col)
+    aggs = [
+        F.sum(F.when(lbl, 1).otherwise(0)).alias("n_m"),
+        F.sum(F.when(~lbl, 1).otherwise(0)).alias("n_u"),
+    ]
+    for c in agree_cols:
+        aggs.append(F.sum(F.when(lbl & F.col(c), 1).otherwise(0)).alias(f"am_{c}"))
+        aggs.append(F.sum(F.when(~lbl & F.col(c), 1).otherwise(0)).alias(f"au_{c}"))
+    tot = cand.agg(*aggs)
+    per_field = tot.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("field"),
+                        ((F.col(f"am_{c}") + 1) / (F.col("n_m") + 2)).alias("m"),
+                        ((F.col(f"au_{c}") + 1) / (F.col("n_u") + 2)).alias("u"),
+                    )
+                    for c in agree_cols
+                ]
+            )
+        ).alias("s")
+    ).select("s.field", "s.m", "s.u")
+    return per_field.select(
+        "field",
+        F.round("m", 6).alias("m"),
+        F.round("u", 6).alias("u"),
+        F.round(F.log(F.col("m") / F.col("u")) * scale)
+        .cast("long")
+        .alias("w_agree_fp"),
+        F.round(F.log((1 - F.col("m")) / (1 - F.col("u"))) * scale)
+        .cast("long")
+        .alias("w_disagree_fp"),
+    )
+
+
+def fs_score(
+    cand: DataFrame,
+    weights: DataFrame,
+    id_cols: list[str],
+    agree_cols: list[str],
+    upper_fp: int,
+    lower_fp: int,
+) -> DataFrame:
+    """Score candidate pairs with Fellegi-Sunter log-weights and apply
+    the decision rule: score ≥ upper → 'match', score ≤ lower →
+    'non_match', else 'possible' (the clerical-review band).
+
+    The comparison vector melts to (pair, field, agree) rows, joins the
+    broadcast fields-sized weights table, and sums fixed-point weights
+    per pair — exact integer associativity, so the result is partition-
+    order independent. One explode + one broadcast join + one pair-keyed
+    aggregate; nothing pair-count-sized is ever broadcast."""
+    melted = cand.select(
+        *id_cols,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(c).alias("field"), F.col(c).alias("agree"))
+                    for c in agree_cols
+                ]
+            )
+        ).alias("fa"),
+    ).select(*id_cols, "fa.field", "fa.agree")
+    scored = (
+        melted.join(F.broadcast(weights), "field")
+        .groupBy(*id_cols)
+        .agg(
+            F.sum(
+                F.when(F.col("agree"), F.col("w_agree_fp")).otherwise(
+                    F.col("w_disagree_fp")
+                )
+            )
+            .cast("long")
+            .alias("score_fp")
+        )
+    )
+    return scored.withColumn(
+        "decision",
+        F.when(F.col("score_fp") >= upper_fp, F.lit("match"))
+        .when(F.col("score_fp") <= lower_fp, F.lit("non_match"))
+        .otherwise(F.lit("possible")),
+    )

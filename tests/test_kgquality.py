@@ -422,3 +422,50 @@ def test_path_cardinality_est_exact_on_uniform_graph(spark):
     assert r.err_ratio == pytest.approx(1.0)
     # self-composition rows exist for type-compatible self pairs only
     assert ("in_nation", "placed_by") not in got  # N mids meet no subjects
+
+
+def test_fs_weights_and_score_hand_values(spark):
+    """Fellegi-Sunter m/u estimation and decision rule on a tiny labeled
+    candidate set — weights and scores match the closed-form arithmetic."""
+    import math
+
+    from bran_spark.operators.linking import fs_field_weights, fs_score
+
+    rows = [
+        ("p1", True, True, True),    # match, both agree
+        ("p2", True, False, True),   # match, b disagrees
+        ("p3", False, True, False),
+        ("p4", False, False, False),
+        ("p5", True, False, False),
+    ]
+    cand = spark.createDataFrame(
+        rows, "pair string, agree_a boolean, agree_b boolean, is_match boolean"
+    )
+    w = {
+        r.field: r
+        for r in fs_field_weights(cand, ["agree_a", "agree_b"]).collect()
+    }
+    # field a: m=(2+1)/(2+2)=0.75, u=(1+1)/(3+2)=0.4
+    assert w["agree_a"].m == 0.75 and w["agree_a"].u == 0.4
+    assert w["agree_a"].w_agree_fp == round(math.log(0.75 / 0.4) * 10**6)
+    assert w["agree_a"].w_disagree_fp == round(math.log(0.25 / 0.6) * 10**6)
+    # field b: m=(1+1)/4=0.5, u=(1+1)/5=0.4
+    assert w["agree_b"].m == 0.5 and w["agree_b"].u == 0.4
+
+    wa, wda = w["agree_a"].w_agree_fp, w["agree_a"].w_disagree_fp
+    wb, wdb = w["agree_b"].w_agree_fp, w["agree_b"].w_disagree_fp
+    scored = {
+        r.pair: (r.score_fp, r.decision)
+        for r in fs_score(
+            cand,
+            fs_field_weights(cand, ["agree_a", "agree_b"]),
+            id_cols=["pair"],
+            agree_cols=["agree_a", "agree_b"],
+            upper_fp=wa + wb,   # only the both-agree pair reaches it
+            lower_fp=wda + wdb,  # only the both-disagree pair sinks to it
+        ).collect()
+    }
+    assert scored["p1"] == (wa + wb, "match")
+    assert scored["p4"] == (wda + wdb, "non_match")
+    assert scored["p2"] == (wa + wdb, "possible")
+    assert scored["p3"] == (wda + wb, "possible")
