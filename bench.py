@@ -125,6 +125,10 @@ def main() -> None:
         "q144_truth_discovery",
         "q146_kg_constraints",
         "q148_entity_alignment",
+        "q160_lin_similarity",
+        "q161_hits",
+        "q162_coalesce_intervals",
+        "q165_fs_linkage",
     ]
     for name in bench_queries:
         t0 = time.time()

@@ -6820,14 +6820,18 @@ _FIRST_50 = [
     "q99_product_quantize",
     # graph family (BFS/LPA/degree stay mirror-covered; PageRank,
     # triangles, PMI weighting and hierarchy closure are the four
-    # distinct algorithm shapes)
-    "q56_pagerank", "q57_triangle_counts", "q66_ancestor_closure",
+    # distinct algorithm shapes). q66's closure slot now goes to
+    # q160, whose plan CONTAINS the ancestor closure and adds
+    # LCA/Wu-Palmer + information content on top (ontology-semantics
+    # family, new this round); q66 stays mirror-covered.
+    "q56_pagerank", "q57_triangle_counts", "q160_lin_similarity",
     # KG provenance + eval-CI (round-3 families)
     "q96_triple_provenance", "q101_bootstrap_prf",
     # training-data prep (round-3)
     "q93_doc_chunking",
-    # sampling family
-    "q61_stratified_sample", "q65_negative_samples",
+    # sampling family (negative sampling q65 stays mirror-covered; its
+    # slot funds the Fellegi-Sunter linkage family, new this round)
+    "q61_stratified_sample", "q165_fs_linkage",
     # as-of / CDC / reconciliation family (snapshot_diff q81 stays
     # mirror-covered; its slot funds the KG-fusion family above)
     "q41_asof_join", "q67_merge_latest",
