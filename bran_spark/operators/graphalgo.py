@@ -1244,3 +1244,40 @@ def hits_fixed_point(
         hub.join(auth, "node")
         .select("node", F.col("hub").alias("hub_fp"), F.col("auth").alias("auth_fp"))
     )
+
+
+def skipgram_pairs(walks: DataFrame, window: int = 2) -> DataFrame:
+    """Skip-gram (center, context) pair counts from walk sequences — the
+    training corpus a DeepWalk/node2vec KG embedding consumes (Perozzi
+    et al. KDD'14 §4.2): for every walk position i, every other position
+    j with |i−j| ≤ window contributes one (node_i, node_j) pair;
+    repeated visits legitimately pair a node with itself (positional
+    exclusion, not value exclusion — exactly word2vec's contract).
+
+    Input is deterministic_walks' (start, walk_id, step, node). One
+    groupBy packs each walk into its sequence array; pair generation is
+    then row-local array math (posexplode + an index-window filter) —
+    the per-walk fan-out is ≤ walk_len·2·window, a constant, so the
+    whole thing is two shuffles (pack, count) at any corpus size."""
+    arr = (
+        walks.groupBy("start", "walk_id")
+        .agg(F.sort_array(F.collect_list(F.struct("step", "node"))).alias("sn"))
+        .select(F.transform("sn", lambda s: s["node"]).alias("seq"))
+    )
+    ex = arr.select("seq", F.posexplode("seq").alias("i", "center"))
+    ctx = ex.select(
+        "center",
+        F.explode(
+            F.filter(
+                F.sequence(
+                    F.greatest(F.col("i") - window, F.lit(0)),
+                    F.least(F.col("i") + window, F.size("seq") - 1),
+                ),
+                lambda j: j != F.col("i"),
+            )
+        ).alias("j"),
+        "seq",
+    ).select("center", F.element_at("seq", F.col("j") + 1).alias("context"))
+    return ctx.groupBy("center", "context").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs")
+    )

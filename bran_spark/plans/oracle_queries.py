@@ -2927,7 +2927,7 @@ def q85(spark, sf):
     )
 
 
-def _walks_sql(n_walks: int, walk_len: int) -> str:
+def _walks_sql(n_walks: int, walk_len: int, as_cte: bool = False) -> str:
     parts = [
         f"""
     , adj AS MATERIALIZED (SELECT u, list_sort(list(DISTINCT v)) AS nbrs
@@ -2948,10 +2948,15 @@ def _walks_sql(n_walks: int, walk_len: int) -> str:
         f"SELECT start, walk_id, {t} AS step, cur FROM s{t}"
         for t in range(0, walk_len + 1)
     )
-    parts.append(f"""
+    final = f"""
     SELECT start, CAST(walk_id AS INT) AS walk_id, CAST(step AS INT) AS step,
            cur AS node
-    FROM ({union}) t""")
+    FROM ({union}) t"""
+    if as_cte:
+        parts.append(f"""
+    , wk AS MATERIALIZED ({final})""")
+    else:
+        parts.append(final)
     return "".join(parts)
 
 
@@ -6762,6 +6767,38 @@ def q165(spark, sf):
         upper_fp=2_000_000,
         lower_fp=0,
     )
+
+
+@_q(
+    "q166_skipgram_pairs",
+    _FX_PAIRS_SQL
+    + _walks_sql(2, 3, as_cte=True)
+    + """
+    SELECT a.node AS center, b.node AS context,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs
+    FROM wk a JOIN wk b
+      ON a.start = b.start AND a.walk_id = b.walk_id
+     AND a.step <> b.step AND ABS(a.step - b.step) <= 2
+    GROUP BY a.node, b.node
+    """,
+)
+def q166(spark, sf):
+    """Skip-gram (center, context) pair counts from the q86 walks
+    (graphalgo.skipgram_pairs) — the word2vec-style training corpus a
+    DeepWalk/node2vec KG embedding consumes. Spark packs each walk into
+    its sequence array and generates pairs row-locally (constant
+    fan-out per walk); the oracle replays it as a positional self-join
+    over the same deterministic walks — identical pair multiset."""
+    from bran_spark.operators.graphalgo import (
+        deterministic_walks,
+        skipgram_pairs,
+        symmetric_edges,
+    )
+
+    walks = deterministic_walks(
+        symmetric_edges(_fx_entity_pairs(spark, sf)), n_walks=2, walk_len=3
+    )
+    return skipgram_pairs(walks, window=2)
 
 
 # =========================================================================

@@ -793,3 +793,36 @@ def test_hits_matches_local_reference(spark):
     # normalization: each side's mass never exceeds scale
     assert sum(h for h, _ in got.values()) <= 10**6
     assert sum(a for _, a in got.values()) <= 10**6
+
+
+def test_skipgram_pairs_window_arithmetic(spark):
+    from bran_spark.operators.graphalgo import skipgram_pairs
+
+    def walk(start, wid, seq):
+        return [(start, wid, i, n) for i, n in enumerate(seq)]
+
+    rows = (
+        walk("s1", 0, ["a", "b", "c", "a"])  # repeat outside the window
+        + walk("s1", 1, ["a", "b", "a"])     # repeat INSIDE the window
+        + walk("s2", 0, ["x", "a"])          # cross-walk isolation
+    )
+    df = spark.createDataFrame(
+        rows, "start string, walk_id int, step int, node string"
+    )
+    got = {
+        (r.center, r.context): r.n_pairs
+        for r in skipgram_pairs(df, window=2).collect()
+    }
+    assert got == {
+        # walk 1: [a b c a] -> |i-j|<=2; (a,a) at distance 3 excluded
+        # walk 2: [a b a] -> contributes (a,a) twice (0->2 and 2->0)
+        ("a", "b"): 2 + 2,   # walk1: i0->j1, i3->j1; walk2: i0->j1, i2->j1
+        ("a", "c"): 2,
+        ("b", "a"): 2 + 2,
+        ("b", "c"): 1,
+        ("c", "a"): 2,
+        ("c", "b"): 1,
+        ("a", "a"): 2,       # positional, not value, exclusion
+        ("x", "a"): 1,
+        ("a", "x"): 1,
+    }
