@@ -477,3 +477,66 @@ def greedy_set_cover(
     return spark.createDataFrame(
         rows, f"rank int, id {id_type}, gain long, covered_total long"
     )
+
+
+def temperature_mix(
+    docs: DataFrame,
+    source_col: str = "source",
+    size_col: str = "n_chars",
+    id_col: str = "doc_id",
+    alpha: float = 0.5,
+    target_tokens: int = 1_000_000,
+) -> DataFrame:
+    """Temperature-scaled source mixing (the GPT-3/PaLM data-mixture
+    rule): derive each source's mixture share FROM the corpus itself as
+    share_i ∝ tokens_i^alpha — alpha<1 flattens the natural distribution
+    so giant crawl sources stop drowning small high-quality ones — then
+    keep each row with per-source rate min(1, target·share/tokens_i).
+    rebalance_mix's sibling: that one applies an EXPLICIT share vector
+    per doc count; this one derives the vector from token mass.
+
+    Fully distributed: two source-sized aggregates (token totals, the
+    1-row normalizer), rates broadcast back, keep decision is the
+    md5-keyed deterministic coin — no shuffle of the corpus itself and
+    no driver-side share vector, so the same plan runs at 10^12 docs.
+    Shares are rounded to 6 dp before the rate so both engines derive
+    the identical integer keep-threshold (millionths).
+
+    Returns surviving rows (id, source, size) — expected token mass per
+    source ≈ min(target·share, tokens_i); exact-quota selection would
+    need a per-source prefix sum (operators/packing.py's two-phase form)
+    and is deliberately NOT done here: rate-based selection is the
+    standard at-scale form precisely because it is embarrassingly
+    parallel."""
+    tot = docs.groupBy(F.col(source_col).alias("g")).agg(
+        F.sum(size_col).cast("double").alias("tot")
+    )
+    raw = tot.select("g", "tot", F.pow("tot", F.lit(float(alpha))).alias("raw"))
+    z = raw.agg(F.sum("raw").alias("z"))
+    rates = (
+        raw.join(F.broadcast(z))
+        .select(
+            "g",
+            F.floor(
+                F.least(
+                    F.lit(1.0),
+                    F.lit(float(target_tokens))
+                    * F.round(F.col("raw") / F.col("z"), 6)
+                    / F.col("tot"),
+                )
+                * F.lit(1_000_000)
+            )
+            .cast("long")
+            .alias("keep_millionths"),
+        )
+    )
+    keyed = docs.withColumn(
+        "_coin",
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10)
+        .cast("long") % 1_000_000,
+    )
+    return (
+        keyed.join(F.broadcast(rates), keyed[source_col] == rates["g"])
+        .where(F.col("_coin") < F.col("keep_millionths"))
+        .select(id_col, source_col, size_col)
+    )

@@ -6801,6 +6801,46 @@ def q166(spark, sf):
     return skipgram_pairs(walks, window=2)
 
 
+_TMIX_COIN = "(" + " + ".join(
+    f"(strpos('0123456789abcdef', substr(h, {i + 1}, 1)) - 1) * {16 ** (7 - i)}"
+    for i in range(8)
+) + ") % 1000000"
+
+
+@_q(
+    "q167_temperature_mix",
+    f"""
+    WITH tot AS (SELECT source AS g, CAST(SUM(n_chars) AS DOUBLE) AS tot
+                 FROM documents GROUP BY source),
+    raw AS (SELECT g, tot, POWER(tot, 0.5) AS raw FROM tot),
+    z AS (SELECT SUM(raw) AS z FROM raw),
+    rates AS (SELECT g,
+                     CAST(FLOOR(LEAST(1.0,
+                          50000 * ROUND(raw / (SELECT z FROM z), 6) / tot)
+                          * 1000000) AS BIGINT) AS thr
+              FROM raw),
+    k AS (SELECT doc_id, source, n_chars,
+                 md5(CAST(doc_id AS VARCHAR)) AS h
+          FROM documents)
+    SELECT doc_id, source, n_chars
+    FROM k JOIN rates ON k.source = rates.g
+    WHERE {_TMIX_COIN} < thr
+    """,
+)
+def q167(spark, sf):
+    """Temperature-scaled source mixing (sampling.temperature_mix,
+    alpha=0.5, 50k-token target): mixture shares derived from per-source
+    token mass as tokens^alpha (the GPT-3/PaLM flattening rule), applied
+    as deterministic md5-coin keep rates — rebalance_mix's
+    derive-the-vector sibling. Two source-sized aggregates + broadcast
+    rates; the corpus itself never shuffles."""
+    from bran_spark.operators.sampling import temperature_mix
+
+    return temperature_mix(
+        _t(spark, sf, "documents"), alpha=0.5, target_tokens=50_000
+    )
+
+
 # =========================================================================
 # Registry ordering: the driver's correctness gate hash-checks the FIRST
 # 50 insertion-order entries of ``queries()``. Definition order above is

@@ -715,3 +715,46 @@ def test_truth_discovery_demotes_disagreeing_source(spark):
     # round-2 share of the consensus value beats the plain 2/3 majority of
     # round 1 (trust reweighting did something)
     assert out["k1"][1] > 0.667
+
+
+def test_temperature_mix_flattens_and_is_deterministic(spark):
+    """temperature_mix derives shares as tokens^alpha: the small source's
+    keep RATE must far exceed the big source's (flattening), and the
+    exact surviving set matches a pure-Python replay of the md5 coin."""
+    import hashlib
+    import math
+
+    from bran_spark.operators.sampling import temperature_mix
+
+    rows = [(i, "big", 100) for i in range(400)] + [
+        (1000 + i, "small", 100) for i in range(20)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_chars int")
+    out = {
+        (r.doc_id, r.source)
+        for r in temperature_mix(
+            df, alpha=0.5, target_tokens=10_000
+        ).collect()
+    }
+
+    toks = {"big": 40_000.0, "small": 2_000.0}
+    z = sum(math.sqrt(t) for t in toks.values())
+    thr = {
+        g: math.floor(
+            min(1.0, 10_000 * round(math.sqrt(t) / z, 6) / t) * 1_000_000
+        )
+        for g, t in toks.items()
+    }
+    # flattening: the small source keeps a much larger fraction
+    assert thr["small"] > 3 * thr["big"]
+
+    def coin(doc_id: int) -> int:
+        h = hashlib.md5(str(doc_id).encode()).hexdigest()
+        return int(h[:8], 16) % 1_000_000
+
+    expect = {
+        (i, g)
+        for (i, g, _) in rows
+        if coin(i) < thr[g]
+    }
+    assert out == expect and len(out) > 0
