@@ -300,3 +300,53 @@ def blocking_quality(
             ).alias("rr"),
         )
     )
+
+
+def mcnemar_compare(
+    gold: DataFrame,
+    pred_a: DataFrame,
+    pred_b: DataFrame,
+    keys: list[str],
+) -> DataFrame:
+    """Paired extractor comparison on the gold set (McNemar's test with
+    continuity correction): for each gold item, did extractor A / B
+    recover it? The discordant cells decide whether A and B genuinely
+    differ — two extractors with identical recall can still disagree on
+    WHICH items they find, and aggregate P/R/F1 (q25) cannot see that.
+
+      chi2 = (|b−c|−1)² / (b+c),  b = A-only hits, c = B-only hits
+      (0 when b+c=0); significant_95 = chi2 > 3.841459 (χ²₁, α=0.05).
+
+    One row out: (n_both, n_a_only, n_b_only, n_neither, chi2,
+    significant_95). Two key-shuffle left joins from the gold side +
+    one global aggregate — gold is the smallest of the three inputs, so
+    this costs less than the evaluation joins q25 already does."""
+    g = gold.select(*keys).distinct()
+    a = pred_a.select(*keys).distinct().withColumn("_in_a", F.lit(1))
+    b = pred_b.select(*keys).distinct().withColumn("_in_b", F.lit(1))
+    j = g.join(a, keys, "left").join(b, keys, "left").select(
+        F.col("_in_a").isNotNull().alias("ina"),
+        F.col("_in_b").isNotNull().alias("inb"),
+    )
+    agg = j.agg(
+        F.sum(F.when(F.col("ina") & F.col("inb"), 1).otherwise(0))
+        .cast("long").alias("n_both"),
+        F.sum(F.when(F.col("ina") & ~F.col("inb"), 1).otherwise(0))
+        .cast("long").alias("n_a_only"),
+        F.sum(F.when(~F.col("ina") & F.col("inb"), 1).otherwise(0))
+        .cast("long").alias("n_b_only"),
+        F.sum(F.when(~F.col("ina") & ~F.col("inb"), 1).otherwise(0))
+        .cast("long").alias("n_neither"),
+    )
+    disc = F.col("n_a_only") + F.col("n_b_only")
+    chi2 = F.when(disc > 0,
+        F.round(
+            F.pow(F.abs(F.col("n_a_only") - F.col("n_b_only")) - 1, 2) / disc,
+            6,
+        ),
+    ).otherwise(F.lit(0.0))
+    return agg.select(
+        "n_both", "n_a_only", "n_b_only", "n_neither",
+        chi2.alias("chi2"),
+        (chi2 > F.lit(3.841459)).alias("significant_95"),
+    )

@@ -6841,6 +6841,82 @@ def q167(spark, sf):
     )
 
 
+@_q(
+    "q168_mcnemar",
+    _FX_MENTIONS_SQL
+    + f"""
+    , cnts AS (SELECT doc_id, mesh_id, type, COUNT(*) AS cnt
+               FROM m GROUP BY 1, 2, 3),
+    pd AS MATERIALIZED (
+        SELECT c.doc_id, c.mesh_id AS chem, d2.mesh_id AS dis,
+               c.cnt AS chem_cnt
+        FROM cnts c JOIN cnts d2 ON c.doc_id = d2.doc_id
+        WHERE c.type = 'Chemical' AND d2.type = 'Disease'),
+    ea AS (SELECT chem, dis FROM (
+             SELECT chem, dis, COUNT(DISTINCT doc_id) AS nd
+             FROM pd GROUP BY 1, 2) WHERE nd >= 2),
+    eb AS (SELECT DISTINCT chem, dis FROM pd WHERE chem_cnt >= 2),
+    g AS (SELECT DISTINCT chem_mesh AS chem, dis_mesh AS dis
+          FROM read_parquet('{_FX01}/gold_relations.parquet')),
+    j AS (SELECT (ea.chem IS NOT NULL) AS ina, (eb.chem IS NOT NULL) AS inb
+          FROM g
+          LEFT JOIN ea ON ea.chem = g.chem AND ea.dis = g.dis
+          LEFT JOIN eb ON eb.chem = g.chem AND eb.dis = g.dis),
+    agg AS (SELECT
+        CAST(SUM(CASE WHEN ina AND inb THEN 1 ELSE 0 END) AS BIGINT) AS n_both,
+        CAST(SUM(CASE WHEN ina AND NOT inb THEN 1 ELSE 0 END) AS BIGINT) AS n_a_only,
+        CAST(SUM(CASE WHEN NOT ina AND inb THEN 1 ELSE 0 END) AS BIGINT) AS n_b_only,
+        CAST(SUM(CASE WHEN NOT ina AND NOT inb THEN 1 ELSE 0 END) AS BIGINT) AS n_neither
+        FROM j)
+    SELECT n_both, n_a_only, n_b_only, n_neither,
+           CASE WHEN n_a_only + n_b_only > 0
+                THEN ROUND(POWER(ABS(n_a_only - n_b_only) - 1, 2)
+                           / (n_a_only + n_b_only), 6)
+                ELSE 0.0 END AS chi2,
+           CASE WHEN n_a_only + n_b_only > 0
+                THEN ROUND(POWER(ABS(n_a_only - n_b_only) - 1, 2)
+                           / (n_a_only + n_b_only), 6) > 3.841459
+                ELSE FALSE END AS significant_95
+    FROM agg
+    """,
+)
+def q168(spark, sf):
+    """McNemar paired comparison (evaluate.mcnemar_compare) of two
+    heuristic extractors against the gold relations: A = pairs
+    co-occurring in ≥2 documents (support rule), B = pairs whose
+    chemical is mentioned ≥2 times in some shared document (salience
+    rule) — non-nested, so both discordant cells are live. The
+    statistical-significance layer q25's point metrics and q101's
+    bootstrap CI don't provide for MODEL-vs-MODEL claims."""
+    from bran_spark.operators.evaluate import mcnemar_compare
+
+    m = _fx_mentions(spark, sf)
+    cnts = m.groupBy("doc_id", "mesh_id", "type").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    chems = cnts.where(F.col("type") == "Chemical").select(
+        "doc_id", F.col("mesh_id").alias("chem"), F.col("cnt").alias("chem_cnt")
+    )
+    diss = cnts.where(F.col("type") == "Disease").select(
+        "doc_id", F.col("mesh_id").alias("dis")
+    )
+    pd_ = chems.join(diss, "doc_id")
+    pred_a = (
+        pd_.groupBy("chem", "dis")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .where(F.col("nd") >= 2)
+        .select("chem", "dis")
+    )
+    pred_b = pd_.where(F.col("chem_cnt") >= 2).select("chem", "dis").distinct()
+    s = _fixture_sf_for(sf)
+    from bran_spark.fixtures.gen import fixture_dir
+
+    gold = spark.read.parquet(f"{fixture_dir(s)}/gold_relations.parquet").select(
+        F.col("chem_mesh").alias("chem"), F.col("dis_mesh").alias("dis")
+    )
+    return mcnemar_compare(gold, pred_a, pred_b, keys=["chem", "dis"])
+
+
 # =========================================================================
 # Registry ordering: the driver's correctness gate hash-checks the FIRST
 # 50 insertion-order entries of ``queries()``. Definition order above is

@@ -469,3 +469,29 @@ def test_fs_weights_and_score_hand_values(spark):
     assert scored["p4"] == (wda + wdb, "non_match")
     assert scored["p2"] == (wa + wdb, "possible")
     assert scored["p3"] == (wda + wb, "possible")
+
+
+def test_mcnemar_compare_hand_counts(spark):
+    from bran_spark.operators.evaluate import mcnemar_compare
+
+    gold = spark.createDataFrame(
+        [(i,) for i in range(8)], "item int"
+    )
+    # A hits 0-4 (plus a non-gold FP that must be ignored), B hits 0-2,5
+    a = spark.createDataFrame([(i,) for i in [0, 1, 2, 3, 4, 99]], "item int")
+    b = spark.createDataFrame([(i,) for i in [0, 1, 2, 5]], "item int")
+    r = mcnemar_compare(gold, a, b, keys=["item"]).collect()[0]
+    # both: {0,1,2}; A-only: {3,4}; B-only: {5}; neither: {6,7}
+    assert (r.n_both, r.n_a_only, r.n_b_only, r.n_neither) == (3, 2, 1, 2)
+    assert r.chi2 == round((abs(2 - 1) - 1) ** 2 / 3, 6) == 0.0
+    assert not r.significant_95
+
+    # identical extractors: no discordant cells, chi2 defined as 0
+    r2 = mcnemar_compare(gold, a, a, keys=["item"]).collect()[0]
+    assert (r2.n_a_only, r2.n_b_only, r2.chi2) == (0, 0, 0.0)
+
+    # strongly one-sided: b=6, c=0 -> chi2 = 25/6, significant
+    a3 = spark.createDataFrame([(i,) for i in range(6)], "item int")
+    b3 = spark.createDataFrame([(99,)], "item int")
+    r3 = mcnemar_compare(gold, a3, b3, keys=["item"]).collect()[0]
+    assert r3.chi2 == round(25 / 6, 6) and r3.significant_95
