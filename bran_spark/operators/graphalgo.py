@@ -1281,3 +1281,38 @@ def skipgram_pairs(walks: DataFrame, window: int = 2) -> DataFrame:
     return ctx.groupBy("center", "context").agg(
         F.count(F.lit(1)).cast("long").alias("n_pairs")
     )
+
+
+def clustering_coefficient(edges: DataFrame, broadcast_keys: bool = False) -> DataFrame:
+    """(entity, degree, n_triangles, clustering) — local clustering
+    coefficient 2·T(v)/(deg(v)·(deg(v)−1)) over an undirected (u, v)
+    edge list with u < v; degree-1 nodes get 0 by convention. The
+    how-clique-is-my-neighborhood signal on top of triangle_counts —
+    a KG entity with high degree and near-zero clustering is a hub
+    stitching unrelated communities (exactly the pivot the projection
+    df-cut worries about), while high clustering marks a dense clique.
+
+    Cost: triangle_counts (O(m^1.5) wedges) + one degree aggregate +
+    one |V|-keyed shuffle join (never broadcast by default — same rule
+    as the orientation's key attach). clustering rounds to 6 dp."""
+    sym = symmetric_edges(edges, "u", "v")
+    deg = sym.groupBy(F.col("u").alias("entity")).agg(
+        F.count(F.lit(1)).cast("long").alias("degree")
+    )
+    tri = triangle_counts(edges, broadcast_keys)
+    return (
+        deg.join(tri, "entity", "left")
+        .select(
+            "entity",
+            "degree",
+            F.coalesce("n_triangles", F.lit(0)).cast("long").alias("n_triangles"),
+            F.when(
+                F.col("degree") >= 2,
+                F.round(
+                    2.0 * F.coalesce("n_triangles", F.lit(0))
+                    / (F.col("degree") * (F.col("degree") - 1)),
+                    6,
+                ),
+            ).otherwise(F.lit(0.0)).alias("clustering"),
+        )
+    )

@@ -6917,6 +6917,50 @@ def q168(spark, sf):
     return mcnemar_compare(gold, pred_a, pred_b, keys=["chem", "dis"])
 
 
+@_q(
+    "q169_clustering_coeff",
+    _FX_PAIRS_SQL
+    + """
+    , pe AS (SELECT DISTINCT subj AS s, obj AS p FROM pairs),
+    hotp AS (SELECT p FROM (SELECT p, COUNT(*) AS d FROM pe GROUP BY p) t
+             WHERE d > 25),
+    kept AS (SELECT s, p FROM pe WHERE p NOT IN (SELECT p FROM hotp)),
+    proj AS MATERIALIZED (SELECT DISTINCT a.s AS u, b.s AS v
+             FROM kept a JOIN kept b ON a.p = b.p WHERE a.s < b.s),
+    tri AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
+            FROM proj e1
+            JOIN proj e2 ON e2.u = e1.v
+            JOIN proj e3 ON e3.u = e1.u AND e3.v = e2.v),
+    roles AS (SELECT a AS entity FROM tri
+              UNION ALL SELECT b FROM tri
+              UNION ALL SELECT c FROM tri),
+    tcnt AS (SELECT entity, COUNT(*) AS n_tri FROM roles GROUP BY entity),
+    symp AS (SELECT u, v FROM proj UNION ALL SELECT v AS u, u AS v FROM proj),
+    deg AS (SELECT u AS entity, COUNT(*) AS degree FROM symp GROUP BY u)
+    SELECT d.entity, CAST(d.degree AS BIGINT) AS degree,
+           CAST(COALESCE(t.n_tri, 0) AS BIGINT) AS n_triangles,
+           CASE WHEN d.degree >= 2
+                THEN ROUND(2.0 * COALESCE(t.n_tri, 0)
+                           / (d.degree * (d.degree - 1)), 6)
+                ELSE 0.0 END AS clustering
+    FROM deg d LEFT JOIN tcnt t ON t.entity = d.entity
+    """,
+)
+def q169(spark, sf):
+    """Local clustering coefficient over the chemical co-occurrence
+    projection (graphalgo.clustering_coefficient): 2T/(deg·(deg−1)) per
+    entity — separates community-stitching hubs (high degree, ~0
+    clustering) from dense-clique members. q57's triangles + one degree
+    aggregate + one |V|-keyed shuffle join."""
+    from bran_spark.operators.graphalgo import (
+        clustering_coefficient,
+        project_bipartite,
+    )
+
+    proj = project_bipartite(_fx_entity_pairs(spark, sf), max_pivot_deg=25)
+    return clustering_coefficient(proj)
+
+
 # =========================================================================
 # Registry ordering: the driver's correctness gate hash-checks the FIRST
 # 50 insertion-order entries of ``queries()``. Definition order above is

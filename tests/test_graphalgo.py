@@ -826,3 +826,21 @@ def test_skipgram_pairs_window_arithmetic(spark):
         ("x", "a"): 1,
         ("a", "x"): 1,
     }
+
+
+def test_clustering_coefficient_hand_values(spark):
+    from bran_spark.operators.graphalgo import clustering_coefficient
+
+    # triangle a-b-c plus pendant d on a, isolated edge x-y
+    pairs = [("a", "b"), ("a", "c"), ("b", "c"), ("a", "d"), ("x", "y")]
+    df = spark.createDataFrame(pairs, "u string, v string")
+    got = {
+        r.entity: (r.degree, r.n_triangles, r.clustering)
+        for r in clustering_coefficient(df).collect()
+    }
+    # a: deg 3, 1 triangle -> 2/(3*2) = 0.333333
+    assert got["a"] == (3, 1, round(2 / 6, 6))
+    assert got["b"] == (2, 1, 1.0) and got["c"] == (2, 1, 1.0)
+    # degree-1 nodes: coefficient 0 by convention
+    assert got["d"] == (1, 0, 0.0)
+    assert got["x"] == (1, 0, 0.0) and got["y"] == (1, 0, 0.0)
