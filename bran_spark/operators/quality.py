@@ -341,3 +341,73 @@ def psi_drift(
         F.round(q, 6).alias("p_cur"),
         F.round((p - q) * F.log(p / q) + F.lit(1e-9), 6).alias("psi_term"),
     )
+
+
+def woe_iv(
+    df: DataFrame,
+    value_col: str,
+    label_col: str,
+    lo: float,
+    hi: float,
+    n_bins: int = 10,
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Weight-of-evidence binning + information value — psi_drift's
+    SUPERVISED sibling: instead of comparing two snapshots of one
+    signal, compare the positive- and negative-label distributions of
+    one signal in the same snapshot. Per fixed-width bin over [lo, hi)
+    (edge-clamped, same determinism argument as psi_drift — quantile
+    bins would move with the data):
+
+      woe = ln(share_pos / share_neg)      (alpha-smoothed shares)
+      iv_term = (share_pos − share_neg)·woe
+
+    Total IV = SUM(iv_term) grades the signal as a label separator
+    (rule of thumb: <0.02 useless, >0.3 strong) — the feature-audit
+    step before any quality score is trusted to gate a corpus. NULL
+    values and NULL labels are dropped.
+
+    Scale: ONE map-side-combined n_bins-card aggregate (conditional
+    sums carry both classes in one pass — half psi_drift's scans), a
+    bin-spine outer merge, one 1-row totals broadcast."""
+    if n_bins < 1:
+        raise ValueError(f"n_bins must be >= 1, got {n_bins}")
+    if not hi > lo:
+        raise ValueError(f"need hi > lo, got [{lo}, {hi})")
+    width = (hi - lo) / n_bins
+    v = F.col(value_col).cast("double")
+    lbl = F.col(label_col)
+    b = F.least(
+        F.greatest(F.floor((v - F.lit(lo)) / F.lit(width)), F.lit(0)),
+        F.lit(n_bins - 1),
+    )
+    counts = (
+        df.where(v.isNotNull() & lbl.isNotNull())
+        .groupBy(b.cast("int").alias("bin"))
+        .agg(
+            F.sum(F.when(lbl, 1).otherwise(0)).cast("double").alias("n_pos"),
+            F.sum(F.when(~lbl, 1).otherwise(0)).cast("double").alias("n_neg"),
+        )
+    )
+    spark = df.sparkSession
+    spine = spark.range(n_bins).select(F.col("id").cast("int").alias("bin"))
+    merged = spine.join(counts, "bin", "left").select(
+        "bin",
+        F.coalesce("n_pos", F.lit(0.0)).alias("n_pos"),
+        F.coalesce("n_neg", F.lit(0.0)).alias("n_neg"),
+    )
+    tots = merged.agg(
+        F.sum("n_pos").alias("tot_pos"), F.sum("n_neg").alias("tot_neg")
+    )
+    al = F.lit(float(alpha))
+    k = F.lit(float(n_bins))
+    g = (F.col("n_pos") + al) / (F.col("tot_pos") + al * k)
+    bd = (F.col("n_neg") + al) / (F.col("tot_neg") + al * k)
+    return merged.crossJoin(F.broadcast(tots)).select(
+        "bin",
+        F.round(F.lit(lo) + F.lit(width) * F.col("bin"), 6).alias("bin_lo"),
+        F.col("n_pos").cast("long").alias("n_pos"),
+        F.col("n_neg").cast("long").alias("n_neg"),
+        F.round(F.log(g / bd), 6).alias("woe"),
+        F.round((g - bd) * F.log(g / bd), 6).alias("iv_term"),
+    )

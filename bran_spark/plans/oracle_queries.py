@@ -6961,6 +6961,53 @@ def q169(spark, sf):
     return clustering_coefficient(proj)
 
 
+@_q(
+    "q170_woe_iv",
+    """
+    WITH spine AS (SELECT UNNEST(range(10)) AS bin),
+    c AS (SELECT CAST(LEAST(GREATEST(FLOOR(value / 50.0), 0), 9) AS INT)
+                   AS bin,
+                 SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                   ::DOUBLE AS n_pos,
+                 SUM(CASE WHEN event_type <> 'purchase' THEN 1 ELSE 0 END)
+                   ::DOUBLE AS n_neg
+          FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL
+          GROUP BY 1),
+    m AS (SELECT CAST(spine.bin AS INT) AS bin,
+                 COALESCE(n_pos, 0) AS n_pos, COALESCE(n_neg, 0) AS n_neg
+          FROM spine LEFT JOIN c ON c.bin = spine.bin),
+    tt AS (SELECT SUM(n_pos) AS tp, SUM(n_neg) AS tn FROM m)
+    SELECT bin, ROUND(50.0 * bin, 6) AS bin_lo,
+           CAST(n_pos AS BIGINT) AS n_pos, CAST(n_neg AS BIGINT) AS n_neg,
+           ROUND(ln(((n_pos + 0.5) / (tp + 5.0))
+                    / ((n_neg + 0.5) / (tn + 5.0))), 6) AS woe,
+           ROUND(((n_pos + 0.5) / (tp + 5.0) - (n_neg + 0.5) / (tn + 5.0))
+                 * ln(((n_pos + 0.5) / (tp + 5.0))
+                      / ((n_neg + 0.5) / (tn + 5.0))), 6) AS iv_term
+    FROM m, tt
+    """,
+)
+def q170(spark, sf):
+    """Weight-of-evidence binning + information value of the event value
+    as a purchase predictor (quality.woe_iv) — psi_drift's SUPERVISED
+    sibling: per fixed bin, ln(share_pos/share_neg) and the IV
+    contribution; SUM(iv_term) grades the signal before any quality
+    score gates a corpus. One conditional-sum aggregate (half q151's
+    scans), bin spine, 1-row totals broadcast."""
+    from bran_spark.operators.quality import woe_iv
+
+    ev = _t(spark, sf, "events")
+    return woe_iv(
+        ev.withColumn("is_purchase", F.col("event_type") == "purchase"),
+        "value",
+        "is_purchase",
+        lo=0.0,
+        hi=500.0,
+        n_bins=10,
+        alpha=0.5,
+    )
+
+
 # =========================================================================
 # Registry ordering: the driver's correctness gate hash-checks the FIRST
 # 50 insertion-order entries of ``queries()``. Definition order above is

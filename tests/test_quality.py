@@ -102,3 +102,34 @@ def test_token_entropy_separates_skewed_from_uniform(spark):
     assert out[3].norm_entropy == round(0.0 + 1e-9, 6)
     import math
     assert abs(out[1].entropy - math.log(16)) < 1e-4
+
+
+def test_woe_iv_separating_vs_useless_signal(spark):
+    """WOE/IV hand arithmetic: a perfectly separating signal has high
+    total IV with opposite-sign WOE in the two occupied bins; a signal
+    independent of the label has IV ~ 0."""
+    import math
+
+    from bran_spark.operators.quality import woe_iv
+
+    # separating: positives all land in bin 0, negatives in bin 1
+    rows = [(5.0, True)] * 8 + [(15.0, False)] * 8
+    df = spark.createDataFrame(rows, "v double, y boolean")
+    out = {r.bin: r for r in woe_iv(df, "v", "y", lo=0.0, hi=20.0, n_bins=2).collect()}
+    g0, b0 = (8 + 0.5) / (8 + 1.0), (0 + 0.5) / (8 + 1.0)
+    assert out[0].woe == round(math.log(g0 / b0), 6)
+    assert out[1].woe == round(math.log(b0 / g0), 6)  # mirrored
+    assert out[0].iv_term == round((g0 - b0) * math.log(g0 / b0), 6)
+    assert sum(r.iv_term for r in out.values()) > 0.3  # "strong" signal
+
+    # useless: labels independent of the bin -> IV ~ 0
+    rows2 = [(5.0, True)] * 4 + [(5.0, False)] * 4 + [(15.0, True)] * 4 + [(15.0, False)] * 4
+    df2 = spark.createDataFrame(rows2, "v double, y boolean")
+    out2 = woe_iv(df2, "v", "y", lo=0.0, hi=20.0, n_bins=2).collect()
+    assert all(r.woe == 0.0 and r.iv_term == 0.0 for r in out2)
+
+    # NULL values and labels are dropped, edge values clamp into bins
+    rows3 = [(None, True), (5.0, None), (-99.0, True), (999.0, False)]
+    df3 = spark.createDataFrame(rows3, "v double, y boolean")
+    out3 = {r.bin: (r.n_pos, r.n_neg) for r in woe_iv(df3, "v", "y", 0.0, 20.0, 2).collect()}
+    assert out3 == {0: (1, 0), 1: (0, 1)}
