@@ -245,3 +245,50 @@ def extract_media_features(
             )
 
     return df.mapInPandas(fn, MEDIA_FEATURE_SCHEMA)
+
+
+def caption_candidates(
+    docs: DataFrame,
+    spans_col: str = "spans",
+    text_kinds: tuple = ("title", "body"),
+) -> DataFrame:
+    """Caption pairing over the interleaved span sequence: for every
+    media span, the nearest text span BEFORE and AFTER it in document
+    order — the (image, caption-candidate) pairs a CLIP-style
+    multimodal training set is built from, straight off the
+    BASELINE.json input shape (doc_id, spans[kind,text,media_ref,
+    offset]).
+
+    One posexplode + two per-document windows (last/first with
+    ignorenulls over the position order). Documents bound the window
+    partitions, so there is no skew surface beyond document length —
+    the same per-doc argument as every span operator in the pipeline.
+    Output: (doc_id, position, kind, media_ref, prev_text, next_text);
+    a media span at the document edge has NULL on the missing side."""
+    from pyspark.sql import Window
+
+    ex = docs.select(
+        "doc_id", F.posexplode(spans_col).alias("position", "s")
+    ).select(
+        "doc_id",
+        F.col("position").cast("int").alias("position"),
+        F.col("s.kind").alias("kind"),
+        F.col("s.text").alias("text"),
+        F.col("s.media_ref").alias("media_ref"),
+    )
+    txt = F.when(F.col("kind").isin(*text_kinds), F.col("text"))
+    w = Window.partitionBy("doc_id").orderBy("position")
+    ctx = ex.withColumn(
+        "prev_text",
+        F.last(txt, ignorenulls=True).over(
+            w.rowsBetween(Window.unboundedPreceding, -1)
+        ),
+    ).withColumn(
+        "next_text",
+        F.first(txt, ignorenulls=True).over(
+            w.rowsBetween(1, Window.unboundedFollowing)
+        ),
+    )
+    return ctx.where(~F.col("kind").isin(*text_kinds)).select(
+        "doc_id", "position", "kind", "media_ref", "prev_text", "next_text"
+    )

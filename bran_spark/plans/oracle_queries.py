@@ -7008,6 +7008,49 @@ def q170(spark, sf):
     )
 
 
+@_q(
+    "q171_caption_candidates",
+    f"""
+    WITH e0 AS (SELECT doc_id, spans, unnest(range(len(spans))) AS i
+                FROM read_parquet('{_FX01}/documents_interleaved.parquet')),
+    ex AS (SELECT doc_id, CAST(i AS INT) AS position,
+                  spans[CAST(i AS INT) + 1].kind AS kind,
+                  spans[CAST(i AS INT) + 1].text AS text,
+                  spans[CAST(i AS INT) + 1].media_ref AS media_ref
+           FROM e0),
+    ctx AS (SELECT doc_id, position, kind, media_ref,
+                   LAST_VALUE(CASE WHEN kind IN ('title', 'body')
+                                   THEN text END IGNORE NULLS)
+                     OVER (PARTITION BY doc_id ORDER BY position
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                     AS prev_text,
+                   FIRST_VALUE(CASE WHEN kind IN ('title', 'body')
+                                    THEN text END IGNORE NULLS)
+                     OVER (PARTITION BY doc_id ORDER BY position
+                           ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+                     AS next_text
+            FROM ex)
+    SELECT doc_id, position, kind, media_ref, prev_text, next_text
+    FROM ctx WHERE kind NOT IN ('title', 'body')
+    """,
+)
+def q171(spark, sf):
+    """Caption-candidate pairing over the interleaved corpus
+    (multimodal.caption_candidates): every media span with its nearest
+    text span before and after in document order — the CLIP-style
+    (image, caption) pair extraction the BASELINE.json interleaved
+    input shape exists to enable. posexplode + two per-doc windows."""
+    from bran_spark.fixtures.gen import ensure, fixture_dir
+    from bran_spark.operators.multimodal import caption_candidates
+
+    s = _fixture_sf_for(sf)
+    ensure(s)
+    docs = spark.read.parquet(
+        f"{fixture_dir(s)}/documents_interleaved.parquet"
+    )
+    return caption_candidates(docs)
+
+
 # =========================================================================
 # Registry ordering: the driver's correctness gate hash-checks the FIRST
 # 50 insertion-order entries of ``queries()``. Definition order above is

@@ -371,3 +371,32 @@ def test_streaming_kg_monitor_per_batch_reports(spark, tmp_path):
     streaming_kg_monitor(spark, src, constraints, ck, out)
     assert spark.read.parquet(out).count() == rep.count()
     assert rep.count() > n_rows1
+
+
+def test_caption_candidates_nearest_text(spark):
+    from bran_spark.operators.multimodal import caption_candidates
+
+    spans_schema = (
+        "doc_id string, spans array<struct<kind string, text string, "
+        "media_ref string, offset int>>"
+    )
+    rows = [
+        # image mid-doc: prev = nearest text BEFORE, next = nearest AFTER
+        ("d1", [("title", "t0", "", 0), ("image", "", "m1", 2),
+                ("body", "b1", "", 2), ("body", "b2", "", 5)]),
+        # media at the very start and very end: NULL on the open side;
+        # two consecutive media spans share the same text neighbors
+        ("d2", [("audio", "", "m2", 0), ("body", "x", "", 0),
+                ("image", "", "m3", 1), ("image", "", "m4", 1)]),
+    ]
+    df = spark.createDataFrame(rows, spans_schema)
+    got = {
+        r.media_ref: (r.prev_text, r.next_text)
+        for r in caption_candidates(df).collect()
+    }
+    assert got == {
+        "m1": ("t0", "b1"),
+        "m2": (None, "x"),
+        "m3": ("x", None),
+        "m4": ("x", None),
+    }
