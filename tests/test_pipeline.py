@@ -168,3 +168,38 @@ def test_curation_job_funnel(tmp_path, testdata_dir):
 
     n = duckdb.sql(f"SELECT COUNT(*) FROM '{out}/*.parquet'").fetchone()[0]
     assert n == stats["curated_docs"]
+
+
+def test_kg_publish_job(tmp_path):
+    """jobs/run_kg_publish.py end-to-end: dedup+support shrinks the raw
+    triple stream, validation reports zero domain/range violations on
+    well-typed mesh ids, partitioned publish is readable and
+    pred-partitioned, and --min-support gates monotonically."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(__file__))
+    out = str(tmp_path / "pub")
+    r = subprocess.run(
+        [sys.executable, "jobs/run_kg_publish.py", "--sf", "0.001",
+         "--master", "local[4]", "--out", out, "--fail-on-violations"],
+        capture_output=True, text=True, timeout=600, cwd=repo,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    stats = json.loads(r.stdout.strip().splitlines()[-1])
+    assert stats["raw_triples"] >= stats["published_triples"] > 0
+    assert stats["validation"]["CID/domain"][1] == 0
+    assert stats["validation"]["CID/range"][1] == 0
+    # pred-partitioned layout on disk
+    assert os.path.isdir(os.path.join(out, "triples", "pred=CID"))
+
+    r2 = subprocess.run(
+        [sys.executable, "jobs/run_kg_publish.py", "--sf", "0.001",
+         "--master", "local[4]", "--min-support", "2"],
+        capture_output=True, text=True, timeout=600, cwd=repo,
+    )
+    assert r2.returncode == 0, r2.stderr[-2000:]
+    stats2 = json.loads(r2.stdout.strip().splitlines()[-1])
+    assert stats2["published_triples"] < stats["published_triples"]
