@@ -1316,3 +1316,58 @@ def clustering_coefficient(edges: DataFrame, broadcast_keys: bool = False) -> Da
             ).otherwise(F.lit(0.0)).alias("clustering"),
         )
     )
+
+
+def propagate_labels(
+    sym: DataFrame,
+    seeds: DataFrame,
+    iters: int = 3,
+) -> DataFrame:
+    """Seeded label propagation (semi-supervised node classification —
+    the Zhu/Ghahramani family made deterministic): seed nodes keep their
+    label forever (clamped); each round, every still-unlabeled node
+    adopts the MAJORITY label among its labeled neighbors, ties broken
+    by lexicographically smallest label. Differs from lpa_communities
+    (everyone relabels, labels are arbitrary ids) in exactly the way
+    semi-supervised typing needs: ground-truth seeds are authoritative
+    and propagation only fills the unlabeled frontier.
+
+    sym = symmetric (u, v) edges; seeds = (node, label), one label per
+    node. Returns (node, label, hop) with hop = round the node was
+    labeled (0 = seed); nodes never reached by a labeled neighbor are
+    absent. Integer vote counts + struct-min tie-break → bit-identical
+    across partitionings and engines. One edge join + one (node, label)
+    aggregate per round; lineage truncated per round."""
+    sym = sym.localCheckpoint(eager=True)
+    labeled = (
+        seeds.select("node", "label", F.lit(0).cast("int").alias("hop"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    for i in range(1, iters + 1):
+        nbr = sym.join(
+            labeled.select(F.col("node").alias("u"), "label"), "u"
+        ).select(F.col("v").alias("node"), "label")
+        cand = (
+            nbr.join(labeled.select("node"), "node", "left_anti")
+            .groupBy("node", "label")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        new = (
+            cand.groupBy("node")
+            .agg(
+                F.min(
+                    F.struct((-F.col("n")).alias("negn"), F.col("label").alias("l"))
+                ).alias("b")
+            )
+            .select(
+                "node",
+                F.col("b.l").alias("label"),
+                F.lit(i).cast("int").alias("hop"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        if not new.head(1):
+            break
+        labeled = labeled.union(new).localCheckpoint(eager=True)
+    return labeled

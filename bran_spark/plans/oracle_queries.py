@@ -7051,6 +7051,36 @@ def q171(spark, sf):
     return caption_candidates(docs)
 
 
+@_q(
+    "q172_label_propagation",
+    _onto_base_sql(7)
+    + """
+    SELECT c.node, MIN(c.ancestor) AS label, CAST(MIN(c.depth) AS INT) AS hop
+    FROM clo c
+    WHERE c.ancestor NOT IN (SELECT child FROM e)
+    GROUP BY c.node
+    """,
+)
+def q172(spark, sf):
+    """Seeded label propagation (graphalgo.propagate_labels) assigning
+    every MeSH node its tree's ROOT as the label — roots are the
+    clamped seeds, labels flow one hop per round over the symmetric
+    parent edges, hop = chain depth. The oracle never iterates: on a
+    forest the propagation fixed point IS the closure's root ancestor
+    with its depth, so the hash equality proves the iterative engine
+    converges to the closed form (twin is forest-only by design; the
+    operator itself handles any graph)."""
+    from bran_spark.operators.graphalgo import propagate_labels, symmetric_edges
+
+    edges, nodes, _ = _onto_inputs(spark, sf)
+    sym = symmetric_edges(edges, "child", "parent")
+    has_parent = edges.select(F.col("child").alias("node")).distinct()
+    seeds = nodes.join(has_parent, "node", "left_anti").select(
+        "node", F.col("node").alias("label")
+    )
+    return propagate_labels(sym, seeds, iters=7)
+
+
 # =========================================================================
 # Registry ordering: the driver's correctness gate hash-checks the FIRST
 # 50 insertion-order entries of ``queries()``. Definition order above is

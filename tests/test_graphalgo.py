@@ -844,3 +844,30 @@ def test_clustering_coefficient_hand_values(spark):
     # degree-1 nodes: coefficient 0 by convention
     assert got["d"] == (1, 0, 0.0)
     assert got["x"] == (1, 0, 0.0) and got["y"] == (1, 0, 0.0)
+
+
+def test_propagate_labels_majority_ties_and_clamping(spark):
+    from bran_spark.operators.graphalgo import propagate_labels
+
+    # seeds: a=X, b=Y, c=Y. u touches a,b,c -> majority Y at hop 1.
+    # t touches a,b only -> 1 vs 1 tie -> lexicographically smaller X.
+    # w touches only u -> labeled at hop 2 with u's label.
+    # z is isolated -> absent from the output.
+    pairs = [("a", "u"), ("b", "u"), ("c", "u"), ("a", "t"), ("b", "t"),
+             ("u", "w")]
+    sym = spark.createDataFrame(
+        pairs + [(v, u) for u, v in pairs], "u string, v string"
+    )
+    seeds = spark.createDataFrame(
+        [("a", "X"), ("b", "Y"), ("c", "Y")], "node string, label string"
+    )
+    got = {
+        r.node: (r.label, r.hop)
+        for r in propagate_labels(sym, seeds, iters=3).collect()
+    }
+    assert got == {
+        "a": ("X", 0), "b": ("Y", 0), "c": ("Y", 0),
+        "u": ("Y", 1), "t": ("X", 1), "w": ("Y", 2),
+    }
+    # clamping: a seed adjacent to opposite-label nodes never flips
+    assert got["a"] == ("X", 0)
