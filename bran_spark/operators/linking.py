@@ -393,39 +393,38 @@ def fs_score(
     lower_fp: int,
 ) -> DataFrame:
     """Score candidate pairs with Fellegi-Sunter log-weights and apply
-    the decision rule: score ≥ upper → 'match', score ≤ lower →
+    the decision rule: score >= upper -> 'match', score <= lower ->
     'non_match', else 'possible' (the clerical-review band).
 
-    The comparison vector melts to (pair, field, agree) rows, joins the
-    broadcast fields-sized weights table, and sums fixed-point weights
-    per pair — exact integer associativity, so the result is partition-
-    order independent. One explode + one broadcast join + one pair-keyed
-    aggregate; nothing pair-count-sized is ever broadcast."""
-    melted = cand.select(
-        *id_cols,
-        F.explode(
-            F.array(
-                *[
-                    F.struct(F.lit(c).alias("field"), F.col(c).alias("agree"))
-                    for c in agree_cols
-                ]
-            )
-        ).alias("fa"),
-    ).select(*id_cols, "fa.field", "fa.agree")
-    scored = (
-        melted.join(F.broadcast(weights), "field")
-        .groupBy(*id_cols)
-        .agg(
-            F.sum(
-                F.when(F.col("agree"), F.col("w_agree_fp")).otherwise(
-                    F.col("w_disagree_fp")
-                )
-            )
-            .cast("long")
-            .alias("score_fp")
-        )
+    The fields-sized weights table is PIVOTED to one wide row and
+    broadcast; the score is then a pure projection over the candidate
+    frame (sum of per-field CASE terms in exact integer arithmetic) —
+    zero shuffles beyond producing the candidates. The obvious
+    alternative (melt to (pair, field, agree), join, re-aggregate per
+    pair) shuffles |fields|x the candidate count for nothing; at 10^9
+    candidates that melt IS the job's cost, so it is deliberately not
+    the shape here."""
+    wide = weights.groupBy().agg(
+        *[
+            F.max(F.when(F.col("field") == c, F.col("w_agree_fp"))).alias(f"_wa_{c}")
+            for c in agree_cols
+        ],
+        *[
+            F.max(F.when(F.col("field") == c, F.col("w_disagree_fp"))).alias(f"_wd_{c}")
+            for c in agree_cols
+        ],
     )
-    return scored.withColumn(
+    terms = [
+        F.when(F.col(c), F.col(f"_wa_{c}")).otherwise(F.col(f"_wd_{c}"))
+        for c in agree_cols
+    ]
+    score = terms[0]
+    for t in terms[1:]:
+        score = score + t
+    return cand.join(F.broadcast(wide)).select(
+        *id_cols,
+        score.cast("long").alias("score_fp"),
+    ).withColumn(
         "decision",
         F.when(F.col("score_fp") >= upper_fp, F.lit("match"))
         .when(F.col("score_fp") <= lower_fp, F.lit("non_match"))

@@ -344,3 +344,27 @@ def test_alignment_and_blocking_no_cartesian_no_python(spark, testdata_dir):
         assert "CartesianProduct" not in plan, name
         assert "BroadcastNestedLoopJoin" not in plan, name
         assert "Python" not in plan, name
+
+
+def test_fs_score_never_melts_candidates(spark):
+    """fs_score must stay a projection over the candidate frame: the
+    one Generate (explode) in the plan belongs to the fields-sized
+    weights melt, never to the candidates — a candidate-side melt would
+    shuffle |fields|x the pair count at 10^9 candidates."""
+    from bran_spark.operators.linking import fs_field_weights, fs_score
+
+    cand = spark.createDataFrame(
+        [("p1", True, False, True), ("p2", False, False, False)],
+        "pair string, a boolean, b boolean, is_match boolean",
+    )
+    w = fs_field_weights(cand, ["a", "b"])
+    plan = (
+        fs_score(cand, w, ["pair"], ["a", "b"], 1, 0)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Generate") <= 1  # weights melt only
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    # no sort-merge join anywhere: nothing pair-sized is ever re-keyed
+    assert "SortMergeJoin" not in plan
