@@ -60,8 +60,12 @@ def node_depths(
     SHORTEST distance to any root.
 
     Roots are derived, not declared: a node with no outgoing parent
-    edge. The roots table is |V|-sized at ontology scale, so both joins
-    here are plain shuffle joins — nothing |V|-sized is broadcast."""
+    edge. The roots/has-parent tables are |V|-sized at full ontology
+    scale; their joins are left to Catalyst's size-based strategy — a
+    dimension-sized vocabulary (MeSH ~30k) broadcasts under the
+    autoBroadcastJoinThreshold, while a 10^8-node ontology exceeds it
+    and degrades gracefully to shuffle joins with no code change (no
+    broadcast() hint is ever forced here, which is what would OOM)."""
     has_parent = edges.select(F.col("child").alias("node")).distinct()
     roots = nodes.join(has_parent, "node", "left_anti")
     clo = _closure_with_self(edges, nodes, max_depth)
