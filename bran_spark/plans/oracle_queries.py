@@ -7081,6 +7081,69 @@ def q172(spark, sf):
     return propagate_labels(sym, seeds, iters=7)
 
 
+@_q(
+    "q173_span_contract",
+    f"""
+    WITH d AS (SELECT doc_id, spans
+               FROM read_parquet('{_FX01}/documents_interleaved.parquet')),
+    e0 AS (SELECT doc_id, spans, unnest(range(len(spans))) AS i FROM d),
+    sp AS (SELECT doc_id, CAST(i AS INT) AS pos,
+                  spans[CAST(i AS INT) + 1].kind AS kind,
+                  spans[CAST(i AS INT) + 1].text AS text,
+                  spans[CAST(i AS INT) + 1].media_ref AS mref,
+                  spans[CAST(i AS INT) + 1]."offset" AS off
+           FROM e0),
+    txt AS (SELECT *, SUM(length(text) + 1) OVER (PARTITION BY doc_id
+                 ORDER BY pos
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prevlen
+            FROM sp WHERE kind IN ('title', 'body')),
+    r1 AS (SELECT 'offset_arithmetic' AS rule,
+                  CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_checked,
+                  CAST(COUNT(DISTINCT CASE WHEN off <> COALESCE(prevlen, 0)
+                                           THEN doc_id END) AS BIGINT)
+                    AS n_violations
+           FROM txt),
+    r2 AS (SELECT 'media_shape',
+                  CAST(COUNT(*) AS BIGINT),
+                  CAST(COALESCE(SUM(CASE WHEN text <> '' OR mref = ''
+                                              OR mref IS NULL
+                                         THEN 1 ELSE 0 END), 0) AS BIGINT)
+           FROM sp WHERE kind NOT IN ('title', 'body')),
+    r3 AS (SELECT 'text_shape',
+                  CAST(COUNT(*) AS BIGINT),
+                  CAST(COALESCE(SUM(CASE WHEN mref <> '' OR text = ''
+                                              OR text IS NULL
+                                         THEN 1 ELSE 0 END), 0) AS BIGINT)
+           FROM sp WHERE kind IN ('title', 'body')),
+    r4 AS (SELECT 'kind_known',
+                  CAST(COUNT(*) AS BIGINT),
+                  CAST(COALESCE(SUM(CASE WHEN kind NOT IN
+                                         ('title','body','image','audio','video')
+                                         THEN 1 ELSE 0 END), 0) AS BIGINT)
+           FROM sp)
+    SELECT * FROM r1 UNION ALL SELECT * FROM r2
+    UNION ALL SELECT * FROM r3 UNION ALL SELECT * FROM r4
+    """,
+)
+def q173(spark, sf):
+    """Interleaved-input contract audit (interleave.validate_interleaved)
+    — the operator form of the fixture invariants (q87's relational data
+    contract, lifted to the BASELINE.json span shape): per-doc offset
+    arithmetic (row-local array fold, violations counted in docs),
+    media/text span shape, kind enum. Spark folds row-locally; the
+    oracle replays the accumulation as a per-doc window — equality
+    proves the fold's bookkeeping."""
+    from bran_spark.fixtures.gen import ensure, fixture_dir
+    from bran_spark.sources.interleave import validate_interleaved
+
+    s = _fixture_sf_for(sf)
+    ensure(s)
+    docs = spark.read.parquet(
+        f"{fixture_dir(s)}/documents_interleaved.parquet"
+    )
+    return validate_interleaved(docs)
+
+
 # =========================================================================
 # Registry ordering: the driver's correctness gate hash-checks the FIRST
 # 50 insertion-order entries of ``queries()``. Definition order above is

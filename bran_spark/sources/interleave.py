@@ -103,3 +103,79 @@ def plain_mesh_dict(spark) -> DataFrame:
         "mesh_id string, canonical_name string, type string, "
         "synonyms array<string>, parents array<string>, ancestors array<string>",
     )
+
+
+def validate_interleaved(
+    docs: DataFrame,
+    spans_col: str = "spans",
+    text_kinds: tuple = ("title", "body"),
+    known_kinds: tuple = ("title", "body", "image", "audio", "video"),
+) -> DataFrame:
+    """Input-contract audit for the interleaved document shape
+    (BASELINE.json input_hint) — the operator form of the invariants the
+    test suite asserts on fixtures, runnable against any INCOMING feed
+    before it reaches the pipeline. Long-form report
+    (rule, n_checked, n_violations):
+
+      offset_arithmetic — per doc with ≥1 text span: every text span's
+        offset equals the accumulated length of the text spans before it
+        (+1 separator each) — the invariant the whole span-alignment
+        stack (J5/X2) relies on; violations counted in DOCS.
+      media_shape — media spans carry a non-empty media_ref and no text.
+      text_shape  — text spans carry text and no media_ref.
+      kind_known  — every span kind is in the declared enum.
+
+    The offset check is a row-local array fold (zero shuffles); the
+    span-shape checks are one explode + one global conditional-sum
+    aggregate. Two column-pruned scans total at any corpus size."""
+    tk = ", ".join(f"'{k}'" for k in text_kinds)
+    ok = F.expr(
+        f"aggregate(filter({spans_col}, s -> s.kind IN ({tk})),"
+        " named_struct('pos', 0, 'ok', true),"
+        " (acc, s) -> named_struct('pos', acc.pos + length(s.text) + 1,"
+        " 'ok', acc.ok AND s.offset = acc.pos)).ok"
+    )
+    has_text = F.expr(f"size(filter({spans_col}, s -> s.kind IN ({tk}))) > 0")
+    r1 = docs.where(has_text).agg(
+        F.lit("offset_arithmetic").alias("rule"),
+        F.count(F.lit(1)).cast("long").alias("n_checked"),
+        F.coalesce(F.sum(F.when(ok, 0).otherwise(1)), F.lit(0))
+        .cast("long")
+        .alias("n_violations"),
+    )
+    sp = docs.select(F.explode(spans_col).alias("s")).select(
+        F.col("s.kind").alias("kind"),
+        F.col("s.text").alias("text"),
+        F.col("s.media_ref").alias("mref"),
+    )
+    bad_media = (
+        (F.col("text") != "") | F.col("mref").isNull() | (F.col("mref") == "")
+    )
+    r2 = sp.where(~F.col("kind").isin(*text_kinds)).agg(
+        F.lit("media_shape").alias("rule"),
+        F.count(F.lit(1)).cast("long").alias("n_checked"),
+        F.coalesce(F.sum(F.when(bad_media, 1).otherwise(0)), F.lit(0))
+        .cast("long")
+        .alias("n_violations"),
+    )
+    bad_text = (
+        (F.col("mref") != "") | F.col("text").isNull() | (F.col("text") == "")
+    )
+    r3 = sp.where(F.col("kind").isin(*text_kinds)).agg(
+        F.lit("text_shape").alias("rule"),
+        F.count(F.lit(1)).cast("long").alias("n_checked"),
+        F.coalesce(F.sum(F.when(bad_text, 1).otherwise(0)), F.lit(0))
+        .cast("long")
+        .alias("n_violations"),
+    )
+    r4 = sp.agg(
+        F.lit("kind_known").alias("rule"),
+        F.count(F.lit(1)).cast("long").alias("n_checked"),
+        F.coalesce(
+            F.sum(F.when(~F.col("kind").isin(*known_kinds), 1).otherwise(0)),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("n_violations"),
+    )
+    return r1.unionByName(r2).unionByName(r3).unionByName(r4)

@@ -400,3 +400,36 @@ def test_caption_candidates_nearest_text(spark):
         "m3": ("x", None),
         "m4": ("x", None),
     }
+
+
+def test_validate_interleaved_planted_violations(spark):
+    """Every rule fires on a planted violation and stays quiet on a
+    clean doc; violation units are docs for offsets, spans otherwise."""
+    from bran_spark.sources.interleave import validate_interleaved
+
+    schema = (
+        "doc_id string, spans array<struct<kind string, text string, "
+        "media_ref string, offset int>>"
+    )
+    rows = [
+        # clean: "ab" at 0, "cd" at 3 (2 + 1 separator), media mid-doc
+        ("ok", [("title", "ab", "", 0), ("image", "", "m", 3),
+                ("body", "cd", "", 3)]),
+        # bad offset (second text span claims 99)
+        ("bad_off", [("title", "ab", "", 0), ("body", "cd", "", 99)]),
+        # media span with text + missing ref; text span with a ref;
+        # unknown kind
+        ("bad_shape", [("image", "oops", "", 0), ("body", "xy", "m", 0),
+                       ("hologram", "z", "", 3)]),
+    ]
+    df = spark.createDataFrame(rows, schema)
+    got = {
+        r.rule: (r.n_checked, r.n_violations)
+        for r in validate_interleaved(df).collect()
+    }
+    assert got["offset_arithmetic"] == (3, 1)   # docs; only bad_off fails
+    # non-text spans: 2 images + the unknown 'hologram' (checked by the
+    # media rule too — it carries text and no ref, so it violates twice)
+    assert got["media_shape"] == (3, 2)
+    assert got["text_shape"] == (5, 1)          # title/body spans ('hologram' not counted)
+    assert got["kind_known"] == (8, 1)
