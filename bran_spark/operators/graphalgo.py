@@ -1371,3 +1371,41 @@ def propagate_labels(
             break
         labeled = labeled.union(new).localCheckpoint(eager=True)
     return labeled
+
+
+def degree_assortativity(sym: DataFrame) -> DataFrame:
+    """Degree assortativity coefficient (Newman 2002) over the symmetric
+    edge list: the Pearson correlation of end-point degrees across
+    directed edge instances — positive = hubs prefer hubs (social-ish),
+    negative = hubs prefer leaves (the usual KG/biological shape; a
+    co-occurrence projection flipping sign between snapshots is a feed
+    regression worth alarming on).
+
+    One degree aggregate + two |V|-keyed shuffle joins to attach end
+    degrees + ONE global aggregate of integer sums (Σjk, Σj, Σj² are
+    exact longs — associative, partition-order independent); the Pearson
+    formula is applied to the exact sums and rounded 6 dp at the very
+    end. Output 1 row: (n_edge_ends, assortativity; NULL when the
+    variance is 0 — e.g. a perfect cycle where every degree is equal)."""
+    deg = sym.groupBy("u").agg(F.count(F.lit(1)).cast("long").alias("d"))
+    ends = (
+        sym.join(deg, "u")
+        .withColumnRenamed("d", "dj")
+        .join(deg.select(F.col("u").alias("v"), F.col("d").alias("dk")), "v")
+    )
+    sums = ends.agg(
+        F.count(F.lit(1)).cast("long").alias("m"),
+        F.sum(F.col("dj") * F.col("dk")).cast("long").alias("sjk"),
+        F.sum(F.col("dj") + F.col("dk")).cast("long").alias("sj"),
+        F.sum(F.col("dj") * F.col("dj") + F.col("dk") * F.col("dk"))
+        .cast("long")
+        .alias("sj2"),
+    )
+    m = F.col("m").cast("double")
+    mean = F.col("sj") / (2.0 * m)
+    num = F.col("sjk") / m - mean * mean
+    den = F.col("sj2") / (2.0 * m) - mean * mean
+    return sums.select(
+        F.col("m").alias("n_edge_ends"),
+        F.when(den != 0.0, F.round(num / den, 6)).alias("assortativity"),
+    )

@@ -7144,6 +7144,43 @@ def q173(spark, sf):
     return validate_interleaved(docs)
 
 
+@_q(
+    "q174_assortativity",
+    _FX_PAIRS_SQL
+    + """
+    , dg AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS d FROM sym GROUP BY u),
+    ends AS (SELECT a.d AS dj, b.d AS dk
+             FROM sym e JOIN dg a ON a.u = e.u JOIN dg b ON b.u = e.v),
+    asum AS (SELECT CAST(COUNT(*) AS BIGINT) AS m,
+                 CAST(SUM(dj * dk) AS BIGINT) AS sjk,
+                 CAST(SUM(dj + dk) AS BIGINT) AS sj,
+                 CAST(SUM(dj * dj + dk * dk) AS BIGINT) AS sj2
+          FROM ends)
+    SELECT m AS n_edge_ends,
+           CASE WHEN (sj2 / (2.0 * m) - (sj / (2.0 * m)) * (sj / (2.0 * m)))
+                     <> 0.0
+                THEN ROUND((sjk / (m * 1.0) - (sj / (2.0 * m))
+                            * (sj / (2.0 * m)))
+                           / (sj2 / (2.0 * m) - (sj / (2.0 * m))
+                              * (sj / (2.0 * m))), 6)
+           END AS assortativity
+    FROM asum
+    """,
+)
+def q174(spark, sf):
+    """Degree assortativity of the chem-disease KG edge list
+    (graphalgo.degree_assortativity): Pearson correlation of end-point
+    degrees from EXACT integer sums (Σjk/Σj/Σj² as longs; floats only in
+    the final 1-row formula, rounded 6 dp) — the one-number topology
+    drift alarm next to q56/q169's per-node views."""
+    from bran_spark.operators.graphalgo import (
+        degree_assortativity,
+        symmetric_edges,
+    )
+
+    return degree_assortativity(symmetric_edges(_fx_entity_pairs(spark, sf)))
+
+
 # =========================================================================
 # Registry ordering: the driver's correctness gate hash-checks the FIRST
 # 50 insertion-order entries of ``queries()``. Definition order above is

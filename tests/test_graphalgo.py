@@ -871,3 +871,28 @@ def test_propagate_labels_majority_ties_and_clamping(spark):
     }
     # clamping: a seed adjacent to opposite-label nodes never flips
     assert got["a"] == ("X", 0)
+
+
+def test_degree_assortativity_signs(spark):
+    from bran_spark.operators.graphalgo import (
+        degree_assortativity,
+        symmetric_edges,
+    )
+
+    # star: the hub (deg 4) only touches leaves (deg 1) -> r = -1
+    star = [("h", x) for x in ["a", "b", "c", "d"]]
+    r = degree_assortativity(symmetric_edges(_edges(spark, star))).collect()[0]
+    assert r.assortativity == -1.0 and r.n_edge_ends == 8
+
+    # cycle: every degree equal -> zero variance -> NULL by contract
+    cyc = [("a", "b"), ("b", "c"), ("c", "a")]
+    r2 = degree_assortativity(symmetric_edges(_edges(spark, cyc))).collect()[0]
+    assert r2.assortativity is None
+
+    # two cliques bridged by one edge: mildly disassortative, in (-1, 0)
+    k3a = [("a", "b"), ("b", "c"), ("c", "a")]
+    k3b = [("x", "y"), ("y", "z"), ("z", "x")]
+    r3 = degree_assortativity(
+        symmetric_edges(_edges(spark, k3a + k3b + [("a", "x")]))
+    ).collect()[0]
+    assert r3.assortativity is not None and -1.0 < r3.assortativity < 0.0
