@@ -411,3 +411,57 @@ def woe_iv(
         F.round(F.log(g / bd), 6).alias("woe"),
         F.round((g - bd) * F.log(g / bd), 6).alias("iv_term"),
     )
+
+
+def zipf_fit(
+    docs: DataFrame,
+    text_col: str = "text",
+    top_n: int = 100,
+) -> DataFrame:
+    """Zipf-law fit over the corpus vocabulary: OLS slope of ln(freq) on
+    ln(rank) for the top_n terms (rank = frequency order, ties by term).
+    Natural corpora sit near slope −1; a corpus drifting toward 0 is
+    template/boilerplate-heavy, one plunging far below −1 has a
+    vocabulary collapsed onto a few tokens — either way a feed-quality
+    alarm from ONE corpus scan. Output 1 row: (n_terms, slope,
+    intercept), 6 dp.
+
+    One term-count aggregate (map-side combined), a top_n TakeOrdered
+    cut, then the closed-form OLS sums over the top_n-row table — the
+    regression input is bounded at any corpus size, so the fit itself
+    is driver-free constant work."""
+    from bran_spark.functions.text import words
+
+    tf = (
+        docs.select(F.explode(words(text_col)).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("double").alias("freq"))
+        .orderBy(F.desc("freq"), "term")
+        .limit(top_n)
+    )
+    from pyspark.sql import Window
+
+    ranked = tf.withColumn(
+        "r",
+        F.row_number().over(Window.orderBy(F.desc("freq"), "term")),
+    ).select(
+        F.log(F.col("r").cast("double")).alias("x"),
+        F.log("freq").alias("y"),
+    )
+    s = ranked.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sx2"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sx2") - F.col("sx") * F.col("sx")
+    )
+    return s.select(
+        F.col("n").cast("long").alias("n_terms"),
+        F.round(slope, 6).alias("slope"),
+        F.round((F.col("sy") - slope * F.col("sx")) / F.col("n"), 6).alias(
+            "intercept"
+        ),
+    )

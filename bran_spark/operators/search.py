@@ -233,3 +233,64 @@ def mmr_rerank(
         (f.name, f.dataType.simpleString()) for f in base.schema.fields
     )["id"] + ", mmr double"
     return spark.createDataFrame(out_rows, schema)
+
+
+def lm_dirichlet_topk(
+    docs: DataFrame,
+    query_terms: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    mu: float = 2000.0,
+    k: int = 10,
+) -> DataFrame:
+    """Query-likelihood retrieval with Dirichlet smoothing (Zhai &
+    Lafferty, SIGIR'01) — the language-modeling counterpart of bm25_topk
+    (probabilistic ranking, one smoothing knob μ instead of k1/b), in
+    the rank-equivalent matched-terms-only form:
+
+      score(d) = Σ_{t∈q∩d} ln(1 + tf_td / (μ·p(t|C)))
+                 + |q| · ln(μ / (dl_d + μ)),
+      p(t|C) = ctf_t / |C|  (collection term frequency / total tokens)
+
+    so only documents containing a query term are ever scored — same
+    scan shape as BM25: query-term filter BEFORE the tf aggregate
+    (doc-prefixed keys, skew-free), 1-row collection total broadcast,
+    terms-sized ctf broadcast, TakeOrderedAndProject top-k. A query
+    term absent from the corpus contributes nothing (no matched rows)
+    and the constant |q| term keeps ranking unaffected. Returns
+    (doc_id, score), 6 dp, ties by doc_id."""
+    terms = [t.lower() for t in query_terms]
+    wl = docs.select(
+        F.col(id_col).alias("doc_id"), words(text_col).alias("ws")
+    ).select("doc_id", "ws", F.size("ws").cast("double").alias("dl"))
+    coll = wl.agg(F.sum("dl").alias("c_total"))
+    tok = wl.select("doc_id", "dl", F.explode("ws").alias("term")).where(
+        F.col("term").isin(terms)
+    )
+    tf = tok.groupBy("doc_id", "dl", "term").agg(
+        F.count(F.lit(1)).cast("double").alias("tf")
+    )
+    ctf = tok.groupBy("term").agg(
+        F.count(F.lit(1)).cast("double").alias("ctf")
+    )
+    nq = float(len(terms))
+    scored = (
+        tf.join(F.broadcast(ctf), "term")
+        .crossJoin(F.broadcast(coll))
+        .withColumn(
+            "contrib",
+            F.log(
+                1.0 + F.col("tf") / (F.lit(mu) * (F.col("ctf") / F.col("c_total")))
+            ),
+        )
+        .groupBy("doc_id", "dl")
+        .agg(F.sum("contrib").alias("s"))
+        .select(
+            "doc_id",
+            F.round(
+                F.col("s") + F.lit(nq) * F.log(F.lit(mu) / (F.col("dl") + F.lit(mu))),
+                6,
+            ).alias("score"),
+        )
+    )
+    return scored.orderBy(F.desc("score"), "doc_id").limit(k)

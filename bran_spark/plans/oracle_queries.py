@@ -7181,6 +7181,72 @@ def q174(spark, sf):
     return degree_assortativity(symmetric_edges(_fx_entity_pairs(spark, sf)))
 
 
+@_q(
+    "q175_lm_dirichlet",
+    f"""
+    WITH wl AS (SELECT doc_id, string_split(trim(lower(text)), ' ') AS ws
+                FROM documents),
+    base AS (SELECT doc_id, len(ws)::DOUBLE AS dl, ws FROM wl),
+    coll AS (SELECT SUM(dl) AS c_total FROM base),
+    tok AS (SELECT doc_id, dl, unnest(ws) AS term FROM base),
+    mt AS (SELECT * FROM tok
+           WHERE term IN ('{_BM25_TERMS[0]}', '{_BM25_TERMS[1]}')),
+    tf AS (SELECT doc_id, dl, term, COUNT(*)::DOUBLE AS tf FROM mt
+           GROUP BY doc_id, dl, term),
+    ctf AS (SELECT term, COUNT(*)::DOUBLE AS ctf FROM mt GROUP BY term)
+    SELECT doc_id,
+           ROUND(SUM(ln(1 + tf / (2000.0 * (ctf / (SELECT c_total FROM coll)))))
+                 + 2 * ln(2000.0 / (dl + 2000.0)), 6) AS score
+    FROM tf JOIN ctf USING (term)
+    GROUP BY doc_id, dl
+    ORDER BY score DESC, doc_id LIMIT 10
+    """,
+)
+def q175(spark, sf):
+    """Query-likelihood retrieval with Dirichlet smoothing
+    (search.lm_dirichlet_topk, μ=2000) over the same two query terms as
+    q53 — the language-modeling ranking next to BM25's probabilistic
+    one (the second standard lexical baseline every retrieval stack
+    carries). Identical scan shape: term filter before tf, broadcast
+    collection stats, TakeOrdered."""
+    from bran_spark.operators.search import lm_dirichlet_topk
+
+    return lm_dirichlet_topk(
+        _t(spark, sf, "documents"), list(_BM25_TERMS), mu=2000.0, k=10
+    )
+
+
+@_q(
+    "q176_zipf_fit",
+    """
+    WITH tf AS (SELECT term, COUNT(*)::DOUBLE AS freq FROM
+                  (SELECT unnest(string_split(trim(lower(text)), ' ')) AS term
+                   FROM documents)
+                GROUP BY term ORDER BY freq DESC, term LIMIT 100),
+    rk AS (SELECT ln(CAST(ROW_NUMBER() OVER (ORDER BY freq DESC, term)
+                          AS DOUBLE)) AS x,
+                  ln(freq) AS y
+           FROM tf),
+    s AS (SELECT COUNT(*)::DOUBLE AS n, SUM(x) AS sx, SUM(y) AS sy,
+                 SUM(x * y) AS sxy, SUM(x * x) AS sx2 FROM rk)
+    SELECT CAST(n AS BIGINT) AS n_terms,
+           ROUND((n * sxy - sx * sy) / (n * sx2 - sx * sx), 6) AS slope,
+           ROUND((sy - (n * sxy - sx * sy) / (n * sx2 - sx * sx) * sx) / n, 6)
+             AS intercept
+    FROM s
+    """,
+)
+def q176(spark, sf):
+    """Zipf-law fit of the corpus vocabulary (quality.zipf_fit): OLS
+    slope of ln(freq) on ln(rank) over the top-100 terms — the
+    one-scan corpus-shape alarm (template-heavy feeds drift toward 0,
+    vocabulary collapse plunges below −1). The regression input is
+    bounded at top_n rows at any corpus size."""
+    from bran_spark.operators.quality import zipf_fit
+
+    return zipf_fit(_t(spark, sf, "documents"), top_n=100)
+
+
 # =========================================================================
 # Registry ordering: the driver's correctness gate hash-checks the FIRST
 # 50 insertion-order entries of ``queries()``. Definition order above is

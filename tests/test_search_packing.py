@@ -143,3 +143,49 @@ def test_mmr_rerank_diversifies_redundant_top(spark):
     assert [r.rank for r in out] == [1, 2, 3]
     again = [r.id for r in mmr_rerank(cands, sims, k=3, lam=0.7).collect()]
     assert order == again
+
+
+def test_lm_dirichlet_hand_values(spark):
+    import math
+
+    from bran_spark.operators.search import lm_dirichlet_topk
+
+    docs = spark.createDataFrame(
+        [(1, "data data x"), (2, "data y"), (3, "z")],
+        "doc_id int, text string",
+    )
+    out = {
+        r.doc_id: r.score
+        for r in lm_dirichlet_topk(
+            docs, ["data", "dup"], mu=10.0, k=10
+        ).collect()
+    }
+    # |C|=6, ctf(data)=3 -> p=0.5; 'dup' absent from the corpus: it adds
+    # no matched rows and the constant |q| term is rank-neutral
+    p = 3 / 6
+    s1 = math.log(1 + 2 / (10 * p)) + 2 * math.log(10 / (3 + 10))
+    s2 = math.log(1 + 1 / (10 * p)) + 2 * math.log(10 / (2 + 10))
+    assert out == {1: round(s1, 6), 2: round(s2, 6)}  # d3 never scored
+    # Dirichlet's length prior dominates at small mu: the shorter doc
+    # outranks the higher-tf longer one (unlike BM25's k1/b trade-off)
+    assert out[2] > out[1]
+
+
+def test_zipf_fit_closed_form(spark):
+    import math
+
+    from bran_spark.operators.quality import zipf_fit
+
+    text = " ".join(["a"] * 8 + ["b"] * 4 + ["c"] * 2 + ["d"])
+    docs = spark.createDataFrame([(1, text)], "doc_id int, text string")
+    r = zipf_fit(docs, top_n=100).collect()[0]
+    xs = [math.log(i) for i in (1, 2, 3, 4)]
+    ys = [math.log(f) for f in (8, 4, 2, 1)]
+    n = 4.0
+    sx, sy = sum(xs), sum(ys)
+    sxy = sum(x * y for x, y in zip(xs, ys))
+    sx2 = sum(x * x for x in xs)
+    slope = (n * sxy - sx * sy) / (n * sx2 - sx * sx)
+    assert r.n_terms == 4
+    assert abs(r.slope - slope) < 1e-5
+    assert abs(r.intercept - (sy - slope * sx) / n) < 1e-5
