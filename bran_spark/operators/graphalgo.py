@@ -1409,3 +1409,84 @@ def degree_assortativity(sym: DataFrame) -> DataFrame:
         F.col("m").alias("n_edge_ends"),
         F.when(den != 0.0, F.round(num / den, 6)).alias("assortativity"),
     )
+
+
+def pagerank_directed(
+    edges: DataFrame,
+    src: str = "subj",
+    dst: str = "obj",
+    iters: int = 5,
+    scale: int = 10**9,
+) -> DataFrame:
+    """PageRank on a DIRECTED edge list with dangling-mass
+    redistribution, in exact integer arithmetic — the form a real
+    (subj, pred, obj) KG needs (q56's symmetric variant has no dangling
+    nodes by construction; a directed triple graph is full of pure
+    sinks, and dropping their mass silently deflates every rank):
+
+      rank'(v) = base + 85% · (Σ_{u→v} rank(u) DIV outdeg(u)
+                               + dangling DIV N)
+      dangling = Σ over outdeg-0 nodes of rank(u)
+
+    Per iteration: one groupBy-dst shuffle for the contributions plus a
+    1-row dangling aggregate broadcast back (the only driver-free way to
+    spread sink mass without an N×N term). All sums are longs —
+    bit-identical across engines/partitionings. Overflow: N·scale·85
+    must stay under 2^63 → N ≲ 10^8 at the default scale=10^9."""
+    e = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    nodes = (
+        e.select(F.col("u").alias("node"))
+        .union(e.select(F.col("v").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    outdeg = e.groupBy(F.col("u").alias("node")).agg(
+        F.count(F.lit(1)).cast("long").alias("outdeg")
+    )
+    ranks = (
+        nodes.join(outdeg, "node", "left")
+        .select(
+            "node",
+            F.coalesce("outdeg", F.lit(0)).cast("long").alias("outdeg"),
+            F.lit(scale).cast("long").alias("rank"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    n_nodes = nodes.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    base = scale * 15 // 100
+    for _ in range(iters):
+        emitting = ranks.where(F.col("outdeg") > 0).withColumnRenamed(
+            "node", "u"
+        )
+        contrib = (
+            e.join(emitting, "u")
+            .select(F.col("v").alias("node"), F.expr("rank DIV outdeg").alias("c"))
+            .groupBy("node")
+            .agg(F.sum("c").cast("long").alias("s"))
+        )
+        dangling = ranks.where(F.col("outdeg") == 0).agg(
+            F.coalesce(F.sum("rank"), F.lit(0)).cast("long").alias("dang")
+        )
+        ranks = (
+            ranks.select("node", "outdeg")
+            .join(contrib, "node", "left")
+            .join(F.broadcast(dangling))
+            .join(F.broadcast(n_nodes))
+            .select(
+                "node",
+                "outdeg",
+                (
+                    F.lit(base)
+                    + F.expr("(85 * (coalesce(s, 0L) + dang DIV n)) DIV 100")
+                )
+                .cast("long")
+                .alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks.select("node", F.col("rank").alias("rank_fp"))

@@ -7247,6 +7247,54 @@ def q176(spark, sf):
     return zipf_fit(_t(spark, sf, "documents"), top_n=100)
 
 
+def _prd_iter_sql(iters: int, scale: int) -> str:
+    """Unrolled directed-PageRank iterations with dangling-mass
+    redistribution — exact integer twin of graphalgo.pagerank_directed."""
+    base = scale * 15 // 100
+    parts = [
+        f"""
+    , de AS MATERIALIZED (SELECT DISTINCT subj AS u, obj AS v
+                          FROM pairs WHERE subj <> obj),
+    dn AS MATERIALIZED (SELECT u AS node FROM de UNION SELECT v FROM de),
+    od AS MATERIALIZED (
+        SELECT n.node, CAST(COALESCE(o.odeg, 0) AS BIGINT) AS outdeg
+        FROM dn n LEFT JOIN (SELECT u AS node, COUNT(*) AS odeg
+                             FROM de GROUP BY u) o ON o.node = n.node),
+    nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM dn),
+    pr0 AS (SELECT node, outdeg, CAST({scale} AS BIGINT) AS rank FROM od)"""
+    ]
+    for i in range(1, iters + 1):
+        parts.append(f"""
+    , c{i} AS (SELECT e.v AS node, CAST(SUM(r.rank // r.outdeg) AS BIGINT) AS s
+               FROM de e JOIN pr{i - 1} r ON r.node = e.u AND r.outdeg > 0
+               GROUP BY e.v),
+    dg{i} AS (SELECT CAST(COALESCE(SUM(rank), 0) AS BIGINT) AS dang
+              FROM pr{i - 1} WHERE outdeg = 0),
+    pr{i} AS MATERIALIZED (
+        SELECT p.node, p.outdeg,
+               CAST({base} + (85 * (COALESCE(c.s, 0)
+                    + (SELECT dang FROM dg{i}) // (SELECT n FROM nn)))
+                    // 100 AS BIGINT) AS rank
+        FROM od p LEFT JOIN c{i} c ON c.node = p.node)""")
+    parts.append(f"""
+    SELECT node, rank AS rank_fp FROM pr{iters}""")
+    return "".join(parts)
+
+
+@_q("q177_pagerank_directed", _FX_PAIRS_SQL + _prd_iter_sql(5, 10**9))
+def q177(spark, sf):
+    """Directed PageRank with dangling-mass redistribution over the raw
+    chem→disease edges (graphalgo.pagerank_directed) — the form a real
+    (subj, pred, obj) KG needs: every disease node is a pure sink here,
+    so without the dangling 1-row broadcast 85% of the probability mass
+    would silently drain each round (q56's symmetric variant can't see
+    this failure mode). Exact integer recurrence, unrolled in the
+    oracle."""
+    from bran_spark.operators.graphalgo import pagerank_directed
+
+    return pagerank_directed(_fx_entity_pairs(spark, sf), iters=5)
+
+
 # =========================================================================
 # Registry ordering: the driver's correctness gate hash-checks the FIRST
 # 50 insertion-order entries of ``queries()``. Definition order above is

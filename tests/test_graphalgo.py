@@ -896,3 +896,42 @@ def test_degree_assortativity_signs(spark):
         symmetric_edges(_edges(spark, k3a + k3b + [("a", "x")]))
     ).collect()[0]
     assert r3.assortativity is not None and -1.0 < r3.assortativity < 0.0
+
+
+def _local_pagerank_directed(edges, iters, scale=10**9):
+    """Reference implementation of the directed + dangling recurrence."""
+    nodes = sorted({u for u, _ in edges} | {v for _, v in edges})
+    out = {n: 0 for n in nodes}
+    for u, _ in edges:
+        out[u] += 1
+    rank = {n: scale for n in nodes}
+    base = scale * 15 // 100
+    for _ in range(iters):
+        sums = {n: 0 for n in nodes}
+        for u, v in edges:
+            sums[v] += rank[u] // out[u]
+        dang = sum(rank[n] for n in nodes if out[n] == 0)
+        rank = {
+            n: base + (85 * (sums[n] + dang // len(nodes))) // 100
+            for n in nodes
+        }
+    return rank
+
+
+def test_pagerank_directed_dangling_mass(spark):
+    from bran_spark.operators.graphalgo import pagerank_directed
+
+    # chain into a sink plus a side branch: c and e are pure sinks
+    pairs = [("a", "b"), ("b", "c"), ("a", "c"), ("d", "e")]
+    edges = set(pairs)
+    expect = _local_pagerank_directed(edges, iters=4)
+    got = {
+        r.node: r.rank_fp
+        for r in pagerank_directed(
+            _edges(spark, pairs), iters=4
+        ).collect()
+    }
+    assert got == expect
+    # mass conservation up to integer-floor loss: without the dangling
+    # redistribution the total would collapse toward 15% of N*scale
+    assert sum(got.values()) > 0.9 * len(expect) * 10**9
