@@ -23,22 +23,19 @@ from pyspark.sql import functions as F
 from bran_spark.functions.text import words
 
 
-def bm25_topk(
+def _bm25_scored(
     docs: DataFrame,
-    query_terms: list[str],
-    id_col: str = "doc_id",
-    text_col: str = "text",
-    k1: float = 1.2,
-    b: float = 0.75,
-    k: int = 10,
+    terms_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k1: float,
+    b: float,
 ) -> DataFrame:
-    """Top-k docs by BM25 over the query terms.
-
-    idf(t) = ln(1 + (N - df + 0.5)/(df + 0.5)) (Robertson-Sparck Jones with
-    the +1 floor, Lucene's form); tf saturation k1, length normalization b.
-    Returns (doc_id, score) — score rounded to 6dp, ties broken by doc_id.
-    """
-    terms = [t.lower() for t in query_terms]
+    """BM25 scores (doc_id, score) for every doc matching a term in
+    ``terms_df`` (single column ``term``, lowercase) — the shared core
+    of bm25_topk and prf_expand_topk. The term filter is a broadcast
+    semi-join (terms are query-sized), applied BEFORE the tf aggregate;
+    corpus stats ride as a 1-row broadcast. Scores rounded 6 dp."""
     wl = docs.select(
         F.col(id_col).alias("doc_id"), words(text_col).alias("ws")
     ).select("doc_id", "ws", F.size("ws").cast("double").alias("dl"))
@@ -48,15 +45,15 @@ def bm25_topk(
         F.avg("dl").alias("avgdl"),
     )
 
-    tok = wl.select(
-        "doc_id", "dl", F.explode("ws").alias("term")
-    ).where(F.col("term").isin(terms))
+    tok = wl.select("doc_id", "dl", F.explode("ws").alias("term")).join(
+        F.broadcast(terms_df.select("term").distinct()), "term"
+    )
     tf = tok.groupBy("doc_id", "dl", "term").agg(
         F.count("*").cast("double").alias("tf")
     )
     df_t = tf.groupBy("term").agg(F.count("*").cast("double").alias("df"))
 
-    scored = (
+    return (
         tf.join(F.broadcast(df_t), "term")
         .crossJoin(F.broadcast(stats))
         .withColumn(
@@ -78,7 +75,104 @@ def bm25_topk(
         .groupBy("doc_id")
         .agg(F.round(F.sum("contrib"), 6).alias("score"))
     )
+
+
+def bm25_topk(
+    docs: DataFrame,
+    query_terms: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+    k: int = 10,
+) -> DataFrame:
+    """Top-k docs by BM25 over the query terms.
+
+    idf(t) = ln(1 + (N - df + 0.5)/(df + 0.5)) (Robertson-Sparck Jones with
+    the +1 floor, Lucene's form); tf saturation k1, length normalization b.
+    Returns (doc_id, score) — score rounded to 6dp, ties broken by doc_id.
+    """
+    terms_df = docs.sparkSession.createDataFrame(
+        [(t.lower(),) for t in query_terms], "term string"
+    )
+    scored = _bm25_scored(docs, terms_df, id_col, text_col, k1, b)
     return scored.orderBy(F.desc("score"), "doc_id").limit(k)
+
+
+def prf_expand_topk(
+    docs: DataFrame,
+    query_terms: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    fb_docs: int = 5,
+    fb_terms: int = 3,
+    k1: float = 1.2,
+    b: float = 0.75,
+    k: int = 10,
+) -> DataFrame:
+    """Two-stage retrieval with pseudo-relevance feedback (the Rocchio
+    expansion move): round 1 ranks with BM25, the top ``fb_docs`` docs
+    are ASSUMED relevant, their most characteristic terms (Σ tf within
+    the feedback set · corpus idf ln(N/df), rounded 6 dp, ties by term,
+    original query terms excluded) become ``fb_terms`` expansion terms,
+    and round 2 re-ranks the corpus with the expanded query. Recovers
+    relevant docs that share vocabulary with the top results but not
+    with the literal query — the classic recall lever when queries are
+    short.
+
+    Fully in-plan: the feedback doc set and the expansion terms are
+    bounded DataFrames (fb_docs / fb_terms rows) flowing through
+    broadcast joins — no driver-side collect anywhere, so the same plan
+    runs at any corpus size. Returns (doc_id, score) from the expanded
+    query, 6 dp, ties by doc_id."""
+    spark = docs.sparkSession
+    terms0 = spark.createDataFrame(
+        [(t.lower(),) for t in query_terms], "term string"
+    )
+    r1 = (
+        _bm25_scored(docs, terms0, id_col, text_col, k1, b)
+        .orderBy(F.desc("score"), "doc_id")
+        .limit(fb_docs)
+        .select("doc_id")
+    )
+    fb_tok = (
+        docs.select(F.col(id_col).alias("doc_id"), words(text_col).alias("ws"))
+        .join(F.broadcast(r1), "doc_id")
+        .select("doc_id", F.explode("ws").alias("term"))
+    )
+    fb_tf = fb_tok.groupBy("term").agg(
+        F.count(F.lit(1)).cast("double").alias("fbtf")
+    )
+    # corpus df + N for the idf weight of candidate expansion terms
+    all_tf = (
+        docs.select(F.col(id_col).alias("doc_id"), words(text_col).alias("ws"))
+        .select("doc_id", F.explode("ws").alias("term"))
+        .distinct()
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("double").alias("df"))
+    )
+    n = docs.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
+    exp_terms = (
+        fb_tf.join(terms0.withColumn("_q", F.lit(1)), "term", "left")
+        .where(F.col("_q").isNull())
+        .join(all_tf, "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "term",
+            F.round(
+                F.col("fbtf") * F.log(F.col("n_docs") / F.col("df")), 6
+            ).alias("w"),
+        )
+        .orderBy(F.desc("w"), "term")
+        .limit(fb_terms)
+        .select("term")
+    )
+    expanded = terms0.select("term").union(exp_terms).distinct()
+    return (
+        _bm25_scored(docs, expanded, id_col, text_col, k1, b)
+        .orderBy(F.desc("score"), "doc_id")
+        .limit(k)
+    )
 
 
 def tfidf_top_terms(

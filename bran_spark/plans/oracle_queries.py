@@ -7295,6 +7295,66 @@ def q177(spark, sf):
     return pagerank_directed(_fx_entity_pairs(spark, sf), iters=5)
 
 
+@_q(
+    "q178_prf_expansion",
+    f"""
+    WITH wl AS (SELECT doc_id, string_split(trim(lower(text)), ' ') AS ws
+                FROM documents),
+    base AS MATERIALIZED (SELECT doc_id, len(ws)::DOUBLE AS dl, ws FROM wl),
+    stats AS (SELECT COUNT(*)::DOUBLE AS n_docs, AVG(dl) AS avgdl FROM base),
+    tok AS MATERIALIZED (SELECT doc_id, dl, unnest(ws) AS term FROM base),
+    q0 AS (SELECT * FROM (VALUES ('{_BM25_TERMS[0]}'), ('{_BM25_TERMS[1]}'))
+           t(term)),
+    tf1 AS (SELECT doc_id, dl, term, COUNT(*)::DOUBLE AS tf FROM tok
+            WHERE term IN (SELECT term FROM q0) GROUP BY doc_id, dl, term),
+    dft1 AS (SELECT term, COUNT(*)::DOUBLE AS df FROM tf1 GROUP BY term),
+    r1 AS (SELECT doc_id FROM (
+             SELECT doc_id,
+                    ROUND(SUM(ln(1 + (n_docs - df + 0.5) / (df + 0.5))
+                          * (tf * 2.2)
+                          / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))), 6)
+                      AS score
+             FROM tf1 JOIN dft1 USING (term), stats GROUP BY doc_id
+             ORDER BY score DESC, doc_id LIMIT 5)),
+    fbtf AS (SELECT term, COUNT(*)::DOUBLE AS fbtf
+             FROM tok JOIN r1 USING (doc_id) GROUP BY term),
+    adf AS (SELECT term, COUNT(*)::DOUBLE AS df
+            FROM (SELECT DISTINCT doc_id, term FROM tok) GROUP BY term),
+    expt AS (SELECT term FROM (
+               SELECT f.term,
+                      ROUND(f.fbtf * ln((SELECT n_docs FROM stats) / a.df), 6)
+                        AS w
+               FROM fbtf f JOIN adf a USING (term)
+               WHERE f.term NOT IN (SELECT term FROM q0)
+               ORDER BY w DESC, term LIMIT 3)),
+    qx AS MATERIALIZED (SELECT DISTINCT term FROM
+            (SELECT term FROM q0 UNION ALL SELECT term FROM expt)),
+    tf2 AS (SELECT doc_id, dl, term, COUNT(*)::DOUBLE AS tf FROM tok
+            WHERE term IN (SELECT term FROM qx) GROUP BY doc_id, dl, term),
+    dft2 AS (SELECT term, COUNT(*)::DOUBLE AS df FROM tf2 GROUP BY term)
+    SELECT doc_id,
+           ROUND(SUM(ln(1 + (n_docs - df + 0.5) / (df + 0.5)) * (tf * 2.2)
+                 / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))), 6) AS score
+    FROM tf2 JOIN dft2 USING (term), stats
+    GROUP BY doc_id
+    ORDER BY score DESC, doc_id LIMIT 10
+    """,
+)
+def q178(spark, sf):
+    """Pseudo-relevance-feedback expansion (search.prf_expand_topk):
+    BM25 round 1 → top-5 feedback docs → their 3 most characteristic
+    terms (feedback tf · corpus idf, original terms excluded) join the
+    query → BM25 round 2. The recall lever for short queries, fully
+    in-plan (feedback docs and expansion terms are bounded DataFrames
+    through broadcast joins — no driver collect)."""
+    from bran_spark.operators.search import prf_expand_topk
+
+    return prf_expand_topk(
+        _t(spark, sf, "documents"), list(_BM25_TERMS),
+        fb_docs=5, fb_terms=3, k=10,
+    )
+
+
 # =========================================================================
 # Registry ordering: the driver's correctness gate hash-checks the FIRST
 # 50 insertion-order entries of ``queries()``. Definition order above is

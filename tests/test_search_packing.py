@@ -189,3 +189,30 @@ def test_zipf_fit_closed_form(spark):
     assert r.n_terms == 4
     assert abs(r.slope - slope) < 1e-5
     assert abs(r.intercept - (sy - slope * sx) / n) < 1e-5
+
+
+def test_prf_expansion_recovers_vocab_neighbors(spark):
+    """PRF recovers a doc sharing vocabulary with the top results but
+    not with the literal query; original query terms stay in round 2."""
+    from bran_spark.operators.search import bm25_topk, prf_expand_topk
+
+    docs = spark.createDataFrame(
+        [
+            (1, "query apple banana"),        # matches the query, has 'banana'
+            (2, "query banana cherry"),       # matches, has 'banana'
+            (3, "banana cherry orange"),      # NO query term, shares feedback vocab
+            (4, "pear plum quince"),          # unrelated
+        ],
+        "doc_id int, text string",
+    )
+    base = {r.doc_id for r in bm25_topk(docs, ["query"], k=10).collect()}
+    assert base == {1, 2}  # literal query can't see doc 3
+    exp = {
+        r.doc_id
+        for r in prf_expand_topk(
+            docs, ["query"], fb_docs=2, fb_terms=2, k=10
+        ).collect()
+    }
+    assert 3 in exp          # recovered via expansion terms
+    assert {1, 2} <= exp     # originals still match
+    assert 4 not in exp      # unrelated stays out
