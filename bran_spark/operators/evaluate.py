@@ -350,3 +350,61 @@ def mcnemar_compare(
         chi2.alias("chi2"),
         (chi2 > F.lit(3.841459)).alias("significant_95"),
     )
+
+
+def cohens_kappa(
+    a: DataFrame,
+    b: DataFrame,
+    universe: DataFrame,
+    keys: list[str],
+) -> DataFrame:
+    """Cohen's kappa between two binary raters over a closed item
+    universe — chance-corrected agreement. McNemar (mcnemar_compare)
+    asks "do A and B differ against GOLD"; kappa asks "how much do two
+    raters agree beyond chance" with no gold at all — the
+    annotation-quality / weak-supervision-consistency statistic:
+
+      po = (n_yy + n_nn) / n
+      pe = p_a·p_b + (1−p_a)·(1−p_b)
+      kappa = (po − pe) / (1 − pe)    (NULL when pe = 1: both raters
+                                       constant — kappa undefined)
+
+    a / b are each rater's POSITIVE item sets; universe is the full
+    item table (positives not in the universe are ignored — raters
+    can't vote on items that don't exist). Two key-shuffle left joins +
+    one global aggregate; exact integer cells, floats only in the 1-row
+    formula, 6 dp. Output: (n_items, n_both_yes, n_both_no, po, pe,
+    kappa)."""
+    u = universe.select(*keys).distinct()
+    ja = a.select(*keys).distinct().withColumn("_a", F.lit(1))
+    jb = b.select(*keys).distinct().withColumn("_b", F.lit(1))
+    j = (
+        u.join(ja, keys, "left")
+        .join(jb, keys, "left")
+        .select(
+            F.col("_a").isNotNull().alias("ya"),
+            F.col("_b").isNotNull().alias("yb"),
+        )
+    )
+    cells = j.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.when(F.col("ya") & F.col("yb"), 1).otherwise(0))
+        .cast("long").alias("n_yy"),
+        F.sum(F.when(~F.col("ya") & ~F.col("yb"), 1).otherwise(0))
+        .cast("long").alias("n_nn"),
+        F.sum(F.when(F.col("ya"), 1).otherwise(0)).cast("long").alias("n_a"),
+        F.sum(F.when(F.col("yb"), 1).otherwise(0)).cast("long").alias("n_b"),
+    )
+    n = F.col("n").cast("double")
+    po = (F.col("n_yy") + F.col("n_nn")) / n
+    pa = F.col("n_a") / n
+    pb = F.col("n_b") / n
+    pe = pa * pb + (1 - pa) * (1 - pb)
+    return cells.select(
+        F.col("n").alias("n_items"),
+        F.col("n_yy").alias("n_both_yes"),
+        F.col("n_nn").alias("n_both_no"),
+        F.round(po, 6).alias("po"),
+        F.round(pe, 6).alias("pe"),
+        F.when(pe != 1.0, F.round((po - pe) / (1 - pe), 6)).alias("kappa"),
+    )

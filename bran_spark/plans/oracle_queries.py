@@ -7355,6 +7355,93 @@ def q178(spark, sf):
     )
 
 
+@_q(
+    "q179_cohens_kappa",
+    _FX_MENTIONS_SQL
+    + """
+    , cnts AS (SELECT doc_id, mesh_id, type, COUNT(*) AS cnt
+               FROM m GROUP BY 1, 2, 3),
+    pd AS MATERIALIZED (
+        SELECT c.doc_id, c.mesh_id AS chem, d2.mesh_id AS dis,
+               c.cnt AS chem_cnt
+        FROM cnts c JOIN cnts d2 ON c.doc_id = d2.doc_id
+        WHERE c.type = 'Chemical' AND d2.type = 'Disease'),
+    uni AS (SELECT DISTINCT doc_id, chem, dis FROM pd),
+    sup AS (SELECT chem, dis FROM (
+              SELECT chem, dis, COUNT(DISTINCT doc_id) AS nd
+              FROM pd GROUP BY 1, 2) WHERE nd >= 2),
+    ra AS (SELECT u.doc_id, u.chem, u.dis
+           FROM uni u JOIN sup s ON s.chem = u.chem AND s.dis = u.dis),
+    rb AS (SELECT DISTINCT doc_id, chem, dis FROM pd WHERE chem_cnt >= 2),
+    j AS (SELECT (ra.chem IS NOT NULL) AS ya, (rb.chem IS NOT NULL) AS yb
+          FROM uni u
+          LEFT JOIN ra ON ra.doc_id = u.doc_id AND ra.chem = u.chem
+                      AND ra.dis = u.dis
+          LEFT JOIN rb ON rb.doc_id = u.doc_id AND rb.chem = u.chem
+                      AND rb.dis = u.dis),
+    cells AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                     CAST(SUM(CASE WHEN ya AND yb THEN 1 ELSE 0 END)
+                          AS BIGINT) AS n_yy,
+                     CAST(SUM(CASE WHEN NOT ya AND NOT yb THEN 1 ELSE 0 END)
+                          AS BIGINT) AS n_nn,
+                     CAST(SUM(CASE WHEN ya THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_a,
+                     CAST(SUM(CASE WHEN yb THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_b
+              FROM j)
+    SELECT n AS n_items, n_yy AS n_both_yes, n_nn AS n_both_no,
+           ROUND((n_yy + n_nn) / (n * 1.0), 6) AS po,
+           ROUND((n_a / (n * 1.0)) * (n_b / (n * 1.0))
+                 + (1 - n_a / (n * 1.0)) * (1 - n_b / (n * 1.0)), 6) AS pe,
+           CASE WHEN ((n_a / (n * 1.0)) * (n_b / (n * 1.0))
+                      + (1 - n_a / (n * 1.0)) * (1 - n_b / (n * 1.0))) <> 1.0
+                THEN ROUND(((n_yy + n_nn) / (n * 1.0)
+                            - ((n_a / (n * 1.0)) * (n_b / (n * 1.0))
+                               + (1 - n_a / (n * 1.0))
+                                 * (1 - n_b / (n * 1.0))))
+                           / (1 - ((n_a / (n * 1.0)) * (n_b / (n * 1.0))
+                                   + (1 - n_a / (n * 1.0))
+                                     * (1 - n_b / (n * 1.0)))), 6)
+           END AS kappa
+    FROM cells
+    """,
+)
+def q179(spark, sf):
+    """Cohen's kappa (evaluate.cohens_kappa) between q168's two
+    heuristic extractors over the per-document candidate-pair universe
+    — chance-corrected inter-rater agreement with NO gold involved (the
+    weak-supervision consistency statistic; McNemar q168 is the
+    against-gold complement). Exact integer cells, floats only in the
+    1-row formula."""
+    from bran_spark.operators.evaluate import cohens_kappa
+
+    m = _fx_mentions(spark, sf)
+    cnts = m.groupBy("doc_id", "mesh_id", "type").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    chems = cnts.where(F.col("type") == "Chemical").select(
+        "doc_id", F.col("mesh_id").alias("chem"), F.col("cnt").alias("chem_cnt")
+    )
+    diss = cnts.where(F.col("type") == "Disease").select(
+        "doc_id", F.col("mesh_id").alias("dis")
+    )
+    pd_ = chems.join(diss, "doc_id")
+    uni = pd_.select("doc_id", "chem", "dis").distinct()
+    sup = (
+        pd_.groupBy("chem", "dis")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .where(F.col("nd") >= 2)
+        .select("chem", "dis")
+    )
+    rater_a = uni.join(sup, ["chem", "dis"])
+    rater_b = (
+        pd_.where(F.col("chem_cnt") >= 2)
+        .select("doc_id", "chem", "dis")
+        .distinct()
+    )
+    return cohens_kappa(rater_a, rater_b, uni, keys=["doc_id", "chem", "dis"])
+
+
 # =========================================================================
 # Registry ordering: the driver's correctness gate hash-checks the FIRST
 # 50 insertion-order entries of ``queries()``. Definition order above is

@@ -495,3 +495,27 @@ def test_mcnemar_compare_hand_counts(spark):
     b3 = spark.createDataFrame([(99,)], "item int")
     r3 = mcnemar_compare(gold, a3, b3, keys=["item"]).collect()[0]
     assert r3.chi2 == round(25 / 6, 6) and r3.significant_95
+
+
+def test_cohens_kappa_hand_cells(spark):
+    from bran_spark.operators.evaluate import cohens_kappa
+
+    uni = spark.createDataFrame([(i,) for i in range(10)], "item int")
+    # A says yes on 0-5 (6), B on 4-7 (4): yy={4,5}=2, nn={8,9}=2
+    a = spark.createDataFrame([(i,) for i in range(6)], "item int")
+    b = spark.createDataFrame([(i,) for i in range(4, 8)], "item int")
+    r = cohens_kappa(a, b, uni, keys=["item"]).collect()[0]
+    po = 4 / 10
+    pe = 0.6 * 0.4 + 0.4 * 0.6
+    assert (r.n_items, r.n_both_yes, r.n_both_no) == (10, 2, 2)
+    assert r.po == round(po, 6) and r.pe == round(pe, 6)
+    assert r.kappa == round((po - pe) / (1 - pe), 6)
+
+    # perfect agreement -> kappa 1; positives outside the universe ignored
+    a2 = spark.createDataFrame([(0,), (1,), (99,)], "item int")
+    r2 = cohens_kappa(a2, a2, uni, keys=["item"]).collect()[0]
+    assert r2.kappa == 1.0 and r2.n_items == 10
+
+    # both raters constant-yes -> pe = 1 -> kappa undefined (NULL)
+    r3 = cohens_kappa(uni, uni, uni, keys=["item"]).collect()[0]
+    assert r3.kappa is None and r3.po == 1.0
