@@ -1490,3 +1490,41 @@ def pagerank_directed(
             .localCheckpoint(eager=True)
         )
     return ranks.select("node", F.col("rank").alias("rank_fp"))
+
+
+def diameter_sweep(sym: DataFrame, max_hops: int = 8) -> DataFrame:
+    """Diameter lower bound by the classic double BFS sweep (the iFUB/
+    Magnien-Latapy-Habib estimate): BFS from a deterministic seed (the
+    minimum node id), hop to the farthest node found (ties → smallest
+    id), BFS again from there — the second eccentricity is a diameter
+    lower bound that is exact on trees and empirically tight on real
+    graphs. The one-number reachability health check: a KG whose
+    estimated diameter jumps between snapshots grew a long weakly-linked
+    chain (usually a linking failure).
+
+    Fully in-plan: the seed and the periphery node are 1-row DataFrames
+    flowing into bfs_distances' seed parameter — no driver-side argmax.
+    Distances are bounded by ``max_hops``, so the bound is really
+    min(diameter_lb, max_hops) on huge-diameter graphs (documented
+    semantics, same bounded-rounds contract as bfs_distances). Output
+    1 row: (seed, periphery, ecc_seed, diameter_lb, n_reached)."""
+    nodes = sym.select(F.col("u").alias("node")).distinct()
+    seed = nodes.agg(F.min("node").alias("node"))
+    d1 = bfs_distances(sym, seed, max_hops=max_hops)
+    periphery = (
+        d1.orderBy(F.desc("dist"), "entity")
+        .limit(1)
+        .select(F.col("entity").alias("node"))
+    )
+    d2 = bfs_distances(sym, periphery, max_hops=max_hops)
+    ecc1 = d1.agg(F.max("dist").cast("int").alias("ecc_seed"))
+    ecc2 = d2.agg(
+        F.max("dist").cast("int").alias("diameter_lb"),
+        F.count(F.lit(1)).cast("long").alias("n_reached"),
+    )
+    return (
+        seed.select(F.col("node").alias("seed"))
+        .join(F.broadcast(periphery.select(F.col("node").alias("periphery"))))
+        .join(F.broadcast(ecc1))
+        .join(F.broadcast(ecc2))
+    )

@@ -935,3 +935,21 @@ def test_pagerank_directed_dangling_mass(spark):
     # mass conservation up to integer-floor loss: without the dangling
     # redistribution the total would collapse toward 15% of N*scale
     assert sum(got.values()) > 0.9 * len(expect) * 10**9
+
+
+def test_diameter_sweep_path_and_star(spark):
+    from bran_spark.operators.graphalgo import diameter_sweep, symmetric_edges
+
+    # path a-b-c-d-e: seed=a (min id), ecc(a)=4; periphery=e; sweep 2
+    # from e gives the exact diameter 4
+    path = [("a", "b"), ("b", "c"), ("c", "d"), ("d", "e")]
+    r = diameter_sweep(symmetric_edges(_edges(spark, path)), max_hops=8).collect()[0]
+    assert (r.seed, r.periphery, r.ecc_seed, r.diameter_lb, r.n_reached) == (
+        "a", "e", 4, 4, 5,
+    )
+
+    # star with center z: seed=a (a leaf), ecc=2, periphery=the smallest
+    # OTHER leaf at dist 2, diameter stays 2
+    star = [("z", x) for x in ["a", "b", "c"]]
+    r2 = diameter_sweep(symmetric_edges(_edges(spark, star)), max_hops=8).collect()[0]
+    assert (r2.seed, r2.periphery, r2.ecc_seed, r2.diameter_lb) == ("a", "b", 2, 2)
