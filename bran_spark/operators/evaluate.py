@@ -408,3 +408,152 @@ def cohens_kappa(
         F.round(pe, 6).alias("pe"),
         F.when(pe != 1.0, F.round((po - pe) / (1 - pe), 6)).alias("kappa"),
     )
+
+
+def rank_agreement(
+    a: DataFrame,
+    b: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Kendall rank agreement between two top-k retrieval rankings —
+    the system-comparison statistic a retrieval stack computes before
+    swapping one ranker for another (BM25 vs query-likelihood, lexical
+    vs ANN): high tau means the cheaper system can stand in for the
+    expensive one; low tau means they surface genuinely different docs
+    and fusion (rrf_fuse) is worth the cost.
+
+    a / b are ALREADY-TRUNCATED (id, score) lists — dimension-scale by
+    the same contract as rrf_fuse, so the rank windows and the pairwise
+    self-join (k² rows) never touch corpus-scale data. Ranks derive
+    from row_number over (rounded score desc, id), so no ties exist
+    within a list and tau-a over the common items is exact integer
+    math:
+
+      tau = (n_conc − n_disc) / (m(m−1)/2)   over the m common docs
+            (NULL when m < 2 — no pairs to compare)
+      overlap = m / min(|a|, |b|)            (overlap@k)
+
+    Output: 1 row (n_a, n_b, n_common, n_concordant, n_discordant,
+    overlap, tau), floats 6 dp."""
+
+    def ranked(r: DataFrame, rank_name: str) -> DataFrame:
+        score_col = [c for c in r.columns if c != id_col][0]
+        w = Window.orderBy(F.desc(score_col), F.asc(id_col))
+        return r.select(
+            F.col(id_col).alias("id"),
+            F.row_number().over(w).alias(rank_name),
+        )
+
+    ra = ranked(a, "ra")
+    rb = ranked(b, "rb")
+    common = ra.join(rb, "id")
+    c1 = common.select(
+        F.col("id").alias("id1"), F.col("ra").alias("ra1"), F.col("rb").alias("rb1")
+    )
+    c2 = common.select(
+        F.col("id").alias("id2"), F.col("ra").alias("ra2"), F.col("rb").alias("rb2")
+    )
+    pairs = c1.join(c2, F.col("id1") < F.col("id2"))
+    pair_cells = pairs.agg(
+        F.sum(
+            F.when(
+                (F.col("ra1") - F.col("ra2")) * (F.col("rb1") - F.col("rb2")) > 0, 1
+            ).otherwise(0)
+        ).cast("long").alias("n_concordant"),
+        F.sum(
+            F.when(
+                (F.col("ra1") - F.col("ra2")) * (F.col("rb1") - F.col("rb2")) < 0, 1
+            ).otherwise(0)
+        ).cast("long").alias("n_discordant"),
+    )
+    sizes = (
+        ra.agg(F.count(F.lit(1)).cast("long").alias("n_a"))
+        .crossJoin(rb.agg(F.count(F.lit(1)).cast("long").alias("n_b")))
+        .crossJoin(common.agg(F.count(F.lit(1)).cast("long").alias("n_common")))
+    )
+    m = F.col("n_common").cast("double")
+    npairs = m * (m - 1) / 2
+    return sizes.crossJoin(pair_cells).select(
+        "n_a",
+        "n_b",
+        "n_common",
+        F.coalesce("n_concordant", F.lit(0)).cast("long").alias("n_concordant"),
+        F.coalesce("n_discordant", F.lit(0)).cast("long").alias("n_discordant"),
+        F.round(m / F.least(F.col("n_a"), F.col("n_b")).cast("double"), 6).alias(
+            "overlap"
+        ),
+        F.when(
+            F.col("n_common") >= 2,
+            F.round(
+                (F.col("n_concordant") - F.col("n_discordant")) / npairs, 6
+            ),
+        ).alias("tau"),
+    )
+
+
+def ndcg_at_k(
+    ranked: DataFrame,
+    rels: DataFrame,
+    k: int = 10,
+    id_col: str = "doc_id",
+    rel_col: str = "rel",
+) -> DataFrame:
+    """nDCG@k of a ranking against graded relevance (Järvelin &
+    Kekäläinen, TOIS 2002) — the graded counterpart of the binary
+    P/R/F1 eval surface (confusion/sweep_threshold): credit decays
+    logarithmically with rank, so putting the best doc 9th instead of
+    1st is penalized even though set-based recall cannot see it.
+
+      DCG@k  = Σ_{r=1..k} (2^rel(d_r) − 1) / log2(r + 1)
+      IDCG@k = the same sum over the k highest relevance grades in the
+               CORPUS (the ideal reordering), so ndcg = dcg/idcg ∈ [0,1]
+               (NULL when idcg = 0: no relevant docs exist anywhere).
+
+    ``ranked`` = (id, score), already truncated upstream (top-k rows,
+    dimension-scale — rank window legality as rrf_fuse); ``rels`` =
+    (id, rel) integer grades over the corpus. IDCG needs only the k
+    largest grades: an ORDER BY + LIMIT (TakeOrdered — never a full
+    sort), then a k-row window. Docs missing from ``rels`` count as
+    grade 0. Output: 1 row (dcg, idcg, ndcg), 6 dp."""
+    score_col = [c for c in ranked.columns if c != id_col][0]
+    w = Window.orderBy(F.desc(score_col), F.asc(id_col))
+    gains = (
+        ranked.select(
+            F.col(id_col).alias("id"), F.row_number().over(w).alias("r")
+        )
+        .where(F.col("r") <= k)
+        .join(
+            rels.select(F.col(id_col).alias("id"), F.col(rel_col).alias("rel")),
+            "id",
+            "left",
+        )
+        .select(
+            (
+                (F.pow(F.lit(2.0), F.coalesce("rel", F.lit(0)).cast("double")) - 1)
+                / F.log2(F.col("r").cast("double") + 1)
+            ).alias("g")
+        )
+    )
+    dcg = gains.agg(F.sum("g").alias("dcg"))
+    ideal = (
+        rels.select(F.col(rel_col).alias("rel"))
+        .orderBy(F.desc("rel"))
+        .limit(k)
+        .select(
+            (
+                (F.pow(F.lit(2.0), F.col("rel").cast("double")) - 1)
+                / F.log2(
+                    F.row_number().over(Window.orderBy(F.desc("rel"))).cast("double")
+                    + 1
+                )
+            ).alias("g")
+        )
+        .agg(F.sum("g").alias("idcg"))
+    )
+    return dcg.crossJoin(ideal).select(
+        F.round("dcg", 6).alias("dcg"),
+        F.round("idcg", 6).alias("idcg"),
+        F.when(
+            F.col("idcg") > 0, F.round(F.col("dcg") / F.col("idcg"), 6)
+        ).alias("ndcg"),
+    )

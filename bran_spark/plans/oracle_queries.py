@@ -1741,10 +1741,9 @@ def q52(spark, sf):
 # IEEE-754, so Spark's and DuckDB's aggregation orders cannot diverge.
 _BM25_TERMS = ("data", "dup")
 
-
-@_q(
-    "q53_bm25_search",
-    f"""
+# Named so downstream ranking-eval twins (q181/q182/q184) can nest the exact
+# same top-10 as a subquery — the cut stays byte-identical to q53's.
+_BM25_TOPK_SQL = f"""
     WITH wl AS (SELECT doc_id, string_split(trim(lower(text)), ' ') AS ws
                 FROM documents),
     base AS (SELECT doc_id, len(ws)::DOUBLE AS dl, ws FROM wl),
@@ -1761,8 +1760,10 @@ _BM25_TERMS = ("data", "dup")
     FROM tf JOIN dft USING (term), stats
     GROUP BY doc_id
     ORDER BY score DESC, doc_id LIMIT 10
-    """,
-)
+    """
+
+
+@_q("q53_bm25_search", _BM25_TOPK_SQL)
 def q53(spark, sf):
     """BM25 keyword search: query-term-filtered tf pass (doc-prefixed keys,
     skew-free), broadcast df + corpus stats, TakeOrdered top-k."""
@@ -7183,7 +7184,7 @@ def q174(spark, sf):
 
 @_q(
     "q175_lm_dirichlet",
-    f"""
+    _LM_TOPK_SQL := f"""
     WITH wl AS (SELECT doc_id, string_split(trim(lower(text)), ' ') AS ws
                 FROM documents),
     base AS (SELECT doc_id, len(ws)::DOUBLE AS dl, ws FROM wl),
@@ -7488,6 +7489,94 @@ def q180(spark, sf):
     return diameter_sweep(
         symmetric_edges(_fx_entity_pairs(spark, sf)), max_hops=8
     )
+
+
+@_q(
+    "q181_rank_agreement",
+    f"""
+    WITH ra AS (SELECT doc_id, ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS ra
+                FROM ({_BM25_TOPK_SQL})),
+    rb AS (SELECT doc_id, ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rb
+           FROM ({_LM_TOPK_SQL})),
+    common AS (SELECT ra.doc_id, ra.ra, rb.rb FROM ra JOIN rb USING (doc_id)),
+    prods AS (SELECT (c1.ra - c2.ra) * (c1.rb - c2.rb) AS prod
+              FROM common c1 JOIN common c2 ON c1.doc_id < c2.doc_id),
+    cells AS (SELECT COALESCE(SUM(CASE WHEN prod > 0 THEN 1 END), 0)::BIGINT
+                       AS n_concordant,
+                     COALESCE(SUM(CASE WHEN prod < 0 THEN 1 END), 0)::BIGINT
+                       AS n_discordant
+              FROM prods),
+    sizes AS (SELECT (SELECT COUNT(*) FROM ra)::BIGINT AS n_a,
+                     (SELECT COUNT(*) FROM rb)::BIGINT AS n_b,
+                     (SELECT COUNT(*) FROM common)::BIGINT AS n_common)
+    SELECT n_a, n_b, n_common, n_concordant, n_discordant,
+           ROUND(n_common::DOUBLE / least(n_a, n_b), 6) AS overlap,
+           CASE WHEN n_common >= 2 THEN
+             ROUND((n_concordant - n_discordant)::DOUBLE
+                   / (n_common::DOUBLE * (n_common - 1) / 2), 6) END AS tau
+    FROM sizes, cells
+    """,
+)
+def q181(spark, sf):
+    """Kendall rank agreement (evaluate.rank_agreement) between the BM25
+    (q53) and query-likelihood (q175) top-10 for the same query — the
+    ranker-swap decision statistic: tau-a over the common docs (no ties:
+    ranks come from row_number over the rounded scores) plus overlap@k.
+    Both inputs are k-row lists, so the pairwise self-join is k² rows."""
+    from bran_spark.operators.evaluate import rank_agreement
+    from bran_spark.operators.search import bm25_topk, lm_dirichlet_topk
+
+    docs = _t(spark, sf, "documents")
+    return rank_agreement(
+        bm25_topk(docs, list(_BM25_TERMS), k=10),
+        lm_dirichlet_topk(docs, list(_BM25_TERMS), mu=2000.0, k=10),
+    )
+
+
+@_q(
+    "q182_ndcg_eval",
+    f"""
+    WITH rel AS (SELECT doc_id,
+                        len(list_intersect(
+                            list_distinct(string_split(trim(lower(text)), ' ')),
+                            ['{_BM25_TERMS[0]}', '{_BM25_TERMS[1]}']))::INT AS rel
+                 FROM documents),
+    ranked AS (SELECT doc_id, ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS r
+               FROM ({_BM25_TOPK_SQL})),
+    g AS (SELECT (pow(2.0, COALESCE(rel, 0)) - 1) / log2(r + 1.0) AS g
+          FROM ranked LEFT JOIN rel USING (doc_id)),
+    dcg AS (SELECT COALESCE(SUM(g), 0) AS dcg FROM g),
+    top_rel AS (SELECT rel FROM rel ORDER BY rel DESC LIMIT 10),
+    ig AS (SELECT (pow(2.0, rel) - 1)
+               / log2(ROW_NUMBER() OVER (ORDER BY rel DESC) + 1.0) AS g
+           FROM top_rel),
+    idcg AS (SELECT COALESCE(SUM(g), 0) AS idcg FROM ig)
+    SELECT ROUND(dcg, 6) AS dcg, ROUND(idcg, 6) AS idcg,
+           CASE WHEN idcg > 0 THEN ROUND(dcg / idcg, 6) END AS ndcg
+    FROM dcg, idcg
+    """,
+)
+def q182(spark, sf):
+    """nDCG@10 (evaluate.ndcg_at_k) of the q53 BM25 ranking against
+    graded relevance = number of distinct query terms present in the doc
+    — the graded ranking eval next to the binary P/R/F1 surface. IDCG
+    takes only the corpus's k largest grades via TakeOrdered; gains are
+    a k-row frame."""
+    from bran_spark.functions.text import words
+    from bran_spark.operators.evaluate import ndcg_at_k
+    from bran_spark.operators.search import bm25_topk
+
+    docs = _t(spark, sf, "documents")
+    rels = docs.select(
+        "doc_id",
+        F.size(
+            F.array_intersect(
+                F.array_distinct(words("text")),
+                F.array(*[F.lit(t) for t in _BM25_TERMS]),
+            )
+        ).cast("int").alias("rel"),
+    )
+    return ndcg_at_k(bm25_topk(docs, list(_BM25_TERMS), k=10), rels, k=10)
 
 
 # =========================================================================

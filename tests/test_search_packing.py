@@ -216,3 +216,75 @@ def test_prf_expansion_recovers_vocab_neighbors(spark):
     assert 3 in exp          # recovered via expansion terms
     assert {1, 2} <= exp     # originals still match
     assert 4 not in exp      # unrelated stays out
+
+
+def test_rank_agreement_hand_values(spark):
+    from bran_spark.operators.evaluate import rank_agreement
+
+    # ranking A: d1 d2 d3 d4 ; ranking B: d2 d1 d3 d5 (scores encode order)
+    a = spark.createDataFrame(
+        [("d1", 4.0), ("d2", 3.0), ("d3", 2.0), ("d4", 1.0)],
+        "doc_id string, score double",
+    )
+    b = spark.createDataFrame(
+        [("d2", 4.0), ("d1", 3.0), ("d3", 2.0), ("d5", 1.0)],
+        "doc_id string, score double",
+    )
+    row = rank_agreement(a, b).head()
+    # common = {d1(1,2), d2(2,1), d3(3,3)} -> pairs: (d1,d2) discordant,
+    # (d1,d3) concordant, (d2,d3) concordant -> tau = (2-1)/3
+    assert row.n_a == 4 and row.n_b == 4 and row.n_common == 3
+    assert row.n_concordant == 2 and row.n_discordant == 1
+    assert row.overlap == 0.75
+    assert abs(row.tau - (1 / 3)) < 1e-6
+
+
+def test_rank_agreement_identical_and_tiny(spark):
+    from bran_spark.operators.evaluate import rank_agreement
+
+    a = spark.createDataFrame(
+        [("x", 2.0), ("y", 1.0), ("z", 0.5)], "doc_id string, score double"
+    )
+    same = rank_agreement(a, a).head()
+    assert same.tau == 1.0 and same.overlap == 1.0
+    # disjoint lists: no common pairs -> tau NULL, zero counts
+    b = spark.createDataFrame([("w", 1.0)], "doc_id string, score double")
+    dis = rank_agreement(a, b).head()
+    assert dis.n_common == 0 and dis.tau is None
+    assert dis.n_concordant == 0 and dis.n_discordant == 0
+
+
+def test_ndcg_hand_values(spark):
+    import math
+
+    from bran_spark.operators.evaluate import ndcg_at_k
+
+    # grades: d1=3 d2=2 d3=0 d4=1 ; ranking puts d2 first, d1 second
+    ranked = spark.createDataFrame(
+        [("d2", 9.0), ("d1", 8.0), ("d3", 7.0)], "doc_id string, score double"
+    )
+    rels = spark.createDataFrame(
+        [("d1", 3), ("d2", 2), ("d3", 0), ("d4", 1)], "doc_id string, rel int"
+    )
+    row = ndcg_at_k(ranked, rels, k=3).head()
+    dcg = 3 / math.log2(2) + 7 / math.log2(3) + 0
+    idcg = 7 / math.log2(2) + 3 / math.log2(3) + 1 / math.log2(4)
+    assert abs(row.dcg - round(dcg, 6)) < 1e-9
+    assert abs(row.idcg - round(idcg, 6)) < 1e-9
+    assert abs(row.ndcg - round(round(dcg, 6) / round(idcg, 6), 6)) < 1e-6
+
+
+def test_ndcg_perfect_ranking_is_one_and_no_rels_null(spark):
+    from bran_spark.operators.evaluate import ndcg_at_k
+
+    rels = spark.createDataFrame(
+        [("a", 2), ("b", 1), ("c", 0)], "doc_id string, rel int"
+    )
+    ideal = spark.createDataFrame(
+        [("a", 5.0), ("b", 4.0), ("c", 3.0)], "doc_id string, score double"
+    )
+    assert ndcg_at_k(ideal, rels, k=3).head().ndcg == 1.0
+    zero = spark.createDataFrame(
+        [("a", 0), ("b", 0)], "doc_id string, rel int"
+    )
+    assert ndcg_at_k(ideal, zero, k=3).head().ndcg is None
