@@ -105,3 +105,42 @@ def salted_count_distinct(
     salt = F.pmod(F.xxhash64(F.col(col)), F.lit(buckets)).alias("_salt")
     phase1 = df.groupBy(*keys, salt).agg(F.countDistinct(col).alias("_dc"))
     return phase1.groupBy(*keys).agg(F.sum("_dc").cast("long").alias("distinct_count"))
+
+
+def mil_bags(labeled_pairs: DataFrame) -> DataFrame:
+    """Multi-instance bag construction over distantly-supervised pairs —
+    the training-set shape bran's relation extractor actually consumes
+    (paper §2: predictions pool over all mention pairs of an entity
+    pair; distant supervision labels the BAG, not the sentence).
+
+    Input: (doc_id, chem_mesh, dis_mesh, label) — one row per
+    per-document candidate pair (label_pairs output). Each (chem, dis)
+    entity pair becomes one bag:
+
+      n_docs      — bag size (co-occurrence support)
+      n_pos_docs  — docs whose pair row carries a gold label
+      bag_label   — max(label): positive iff ANY document supports the
+                    relation (the at-least-one MIL assumption)
+      pos_frac    — n_pos_docs / n_docs, the bag-noise diagnostic
+                    (low fractions on positive bags = noisy distant
+                    labels, where attention-based pooling earns)
+
+    One hash aggregate keyed by the entity pair — exact integer cells,
+    map-side combined; hot chemical/disease entities fan out over the
+    (chem, dis) composite key, so no single entity melts a reducer."""
+    return (
+        labeled_pairs.groupBy("chem_mesh", "dis_mesh")
+        .agg(
+            F.countDistinct("doc_id").cast("long").alias("n_docs"),
+            F.countDistinct(
+                F.when(F.col("label") == 1, F.col("doc_id"))
+            ).cast("long").alias("n_pos_docs"),
+            F.max("label").cast("int").alias("bag_label"),
+        )
+        .withColumn(
+            "pos_frac",
+            F.round(
+                F.col("n_pos_docs") / F.col("n_docs").cast("double"), 6
+            ),
+        )
+    )

@@ -388,3 +388,52 @@ def lm_dirichlet_topk(
         )
     )
     return scored.orderBy(F.desc("score"), "doc_id").limit(k)
+
+
+def hard_negatives(
+    docs: DataFrame,
+    query_terms: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+    k: int = 10,
+) -> DataFrame:
+    """BM25 hard-negative mining — the contrastive-training-data move
+    (DPR, Karpukhin et al. 2020): the most valuable negatives for a
+    retriever/reranker are not random docs but the top-scoring NON-
+    relevant ones, because they sit exactly on the decision boundary.
+
+    Relevance proxy: a doc is a positive iff it contains EVERY query
+    term (conjunctive match); hard negatives are the k highest-BM25
+    docs outside that set — lexically close (they match some terms,
+    saturate tf, look right to the lexical scorer) yet not relevant.
+
+    Plan: the positive set is a scan-projection predicate (array
+    containment over the shared words() split — no join), the exclusion
+    is a left-anti join on doc_id, the cut is TakeOrdered; the rank
+    column is a window over the already-truncated k rows only. Returns
+    (doc_id, score, rank)."""
+    terms = [t.lower() for t in query_terms]
+    terms_df = docs.sparkSession.createDataFrame(
+        [(t,) for t in terms], "term string"
+    )
+    scored = _bm25_scored(docs, terms_df, id_col, text_col, k1, b)
+    positives = docs.where(
+        F.size(
+            F.array_intersect(
+                F.array_distinct(words(text_col)),
+                F.array(*[F.lit(t) for t in terms]),
+            )
+        )
+        == len(terms)
+    ).select(F.col(id_col).alias("doc_id"))
+    negs = (
+        scored.join(positives, "doc_id", "left_anti")
+        .orderBy(F.desc("score"), "doc_id")
+        .limit(k)
+    )
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    return negs.select(
+        "doc_id", "score", F.row_number().over(w).cast("int").alias("rank")
+    )

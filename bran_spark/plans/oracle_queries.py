@@ -1741,9 +1741,11 @@ def q52(spark, sf):
 # IEEE-754, so Spark's and DuckDB's aggregation orders cannot diverge.
 _BM25_TERMS = ("data", "dup")
 
-# Named so downstream ranking-eval twins (q181/q182/q184) can nest the exact
-# same top-10 as a subquery — the cut stays byte-identical to q53's.
-_BM25_TOPK_SQL = f"""
+# Named so downstream ranking-eval twins (q181/q182/q184/q185) can nest
+# the exact same scores / top-10 as subqueries — the cut stays
+# byte-identical to q53's. _BM25_SCORES_SQL is the un-truncated score
+# table; _BM25_TOPK_SQL adds the top-10 cut.
+_BM25_SCORES_SQL = f"""
     WITH wl AS (SELECT doc_id, string_split(trim(lower(text)), ' ') AS ws
                 FROM documents),
     base AS (SELECT doc_id, len(ws)::DOUBLE AS dl, ws FROM wl),
@@ -1759,6 +1761,9 @@ _BM25_TOPK_SQL = f"""
                      / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))), 6) AS score
     FROM tf JOIN dft USING (term), stats
     GROUP BY doc_id
+    """
+
+_BM25_TOPK_SQL = _BM25_SCORES_SQL + """
     ORDER BY score DESC, doc_id LIMIT 10
     """
 
@@ -7666,6 +7671,59 @@ def q184(spark, sf):
 
     votes = quality_lf_votes(_t(spark, sf, "documents"), "doc_id", "text")
     return lf_stats(votes, ["lf_len", "lf_dup", "lf_digit"])
+
+
+@_q(
+    "q185_hard_negatives",
+    f"""
+    WITH scores AS (SELECT * FROM ({_BM25_SCORES_SQL})),
+    pos AS (SELECT doc_id FROM documents
+            WHERE list_has_all(
+                list_distinct(string_split(trim(lower(text)), ' ')),
+                ['{_BM25_TERMS[0]}', '{_BM25_TERMS[1]}'])),
+    negs AS (SELECT s.doc_id, s.score FROM scores s
+             ANTI JOIN pos p ON s.doc_id = p.doc_id
+             ORDER BY s.score DESC, s.doc_id LIMIT 10)
+    SELECT doc_id, score,
+           ROW_NUMBER() OVER (ORDER BY score DESC, doc_id)::INT AS rank
+    FROM negs
+    """,
+)
+def q185(spark, sf):
+    """BM25 hard-negative mining (search.hard_negatives): top-10 scored
+    docs that do NOT contain every query term — boundary negatives for
+    contrastive retriever training. Positive predicate is scan-local
+    array containment, exclusion a left-anti join, cut TakeOrdered; the
+    rank window runs over the 10 surviving rows only."""
+    from bran_spark.operators.search import hard_negatives
+
+    return hard_negatives(_t(spark, sf, "documents"), list(_BM25_TERMS), k=10)
+
+
+@_q(
+    "q186_mil_bags",
+    f"""
+    WITH {{pipe}}
+    SELECT chem_mesh, dis_mesh,
+           COUNT(DISTINCT doc_id)::BIGINT AS n_docs,
+           COUNT(DISTINCT CASE WHEN label = 1 THEN doc_id END)::BIGINT
+             AS n_pos_docs,
+           MAX(label)::INT AS bag_label,
+           ROUND(COUNT(DISTINCT CASE WHEN label = 1 THEN doc_id END)::DOUBLE
+                 / COUNT(DISTINCT doc_id), 6) AS pos_frac
+    FROM labeled
+    GROUP BY chem_mesh, dis_mesh
+    """.replace("{pipe}", _PIPE_CTES),
+)
+def q186(spark, sf):
+    """Distant-supervision MIL bag construction (pairs.mil_bags): each
+    (chem, dis) entity pair becomes one bag with size, positive-doc
+    count, at-least-one bag label and the bag-noise fraction — the
+    training-set granularity bran's pooled scorer consumes. One exact
+    integer aggregate keyed by the composite entity pair."""
+    from bran_spark.operators.pairs import mil_bags
+
+    return mil_bags(_labeled(spark, sf))
 
 
 # =========================================================================

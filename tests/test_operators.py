@@ -758,3 +758,23 @@ def test_temperature_mix_flattens_and_is_deterministic(spark):
         if coin(i) < thr[g]
     }
     assert out == expect and len(out) > 0
+
+
+def test_mil_bags_at_least_one_semantics(spark):
+    from bran_spark.operators.pairs import mil_bags
+
+    labeled = spark.createDataFrame(
+        [
+            ("d1", "c1", "x1", 1),
+            ("d2", "c1", "x1", 0),  # noisy bag: 1 of 2 docs positive
+            ("d3", "c2", "x2", 0),
+            ("d4", "c2", "x2", 0),  # all-negative bag
+        ],
+        "doc_id string, chem_mesh string, dis_mesh string, label int",
+    )
+    bags = {(r.chem_mesh, r.dis_mesh): r for r in mil_bags(labeled).collect()}
+    noisy = bags[("c1", "x1")]
+    assert noisy.n_docs == 2 and noisy.n_pos_docs == 1
+    assert noisy.bag_label == 1 and noisy.pos_frac == 0.5
+    neg = bags[("c2", "x2")]
+    assert neg.bag_label == 0 and neg.n_pos_docs == 0 and neg.pos_frac == 0.0

@@ -288,3 +288,22 @@ def test_ndcg_perfect_ranking_is_one_and_no_rels_null(spark):
         [("a", 0), ("b", 0)], "doc_id string, rel int"
     )
     assert ndcg_at_k(ideal, zero, k=3).head().ndcg is None
+
+
+def test_hard_negatives_excludes_full_matches(spark):
+    from bran_spark.operators.search import hard_negatives
+
+    docs = spark.createDataFrame(
+        [
+            ("full", "alpha beta gamma"),        # contains both -> positive
+            ("half1", "alpha alpha alpha"),      # hard negative, high tf
+            ("half2", "beta delta"),             # hard negative
+            ("none", "delta epsilon"),           # no match -> never scored
+        ],
+        "doc_id string, text string",
+    )
+    out = hard_negatives(docs, ["alpha", "beta"], k=10).collect()
+    ids = [r.doc_id for r in out]
+    assert "full" not in ids and "none" not in ids
+    assert set(ids) == {"half1", "half2"}
+    assert [r.rank for r in sorted(out, key=lambda r: -r.score)] == [1, 2]
