@@ -751,3 +751,132 @@ def bloom_audit(
         ),
         F.round(F.lit(bound), 6).alias("fpr_bound"),
     )
+
+
+def semdedup_pairs(
+    emb: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup (Abbas et al., 2023, arXiv:2303.09540): semantic near-dup
+    pairs found INSIDE k-means clusters only — the embedding-space dedup
+    that scales because the quadratic step is confined to cells:
+
+      1. Lloyd k-means coarse clustering (similarity.kmeans_cells —
+         broadcast-centroid argmin, deterministic lowest-id init);
+      2. exact pairwise cosine WITHIN each cell (equi-join on cell, so
+         cost is Σ|cell|², never |corpus|²);
+      3. keep pairs with cosine ≥ threshold.
+
+    The cell equi-join is the same skew story as LSH buckets: a
+    degenerate all-in-one-cell clustering degrades toward O(N²), which
+    is why k scales with corpus size in production (k ≈ √N keeps
+    expected cell size √N). Cross-cell near-dups are invisible by
+    design — the documented recall trade the paper accepts for a 100×
+    cost cut. Returns (cell, id_a, id_b, cos), cosine rounded 6 dp
+    BEFORE the threshold so boundary pairs cut identically across
+    engines."""
+    from bran_spark.operators.similarity import cosine, kmeans_cells
+
+    cells = kmeans_cells(emb, k=k, iters=iters, id_col=id_col, vec_col=vec_col)
+    a = cells.select(
+        "cell", F.col("vec_id").alias("id_a"), F.col("v").alias("va")
+    )
+    b = cells.select(
+        "cell", F.col("vec_id").alias("id_b"), F.col("v").alias("vb")
+    )
+    return (
+        a.join(b, "cell")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select(
+            "cell",
+            "id_a",
+            "id_b",
+            F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cos"),
+        )
+        .where(F.col("cos") >= threshold)
+    )
+
+
+def minhash_jaccard_audit(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 4,
+    bands: int = 8,
+    hash_fn: str = "md5",
+) -> DataFrame:
+    """Sketch-accuracy audit: MinHash-estimated vs exact Jaccard for every
+    LSH candidate pair — the measurement that tells you whether ``bands``
+    is big enough BEFORE you dedup 10^12 docs with it (E[est] = J, and
+    with b independent hashes the estimate is Binomial(b, J)/b, so ±1/b
+    granularity is the noise floor to expect).
+
+      est_jaccard   = fraction of the b per-band signatures that agree
+      exact_jaccard = |A∩B| / |A∪B| over distinct n-gram shingles
+      abs_err       = |est − exact|
+
+    Exact intersections are computed ONLY for candidate pairs (LSH-
+    bounded, never all-pairs): pair→shingle joins keyed by (id, shingle).
+    Returns (id_a, id_b, est_jaccard, exact_jaccard, abs_err), 6 dp."""
+    sig = minhash_signatures(df, id_col, text_col, n, bands, hash_fn)
+    a = sig.select(F.col("id").alias("id_a"), "band", "minhash")
+    b = sig.select(F.col("id").alias("id_b"), "band", "minhash")
+    cand = (
+        a.join(b, ["band", "minhash"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .dropDuplicates()
+    )
+    agree = (
+        cand.join(a.withColumnRenamed("minhash", "ha"), "id_a")
+        .join(
+            b.withColumnRenamed("minhash", "hb"),
+            ["id_b", "band"],
+        )
+        .groupBy("id_a", "id_b")
+        .agg(
+            F.sum(F.when(F.col("ha") == F.col("hb"), 1).otherwise(0))
+            .cast("double")
+            .alias("n_agree")
+        )
+        .select(
+            "id_a", "id_b", (F.col("n_agree") / bands).alias("est")
+        )
+    )
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array_distinct(shingles(text_col, n))).alias("shingle"),
+    )
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
+    common = (
+        cand.join(sh.select(F.col("id").alias("id_a"), "shingle"), "id_a")
+        .join(sh.select(F.col("id").alias("id_b"), "shingle"), ["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    exact = (
+        cand.join(common, ["id_a", "id_b"], "left")
+        .join(sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a")), "id_a")
+        .join(sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b")), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.coalesce("common", F.lit(0))
+                / (F.col("n_a") + F.col("n_b") - F.coalesce("common", F.lit(0))).cast(
+                    "double"
+                )
+            ).alias("exact"),
+        )
+    )
+    return agree.join(exact, ["id_a", "id_b"]).select(
+        "id_a",
+        "id_b",
+        F.round("est", 6).alias("est_jaccard"),
+        F.round("exact", 6).alias("exact_jaccard"),
+        F.round(F.abs(F.col("est") - F.col("exact")), 6).alias("abs_err"),
+    )

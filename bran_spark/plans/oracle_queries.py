@@ -7726,6 +7726,100 @@ def q186(spark, sf):
     return mil_bags(_labeled(spark, sf))
 
 
+@_q(
+    "q187_semdedup",
+    f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    c0 AS (SELECT vec_id AS cid, v AS cv FROM e ORDER BY vec_id LIMIT 8),
+    {_kmeans_iter_sql(0)},
+    {_kmeans_iter_sql(1)},
+    df AS (SELECT e.vec_id, e.v, c.cid,
+            ROUND(list_dot_product(e.v, e.v) - 2 * list_dot_product(e.v, c.cv)
+                  + list_dot_product(c.cv, c.cv), 6) AS dist
+           FROM e CROSS JOIN c2 c),
+    asg AS (SELECT vec_id, v, cell FROM
+             (SELECT vec_id, v, cid AS cell,
+                     ROW_NUMBER() OVER (PARTITION BY vec_id
+                                        ORDER BY dist, cid) AS rn
+              FROM df)
+            WHERE rn = 1),
+    p AS (SELECT a.cell, a.vec_id AS id_a, b.vec_id AS id_b,
+                 ROUND(list_dot_product(a.v, b.v)
+                       / (sqrt(list_dot_product(a.v, a.v))
+                          * sqrt(list_dot_product(b.v, b.v))), 6) AS cos
+          FROM asg a JOIN asg b ON a.cell = b.cell AND a.vec_id < b.vec_id)
+    SELECT cell, id_a, id_b, cos FROM p WHERE cos >= 0.3
+    """,
+)
+def q187(spark, sf):
+    """SemDeDup (dedup.semdedup_pairs, Abbas et al. 2023): semantic
+    near-dup pairs confined to k-means cells — the quadratic step runs
+    per cell (equi-join on cell), never corpus-wide. Same trained
+    quantizer as q47 (k=8, 2 Lloyd iterations, lowest-id init); cosine
+    rounded 6 dp BEFORE the 0.3 demo threshold (production uses ≥0.95 —
+    this corpus's synthetic embeddings top out at 0.51)."""
+    from bran_spark.operators.dedup import semdedup_pairs
+
+    return semdedup_pairs(
+        _t(spark, sf, "embeddings"), k=8, iters=2, threshold=0.3
+    )
+
+
+@_q(
+    "q188_sketch_accuracy",
+    f"""
+    WITH wl AS (SELECT doc_id, string_split(lower(text), ' ') AS ws
+                FROM documents),
+    sh AS (SELECT doc_id, unnest(list_distinct({_SHINGLE_SQL.format(n=4)}))
+             AS shingle
+           FROM wl),
+    banded AS (SELECT doc_id, band, md5(band::VARCHAR || ':' || shingle) AS h
+               FROM sh, (SELECT unnest(range(8)) AS band)),
+    sig AS (SELECT doc_id, band, MIN(h) AS minhash
+            FROM banded GROUP BY doc_id, band),
+    cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+             FROM sig a JOIN sig b ON a.band = b.band AND a.minhash = b.minhash
+                                  AND a.doc_id < b.doc_id),
+    agree AS (SELECT c.id_a, c.id_b,
+                     SUM(CASE WHEN sa.minhash = sb.minhash THEN 1
+                         ELSE 0 END)::DOUBLE / 8 AS est
+              FROM cand c
+              JOIN sig sa ON sa.doc_id = c.id_a
+              JOIN sig sb ON sb.doc_id = c.id_b AND sb.band = sa.band
+              GROUP BY c.id_a, c.id_b),
+    ns AS (SELECT doc_id, COUNT(*)::BIGINT AS n_sh FROM sh GROUP BY doc_id),
+    cm AS (SELECT c.id_a, c.id_b, COUNT(*)::BIGINT AS common
+           FROM cand c
+           JOIN sh a ON a.doc_id = c.id_a
+           JOIN sh b ON b.doc_id = c.id_b AND b.shingle = a.shingle
+           GROUP BY c.id_a, c.id_b),
+    ex AS (SELECT c.id_a, c.id_b,
+                  COALESCE(m.common, 0)::DOUBLE
+                  / (na.n_sh + nb.n_sh - COALESCE(m.common, 0)) AS exact
+           FROM cand c
+           LEFT JOIN cm m ON m.id_a = c.id_a AND m.id_b = c.id_b
+           JOIN ns na ON na.doc_id = c.id_a
+           JOIN ns nb ON nb.doc_id = c.id_b)
+    SELECT a.id_a, a.id_b, ROUND(a.est, 6) AS est_jaccard,
+           ROUND(e.exact, 6) AS exact_jaccard,
+           ROUND(ABS(a.est - e.exact), 6) AS abs_err
+    FROM agree a JOIN ex e ON e.id_a = a.id_a AND e.id_b = a.id_b
+    """,
+)
+def q188(spark, sf):
+    """Sketch-accuracy audit (dedup.minhash_jaccard_audit): MinHash-
+    estimated vs exact Jaccard on every LSH candidate pair, with 8
+    independent md5 band hashes (estimate noise floor 1/8). Exact
+    intersections run ONLY on the LSH-bounded candidates — the audit
+    that sizes ``bands`` before a 10^12-doc dedup commits to it."""
+    from bran_spark.operators.dedup import minhash_jaccard_audit
+
+    return minhash_jaccard_audit(
+        _t(spark, sf, "documents"), "doc_id", "text", n=4, bands=8,
+        hash_fn="md5",
+    )
+
+
 # =========================================================================
 # Registry ordering: the driver's correctness gate hash-checks the FIRST
 # 50 insertion-order entries of ``queries()``. Definition order above is

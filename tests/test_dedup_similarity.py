@@ -541,3 +541,52 @@ def test_ann_recall_counts_hits_per_query(spark):
     assert (out[1].n_hit, out[1].recall) == (4, 1.0)
     assert (out[2].n_hit, out[2].recall) == (2, 0.5)
     assert (out[3].n_hit, out[3].recall) == (0, 0.0)
+
+
+def test_semdedup_finds_planted_intra_cluster_dups(spark):
+    from bran_spark.operators.dedup import semdedup_pairs
+
+    # two tight groups far apart; seeds (k=2) are the lowest ids 0 and 1,
+    # one per group so Lloyd keeps the planted split
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.0, 1.0, 0.0, 0.0]),
+        (2, [0.99, 0.01, 0.0, 0.0]),   # near-dup of 0
+        (3, [0.01, 0.99, 0.0, 0.0]),   # near-dup of 1
+    ]
+    emb = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+    pairs = semdedup_pairs(emb, k=2, iters=2, threshold=0.95).collect()
+    got = {(r.id_a, r.id_b) for r in pairs}
+    assert got == {(0, 2), (1, 3)}
+    assert all(r.cos >= 0.95 for r in pairs)
+    # cross-cluster pair (0,1) is invisible by design even at threshold 0
+    all_pairs = semdedup_pairs(emb, k=2, iters=2, threshold=-1.0).collect()
+    assert (0, 1) not in {(r.id_a, r.id_b) for r in all_pairs}
+
+
+def test_minhash_jaccard_audit_exact_on_identical_docs(spark):
+    from bran_spark.operators.dedup import minhash_jaccard_audit
+
+    docs = spark.createDataFrame(
+        [
+            ("a", "one two three four five six"),
+            ("b", "one two three four five six"),   # identical -> J = 1
+            ("c", "one two three four seven eight"), # shares shingles with a/b
+            ("z", "totally different words here now"),
+        ],
+        "doc_id string, text string",
+    )
+    out = {
+        (r.id_a, r.id_b): r
+        for r in minhash_jaccard_audit(docs, "doc_id", "text", n=3, bands=8).collect()
+    }
+    ab = out[("a", "b")]
+    assert ab.exact_jaccard == 1.0 and ab.est_jaccard == 1.0 and ab.abs_err == 0.0
+    # a: shingles of 6 words n=3 -> 4 distinct; c shares 'one two three',
+    # 'two three four' -> J = 2 / (4 + 4 - 2) = 1/3
+    if ("a", "c") in out:
+        assert abs(out[("a", "c")].exact_jaccard - round(1 / 3, 6)) < 1e-9
+    # estimates live on the 1/8 grid and within [0, 1]
+    for r in out.values():
+        assert 0.0 <= r.est_jaccard <= 1.0
+        assert abs(r.est_jaccard * 8 - round(r.est_jaccard * 8)) < 1e-9
