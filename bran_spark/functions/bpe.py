@@ -252,3 +252,43 @@ def full_text_col(spans_col: str = "spans") -> Column:
         " (a, b) -> CASE WHEN a.offset < b.offset THEN -1 WHEN a.offset > b.offset THEN 1 ELSE 0 END),"
         " s -> s.text), ' ')"
     )
+
+
+def bpe_pair_counts(
+    docs,
+    text_col: str = "text",
+    k: int = 10,
+):
+    """One BPE-training iteration (Sennrich et al., ACL 2016 — the merge-
+    LEARNING step, complementing apply_merges which replays already-
+    learned merges): count every adjacent character pair over the corpus
+    vocabulary weighted by word frequency, and return the top-k merge
+    candidates. Classic BPE training loops this — count pairs, merge the
+    argmax, re-count — so this operator is the per-iteration primitive.
+
+    Scale shape: the corpus collapses to its WORD VOCABULARY first (one
+    groupBy — vocab is Zipf-bounded, orders of magnitude smaller than
+    the token stream), then pairs explode per word TYPE (cheap: |vocab| ×
+    avg word length), weighted by the type's count. Top-k is TakeOrdered.
+    Returns (pair, freq) — freq = total corpus occurrences."""
+    from pyspark.sql import functions as F
+
+    from bran_spark.functions.text import words
+
+    wc = (
+        docs.select(F.explode(words(text_col)).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    pairs = wc.where(F.length("word") >= 2).select(
+        "cnt",
+        F.explode(
+            F.expr("transform(sequence(1, length(word) - 1), i -> substr(word, i, 2))")
+        ).alias("pair"),
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("cnt").cast("long").alias("freq"))
+        .orderBy(F.desc("freq"), "pair")
+        .limit(k)
+    )

@@ -87,3 +87,73 @@ def align_mentions_to_tokens(mentions: DataFrame, docs_with_tokens: DataFrame) -
         F.min("tpos").alias("tok_start"),
         (F.max("tpos") + F.lit(1)).alias("tok_end"),
     )
+
+
+def assertion_status(
+    docs: DataFrame,
+    dim: DataFrame,
+    cues: list[str],
+    window: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Negation-cue assertion filter over extracted candidate pairs — the
+    biomedical post-filter (NegBio-style, Peng et al. 2018) every CDR-
+    class extractor runs before publishing triples: "X does not cause Y"
+    co-occurs exactly like "X causes Y", so a (chem, dis) pair whose
+    disease mentions ALL sit within ``window`` words after a negation
+    cue is flagged un-asserted instead of shipped to the KG.
+
+    ``dim`` = (surface, mesh_id, type) dictionary — always the broadcast
+    side. Positions come from one posexplode of the shared word split;
+    mention↔cue proximity is an equi-join on doc_id (per-doc position
+    lists are bounded by the max-length truncate F4, so the per-doc
+    product is bounded). Entity granularity: a disease entity in a doc
+    is negated only if EVERY one of its mention positions has a cue in
+    [pos − window, pos); pairs inherit the disease's flag. Returns
+    (doc_id, chem_mesh, dis_mesh, asserted boolean)."""
+    wp = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(F.split(F.lower(F.col(text_col)), " ")).alias(
+            "pos", "word"
+        ),
+    )
+    m = wp.join(
+        F.broadcast(dim.select("surface", "mesh_id", "type")),
+        wp.word == F.col("surface"),
+    ).select("doc_id", "pos", "mesh_id", "type")
+    cue_pos = wp.where(F.col("word").isin([c.lower() for c in cues])).select(
+        "doc_id", F.col("pos").alias("cue_pos")
+    )
+    dis = m.where(F.col("type") == "Disease").select("doc_id", "pos", "mesh_id")
+    negated = (
+        dis.join(cue_pos, "doc_id")
+        .where(
+            (F.col("cue_pos") >= F.col("pos") - window)
+            & (F.col("cue_pos") < F.col("pos"))
+        )
+        .select("doc_id", "pos", "mesh_id")
+        .dropDuplicates()
+    )
+    dis_stats = dis.groupBy("doc_id", "mesh_id").agg(
+        F.count(F.lit(1)).alias("n_m")
+    )
+    neg_stats = negated.groupBy("doc_id", "mesh_id").agg(
+        F.count(F.lit(1)).alias("n_neg")
+    )
+    dis_flag = (
+        dis_stats.join(neg_stats, ["doc_id", "mesh_id"], "left")
+        .select(
+            "doc_id",
+            F.col("mesh_id").alias("dis_mesh"),
+            (F.coalesce("n_neg", F.lit(0)) < F.col("n_m")).alias("asserted"),
+        )
+    )
+    chem = (
+        m.where(F.col("type") == "Chemical")
+        .select("doc_id", F.col("mesh_id").alias("chem_mesh"))
+        .dropDuplicates()
+    )
+    return chem.join(dis_flag, "doc_id").select(
+        "doc_id", "chem_mesh", "dis_mesh", "asserted"
+    )

@@ -778,3 +778,48 @@ def test_mil_bags_at_least_one_semantics(spark):
     assert noisy.bag_label == 1 and noisy.pos_frac == 0.5
     neg = bags[("c2", "x2")]
     assert neg.bag_label == 0 and neg.n_pos_docs == 0 and neg.pos_frac == 0.0
+
+
+def test_assertion_status_negation_window(spark):
+    from bran_spark.operators.mentions import assertion_status
+
+    dim = spark.createDataFrame(
+        [("aspirin", "C1", "Chemical"), ("fever", "D1", "Disease"),
+         ("cough", "D2", "Disease")],
+        "surface string, mesh_id string, type string",
+    )
+    docs = spark.createDataFrame(
+        [
+            # cue directly before the only fever mention -> un-asserted
+            (1, "aspirin gave no fever today"),
+            # cue too far (3 words before) -> asserted at window=2
+            (2, "aspirin no x y fever"),
+            # one negated + one clean mention of the same disease -> asserted
+            (3, "aspirin no fever but later fever returned"),
+            # cue AFTER the mention does not negate
+            (4, "aspirin fever no cough"),
+        ],
+        "doc_id int, text string",
+    )
+    out = {
+        (r.doc_id, r.chem_mesh, r.dis_mesh): r.asserted
+        for r in assertion_status(docs, dim, cues=["no"], window=2).collect()
+    }
+    assert out[(1, "C1", "D1")] is False
+    assert out[(2, "C1", "D1")] is True
+    assert out[(3, "C1", "D1")] is True
+    assert out[(4, "C1", "D1")] is True      # cue after mention
+    assert out[(4, "C1", "D2")] is False     # 'no cough' negated
+
+
+def test_bpe_pair_counts_weighted_by_word_frequency(spark):
+    from bran_spark.functions.bpe import bpe_pair_counts
+
+    docs = spark.createDataFrame(
+        [("1", "abab abab cd"), ("2", "abab x")],
+        "doc_id string, text string",
+    )
+    out = {r.pair: r.freq for r in bpe_pair_counts(docs, "text", k=10).collect()}
+    # 'abab' occurs 3 times; pairs per occurrence: ab, ba, ab -> ab:6, ba:3
+    assert out["ab"] == 6 and out["ba"] == 3 and out["cd"] == 1
+    assert "x" not in out  # single-char words contribute nothing
