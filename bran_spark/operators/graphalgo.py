@@ -1528,3 +1528,59 @@ def diameter_sweep(sym: DataFrame, max_hops: int = 8) -> DataFrame:
         .join(F.broadcast(ecc1))
         .join(F.broadcast(ecc2))
     )
+
+
+def llr_association(ent: DataFrame) -> DataFrame:
+    """Dunning log-likelihood-ratio association (Dunning, CL 1993) per
+    chemical-disease pair — the KG edge-weighting statistic that stays
+    calibrated where PMI (cooccurrence_pmi) explodes on rare pairs: G²
+    compares the full 2×2 document-incidence contingency, so one
+    co-occurrence of two singletons scores low instead of maximal.
+
+      k11 = docs with both, k12 = chem only, k21 = dis only,
+      k22 = neither;  G² = 2·(Σ xlnx(k) − Σ xlnx(row/col sums) + xlnx(N))
+
+    Same plan family as the PMI twin: one doc-keyed pair join, marginals
+    joined back (hot entities fan out over the composite pair key), a
+    1-row corpus total broadcast. The G² expression is a fixed scalar
+    tree over exact integer cells — no float aggregation order exists to
+    diverge across engines. Returns (subj, obj, n_co, llr), 6 dp."""
+    a = ent.where(F.col("type") == "Chemical").select(
+        "doc_id", F.col("mesh_id").alias("subj")
+    )
+    b = ent.where(F.col("type") == "Disease").select(
+        "doc_id", F.col("mesh_id").alias("obj")
+    )
+    pc = a.join(b, "doc_id").groupBy("subj", "obj").agg(
+        F.count(F.lit(1)).alias("n_co")
+    )
+    na = a.groupBy("subj").agg(F.count(F.lit(1)).alias("n_s"))
+    nb = b.groupBy("obj").agg(F.count(F.lit(1)).alias("n_o"))
+    dd = ent.agg(F.countDistinct("doc_id").alias("d_docs"))
+
+    def xlnx(c):
+        c = c.cast("double")
+        return F.when(c > 0, c * F.log(c)).otherwise(F.lit(0.0))
+
+    k11 = F.col("n_co")
+    k12 = F.col("n_s") - F.col("n_co")
+    k21 = F.col("n_o") - F.col("n_co")
+    k22 = F.col("d_docs") - F.col("n_s") - F.col("n_o") + F.col("n_co")
+    n = F.col("d_docs")
+    g2 = 2.0 * (
+        xlnx(k11) + xlnx(k12) + xlnx(k21) + xlnx(k22)
+        - xlnx(k11 + k12) - xlnx(k21 + k22)
+        - xlnx(k11 + k21) - xlnx(k12 + k22)
+        + xlnx(n)
+    )
+    return (
+        pc.join(na, "subj")
+        .join(nb, "obj")
+        .crossJoin(F.broadcast(dd))
+        .select(
+            "subj",
+            "obj",
+            F.col("n_co").cast("long").alias("n_co"),
+            F.round(g2, 6).alias("llr"),
+        )
+    )

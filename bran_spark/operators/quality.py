@@ -465,3 +465,44 @@ def zipf_fit(
             "intercept"
         ),
     )
+
+
+def diversity_profile(df: DataFrame, group_col: str) -> DataFrame:
+    """Corpus-mix concentration in one row — the diversity numbers a
+    pretraining-mix owner watches next to psi_drift's two-snapshot
+    comparison (is the corpus quietly collapsing onto one source?):
+
+      n_groups      — distinct sources
+      top_share     — max_i p_i (head concentration)
+      shannon_h     — −Σ p ln p
+      eff_shannon   — exp(H), Hill number q=1 ("effective sources",
+                      equals n_groups only under a uniform mix)
+      gini_simpson  — 1 − Σ p², the collision-probability complement
+      eff_simpson   — 1/Σ p², Hill number q=2 (head-weighted)
+
+    Two tiny aggregates: per-group counts (map-side combined; group
+    cardinality = number of sources, dimension-scale), then the one-row
+    reduction. Floats appear only in the final |groups|-term sums, 6 dp."""
+    counts = df.groupBy(F.col(group_col).alias("g")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    total = df.agg(F.count(F.lit(1)).cast("double").alias("n"))
+    p = F.col("c") / F.col("n")
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .select(p.alias("p"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_groups"),
+            F.round(F.max("p"), 6).alias("top_share"),
+            F.round(-F.sum(F.col("p") * F.log("p")), 6).alias("shannon_h"),
+            F.round(F.exp(-F.sum(F.col("p") * F.log("p"))), 6).alias(
+                "eff_shannon"
+            ),
+            F.round(1 - F.sum(F.col("p") * F.col("p")), 6).alias(
+                "gini_simpson"
+            ),
+            F.round(1 / F.sum(F.col("p") * F.col("p")), 6).alias(
+                "eff_simpson"
+            ),
+        )
+    )

@@ -7894,6 +7894,82 @@ def q190(spark, sf):
     return bpe_pair_counts(_t(spark, sf, "documents"), "text", k=10)
 
 
+@_q(
+    "q191_diversity_profile",
+    """
+    WITH c AS (SELECT source AS g, COUNT(*)::DOUBLE AS c
+               FROM documents GROUP BY source),
+    n AS (SELECT COUNT(*)::DOUBLE AS n FROM documents),
+    p AS (SELECT c.c / n.n AS p FROM c, n)
+    SELECT COUNT(*)::BIGINT AS n_groups,
+           ROUND(MAX(p), 6) AS top_share,
+           ROUND(-SUM(p * ln(p)), 6) AS shannon_h,
+           ROUND(exp(-SUM(p * ln(p))), 6) AS eff_shannon,
+           ROUND(1 - SUM(p * p), 6) AS gini_simpson,
+           ROUND(1 / SUM(p * p), 6) AS eff_simpson
+    FROM p
+    """,
+)
+def q191(spark, sf):
+    """Source-mix diversity profile (quality.diversity_profile): Shannon
+    and Simpson concentration plus their Hill-number "effective source"
+    counts over the corpus's source column — the one-row alarm for a mix
+    collapsing onto one domain (complements psi_drift's two-snapshot
+    comparison). Per-source counts are dimension-scale; floats only in
+    the final few-term sums."""
+    from bran_spark.operators.quality import diversity_profile
+
+    return diversity_profile(_t(spark, sf, "documents"), "source")
+
+
+@_q(
+    "q192_llr_association",
+    _FX_MENTIONS_SQL
+    + """
+    , ent AS (SELECT DISTINCT doc_id, mesh_id, type FROM m),
+    a AS (SELECT doc_id, mesh_id AS subj FROM ent WHERE type = 'Chemical'),
+    b AS (SELECT doc_id, mesh_id AS obj FROM ent WHERE type = 'Disease'),
+    pc AS (SELECT subj, obj, COUNT(*) AS n_co
+           FROM a JOIN b USING (doc_id) GROUP BY subj, obj),
+    na AS (SELECT subj, COUNT(*) AS n_s FROM a GROUP BY subj),
+    nb AS (SELECT obj, COUNT(*) AS n_o FROM b GROUP BY obj),
+    dd AS (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS d_docs FROM ent),
+    k AS (SELECT subj, obj, n_co,
+                 n_co::DOUBLE AS k11,
+                 (n_s - n_co)::DOUBLE AS k12,
+                 (n_o - n_co)::DOUBLE AS k21,
+                 (d_docs - n_s - n_o + n_co)::DOUBLE AS k22,
+                 d_docs::DOUBLE AS nn
+          FROM pc JOIN na USING (subj) JOIN nb USING (obj) CROSS JOIN dd)
+    SELECT subj, obj, CAST(n_co AS BIGINT) AS n_co,
+           ROUND(2 * ((CASE WHEN k11 > 0 THEN k11 * ln(k11) ELSE 0 END)
+                    + (CASE WHEN k12 > 0 THEN k12 * ln(k12) ELSE 0 END)
+                    + (CASE WHEN k21 > 0 THEN k21 * ln(k21) ELSE 0 END)
+                    + (CASE WHEN k22 > 0 THEN k22 * ln(k22) ELSE 0 END)
+                    - (CASE WHEN k11 + k12 > 0
+                            THEN (k11 + k12) * ln(k11 + k12) ELSE 0 END)
+                    - (CASE WHEN k21 + k22 > 0
+                            THEN (k21 + k22) * ln(k21 + k22) ELSE 0 END)
+                    - (CASE WHEN k11 + k21 > 0
+                            THEN (k11 + k21) * ln(k11 + k21) ELSE 0 END)
+                    - (CASE WHEN k12 + k22 > 0
+                            THEN (k12 + k22) * ln(k12 + k22) ELSE 0 END)
+                    + (CASE WHEN nn > 0 THEN nn * ln(nn) ELSE 0 END)), 6)
+             AS llr
+    FROM k
+    """,
+)
+def q192(spark, sf):
+    """Dunning G² log-likelihood association (graphalgo.llr_association)
+    per chemical-disease pair — the rare-pair-calibrated KG edge weight
+    next to q63's PMI. Exact integer 2×2 cells; the G² expression is a
+    fixed scalar tree, so no cross-engine float-order divergence
+    exists."""
+    from bran_spark.operators.graphalgo import llr_association
+
+    return llr_association(_fx_entity_incidence(spark, sf))
+
+
 # =========================================================================
 # Registry ordering: the driver's correctness gate hash-checks the FIRST
 # 50 insertion-order entries of ``queries()``. Definition order above is

@@ -953,3 +953,46 @@ def test_diameter_sweep_path_and_star(spark):
     star = [("z", x) for x in ["a", "b", "c"]]
     r2 = diameter_sweep(symmetric_edges(_edges(spark, star)), max_hops=8).collect()[0]
     assert (r2.seed, r2.periphery, r2.ecc_seed, r2.diameter_lb) == ("a", "b", 2, 2)
+
+
+def test_llr_association_closed_form_and_independence(spark):
+    import math
+
+    from bran_spark.operators.graphalgo import llr_association
+
+    # 4 docs: c1-d1 co-occur in 2; c1 alone in 1; d1 alone in 1
+    ent = spark.createDataFrame(
+        [
+            (1, "c1", "Chemical"), (1, "d1", "Disease"),
+            (2, "c1", "Chemical"), (2, "d1", "Disease"),
+            (3, "c1", "Chemical"),
+            (4, "d1", "Disease"),
+        ],
+        "doc_id int, mesh_id string, type string",
+    )
+    row = llr_association(ent).head()
+    assert (row.subj, row.obj, row.n_co) == ("c1", "d1", 2)
+    k11, k12, k21, k22, n = 2.0, 1.0, 1.0, 0.0, 4.0
+
+    def xlnx(x):
+        return x * math.log(x) if x > 0 else 0.0
+
+    g2 = 2 * (
+        xlnx(k11) + xlnx(k12) + xlnx(k21) + xlnx(k22)
+        - xlnx(k11 + k12) - xlnx(k21 + k22)
+        - xlnx(k11 + k21) - xlnx(k12 + k22)
+        + xlnx(n)
+    )
+    assert abs(row.llr - round(g2, 6)) < 1e-9
+    # perfectly independent 2x2 (all cells equal) -> G^2 = 0
+    ind = spark.createDataFrame(
+        [
+            (1, "c", "Chemical"), (1, "d", "Disease"),
+            (2, "c", "Chemical"),
+            (3, "d", "Disease"),
+            (4, "x", "Chemical"),  # 4th doc, no c/d
+        ],
+        "doc_id int, mesh_id string, type string",
+    )
+    r2 = [r for r in llr_association(ind).collect() if r.subj == "c" and r.obj == "d"][0]
+    assert abs(r2.llr) < 1e-6

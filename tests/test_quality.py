@@ -133,3 +133,27 @@ def test_woe_iv_separating_vs_useless_signal(spark):
     df3 = spark.createDataFrame(rows3, "v double, y boolean")
     out3 = {r.bin: (r.n_pos, r.n_neg) for r in woe_iv(df3, "v", "y", 0.0, 20.0, 2).collect()}
     assert out3 == {0: (1, 0), 1: (0, 1)}
+
+
+def test_diversity_profile_uniform_and_skewed(spark):
+    import math
+
+    from bran_spark.operators.quality import diversity_profile
+
+    uniform = spark.createDataFrame(
+        [(i, f"s{i % 4}") for i in range(40)], "id int, source string"
+    )
+    u = diversity_profile(uniform, "source").head()
+    assert u.n_groups == 4 and u.top_share == 0.25
+    assert abs(u.shannon_h - round(math.log(4), 6)) < 1e-9
+    assert abs(u.eff_shannon - 4.0) < 1e-5 and abs(u.eff_simpson - 4.0) < 1e-5
+    assert abs(u.gini_simpson - 0.75) < 1e-9
+
+    skewed = spark.createDataFrame(
+        [(i, "big" if i < 9 else "tiny") for i in range(10)],
+        "id int, source string",
+    )
+    s = diversity_profile(skewed, "source").head()
+    assert s.n_groups == 2 and s.top_share == 0.9
+    assert s.eff_shannon < 2.0 and s.eff_simpson < 2.0
+    assert abs(s.gini_simpson - (1 - 0.81 - 0.01)) < 1e-9
