@@ -437,3 +437,90 @@ def hard_negatives(
     return negs.select(
         "doc_id", "score", F.row_number().over(w).cast("int").alias("rank")
     )
+
+
+def textrank_keywords(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 2,
+    iters: int = 5,
+    k: int = 10,
+) -> DataFrame:
+    """TextRank keyword extraction (Mihalcea & Tarau, EMNLP 2004):
+    PageRank over the word co-occurrence graph — words voting for the
+    words they appear near — the unsupervised corpus-keyword surface
+    next to tf-idf's per-document one.
+
+    Graph build: one posexplode for positions, then a doc-keyed
+    position self-join (|Δpos| ≤ window, per-doc fan-out bounded by the
+    F4 max-length truncate) collapsed to a DISTINCT word-pair edge list
+    — vocabulary-sized (Zipf-bounded), orders of magnitude below the
+    token stream. Ranking reuses graphalgo.pagerank_fixed_point (exact
+    integer arithmetic, one shuffle per iteration, lineage truncated
+    per round), so the scores are bit-exact across engines and
+    partitionings. Returns the top-k (word, rank_fp)."""
+    from bran_spark.operators.graphalgo import (
+        pagerank_fixed_point,
+        symmetric_edges,
+    )
+
+    wp = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(words(text_col)).alias("pos", "word"),
+    )
+    a = wp.select("doc_id", F.col("pos").alias("pa"), F.col("word").alias("wa"))
+    b = wp.select("doc_id", F.col("pos").alias("pb"), F.col("word").alias("wb"))
+    co = (
+        a.join(b, "doc_id")
+        .where(
+            (F.col("pb") > F.col("pa"))
+            & (F.col("pb") - F.col("pa") <= window)
+            & (F.col("wa") != F.col("wb"))
+        )
+        .select(F.col("wa").alias("subj"), F.col("wb").alias("obj"))
+        .distinct()
+    )
+    ranks = pagerank_fixed_point(symmetric_edges(co), iters=iters)
+    return (
+        ranks.select(F.col("entity").alias("word"), "rank_fp")
+        .orderBy(F.desc("rank_fp"), "word")
+        .limit(k)
+    )
+
+
+def cloze_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Salience-masked cloze generation — synthetic (question, answer)
+    training pairs minted from raw corpus text (the self-supervised
+    reading-comprehension recipe): per document, the most characteristic
+    term (argmax tf·idf, deterministic term tie-break) becomes the
+    answer, and the question is the document with every occurrence of
+    that term replaced by [MASK].
+
+    The masking rebuilds the text from the shared words() split with an
+    exact per-word equality test — no regex, so no metacharacter or
+    substring-boundary hazards, and the output is engine-reproducible
+    byte-for-byte. tf·idf reuses the tfidf_top_terms plan shape
+    (doc-prefixed tf keys, df from the tf table, 1-row N broadcast).
+    Returns (doc_id, answer, question)."""
+    top1 = tfidf_top_terms(docs, id_col, text_col, k=1).select(
+        F.col("doc_id"), F.col("term").alias("answer")
+    )
+    ws = docs.select(
+        F.col(id_col).alias("doc_id"), words(text_col).alias("ws")
+    )
+    return ws.join(top1, "doc_id").select(
+        "doc_id",
+        "answer",
+        F.array_join(
+            F.transform(
+                F.col("ws"),
+                lambda w: F.when(w == F.col("answer"), F.lit("[MASK]")).otherwise(w),
+            ),
+            " ",
+        ).alias("question"),
+    )

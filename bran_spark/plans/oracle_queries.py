@@ -7970,6 +7970,76 @@ def q192(spark, sf):
     return llr_association(_fx_entity_incidence(spark, sf))
 
 
+@_q(
+    "q193_textrank_keywords",
+    f"""
+    WITH wl AS (SELECT doc_id, string_split_regex(trim(lower(text)), ' +') AS ws
+                FROM documents),
+    wp AS (SELECT doc_id, i AS pos, ws[i + 1] AS word
+           FROM wl, unnest(range(len(ws))) AS t(i)),
+    co AS (SELECT DISTINCT a.word AS subj, b.word AS obj
+           FROM wp a JOIN wp b ON a.doc_id = b.doc_id
+            AND b.pos > a.pos AND b.pos - a.pos <= 2
+            AND a.word != b.word),
+    sym AS (SELECT DISTINCT u, v FROM (SELECT subj AS u, obj AS v FROM co
+                                       UNION ALL SELECT obj, subj FROM co)
+            WHERE u != v),
+    deg AS (SELECT u, COUNT(*) AS deg FROM sym GROUP BY u),
+    r0 AS (SELECT u, deg, CAST({_PR_SCALE} AS BIGINT) AS rank FROM deg)
+    {_pr_iter_sql(5, _PR_BASE)}
+    SELECT u AS word, rank AS rank_fp FROM r5
+    ORDER BY rank_fp DESC, word LIMIT 10
+    """,
+)
+def q193(spark, sf):
+    """TextRank corpus keywords (search.textrank_keywords): PageRank over
+    the word co-occurrence graph (|Δpos| ≤ 2 within a doc), ranking
+    reused from graphalgo.pagerank_fixed_point — bit-exact integer
+    scores, one shuffle per iteration. The graph collapses to the Zipf-
+    bounded vocabulary before any iteration runs."""
+    from bran_spark.operators.search import textrank_keywords
+
+    return textrank_keywords(
+        _t(spark, sf, "documents"), window=2, iters=5, k=10
+    )
+
+
+@_q(
+    "q194_cloze_pairs",
+    """
+    WITH wl AS (SELECT doc_id,
+                       unnest(string_split_regex(trim(lower(text)), ' +')) AS term
+                FROM documents),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM wl GROUP BY doc_id, term),
+    dfq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+    n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs FROM documents),
+    scored AS (SELECT doc_id, term,
+                      ROUND(tf * ln(n.n_docs / df), 6) AS tfidf
+               FROM tf JOIN dfq USING (term) CROSS JOIN n),
+    ranked AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                                            ORDER BY tfidf DESC, term) AS rk
+               FROM scored),
+    wsx AS (SELECT doc_id, string_split_regex(trim(lower(text)), ' +') AS ws
+            FROM documents)
+    SELECT w.doc_id, t.term AS answer,
+           COALESCE(array_to_string(
+             list_transform(w.ws,
+               x -> CASE WHEN x = t.term THEN '[MASK]' ELSE x END), ' '), '')
+             AS question
+    FROM wsx w JOIN ranked t ON t.doc_id = w.doc_id AND t.rk = 1
+    """,
+)
+def q194(spark, sf):
+    """Salience-masked cloze generation (search.cloze_pairs): per doc the
+    argmax-tf·idf term becomes the answer and the doc with that term
+    masked becomes the question — synthetic QA training pairs minted
+    with exact per-word equality (no regex hazards), byte-reproducible
+    across engines."""
+    from bran_spark.operators.search import cloze_pairs
+
+    return cloze_pairs(_t(spark, sf, "documents"))
+
+
 # =========================================================================
 # Registry ordering: the driver's correctness gate hash-checks the FIRST
 # 50 insertion-order entries of ``queries()``. Definition order above is

@@ -307,3 +307,39 @@ def test_hard_negatives_excludes_full_matches(spark):
     assert "full" not in ids and "none" not in ids
     assert set(ids) == {"half1", "half2"}
     assert [r.rank for r in sorted(out, key=lambda r: -r.score)] == [1, 2]
+
+
+def test_textrank_hub_word_ranks_first(spark):
+    from bran_spark.operators.search import textrank_keywords
+
+    # 'hub' co-occurs with everything; leaves only with 'hub'
+    docs = spark.createDataFrame(
+        [("1", "hub alpha"), ("2", "hub beta"), ("3", "hub gamma"),
+         ("4", "hub delta"), ("5", "alpha beta")],
+        "doc_id string, text string",
+    )
+    out = textrank_keywords(docs, window=2, iters=5, k=10).collect()
+    assert out[0].word == "hub"
+    assert out[0].rank_fp > out[-1].rank_fp
+    words_out = {r.word for r in out}
+    assert {"hub", "alpha", "beta", "gamma", "delta"} == words_out
+
+
+def test_cloze_pairs_masks_every_occurrence_of_top_term(spark):
+    from bran_spark.operators.search import cloze_pairs
+
+    # 'rare' appears only in doc 1 (twice) -> highest tf*idf there;
+    # common fillers appear everywhere
+    docs = spark.createDataFrame(
+        [
+            ("1", "rare common1 rare common2"),
+            ("2", "common1 common2 other"),
+            ("3", "common1 common2 other"),
+        ],
+        "doc_id string, text string",
+    )
+    out = {r.doc_id: r for r in cloze_pairs(docs).collect()}
+    assert out["1"].answer == "rare"
+    assert out["1"].question == "[MASK] common1 [MASK] common2"
+    assert "[MASK]" in out["2"].question
+    assert out["2"].answer not in out["2"].question.split()
