@@ -557,3 +557,109 @@ def ndcg_at_k(
             F.col("idcg") > 0, F.round(F.col("dcg") / F.col("idcg"), 6)
         ).alias("ndcg"),
     )
+
+
+def retrieval_metrics(
+    ranked: DataFrame,
+    rel: DataFrame,
+    k: int = 10,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Set-and-rank retrieval eval in one row — the binary companions of
+    ndcg_at_k for a top-k ranking against a relevant-document set:
+
+      p_at_k = |top-k ∩ rel| / k
+      r_at_k = |top-k ∩ rel| / |rel|   (NULL when no relevant docs exist)
+      mrr    = 1 / rank of the first relevant doc (0 if none in top-k)
+
+    ``ranked`` = (id, score), already truncated upstream (dimension-scale
+    rank-window legality as rrf_fuse); ``rel`` = relevant ids over the
+    corpus — its size is one exact count. Output: (n_ranked, n_rel,
+    n_hit, p_at_k, r_at_k, mrr), 6 dp."""
+    score_col = [c for c in ranked.columns if c != id_col][0]
+    w = Window.orderBy(F.desc(score_col), F.asc(id_col))
+    r = ranked.select(
+        F.col(id_col).alias("id"), F.row_number().over(w).alias("rank")
+    ).where(F.col("rank") <= k)
+    rl = rel.select(F.col(id_col).alias("id")).distinct()
+    hits = r.join(rl, "id")
+    cells = (
+        r.agg(F.count(F.lit(1)).cast("long").alias("n_ranked"))
+        .crossJoin(rl.agg(F.count(F.lit(1)).cast("long").alias("n_rel")))
+        .crossJoin(
+            hits.agg(
+                F.count(F.lit(1)).cast("long").alias("n_hit"),
+                F.min("rank").alias("first_rank"),
+            )
+        )
+    )
+    return cells.select(
+        "n_ranked",
+        "n_rel",
+        "n_hit",
+        F.round(F.col("n_hit") / F.lit(float(k)), 6).alias("p_at_k"),
+        F.when(
+            F.col("n_rel") > 0,
+            F.round(F.col("n_hit") / F.col("n_rel").cast("double"), 6),
+        ).alias("r_at_k"),
+        F.round(
+            F.coalesce(1.0 / F.col("first_rank").cast("double"), F.lit(0.0)), 6
+        ).alias("mrr"),
+    )
+
+
+def roc_auc(
+    scored: DataFrame,
+    label_col: str = "label",
+    score_col: str = "s",
+) -> DataFrame:
+    """Exact ROC AUC via the Mann-Whitney pair count with the standard
+    tie correction — threshold-free ranking quality next to
+    sweep_threshold's single-operating-point P/R/F1:
+
+      AUC = (Σ_s n_pos(s)·n_neg(<s) + ½·n_pos(s)·n_neg(s)) / (P·N)
+
+    computed on the SCORE-GROUPED table: one aggregate collapses the
+    corpus to its distinct score values, the cumulative-negatives window
+    runs over that score-distinct table (bounded by the score grid —
+    deterministic scorers and calibration pipelines bin scores; bin
+    first via calibration_bins if yours are continuous), and every cell
+    stays an exact integer until the single final division (numerator
+    doubled to keep the ½-tie term integral). Output: 1 row (n_pos,
+    n_neg, auc), 6 dp; auc NULL when either class is empty."""
+    g = scored.groupBy(F.col(score_col).alias("s")).agg(
+        F.sum(F.when(F.col(label_col) == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("np"),
+        F.sum(F.when(F.col(label_col) == 1, 0).otherwise(1))
+        .cast("long")
+        .alias("nn"),
+    )
+    w = Window.orderBy("s").rowsBetween(Window.unboundedPreceding, -1)
+    per_s = g.select(
+        "np",
+        "nn",
+        F.coalesce(F.sum("nn").over(w), F.lit(0)).alias("cum_neg"),
+    ).select(
+        "np",
+        "nn",
+        (2 * F.col("np") * F.col("cum_neg") + F.col("np") * F.col("nn")).alias(
+            "num2"
+        ),
+    )
+    return per_s.agg(
+        F.sum("np").cast("long").alias("n_pos"),
+        F.sum("nn").cast("long").alias("n_neg"),
+        F.sum("num2").cast("long").alias("num2"),
+    ).select(
+        "n_pos",
+        "n_neg",
+        F.when(
+            (F.col("n_pos") > 0) & (F.col("n_neg") > 0),
+            F.round(
+                F.col("num2")
+                / (2.0 * F.col("n_pos") * F.col("n_neg")),
+                6,
+            ),
+        ).alias("auc"),
+    )

@@ -105,3 +105,57 @@ def bucketed_interval_join(
     return hours.join(
         hour_windows, hours["_h"] == hour_windows[window_col]
     ).drop("_h")
+
+
+def burst_scores(
+    events: DataFrame,
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    z_threshold: float = 2.0,
+) -> DataFrame:
+    """Per-stream burst detection over hourly buckets — the temporal
+    anomaly alarm a feed-ingest pipeline runs per source/event type
+    (a crawler gone hot, a spam flood, a replayed backfill):
+
+      z(type, hour) = (count − mean_type) / stddev_type,
+      burst ⇔ z ≥ z_threshold
+
+    Mean/variance come from exact integer bucket counts via the
+    two-moment identity (var = Σc²/n − (Σc/n)²) — the SAME fixed
+    expression tree in every engine, instead of a library stddev whose
+    accumulation order could differ. Two aggregates: (type, hour)
+    counts, then per-type moments joined back (types are
+    dimension-scale). Zero-variance streams yield NULL z (no burst by
+    definition). Output: (event_type, bucket_start, n, z, burst)."""
+    buckets = (
+        events.groupBy(
+            F.col(type_col).alias("event_type"),
+            F.window(ts_col, "1 hour").alias("w"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .select(
+            "event_type",
+            F.unix_timestamp("w.start").alias("bucket_start"),
+            "n",
+        )
+    )
+    moments = buckets.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("double").alias("nh"),
+        F.sum("n").cast("double").alias("s1"),
+        F.sum(F.col("n") * F.col("n")).cast("double").alias("s2"),
+    )
+    mean = F.col("s1") / F.col("nh")
+    var = F.col("s2") / F.col("nh") - mean * mean
+    z = (F.col("n") - mean) / F.sqrt(var)
+    return (
+        buckets.join(F.broadcast(moments), "event_type")
+        .select(
+            "event_type",
+            "bucket_start",
+            "n",
+            F.when(var > 0, F.round(z, 6)).alias("z"),
+            F.coalesce(
+                F.when(var > 0, F.round(z, 6) >= z_threshold), F.lit(False)
+            ).alias("burst"),
+        )
+    )

@@ -8040,6 +8040,123 @@ def q194(spark, sf):
     return cloze_pairs(_t(spark, sf, "documents"))
 
 
+@_q(
+    "q195_retrieval_metrics",
+    f"""
+    WITH r AS (SELECT doc_id,
+                      ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rank
+               FROM ({_BM25_TOPK_SQL})),
+    rl AS (SELECT doc_id FROM documents
+           WHERE list_has_all(
+               list_distinct(string_split(trim(lower(text)), ' ')),
+               ['{_BM25_TERMS[0]}', '{_BM25_TERMS[1]}'])),
+    h AS (SELECT r.rank FROM r JOIN rl USING (doc_id)),
+    cells AS (SELECT (SELECT COUNT(*) FROM r)::BIGINT AS n_ranked,
+                     (SELECT COUNT(*) FROM rl)::BIGINT AS n_rel,
+                     (SELECT COUNT(*) FROM h)::BIGINT AS n_hit,
+                     (SELECT MIN(rank) FROM h) AS first_rank)
+    SELECT n_ranked, n_rel, n_hit,
+           ROUND(n_hit / 10.0, 6) AS p_at_k,
+           CASE WHEN n_rel > 0
+                THEN ROUND(n_hit::DOUBLE / n_rel, 6) END AS r_at_k,
+           ROUND(COALESCE(1.0 / first_rank, 0), 6) AS mrr
+    FROM cells
+    """,
+)
+def q195(spark, sf):
+    """Binary retrieval metrics (evaluate.retrieval_metrics): P@10, R@10
+    and MRR of the q53 BM25 ranking against the conjunctive-term-match
+    relevance set (q185's positive proxy) — the set/rank eval next to
+    q182's graded nDCG. All cells exact integers but the final three
+    divisions."""
+    from bran_spark.functions.text import words
+    from bran_spark.operators.evaluate import retrieval_metrics
+    from bran_spark.operators.search import bm25_topk
+
+    docs = _t(spark, sf, "documents")
+    rel = docs.where(
+        F.size(
+            F.array_intersect(
+                F.array_distinct(words("text")),
+                F.array(*[F.lit(t) for t in _BM25_TERMS]),
+            )
+        )
+        == len(_BM25_TERMS)
+    ).select("doc_id")
+    return retrieval_metrics(
+        bm25_topk(docs, list(_BM25_TERMS), k=10), rel, k=10
+    )
+
+
+@_q(
+    "q196_roc_auc",
+    f"""
+    WITH {_PIPE_CTES},
+    g AS (SELECT s, SUM(CASE WHEN label = 1 THEN 1 ELSE 0 END)::BIGINT AS np,
+                 SUM(CASE WHEN label = 1 THEN 0 ELSE 1 END)::BIGINT AS nn
+          FROM scored GROUP BY s),
+    c AS (SELECT np, nn,
+                 COALESCE(SUM(nn) OVER (ORDER BY s
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                          0) AS cum_neg
+          FROM g),
+    t AS (SELECT SUM(np)::BIGINT AS n_pos, SUM(nn)::BIGINT AS n_neg,
+                 SUM(2 * np * cum_neg + np * nn)::BIGINT AS num2 FROM c)
+    SELECT n_pos, n_neg,
+           CASE WHEN n_pos > 0 AND n_neg > 0
+                THEN ROUND(num2 / (2.0 * n_pos * n_neg), 6) END AS auc
+    FROM t
+    """,
+)
+def q196(spark, sf):
+    """Exact ROC AUC (evaluate.roc_auc) of the deterministic pseudo-scores
+    against the pseudo-gold labels — Mann-Whitney pair counting with the
+    ½-tie correction on the score-GROUPED table (the corpus collapses to
+    its score grid before the cumulative window; integers until the one
+    final division). Threshold-free ranking quality next to q24's swept
+    operating point."""
+    from bran_spark.operators.evaluate import roc_auc
+
+    return roc_auc(_scored(spark, sf), label_col="label", score_col="s")
+
+
+@_q(
+    "q197_burst_detection",
+    """
+    WITH b AS (SELECT event_type,
+                      CAST(epoch(time_bucket(INTERVAL 1 hour, ts)) AS BIGINT)
+                        AS bucket_start,
+                      COUNT(*)::BIGINT AS n
+               FROM events GROUP BY event_type, bucket_start),
+    m AS (SELECT event_type, COUNT(*)::DOUBLE AS nh,
+                 SUM(n)::DOUBLE AS s1, SUM(n * n)::DOUBLE AS s2
+          FROM b GROUP BY event_type)
+    SELECT b.event_type, b.bucket_start, b.n,
+           CASE WHEN (s2 / nh - (s1 / nh) * (s1 / nh)) > 0
+                THEN ROUND((b.n - s1 / nh)
+                           / sqrt(s2 / nh - (s1 / nh) * (s1 / nh)), 6)
+           END AS z,
+           COALESCE(
+             CASE WHEN (s2 / nh - (s1 / nh) * (s1 / nh)) > 0
+                  THEN ROUND((b.n - s1 / nh)
+                             / sqrt(s2 / nh - (s1 / nh) * (s1 / nh)), 6)
+                       >= 2.0
+             END, FALSE) AS burst
+    FROM b JOIN m USING (event_type)
+    """,
+)
+def q197(spark, sf):
+    """Per-stream burst detection (sessions.burst_scores): hourly bucket
+    counts z-scored against each event type's own mean/variance (exact
+    two-moment identity — the same fixed expression tree in both
+    engines, no library stddev accumulation order in play). The feed-
+    ingest anomaly alarm; types are dimension-scale, moments broadcast
+    back."""
+    from bran_spark.operators.sessions import burst_scores
+
+    return burst_scores(_t(spark, sf, "events"), z_threshold=2.0)
+
+
 # =========================================================================
 # Registry ordering: the driver's correctness gate hash-checks the FIRST
 # 50 insertion-order entries of ``queries()``. Definition order above is

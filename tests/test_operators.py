@@ -823,3 +823,46 @@ def test_bpe_pair_counts_weighted_by_word_frequency(spark):
     # 'abab' occurs 3 times; pairs per occurrence: ab, ba, ab -> ab:6, ba:3
     assert out["ab"] == 6 and out["ba"] == 3 and out["cd"] == 1
     assert "x" not in out  # single-char words contribute nothing
+
+
+def test_roc_auc_perfect_random_and_ties(spark):
+    from bran_spark.operators.evaluate import roc_auc
+
+    perfect = spark.createDataFrame(
+        [(1, 0.9), (1, 0.8), (0, 0.2), (0, 0.1)], "label int, s double"
+    )
+    assert roc_auc(perfect).head().auc == 1.0
+    inverted = spark.createDataFrame(
+        [(0, 0.9), (0, 0.8), (1, 0.2), (1, 0.1)], "label int, s double"
+    )
+    assert roc_auc(inverted).head().auc == 0.0
+    # all scores tied -> AUC 0.5 by the tie correction
+    tied = spark.createDataFrame(
+        [(1, 0.5), (1, 0.5), (0, 0.5), (0, 0.5)], "label int, s double"
+    )
+    assert roc_auc(tied).head().auc == 0.5
+    # one class empty -> NULL
+    onecls = spark.createDataFrame([(1, 0.5), (1, 0.2)], "label int, s double")
+    assert roc_auc(onecls).head().auc is None
+
+
+def test_burst_scores_flags_planted_spike(spark):
+    import datetime as dt
+
+    from bran_spark.operators.sessions import burst_scores
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    # type 'steady': 2 events/hour for 8 hours; hour 5 gets 20 (burst)
+    for h in range(8):
+        n = 20 if h == 5 else 2
+        for i in range(n):
+            rows.append((f"e{h}_{i}", base + dt.timedelta(hours=h, minutes=i % 50), "steady"))
+    # type 'flat': identical counts -> zero variance -> no z, no burst
+    for h in range(4):
+        rows.append((f"f{h}", base + dt.timedelta(hours=h), "flat"))
+    ev = spark.createDataFrame(rows, "event_id string, ts timestamp, event_type string")
+    out = burst_scores(ev, z_threshold=2.0).collect()
+    bursts = [(r.event_type, r.n) for r in out if r.burst]
+    assert bursts == [("steady", 20)]
+    assert all(r.z is None and not r.burst for r in out if r.event_type == "flat")

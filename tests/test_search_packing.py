@@ -343,3 +343,25 @@ def test_cloze_pairs_masks_every_occurrence_of_top_term(spark):
     assert out["1"].question == "[MASK] common1 [MASK] common2"
     assert "[MASK]" in out["2"].question
     assert out["2"].answer not in out["2"].question.split()
+
+
+def test_retrieval_metrics_hand_values(spark):
+    from bran_spark.operators.evaluate import retrieval_metrics
+
+    ranked = spark.createDataFrame(
+        [("a", 5.0), ("b", 4.0), ("c", 3.0), ("d", 2.0)],
+        "doc_id string, score double",
+    )
+    rel = spark.createDataFrame(
+        [("b",), ("d",), ("z",)], "doc_id string"
+    )
+    row = retrieval_metrics(ranked, rel, k=4).head()
+    assert row.n_ranked == 4 and row.n_rel == 3 and row.n_hit == 2
+    assert row.p_at_k == 0.5
+    assert abs(row.r_at_k - round(2 / 3, 6)) < 1e-9
+    assert row.mrr == 0.5  # first relevant at rank 2
+    # no relevant docs in the ranking -> mrr 0
+    none = retrieval_metrics(
+        ranked, spark.createDataFrame([("z",)], "doc_id string"), k=4
+    ).head()
+    assert none.mrr == 0.0 and none.n_hit == 0
