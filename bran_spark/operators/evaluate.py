@@ -663,3 +663,67 @@ def roc_auc(
             ),
         ).alias("auc"),
     )
+
+
+def conformal_coverage(
+    calib: DataFrame,
+    test: DataFrame,
+    alpha: float = 0.1,
+    score_col: str = "s",
+) -> DataFrame:
+    """Split-conformal coverage check (Vovk et al.; Angelopoulos & Bates
+    2023 tutorial form): the calibration scores set a distribution-free
+    threshold, and the test set verifies the guarantee empirically —
+    the modern calibration audit next to the reliability diagram
+    (calibration_bins):
+
+      k   = max(1, ⌊α·(n_calib + 1)⌋)
+      τ   = k-th SMALLEST calibration score  (an order statistic of the
+            multiset — tie order cannot change the value)
+      coverage = P_test(score ≥ τ)           (≥ 1 − α in expectation
+            under exchangeability)
+
+    The rank window runs over the CALIBRATION set only — calibration
+    sets are sampled and bounded by design (hundreds to thousands), the
+    same dimension-table legality as mmr_rerank; the test side is one
+    broadcast-τ comparison + aggregate at any scale. Output: 1 row
+    (n_calib, k, tau, n_test, n_covered, coverage, target), 6 dp."""
+    n = calib.agg(F.count(F.lit(1)).cast("long").alias("n_calib"))
+    ranked = (
+        calib.select(F.col(score_col).alias("cs"))
+        .withColumn("rn", F.row_number().over(Window.orderBy("cs")))
+        .crossJoin(F.broadcast(n))
+    )
+    tau = ranked.where(
+        F.col("rn")
+        == F.greatest(
+            F.lit(1),
+            F.floor(F.lit(alpha) * (F.col("n_calib") + 1)).cast("long"),
+        )
+    ).select(
+        "n_calib",
+        F.col("rn").alias("k"),
+        F.col("cs").alias("tau"),
+    )
+    cov = test.select(F.col(score_col).alias("ts")).crossJoin(
+        F.broadcast(tau)
+    ).agg(
+        F.first("n_calib").alias("n_calib"),
+        F.first("k").alias("k"),
+        F.round(F.first("tau"), 6).alias("tau"),
+        F.count(F.lit(1)).cast("long").alias("n_test"),
+        F.sum(F.when(F.col("ts") >= F.col("tau"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_covered"),
+    )
+    return cov.select(
+        "n_calib",
+        "k",
+        "tau",
+        "n_test",
+        "n_covered",
+        F.round(F.col("n_covered") / F.col("n_test").cast("double"), 6).alias(
+            "coverage"
+        ),
+        F.round(F.lit(1.0 - alpha), 6).alias("target"),
+    )

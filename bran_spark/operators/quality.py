@@ -19,7 +19,7 @@ composable and oracle-checkable.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from bran_spark.functions.text import words
@@ -505,4 +505,65 @@ def diversity_profile(df: DataFrame, group_col: str) -> DataFrame:
                 "eff_simpson"
             ),
         )
+    )
+
+
+def ks_drift(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    group_a: str,
+    group_b: str,
+) -> DataFrame:
+    """Exact two-sample Kolmogorov-Smirnov statistic between two groups'
+    value distributions — the sup-norm drift test next to psi_drift's
+    binned divergence (KS needs no bin choice and catches shape shifts
+    PSI's fixed bins can smear):
+
+      D = max over observed values v of |F_a(v) − F_b(v)|
+
+    Plan: per-group value counts (one aggregate), full-outer merge on
+    the value grid, cumulative counts via a window ORDER BY value, one
+    max. Integers until the two ECDF divisions. The window runs over
+    the DISTINCT-value grid — for continuous corpus-scale values,
+    quantize first (the same move calibration_bins makes) or lift the
+    cumsum onto packing.pack_token_bins' two-phase distributed prefix
+    sum; the statistic is exact either way on the grid it sees.
+    Output: 1 row (n_a, n_b, ks_d), 6 dp."""
+    a = (
+        df.where(F.col(group_col) == group_a)
+        .groupBy(F.col(value_col).alias("v"))
+        .agg(F.count(F.lit(1)).alias("ca"))
+    )
+    b = (
+        df.where(F.col(group_col) == group_b)
+        .groupBy(F.col(value_col).alias("v"))
+        .agg(F.count(F.lit(1)).alias("cb"))
+    )
+    merged = a.join(b, "v", "full_outer").select(
+        "v",
+        F.coalesce("ca", F.lit(0)).alias("ca"),
+        F.coalesce("cb", F.lit(0)).alias("cb"),
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    cum = merged.select(
+        F.sum("ca").over(w).alias("cum_a"),
+        F.sum("cb").over(w).alias("cum_b"),
+    )
+    totals = merged.agg(
+        F.sum("ca").cast("long").alias("n_a"),
+        F.sum("cb").cast("long").alias("n_b"),
+    )
+    return (
+        cum.crossJoin(F.broadcast(totals))
+        .select(
+            "n_a",
+            "n_b",
+            F.abs(
+                F.col("cum_a") / F.col("n_a").cast("double")
+                - F.col("cum_b") / F.col("n_b").cast("double")
+            ).alias("d"),
+        )
+        .groupBy("n_a", "n_b")
+        .agg(F.round(F.max("d"), 6).alias("ks_d"))
     )

@@ -8157,6 +8157,79 @@ def q197(spark, sf):
     return burst_scores(_t(spark, sf, "events"), z_threshold=2.0)
 
 
+@_q(
+    "q198_conformal_coverage",
+    f"""
+    WITH {_PIPE_CTES},
+    pos AS (SELECT doc_id, s FROM scored WHERE label = 1),
+    calib AS (SELECT s FROM pos WHERE doc_id % 2 = 0),
+    tst AS (SELECT s FROM pos WHERE doc_id % 2 = 1),
+    n AS (SELECT COUNT(*)::BIGINT AS n_calib FROM calib),
+    rk AS (SELECT s AS cs, ROW_NUMBER() OVER (ORDER BY s) AS rn FROM calib),
+    tau AS (SELECT n.n_calib, rk.rn AS k, rk.cs AS tau
+            FROM rk, n
+            WHERE rk.rn = greatest(1, CAST(floor(0.1 * (n.n_calib + 1))
+                                           AS BIGINT)))
+    SELECT t.n_calib, t.k, ROUND(t.tau, 6) AS tau,
+           (SELECT COUNT(*) FROM tst)::BIGINT AS n_test,
+           (SELECT SUM(CASE WHEN s >= t.tau THEN 1 ELSE 0 END)
+            FROM tst)::BIGINT AS n_covered,
+           ROUND((SELECT SUM(CASE WHEN s >= t.tau THEN 1 ELSE 0 END)
+                  FROM tst)::DOUBLE
+                 / (SELECT COUNT(*) FROM tst), 6) AS coverage,
+           CAST(0.9 AS DOUBLE) AS target
+    FROM tau t
+    """,
+)
+def q198(spark, sf):
+    """Split-conformal coverage audit (evaluate.conformal_coverage,
+    α=0.1): even-doc positives calibrate the distribution-free k-th-
+    order-statistic threshold, odd-doc positives verify the ≥ 1−α
+    guarantee empirically. The rank window touches only the bounded
+    calibration set; the test side is a broadcast-τ aggregate."""
+    from bran_spark.operators.evaluate import conformal_coverage
+
+    pos = _scored(spark, sf).where(F.col("label") == 1)
+    calib = pos.where(F.col("doc_id") % 2 == 0).select("s")
+    tst = pos.where(F.col("doc_id") % 2 == 1).select("s")
+    return conformal_coverage(calib, tst, alpha=0.1, score_col="s")
+
+
+@_q(
+    "q199_ks_drift",
+    """
+    WITH a AS (SELECT value AS v, COUNT(*) AS ca FROM events
+               WHERE event_type = 'view' GROUP BY value),
+    b AS (SELECT value AS v, COUNT(*) AS cb FROM events
+          WHERE event_type = 'purchase' GROUP BY value),
+    m AS (SELECT COALESCE(a.v, b.v) AS v, COALESCE(ca, 0) AS ca,
+                 COALESCE(cb, 0) AS cb
+          FROM a FULL OUTER JOIN b ON a.v = b.v),
+    c AS (SELECT SUM(ca) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW) AS cum_a,
+                 SUM(cb) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW) AS cum_b
+          FROM m),
+    t AS (SELECT SUM(ca)::BIGINT AS n_a, SUM(cb)::BIGINT AS n_b FROM m)
+    SELECT n_a, n_b,
+           ROUND(MAX(ABS(cum_a::DOUBLE / n_a - cum_b::DOUBLE / n_b)), 6)
+             AS ks_d
+    FROM c, t GROUP BY n_a, n_b
+    """,
+)
+def q199(spark, sf):
+    """Exact two-sample Kolmogorov-Smirnov drift (quality.ks_drift)
+    between the view and purchase value distributions — the bin-free
+    sup-norm companion of q151's PSI. Integers until the two ECDF
+    divisions; window over the distinct-value grid (quantize or lift to
+    the packing prefix-sum for continuous corpus-scale values)."""
+    from bran_spark.operators.quality import ks_drift
+
+    return ks_drift(
+        _t(spark, sf, "events"), "event_type", "value", "view", "purchase"
+    )
+
+
 # =========================================================================
 # Registry ordering: the driver's correctness gate hash-checks the FIRST
 # 50 insertion-order entries of ``queries()``. Definition order above is

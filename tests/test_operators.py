@@ -866,3 +866,21 @@ def test_burst_scores_flags_planted_spike(spark):
     bursts = [(r.event_type, r.n) for r in out if r.burst]
     assert bursts == [("steady", 20)]
     assert all(r.z is None and not r.burst for r in out if r.event_type == "flat")
+
+
+def test_conformal_coverage_order_statistic_and_guarantee(spark):
+    from bran_spark.operators.evaluate import conformal_coverage
+
+    # calib scores 1..9 -> n=9, k = max(1, floor(0.1*10)) = 1 -> tau = 1.0
+    calib = spark.createDataFrame([(float(i),) for i in range(1, 10)], "s double")
+    test = spark.createDataFrame(
+        [(0.5,), (1.0,), (2.0,), (9.9,)], "s double"
+    )
+    row = conformal_coverage(calib, test, alpha=0.1).head()
+    assert row.n_calib == 9 and row.k == 1 and row.tau == 1.0
+    assert row.n_test == 4 and row.n_covered == 3 and row.coverage == 0.75
+    assert row.target == 0.9
+    # alpha=0.5 with n=9 -> k = floor(0.5*10) = 5 -> tau = 5.0 (median)
+    row2 = conformal_coverage(calib, calib, alpha=0.5).head()
+    assert row2.k == 5 and row2.tau == 5.0
+    assert abs(row2.coverage - 5 / 9) < 1e-6  # scores >= 5.0 among 1..9

@@ -157,3 +157,26 @@ def test_diversity_profile_uniform_and_skewed(spark):
     assert s.n_groups == 2 and s.top_share == 0.9
     assert s.eff_shannon < 2.0 and s.eff_simpson < 2.0
     assert abs(s.gini_simpson - (1 - 0.81 - 0.01)) < 1e-9
+
+
+def test_ks_drift_identical_and_disjoint(spark):
+    rows = [(i, "a", float(i % 5)) for i in range(20)]
+    same = spark.createDataFrame(
+        rows + [(100 + i, "b", float(i % 5)) for i in range(20)],
+        "id int, g string, v double",
+    )
+    from bran_spark.operators.quality import ks_drift
+
+    assert ks_drift(same, "g", "v", "a", "b").head().ks_d == 0.0
+    disjoint = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "a", 2.0), (3, "b", 10.0), (4, "b", 11.0)],
+        "id int, g string, v double",
+    )
+    row = ks_drift(disjoint, "g", "v", "a", "b").head()
+    assert row.ks_d == 1.0 and row.n_a == 2 and row.n_b == 2
+    # half-shifted: {1,2} vs {2,3} -> D = 0.5
+    half = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "a", 2.0), (3, "b", 2.0), (4, "b", 3.0)],
+        "id int, g string, v double",
+    )
+    assert ks_drift(half, "g", "v", "a", "b").head().ks_d == 0.5
