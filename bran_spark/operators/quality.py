@@ -567,3 +567,74 @@ def ks_drift(
         .groupBy("n_a", "n_b")
         .agg(F.round(F.max("d"), 6).alias("ks_d"))
     )
+
+
+def vocab_saturation(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Vocabulary-saturation audit via Good-Turing unseen mass — the
+    one-row answer to "does more data still buy new tokens?" that a
+    corpus-growth decision actually turns on:
+
+      unseen_mass = V1 / N   (Good-Turing estimate of the probability
+                              the NEXT token is a never-seen type)
+      herdan_c    = ln V / ln N   (Heaps/Herdan growth exponent; stable
+                              C < 1 means vocabulary still growing
+                              polynomially, C falling means saturation)
+
+    Two aggregates over the term-frequency table (term keys, map-side
+    combined; the frequency-of-frequencies reduction state is tiny).
+    Output: (n_tokens, vocab, n_singletons, unseen_mass, herdan_c),
+    6 dp."""
+    from bran_spark.functions.text import words
+
+    tf = (
+        df.select(F.explode(words(text_col)).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    return tf.agg(
+        F.sum("freq").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("vocab"),
+        F.sum(F.when(F.col("freq") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_singletons"),
+    ).select(
+        "n_tokens",
+        "vocab",
+        "n_singletons",
+        F.round(
+            F.col("n_singletons") / F.col("n_tokens").cast("double"), 6
+        ).alias("unseen_mass"),
+        F.round(
+            F.log(F.col("vocab").cast("double"))
+            / F.log(F.col("n_tokens").cast("double")),
+            6,
+        ).alias("herdan_c"),
+    )
+
+
+def quantile_normalize(
+    df: DataFrame,
+    group_col: str,
+    score_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Within-group quantile normalization of a score — the move that
+    makes quality thresholds comparable ACROSS sources (a fixed global
+    cutoff keeps 90% of Wikipedia and 2% of CommonCrawl; a per-source
+    quantile keeps the same fraction of each):
+
+      q = percent_rank of the score within its group
+          (ties share a rank, so equal scores get equal quantiles —
+           no tie-break needed and none used)
+
+    One window per group partition: at corpus scale each source sorts
+    independently (partition-parallel); a single mega-source is the
+    known skew case — range-partition that source's sort or pre-bin the
+    score. Output: (id, group, score, q), 6 dp."""
+    w = Window.partitionBy(group_col).orderBy(score_col)
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.col(group_col).alias("grp"),
+        F.col(score_col).alias("score"),
+        F.round(F.percent_rank().over(w), 6).alias("q"),
+    )

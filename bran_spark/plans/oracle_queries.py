@@ -8230,6 +8230,57 @@ def q199(spark, sf):
     )
 
 
+@_q(
+    "q200_vocab_saturation",
+    """
+    WITH tf AS (SELECT term, COUNT(*)::BIGINT AS freq FROM
+                  (SELECT unnest(string_split_regex(trim(lower(text)), ' +'))
+                     AS term
+                   FROM documents)
+                GROUP BY term)
+    SELECT SUM(freq)::BIGINT AS n_tokens,
+           COUNT(*)::BIGINT AS vocab,
+           SUM(CASE WHEN freq = 1 THEN 1 ELSE 0 END)::BIGINT AS n_singletons,
+           ROUND(SUM(CASE WHEN freq = 1 THEN 1 ELSE 0 END)::DOUBLE
+                 / SUM(freq), 6) AS unseen_mass,
+           ROUND(ln(COUNT(*)::DOUBLE) / ln(SUM(freq)::DOUBLE), 6) AS herdan_c
+    FROM tf
+    """,
+)
+def q200(spark, sf):
+    """Vocabulary-saturation audit (quality.vocab_saturation): Good-
+    Turing unseen mass (singleton fraction — the probability the next
+    token is a new type) and the Herdan/Heaps growth exponent — the
+    one-row corpus-growth decision input. Two aggregates over the
+    term-frequency table."""
+    from bran_spark.operators.quality import vocab_saturation
+
+    return vocab_saturation(_t(spark, sf, "documents"), "text")
+
+
+@_q(
+    "q201_quantile_normalize",
+    """
+    SELECT doc_id AS id, source AS grp, n_chars AS score,
+           ROUND(PERCENT_RANK() OVER (PARTITION BY source ORDER BY n_chars),
+                 6) AS q
+    FROM documents
+    """,
+)
+def q201(spark, sf):
+    """Within-source quantile normalization (quality.quantile_normalize)
+    of the document length score — per-source percent_rank makes one
+    quality threshold keep the SAME fraction of every source (a global
+    cutoff keeps 90% of one domain and 2% of another). Ties share a
+    rank, so equal scores get equal quantiles with no tie-break; each
+    source's window sorts independently (partition-parallel)."""
+    from bran_spark.operators.quality import quantile_normalize
+
+    return quantile_normalize(
+        _t(spark, sf, "documents"), "source", "n_chars", "doc_id"
+    )
+
+
 # =========================================================================
 # Registry ordering: the driver's correctness gate hash-checks the FIRST
 # 50 insertion-order entries of ``queries()``. Definition order above is

@@ -180,3 +180,37 @@ def test_ks_drift_identical_and_disjoint(spark):
         "id int, g string, v double",
     )
     assert ks_drift(half, "g", "v", "a", "b").head().ks_d == 0.5
+
+
+def test_vocab_saturation_closed_form(spark):
+    import math
+
+    from bran_spark.operators.quality import vocab_saturation
+
+    docs = spark.createDataFrame(
+        [("1", "a a a b b c"), ("2", "a d")], "doc_id string, text string"
+    )
+    row = vocab_saturation(docs, "text").head()
+    # tokens: a x4, b x2, c x1, d x1 -> N=8, V=4, singletons=2
+    assert row.n_tokens == 8 and row.vocab == 4 and row.n_singletons == 2
+    assert row.unseen_mass == 0.25
+    assert abs(row.herdan_c - round(math.log(4) / math.log(8), 6)) < 1e-9
+
+
+def test_quantile_normalize_per_group_and_ties(spark):
+    from bran_spark.operators.quality import quantile_normalize
+
+    df = spark.createDataFrame(
+        [
+            ("a", "s1", 10), ("b", "s1", 20), ("c", "s1", 30),
+            ("d", "s2", 5), ("e", "s2", 5), ("f", "s2", 99),
+        ],
+        "doc_id string, source string, n_chars int",
+    )
+    out = {
+        r.id: r.q
+        for r in quantile_normalize(df, "source", "n_chars", "doc_id").collect()
+    }
+    assert out["a"] == 0.0 and out["b"] == 0.5 and out["c"] == 1.0
+    # ties share the rank (both minimums -> 0), max -> 1 regardless of group
+    assert out["d"] == 0.0 and out["e"] == 0.0 and out["f"] == 1.0
