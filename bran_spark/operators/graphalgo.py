@@ -1584,3 +1584,110 @@ def llr_association(ent: DataFrame) -> DataFrame:
             F.round(g2, 6).alias("llr"),
         )
     )
+
+
+def pathsim_pairs(
+    weighted: DataFrame,
+    src: str = "subj",
+    via: str = "obj",
+    w_col: str = "w",
+    k: int = 20,
+) -> DataFrame:
+    """PathSim metapath similarity (Sun et al., VLDB 2011) over the
+    C-D-C metapath: two source entities are similar when they reach the
+    same intermediates with similar STRENGTH, normalized so hubs don't
+    win everything (the failure mode of raw path counts):
+
+      paths(a,b) = Σ_d w(a,d)·w(b,d)
+      pathsim(a,b) = 2·paths(a,b) / (paths(a,a) + paths(b,b))
+
+    Input: the weighted bipartite incidence (src, via, w) — here w =
+    document co-occurrence support. One self-join keyed on the
+    intermediate (the hot-key axis: a hub disease fans out
+    quadratically — df-cut the top intermediates exactly like
+    ngram_jaccard's stop-shingle bound when |via| degree is unbounded),
+    then two integer aggregates. Exact integers until the one division;
+    top-k by (pathsim, id ties). Returns (id_a, id_b, paths_ab,
+    pathsim)."""
+    e = weighted.select(
+        F.col(src).alias("s"), F.col(via).alias("d"), F.col(w_col).alias("w")
+    )
+    a = e.select(F.col("s").alias("id_a"), "d", F.col("w").alias("wa"))
+    b = e.select(F.col("s").alias("id_b"), "d", F.col("w").alias("wb"))
+    cross = (
+        a.join(b, "d")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.sum(F.col("wa") * F.col("wb")).cast("long").alias("paths_ab"))
+    )
+    self_p = e.groupBy(F.col("s")).agg(
+        F.sum(F.col("w") * F.col("w")).cast("long").alias("paths_self")
+    )
+    return (
+        cross.join(
+            self_p.select(F.col("s").alias("id_a"), F.col("paths_self").alias("pa")),
+            "id_a",
+        )
+        .join(
+            self_p.select(F.col("s").alias("id_b"), F.col("paths_self").alias("pb")),
+            "id_b",
+        )
+        .select(
+            "id_a",
+            "id_b",
+            "paths_ab",
+            F.round(
+                2.0 * F.col("paths_ab") / (F.col("pa") + F.col("pb")), 6
+            ).alias("pathsim"),
+        )
+        .orderBy(F.desc("pathsim"), "id_a", "id_b")
+        .limit(k)
+    )
+
+
+def community_quality(sym: DataFrame, labels: DataFrame) -> DataFrame:
+    """Per-community Newman modularity terms for a node partition — the
+    audit that says whether LPA/components labels describe real graph
+    structure or noise (Q near 0 = no better than random, Q ≥ ~0.3 =
+    meaningful communities):
+
+      q_term(c) = e_in(c)/m − (deg_sum(c)/(2m))²,   Q = Σ_c q_term
+
+    ``sym`` is the symmetric edge list (both directions), ``labels`` =
+    (entity, label). Each directed edge joins both endpoint labels (two
+    key-shuffle joins); within-community directed edges halve to e_in
+    exactly (symmetric input), degree sums ride the same edge pass, and
+    m is a 1-row broadcast. Exact integers until the two divisions.
+    Output: (label, n_nodes, e_in, deg_sum, q_term), 6 dp."""
+    lu = labels.select(F.col("entity").alias("u"), F.col("label").alias("lu"))
+    lv = labels.select(F.col("entity").alias("v"), F.col("label").alias("lv"))
+    e = sym.join(lu, "u").join(lv, "v")
+    m = sym.agg((F.count(F.lit(1)) / 2).cast("long").alias("m"))
+    per_label = (
+        e.groupBy(F.col("lu").alias("label"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("deg_sum"),
+            (
+                F.sum(F.when(F.col("lu") == F.col("lv"), 1).otherwise(0)) / 2
+            ).cast("long").alias("e_in"),
+        )
+    )
+    nodes = labels.groupBy("label").agg(
+        F.count(F.lit(1)).cast("long").alias("n_nodes")
+    )
+    md = F.col("m").cast("double")
+    return (
+        per_label.join(nodes, "label")
+        .crossJoin(F.broadcast(m))
+        .select(
+            "label",
+            "n_nodes",
+            "e_in",
+            "deg_sum",
+            F.round(
+                F.col("e_in") / md
+                - (F.col("deg_sum") / (2 * md)) * (F.col("deg_sum") / (2 * md)),
+                6,
+            ).alias("q_term"),
+        )
+    )

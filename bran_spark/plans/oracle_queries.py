@@ -8281,6 +8281,92 @@ def q201(spark, sf):
     )
 
 
+@_q(
+    "q202_pathsim",
+    _FX_MENTIONS_SQL
+    + """
+    , ent AS (SELECT DISTINCT doc_id, mesh_id, type FROM m),
+    ca AS (SELECT doc_id, mesh_id FROM ent WHERE type = 'Chemical'),
+    da AS (SELECT doc_id, mesh_id FROM ent WHERE type = 'Disease'),
+    wt AS (SELECT ca.mesh_id AS subj, da.mesh_id AS obj,
+                  COUNT(*)::BIGINT AS w
+           FROM ca JOIN da USING (doc_id) GROUP BY subj, obj),
+    aa AS (SELECT subj AS id_a, obj AS d, w AS wa FROM wt),
+    bb AS (SELECT subj AS id_b, obj AS d, w AS wb FROM wt),
+    crossp AS (SELECT id_a, id_b, SUM(wa * wb)::BIGINT AS paths_ab
+               FROM aa JOIN bb USING (d) WHERE id_a < id_b
+               GROUP BY id_a, id_b),
+    sp AS (SELECT subj AS s, SUM(w * w)::BIGINT AS paths_self
+           FROM wt GROUP BY subj)
+    SELECT c.id_a, c.id_b, c.paths_ab,
+           ROUND(2.0 * c.paths_ab / (pa.paths_self + pb.paths_self), 6)
+             AS pathsim
+    FROM crossp c
+    JOIN sp pa ON pa.s = c.id_a
+    JOIN sp pb ON pb.s = c.id_b
+    ORDER BY pathsim DESC, id_a, id_b LIMIT 20
+    """,
+)
+def q202(spark, sf):
+    """PathSim metapath similarity (graphalgo.pathsim_pairs) between
+    chemicals over the C-D-C metapath, weighted by document
+    co-occurrence support — hub-normalized path counting (Sun et al.
+    VLDB'11), the entity-similarity surface raw co-occurrence and
+    Adamic-Adar both distort. One intermediate-keyed self-join + two
+    integer aggregates; top-20 TakeOrdered."""
+    from bran_spark.operators.graphalgo import pathsim_pairs
+
+    ent = _fx_entity_incidence(spark, sf)
+    chem = ent.where(F.col("type") == "Chemical").select(
+        "doc_id", F.col("mesh_id").alias("subj")
+    )
+    dis = ent.where(F.col("type") == "Disease").select(
+        "doc_id", F.col("mesh_id").alias("obj")
+    )
+    wt = chem.join(dis, "doc_id").groupBy("subj", "obj").agg(
+        F.count(F.lit(1)).cast("long").alias("w")
+    )
+    return pathsim_pairs(wt, "subj", "obj", "w", k=20)
+
+
+@_q(
+    "q203_modularity",
+    _FX_PAIRS_SQL
+    + """
+    , l0 AS (SELECT DISTINCT u, u AS label FROM sym)
+    """
+    + _lpa_iter_sql(3)
+    + """
+    , mm AS (SELECT (COUNT(*) / 2)::BIGINT AS m FROM sym),
+    ee AS (SELECT lu.label AS lu, lv.label AS lv
+           FROM sym s JOIN l3 lu ON lu.u = s.u JOIN l3 lv ON lv.u = s.v),
+    pl AS (SELECT lu AS label, COUNT(*)::BIGINT AS deg_sum,
+                  (SUM(CASE WHEN lu = lv THEN 1 ELSE 0 END) / 2)::BIGINT
+                    AS e_in
+           FROM ee GROUP BY lu),
+    nn AS (SELECT label, COUNT(*)::BIGINT AS n_nodes FROM l3 GROUP BY label)
+    SELECT pl.label, nn.n_nodes, pl.e_in, pl.deg_sum,
+           ROUND(pl.e_in::DOUBLE / mm.m
+                 - (pl.deg_sum::DOUBLE / (2 * mm.m))
+                   * (pl.deg_sum::DOUBLE / (2 * mm.m)), 6) AS q_term
+    FROM pl JOIN nn USING (label), mm
+    """,
+)
+def q203(spark, sf):
+    """Newman modularity terms (graphalgo.community_quality) of the q64
+    LPA partition — the community-quality audit (Σ q_term near 0 means
+    the labels are noise). Two label-attach joins over the edge pass,
+    exact integer cells, 1-row m broadcast."""
+    from bran_spark.operators.graphalgo import (
+        community_quality,
+        label_propagation,
+        symmetric_edges,
+    )
+
+    sym = symmetric_edges(_fx_entity_pairs(spark, sf))
+    return community_quality(sym, label_propagation(sym, iters=3))
+
+
 # =========================================================================
 # Registry ordering: the driver's correctness gate hash-checks the FIRST
 # 50 insertion-order entries of ``queries()``. Definition order above is

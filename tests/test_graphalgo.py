@@ -996,3 +996,51 @@ def test_llr_association_closed_form_and_independence(spark):
     )
     r2 = [r for r in llr_association(ind).collect() if r.subj == "c" and r.obj == "d"][0]
     assert abs(r2.llr) < 1e-6
+
+
+def test_pathsim_hand_values_and_hub_normalization(spark):
+    from bran_spark.operators.graphalgo import pathsim_pairs
+
+    # a and b share intermediate d1 equally; hub h connects via many
+    # intermediates (high self-paths) so raw counts favor it, pathsim not
+    wt = spark.createDataFrame(
+        [
+            ("a", "d1", 2), ("b", "d1", 2),
+            ("h", "d1", 2), ("h", "d2", 5), ("h", "d3", 5),
+        ],
+        "subj string, obj string, w long",
+    )
+    out = {(r.id_a, r.id_b): r for r in pathsim_pairs(wt, k=10).collect()}
+    ab = out[("a", "b")]
+    # paths(a,b) = 4; self a = 4, self b = 4 -> pathsim = 8/8 = 1
+    assert ab.paths_ab == 4 and ab.pathsim == 1.0
+    ah = out[("a", "h")]
+    # paths(a,h) = 4; self h = 4 + 25 + 25 = 54 -> 8 / 58
+    assert ah.paths_ab == 4
+    assert abs(ah.pathsim - round(8 / 58, 6)) < 1e-9
+    assert ab.pathsim > ah.pathsim
+
+
+def test_community_quality_two_cliques(spark):
+    from bran_spark.operators.graphalgo import community_quality, symmetric_edges
+
+    # two triangles joined by one bridge edge; labels = the planted split
+    pairs = spark.createDataFrame(
+        [("a1", "a2"), ("a2", "a3"), ("a1", "a3"),
+         ("b1", "b2"), ("b2", "b3"), ("b1", "b3"),
+         ("a1", "b1")],
+        "subj string, obj string",
+    )
+    sym = symmetric_edges(pairs)
+    labels = spark.createDataFrame(
+        [(n, n[0]) for n in ["a1", "a2", "a3", "b1", "b2", "b3"]],
+        "entity string, label string",
+    )
+    out = {r.label: r for r in community_quality(sym, labels).collect()}
+    # m = 7 edges; each community: e_in = 3, deg_sum = 7
+    for lbl in ("a", "b"):
+        r = out[lbl]
+        assert r.n_nodes == 3 and r.e_in == 3 and r.deg_sum == 7
+        assert abs(r.q_term - round(3 / 7 - (7 / 14) ** 2, 6)) < 1e-9
+    # total modularity of the planted split is meaningfully positive
+    assert sum(r.q_term for r in out.values()) > 0.3
