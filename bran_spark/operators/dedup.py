@@ -528,15 +528,11 @@ def semantic_dedup(
     both engines so float-summation-order jitter cannot flip boundary
     pairs. Returns the SURVIVORS: (vec_id, cell).
     """
-    from bran_spark.operators.similarity import cosine, kmeans_cells
+    from bran_spark.operators.similarity import kmeans_cells
 
     cells = kmeans_cells(emb, k=k, iters=iters, id_col=id_col, vec_col=vec_col)
-    a = cells.select(F.col("vec_id").alias("id_a"), "cell", F.col("v").alias("va"))
-    b = cells.select(F.col("vec_id").alias("id_b"), "cell", F.col("v").alias("vb"))
     dropped = (
-        a.join(b, "cell")
-        .where(F.col("id_a") < F.col("id_b"))
-        .where(F.round(cosine(F.col("va"), F.col("vb")), 6) >= tau)
+        _intra_cell_cosine_pairs(cells, tau)
         .select(F.col("id_b").alias("vec_id"))
         .distinct()
     )
@@ -753,35 +749,14 @@ def bloom_audit(
     )
 
 
-def semdedup_pairs(
-    emb: DataFrame,
-    k: int = 8,
-    iters: int = 2,
-    threshold: float = 0.95,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-) -> DataFrame:
-    """SemDeDup (Abbas et al., 2023, arXiv:2303.09540): semantic near-dup
-    pairs found INSIDE k-means clusters only — the embedding-space dedup
-    that scales because the quadratic step is confined to cells:
+def _intra_cell_cosine_pairs(cells: DataFrame, threshold: float) -> DataFrame:
+    """Exact cosine pairs ≥ threshold WITHIN each cell of a kmeans_cells
+    assignment (vec_id, v, cell) — the shared quadratic-step core of
+    semdedup_pairs (the audit view) and semantic_dedup (the survivor
+    sweep). Cosine rounded 6 dp BEFORE the threshold so boundary pairs
+    cut identically across engines."""
+    from bran_spark.operators.similarity import cosine
 
-      1. Lloyd k-means coarse clustering (similarity.kmeans_cells —
-         broadcast-centroid argmin, deterministic lowest-id init);
-      2. exact pairwise cosine WITHIN each cell (equi-join on cell, so
-         cost is Σ|cell|², never |corpus|²);
-      3. keep pairs with cosine ≥ threshold.
-
-    The cell equi-join is the same skew story as LSH buckets: a
-    degenerate all-in-one-cell clustering degrades toward O(N²), which
-    is why k scales with corpus size in production (k ≈ √N keeps
-    expected cell size √N). Cross-cell near-dups are invisible by
-    design — the documented recall trade the paper accepts for a 100×
-    cost cut. Returns (cell, id_a, id_b, cos), cosine rounded 6 dp
-    BEFORE the threshold so boundary pairs cut identically across
-    engines."""
-    from bran_spark.operators.similarity import cosine, kmeans_cells
-
-    cells = kmeans_cells(emb, k=k, iters=iters, id_col=id_col, vec_col=vec_col)
     a = cells.select(
         "cell", F.col("vec_id").alias("id_a"), F.col("v").alias("va")
     )
@@ -799,6 +774,39 @@ def semdedup_pairs(
         )
         .where(F.col("cos") >= threshold)
     )
+
+
+def semdedup_pairs(
+    emb: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The PAIR-level evidence table behind SemDeDup (Abbas et al. 2023,
+    arXiv:2303.09540) — the scored intra-cell near-dup pairs that
+    :func:`semantic_dedup` (q110) collapses into its lowest-id survivor
+    sweep. Shipping the pairs separately is what makes the dedup
+    auditable: threshold sweeps, cluster-size forensics and
+    false-positive review all read THIS table, not the survivor list.
+
+      1. Lloyd k-means coarse clustering (similarity.kmeans_cells —
+         broadcast-centroid argmin, deterministic lowest-id init);
+      2. exact pairwise cosine WITHIN each cell only (equi-join on
+         cell: cost Σ|cell|², never |corpus|²);
+      3. keep pairs with rounded cosine ≥ threshold.
+
+    The cell equi-join is the same skew story as LSH buckets: a
+    degenerate all-in-one-cell clustering degrades toward O(N²), which
+    is why k scales with corpus size in production (k ≈ √N keeps
+    expected cell size √N). Cross-cell near-dups are invisible by
+    design — the documented recall trade the paper accepts for a 100×
+    cost cut. Returns (cell, id_a, id_b, cos)."""
+    from bran_spark.operators.similarity import kmeans_cells
+
+    cells = kmeans_cells(emb, k=k, iters=iters, id_col=id_col, vec_col=vec_col)
+    return _intra_cell_cosine_pairs(cells, threshold)
 
 
 def minhash_jaccard_audit(

@@ -7752,12 +7752,13 @@ def q186(spark, sf):
     """,
 )
 def q187(spark, sf):
-    """SemDeDup (dedup.semdedup_pairs, Abbas et al. 2023): semantic
-    near-dup pairs confined to k-means cells — the quadratic step runs
-    per cell (equi-join on cell), never corpus-wide. Same trained
-    quantizer as q47 (k=8, 2 Lloyd iterations, lowest-id init); cosine
-    rounded 6 dp BEFORE the 0.3 demo threshold (production uses ≥0.95 —
-    this corpus's synthetic embeddings top out at 0.51)."""
+    """SemDeDup pair-level audit (dedup.semdedup_pairs): the scored
+    intra-cell cosine pairs that q110's survivor sweep collapses —
+    shipped separately because threshold sweeps and false-positive
+    review read the pairs, not the survivor list. Same trained
+    quantizer as q47/q110 (k=8, 2 Lloyd iterations, lowest-id init);
+    cosine rounded 6 dp BEFORE the 0.3 demo threshold (production uses
+    ≥0.95 — this corpus's synthetic embeddings top out at 0.51)."""
     from bran_spark.operators.dedup import semdedup_pairs
 
     return semdedup_pairs(
