@@ -368,3 +368,61 @@ def test_fs_score_never_melts_candidates(spark):
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
     # no sort-merge join anywhere: nothing pair-sized is ever re-keyed
     assert "SortMergeJoin" not in plan
+
+
+def test_session_new_ops_no_python_no_cartesian(spark, testdata_dir):
+    """The round-3 session additions stay pure-JVM relational plans: no
+    Python UDF stage and no CartesianProduct anywhere (the 1-row
+    broadcast crossJoins plan as BroadcastNestedLoopJoin, which is the
+    intended scalar-attach shape)."""
+    for name in [
+        "q183_weak_labels",
+        "q185_hard_negatives",
+        "q188_sketch_accuracy",
+        "q189_assertion_filter",
+        "q192_llr_association",
+        "q196_roc_auc",
+        "q197_burst_detection",
+        "q199_ks_drift",
+        "q201_quantile_normalize",
+        "q202_pathsim",
+    ]:
+        plan = _plan(QUERIES[name](spark, testdata_dir))
+        assert "Python" not in plan, name
+        assert "CartesianProduct" not in plan, name
+
+
+def test_hard_negatives_terms_and_positives_are_broadcast(spark, testdata_dir):
+    """hard_negatives: the query-terms filter and the positive-set
+    exclusion must both be broadcast joins (terms are query-sized, the
+    anti-join's build side is the positive ID set) — and the final cut a
+    TakeOrdered, never a full sort."""
+    plan = _plan(QUERIES["q185_hard_negatives"](spark, testdata_dir))
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("SortMergeJoin") == 0
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_llr_and_burst_broadcast_scalar_stats(spark, testdata_dir):
+    """llr_association's corpus total and burst_scores' per-type moments
+    ride broadcast exchanges — the corpus-scale side never shuffles to
+    meet a scalar."""
+    for name in ["q192_llr_association", "q197_burst_detection"]:
+        plan = _plan(QUERIES[name](spark, testdata_dir))
+        assert "BroadcastExchange" in plan, name
+
+
+def test_weak_label_votes_are_scan_projection(spark, testdata_dir):
+    """majority_vote over quality_lf_votes is shuffle-free: no Exchange
+    of any kind in the whole plan (pure scan projection)."""
+    plan = _plan(QUERIES["q183_weak_labels"](spark, testdata_dir))
+    assert "Exchange" not in plan
+
+
+def test_textrank_edges_deduped_before_iterations(spark, testdata_dir):
+    """textrank_keywords: no Python stage; the iterate-side input is the
+    localCheckpointed edge table (RDDScanExec), so the corpus scan does
+    not re-execute per PageRank round."""
+    plan = _plan(QUERIES["q193_textrank_keywords"](spark, testdata_dir))
+    assert "Python" not in plan
+    assert "Scan ExistingRDD" in plan
