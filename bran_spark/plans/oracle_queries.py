@@ -8368,6 +8368,54 @@ def q203(spark, sf):
     return community_quality(sym, label_propagation(sym, iters=3))
 
 
+@_q(
+    "q204_dedup_savings",
+    f"""
+    WITH RECURSIVE {_MINHASH_PAIRS_CTES},
+    edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+              UNION ALL SELECT id_b, id_a FROM pairs),
+    r(node, lab) AS (
+      SELECT a, a FROM edges
+      UNION
+      SELECT e.b, r.lab FROM r JOIN edges e ON e.a = r.node
+    ),
+    cc AS (SELECT node, MIN(lab) AS component FROM r GROUP BY node),
+    keep AS (SELECT component, MIN(node) AS keep_id FROM cc
+             GROUP BY component),
+    drp AS (SELECT cc.node FROM cc JOIN keep ON cc.component = keep.component
+            WHERE cc.node != keep.keep_id),
+    tok AS (SELECT doc_id, source,
+                   len(string_split_regex(trim(lower(text)), ' +'))::BIGINT
+                     AS n_tok
+            FROM documents),
+    tot AS (SELECT source AS grp, COUNT(*)::BIGINT AS n_docs,
+                   SUM(n_tok)::BIGINT AS tokens
+            FROM tok GROUP BY source),
+    kpt AS (SELECT source AS grp, COUNT(*)::BIGINT AS n_kept,
+                   SUM(n_tok)::BIGINT AS tokens_kept
+            FROM tok WHERE doc_id NOT IN (SELECT node FROM drp)
+            GROUP BY source)
+    SELECT t.grp, t.n_docs, COALESCE(k.n_kept, 0)::BIGINT AS n_kept,
+           t.tokens, COALESCE(k.tokens_kept, 0)::BIGINT AS tokens_kept,
+           ROUND(1 - COALESCE(k.tokens_kept, 0) / t.tokens::DOUBLE, 6)
+             AS savings_frac
+    FROM tot t LEFT JOIN kpt k ON k.grp = t.grp
+    """,
+)
+def q204(spark, sf):
+    """Per-source dedup accounting (components.dedup_savings): documents
+    and TOKENS each source loses to MinHash-LSH near-dup collapse — the
+    report that locates the template-heavy feed. Composes the q29→q50→
+    q74 stack (LSH pairs → components → min-id survivors → broadcast
+    anti-join) with two dimension-keyed group aggregates."""
+    from bran_spark.operators.components import dedup_savings
+
+    docs = _t(spark, sf, "documents")
+    pairs = minhash_lsh_pairs(docs, "doc_id", "text", n=4, bands=4,
+                              hash_fn="md5")
+    return dedup_savings(docs, pairs, "source")
+
+
 # =========================================================================
 # Registry ordering: the driver's correctness gate hash-checks the FIRST
 # 50 insertion-order entries of ``queries()``. Definition order above is

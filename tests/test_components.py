@@ -102,3 +102,28 @@ def test_cluster_safe_split_keeps_duplicates_together(spark):
     assert 700 < singles.count("train") < 880
     assert 50 < singles.count("val") < 160
     assert 40 < singles.count("test") < 160
+
+
+def test_dedup_savings_per_source_accounting(spark):
+    from bran_spark.operators.components import dedup_savings
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spam", "one two three four"),   # cluster {1,2,3}: keep 1
+            (2, "spam", "one two three four"),
+            (3, "spam", "one two three"),
+            (4, "clean", "five six"),            # untouched source
+        ],
+        "doc_id int, source string, text string",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3)], "id_a int, id_b int"
+    )
+    out = {r.grp: r for r in dedup_savings(docs, pairs, "source").collect()}
+    spam = out["spam"]
+    assert spam.n_docs == 3 and spam.n_kept == 1
+    assert spam.tokens == 11 and spam.tokens_kept == 4
+    assert abs(spam.savings_frac - round(1 - 4 / 11, 6)) < 1e-9
+    clean = out["clean"]
+    assert clean.n_kept == 1 and clean.tokens_kept == 2
+    assert clean.savings_frac == 0.0
