@@ -888,3 +888,48 @@ def minhash_jaccard_audit(
         F.round("exact", 6).alias("exact_jaccard"),
         F.round(F.abs(F.col("est") - F.col("exact")), 6).alias("abs_err"),
     )
+
+
+def incremental_dedup_candidates(
+    new_docs: DataFrame,
+    existing_docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 4,
+    bands: int = 4,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Incremental dedup — the shape dedup actually runs in production:
+    a NEW batch arrives and must be checked (a) against the already-
+    deduped corpus and (b) against itself, without ever re-hashing the
+    corpus. Candidates = LSH bucket collisions, scoped:
+
+      scope='existing' — new doc collides with a corpus doc (drop it /
+                          route to exact-verify)
+      scope='batch'    — two new docs collide with each other (keep the
+                          lower id, same rule as the batch stack)
+
+    At scale the corpus side of this join is the STORED signature index
+    (one row per (doc, band), written once when each batch lands —
+    here recomputed only because the test corpus is synthetic); the new
+    batch is the only thing hashed per run, so cost tracks batch size,
+    not corpus size. Returns (new_id, dup_of, scope), distinct."""
+    sig_new = minhash_signatures(new_docs, id_col, text_col, n, bands, hash_fn)
+    sig_old = minhash_signatures(
+        existing_docs, id_col, text_col, n, bands, hash_fn
+    )
+    a = sig_new.select(F.col("id").alias("new_id"), "band", "minhash")
+    cross = (
+        a.join(
+            sig_old.select(F.col("id").alias("dup_of"), "band", "minhash"),
+            ["band", "minhash"],
+        )
+        .select("new_id", "dup_of", F.lit("existing").alias("scope"))
+    )
+    b = sig_new.select(F.col("id").alias("dup_of"), "band", "minhash")
+    intra = (
+        a.join(b, ["band", "minhash"])
+        .where(F.col("dup_of") < F.col("new_id"))
+        .select("new_id", "dup_of", F.lit("batch").alias("scope"))
+    )
+    return cross.unionByName(intra).dropDuplicates()

@@ -13,7 +13,7 @@ strictly larger gap starts a new one.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -158,4 +158,146 @@ def burst_scores(
                 F.when(var > 0, F.round(z, 6) >= z_threshold), F.lit(False)
             ).alias("burst"),
         )
+    )
+
+
+def kaplan_meier(
+    events: DataFrame,
+    id_col: str = "user_id",
+    ts_col: str = "ts",
+    censor_window_h: int = 24,
+) -> DataFrame:
+    """Kaplan-Meier survival curve over per-user activity lifetimes —
+    the retention/longevity estimator that handles the users who are
+    STILL active (right-censoring) correctly, where a naive lifetime
+    histogram silently treats them as churned:
+
+      lifetime = hours between a user's first and last event; a user
+      whose last event falls within ``censor_window_h`` of the corpus
+      horizon is CENSORED (their lifetime is only known to be ≥ that);
+      S(t) = Π_{tᵢ ≤ t} (1 − dᵢ/nᵢ) over observed-churn times tᵢ, with
+      nᵢ = users whose lifetime ≥ tᵢ (at risk), dᵢ = observed churns.
+
+    Exact integer risk/death counts from two dimension-keyed
+    aggregates; the product is exp(Σ ln) over the PRECEDING terms ×
+    the current factor, accumulated by a window ordered by lifetime —
+    ascending-order summation, so both engines add in the same order.
+    Only the final time point can have nᵢ = dᵢ (its factor multiplies
+    directly, never entering a log). Output: one row per observed-churn
+    lifetime (t_hours, n_at_risk, d_churned, survival), 6 dp."""
+    ep = events.select(
+        F.col(id_col).alias("uid"), F.unix_timestamp(ts_col).alias("ep")
+    )
+    horizon = ep.agg(
+        (F.max("ep") - F.lit(censor_window_h * 3600)).alias("hz")
+    )
+    users = ep.groupBy("uid").agg(
+        F.min("ep").alias("first_ep"), F.max("ep").alias("last_ep")
+    )
+    durs = users.crossJoin(F.broadcast(horizon)).select(
+        F.expr("(last_ep - first_ep) DIV 3600").alias("dur"),
+        (F.col("last_ep") <= F.col("hz")).alias("observed"),
+    )
+    per_t = durs.groupBy("dur").agg(
+        F.count(F.lit(1)).cast("long").alias("c_all"),
+        F.sum(F.when(F.col("observed"), 1).otherwise(0))
+        .cast("long")
+        .alias("d"),
+    )
+    n_tot = durs.agg(F.count(F.lit(1)).cast("long").alias("n_tot"))
+    w_prev = Window.orderBy("dur").rowsBetween(Window.unboundedPreceding, -1)
+    at_risk = (
+        per_t.crossJoin(F.broadcast(n_tot))
+        .withColumn(
+            "n_at_risk",
+            F.col("n_tot") - F.coalesce(F.sum("c_all").over(w_prev), F.lit(0)),
+        )
+        .withColumn(
+            "ln_term",
+            F.when(
+                F.col("n_at_risk") > F.col("d"),
+                F.log(
+                    (F.col("n_at_risk") - F.col("d"))
+                    / F.col("n_at_risk").cast("double")
+                ),
+            ).otherwise(F.lit(0.0)),
+        )
+    )
+    death_w = Window.orderBy("dur").rowsBetween(Window.unboundedPreceding, -1)
+    return (
+        at_risk.withColumn(
+            "cum_prev", F.coalesce(F.sum("ln_term").over(death_w), F.lit(0.0))
+        )
+        .where(F.col("d") > 0)
+        .select(
+            F.col("dur").alias("t_hours"),
+            "n_at_risk",
+            F.col("d").alias("d_churned"),
+            F.round(
+                F.exp("cum_prev")
+                * (F.col("n_at_risk") - F.col("d"))
+                / F.col("n_at_risk").cast("double"),
+                6,
+            ).alias("survival"),
+        )
+    )
+
+
+def funnel_stages(
+    events: DataFrame,
+    stages: list[str],
+    id_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Ordered funnel conversion — the product-analytics staple: how many
+    users performed stage 1, then stage 2 STRICTLY AFTER their first
+    stage-1 event, then stage 3 after that, … (order matters: a purchase
+    before signup does not count as conversion).
+
+    Per stage k the user's entry time is their EARLIEST stage-k event
+    after their stage-(k−1) entry — the canonical first-touch funnel.
+    One min-aggregate per stage keyed by user (map-side combined) and
+    one user-keyed join per stage; stage count is fixed and tiny, users
+    shard the shuffles. Output: (stage_idx, stage, n_users,
+    conversion), conversion = n_users / stage-1 users, 6 dp."""
+    ev = events.select(
+        F.col(id_col).alias("uid"),
+        F.col(type_col).alias("et"),
+        F.unix_timestamp(ts_col).alias("ep"),
+    )
+    spark = events.sparkSession
+    entered = None
+    counts = []
+    for i, stage in enumerate(stages):
+        se = ev.where(F.col("et") == stage).select("uid", "ep")
+        if entered is None:
+            cur = se.groupBy("uid").agg(F.min("ep").alias("entry"))
+        else:
+            cur = (
+                se.join(entered, "uid")
+                .where(F.col("ep") > F.col("entry"))
+                .groupBy("uid")
+                .agg(F.min("ep").alias("entry"))
+            )
+        entered = cur
+        counts.append(
+            cur.agg(F.count(F.lit(1)).cast("long").alias("n")).select(
+                F.lit(i + 1).alias("stage_idx"),
+                F.lit(stage).alias("stage"),
+                F.col("n").alias("n_users"),
+            )
+        )
+    out = counts[0]
+    for c in counts[1:]:
+        out = out.unionByName(c)
+    base = counts[0].select(F.col("n_users").alias("n_base"))
+    return out.crossJoin(F.broadcast(base)).select(
+        "stage_idx",
+        "stage",
+        "n_users",
+        F.when(
+            F.col("n_base") > 0,
+            F.round(F.col("n_users") / F.col("n_base").cast("double"), 6),
+        ).alias("conversion"),
     )

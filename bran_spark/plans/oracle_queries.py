@@ -8416,6 +8416,139 @@ def q204(spark, sf):
     return dedup_savings(docs, pairs, "source")
 
 
+@_q(
+    "q205_incremental_dedup",
+    f"""
+    WITH wl AS (SELECT doc_id, string_split(lower(text), ' ') AS ws
+                FROM documents),
+    sh AS (SELECT doc_id, unnest(list_distinct({_SHINGLE_SQL.format(n=4)}))
+             AS shingle
+           FROM wl),
+    banded AS (SELECT doc_id, band, md5(band::VARCHAR || ':' || shingle) AS h
+               FROM sh, (SELECT unnest(range(4)) AS band)),
+    sig AS (SELECT doc_id, band, MIN(h) AS minhash
+            FROM banded GROUP BY doc_id, band),
+    sn AS (SELECT * FROM sig WHERE doc_id % 2 = 1),
+    so AS (SELECT * FROM sig WHERE doc_id % 2 = 0),
+    crossq AS (SELECT DISTINCT sn.doc_id AS new_id, so.doc_id AS dup_of,
+                      'existing' AS scope
+               FROM sn JOIN so ON sn.band = so.band
+                              AND sn.minhash = so.minhash),
+    intra AS (SELECT DISTINCT a.doc_id AS new_id, b.doc_id AS dup_of,
+                     'batch' AS scope
+              FROM sn a JOIN sn b ON a.band = b.band
+                                 AND a.minhash = b.minhash
+                                 AND b.doc_id < a.doc_id)
+    SELECT * FROM crossq UNION ALL SELECT * FROM intra
+    """,
+)
+def q205(spark, sf):
+    """Incremental dedup (dedup.incremental_dedup_candidates): the odd-id
+    half of the corpus arrives as a NEW batch and is LSH-checked against
+    the even-id corpus (scope='existing') and against itself
+    (scope='batch') — the production shape where only the batch hashes
+    per run and the corpus side is the stored signature index."""
+    from bran_spark.operators.dedup import incremental_dedup_candidates
+
+    docs = _t(spark, sf, "documents")
+    return incremental_dedup_candidates(
+        docs.where(F.col("doc_id") % 2 == 1),
+        docs.where(F.col("doc_id") % 2 == 0),
+        "doc_id", "text", n=4, bands=4, hash_fn="md5",
+    )
+
+
+@_q(
+    "q206_kaplan_meier",
+    """
+    WITH ep AS (SELECT user_id AS uid,
+                       CAST(floor(epoch(ts)) AS BIGINT) AS ep FROM events),
+    hz AS (SELECT MAX(ep) - 86400 AS hz FROM ep),
+    users AS (SELECT uid, MIN(ep) AS first_ep, MAX(ep) AS last_ep
+              FROM ep GROUP BY uid),
+    durs AS (SELECT (last_ep - first_ep) // 3600 AS dur,
+                    last_ep <= (SELECT hz FROM hz) AS observed
+             FROM users),
+    per_t AS (SELECT dur, COUNT(*)::BIGINT AS c_all,
+                     SUM(CASE WHEN observed THEN 1 ELSE 0 END)::BIGINT AS d
+              FROM durs GROUP BY dur),
+    nt AS (SELECT COUNT(*)::BIGINT AS n_tot FROM durs),
+    ar AS (SELECT dur, c_all, d,
+                  (SELECT n_tot FROM nt)
+                  - COALESCE(SUM(c_all) OVER (ORDER BY dur
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                        0) AS n_at_risk
+           FROM per_t),
+    lt AS (SELECT dur, d, n_at_risk,
+                  CASE WHEN n_at_risk > d
+                       THEN ln((n_at_risk - d) / n_at_risk::DOUBLE)
+                       ELSE 0 END AS ln_term
+           FROM ar),
+    cm AS (SELECT dur, d, n_at_risk,
+                  COALESCE(SUM(ln_term) OVER (ORDER BY dur
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                        0) AS cum_prev
+           FROM lt)
+    SELECT dur AS t_hours, n_at_risk, d AS d_churned,
+           ROUND(exp(cum_prev) * (n_at_risk - d) / n_at_risk::DOUBLE, 6)
+             AS survival
+    FROM cm WHERE d > 0
+    """,
+)
+def q206(spark, sf):
+    """Kaplan-Meier survival curve (sessions.kaplan_meier) over per-user
+    activity lifetimes with right-censoring at a 24 h horizon — the
+    retention estimator a naive lifetime histogram gets wrong. Exact
+    integer risk/death cells; the product accumulates as exp(Σ ln) in
+    ascending-lifetime window order, so both engines sum identically."""
+    from bran_spark.operators.sessions import kaplan_meier
+
+    return kaplan_meier(_t(spark, sf, "events"), censor_window_h=24)
+
+
+@_q(
+    "q207_funnel",
+    """
+    WITH ev AS (SELECT user_id AS uid, event_type AS et,
+                       CAST(floor(epoch(ts)) AS BIGINT) AS ep FROM events),
+    s1 AS (SELECT uid, MIN(ep) AS entry FROM ev WHERE et = 'signup'
+           GROUP BY uid),
+    s2 AS (SELECT e.uid, MIN(e.ep) AS entry FROM ev e JOIN s1 ON s1.uid = e.uid
+           WHERE e.et = 'view' AND e.ep > s1.entry GROUP BY e.uid),
+    s3 AS (SELECT e.uid, MIN(e.ep) AS entry FROM ev e JOIN s2 ON s2.uid = e.uid
+           WHERE e.et = 'purchase' AND e.ep > s2.entry GROUP BY e.uid),
+    b AS (SELECT (SELECT COUNT(*) FROM s1)::BIGINT AS n_base)
+    SELECT 1 AS stage_idx, 'signup' AS stage,
+           (SELECT COUNT(*) FROM s1)::BIGINT AS n_users,
+           CASE WHEN n_base > 0 THEN
+             ROUND((SELECT COUNT(*) FROM s1)::DOUBLE / n_base, 6)
+           END AS conversion
+    FROM b
+    UNION ALL
+    SELECT 2, 'view', (SELECT COUNT(*) FROM s2)::BIGINT,
+           CASE WHEN n_base > 0 THEN
+             ROUND((SELECT COUNT(*) FROM s2)::DOUBLE / n_base, 6) END
+    FROM b
+    UNION ALL
+    SELECT 3, 'purchase', (SELECT COUNT(*) FROM s3)::BIGINT,
+           CASE WHEN n_base > 0 THEN
+             ROUND((SELECT COUNT(*) FROM s3)::DOUBLE / n_base, 6) END
+    FROM b
+    """,
+)
+def q207(spark, sf):
+    """Ordered funnel conversion (sessions.funnel_stages): users who
+    signed up, then viewed STRICTLY AFTER their first signup, then
+    purchased after that view — first-touch entry per stage, one
+    user-keyed min-aggregate and join per stage. The product-analytics
+    staple next to q43's sessionization."""
+    from bran_spark.operators.sessions import funnel_stages
+
+    return funnel_stages(
+        _t(spark, sf, "events"), ["signup", "view", "purchase"]
+    )
+
+
 # =========================================================================
 # Registry ordering: the driver's correctness gate hash-checks the FIRST
 # 50 insertion-order entries of ``queries()``. Definition order above is

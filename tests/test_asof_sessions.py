@@ -306,3 +306,86 @@ def test_scd2_history_episodes(spark):
     }
     # exactly one current row per key
     assert sum(1 for v in got.values() if v[2]) == 2
+
+
+def test_kaplan_meier_closed_form_with_censoring(spark):
+    import datetime as dt
+
+    from bran_spark.operators.sessions import kaplan_meier
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    # u1: lifetime 1h, churned; u2: lifetime 2h, churned;
+    # u3: lifetime 2h but last event at horizon -> censored
+    # horizon anchor u4 defines corpus max ts (lifetime 0, censored)
+    rows += [("u1", base), ("u1", base + dt.timedelta(hours=1))]
+    rows += [("u2", base), ("u2", base + dt.timedelta(hours=2))]
+    end = base + dt.timedelta(days=10)
+    rows += [("u3", end - dt.timedelta(hours=2)), ("u3", end)]
+    rows += [("u4", end)]
+    ev = spark.createDataFrame(rows, "user_id string, ts timestamp")
+    out = {r.t_hours: r for r in kaplan_meier(ev, censor_window_h=24).collect()}
+    # observed churn times: 1h (u1), 2h (u2); u3/u4 censored (within 24h of end)
+    assert set(out) == {1, 2}
+    # at t=1: at risk = u1,u2,u3 (dur>=1) -> 3... u4 dur=0 dropped from risk set
+    r1 = out[1]
+    assert r1.n_at_risk == 3 and r1.d_churned == 1
+    assert abs(r1.survival - round(2 / 3, 6)) < 1e-9
+    # at t=2: at risk = u2,u3 -> 2; one churn -> S = (2/3)*(1/2) = 1/3
+    r2 = out[2]
+    assert r2.n_at_risk == 2 and r2.d_churned == 1
+    assert abs(r2.survival - round((2 / 3) * 0.5, 6)) < 1e-6
+
+
+def test_funnel_requires_strict_order(spark):
+    import datetime as dt
+
+    from bran_spark.operators.sessions import funnel_stages
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def e(u, et, h):
+        return (u, et, t0 + dt.timedelta(hours=h))
+
+    ev = spark.createDataFrame(
+        [
+            # u1 completes the funnel in order
+            e("u1", "signup", 0), e("u1", "view", 1), e("u1", "purchase", 2),
+            # u2 views BEFORE signup -> stalls at stage 1
+            e("u2", "view", 0), e("u2", "signup", 1),
+            # u3 signup+view but purchase precedes the view -> stage 2 only
+            e("u3", "purchase", 0), e("u3", "signup", 1), e("u3", "view", 2),
+            # u4 never signs up
+            e("u4", "view", 0), e("u4", "purchase", 1),
+        ],
+        "user_id string, event_type string, ts timestamp",
+    )
+    out = {r.stage: r for r in funnel_stages(ev, ["signup", "view", "purchase"]).collect()}
+    assert out["signup"].n_users == 3       # u1, u2, u3
+    assert out["view"].n_users == 2         # u1, u3 (u2's view was pre-signup)
+    assert out["purchase"].n_users == 1     # u1 only
+    assert out["signup"].conversion == 1.0
+    assert abs(out["purchase"].conversion - round(1 / 3, 6)) < 1e-9
+
+
+def test_incremental_dedup_scopes(spark):
+    from bran_spark.operators.dedup import incremental_dedup_candidates
+
+    txt = "one two three four five six seven eight"
+    existing = spark.createDataFrame(
+        [(2, txt), (4, "totally different corpus text here")],
+        "doc_id int, text string",
+    )
+    new = spark.createDataFrame(
+        [(1, txt), (3, txt), (5, "unique new content nothing matches")],
+        "doc_id int, text string",
+    )
+    out = {
+        (r.new_id, r.dup_of, r.scope)
+        for r in incremental_dedup_candidates(
+            new, existing, "doc_id", "text", n=3, bands=4
+        ).collect()
+    }
+    assert (1, 2, "existing") in out and (3, 2, "existing") in out
+    assert (3, 1, "batch") in out
+    assert not any(r[0] == 5 for r in out)
