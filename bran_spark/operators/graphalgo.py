@@ -1691,3 +1691,67 @@ def community_quality(sym: DataFrame, labels: DataFrame) -> DataFrame:
             ).alias("q_term"),
         )
     )
+
+
+def link_prediction_features(
+    sym: DataFrame, max_hub_deg: int = 50, min_common: int = 2
+) -> DataFrame:
+    """KG-completion feature table: the four classic topology features
+    for every 2-hop NON-edge candidate pair, in one pass — the training
+    matrix a link-prediction model consumes (Adamic-Adar alone, q117, is
+    one column of this):
+
+      common    — shared-neighbor count
+      jaccard   — common / (deg_u + deg_v − common)   (full degrees)
+      aa_score  — Σ_z 1/ln(deg_z)        (Adamic-Adar)
+      ra_score  — Σ_z 1/deg_z            (resource allocation)
+      pref_att  — deg_u · deg_v          (preferential attachment)
+
+    Candidate generation wedges through shared neighbors with degree ≤
+    ``max_hub_deg`` (the hub df-cut: an unbounded hub z contributes
+    deg(z)² wedges and its 1/ln(deg) term is noise anyway); the
+    normalizing degrees are the FULL degrees, attached after the
+    aggregate. min_common prunes the long random tail before the join
+    back. Existing edges are anti-joined away. Exact integers except
+    the two float sums over ≤max_hub_deg-sized neighbor sets, 6 dp."""
+    nz = sym.select(F.col("u").alias("z"), F.col("v").alias("x"))
+    deg = nz.groupBy("z").agg(F.count(F.lit(1)).alias("deg"))
+    nzk = nz.join(deg, "z").where(F.col("deg") <= max_hub_deg)
+    a = nzk.select("z", F.col("x").alias("u"), "deg")
+    b = nzk.select("z", F.col("x").alias("v"))
+    wedges = a.join(b, "z").where(F.col("u") < F.col("v"))
+    cand = (
+        wedges.groupBy("u", "v")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("common"),
+            F.round(F.sum(1.0 / F.log("deg")) + F.lit(1e-9), 6).alias(
+                "aa_score"
+            ),
+            F.round(
+                F.sum(1.0 / F.col("deg").cast("double")) + F.lit(1e-9), 6
+            ).alias("ra_score"),
+        )
+        .where(F.col("common") >= min_common)
+    )
+    non_edges = cand.join(sym, ["u", "v"], "left_anti")
+    du = deg.select(F.col("z").alias("u"), F.col("deg").alias("deg_u"))
+    dv = deg.select(F.col("z").alias("v"), F.col("deg").alias("deg_v"))
+    return (
+        non_edges.join(du, "u")
+        .join(dv, "v")
+        .select(
+            "u",
+            "v",
+            "common",
+            F.round(
+                F.col("common")
+                / (F.col("deg_u") + F.col("deg_v") - F.col("common")).cast(
+                    "double"
+                ),
+                6,
+            ).alias("jaccard"),
+            "aa_score",
+            "ra_score",
+            (F.col("deg_u") * F.col("deg_v")).cast("long").alias("pref_att"),
+        )
+    )

@@ -12,7 +12,7 @@ entities at cluster scale.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -142,5 +142,60 @@ def mil_bags(labeled_pairs: DataFrame) -> DataFrame:
             F.round(
                 F.col("n_pos_docs") / F.col("n_docs").cast("double"), 6
             ),
+        )
+    )
+
+
+def support_precision_curve(bags: DataFrame) -> DataFrame:
+    """Support-threshold sweep for triple publication — the curve that
+    picks the co-occurrence support at which extracted (chem, dis)
+    pairs become precise enough to ship to the KG (the A5 triple sink
+    publishes above it; q24 sweeps the SCORE axis, this sweeps the
+    EVIDENCE axis):
+
+      for each observed support level s:
+        n_pairs(≥s), n_gold(≥s), precision = gold/pairs,
+        recall = gold / total gold
+
+    Input: mil_bags output (n_docs = support, bag_label = gold). One
+    aggregate collapses bags to the support grid (bounded — support is
+    a small-integer histogram at any corpus size), then a descending
+    cumulative window over that grid. Exact integers until the two
+    divisions. Output: (support_ge, n_pairs, n_gold, precision,
+    recall), 6 dp."""
+    grid = bags.groupBy(F.col("n_docs").alias("support_ge")).agg(
+        F.count(F.lit(1)).cast("long").alias("c_pairs"),
+        F.sum(F.when(F.col("bag_label") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("c_gold"),
+    )
+    w = Window.orderBy(F.desc("support_ge")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    tot = bags.agg(
+        F.sum(F.when(F.col("bag_label") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("total_gold")
+    )
+    return (
+        grid.select(
+            "support_ge",
+            F.sum("c_pairs").over(w).alias("n_pairs"),
+            F.sum("c_gold").over(w).alias("n_gold"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "support_ge",
+            "n_pairs",
+            "n_gold",
+            F.round(
+                F.col("n_gold") / F.col("n_pairs").cast("double"), 6
+            ).alias("precision"),
+            F.when(
+                F.col("total_gold") > 0,
+                F.round(
+                    F.col("n_gold") / F.col("total_gold").cast("double"), 6
+                ),
+            ).alias("recall"),
         )
     )

@@ -8549,6 +8549,90 @@ def q207(spark, sf):
     )
 
 
+@_q(
+    "q208_link_features",
+    _FX_PAIRS_SQL
+    + """
+    , nz AS (SELECT u AS z, v AS x FROM sym),
+    deg AS (SELECT z, COUNT(*) AS deg FROM nz GROUP BY z),
+    nzk AS (SELECT nz.z, nz.x, deg FROM nz JOIN deg USING (z)
+            WHERE deg <= 50),
+    wdg AS (SELECT a.x AS u, b.x AS v, a.deg AS deg
+            FROM nzk a JOIN nzk b ON a.z = b.z AND a.x < b.x),
+    cand AS (SELECT u, v, COUNT(*)::BIGINT AS common,
+                    ROUND(SUM(1.0 / ln(deg)) + 1e-9, 6) AS aa_score,
+                    ROUND(SUM(1.0 / deg::DOUBLE) + 1e-9, 6) AS ra_score
+             FROM wdg GROUP BY u, v HAVING COUNT(*) >= 2),
+    ne AS (SELECT * FROM cand
+           WHERE NOT EXISTS (SELECT 1 FROM sym e
+                             WHERE e.u = cand.u AND e.v = cand.v))
+    SELECT ne.u, ne.v, ne.common,
+           ROUND(ne.common / (du.deg + dv.deg - ne.common)::DOUBLE, 6)
+             AS jaccard,
+           ne.aa_score, ne.ra_score,
+           (du.deg * dv.deg)::BIGINT AS pref_att
+    FROM ne JOIN deg du ON du.z = ne.u JOIN deg dv ON dv.z = ne.v
+    """,
+)
+def q208(spark, sf):
+    """KG-completion feature table (graphalgo.link_prediction_features):
+    common neighbors, Jaccard, Adamic-Adar, resource allocation and
+    preferential attachment for every 2-hop non-edge — the training
+    matrix a link-prediction model consumes (q117 is one column).
+    Wedge generation hub-cut at deg ≤ 50; full degrees attached after
+    the aggregate."""
+    from bran_spark.operators.graphalgo import (
+        link_prediction_features,
+        symmetric_edges,
+    )
+
+    return link_prediction_features(
+        symmetric_edges(_fx_entity_pairs(spark, sf)), max_hub_deg=50,
+        min_common=2,
+    )
+
+
+@_q(
+    "q209_support_precision",
+    f"""
+    WITH {{pipe}},
+    bags AS (SELECT chem_mesh, dis_mesh,
+                    COUNT(DISTINCT doc_id)::BIGINT AS n_docs,
+                    MAX(label)::INT AS bag_label
+             FROM labeled GROUP BY chem_mesh, dis_mesh),
+    grid AS (SELECT n_docs AS support_ge, COUNT(*)::BIGINT AS c_pairs,
+                    SUM(CASE WHEN bag_label = 1 THEN 1 ELSE 0 END)::BIGINT
+                      AS c_gold
+             FROM bags GROUP BY n_docs),
+    tot AS (SELECT SUM(CASE WHEN bag_label = 1 THEN 1 ELSE 0 END)::BIGINT
+                     AS total_gold
+            FROM bags),
+    cum AS (SELECT support_ge,
+                   SUM(c_pairs) OVER (ORDER BY support_ge DESC
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS n_pairs,
+                   SUM(c_gold) OVER (ORDER BY support_ge DESC
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS n_gold
+            FROM grid)
+    SELECT support_ge, n_pairs, n_gold,
+           ROUND(n_gold::DOUBLE / n_pairs, 6) AS precision,
+           CASE WHEN total_gold > 0
+                THEN ROUND(n_gold::DOUBLE / total_gold, 6) END AS recall
+    FROM cum, tot
+    """.replace("{pipe}", _PIPE_CTES),
+)
+def q209(spark, sf):
+    """Support-threshold publication sweep (pairs.support_precision_curve
+    over mil_bags): precision/recall of the extracted pairs at every
+    co-occurrence support cutoff — the evidence-axis counterpart of
+    q24's score sweep, picking where the A5 triple sink publishes. The
+    window runs over the bounded support grid."""
+    from bran_spark.operators.pairs import mil_bags, support_precision_curve
+
+    return support_precision_curve(mil_bags(_labeled(spark, sf)))
+
+
 # =========================================================================
 # Registry ordering: the driver's correctness gate hash-checks the FIRST
 # 50 insertion-order entries of ``queries()``. Definition order above is

@@ -1044,3 +1044,32 @@ def test_community_quality_two_cliques(spark):
         assert abs(r.q_term - round(3 / 7 - (7 / 14) ** 2, 6)) < 1e-9
     # total modularity of the planted split is meaningfully positive
     assert sum(r.q_term for r in out.values()) > 0.3
+
+
+def test_link_prediction_features_closed_form(spark):
+    from bran_spark.operators.graphalgo import (
+        link_prediction_features,
+        symmetric_edges,
+    )
+    import math
+
+    # path a-z-b plus z-c: non-edge pairs through z; a-b also share z only
+    pairs = spark.createDataFrame(
+        [("a", "z"), ("b", "z"), ("c", "z"), ("a", "w"), ("b", "w")],
+        "subj string, obj string",
+    )
+    out = {
+        (r.u, r.v): r
+        for r in link_prediction_features(
+            symmetric_edges(pairs), min_common=1
+        ).collect()
+    }
+    ab = out[("a", "b")]
+    # shared neighbors: z (deg 3), w (deg 2); deg_a = deg_b = 2
+    assert ab.common == 2
+    assert abs(ab.aa_score - round(1 / math.log(3) + 1 / math.log(2) + 1e-9, 6)) < 1e-9
+    assert abs(ab.ra_score - round(1 / 3 + 1 / 2 + 1e-9, 6)) < 1e-9
+    assert ab.jaccard == 1.0          # 2 / (2 + 2 - 2)
+    assert ab.pref_att == 4
+    # existing edges never appear
+    assert ("a", "z") not in out and ("z", "a") not in out

@@ -884,3 +884,33 @@ def test_conformal_coverage_order_statistic_and_guarantee(spark):
     row2 = conformal_coverage(calib, calib, alpha=0.5).head()
     assert row2.k == 5 and row2.tau == 5.0
     assert abs(row2.coverage - 5 / 9) < 1e-6  # scores >= 5.0 among 1..9
+
+
+def test_support_precision_curve_monotone_grid(spark):
+    from bran_spark.operators.pairs import (
+        mil_bags,
+        support_precision_curve,
+    )
+
+    labeled = spark.createDataFrame(
+        [
+            # pair A: support 3, gold
+            ("d1", "c1", "x1", 1), ("d2", "c1", "x1", 0), ("d3", "c1", "x1", 0),
+            # pair B: support 2, not gold
+            ("d1", "c2", "x2", 0), ("d2", "c2", "x2", 0),
+            # pair C: support 1, gold
+            ("d9", "c3", "x3", 1),
+        ],
+        "doc_id string, chem_mesh string, dis_mesh string, label int",
+    )
+    curve = {
+        r.support_ge: r
+        for r in support_precision_curve(mil_bags(labeled)).collect()
+    }
+    assert curve[3].n_pairs == 1 and curve[3].precision == 1.0
+    assert curve[3].recall == 0.5
+    assert curve[2].n_pairs == 2 and curve[2].n_gold == 1
+    assert curve[1].n_pairs == 3 and curve[1].n_gold == 2
+    assert curve[1].recall == 1.0
+    # n_pairs cumulative from above is monotone increasing as support drops
+    assert curve[1].n_pairs >= curve[2].n_pairs >= curve[3].n_pairs
