@@ -1755,3 +1755,39 @@ def link_prediction_features(
             (F.col("deg_u") * F.col("deg_v")).cast("long").alias("pref_att"),
         )
     )
+
+
+def topk_neighbor_graph(
+    weighted: DataFrame,
+    k: int = 3,
+    mutual: bool = True,
+    src: str = "u",
+    dst: str = "v",
+    w_col: str = "w",
+) -> DataFrame:
+    """Graph sparsification by per-node top-k: keep each node's k
+    strongest neighbors (rounded weight, neighbor-id ties), optionally
+    intersected with the reverse direction (MUTUAL top-k — the kNN-graph
+    construction every graph-clustering / LPA / label-smoothing stage
+    runs on a dense co-occurrence graph before iterating; hubs keep
+    their k best but stop appearing in everyone else's list unless the
+    affinity is reciprocal).
+
+    One window partitioned by source node over the already-aggregated
+    weighted edge list (per-node frames, bounded by max degree — df-cut
+    upstream if a hub's degree is unbounded), then an equi-self-join for
+    mutuality. Returns (u, v, w) directed survivors (mutual=True keeps
+    the edge in both rows)."""
+    e = weighted.select(
+        F.col(src).alias("u"), F.col(dst).alias("v"), F.col(w_col).alias("w")
+    )
+    win = Window.partitionBy("u").orderBy(F.desc("w"), F.asc("v"))
+    kept = (
+        e.withColumn("rk", F.row_number().over(win))
+        .where(F.col("rk") <= k)
+        .select("u", "v", "w")
+    )
+    if not mutual:
+        return kept
+    rev = kept.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    return kept.join(rev, ["u", "v"]).select("u", "v", "w")

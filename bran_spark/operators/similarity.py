@@ -875,3 +875,34 @@ def ann_recall(
             F.coalesce("n_hit", F.lit(0)) / F.col("n_exact").cast("double"), 6
         ).alias("recall"),
     )
+
+
+def mutual_nearest_neighbors(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bands: "tuple[tuple[int, ...], ...] | None" = None,
+    center: bool = True,
+) -> DataFrame:
+    """Mutual-nearest-neighbor pairs: (a, b) where b is a's rank-1
+    neighbor AND a is b's — the reciprocity filter that turns a noisy
+    kNN join into a high-precision match set (the MNN rule from
+    cross-dataset alignment, Haghverdi et al. 2018; the same move as
+    reciprocal-best-hit in ontology matching). One-directional rank-1
+    is cheap to satisfy by accident next to a hub; mutuality is not.
+
+    Composes :func:`ann_knn_join` (k=1 per direction, banded sign-LSH
+    candidates, rounded-cosine rank) with one self-join on the swapped
+    pair — no new corpus pass. Output: (id_a, id_b, cos) with
+    id_a < id_b, one row per mutual pair."""
+    nn1 = ann_knn_join(
+        emb, k=1, id_col=id_col, vec_col=vec_col, bands=bands, center=center
+    ).select("id_a", "id_b", "cos")
+    rev = nn1.select(
+        F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b")
+    )
+    return (
+        nn1.join(rev, ["id_a", "id_b"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "cos")
+    )

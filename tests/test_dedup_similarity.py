@@ -590,3 +590,24 @@ def test_minhash_jaccard_audit_exact_on_identical_docs(spark):
     for r in out.values():
         assert 0.0 <= r.est_jaccard <= 1.0
         assert abs(r.est_jaccard * 8 - round(r.est_jaccard * 8)) < 1e-9
+
+
+def test_mutual_nearest_neighbors_reciprocity(spark):
+    from bran_spark.operators.similarity import mutual_nearest_neighbors
+
+    import math
+
+    # angle chain at 0deg / 20deg / 45deg: NN(v1)=v2, NN(v2)=v1 (20 < 25
+    # apart), NN(v3)=v2 but NOT reciprocated -> only (1,2) is mutual
+    def vec(deg):
+        r = math.radians(deg)
+        return [math.cos(r), math.sin(r), 0.0, 0.0]
+
+    rows = [(1, vec(0)), (2, vec(20)), (3, vec(45))]
+    emb = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+    bands = ((0, 1), (2, 3), (0, 2), (1, 3))
+    out = {
+        (r.id_a, r.id_b)
+        for r in mutual_nearest_neighbors(emb, bands=bands).collect()
+    }
+    assert out == {(1, 2)}

@@ -1073,3 +1073,25 @@ def test_link_prediction_features_closed_form(spark):
     assert ab.pref_att == 4
     # existing edges never appear
     assert ("a", "z") not in out and ("z", "a") not in out
+
+
+def test_topk_neighbor_graph_mutuality_drops_hub_tail(spark):
+    from bran_spark.operators.graphalgo import topk_neighbor_graph
+
+    # hub connects to 4 nodes; with k=1 mutual, only the strongest
+    # reciprocal edge survives
+    e = []
+    for node, w in [("a", 10), ("b", 5), ("c", 3), ("d", 1)]:
+        e += [("hub", node, w), (node, "hub", w)]
+    e += [("c", "d", 2), ("d", "c", 2)]  # weak clique on the side
+    edges = spark.createDataFrame(e, "u string, v string, w long")
+    out = {(r.u, r.v) for r in topk_neighbor_graph(edges, k=1, mutual=True).collect()}
+    # hub's top-1 is a; a's top-1 is hub -> mutual both directions
+    assert ("hub", "a") in out and ("a", "hub") in out
+    # b's top-1 is hub but hub's top-1 is a -> dropped
+    assert ("b", "hub") not in out
+    # d's top-1 is c (w=2 > 1); c's top-1 is hub -> dropped
+    assert ("d", "c") not in out
+    # non-mutual keeps per-node top-1 regardless
+    directed = {(r.u, r.v) for r in topk_neighbor_graph(edges, k=1, mutual=False).collect()}
+    assert ("b", "hub") in directed and ("d", "c") in directed
