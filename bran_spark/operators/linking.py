@@ -430,3 +430,51 @@ def fs_score(
         .when(F.col("score_fp") <= lower_fp, F.lit("non_match"))
         .otherwise(F.lit("possible")),
     )
+
+
+def sorted_neighborhood_pairs(
+    names: DataFrame,
+    id_col: str = "mesh_id",
+    name_col: str = "canonical_name",
+    window: int = 3,
+) -> DataFrame:
+    """Sorted-neighborhood blocking (Hernández & Stolfo, SIGMOD 1995) —
+    the OTHER classic ER candidate generator next to token blocking
+    (q149): sort entities by a name key and pair each with its next
+    ``window`` successors. Catches near-alphabetic variants (typos,
+    prefixes, transliteration drift) that share no rare token, with a
+    guaranteed candidate budget of w·n pairs.
+
+    Pure window arithmetic — lead(id, i) for i = 1..w over the sorted
+    key, exploded and null-filtered; NO join. The single global sort is
+    the algorithm's definition: at corpus scale, range-partition by key
+    prefix with boundaries overlapped by ``window`` rows (the standard
+    distributed SNM move) and this plan applies per partition
+    unchanged. Returns (id_a, id_b, dist), dist = neighborhood offset,
+    deterministic via the (key, id) sort."""
+    w = Window.orderBy("k", "id")
+    ranked = names.select(
+        F.col(id_col).alias("id"), F.lower(F.col(name_col)).alias("k")
+    )
+    # windows first (generators can't host window functions), explode after
+    with_leads = ranked.select(
+        F.col("id").alias("id_a"),
+        *[
+            F.lead("id", i).over(w).alias(f"_n{i}")
+            for i in range(1, window + 1)
+        ],
+    )
+    leads = with_leads.select(
+        "id_a",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.col(f"_n{i}").alias("id_b"), F.lit(i).alias("dist")
+                    )
+                    for i in range(1, window + 1)
+                ]
+            )
+        ).alias("nb"),
+    ).select("id_a", F.col("nb.id_b"), F.col("nb.dist"))
+    return leads.where(F.col("id_b").isNotNull())

@@ -8717,6 +8717,40 @@ def q211(spark, sf):
     return topk_neighbor_graph(sw, k=3, mutual=True)
 
 
+@_q(
+    "q212_sorted_neighborhood",
+    f"""
+    WITH names AS (SELECT mesh_id AS id, lower(canonical_name) AS k
+                   FROM read_parquet('{_FX01}/mesh_dict.parquet')),
+    r AS (SELECT id AS id_a,
+                 lead(id, 1) OVER w AS n1,
+                 lead(id, 2) OVER w AS n2,
+                 lead(id, 3) OVER w AS n3
+          FROM names WINDOW w AS (ORDER BY k, id)),
+    ex AS (SELECT id_a, unnest([n1, n2, n3]) AS id_b,
+                  unnest([1, 2, 3]) AS dist
+           FROM r)
+    SELECT id_a, id_b, dist FROM ex WHERE id_b IS NOT NULL
+    """,
+)
+def q212(spark, sf):
+    """Sorted-neighborhood ER blocking (linking.sorted_neighborhood_pairs,
+    w=3) over the entity dictionary's canonical names — the guaranteed-
+    budget candidate generator (w·n pairs) next to q149's token
+    blocking; pure lead() window arithmetic, no join. At corpus scale
+    the sort range-partitions by key prefix with window-overlapped
+    boundaries."""
+    from bran_spark.fixtures.gen import ensure, fixture_dir
+    from bran_spark.operators.linking import sorted_neighborhood_pairs
+
+    s = _fixture_sf_for(sf)
+    ensure(s)
+    names = spark.read.parquet(f"{fixture_dir(s)}/mesh_dict.parquet")
+    return sorted_neighborhood_pairs(
+        names, "mesh_id", "canonical_name", window=3
+    )
+
+
 # =========================================================================
 # Registry ordering: the driver's correctness gate hash-checks the FIRST
 # 50 insertion-order entries of ``queries()``. Definition order above is

@@ -914,3 +914,23 @@ def test_support_precision_curve_monotone_grid(spark):
     assert curve[1].recall == 1.0
     # n_pairs cumulative from above is monotone increasing as support drops
     assert curve[1].n_pairs >= curve[2].n_pairs >= curve[3].n_pairs
+
+
+def test_sorted_neighborhood_window_and_determinism(spark):
+    from bran_spark.operators.linking import sorted_neighborhood_pairs
+
+    names = spark.createDataFrame(
+        [("e1", "Alpha"), ("e2", "alphb"), ("e3", "beta"), ("e4", "gamma")],
+        "mesh_id string, canonical_name string",
+    )
+    out = {
+        (r.id_a, r.id_b): r.dist
+        for r in sorted_neighborhood_pairs(names, window=2).collect()
+    }
+    # sort order: alpha(e1), alphb(e2), beta(e3), gamma(e4)
+    assert out[("e1", "e2")] == 1 and out[("e1", "e3")] == 2
+    assert out[("e2", "e3")] == 1 and out[("e2", "e4")] == 2
+    assert out[("e3", "e4")] == 1
+    assert ("e4", "e1") not in out  # no wraparound; last entity pairs forward only
+    # candidate budget: at most w pairs per entity
+    assert len(out) == 5
