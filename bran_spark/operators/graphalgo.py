@@ -1791,3 +1791,79 @@ def topk_neighbor_graph(
         return kept
     rev = kept.select(F.col("v").alias("u"), F.col("u").alias("v"))
     return kept.join(rev, ["u", "v"]).select("u", "v", "w")
+
+
+def boruvka_spanning_forest(
+    edges: DataFrame,
+    minimum: bool = True,
+    max_rounds: int = 5,
+    src: str = "u",
+    dst: str = "v",
+    w_col: str = "w",
+) -> DataFrame:
+    """Borůvka spanning forest — THE parallel MST algorithm (every round
+    each component grabs its best incident edge, components at least
+    halve, so ⌈log₂ n⌉ rounds total): minimum=True gives the classic
+    MST; minimum=False the MAXIMUM spanning forest, i.e. the
+    single-linkage similarity backbone of a co-occurrence graph (the
+    dendrogram skeleton taxonomy-induction and hierarchical dedup cut).
+
+    Per round: attach component labels to both edge endpoints (two key
+    joins), keep cross-component edges, each component picks its best
+    edge by (weight, u, v) — a per-component window whose frame is the
+    component's frontier, then the accumulated forest relabels through
+    connected_components (large-star/small-star, lineage-truncated).
+    Tie-break by edge key = a consistent total order on edges, so the
+    result is the unique spanning forest of the perturbed order —
+    deterministic across engines and partitionings (weights here are
+    exact integers). The per-round emptiness check is one tiny count
+    (same driver-action budget as k-core's early exit). Returns the
+    forest edges (u, v, w)."""
+    e = edges.select(
+        F.col(src).alias("u"), F.col(dst).alias("v"), F.col(w_col).alias("w")
+    ).localCheckpoint(eager=True)
+    nodes = (
+        e.select(F.col("u").alias("node"))
+        .union(e.select("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = nodes.withColumn("lab", F.col("node"))
+    chosen = None
+    order_w = F.asc("w") if minimum else F.desc("w")
+    for _ in range(max_rounds):
+        la = labels.select(F.col("node").alias("u"), F.col("lab").alias("lu"))
+        lb = labels.select(F.col("node").alias("v"), F.col("lab").alias("lv"))
+        cross = (
+            e.join(la, "u").join(lb, "v").where(F.col("lu") != F.col("lv"))
+        )
+        cand = cross.select(
+            F.col("lu").alias("comp"), "u", "v", "w"
+        ).unionByName(cross.select(F.col("lv").alias("comp"), "u", "v", "w"))
+        win = Window.partitionBy("comp").orderBy(order_w, F.asc("u"), F.asc("v"))
+        picked = (
+            cand.withColumn("rk", F.row_number().over(win))
+            .where(F.col("rk") == 1)
+            .select("u", "v", "w")
+            .dropDuplicates()
+        )
+        if picked.isEmpty():
+            break
+        chosen = (
+            picked
+            if chosen is None
+            else chosen.unionByName(picked).dropDuplicates()
+        ).localCheckpoint(eager=True)
+        from bran_spark.operators.components import connected_components
+
+        cc = connected_components(
+            chosen.select(F.col("u").alias("id_a"), F.col("v").alias("id_b"))
+        )
+        labels = nodes.join(
+            cc.select(F.col("node"), F.col("component")), "node", "left"
+        ).select(
+            "node", F.coalesce("component", F.col("node")).alias("lab")
+        ).localCheckpoint(eager=True)
+    if chosen is None:
+        return e.where(F.lit(False))
+    return chosen

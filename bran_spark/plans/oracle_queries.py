@@ -8751,6 +8751,101 @@ def q212(spark, sf):
     )
 
 
+def _boruvka_round_sql(i: int) -> str:
+    """One unrolled Borůvka round over the MAXIMUM-weight objective:
+    cross-component edges → per-component best pick (w DESC, edge-key
+    ties) → accumulate forest → relabel via a recursive-CTE components
+    pass. MATERIALIZED everywhere a CTE is referenced more than once
+    (the planner otherwise inlines 3^rounds scans)."""
+    return f"""
+    , x{i} AS MATERIALIZED (
+        SELECT e.u, e.v, e.w, la.lab AS lu, lb.lab AS lv
+        FROM se e JOIN l{i - 1} la ON la.node = e.u
+                  JOIN l{i - 1} lb ON lb.node = e.v
+        WHERE la.lab <> lb.lab),
+    cd{i} AS (SELECT lu AS comp, u, v, w FROM x{i}
+              UNION ALL SELECT lv, u, v, w FROM x{i}),
+    pk{i} AS (SELECT u, v, w FROM (
+                SELECT *, ROW_NUMBER() OVER (PARTITION BY comp
+                          ORDER BY w DESC, u, v) AS rk FROM cd{i})
+              WHERE rk = 1),
+    ch{i} AS MATERIALIZED (SELECT DISTINCT u, v, w FROM
+             (SELECT u, v, w FROM ch{i - 1}
+              UNION ALL SELECT u, v, w FROM pk{i})),
+    cs{i} AS MATERIALIZED (SELECT u AS a, v AS b FROM ch{i}
+              UNION ALL SELECT v, u FROM ch{i}),
+    rr{i}(node, lab) AS (SELECT a, a FROM cs{i}
+              UNION SELECT e2.b, rr{i}.lab
+                    FROM rr{i} JOIN cs{i} e2 ON e2.a = rr{i}.node),
+    cc{i} AS MATERIALIZED (SELECT node, MIN(lab) AS lab FROM rr{i}
+                           GROUP BY node),
+    l{i} AS MATERIALIZED (SELECT n.node, COALESCE(c.lab, n.node) AS lab
+            FROM nodes n LEFT JOIN cc{i} c ON c.node = n.node)"""
+
+
+@_q(
+    "q213_boruvka_msf",
+    _FX_MENTIONS_SQL.replace("WITH d AS", "WITH RECURSIVE d AS", 1)
+    + """
+    , ent AS (SELECT DISTINCT doc_id, mesh_id, type FROM m),
+    ca AS (SELECT doc_id, mesh_id FROM ent WHERE type = 'Chemical'),
+    da AS (SELECT doc_id, mesh_id FROM ent WHERE type = 'Disease'),
+    wt AS (SELECT ca.mesh_id AS subj, da.mesh_id AS obj,
+                  COUNT(*)::BIGINT AS w
+           FROM ca JOIN da USING (doc_id) GROUP BY subj, obj),
+    sw AS (SELECT subj AS u, obj AS v, w FROM wt
+           UNION ALL SELECT obj, subj, w FROM wt),
+    kept AS (SELECT u, v, w FROM (
+               SELECT *, ROW_NUMBER() OVER (PARTITION BY u
+                                            ORDER BY w DESC, v) AS rk
+               FROM sw)
+             WHERE rk <= 3),
+    se AS MATERIALIZED (SELECT k.u, k.v, k.w FROM kept k
+                        JOIN kept r ON r.u = k.v AND r.v = k.u
+                        WHERE k.u < k.v),
+    nodes AS MATERIALIZED (SELECT u AS node FROM se
+                           UNION SELECT v FROM se),
+    ch0 AS (SELECT u, v, w FROM se WHERE FALSE),
+    l0 AS (SELECT node, node AS lab FROM nodes)
+    """
+    + "".join(_boruvka_round_sql(i) for i in range(1, 9))
+    + """
+    SELECT u, v, w FROM ch8
+    """,
+)
+def q213(spark, sf):
+    """Borůvka MAXIMUM spanning forest (graphalgo.boruvka_spanning_forest)
+    over the mutual top-3 co-occurrence graph (q211's sparsifier) — the
+    single-linkage similarity backbone taxonomy induction cuts; each
+    round every component grabs its strongest incident edge (edge-key
+    ties — a consistent total order, so the forest is unique and
+    engine-reproducible), components at least halve per round. The
+    oracle unrolls 8 rounds, each with a recursive-CTE relabel."""
+    from bran_spark.operators.graphalgo import (
+        boruvka_spanning_forest,
+        topk_neighbor_graph,
+    )
+
+    ent = _fx_entity_incidence(spark, sf)
+    chem = ent.where(F.col("type") == "Chemical").select(
+        "doc_id", F.col("mesh_id").alias("subj")
+    )
+    dis = ent.where(F.col("type") == "Disease").select(
+        "doc_id", F.col("mesh_id").alias("obj")
+    )
+    wt = chem.join(dis, "doc_id").groupBy("subj", "obj").agg(
+        F.count(F.lit(1)).cast("long").alias("w")
+    )
+    sw = wt.select(
+        F.col("subj").alias("u"), F.col("obj").alias("v"), "w"
+    ).unionByName(
+        wt.select(F.col("obj").alias("u"), F.col("subj").alias("v"), "w")
+    )
+    knn = topk_neighbor_graph(sw, k=3, mutual=True)
+    und = knn.where(F.col("u") < F.col("v"))
+    return boruvka_spanning_forest(und, minimum=False, max_rounds=8)
+
+
 # =========================================================================
 # Registry ordering: the driver's correctness gate hash-checks the FIRST
 # 50 insertion-order entries of ``queries()``. Definition order above is

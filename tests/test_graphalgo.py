@@ -1095,3 +1095,26 @@ def test_topk_neighbor_graph_mutuality_drops_hub_tail(spark):
     # non-mutual keeps per-node top-1 regardless
     directed = {(r.u, r.v) for r in topk_neighbor_graph(edges, k=1, mutual=False).collect()}
     assert ("b", "hub") in directed and ("d", "c") in directed
+
+
+def test_boruvka_spanning_forest_exact_mst(spark):
+    from bran_spark.operators.graphalgo import boruvka_spanning_forest
+
+    # weighted square with diagonal: max spanning tree is unique
+    #   a-b:5, b-c:4, c-d:3, d-a:1, a-c:2  -> MaxST = {ab, bc, cd} (w=12)
+    edges = spark.createDataFrame(
+        [("a", "b", 5), ("b", "c", 4), ("c", "d", 3), ("d", "a", 1),
+         ("a", "c", 2)],
+        "u string, v string, w long",
+    )
+    msf = {(r.u, r.v) for r in boruvka_spanning_forest(edges, minimum=False).collect()}
+    assert msf == {("a", "b"), ("b", "c"), ("c", "d")}
+    # minimum objective: da(1) + ac(2) join a,c,d; b attaches via bc(4)
+    mst = {(r.u, r.v) for r in boruvka_spanning_forest(edges, minimum=True).collect()}
+    assert mst == {("d", "a"), ("a", "c"), ("b", "c")}
+    # forest case: two disjoint edges stay two trees
+    forest = spark.createDataFrame(
+        [("a", "b", 1), ("x", "y", 9)], "u string, v string, w long"
+    )
+    out = {(r.u, r.v) for r in boruvka_spanning_forest(forest).collect()}
+    assert out == {("a", "b"), ("x", "y")}
