@@ -8873,8 +8873,11 @@ _FIRST_50 = [
     # connected components, composed end-to-end; exact dedup q27 is the
     # simplest op in the corpus and stays mirror-covered — its slot goes
     # to the round-3 KG-fusion family below)
+    # (components q50 stays mirror-covered: q74's survivors AND q213's
+    # per-round relabel both execute it; its slot funds the round-3
+    # Borůvka spanning-forest family below)
     "q28_dedup_ngram_jaccard", "q29_dedup_minhash_lsh",
-    "q35_embedding_neardup", "q50_dedup_components",
+    "q35_embedding_neardup", "q213_boruvka_msf",
     "q74_dedup_survivors", "q52_repetition_stats",
     # KG-fusion family (round-3 session additions): AMIE rule mining and
     # truth discovery are its two distinct algorithm shapes (inference
@@ -8898,7 +8901,9 @@ _FIRST_50 = [
     # variants stay mirror-covered; the driver slots go to one rep per
     # sub-family: k-means coarse cells, multi-probe IVF, banded k-NN,
     # PQ encode — the round-3 compression path)
-    "q47_kmeans_cells", "q49_ivf_multiprobe", "q55_ann_knn_join",
+    # (multi-probe q49 is the probe-count dial of q47's trained cells —
+    # mirror-covered; its slot funds the round-3 weak-supervision family)
+    "q47_kmeans_cells", "q183_weak_labels", "q55_ann_knn_join",
     "q99_product_quantize",
     # graph family (BFS/LPA/degree stay mirror-covered; PageRank,
     # triangles, PMI weighting and hierarchy closure are the four
