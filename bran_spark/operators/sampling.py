@@ -540,3 +540,93 @@ def temperature_mix(
         .where(F.col("_coin") < F.col("keep_millionths"))
         .select(id_col, source_col, size_col)
     )
+
+
+def ab_assignment_srm(
+    users: DataFrame,
+    id_col: str = "user_id",
+    n_arms: int = 2,
+) -> DataFrame:
+    """Deterministic A/B arm assignment plus the sample-ratio-mismatch
+    audit — the two halves every experimentation platform runs before
+    trusting a result: hash-bucket each unit (md5 coin, sticky and
+    engine-reproducible — no RNG, no assignment table), then chi-square
+    the observed arm counts against the designed equal split. SRM
+    (chi² ≫ df) means the assignment or logging pipeline is biased and
+    the experiment is void regardless of its p-value.
+
+    One distinct + one n_arms-key aggregate; the chi-square cells are
+    exact integers until each term's one division. Output: one row per
+    arm (arm, n_units, share, expected, chi2_term) — total chi² = Σ
+    chi2_term with df = n_arms − 1."""
+    coin = (
+        F.conv(F.substring(F.md5(F.col("uid").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+    )
+    assigned = users.select(F.col(id_col).alias("uid")).distinct().select(
+        "uid", (coin % n_arms).cast("int").alias("arm")
+    )
+    counts = assigned.groupBy("arm").agg(
+        F.count(F.lit(1)).cast("long").alias("n_units")
+    )
+    tot = assigned.agg(F.count(F.lit(1)).cast("double").alias("n_tot"))
+    exp = F.col("n_tot") / n_arms
+    return counts.crossJoin(F.broadcast(tot)).select(
+        "arm",
+        "n_units",
+        F.round(F.col("n_units") / F.col("n_tot"), 6).alias("share"),
+        F.round(exp, 6).alias("expected"),
+        F.round(
+            (F.col("n_units") - exp) * (F.col("n_units") - exp) / exp, 6
+        ).alias("chi2_term"),
+    )
+
+
+def neyman_allocation(
+    df: DataFrame,
+    stratum_col: str,
+    value_col: str,
+    budget: int,
+) -> DataFrame:
+    """Neyman optimal allocation for stratified sampling — the DESIGN
+    step in front of stratified_sample's draw: given a total sample
+    budget, allocate to each stratum in proportion to n_h·σ_h (big and
+    internally-variable strata get more; a huge-but-uniform stratum
+    needs few samples). Minimizes the variance of the stratified mean
+    at fixed budget.
+
+    Moments come from the exact two-moment identity over one
+    dimension-keyed aggregate (no library stddev accumulation order);
+    the weight total is a 1-row broadcast. alloc = floor(budget ·
+    ROUND(w/Σw, 6)) — the fraction is rounded BEFORE the multiply so
+    both engines floor the identical binary double (raw fractions
+    differ in ULPs across summation orders; distribute the ≤ n_strata
+    remainder by policy downstream). Zero-variance strata get
+    weight 0 by the formula — floor-clamp upstream if every stratum
+    needs a minimum. Output: (stratum, n, sd, weight, alloc_frac,
+    alloc), 6 dp."""
+    g = df.groupBy(F.col(stratum_col).alias("stratum")).agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(F.col(value_col)).cast("double").alias("s1"),
+        F.sum(F.col(value_col) * F.col(value_col)).cast("double").alias("s2"),
+    )
+    mean = F.col("s1") / F.col("n")
+    var = F.col("s2") / F.col("n") - mean * mean
+    sd = F.sqrt(F.greatest(var, F.lit(0.0)))
+    weighted = g.select(
+        "stratum", "n", sd.alias("sd"), (F.col("n") * sd).alias("weight")
+    )
+    tot = weighted.agg(F.sum("weight").alias("w_tot"))
+    return weighted.crossJoin(F.broadcast(tot)).select(
+        "stratum",
+        F.col("n").cast("long").alias("n"),
+        F.round("sd", 6).alias("sd"),
+        F.round("weight", 6).alias("weight"),
+        F.round(F.col("weight") / F.col("w_tot"), 6).alias("alloc_frac"),
+        F.floor(
+            F.lit(float(budget))
+            * F.round(F.col("weight") / F.col("w_tot"), 6)
+        )
+        .cast("long")
+        .alias("alloc"),
+    )

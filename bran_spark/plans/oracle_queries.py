@@ -8846,6 +8846,72 @@ def q213(spark, sf):
     return boruvka_spanning_forest(und, minimum=False, max_rounds=8)
 
 
+_HEX8_SQL = " + ".join(
+    f"(strpos('0123456789abcdef', substr(h, {i + 1}, 1)) - 1) * {16 ** (7 - i)}"
+    for i in range(8)
+)
+
+
+@_q(
+    "q214_ab_srm",
+    f"""
+    WITH u AS (SELECT DISTINCT user_id AS uid FROM events),
+    k AS (SELECT uid, md5(uid::VARCHAR) AS h FROM u),
+    a AS (SELECT CAST(({_HEX8_SQL}) % 2 AS INT) AS arm FROM k),
+    c AS (SELECT arm, COUNT(*)::BIGINT AS n_units FROM a GROUP BY arm),
+    t AS (SELECT COUNT(*)::DOUBLE AS n_tot FROM a)
+    SELECT arm, n_units,
+           ROUND(n_units / n_tot, 6) AS share,
+           ROUND(n_tot / 2, 6) AS expected,
+           ROUND((n_units - n_tot / 2) * (n_units - n_tot / 2)
+                 / (n_tot / 2), 6) AS chi2_term
+    FROM c, t
+    """,
+)
+def q214(spark, sf):
+    """Deterministic A/B assignment + sample-ratio-mismatch audit
+    (sampling.ab_assignment_srm): md5-coin arm bucketing (sticky, no
+    assignment table) and the chi-square cells against the designed
+    equal split — SRM means the experiment is void regardless of its
+    p-value. One distinct + one 2-key aggregate."""
+    from bran_spark.operators.sampling import ab_assignment_srm
+
+    return ab_assignment_srm(_t(spark, sf, "events"), "user_id", n_arms=2)
+
+
+@_q(
+    "q215_neyman_allocation",
+    """
+    WITH g AS (SELECT event_type AS stratum, COUNT(*)::DOUBLE AS n,
+                      SUM(value)::DOUBLE AS s1,
+                      SUM(value * value)::DOUBLE AS s2
+               FROM events GROUP BY event_type),
+    w AS (SELECT stratum, n,
+                 sqrt(greatest(s2 / n - (s1 / n) * (s1 / n), 0)) AS sd,
+                 n * sqrt(greatest(s2 / n - (s1 / n) * (s1 / n), 0))
+                   AS weight
+          FROM g),
+    t AS (SELECT SUM(weight) AS w_tot FROM w)
+    SELECT stratum, CAST(n AS BIGINT) AS n, ROUND(sd, 6) AS sd,
+           ROUND(weight, 6) AS weight,
+           ROUND(weight / w_tot, 6) AS alloc_frac,
+           CAST(floor(1000.0 * ROUND(weight / w_tot, 6)) AS BIGINT) AS alloc
+    FROM w, t
+    """,
+)
+def q215(spark, sf):
+    """Neyman optimal allocation (sampling.neyman_allocation, budget
+    1000) of a sample budget across event-type strata ∝ n_h·σ_h — the
+    stratified-sampling DESIGN step in front of q61's draw. Exact
+    two-moment sd; the allocation floors over the ROUNDED fraction so
+    summation-order ULP noise can't flip the integer."""
+    from bran_spark.operators.sampling import neyman_allocation
+
+    return neyman_allocation(
+        _t(spark, sf, "events"), "event_type", "value", budget=1000
+    )
+
+
 # =========================================================================
 # Registry ordering: the driver's correctness gate hash-checks the FIRST
 # 50 insertion-order entries of ``queries()``. Definition order above is

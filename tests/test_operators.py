@@ -934,3 +934,47 @@ def test_sorted_neighborhood_window_and_determinism(spark):
     assert ("e4", "e1") not in out  # no wraparound; last entity pairs forward only
     # candidate budget: at most w pairs per entity
     assert len(out) == 5
+
+
+def test_ab_assignment_sticky_and_chi_square(spark):
+    from bran_spark.operators.sampling import ab_assignment_srm
+
+    users = spark.createDataFrame(
+        [(i,) for i in range(200)] + [(0,), (1,)],  # dupes collapse
+        "user_id int",
+    )
+    out = {r.arm: r for r in ab_assignment_srm(users, "user_id", n_arms=2).collect()}
+    assert set(out) == {0, 1}
+    total = sum(r.n_units for r in out.values())
+    assert total == 200  # distinct units
+    for r in out.values():
+        assert r.expected == 100.0
+        assert abs(r.chi2_term - round((r.n_units - 100) ** 2 / 100, 6)) < 1e-9
+    # determinism: same ids -> identical assignment counts on rerun
+    again = {r.arm: r.n_units for r in ab_assignment_srm(users, "user_id").collect()}
+    assert again == {a: r.n_units for a, r in out.items()}
+
+
+def test_neyman_allocation_favors_variable_strata(spark):
+    from bran_spark.operators.sampling import neyman_allocation
+
+    rows = []
+    # stratum 'flat': 100 rows, constant value -> sd 0 -> alloc 0
+    rows += [("flat", 5.0)] * 100
+    # stratum 'wild': 100 rows alternating 0/10 -> sd 5
+    rows += [("wild", 0.0), ("wild", 10.0)] * 50
+    # stratum 'mild': 200 rows alternating 4/6 -> sd 1, n twice as big
+    rows += [("mild", 4.0), ("mild", 6.0)] * 100
+    df = spark.createDataFrame(rows, "event_type string, value double")
+    out = {
+        r.stratum: r
+        for r in neyman_allocation(df, "event_type", "value", budget=700).collect()
+    }
+    assert out["flat"].alloc == 0 and out["flat"].sd == 0.0
+    # weights: wild = 100*5 = 500, mild = 200*1 = 200 -> 5/7 and 2/7
+    assert abs(out["wild"].alloc_frac - round(5 / 7, 6)) < 1e-9
+    # floor(700 * 0.714286) = floor(500.0002) = 500;
+    # floor(700 * 0.285714) = floor(199.9998) = 199 — the rounded-frac
+    # contract: remainders are distributed downstream, never invented
+    assert out["wild"].alloc == 500
+    assert out["mild"].alloc == 199
