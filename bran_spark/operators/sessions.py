@@ -120,6 +120,11 @@ def burst_scores(
       z(type, hour) = (count − mean_type) / stddev_type,
       burst ⇔ z ≥ z_threshold
 
+    Hours in which a type logged ZERO events are absent from that
+    type's grid (sparse-bucket convention): the moments describe the
+    type's ACTIVE hours. Densify against a generated hour sequence
+    upstream if silence must depress the mean.
+
     Mean/variance come from exact integer bucket counts via the
     two-moment identity (var = Σc²/n − (Σc/n)²) — the SAME fixed
     expression tree in every engine, instead of a library stddev whose

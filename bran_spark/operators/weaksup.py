@@ -54,6 +54,8 @@ def lf_stats(df: DataFrame, lf_cols: list[str]) -> DataFrame:
     aggregate state is a few rows regardless of corpus size. Output:
     (lf_name, n_items, coverage, overlap, conflict), 6 dp, ordered by
     lf_name."""
+    if len(lf_cols) < 2:
+        raise ValueError("lf_stats needs at least 2 labeling functions")
     per_lf = []
     for c in lf_cols:
         others = [o for o in lf_cols if o != c]
