@@ -677,11 +677,17 @@ def conformal_coverage(
     the modern calibration audit next to the reliability diagram
     (calibration_bins):
 
-      k   = max(1, ⌊α·(n_calib + 1)⌋)
+      k   = ⌊α·(n_calib + 1)⌋
       τ   = k-th SMALLEST calibration score  (an order statistic of the
             multiset — tie order cannot change the value)
       coverage = P_test(score ≥ τ)           (≥ 1 − α in expectation
             under exchangeability)
+
+    Degenerate calibration sets: when ⌊α·(n+1)⌋ = 0 (n < 1/α − 1) NO
+    finite order statistic can honor the 1−α guarantee, so the audit
+    reports k=0, τ=−∞ and full coverage (the predict-everything set)
+    rather than silently clamping to the minimum score, which would
+    deliver only n/(n+1) coverage while still printing `target`=1−α.
 
     The rank window runs over the CALIBRATION set only — calibration
     sets are sampled and bounded by design (hundreds to thousands), the
@@ -694,16 +700,17 @@ def conformal_coverage(
         .withColumn("rn", F.row_number().over(Window.orderBy("cs")))
         .crossJoin(F.broadcast(n))
     )
+    k_req = F.floor(F.lit(alpha) * (F.col("n_calib") + 1)).cast("long")
     tau = ranked.where(
-        F.col("rn")
-        == F.greatest(
-            F.lit(1),
-            F.floor(F.lit(alpha) * (F.col("n_calib") + 1)).cast("long"),
-        )
+        F.col("rn") == F.greatest(F.lit(1), k_req)
     ).select(
         "n_calib",
-        F.col("rn").alias("k"),
-        F.col("cs").alias("tau"),
+        F.when(k_req >= 1, F.col("rn").cast("long"))
+        .otherwise(F.lit(0).cast("long"))
+        .alias("k"),
+        F.when(k_req >= 1, F.col("cs"))
+        .otherwise(F.lit(float("-inf")))
+        .alias("tau"),
     )
     cov = test.select(F.col(score_col).alias("ts")).crossJoin(
         F.broadcast(tau)

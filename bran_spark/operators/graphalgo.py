@@ -1540,8 +1540,9 @@ def llr_association(ent: DataFrame) -> DataFrame:
       k11 = docs with both, k12 = chem only, k21 = dis only,
       k22 = neither;  G² = 2·(Σ xlnx(k) − Σ xlnx(row/col sums) + xlnx(N))
 
-    Same plan family as the PMI twin: one doc-keyed pair join, marginals
-    joined back (hot entities fan out over the composite pair key), a
+    Same plan family as the PMI twin: one doc-keyed pair join, the
+    entity-dimension-sized marginals BROADCAST back (re-keying the much
+    larger pair table by subj then obj would shuffle it twice), a
     1-row corpus total broadcast. The G² expression is a fixed scalar
     tree over exact integer cells — no float aggregation order exists to
     diverge across engines. Returns (subj, obj, n_co, llr), 6 dp."""
@@ -1574,8 +1575,8 @@ def llr_association(ent: DataFrame) -> DataFrame:
         + xlnx(n)
     )
     return (
-        pc.join(na, "subj")
-        .join(nb, "obj")
+        pc.join(F.broadcast(na), "subj")
+        .join(F.broadcast(nb), "obj")
         .crossJoin(F.broadcast(dd))
         .select(
             "subj",
@@ -1606,9 +1607,10 @@ def pathsim_pairs(
     intermediate (the hot-key axis: a hub disease fans out
     quadratically — df-cut the top intermediates exactly like
     ngram_jaccard's stop-shingle bound when |via| degree is unbounded),
-    then two integer aggregates. Exact integers until the one division;
-    top-k by (pathsim, id ties). Returns (id_a, id_b, paths_ab,
-    pathsim)."""
+    then two integer aggregates; the src-dimension-sized self-path
+    table is broadcast onto the quadratic pair table (never the other
+    way around). Exact integers until the one division; top-k by
+    (pathsim, id ties). Returns (id_a, id_b, paths_ab, pathsim)."""
     e = weighted.select(
         F.col(src).alias("s"), F.col(via).alias("d"), F.col(w_col).alias("w")
     )
@@ -1625,11 +1627,19 @@ def pathsim_pairs(
     )
     return (
         cross.join(
-            self_p.select(F.col("s").alias("id_a"), F.col("paths_self").alias("pa")),
+            F.broadcast(
+                self_p.select(
+                    F.col("s").alias("id_a"), F.col("paths_self").alias("pa")
+                )
+            ),
             "id_a",
         )
         .join(
-            self_p.select(F.col("s").alias("id_b"), F.col("paths_self").alias("pb")),
+            F.broadcast(
+                self_p.select(
+                    F.col("s").alias("id_b"), F.col("paths_self").alias("pb")
+                )
+            ),
             "id_b",
         )
         .select(

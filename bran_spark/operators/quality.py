@@ -430,8 +430,6 @@ def zipf_fit(
     cut, then the closed-form OLS sums over the top_n-row table — the
     regression input is bounded at any corpus size, so the fit itself
     is driver-free constant work."""
-    from bran_spark.functions.text import words
-
     tf = (
         docs.select(F.explode(words(text_col)).alias("term"))
         .groupBy("term")
@@ -439,8 +437,6 @@ def zipf_fit(
         .orderBy(F.desc("freq"), "term")
         .limit(top_n)
     )
-    from pyspark.sql import Window
-
     ranked = tf.withColumn(
         "r",
         F.row_number().over(Window.orderBy(F.desc("freq"), "term")),
@@ -584,8 +580,6 @@ def vocab_saturation(df: DataFrame, text_col: str = "text") -> DataFrame:
     combined; the frequency-of-frequencies reduction state is tiny).
     Output: (n_tokens, vocab, n_singletons, unseen_mass, herdan_c),
     6 dp."""
-    from bran_spark.functions.text import words
-
     tf = (
         df.select(F.explode(words(text_col)).alias("term"))
         .groupBy("term")

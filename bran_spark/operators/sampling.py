@@ -558,7 +558,10 @@ def ab_assignment_srm(
     One distinct + one n_arms-key aggregate; the chi-square cells are
     exact integers until each term's one division. Output: one row per
     arm (arm, n_units, share, expected, chi2_term) — total chi² = Σ
-    chi2_term with df = n_arms − 1."""
+    chi2_term with df = n_arms − 1. The output is densified against a
+    generated 0..n_arms−1 dimension so an arm that received ZERO units
+    still contributes its (0 − expected)²/expected cell — the strongest
+    possible mismatch evidence must not vanish from the audit."""
     coin = (
         F.conv(F.substring(F.md5(F.col("uid").cast("string")), 1, 8), 16, 10)
         .cast("long")
@@ -566,8 +569,17 @@ def ab_assignment_srm(
     assigned = users.select(F.col(id_col).alias("uid")).distinct().select(
         "uid", (coin % n_arms).cast("int").alias("arm")
     )
-    counts = assigned.groupBy("arm").agg(
-        F.count(F.lit(1)).cast("long").alias("n_units")
+    arm_dim = users.sparkSession.range(n_arms).select(
+        F.col("id").cast("int").alias("arm")
+    )
+    counts = arm_dim.join(
+        assigned.groupBy("arm").agg(
+            F.count(F.lit(1)).cast("long").alias("n_units")
+        ),
+        "arm",
+        "left",
+    ).select(
+        "arm", F.coalesce("n_units", F.lit(0).cast("long")).alias("n_units")
     )
     tot = assigned.agg(F.count(F.lit(1)).cast("double").alias("n_tot"))
     exp = F.col("n_tot") / n_arms

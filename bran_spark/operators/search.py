@@ -412,9 +412,12 @@ def hard_negatives(
     Plan: the positive set is a scan-projection predicate (array
     containment over the shared words() split — no join), the exclusion
     is a left-anti join on doc_id, the cut is TakeOrdered; the rank
-    column is a window over the already-truncated k rows only. Returns
-    (doc_id, score, rank)."""
-    terms = [t.lower() for t in query_terms]
+    column is a window over the already-truncated k rows only. Query
+    terms are deduplicated up front (first occurrence wins) so a
+    repeated term can neither double its BM25 contribution nor inflate
+    the conjunctive-match size past what any document can reach.
+    Returns (doc_id, score, rank)."""
+    terms = list(dict.fromkeys(t.lower() for t in query_terms))
     terms_df = docs.sparkSession.createDataFrame(
         [(t,) for t in terms], "term string"
     )

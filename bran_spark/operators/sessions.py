@@ -271,7 +271,6 @@ def funnel_stages(
         F.col(type_col).alias("et"),
         F.unix_timestamp(ts_col).alias("ep"),
     )
-    spark = events.sparkSession
     entered = None
     counts = []
     for i, stage in enumerate(stages):

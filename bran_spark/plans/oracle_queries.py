@@ -8167,7 +8167,12 @@ def q197(spark, sf):
     tst AS (SELECT s FROM pos WHERE doc_id % 2 = 1),
     n AS (SELECT COUNT(*)::BIGINT AS n_calib FROM calib),
     rk AS (SELECT s AS cs, ROW_NUMBER() OVER (ORDER BY s) AS rn FROM calib),
-    tau AS (SELECT n.n_calib, rk.rn AS k, rk.cs AS tau
+    tau AS (SELECT n.n_calib,
+                   CASE WHEN floor(0.1 * (n.n_calib + 1)) >= 1
+                        THEN rk.rn ELSE 0 END AS k,
+                   CASE WHEN floor(0.1 * (n.n_calib + 1)) >= 1
+                        THEN rk.cs
+                        ELSE CAST('-infinity' AS DOUBLE) END AS tau
             FROM rk, n
             WHERE rk.rn = greatest(1, CAST(floor(0.1 * (n.n_calib + 1))
                                            AS BIGINT)))
@@ -8858,7 +8863,10 @@ _HEX8_SQL = " + ".join(
     WITH u AS (SELECT DISTINCT user_id AS uid FROM events),
     k AS (SELECT uid, md5(uid::VARCHAR) AS h FROM u),
     a AS (SELECT CAST(({_HEX8_SQL}) % 2 AS INT) AS arm FROM k),
-    c AS (SELECT arm, COUNT(*)::BIGINT AS n_units FROM a GROUP BY arm),
+    c AS (SELECT g.arm, COALESCE(n.n_units, 0)::BIGINT AS n_units
+          FROM (SELECT CAST(unnest(range(2)) AS INT) AS arm) g
+          LEFT JOIN (SELECT arm, COUNT(*)::BIGINT AS n_units
+                     FROM a GROUP BY arm) n USING (arm)),
     t AS (SELECT COUNT(*)::DOUBLE AS n_tot FROM a)
     SELECT arm, n_units,
            ROUND(n_units / n_tot, 6) AS share,

@@ -871,7 +871,7 @@ def test_burst_scores_flags_planted_spike(spark):
 def test_conformal_coverage_order_statistic_and_guarantee(spark):
     from bran_spark.operators.evaluate import conformal_coverage
 
-    # calib scores 1..9 -> n=9, k = max(1, floor(0.1*10)) = 1 -> tau = 1.0
+    # calib scores 1..9 -> n=9, k = floor(0.1*10) = 1 -> tau = 1.0
     calib = spark.createDataFrame([(float(i),) for i in range(1, 10)], "s double")
     test = spark.createDataFrame(
         [(0.5,), (1.0,), (2.0,), (9.9,)], "s double"
@@ -884,6 +884,14 @@ def test_conformal_coverage_order_statistic_and_guarantee(spark):
     row2 = conformal_coverage(calib, calib, alpha=0.5).head()
     assert row2.k == 5 and row2.tau == 5.0
     assert abs(row2.coverage - 5 / 9) < 1e-6  # scores >= 5.0 among 1..9
+    # degenerate calibration set: n=5, alpha=0.1 -> floor(0.1*6)=0. No
+    # finite order statistic honors 0.9 coverage; clamping to the min
+    # score would deliver only 5/6 — report tau=-inf / full coverage.
+    tiny = spark.createDataFrame([(float(i),) for i in range(1, 6)], "s double")
+    row3 = conformal_coverage(tiny, test, alpha=0.1).head()
+    assert row3.n_calib == 5 and row3.k == 0
+    assert row3.tau == float("-inf")
+    assert row3.n_covered == 4 and row3.coverage == 1.0
 
 
 def test_support_precision_curve_monotone_grid(spark):
@@ -953,6 +961,17 @@ def test_ab_assignment_sticky_and_chi_square(spark):
     # determinism: same ids -> identical assignment counts on rerun
     again = {r.arm: r.n_units for r in ab_assignment_srm(users, "user_id").collect()}
     assert again == {a: r.n_units for a, r in out.items()}
+    # an arm with ZERO units must still emit its chi-square cell — a
+    # single user across 3 arms leaves 2 arms empty, and those empty
+    # arms carry the strongest mismatch evidence (expected-vs-0).
+    one = spark.createDataFrame([(42,)], "user_id int")
+    cells = {r.arm: r for r in ab_assignment_srm(one, "user_id", n_arms=3).collect()}
+    assert set(cells) == {0, 1, 2}
+    assert sum(r.n_units for r in cells.values()) == 1
+    for r in cells.values():
+        assert abs(r.expected - 1 / 3) < 1e-6
+        if r.n_units == 0:
+            assert abs(r.chi2_term - round((1 / 3) ** 2 / (1 / 3), 6)) < 1e-6
 
 
 def test_neyman_allocation_favors_variable_strata(spark):

@@ -410,6 +410,20 @@ def test_llr_and_burst_broadcast_scalar_stats(spark, testdata_dir):
     for name in ["q192_llr_association", "q197_burst_detection"]:
         plan = _plan(QUERIES[name](spark, testdata_dir))
         assert "BroadcastExchange" in plan, name
+    # llr specifically: BOTH entity-dimension marginals (n_s, n_o) must
+    # be broadcast onto the pair table (the PMI-template regression the
+    # r3 review caught). The doc-keyed pair-BUILD join legitimately
+    # sort-merges; only the marginal attaches must not.
+    plan = _plan(QUERIES["q192_llr_association"](spark, testdata_dir))
+    assert plan.count("BroadcastHashJoin") >= 2
+
+
+def test_pathsim_self_paths_broadcast_onto_pairs(spark, testdata_dir):
+    """pathsim_pairs: the src-dimension self-path table is broadcast
+    onto the quadratic pair side for both the id_a and id_b attaches —
+    never a shuffle of the pair table."""
+    plan = _plan(QUERIES["q202_pathsim"](spark, testdata_dir))
+    assert plan.count("BroadcastHashJoin") >= 2
 
 
 def test_weak_label_votes_are_scan_projection(spark, testdata_dir):

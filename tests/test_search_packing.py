@@ -307,6 +307,14 @@ def test_hard_negatives_excludes_full_matches(spark):
     assert "full" not in ids and "none" not in ids
     assert set(ids) == {"half1", "half2"}
     assert [r.rank for r in sorted(out, key=lambda r: -r.score)] == [1, 2]
+    # a repeated query term must not inflate the conjunctive-match size
+    # past reach (which emptied the positive set and returned the true
+    # matches as "negatives") nor double that term's BM25 contribution:
+    # duplicated input == deduplicated input, bit-for-bit.
+    dup = hard_negatives(docs, ["alpha", "alpha", "beta"], k=10).collect()
+    assert sorted((r.doc_id, r.score, r.rank) for r in dup) == sorted(
+        (r.doc_id, r.score, r.rank) for r in out
+    )
 
 
 def test_textrank_hub_word_ranks_first(spark):
