@@ -642,3 +642,140 @@ def neyman_allocation(
         .cast("long")
         .alias("alloc"),
     )
+
+
+def ab_effect(
+    units: DataFrame,
+    arm_col: str = "arm",
+    y_col: str = "y",
+    scale: int = 100,
+) -> DataFrame:
+    """Two-sample experiment readout — the statistic every A/B platform
+    prints next to ab_assignment_srm's validity audit: difference in
+    per-unit means between arm 1 (treatment) and arm 0 (control) with a
+    Welch standard error and t statistic (unequal variances; the only
+    safe default when arms differ in size or spread).
+
+    ``y_col`` must hold EXACT INTEGERS (integerize upstream — e.g.
+    value cents via round(value·100)); ``scale`` converts back to unit
+    terms for display. Integer sums are associative, so Σy and Σy² are
+    bit-identical across partitionings and engines, and every derived
+    quantity is ONE fixed scalar expression tree over those exact
+    integers — no float accumulation order exists to diverge. Bound:
+    Σy² must stay below 2⁶³ (cents up to ~10⁴·√n rows — at 10⁹ units
+    pre-scale the metric or use decimal sums).
+
+    One conditional aggregate (map-side partial, no shuffle beyond the
+    1-row reduce). Output: 1 row (n_ctl, n_trt, mean_ctl, mean_trt,
+    diff, se, t_stat), 6 dp; arms other than {0,1} are ignored."""
+    y = F.col("_y")
+    arm = F.col("_arm")
+    g = units.select(
+        F.col(arm_col).cast("int").alias("_arm"),
+        F.col(y_col).cast("long").alias("_y"),
+    ).agg(
+        F.sum(F.when(arm == 0, 1).otherwise(0)).cast("long").alias("n0"),
+        F.sum(F.when(arm == 1, 1).otherwise(0)).cast("long").alias("n1"),
+        F.sum(F.when(arm == 0, y).otherwise(F.lit(0))).cast("long").alias("s0"),
+        F.sum(F.when(arm == 1, y).otherwise(F.lit(0))).cast("long").alias("s1"),
+        F.sum(F.when(arm == 0, y * y).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("q0"),
+        F.sum(F.when(arm == 1, y * y).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("q1"),
+    )
+    k = float(scale)
+    n0 = F.col("n0").cast("double")
+    n1 = F.col("n1").cast("double")
+    m0 = F.col("s0") / (n0 * k)
+    m1 = F.col("s1") / (n1 * k)
+    # unbiased sample variance in unit terms via the two-moment identity
+    v0 = (F.col("q0") / (k * k) - n0 * m0 * m0) / (n0 - 1)
+    v1 = (F.col("q1") / (k * k) - n1 * m1 * m1) / (n1 - 1)
+    se = F.sqrt(v0 / n0 + v1 / n1)
+    # ANSI-safe degenerate branches: <2 units in an arm or zero spread
+    # yield NULL (the honest answer), never a division-by-zero abort.
+    ok = (F.col("n0") > 1) & (F.col("n1") > 1)
+    return g.select(
+        F.col("n0").alias("n_ctl"),
+        F.col("n1").alias("n_trt"),
+        F.round(F.when(F.col("n0") > 0, m0), 6).alias("mean_ctl"),
+        F.round(F.when(F.col("n1") > 0, m1), 6).alias("mean_trt"),
+        F.round(F.when((F.col("n0") > 0) & (F.col("n1") > 0), m1 - m0), 6)
+        .alias("diff"),
+        F.round(F.when(ok, se), 6).alias("se"),
+        F.round(F.when(ok & (se != 0), (m1 - m0) / se), 6).alias("t_stat"),
+    )
+
+
+def cuped_effect(
+    units: DataFrame,
+    arm_col: str = "arm",
+    y_col: str = "y",
+    x_col: str = "x",
+    scale: int = 100,
+) -> DataFrame:
+    """CUPED variance reduction (Deng et al., WSDM 2013): regress the
+    experiment metric on a PRE-EXPERIMENT covariate (same metric, prior
+    period) and read the effect off the residuals — the standard trick
+    that cuts experiment runtimes ~2-5× because assignment is
+    independent of anything pre-assignment:
+
+      θ     = cov(x, y) / var(x)            (pooled over all units)
+      ŷ(u)  = y(u) − θ·(x(u) − x̄)
+      diff′ = diff − θ·(mean_x(trt) − mean_x(ctl))
+      var_reduction = ρ²(x, y)              (population form)
+
+    Per-arm adjusted means need NO second pass: they are linear in the
+    per-arm (Σy, Σx) sums, so one conditional aggregate over exact
+    integer inputs (see ab_effect's contract and overflow bound — the
+    cross-moment Σxy tightens it to |x|·|y| ≲ 2⁶³/n) yields every
+    output as a fixed scalar tree. Output: 1 row (n_ctl, n_trt, theta,
+    diff_raw, diff_adj, var_reduction), 6 dp."""
+    y = F.col("_y")
+    x = F.col("_x")
+    arm = F.col("_arm")
+    g = units.select(
+        F.col(arm_col).cast("int").alias("_arm"),
+        F.col(y_col).cast("long").alias("_y"),
+        F.col(x_col).cast("long").alias("_x"),
+    ).agg(
+        F.sum(F.when(arm == 0, 1).otherwise(0)).cast("long").alias("n0"),
+        F.sum(F.when(arm == 1, 1).otherwise(0)).cast("long").alias("n1"),
+        F.sum(F.when(arm == 0, y).otherwise(F.lit(0))).cast("long").alias("sy0"),
+        F.sum(F.when(arm == 1, y).otherwise(F.lit(0))).cast("long").alias("sy1"),
+        F.sum(F.when(arm == 0, x).otherwise(F.lit(0))).cast("long").alias("sx0"),
+        F.sum(F.when(arm == 1, x).otherwise(F.lit(0))).cast("long").alias("sx1"),
+        F.sum(y).cast("long").alias("sy"),
+        F.sum(x).cast("long").alias("sx"),
+        F.sum(y * y).cast("long").alias("syy"),
+        F.sum(x * x).cast("long").alias("sxx"),
+        F.sum(x * y).cast("long").alias("sxy"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    k = float(scale)
+    n = F.col("n").cast("double")
+    cov_xy = F.col("sxy") / (k * k) - (F.col("sx") / k) * (F.col("sy") / k) / n
+    var_x = F.col("sxx") / (k * k) - (F.col("sx") / k) * (F.col("sx") / k) / n
+    var_y = F.col("syy") / (k * k) - (F.col("sy") / k) * (F.col("sy") / k) / n
+    theta = cov_xy / var_x
+    n0 = F.col("n0").cast("double")
+    n1 = F.col("n1").cast("double")
+    diff_raw = F.col("sy1") / (n1 * k) - F.col("sy0") / (n0 * k)
+    diff_x = F.col("sx1") / (n1 * k) - F.col("sx0") / (n0 * k)
+    # ANSI-safe: a constant covariate (var_x = 0) leaves theta undefined
+    # — report NULL rather than masking it as 0 or aborting the job.
+    ok = (F.col("n0") > 0) & (F.col("n1") > 0)
+    return g.select(
+        F.col("n0").alias("n_ctl"),
+        F.col("n1").alias("n_trt"),
+        F.round(F.when(var_x != 0, theta), 6).alias("theta"),
+        F.round(F.when(ok, diff_raw), 6).alias("diff_raw"),
+        F.round(F.when(ok & (var_x != 0), diff_raw - theta * diff_x), 6)
+        .alias("diff_adj"),
+        F.round(
+            F.when((var_x != 0) & (var_y != 0), cov_xy * cov_xy / (var_x * var_y)),
+            6,
+        ).alias("var_reduction"),
+    )

@@ -8920,6 +8920,162 @@ def q215(spark, sf):
     )
 
 
+@_q(
+    "q216_ab_effect",
+    f"""
+    WITH u AS (SELECT user_id AS uid,
+                      SUM(CAST(round(value * 100, 0) AS BIGINT)) AS y
+               FROM events GROUP BY user_id),
+    k AS (SELECT md5(uid::VARCHAR) AS h, y FROM u),
+    a AS (SELECT CAST(({_HEX8_SQL}) % 2 AS INT) AS arm, y FROM k),
+    g AS (SELECT SUM((arm = 0)::INT)::BIGINT AS n0,
+                 SUM((arm = 1)::INT)::BIGINT AS n1,
+                 SUM(CASE WHEN arm = 0 THEN y ELSE 0 END)::BIGINT AS s0,
+                 SUM(CASE WHEN arm = 1 THEN y ELSE 0 END)::BIGINT AS s1,
+                 SUM(CASE WHEN arm = 0 THEN y * y ELSE 0 END)::BIGINT AS q0,
+                 SUM(CASE WHEN arm = 1 THEN y * y ELSE 0 END)::BIGINT AS q1
+          FROM a)
+    SELECT n0 AS n_ctl, n1 AS n_trt,
+           ROUND(s0 / (n0::DOUBLE * 100.0), 6) AS mean_ctl,
+           ROUND(s1 / (n1::DOUBLE * 100.0), 6) AS mean_trt,
+           ROUND(s1 / (n1::DOUBLE * 100.0) - s0 / (n0::DOUBLE * 100.0), 6)
+             AS diff,
+           ROUND(sqrt(((q0 / 10000.0 - n0::DOUBLE * (s0 / (n0::DOUBLE * 100.0))
+                          * (s0 / (n0::DOUBLE * 100.0))) / (n0::DOUBLE - 1))
+                        / n0::DOUBLE
+                      + ((q1 / 10000.0 - n1::DOUBLE
+                            * (s1 / (n1::DOUBLE * 100.0))
+                            * (s1 / (n1::DOUBLE * 100.0))) / (n1::DOUBLE - 1))
+                        / n1::DOUBLE), 6) AS se,
+           ROUND((s1 / (n1::DOUBLE * 100.0) - s0 / (n0::DOUBLE * 100.0))
+                 / sqrt(((q0 / 10000.0 - n0::DOUBLE
+                            * (s0 / (n0::DOUBLE * 100.0))
+                            * (s0 / (n0::DOUBLE * 100.0))) / (n0::DOUBLE - 1))
+                          / n0::DOUBLE
+                        + ((q1 / 10000.0 - n1::DOUBLE
+                              * (s1 / (n1::DOUBLE * 100.0))
+                              * (s1 / (n1::DOUBLE * 100.0)))
+                           / (n1::DOUBLE - 1))
+                          / n1::DOUBLE), 6) AS t_stat
+    FROM g
+    """,
+)
+def q216(spark, sf):
+    """A/B effect readout (sampling.ab_effect) on q214's md5-coin arms:
+    per-user value mass in exact integer cents, then diff-in-means with
+    Welch SE/t as ONE fixed scalar tree over associative integer sums —
+    the statistic printed next to the SRM validity audit. Null data →
+    t ≈ 0; the twin replays the identical expression tree."""
+    from bran_spark.operators.sampling import ab_effect
+
+    ev = _t(spark, sf, "events")
+    units = (
+        ev.groupBy("user_id")
+        .agg(
+            F.sum(F.round(F.col("value") * 100, 0).cast("long"))
+            .cast("long")
+            .alias("y")
+        )
+        .select(
+            (
+                F.conv(
+                    F.substring(F.md5(F.col("user_id").cast("string")), 1, 8),
+                    16,
+                    10,
+                ).cast("long")
+                % 2
+            )
+            .cast("int")
+            .alias("arm"),
+            "y",
+        )
+    )
+    return ab_effect(units, scale=100)
+
+
+@_q(
+    "q217_cuped",
+    f"""
+    WITH u AS (SELECT user_id AS uid,
+                      SUM(CASE WHEN ts < TIMESTAMP '2024-01-14'
+                               THEN CAST(round(value * 100, 0) AS BIGINT)
+                               ELSE 0 END) AS x,
+                      SUM(CASE WHEN ts >= TIMESTAMP '2024-01-14'
+                               THEN CAST(round(value * 100, 0) AS BIGINT)
+                               ELSE 0 END) AS y
+               FROM events GROUP BY user_id),
+    k AS (SELECT md5(uid::VARCHAR) AS h, x, y FROM u),
+    a AS (SELECT CAST(({_HEX8_SQL}) % 2 AS INT) AS arm, x, y FROM k),
+    g AS (SELECT SUM((arm = 0)::INT)::BIGINT AS n0,
+                 SUM((arm = 1)::INT)::BIGINT AS n1,
+                 SUM(CASE WHEN arm = 0 THEN y ELSE 0 END)::BIGINT AS sy0,
+                 SUM(CASE WHEN arm = 1 THEN y ELSE 0 END)::BIGINT AS sy1,
+                 SUM(CASE WHEN arm = 0 THEN x ELSE 0 END)::BIGINT AS sx0,
+                 SUM(CASE WHEN arm = 1 THEN x ELSE 0 END)::BIGINT AS sx1,
+                 SUM(y)::BIGINT AS sy, SUM(x)::BIGINT AS sx,
+                 SUM(y * y)::BIGINT AS syy, SUM(x * x)::BIGINT AS sxx,
+                 SUM(x * y)::BIGINT AS sxy,
+                 COUNT(*)::BIGINT AS n
+          FROM a),
+    d AS (SELECT n0, n1,
+                 sxy / 10000.0 - (sx / 100.0) * (sy / 100.0) / n::DOUBLE
+                   AS cov_xy,
+                 sxx / 10000.0 - (sx / 100.0) * (sx / 100.0) / n::DOUBLE
+                   AS var_x,
+                 syy / 10000.0 - (sy / 100.0) * (sy / 100.0) / n::DOUBLE
+                   AS var_y,
+                 sy1 / (n1::DOUBLE * 100.0) - sy0 / (n0::DOUBLE * 100.0)
+                   AS diff_raw,
+                 sx1 / (n1::DOUBLE * 100.0) - sx0 / (n0::DOUBLE * 100.0)
+                   AS diff_x
+          FROM g)
+    SELECT n0 AS n_ctl, n1 AS n_trt,
+           ROUND(cov_xy / var_x, 6) AS theta,
+           ROUND(diff_raw, 6) AS diff_raw,
+           ROUND(diff_raw - cov_xy / var_x * diff_x, 6) AS diff_adj,
+           ROUND(cov_xy * cov_xy / (var_x * var_y), 6) AS var_reduction
+    FROM d
+    """,
+)
+def q217(spark, sf):
+    """CUPED variance reduction (sampling.cuped_effect): pre-period
+    value mass (before 2024-01-14) is the covariate for the post-period
+    metric on q214's arms — θ, the adjusted diff, and ρ² variance
+    reduction, all linear in ONE conditional integer aggregate (no
+    second pass for per-arm adjusted means)."""
+    from bran_spark.operators.sampling import cuped_effect
+
+    ev = _t(spark, sf, "events")
+    cents = F.round(F.col("value") * 100, 0).cast("long")
+    cut = F.col("ts") < F.lit("2024-01-14").cast("timestamp")
+    units = (
+        ev.groupBy("user_id")
+        .agg(
+            F.sum(F.when(cut, cents).otherwise(F.lit(0)))
+            .cast("long")
+            .alias("x"),
+            F.sum(F.when(~cut, cents).otherwise(F.lit(0)))
+            .cast("long")
+            .alias("y"),
+        )
+        .select(
+            (
+                F.conv(
+                    F.substring(F.md5(F.col("user_id").cast("string")), 1, 8),
+                    16,
+                    10,
+                ).cast("long")
+                % 2
+            )
+            .cast("int")
+            .alias("arm"),
+            "x",
+            "y",
+        )
+    )
+    return cuped_effect(units, scale=100)
+
+
 # =========================================================================
 # Registry ordering: the driver's correctness gate hash-checks the FIRST
 # 50 insertion-order entries of ``queries()``. Definition order above is

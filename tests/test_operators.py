@@ -974,6 +974,55 @@ def test_ab_assignment_sticky_and_chi_square(spark):
             assert abs(r.chi2_term - round((1 / 3) ** 2 / (1 / 3), 6)) < 1e-6
 
 
+def test_ab_effect_welch_t_on_planted_shift(spark):
+    from bran_spark.operators.sampling import ab_effect
+
+    units = spark.createDataFrame(
+        [(0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (1, 4)],
+        "arm int, y long",
+    )
+    row = ab_effect(units, scale=1).head()
+    assert row.n_ctl == 3 and row.n_trt == 3
+    assert row.mean_ctl == 2.0 and row.mean_trt == 3.0 and row.diff == 1.0
+    # sample var 1.0 each arm -> Welch se = sqrt(1/3 + 1/3)
+    assert abs(row.se - 0.816497) < 1e-6
+    assert abs(row.t_stat - 1.224745) < 1e-6
+    # arms outside {0,1} are ignored, not miscounted
+    extra = units.union(
+        spark.createDataFrame([(2, 1000)], "arm int, y long")
+    )
+    assert ab_effect(extra, scale=1).head().n_ctl == 3
+
+
+def test_cuped_effect_removes_covariate_variance(spark):
+    from bran_spark.operators.sampling import cuped_effect
+
+    # y = 2x + 100·arm exactly, same x distribution in both arms:
+    # theta = 2, diff_x = 0, diff_adj = diff_raw = 100, rho² = cov²/(vx·vy)
+    units = spark.createDataFrame(
+        [
+            (0, 100, 200), (0, 200, 400), (0, 300, 600),
+            (1, 100, 300), (1, 200, 500), (1, 300, 700),
+        ],
+        "arm int, x long, y long",
+    )
+    row = cuped_effect(units, scale=1).head()
+    assert row.n_ctl == 3 and row.n_trt == 3
+    assert abs(row.theta - 2.0) < 1e-9
+    assert row.diff_raw == 100.0 and row.diff_adj == 100.0
+    assert abs(row.var_reduction - 0.914286) < 1e-6
+    # a covariate-free world: x constant -> var_x = 0 -> theta undefined;
+    # the operator must not mask it as 0 (NULL/NaN is the honest answer)
+    flat = spark.createDataFrame(
+        [(0, 5, 10), (0, 5, 20), (1, 5, 30), (1, 5, 40)],
+        "arm int, x long, y long",
+    )
+    t = cuped_effect(flat, scale=1).head().theta
+    import math
+
+    assert t is None or math.isnan(t)
+
+
 def test_neyman_allocation_favors_variable_strata(spark):
     from bran_spark.operators.sampling import neyman_allocation
 
