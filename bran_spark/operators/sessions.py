@@ -305,3 +305,115 @@ def funnel_stages(
             F.round(F.col("n_users") / F.col("n_base").cast("double"), 6),
         ).alias("conversion"),
     )
+
+
+def transition_matrix(
+    events: DataFrame,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences — the journey-mining table behind funnel_stages' fixed
+    path: which event follows which, and how often. Feeds
+    stationary_distribution (long-run state mix) and anomaly checks
+    (a transition whose prob collapses release-over-release).
+
+    Per-user ordering uses (ts, id) — the unique id breaks timestamp
+    ties so reruns and engines see the SAME successor at equal
+    timestamps. One user-partitioned window (the corpus-scale shuffle;
+    per-user state never crosses partitions) feeds a type-pair count;
+    the per-source totals are an n_types-sized dimension broadcast
+    back. Output: (from_type, to_type, n, prob), prob = n/Σ_from 6 dp,
+    ordered by (from_type, to_type)."""
+    w = Window.partitionBy("_u").orderBy("_ts", "_id")
+    seq = events.select(
+        F.col(user_col).alias("_u"),
+        F.col(type_col).alias("to_type"),
+        F.col(ts_col).alias("_ts"),
+        F.col(id_col).alias("_id"),
+    ).withColumn("from_type", F.lag("to_type").over(w))
+    pairs = (
+        seq.where(F.col("from_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    totals = pairs.groupBy("from_type").agg(F.sum("n").alias("n_from"))
+    return (
+        pairs.join(F.broadcast(totals), "from_type")
+        .select(
+            "from_type",
+            "to_type",
+            "n",
+            F.round(F.col("n") / F.col("n_from"), 6).alias("prob"),
+        )
+        .orderBy("from_type", "to_type")
+    )
+
+
+def stationary_distribution(
+    trans: DataFrame, iters: int = 8, scale: int = 1_000_000
+) -> DataFrame:
+    """Long-run state mix of the transition_matrix chain via synchronous
+    power iteration in EXACT INTEGER arithmetic (the pagerank_fixed_point
+    idiom): start uniform at ``scale`` per state, each round
+
+      p'(to) = Σ_from  (p(from) · n(from→to)) DIV n_from
+
+    Integer DIV makes every round one fixed expression tree — bit-equal
+    across engines and partitionings; the ≤ n_types floor loss per state
+    per round is reported via the final normalization (share = p/Σp).
+    States with no outgoing transitions leak their mass (substochastic
+    row) — this is an AUDIT of observed dynamics, not ergodic theory;
+    add a self-loop upstream if retention semantics are wanted. The
+    state space is the event-type dimension (tiny), so each round is a
+    dimension-sized join — no corpus-scale shuffle exists after the
+    transition counts are built. Overflow: p·n ≤ scale·corpus_rows must
+    stay under 2⁶³ (10⁶·10¹² = 10¹⁸ < 9.2·10¹⁸ holds at the north-rule
+    scale). Output: (event_type, p_fp, share 6 dp)."""
+    totals = trans.groupBy("from_type").agg(F.sum("n").alias("n_from"))
+    # edges/states are re-joined EVERY round — truncate lineage once so
+    # the corpus-scale subtree behind `trans` is not re-executed per
+    # iteration (the pagerank_fixed_point idiom; both tables are
+    # n_types-dimension-sized, so the checkpoint itself is trivial).
+    edges = (
+        trans.join(totals, "from_type")
+        .select("from_type", "to_type", "n", "n_from")
+        .localCheckpoint(eager=True)
+    )
+    states = (
+        edges.select(F.col("from_type").alias("event_type"))
+        .unionByName(edges.select(F.col("to_type").alias("event_type")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    p = states.withColumn("p", F.lit(int(scale)).cast("long"))
+    for _ in range(iters):
+        contrib = edges.join(
+            p.select(F.col("event_type").alias("from_type"), "p"),
+            "from_type",
+        ).select(
+            F.col("to_type").alias("event_type"),
+            F.expr("(p * n) DIV n_from").alias("c"),
+        )
+        nxt = contrib.groupBy("event_type").agg(
+            F.sum("c").cast("long").alias("p")
+        )
+        p = (
+            states.join(nxt, "event_type", "left")
+            .select(
+                "event_type",
+                F.coalesce("p", F.lit(0).cast("long")).alias("p"),
+            )
+        )
+    tot = p.agg(F.sum("p").cast("double").alias("ptot"))
+    return (
+        p.crossJoin(F.broadcast(tot))
+        .select(
+            "event_type",
+            F.col("p").alias("p_fp"),
+            F.round(F.col("p") / F.col("ptot"), 6).alias("share"),
+        )
+        .orderBy("event_type")
+    )

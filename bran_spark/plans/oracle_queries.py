@@ -9076,6 +9076,101 @@ def q217(spark, sf):
     return cuped_effect(units, scale=100)
 
 
+@_q(
+    "q218_transition_matrix",
+    """
+    WITH s AS (SELECT event_type AS to_type,
+                      LAG(event_type) OVER (PARTITION BY user_id
+                                            ORDER BY ts, event_id)
+                        AS from_type
+               FROM events),
+    p AS (SELECT from_type, to_type, COUNT(*)::BIGINT AS n
+          FROM s WHERE from_type IS NOT NULL GROUP BY 1, 2),
+    t AS (SELECT from_type, SUM(n)::BIGINT AS n_from FROM p GROUP BY 1)
+    SELECT p.from_type, p.to_type, p.n,
+           ROUND(p.n / t.n_from, 6) AS prob
+    FROM p JOIN t USING (from_type)
+    ORDER BY from_type, to_type
+    """,
+)
+def q218(spark, sf):
+    """First-order Markov transition matrix over per-user event
+    sequences (sessions.transition_matrix): lag window ordered by
+    (ts, event_id) — the unique id breaks timestamp ties — then a
+    type-pair count with the per-source totals broadcast back."""
+    from bran_spark.operators.sessions import transition_matrix
+
+    return transition_matrix(_t(spark, sf, "events"))
+
+
+def _stationary_rounds_sql(iters: int) -> "tuple[str, str]":
+    """Unrolled integer power iteration for q219's DuckDB twin: each
+    round re-derives the full state vector (densified against the state
+    dimension so a momentarily-empty state keeps a 0 row), and every
+    round is AS MATERIALIZED — referenced twice (join + densify), the
+    planner would otherwise inline 2^iters scans."""
+    rounds = []
+    prev = "p0"
+    for i in range(1, iters + 1):
+        rounds.append(
+            f"""r{i} AS MATERIALIZED (
+        SELECT e.to_type AS event_type,
+               SUM((q.p * e.n) // e.n_from)::BIGINT AS p
+        FROM e JOIN {prev} q ON q.event_type = e.from_type
+        GROUP BY 1),
+    p{i} AS MATERIALIZED (
+        SELECT s.event_type, COALESCE(r.p, 0)::BIGINT AS p
+        FROM states s LEFT JOIN r{i} r USING (event_type))"""
+        )
+        prev = f"p{i}"
+    return ",\n    ".join(rounds), prev
+
+
+_ST_ROUNDS, _ST_LAST = _stationary_rounds_sql(8)
+
+
+@_q(
+    "q219_stationary_mix",
+    f"""
+    WITH sq AS (SELECT event_type AS to_type,
+                       LAG(event_type) OVER (PARTITION BY user_id
+                                             ORDER BY ts, event_id)
+                         AS from_type
+                FROM events),
+    pc AS (SELECT from_type, to_type, COUNT(*)::BIGINT AS n
+           FROM sq WHERE from_type IS NOT NULL GROUP BY 1, 2),
+    tt AS (SELECT from_type, SUM(n)::BIGINT AS n_from FROM pc GROUP BY 1),
+    e AS MATERIALIZED (SELECT pc.from_type, pc.to_type, pc.n, tt.n_from
+                       FROM pc JOIN tt USING (from_type)),
+    states AS MATERIALIZED (
+        SELECT DISTINCT event_type FROM (
+            SELECT from_type AS event_type FROM e
+            UNION ALL SELECT to_type FROM e)),
+    p0 AS (SELECT event_type, 1000000::BIGINT AS p FROM states),
+    {_ST_ROUNDS},
+    z AS (SELECT SUM(p)::DOUBLE AS ptot FROM {_ST_LAST})
+    SELECT q.event_type, q.p AS p_fp, ROUND(q.p / z.ptot, 6) AS share
+    FROM {_ST_LAST} q, z
+    ORDER BY event_type
+    """,
+)
+def q219(spark, sf):
+    """Long-run state mix of the event-type Markov chain
+    (sessions.stationary_distribution, 8 rounds): synchronous power
+    iteration in exact integer arithmetic — (p·n) DIV n_from per round,
+    bit-equal across engines — normalized to shares at the end. The
+    state space is the tiny type dimension, so iteration cost is
+    dimension-sized after the one corpus pass."""
+    from bran_spark.operators.sessions import (
+        stationary_distribution,
+        transition_matrix,
+    )
+
+    return stationary_distribution(
+        transition_matrix(_t(spark, sf, "events")), iters=8
+    )
+
+
 # =========================================================================
 # Registry ordering: the driver's correctness gate hash-checks the FIRST
 # 50 insertion-order entries of ``queries()``. Definition order above is

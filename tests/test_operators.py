@@ -868,6 +868,50 @@ def test_burst_scores_flags_planted_spike(spark):
     assert all(r.z is None and not r.burst for r in out if r.event_type == "flat")
 
 
+def test_transition_matrix_orders_by_ts_then_id(spark):
+    from bran_spark.operators.sessions import transition_matrix
+
+    ev = spark.createDataFrame(
+        [
+            # user 1: a -> b -> c; the b/c share a timestamp, id breaks it
+            (1, 1, "2024-01-01 00:00:00", "a"),
+            (2, 1, "2024-01-01 00:01:00", "b"),
+            (3, 1, "2024-01-01 00:01:00", "c"),
+            # user 2: a -> c
+            (4, 2, "2024-01-01 00:00:00", "a"),
+            (5, 2, "2024-01-01 00:05:00", "c"),
+        ],
+        "event_id long, user_id long, ts string, event_type string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = {
+        (r.from_type, r.to_type): (r.n, r.prob)
+        for r in transition_matrix(ev).collect()
+    }
+    assert out[("a", "b")] == (1, 0.5) and out[("a", "c")] == (1, 0.5)
+    assert out[("b", "c")] == (1, 1.0)
+    assert ("c", "b") not in out  # tie resolved by event_id, not reversed
+
+
+def test_stationary_distribution_matches_analytic_chain(spark):
+    from bran_spark.operators.sessions import stationary_distribution
+
+    # P = [[.5,.5],[.25,.75]] -> pi = (1/3, 2/3); lambda2 = .25 so 8
+    # synchronous rounds land within ~.25^8 of the fixed point.
+    trans = spark.createDataFrame(
+        [("A", "A", 1), ("A", "B", 1), ("B", "A", 1), ("B", "B", 3)],
+        "from_type string, to_type string, n long",
+    )
+    out = {r.event_type: r for r in stationary_distribution(trans, iters=8).collect()}
+    assert abs(out["A"].share - 1 / 3) < 1e-3
+    assert abs(out["B"].share - 2 / 3) < 1e-3
+    # integer fixed point: reruns are bit-identical, not just close
+    again = {
+        r.event_type: r.p_fp
+        for r in stationary_distribution(trans, iters=8).collect()
+    }
+    assert again == {k: r.p_fp for k, r in out.items()}
+
+
 def test_conformal_coverage_order_statistic_and_guarantee(spark):
     from bran_spark.operators.evaluate import conformal_coverage
 
