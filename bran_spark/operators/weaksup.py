@@ -131,3 +131,60 @@ def quality_lf_votes(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
         .cast("int")
         .alias("lf_digit"),
     )
+
+
+def fleiss_kappa(
+    df: DataFrame, item_col: str, rater_cols: list[str]
+) -> DataFrame:
+    """Fleiss' κ (Fleiss 1971) — chance-corrected agreement for MANY
+    raters at once, the multi-rater generalization cohens_kappa can't
+    cover: here the raters are labeling functions, so this is the
+    one-number answer to "do the LFs agree more than chance?" that
+    lf_stats' pairwise overlap/conflict table approximates.
+
+      n_ij = raters assigning category j to item i   (n = |raters|)
+      P̄   = (Σ_ij n_ij² − N·n) / (N·n·(n−1))
+      P_e  = Σ_j (Σ_i n_ij / (N·n))²
+      κ    = (P̄ − P_e) / (1 − P_e)
+
+    Everything reduces to THREE exact integers — Σn_ij², the per-
+    category totals' Σt_j², and N — so κ is one fixed scalar tree over
+    associative integer sums: bit-equal across engines, no float
+    accumulation anywhere. Plan: one explode (n rows per item), one
+    (item, cat) count, two tiny rollups broadcast together. items must
+    be unique in ``item_col``. Output: 1 row (n_items, n_raters,
+    n_categories, p_bar, p_e, kappa), 6 dp; κ is NULL when P_e = 1
+    (a single category ever used — agreement is undefined, not 1)."""
+    n = len(rater_cols)
+    if n < 2:
+        raise ValueError("fleiss_kappa needs at least 2 raters")
+    long = df.select(
+        F.col(item_col).alias("item"),
+        F.explode(F.array(*[F.col(c) for c in rater_cols])).alias("cat"),
+    )
+    nij = long.groupBy("item", "cat").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    s2 = nij.agg(
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("s2"),
+        F.countDistinct("item").cast("long").alias("n_items"),
+    )
+    cat_tot = nij.groupBy("cat").agg(F.sum("c").cast("long").alias("t"))
+    st2 = cat_tot.agg(
+        F.sum(F.col("t") * F.col("t")).cast("long").alias("st2"),
+        F.count(F.lit(1)).cast("long").alias("n_categories"),
+    )
+    g = s2.crossJoin(F.broadcast(st2))
+    nn = F.col("n_items").cast("double") * n
+    p_bar = (F.col("s2") - F.col("n_items") * n) / (nn * (n - 1))
+    p_e = F.col("st2") / (nn * nn)
+    return g.select(
+        "n_items",
+        F.lit(n).cast("long").alias("n_raters"),
+        "n_categories",
+        F.round(p_bar, 6).alias("p_bar"),
+        F.round(p_e, 6).alias("p_e"),
+        F.round(F.when(p_e != 1.0, (p_bar - p_e) / (1.0 - p_e)), 6).alias(
+            "kappa"
+        ),
+    )

@@ -9171,6 +9171,44 @@ def q219(spark, sf):
     )
 
 
+@_q(
+    "q220_fleiss_kappa",
+    _LF_VOTES_SQL
+    + """
+    , melt AS (SELECT doc_id AS item, lf_len AS cat FROM v
+               UNION ALL SELECT doc_id, lf_dup FROM v
+               UNION ALL SELECT doc_id, lf_digit FROM v),
+    nij AS (SELECT item, cat, COUNT(*)::BIGINT AS c
+            FROM melt GROUP BY item, cat),
+    s2 AS (SELECT SUM(c * c)::BIGINT AS s2,
+                  COUNT(DISTINCT item)::BIGINT AS n_items FROM nij),
+    ct AS (SELECT cat, SUM(c)::BIGINT AS t FROM nij GROUP BY cat),
+    st2 AS (SELECT SUM(t * t)::BIGINT AS st2,
+                   COUNT(*)::BIGINT AS n_categories FROM ct),
+    g AS (SELECT s2.s2, s2.n_items, st2.st2, st2.n_categories,
+                 (s2.n_items::DOUBLE * 3) AS nn
+          FROM s2, st2)
+    SELECT n_items, 3::BIGINT AS n_raters, n_categories,
+           ROUND((s2 - n_items * 3) / (nn * 2), 6) AS p_bar,
+           ROUND(st2 / (nn * nn), 6) AS p_e,
+           ROUND(CASE WHEN st2 / (nn * nn) != 1.0
+                      THEN ((s2 - n_items * 3) / (nn * 2)
+                            - st2 / (nn * nn))
+                           / (1.0 - st2 / (nn * nn)) END, 6) AS kappa
+    FROM g
+    """,
+)
+def q220(spark, sf):
+    """Fleiss' κ multi-rater agreement (weaksup.fleiss_kappa) over the
+    three quality-LF votes: chance-corrected agreement from THREE exact
+    integers (Σn_ij², per-category Σt², N) — the one-number companion
+    to q184's pairwise overlap/conflict table."""
+    from bran_spark.operators.weaksup import fleiss_kappa, quality_lf_votes
+
+    votes = quality_lf_votes(_t(spark, sf, "documents"), "doc_id", "text")
+    return fleiss_kappa(votes, "doc_id", ["lf_len", "lf_dup", "lf_digit"])
+
+
 # =========================================================================
 # Registry ordering: the driver's correctness gate hash-checks the FIRST
 # 50 insertion-order entries of ``queries()``. Definition order above is

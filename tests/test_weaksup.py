@@ -65,3 +65,31 @@ def test_quality_lf_votes_thresholds(spark):
     assert v["short"].lf_len == -1 and v["short"].lf_digit == 1
     assert v["dupey"].lf_dup == -1
     assert v["nums"].lf_digit == -1
+
+
+def test_fleiss_kappa_hand_worked_example(spark):
+    import pytest
+
+    from bran_spark.operators.weaksup import fleiss_kappa
+
+    # item1: unanimous cat 1; item2: split 1/0/0.
+    # S2 = 9+5 = 14, N*n = 6 -> p_bar = 8/12 = 2/3
+    # totals: cat1=4, cat0=2 -> P_e = 20/36 = 5/9 -> kappa = 0.25
+    df = spark.createDataFrame(
+        [("i1", 1, 1, 1), ("i2", 1, 0, 0)],
+        "item string, r1 int, r2 int, r3 int",
+    )
+    row = fleiss_kappa(df, "item", ["r1", "r2", "r3"]).head()
+    assert row.n_items == 2 and row.n_raters == 3 and row.n_categories == 2
+    assert abs(row.p_bar - 2 / 3) < 1e-6
+    assert abs(row.p_e - 5 / 9) < 1e-6
+    assert abs(row.kappa - 0.25) < 1e-6
+    # one category ever used -> P_e = 1 -> kappa undefined (NULL), not 1
+    uni = spark.createDataFrame(
+        [("i1", 1, 1, 1), ("i2", 1, 1, 1)],
+        "item string, r1 int, r2 int, r3 int",
+    )
+    row2 = fleiss_kappa(uni, "item", ["r1", "r2", "r3"]).head()
+    assert row2.p_e == 1.0 and row2.kappa is None
+    with pytest.raises(ValueError):
+        fleiss_kappa(df, "item", ["r1"])
