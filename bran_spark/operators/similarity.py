@@ -906,3 +906,170 @@ def mutual_nearest_neighbors(
         .where(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b", "cos")
     )
+
+
+def embedding_covariance(
+    emb: DataFrame,
+    vec_col: str = "embedding",
+    dims: "tuple[int, ...]" = tuple(range(8)),
+) -> DataFrame:
+    """Population covariance entries for a REQUESTED coordinate subset —
+    the embedding-store health audit (which dimensions carry variance,
+    which are dead, which are redundant) and the exact small-d input to
+    PCA when only a few coordinates matter.
+
+    One aggregate pass with d + d(d+1)/2 JVM sum expressions (count,
+    per-dim sums, upper-triangle product sums), then the 1-row result
+    explodes into (i, j) entries:  cov = Σxᵢxⱼ/n − (Σxᵢ/n)(Σxⱼ/n).
+    No shuffle beyond the 1-row reduce; no Python. d(d+1)/2 aggregate
+    expressions cap the practical subset around a few dozen dims — the
+    FULL-d scale path is :func:`gram_covariance` (per-partition Gram).
+    Output: (i, j, cov) for i ≤ j, 6 dp, ordered."""
+    v = F.col(vec_col)
+    aggs = [F.count(F.lit(1)).cast("double").alias("n")]
+    for i in dims:
+        aggs.append(
+            F.sum(F.element_at(v, i + 1).cast("double")).alias(f"s{i}")
+        )
+    pairs = [(i, j) for a, i in enumerate(dims) for j in dims[a:]]
+    for i, j in pairs:
+        aggs.append(
+            F.sum(
+                F.element_at(v, i + 1).cast("double")
+                * F.element_at(v, j + 1).cast("double")
+            ).alias(f"p{i}_{j}")
+        )
+    row = emb.agg(*aggs)
+    n = F.col("n")
+    structs = [
+        F.struct(
+            F.lit(i).cast("int").alias("i"),
+            F.lit(j).cast("int").alias("j"),
+            (
+                F.col(f"p{i}_{j}") / n
+                - (F.col(f"s{i}") / n) * (F.col(f"s{j}") / n)
+            ).alias("cov"),
+        )
+        for i, j in pairs
+    ]
+    return (
+        row.select(F.explode(F.array(*structs)).alias("e"))
+        .select("e.i", "e.j", F.round("e.cov", 6).alias("cov"))
+        .orderBy("i", "j")
+    )
+
+
+def gram_covariance(
+    emb: DataFrame, vec_col: str = "embedding", dim: int = 64
+) -> DataFrame:
+    """Full-d covariance via PER-PARTITION Gram matrices — the scale
+    path embedding_covariance's d(d+1)/2 codegen expressions can't
+    reach: each Arrow batch contributes one numpy d×d Gram + d sums +
+    a count (BLAS matmul, not per-element Python), emitted as d(d+1)/2
+    partial rows; ONE tiny (i, j)-keyed shuffle of partition-count-
+    sized partials combines them. At 10¹² rows the shuffled data is
+    still partitions × d² doubles — independent of corpus size.
+
+    Float caveat (same contract as dim_means): partial sums are exact
+    per batch but combine in shuffle order; entries are rounded to 6 dp,
+    far above doubles' ulp noise at any realistic corpus. Output:
+    (i, j, cov) for i ≤ j, 6 dp — schema-identical to
+    embedding_covariance (equivalence-tested on the shared dims)."""
+    import numpy as np
+    import pandas as pd
+
+    pairs = [(i, j) for i in range(dim) for j in range(i, dim)]
+    out_schema = "i int, j int, ps double, si double, sj double, pn double"
+
+    def fn(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            x = np.asarray(
+                [np.asarray(r, dtype=np.float64) for r in pdf[vec_col]]
+            )
+            g = x.T @ x
+            s = x.sum(axis=0)
+            n = float(len(pdf))
+            yield pd.DataFrame(
+                {
+                    "i": [i for i, _ in pairs],
+                    "j": [j for _, j in pairs],
+                    "ps": [g[i, j] for i, j in pairs],
+                    "si": [s[i] for i, _ in pairs],
+                    "sj": [s[j] for _, j in pairs],
+                    "pn": n,
+                }
+            )
+
+    partials = emb.select(vec_col).mapInPandas(fn, out_schema)
+    g = partials.groupBy("i", "j").agg(
+        F.sum("ps").alias("ps"),
+        F.sum("si").alias("si"),
+        F.sum("sj").alias("sj"),
+        F.sum("pn").alias("n"),
+    )
+    n = F.col("n")
+    return g.select(
+        "i",
+        "j",
+        F.round(
+            F.col("ps") / n - (F.col("si") / n) * (F.col("sj") / n), 6
+        ).alias("cov"),
+    ).orderBy("i", "j")
+
+
+def pca_project(
+    emb: DataFrame,
+    k: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """PCA projection of the embedding column onto its top-k principal
+    components — whitening/compression for the similarity stack (a
+    64-d store projected to 4-8 PCA dims often keeps neighbor ranking
+    while cutting ANN cost ~10×).
+
+    The covariance matrix comes from :func:`gram_covariance` (one
+    corpus pass, partition-Gram combine); the d×d eigendecomposition is
+    DRIVER-SIDE numpy — dimension-table legality, d² doubles regardless
+    of corpus size. Eigenvectors are sign-fixed (largest-|component|
+    coordinate made positive) so reruns pick identical bases even under
+    eigenvalue ties' sign ambiguity. The projection itself is pure JVM
+    column math: proj_c = Σ_d (x_d − μ_d)·v_cd with means/loadings
+    inlined as literals — no Python in the corpus-scale pass. Output:
+    (id, proj array<double> length k), 6 dp."""
+    import numpy as np
+
+    cov_rows = gram_covariance(emb, vec_col=vec_col, dim=dim).collect()
+    c = np.zeros((dim, dim))
+    for r in cov_rows:
+        c[r.i, r.j] = r.cov
+        c[r.j, r.i] = r.cov
+    w, v = np.linalg.eigh(c)
+    order = np.argsort(w)[::-1][:k]
+    comps = []
+    for idx in order:
+        vec = v[:, idx]
+        pivot = int(np.argmax(np.abs(vec)))
+        if vec[pivot] < 0:
+            vec = -vec
+        comps.append(vec)
+    mu = dim_means(emb, vec_col, tuple(range(dim)))
+    x = F.col(vec_col)
+    proj_cols = [
+        F.round(
+            sum(
+                (
+                    F.element_at(x, d + 1).cast("double")
+                    - F.lit(float(mu.get(d, 0.0)))
+                )
+                * F.lit(round(float(comp[d]), 9))
+                for d in range(dim)
+            ),
+            6,
+        )
+        for comp in comps
+    ]
+    return emb.select(F.col(id_col), F.array(*proj_cols).alias("proj"))

@@ -9209,6 +9209,60 @@ def q220(spark, sf):
     return fleiss_kappa(votes, "doc_id", ["lf_len", "lf_dup", "lf_digit"])
 
 
+def _cov_twin_sql(dims: "tuple[int, ...]") -> str:
+    """Single-pass DuckDB twin for q221: one aggregate row with the same
+    count / per-dim sum / upper-triangle product-sum cells as the engine,
+    exploded into (i, j, cov) rows via UNION ALL over the 1-row CTE."""
+    sums = [f"SUM(embedding[{i + 1}]::DOUBLE) AS s{i}" for i in dims]
+    pairs = [(i, j) for a, i in enumerate(dims) for j in dims[a:]]
+    prods = [
+        f"SUM(embedding[{i + 1}]::DOUBLE * embedding[{j + 1}]::DOUBLE)"
+        f" AS p{i}_{j}"
+        for i, j in pairs
+    ]
+    cells = [
+        f"SELECT {i}::INT AS i, {j}::INT AS j,"
+        f" ROUND(p{i}_{j} / n - (s{i} / n) * (s{j} / n), 6) AS cov FROM g"
+        for i, j in pairs
+    ]
+    return (
+        "WITH g AS (SELECT COUNT(*)::DOUBLE AS n, "
+        + ", ".join(sums + prods)
+        + " FROM embeddings)\n    SELECT * FROM ("
+        + "\n    UNION ALL ".join(cells)
+        + ") ORDER BY i, j"
+    )
+
+
+@_q("q221_embedding_covariance", _cov_twin_sql(tuple(range(8))))
+def q221(spark, sf):
+    """Exact population covariance of embedding coordinates 0-7
+    (similarity.embedding_covariance): one aggregate pass with
+    d + d(d+1)/2 JVM sum expressions, 1-row reduce, no Python — the
+    embedding-store health audit (dead dims, redundant dims) and the
+    small-d PCA input. Full-d scale path: gram_covariance (equivalence-
+    tested; its per-partition numpy Gram shuffles partials only)."""
+    from bran_spark.operators.similarity import embedding_covariance
+
+    return embedding_covariance(
+        _t(spark, sf, "embeddings"), "embedding", tuple(range(8))
+    )
+
+
+@_q("q222_pca_projection")
+def q222(spark, sf):
+    """Top-4 PCA projection of the 64-d embedding store
+    (similarity.pca_project): covariance via per-partition Gram
+    matrices, d×d eigh driver-side (dimension-table legality),
+    sign-fixed loadings inlined as literals so the corpus-scale
+    projection pass is pure JVM column math. Rows-only (eigensolve is
+    not SQL-expressible); orthonormality/variance property tests in
+    tests/test_dedup_similarity.py carry correctness."""
+    from bran_spark.operators.similarity import pca_project
+
+    return pca_project(_t(spark, sf, "embeddings"), k=4)
+
+
 # =========================================================================
 # Registry ordering: the driver's correctness gate hash-checks the FIRST
 # 50 insertion-order entries of ``queries()``. Definition order above is

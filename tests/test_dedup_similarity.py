@@ -611,3 +611,76 @@ def test_mutual_nearest_neighbors_reciprocity(spark):
         for r in mutual_nearest_neighbors(emb, bands=bands).collect()
     }
     assert out == {(1, 2)}
+
+
+def test_embedding_covariance_matches_numpy_exactly(spark):
+    import numpy as np
+
+    from bran_spark.operators.similarity import embedding_covariance
+
+    rng = [[1.0, 2.0, 3.0], [2.0, 4.0, 5.0], [3.0, 6.0, 9.0], [4.0, 8.0, 11.0]]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(rng)], "vec_id long, embedding array<double>"
+    )
+    out = {
+        (r.i, r.j): r.cov
+        for r in embedding_covariance(df, "embedding", (0, 1, 2)).collect()
+    }
+    x = np.array(rng)
+    exp = np.cov(x, rowvar=False, bias=True)  # population covariance
+    for i in range(3):
+        for j in range(i, 3):
+            assert abs(out[(i, j)] - round(exp[i, j], 6)) < 1e-9, (i, j)
+
+
+def test_gram_covariance_equals_relational_path(spark, testdata_dir):
+    from bran_spark.operators.similarity import (
+        embedding_covariance,
+        gram_covariance,
+    )
+
+    emb = spark.read.parquet(f"{testdata_dir}/embeddings.parquet")
+    rel = {
+        (r.i, r.j): r.cov
+        for r in embedding_covariance(emb, "embedding", tuple(range(8))).collect()
+    }
+    gram = {
+        (r.i, r.j): r.cov
+        for r in gram_covariance(emb, "embedding", dim=8).collect()
+    }
+    assert set(rel) == set(gram)
+    for k in rel:
+        # both 6-dp rounded; partial-sum order may differ by one ulp at
+        # the rounding boundary, never more
+        assert abs(rel[k] - gram[k]) <= 1e-6 + 1e-12, k
+
+
+def test_pca_project_recovers_planted_principal_axis(spark):
+    import numpy as np
+
+    from bran_spark.operators.similarity import pca_project
+
+    # variance planted along (1,1,0)/sqrt(2) in 4-d; tiny noise on dim 2
+    base = np.array([1.0, 1.0, 0.0, 0.0]) / np.sqrt(2.0)
+    rows = []
+    for i in range(40):
+        t = (i - 19.5) / 4.0
+        v = t * base
+        v = v + np.array([0.0, 0.0, 0.01 * ((i % 3) - 1), 0.0])
+        rows.append((i, [float(x) for x in v]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = pca_project(df, k=2, dim=4).collect()
+    proj = {r.vec_id: r.proj for r in out}
+    assert len(proj) == 40 and all(len(p) == 2 for p in proj.values())
+    # component 1 carries the planted spread: its sample variance must
+    # dominate component 2's by orders of magnitude
+    p1 = np.array([proj[i][0] for i in range(40)])
+    p2 = np.array([proj[i][1] for i in range(40)])
+    assert p1.var() > 100 * max(p2.var(), 1e-12)
+    # projection along the planted axis reproduces t up to global sign
+    t = np.array([(i - 19.5) / 4.0 for i in range(40)])
+    corr = np.corrcoef(p1, t)[0, 1]
+    assert abs(abs(corr) - 1.0) < 1e-3
+    # determinism: second run bit-identical (sign-fixed eigvecs)
+    again = {r.vec_id: r.proj for r in pca_project(df, k=2, dim=4).collect()}
+    assert again == proj
