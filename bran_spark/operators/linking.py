@@ -478,3 +478,105 @@ def sorted_neighborhood_pairs(
         ).alias("nb"),
     ).select("id_a", F.col("nb.id_b"), F.col("nb.dist"))
     return leads.where(F.col("id_b").isNotNull())
+
+
+def acronym_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_window: int = 8,
+) -> DataFrame:
+    """Abbreviation-definition mining (Schwartz & Hearst, PSB 2003 — the
+    standard biomedical abbreviation resolver): find "long form (SF)"
+    patterns and recover the long form with the S-H core rule — match
+    the short form's characters RIGHT-TO-LEFT against the candidate
+    window, any character may match anywhere EXCEPT the first, which
+    must sit at a word start ("hepatocellular carcinoma (HCC)" works:
+    C, C, H land on carcinoma, carcinoma, hepatocellular). The long
+    form is the window suffix from that anchor, kept only when its word
+    count ≤ min(|SF| + 5, 2·|SF|) (the paper's length gate). In a
+    bran-class pipeline this feeds the linker's surface-form
+    dictionary — one definition licenses bare-SF mentions corpus-wide.
+
+    Plan: regexp_extract_all is a corpus-scale scan projection; the
+    greedy match is ONE JVM ``aggregate`` fold over the window's
+    reversed characters (no Python, no UDF) with the char/SF arrays
+    bound via a 1-element ``transform`` so CollapseProject cannot
+    re-evaluate the splits per character. One (short, long) aggregate
+    for corpus support. Output: (short_form, long_form, n_docs),
+    ordered."""
+    pat = (
+        r"((?:[A-Za-z][A-Za-z-]* ){2,%d})\(([A-Z]{2,5})\)" % max_window
+    )
+    cand = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(
+            F.regexp_extract_all(F.col(text_col), F.lit(pat), F.lit(0))
+        ).alias("m"),
+    ).select(
+        "doc_id",
+        F.trim(F.regexp_extract("m", pat, 1)).alias("win"),
+        F.regexp_extract("m", pat, 2).alias("short_form"),
+    )
+
+    def fold(b):
+        arr, sfa = b["arr"], b["sfa"]
+        m, n = F.size(arr), F.size(sfa)
+        rev = F.transform(
+            F.sequence(F.lit(1), m),
+            lambda i: F.struct(
+                (m - i + 1).alias("pos"),
+                F.element_at(arr, m - i + 1).alias("ch"),
+                F.when(m - i + 1 == 1, F.lit(True))
+                .otherwise(F.element_at(arr, m - i) == " ")
+                .alias("ws"),
+            ),
+        )
+        init = F.struct(
+            F.lit(0).alias("j"), F.lit(0).alias("start")
+        )
+
+        def step(st, e):
+            hit = F.when(
+                st["j"] < n, e["ch"] == F.element_at(sfa, n - st["j"])
+            ).otherwise(F.lit(False))
+            is_final = st["j"] == n - 1
+            ok = hit & (~is_final | e["ws"])
+            return F.struct(
+                F.when(ok, st["j"] + 1).otherwise(st["j"]).alias("j"),
+                F.when(ok & is_final, e["pos"])
+                .otherwise(st["start"])
+                .alias("start"),
+            )
+
+        return F.aggregate(rev, init, step)
+
+    scored = cand.withColumn(
+        "sh",
+        F.transform(
+            F.array(
+                F.struct(
+                    F.split(F.lower("win"), "").alias("arr"),
+                    F.split(F.lower("short_form"), "").alias("sfa"),
+                )
+            ),
+            fold,
+        )[0],
+    )
+    n_sf = F.length("short_form")
+    long_form = F.trim(
+        F.col("win").substr(F.col("sh.start"), F.length("win"))
+    )
+    lf_words = F.size(F.split(long_form, " +"))
+    return (
+        scored.where(
+            (F.col("sh.j") == n_sf)
+            & (F.col("sh.start") >= 1)
+            & (lf_words <= F.least(n_sf + 5, n_sf * 2))
+        )
+        .select("doc_id", "short_form", long_form.alias("long_form"))
+        .distinct()
+        .groupBy("short_form", "long_form")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+        .orderBy("short_form", "long_form")
+    )

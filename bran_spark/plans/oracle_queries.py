@@ -9263,6 +9263,123 @@ def q222(spark, sf):
     return pca_project(_t(spark, sf, "embeddings"), k=4)
 
 
+_SH_PAT = r"((?:[A-Za-z][A-Za-z-]* ){2,8})\(([A-Z]{2,5})\)"
+
+
+@_q(
+    "q223_acronym_pairs",
+    f"""
+    WITH pos AS (
+        SELECT p_partkey AS doc_id,
+               'order of ' || p_name || ' (' ||
+               upper(array_to_string(list_transform(
+                   string_split(p_name, ' '), w -> substr(w, 1, 1)), ''))
+               || ') confirmed' AS text
+        FROM part WHERE p_partkey <= 300),
+    neg AS (
+        SELECT (10000 + n_nationkey)::BIGINT AS doc_id,
+               'office of ' || lower(n_name) || ' (XQZ) memo' AS text
+        FROM nation),
+    corpus AS (SELECT * FROM pos UNION ALL SELECT * FROM neg),
+    m AS (SELECT doc_id,
+                 unnest(regexp_extract_all(text, '{_SH_PAT}')) AS mt
+          FROM corpus),
+    c AS (SELECT doc_id,
+                 trim(regexp_extract(mt, '{_SH_PAT}', 1)) AS win,
+                 regexp_extract(mt, '{_SH_PAT}', 2) AS short_form
+          FROM m),
+    c2 AS (SELECT doc_id, win, short_form,
+                  string_split(lower(win), '') AS arr,
+                  string_split(lower(short_form), '') AS sfa,
+                  length(win)::INT AS wm,
+                  length(short_form)::INT AS n
+           FROM c),
+    -- DuckDB 1.0 list_reduce mishandles CASE over STRUCT-accumulator
+    -- fields, so state and elements are BIGINT-encoded instead:
+    --   element = pos*64 + ws*32 + match_mask   (mask bit k set iff the
+    --             char equals sfa[k+1]; |SF| <= 5 so mask < 32)
+    --   state   = j*1000000 + start
+    f AS (SELECT doc_id, win, short_form, n,
+                 list_reduce(
+                   list_prepend(
+                     0::BIGINT,
+                     list_transform(range(wm), i ->
+                       ((wm - i)::BIGINT * 64
+                        + CASE WHEN wm - i = 1
+                                    OR arr[wm - i - 1] = ' '
+                               THEN 32 ELSE 0 END
+                        + list_sum(list_transform(range(n), k ->
+                            CASE WHEN arr[wm - i] = sfa[k + 1]
+                                 THEN (1 << k) ELSE 0 END))::BIGINT
+                       )::BIGINT)),
+                   (acc, e) ->
+                     CASE WHEN (acc // 1000000) < n
+                               AND ((e % 32)
+                                    // (1 << (n - 1 - (acc // 1000000))::INT)
+                                   ) % 2 = 1
+                               AND (NOT (acc // 1000000) = n - 1
+                                    OR (e // 32) % 2 = 1)
+                          THEN CASE WHEN (acc // 1000000) = n - 1
+                                    THEN (acc // 1000000 + 1) * 1000000
+                                         + (e // 64)
+                                    ELSE (acc // 1000000 + 1) * 1000000
+                                         + (acc % 1000000) END
+                          ELSE acc END) AS res
+           FROM c2),
+    v AS (SELECT DISTINCT doc_id, short_form,
+                 trim(substr(win, (res % 1000000)::INT, length(win)))
+                   AS long_form
+          FROM f
+          WHERE res // 1000000 = n AND res % 1000000 >= 1
+            AND len(string_split_regex(
+                  trim(substr(win, (res % 1000000)::INT, length(win))),
+                  ' +'))
+                <= least(n + 5, 2 * n))
+    SELECT short_form, long_form, COUNT(*)::BIGINT AS n_docs
+    FROM v GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def q223(spark, sf):
+    """Schwartz-Hearst abbreviation mining (linking.acronym_pairs) over
+    a deterministically constructed corpus: part names carrying their
+    true initialisms (positives) and nation offices carrying a bogus
+    (XQZ) tag (negatives, no x anywhere in a nation name). The twin
+    replays the SAME right-to-left greedy fold via DuckDB list_reduce —
+    anchor rule, length gate and all — so the hash checks the
+    algorithm, not just the demo construction."""
+    from bran_spark.operators.linking import acronym_pairs
+
+    part = _t(spark, sf, "part")
+    initials = F.upper(
+        F.concat_ws(
+            "",
+            F.transform(
+                F.split(F.col("p_name"), " "),
+                lambda w: F.substring(w, 1, 1),
+            ),
+        )
+    )
+    pos = part.where(F.col("p_partkey") <= 300).select(
+        F.col("p_partkey").alias("doc_id"),
+        F.concat(
+            F.lit("order of "),
+            F.col("p_name"),
+            F.lit(" ("),
+            initials,
+            F.lit(") confirmed"),
+        ).alias("text"),
+    )
+    neg = _t(spark, sf, "nation").select(
+        (F.col("n_nationkey") + 10000).cast("long").alias("doc_id"),
+        F.concat(
+            F.lit("office of "),
+            F.lower(F.col("n_name")),
+            F.lit(" (XQZ) memo"),
+        ).alias("text"),
+    )
+    return acronym_pairs(pos.unionByName(neg))
+
+
 # =========================================================================
 # Registry ordering: the driver's correctness gate hash-checks the FIRST
 # 50 insertion-order entries of ``queries()``. Definition order above is

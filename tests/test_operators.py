@@ -1090,3 +1090,35 @@ def test_neyman_allocation_favors_variable_strata(spark):
     # contract: remainders are distributed downstream, never invented
     assert out["wild"].alloc == 500
     assert out["mild"].alloc == 199
+
+
+def test_acronym_pairs_schwartz_hearst_initials_rule(spark):
+    from bran_spark.operators.linking import acronym_pairs
+
+    docs = spark.createDataFrame(
+        [
+            (1, "patients with hepatocellular carcinoma (HCC) were treated"),
+            (2, "the united states (US) signed the pact"),
+            (3, "random trailing words here (XYZ) do not form initials"),
+            (4, "relapsed hepatocellular carcinoma (HCC) cases"),
+            (5, "no parenthetical at all in this document"),
+            (6, "short (AB) needs two candidate words before it"),
+            # anchor rule: the interior 'p' of purple is skipped; the
+            # first SF char must land on a word START
+            (7, "fresh purple apple (PA) juice"),
+            # length gate: long form would be 5 words > min(2+5, 2*2)
+            (8, "the apple pie crust dish tart (AT) slice"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        (r.short_form, r.long_form): r.n_docs
+        for r in acronym_pairs(docs).collect()
+    }
+    assert out[("HCC", "hepatocellular carcinoma")] == 2
+    assert out[("US", "united states")] == 1
+    assert out[("PA", "purple apple")] == 1
+    assert all(sf != "XYZ" for sf, _ in out)
+    # doc 6: no word-start subsequence for "AB" in the window
+    assert all(sf != "AB" for sf, _ in out)
+    assert all(sf != "AT" for sf, _ in out)  # length gate
