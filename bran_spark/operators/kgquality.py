@@ -447,3 +447,53 @@ def path_cardinality_est(triples: DataFrame) -> DataFrame:
             6,
         ).alias("err_ratio"),
     )
+
+
+def decayed_support(
+    evidence: DataFrame,
+    subj_col: str = "subj",
+    obj_col: str = "obj",
+    ts_col: str = "ts",
+    ref_time: str = "2002-01-01",
+    half_life_days: int = 365,
+) -> DataFrame:
+    """Recency-weighted edge confidence — the time-aware refinement of
+    A5's flat dedup-support count: each evidence row contributes
+    2^(−Δdays / half_life) so a fact seen yesterday outweighs one seen
+    only years ago (the standard freshness prior of claim fusion and
+    stream-KG maintenance; truth_discovery consumes these as source
+    votes).
+
+    Determinism contract (the Fellegi-Sunter micro-weight idiom,
+    FS_SCALE): each row's weight is round(2^(−Δ/hl)·10⁶) — ONE
+    transcendental per distinct integer Δ, rounded to an exact BIGINT —
+    and the per-edge total is then an associative INTEGER sum, immune
+    to partitioning/engine accumulation order. ``ref_time`` is an
+    explicit parameter (never now()) so reruns are reproducible.
+
+    One corpus-scale aggregate on the edge key; nothing else. Output:
+    (subj, obj, n_events, support, last_seen), support = Σmicro/10⁶
+    6 dp, ordered."""
+    delta = F.datediff(
+        F.lit(ref_time).cast("timestamp"), F.col(ts_col)
+    ).cast("double")
+    micro = F.round(
+        F.pow(F.lit(2.0), -delta / F.lit(float(half_life_days)))
+        * F.lit(1_000_000),
+        0,
+    ).cast("long")
+    return (
+        evidence.select(
+            F.col(subj_col).alias("subj"),
+            F.col(obj_col).alias("obj"),
+            micro.alias("_w"),
+            F.col(ts_col).alias("_ts"),
+        )
+        .groupBy("subj", "obj")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.round(F.sum("_w") / F.lit(1_000_000.0), 6).alias("support"),
+            F.max("_ts").alias("last_seen"),
+        )
+        .orderBy("subj", "obj")
+    )

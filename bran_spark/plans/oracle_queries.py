@@ -9380,6 +9380,40 @@ def q223(spark, sf):
     return acronym_pairs(pos.unionByName(neg))
 
 
+@_q(
+    "q224_decayed_support",
+    """
+    WITH w AS (SELECT l_suppkey AS subj, l_partkey AS obj,
+                      l_shipdate AS ts,
+                      CAST(round(pow(2.0,
+                             -(datediff('day', l_shipdate,
+                                        TIMESTAMP '2002-01-01'))::DOUBLE
+                             / 365.0) * 1000000, 0) AS BIGINT) AS w
+               FROM lineitem)
+    SELECT subj, obj, COUNT(*)::BIGINT AS n_events,
+           ROUND(SUM(w) / 1000000.0, 6) AS support,
+           MAX(ts) AS last_seen
+    FROM w GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def q224(spark, sf):
+    """Recency-weighted edge support (kgquality.decayed_support) over
+    supplier→part evidence with a 1-year half-life at a PINNED
+    reference time: per-row 2^(−Δ/hl) micro-weights rounded to exact
+    BIGINTs (FS_SCALE idiom) so the per-edge total is an associative
+    integer sum — the freshness prior claim fusion consumes."""
+    from bran_spark.operators.kgquality import decayed_support
+
+    return decayed_support(
+        _t(spark, sf, "lineitem"),
+        subj_col="l_suppkey",
+        obj_col="l_partkey",
+        ts_col="l_shipdate",
+        ref_time="2002-01-01",
+        half_life_days=365,
+    )
+
+
 # =========================================================================
 # Registry ordering: the driver's correctness gate hash-checks the FIRST
 # 50 insertion-order entries of ``queries()``. Definition order above is

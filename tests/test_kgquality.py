@@ -519,3 +519,33 @@ def test_cohens_kappa_hand_cells(spark):
     # both raters constant-yes -> pe = 1 -> kappa undefined (NULL)
     r3 = cohens_kappa(uni, uni, uni, keys=["item"]).collect()[0]
     assert r3.kappa is None and r3.po == 1.0
+
+
+def test_decayed_support_half_life_and_integer_mass(spark):
+    import math
+
+    from bran_spark.operators.kgquality import decayed_support
+
+    ev = spark.createDataFrame(
+        [
+            ("s1", "o1", "2002-01-01 00:00:00"),
+            ("s1", "o1", "2001-01-01 00:00:00"),
+            ("s2", "o2", "2000-01-02 00:00:00"),
+        ],
+        "subj string, obj string, ts string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = {
+        (r.subj, r.obj): r
+        for r in decayed_support(ev, ref_time="2002-01-01").collect()
+    }
+
+    def micro(days):
+        return round(2.0 ** (-days / 365.0) * 1_000_000)
+
+    exp_s1 = round((micro(0) + micro(365)) / 1_000_000.0, 6)
+    assert out[("s1", "o1")].n_events == 2
+    assert abs(out[("s1", "o1")].support - exp_s1) < 1e-9
+    assert str(out[("s1", "o1")].last_seen).startswith("2002-01-01")
+    # two half-lives decay to ~1/4
+    assert abs(out[("s2", "o2")].support - round(micro(730) / 1e6, 6)) < 1e-9
+    assert 0.24 < out[("s2", "o2")].support < 0.26
