@@ -734,3 +734,58 @@ def conformal_coverage(
         ),
         F.round(F.lit(1.0 - alpha), 6).alias("target"),
     )
+
+
+def confident_joint(
+    df: DataFrame,
+    label_col: str = "label",
+    prob_col: str = "p",
+) -> DataFrame:
+    """Confident-learning joint (Northcutt et al., JAIR 2021) for binary
+    labels — the label-NOISE estimator behind dataset pruning: count
+    examples whose predicted probability confidently indicates true
+    class j while the given (possibly wrong) label says i. Off-diagonal
+    mass is the estimated label-error budget; cleanlab-style pruning
+    drops exactly those rows before training.
+
+      t_j  = mean model probability of class j among rows LABELED j
+      row counts toward (i, j) iff label = i, prob_j ≥ t_j
+      (both classes confident → argmax; ties → class 1)
+
+    Two passes: a 1-row threshold aggregate (broadcast back, rounded to
+    6 dp so both engines compare against the identical literal) and one
+    (label, est) count — each a plain corpus aggregate. Output: 4 rows
+    (noisy_label, est_true, n, frac), frac over all confidently
+    assigned rows, 6 dp."""
+    p = F.col(prob_col).cast("double")
+    lbl = F.col(label_col).cast("int")
+    t = df.agg(
+        F.round(F.avg(F.when(lbl == 1, p)), 6).alias("t1"),
+        F.round(F.avg(F.when(lbl == 0, 1.0 - p)), 6).alias("t0"),
+    )
+    marked = df.crossJoin(F.broadcast(t)).select(
+        lbl.alias("noisy_label"),
+        F.when(
+            (p >= F.col("t1")) & ((1.0 - p) >= F.col("t0")),
+            F.when(p >= 1.0 - p, 1).otherwise(0),
+        )
+        .when(p >= F.col("t1"), 1)
+        .when((1.0 - p) >= F.col("t0"), 0)
+        .alias("est_true"),
+    )
+    counts = (
+        marked.where(F.col("est_true").isNotNull())
+        .groupBy("noisy_label", "est_true")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    tot = counts.agg(F.sum("n").cast("double").alias("n_tot"))
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .select(
+            "noisy_label",
+            F.col("est_true").cast("int").alias("est_true"),
+            "n",
+            F.round(F.col("n") / F.col("n_tot"), 6).alias("frac"),
+        )
+        .orderBy("noisy_label", "est_true")
+    )

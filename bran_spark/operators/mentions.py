@@ -157,3 +157,48 @@ def assertion_status(
     return chem.join(dis_flag, "doc_id").select(
         "doc_id", "chem_mesh", "dis_mesh", "asserted"
     )
+
+
+def ambiguity_profile(
+    mentions: DataFrame,
+    surface_col: str = "text",
+    entity_col: str = "mesh_id",
+) -> DataFrame:
+    """Surface-form ambiguity audit — the linking-difficulty map: for
+    every mention surface, how many distinct entities the corpus links
+    it to, how dominant the majority sense is, and the link entropy.
+    Surfaces with high entropy are exactly where dictionary linking
+    (J4) silently guesses and a context-sensitive disambiguator is
+    worth its cost; the audit is also the precision ceiling of a
+    most-frequent-sense baseline (Σ majority / Σ mentions).
+
+      H(surface) = ln(n) − Σ_e c_e·ln(c_e) / n     (nats, 6 dp)
+
+    Two aggregates — (surface, entity) counts, then a surface rollup;
+    the c·ln(c) terms are one transcendental per distinct small count
+    and sum within a surface's few senses, so 6-dp rounding is far
+    above any accumulation noise. Output: (surface, n_mentions,
+    n_entities, majority_share, entropy), ordered by surface."""
+    pc = mentions.groupBy(
+        F.col(surface_col).alias("surface"),
+        F.col(entity_col).alias("_e"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("c"))
+    g = pc.groupBy("surface").agg(
+        F.sum("c").cast("long").alias("n_mentions"),
+        F.count(F.lit(1)).cast("long").alias("n_entities"),
+        F.max("c").cast("long").alias("_maxc"),
+        F.sum(F.col("c").cast("double") * F.log(F.col("c").cast("double")))
+        .alias("_clnc"),
+    )
+    n = F.col("n_mentions").cast("double")
+    return g.select(
+        "surface",
+        "n_mentions",
+        "n_entities",
+        F.round(F.col("_maxc") / n, 6).alias("majority_share"),
+        # greatest(…, 0): H ≥ 0 mathematically, but ln(n) − Σc·ln(c)/n
+        # computes as a − a ± 1ulp for unambiguous surfaces and a −1e-17
+        # residue rounds to −0.0 (which value-hashes differently from 0.0)
+        F.round(F.greatest(F.log(n) - F.col("_clnc") / n, F.lit(0.0)), 6)
+        .alias("entropy"),
+    ).orderBy("surface")

@@ -9414,6 +9414,71 @@ def q224(spark, sf):
     )
 
 
+@_q(
+    "q225_mention_ambiguity",
+    _FX_MENTIONS_SQL
+    + """
+    , pc AS (SELECT text AS surface, mesh_id, COUNT(*)::BIGINT AS c
+             FROM m GROUP BY 1, 2),
+    g AS (SELECT surface, SUM(c)::BIGINT AS n_mentions,
+                 COUNT(*)::BIGINT AS n_entities,
+                 MAX(c)::BIGINT AS maxc,
+                 SUM(c::DOUBLE * ln(c::DOUBLE)) AS clnc
+          FROM pc GROUP BY surface)
+    SELECT surface, n_mentions, n_entities,
+           ROUND(maxc / n_mentions::DOUBLE, 6) AS majority_share,
+           ROUND(greatest(ln(n_mentions::DOUBLE)
+                          - clnc / n_mentions::DOUBLE, 0.0), 6) AS entropy
+    FROM g ORDER BY surface
+    """,
+)
+def q225(spark, sf):
+    """Surface-form ambiguity audit (mentions.ambiguity_profile) over
+    the fixture mention table: per surface, distinct linkable entities,
+    majority-sense share and link entropy — the precision ceiling of
+    dictionary linking and the map of where a disambiguator is needed."""
+    from bran_spark.operators.mentions import ambiguity_profile
+
+    return ambiguity_profile(_fx_mentions(spark, sf))
+
+
+@_q(
+    "q226_confident_joint",
+    f"""
+    WITH {_PIPE_CTES},
+    pr AS (SELECT label, (s + 10.0) / 20.0 AS p FROM scored),
+    t AS (SELECT ROUND(AVG(CASE WHEN label = 1 THEN p END), 6) AS t1,
+                 ROUND(AVG(CASE WHEN label = 0 THEN 1.0 - p END), 6) AS t0
+          FROM pr),
+    mk AS (SELECT label AS noisy_label,
+                  CASE WHEN p >= t1 AND (1.0 - p) >= t0
+                       THEN (CASE WHEN p >= 1.0 - p THEN 1 ELSE 0 END)
+                       WHEN p >= t1 THEN 1
+                       WHEN (1.0 - p) >= t0 THEN 0 END AS est_true
+           FROM pr, t),
+    c AS (SELECT noisy_label, est_true, COUNT(*)::BIGINT AS n
+          FROM mk WHERE est_true IS NOT NULL GROUP BY 1, 2),
+    z AS (SELECT SUM(n)::DOUBLE AS n_tot FROM c)
+    SELECT noisy_label, est_true::INT AS est_true, n,
+           ROUND(n / z.n_tot, 6) AS frac
+    FROM c, z ORDER BY noisy_label, est_true
+    """,
+)
+def q226(spark, sf):
+    """Confident-learning joint (evaluate.confident_joint) on the
+    synthetic scored pipeline, probabilities rescaled from the exact
+    rational scores: per-class confidence thresholds from a 1-row
+    broadcast aggregate, then one (noisy, estimated-true) count — the
+    off-diagonal mass is the label-error budget cleanlab-style pruning
+    would drop."""
+    from bran_spark.operators.evaluate import confident_joint
+
+    pr = _scored(spark, sf).select(
+        "label", ((F.col("s") + 10.0) / 20.0).alias("p")
+    )
+    return confident_joint(pr, "label", "p")
+
+
 # =========================================================================
 # Registry ordering: the driver's correctness gate hash-checks the FIRST
 # 50 insertion-order entries of ``queries()``. Definition order above is

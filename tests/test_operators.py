@@ -1122,3 +1122,45 @@ def test_acronym_pairs_schwartz_hearst_initials_rule(spark):
     # doc 6: no word-start subsequence for "AB" in the window
     assert all(sf != "AB" for sf, _ in out)
     assert all(sf != "AT" for sf, _ in out)  # length gate
+
+
+def test_ambiguity_profile_entropy_and_majority(spark):
+    from bran_spark.operators.mentions import ambiguity_profile
+
+    m = spark.createDataFrame(
+        [("aspirin", "E1")] * 3
+        + [("cold", "E2"), ("cold", "E2"), ("cold", "E3"), ("cold", "E3")]
+        + [("rare", "E4")],
+        "text string, mesh_id string",
+    )
+    out = {r.surface: r for r in ambiguity_profile(m).collect()}
+    import math
+
+    assert out["aspirin"].n_entities == 1 and out["aspirin"].entropy == 0.0
+    assert math.copysign(1, out["aspirin"].entropy) > 0  # +0.0, never -0.0
+    assert out["cold"].n_mentions == 4 and out["cold"].n_entities == 2
+    assert out["cold"].majority_share == 0.5
+    assert abs(out["cold"].entropy - round(math.log(2), 6)) < 1e-9
+    assert out["rare"].n_mentions == 1
+
+
+def test_confident_joint_flags_planted_label_error(spark):
+    from bran_spark.operators.evaluate import confident_joint
+
+    df = spark.createDataFrame(
+        [
+            (1, 0.9), (1, 0.8), (1, 0.7),
+            (0, 0.2), (0, 0.1), (0, 0.3),
+            (0, 0.95),  # mislabeled: model is confident it is class 1
+        ],
+        "label int, p double",
+    )
+    out = {
+        (r.noisy_label, r.est_true): r for r in confident_joint(df).collect()
+    }
+    # t1 = mean(.9,.8,.7) = .8 ; t0 = mean(.8,.9,.7,.05) = .6125
+    assert out[(1, 1)].n == 2
+    assert out[(0, 0)].n == 3
+    assert out[(0, 1)].n == 1  # the planted label error, off-diagonal
+    assert (1, 0) not in out
+    assert abs(out[(0, 1)].frac - round(1 / 6, 6)) < 1e-9
