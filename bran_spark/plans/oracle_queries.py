@@ -9509,8 +9509,12 @@ _FIRST_50 = [
     # (components q50 stays mirror-covered: q74's survivors AND q213's
     # per-round relabel both execute it; its slot funds the round-3
     # Borůvka spanning-forest family below)
-    "q28_dedup_ngram_jaccard", "q29_dedup_minhash_lsh",
-    "q35_embedding_neardup", "q213_boruvka_msf",
+    # (q29's banded MinHash-LSH executes INSIDE q74's end-to-end plan and
+    # q35's sign-LSH inside q55's — both stay mirror-covered; their slots
+    # fund this session's new families: Schwartz-Hearst abbreviation
+    # mining and CUPED experiment readout)
+    "q28_dedup_ngram_jaccard", "q223_acronym_pairs",
+    "q217_cuped", "q213_boruvka_msf",
     "q74_dedup_survivors", "q52_repetition_stats",
     # KG-fusion family (round-3 session additions): AMIE rule mining and
     # truth discovery are its two distinct algorithm shapes (inference
@@ -9555,8 +9559,11 @@ _FIRST_50 = [
     # as-of / CDC / reconciliation family (snapshot_diff q81 stays
     # mirror-covered; its slot funds the KG-fusion family above)
     "q41_asof_join", "q67_merge_latest",
-    # text-analysis family
-    "q36_lang_id", "q92_levenshtein_verify",
+    # text-analysis family (Levenshtein verify q92 stays mirror-covered —
+    # fs_linkage q165's agreement fields replay the same edit-distance
+    # core; its slot funds the event-sequence family, which had no
+    # driver rep: the integer-fixed-point Markov stationary mix)
+    "q36_lang_id", "q219_stationary_mix",
     # multimodal
     "q46_media_features",
     # relational representative
