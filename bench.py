@@ -129,6 +129,13 @@ def main() -> None:
         "q161_hits",
         "q162_coalesce_intervals",
         "q165_fs_linkage",
+        # session-6 families: integer Markov fixed point (corpus window +
+        # 8 dimension-sized rounds), recency-decayed edge support
+        # (lineitem-scale integer aggregate), exact embedding covariance
+        # (45 agg expressions in one pass)
+        "q219_stationary_mix",
+        "q224_decayed_support",
+        "q221_embedding_covariance",
     ]
     for name in bench_queries:
         t0 = time.time()

@@ -14,7 +14,7 @@ what gets persisted next to the snapshot manifest.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -79,3 +79,50 @@ def contract_report(rules: list[DataFrame]) -> DataFrame:
     for r in rules[1:]:
         out = out.unionByName(r)
     return out
+
+
+def key_skew_profile(
+    df: DataFrame, key_cols: list[str], top_k: int = 20
+) -> DataFrame:
+    """Join/partition-key skew audit — the measurement BEHIND every
+    salting decision this engine makes (P3, A5's salted dedup, the
+    df-cut in ngram_jaccard): before shuffling 100 TB on a key, ask how
+    hot its hottest values are. A key whose top value owns 30% of the
+    rows will straggle one reducer regardless of partition count; this
+    report is the evidence for salting it (or broadcasting the other
+    side).
+
+    One count aggregate on the key (the same shuffle the join would
+    do — at a fraction of the width), one 1-row total broadcast, one
+    TakeOrdered for the top-k. Output: top_k rows (key string-joined
+    for schema stability, n, share 6 dp, cum_share 6 dp, rank) ordered
+    hottest-first; share·n_keys ≫ 1 ⇒ skew."""
+    counts = df.groupBy(
+        *[F.col(c) for c in key_cols]
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    tot = counts.agg(
+        F.sum("n").cast("double").alias("n_rows"),
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+    )
+    top = (
+        counts.orderBy(F.desc("n"), *[F.asc(c) for c in key_cols])
+        .limit(top_k)
+        .crossJoin(F.broadcast(tot))
+    )
+    w = Window.orderBy(F.desc("n"), *[F.asc(c) for c in key_cols])
+    return top.select(
+        F.concat_ws("|", *[F.col(c).cast("string") for c in key_cols]).alias(
+            "key"
+        ),
+        "n",
+        "n_keys",
+        F.round(F.col("n") / F.col("n_rows"), 6).alias("share"),
+        F.round(
+            F.sum("n").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            )
+            / F.col("n_rows"),
+            6,
+        ).alias("cum_share"),
+        F.row_number().over(w).cast("int").alias("rank"),
+    )

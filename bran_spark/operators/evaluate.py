@@ -789,3 +789,93 @@ def confident_joint(
         )
         .orderBy("noisy_label", "est_true")
     )
+
+
+def isotonic_calibration(
+    df: DataFrame,
+    prob_col: str = "p",
+    label_col: str = "label",
+    n_bins: int = 20,
+) -> DataFrame:
+    """Isotonic (monotone) calibration of model scores — the
+    nonparametric upgrade of calibration_bins' reliability diagram:
+    fit the best monotone step function from score to empirical
+    positive rate (Zadrozny & Elkan, KDD 2002; sklearn's
+    IsotonicRegression). Downstream, scores are calibrated by joining
+    against the returned bin mapping.
+
+    Instead of the sequential pool-adjacent-violators sweep, this uses
+    PAVA's MINIMAX characterization — iso(i) = max_{j≤i} min_{k≥i}
+    weightedRate(j..k) — which is pure relational algebra: after ONE
+    corpus-scale bin aggregate, everything operates on the n_bins-sized
+    dimension (prefix sums via a single-partition window over ≤n_bins
+    rows, a j≤i≤k triple join of O(n_bins³) tiny rows, two aggregates).
+    Every rate is an exact integer ratio and min/max are order-free, so
+    the fit is bit-stable across engines — no sequential state, no
+    floats accumulating. Empty bins simply don't exist in the mapping
+    (calibration is defined on observed bins; join semantics downstream
+    decide interpolation). Output: (bin, n, n_pos, rate_raw, rate_iso),
+    6 dp, ordered by bin; rate_iso is non-decreasing."""
+    p = F.col(prob_col).cast("double")
+    binned = df.select(
+        F.least(
+            F.lit(n_bins - 1), F.floor(p * n_bins).cast("int")
+        ).alias("bin"),
+        F.col(label_col).cast("long").alias("y"),
+    )
+    bins = binned.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("y").cast("long").alias("n_pos"),
+    )
+    w = Window.orderBy("bin").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    pref = bins.select(
+        "bin",
+        "n",
+        "n_pos",
+        (F.sum("n").over(w) - F.col("n")).alias("cn0"),
+        F.sum("n").over(w).alias("cn1"),
+        (F.sum("n_pos").over(w) - F.col("n_pos")).alias("cp0"),
+        F.sum("n_pos").over(w).alias("cp1"),
+    )
+    j = pref.select(
+        F.col("bin").alias("jb"), F.col("cn0").alias("jcn0"),
+        F.col("cp0").alias("jcp0"),
+    )
+    k = pref.select(
+        F.col("bin").alias("kb"), F.col("cn1").alias("kcn1"),
+        F.col("cp1").alias("kcp1"),
+    )
+    i = pref.select(F.col("bin").alias("ib"))
+    trip = (
+        j.join(k, F.col("jb") <= F.col("kb"))
+        .join(i, (F.col("jb") <= F.col("ib")) & (F.col("ib") <= F.col("kb")))
+        .select(
+            "jb",
+            "ib",
+            (
+                (F.col("kcp1") - F.col("jcp0")).cast("double")
+                / (F.col("kcn1") - F.col("jcn0"))
+            ).alias("avg"),
+        )
+    )
+    iso = (
+        trip.groupBy("jb", "ib")
+        .agg(F.min("avg").alias("m"))
+        .groupBy("ib")
+        .agg(F.max("m").alias("rate_iso"))
+    )
+    return (
+        bins.join(iso, bins["bin"] == iso["ib"])
+        .select(
+            "bin",
+            "n",
+            "n_pos",
+            F.round(F.col("n_pos") / F.col("n").cast("double"), 6).alias(
+                "rate_raw"
+            ),
+            F.round("rate_iso", 6).alias("rate_iso"),
+        )
+        .orderBy("bin")
+    )

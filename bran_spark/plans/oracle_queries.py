@@ -9479,6 +9479,80 @@ def q226(spark, sf):
     return confident_joint(pr, "label", "p")
 
 
+@_q(
+    "q227_key_skew_profile",
+    """
+    WITH c AS (SELECT user_id AS k, COUNT(*)::BIGINT AS n
+               FROM events GROUP BY 1),
+    t AS (SELECT SUM(n)::DOUBLE AS n_rows, COUNT(*)::BIGINT AS n_keys
+          FROM c),
+    top AS (SELECT k, n FROM c ORDER BY n DESC, k LIMIT 20),
+    r AS (SELECT k::VARCHAR AS key, n,
+                 ROW_NUMBER() OVER (ORDER BY n DESC, k) AS rank,
+                 SUM(n) OVER (ORDER BY n DESC, k
+                              ROWS UNBOUNDED PRECEDING) AS cum
+          FROM top)
+    SELECT key, n, t.n_keys, ROUND(n / t.n_rows, 6) AS share,
+           ROUND(cum / t.n_rows, 6) AS cum_share, rank::INT AS rank
+    FROM r, t ORDER BY rank
+    """,
+)
+def q227(spark, sf):
+    """Join-key skew audit (contracts.key_skew_profile) on the events
+    user key: hottest-20 values with share and cumulative share — the
+    measurement behind every salting/broadcast decision (P3, salted
+    dedup, ngram-jaccard's df-cut). One key-count aggregate + 1-row
+    total broadcast + TakeOrdered."""
+    from bran_spark.operators.contracts import key_skew_profile
+
+    return key_skew_profile(_t(spark, sf, "events"), ["user_id"], top_k=20)
+
+
+@_q(
+    "q228_isotonic_calibration",
+    f"""
+    WITH {_PIPE_CTES},
+    pr AS (SELECT label, (s + 10.0) / 20.0 AS p FROM scored),
+    b AS (SELECT least(19, CAST(floor(p * 20) AS INT)) AS bin,
+                 label::BIGINT AS y FROM pr),
+    bins AS (SELECT bin, COUNT(*)::BIGINT AS n, SUM(y)::BIGINT AS n_pos
+             FROM b GROUP BY bin),
+    pref AS (SELECT bin, n, n_pos,
+               SUM(n) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) - n
+                 AS cn0,
+               SUM(n) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS cn1,
+               SUM(n_pos) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING)
+                 - n_pos AS cp0,
+               SUM(n_pos) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING)
+                 AS cp1
+             FROM bins),
+    trip AS (SELECT j.bin AS jb, i.bin AS ib,
+                    (k.cp1 - j.cp0)::DOUBLE / (k.cn1 - j.cn0) AS avg
+             FROM pref j JOIN pref k ON j.bin <= k.bin
+                  JOIN pref i ON j.bin <= i.bin AND i.bin <= k.bin),
+    mm AS (SELECT jb, ib, MIN(avg) AS m FROM trip GROUP BY 1, 2),
+    iso AS (SELECT ib, MAX(m) AS rate_iso FROM mm GROUP BY ib)
+    SELECT bins.bin, bins.n, bins.n_pos,
+           ROUND(bins.n_pos / bins.n::DOUBLE, 6) AS rate_raw,
+           ROUND(iso.rate_iso, 6) AS rate_iso
+    FROM bins JOIN iso ON bins.bin = iso.ib ORDER BY bin
+    """,
+)
+def q228(spark, sf):
+    """Isotonic score calibration (evaluate.isotonic_calibration, 20
+    bins) on the synthetic scored pipeline via PAVA's MINIMAX identity
+    — iso(i) = max_{j≤i} min_{k≥i} pooledRate(j..k) — so the monotone
+    fit is pure relational algebra over exact integer prefix sums and
+    both engines hash identically (no sequential sweep, no float
+    accumulation)."""
+    from bran_spark.operators.evaluate import isotonic_calibration
+
+    pr = _scored(spark, sf).select(
+        "label", ((F.col("s") + 10.0) / 20.0).alias("p")
+    )
+    return isotonic_calibration(pr, "p", "label", n_bins=20)
+
+
 # =========================================================================
 # Registry ordering: the driver's correctness gate hash-checks the FIRST
 # 50 insertion-order entries of ``queries()``. Definition order above is

@@ -1164,3 +1164,29 @@ def test_confident_joint_flags_planted_label_error(spark):
     assert out[(0, 1)].n == 1  # the planted label error, off-diagonal
     assert (1, 0) not in out
     assert abs(out[(0, 1)].frac - round(1 / 6, 6)) < 1e-9
+
+
+def test_isotonic_calibration_pools_violators(spark):
+    from bran_spark.operators.evaluate import isotonic_calibration
+
+    # 4 bins, raw rates .1 / .4 / .3 / .8 with equal weight 10: PAVA
+    # pools the (.4, .3) violation to .35 and leaves the ends alone.
+    rows = []
+    spec = [(0.1, 1), (0.3, 4), (0.6, 3), (0.9, 8)]  # (p, n_pos of 10)
+    for p, npos in spec:
+        rows += [(p, 1)] * npos + [(p, 0)] * (10 - npos)
+    df = spark.createDataFrame(rows, "p double, label int")
+    out = {r.bin: r for r in isotonic_calibration(df, n_bins=4).collect()}
+    assert [out[b].rate_raw for b in range(4)] == [0.1, 0.4, 0.3, 0.8]
+    assert [out[b].rate_iso for b in range(4)] == [0.1, 0.35, 0.35, 0.8]
+    # monotone and mass-preserving (pooled means keep the weighted sum)
+    iso = [out[b].rate_iso for b in range(4)]
+    assert iso == sorted(iso)
+    assert abs(sum(out[b].n * out[b].rate_iso for b in range(4)) - 16) < 1e-6
+    # already-monotone input is a fixed point
+    mono = []
+    for p, npos in [(0.1, 2), (0.3, 5), (0.6, 7), (0.9, 9)]:
+        mono += [(p, 1)] * npos + [(p, 0)] * (10 - npos)
+    df2 = spark.createDataFrame(mono, "p double, label int")
+    out2 = isotonic_calibration(df2, n_bins=4).collect()
+    assert all(r.rate_iso == r.rate_raw for r in out2)
