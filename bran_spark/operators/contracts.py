@@ -126,3 +126,105 @@ def key_skew_profile(
         ).alias("cum_share"),
         F.row_number().over(w).cast("int").alias("rank"),
     )
+
+
+def k_anonymity_audit(
+    df: DataFrame, qi_cols: list[str], k: int = 5
+) -> DataFrame:
+    """k-anonymity audit over a quasi-identifier combination — the
+    governance gate a training-data release runs before publishing
+    anything row-level: every row whose QI group has fewer than k
+    members is re-identifiable by joining the QI columns against an
+    external table. One QI-keyed count (the same shuffle a dedup would
+    do), one 1-row rollup. Output: 1 row (n_rows, n_groups,
+    min_group_size, n_violating_rows, violating_share 6 dp,
+    k_satisfied)."""
+    g = df.groupBy(*[F.col(c) for c in qi_cols]).agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    return g.agg(
+        F.sum("n").cast("long").alias("n_rows"),
+        F.count(F.lit(1)).cast("long").alias("n_groups"),
+        F.min("n").cast("long").alias("min_group_size"),
+        F.sum(F.when(F.col("n") < k, F.col("n")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("n_violating_rows"),
+    ).select(
+        "n_rows",
+        "n_groups",
+        "min_group_size",
+        "n_violating_rows",
+        F.round(
+            F.col("n_violating_rows") / F.col("n_rows").cast("double"), 6
+        ).alias("violating_share"),
+        (F.col("n_violating_rows") == 0).alias("k_satisfied"),
+    )
+
+
+PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"\b[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}\b",
+    "ipv4": r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b",
+    "card16": r"\b[0-9]{4}[- ]?[0-9]{4}[- ]?[0-9]{4}[- ]?[0-9]{4}\b",
+}
+
+
+def pii_scan(
+    docs: DataFrame,
+    text_col: str = "text",
+    group_col: str = "source",
+) -> DataFrame:
+    """PII-pattern scan — the redaction-planning census a corpus runs
+    before training: per document group, how many documents contain
+    each PII-shaped pattern (email / phone / IPv4 / 16-digit card) and
+    the total match count. Patterns are deliberately SHAPE-level
+    (regex, no checksum validation) — this is a detection-budget
+    estimate, not a validator; route hits to a real redactor.
+
+    Pure scan projection (one regexp_extract_all per pattern, fused in
+    one pass over the corpus) + one group-keyed aggregate. Output: one
+    row per (group, pattern): (grp, pattern, n_docs_hit, n_matches,
+    doc_rate 6 dp), ordered."""
+    cnt_cols = [
+        F.size(
+            F.regexp_extract_all(F.col(text_col), F.lit(pat), F.lit(0))
+        ).alias(f"_c_{name}")
+        for name, pat in PII_PATTERNS.items()
+    ]
+    counted = docs.select(F.col(group_col).alias("grp"), *cnt_cols)
+    per = counted.groupBy("grp").agg(
+        F.count(F.lit(1)).cast("long").alias("_n_docs"),
+        *[
+            x
+            for name in PII_PATTERNS
+            for x in (
+                F.sum(F.when(F.col(f"_c_{name}") > 0, 1).otherwise(0))
+                .cast("long")
+                .alias(f"_h_{name}"),
+                F.sum(f"_c_{name}").cast("long").alias(f"_m_{name}"),
+            )
+        ],
+    )
+    rows = [
+        F.struct(
+            F.lit(name).alias("pattern"),
+            F.col(f"_h_{name}").alias("n_docs_hit"),
+            F.col(f"_m_{name}").alias("n_matches"),
+        )
+        for name in PII_PATTERNS
+    ]
+    return (
+        per.select(
+            "grp", "_n_docs", F.explode(F.array(*rows)).alias("e")
+        )
+        .select(
+            "grp",
+            F.col("e.pattern").alias("pattern"),
+            F.col("e.n_docs_hit").alias("n_docs_hit"),
+            F.col("e.n_matches").alias("n_matches"),
+            F.round(
+                F.col("e.n_docs_hit") / F.col("_n_docs").cast("double"), 6
+            ).alias("doc_rate"),
+        )
+        .orderBy("grp", "pattern")
+    )

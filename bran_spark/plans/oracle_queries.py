@@ -9553,6 +9553,110 @@ def q228(spark, sf):
     return isotonic_calibration(pr, "p", "label", n_bins=20)
 
 
+@_q(
+    "q229_k_anonymity",
+    """
+    WITH g AS (SELECT c_nationkey, c_mktsegment, COUNT(*)::BIGINT AS n
+               FROM customer GROUP BY 1, 2),
+    a AS (SELECT SUM(n)::BIGINT AS n_rows, COUNT(*)::BIGINT AS n_groups,
+                 MIN(n)::BIGINT AS min_group_size,
+                 SUM(CASE WHEN n < 15 THEN n ELSE 0 END)::BIGINT
+                   AS n_violating_rows
+          FROM g)
+    SELECT n_rows, n_groups, min_group_size, n_violating_rows,
+           ROUND(n_violating_rows / n_rows::DOUBLE, 6) AS violating_share,
+           n_violating_rows = 0 AS k_satisfied
+    FROM a
+    """,
+)
+def q229(spark, sf):
+    """k-anonymity audit (contracts.k_anonymity_audit, k=15) over the
+    (nation, market-segment) quasi-identifier: rows in groups smaller
+    than k are re-identifiable by an external join — the governance
+    gate before any row-level data release. One QI-keyed count + 1-row
+    rollup."""
+    from bran_spark.operators.contracts import k_anonymity_audit
+
+    return k_anonymity_audit(
+        _t(spark, sf, "customer"), ["c_nationkey", "c_mktsegment"], k=15
+    )
+
+
+@_q(
+    "q230_pii_scan",
+    r"""
+    WITH corpus AS (
+        SELECT c_mktsegment AS source,
+               'contact ' || lower(c_name)
+               || CASE WHEN c_custkey % 10 = 0
+                       THEN ' at ' || replace(lower(c_name), '#', '.')
+                            || '@example.com'
+                       ELSE '' END
+               || CASE WHEN c_custkey % 7 = 0
+                       THEN ' call 555-867-5309' ELSE '' END AS text
+        FROM customer),
+    cnt AS (SELECT source,
+                   len(regexp_extract_all(text,
+                     '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+                     AS c_email,
+                   len(regexp_extract_all(text,
+                     '\b[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}\b')) AS c_phone,
+                   len(regexp_extract_all(text,
+                     '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b'))
+                     AS c_ipv4,
+                   len(regexp_extract_all(text,
+                     '\b[0-9]{4}[- ]?[0-9]{4}[- ]?[0-9]{4}[- ]?[0-9]{4}\b'))
+                     AS c_card16
+            FROM corpus),
+    per AS (SELECT source AS grp, COUNT(*)::BIGINT AS n_docs,
+                   SUM((c_email > 0)::INT)::BIGINT AS h_email,
+                   SUM(c_email)::BIGINT AS m_email,
+                   SUM((c_phone > 0)::INT)::BIGINT AS h_phone,
+                   SUM(c_phone)::BIGINT AS m_phone,
+                   SUM((c_ipv4 > 0)::INT)::BIGINT AS h_ipv4,
+                   SUM(c_ipv4)::BIGINT AS m_ipv4,
+                   SUM((c_card16 > 0)::INT)::BIGINT AS h_card16,
+                   SUM(c_card16)::BIGINT AS m_card16
+            FROM cnt GROUP BY source)
+    SELECT grp, pattern, n_docs_hit, n_matches,
+           ROUND(n_docs_hit / n_docs::DOUBLE, 6) AS doc_rate
+    FROM (
+      SELECT grp, n_docs, 'email' AS pattern,
+             h_email AS n_docs_hit, m_email AS n_matches FROM per
+      UNION ALL SELECT grp, n_docs, 'phone', h_phone, m_phone FROM per
+      UNION ALL SELECT grp, n_docs, 'ipv4', h_ipv4, m_ipv4 FROM per
+      UNION ALL SELECT grp, n_docs, 'card16', h_card16, m_card16 FROM per)
+    ORDER BY grp, pattern
+    """,
+)
+def q230(spark, sf):
+    """PII-pattern census (contracts.pii_scan) over a deterministically
+    planted corpus (every 10th customer gets an email, every 7th a
+    phone number): per market segment × pattern, documents hit and
+    total matches — the redaction-planning estimate run before
+    training. One fused regexp scan projection + one group aggregate."""
+    from bran_spark.operators.contracts import pii_scan
+
+    c = _t(spark, sf, "customer")
+    text = F.concat(
+        F.lit("contact "),
+        F.lower(F.col("c_name")),
+        F.when(
+            F.col("c_custkey") % 10 == 0,
+            F.concat(
+                F.lit(" at "),
+                F.translate(F.lower(F.col("c_name")), "#", "."),
+                F.lit("@example.com"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("c_custkey") % 7 == 0, F.lit(" call 555-867-5309")
+        ).otherwise(F.lit("")),
+    )
+    docs = c.select(F.col("c_mktsegment").alias("source"), text.alias("text"))
+    return pii_scan(docs, "text", "source")
+
+
 # =========================================================================
 # Registry ordering: the driver's correctness gate hash-checks the FIRST
 # 50 insertion-order entries of ``queries()``. Definition order above is

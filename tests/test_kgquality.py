@@ -549,3 +549,43 @@ def test_decayed_support_half_life_and_integer_mass(spark):
     # two half-lives decay to ~1/4
     assert abs(out[("s2", "o2")].support - round(micro(730) / 1e6, 6)) < 1e-9
     assert 0.24 < out[("s2", "o2")].support < 0.26
+
+
+def test_k_anonymity_audit_counts_small_groups(spark):
+    from bran_spark.operators.contracts import k_anonymity_audit
+
+    df = spark.createDataFrame(
+        [("us", "a")] * 6 + [("us", "b")] * 2 + [("fr", "a")] * 1,
+        "nation string, seg string",
+    )
+    row = k_anonymity_audit(df, ["nation", "seg"], k=5).head()
+    assert row.n_rows == 9 and row.n_groups == 3
+    assert row.min_group_size == 1
+    assert row.n_violating_rows == 3  # the 2-group and the 1-group
+    assert abs(row.violating_share - round(3 / 9, 6)) < 1e-9
+    assert row.k_satisfied is False
+    ok = k_anonymity_audit(df, ["nation", "seg"], k=1).head()
+    assert ok.k_satisfied is True and ok.n_violating_rows == 0
+
+
+def test_pii_scan_finds_planted_patterns_only(spark):
+    from bran_spark.operators.contracts import pii_scan
+
+    docs = spark.createDataFrame(
+        [
+            ("web", "reach me at jane.doe@corp.io or 555-123-4567 x2"),
+            ("web", "server 10.0.0.1 logged card 4111 1111 1111 1111"),
+            ("web", "nothing sensitive here at all"),
+            ("mail", "two mails: a@b.co and c.d@e.org same doc"),
+        ],
+        "source string, text string",
+    )
+    out = {(r.grp, r.pattern): r for r in pii_scan(docs).collect()}
+    assert out[("web", "email")].n_docs_hit == 1
+    assert out[("web", "phone")].n_matches == 1
+    assert out[("web", "ipv4")].n_matches == 1
+    assert out[("web", "card16")].n_matches == 1
+    assert out[("web", "email")].doc_rate == round(1 / 3, 6)
+    assert out[("mail", "email")].n_docs_hit == 1
+    assert out[("mail", "email")].n_matches == 2  # per-match count
+    assert out[("mail", "phone")].n_matches == 0
