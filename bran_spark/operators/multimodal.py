@@ -292,3 +292,36 @@ def caption_candidates(
     return ctx.where(~F.col("kind").isin(*text_kinds)).select(
         "doc_id", "position", "kind", "media_ref", "prev_text", "next_text"
     )
+
+
+def modality_mix_profile(interleaved: DataFrame) -> DataFrame:
+    """Interleaving census over span documents — how multimodal the
+    corpus actually is: docs bucketed by their media-span count, with
+    average text-span count and text mass per bucket. This is the
+    input to every multimodal batching decision (a vision token budget
+    per image only matters if you know the image-per-doc distribution)
+    and the drift check when a new source changes the mix.
+
+    Pure JVM array math per doc (filter/size/aggregate over the spans
+    struct array — no explode, no Python), then one tiny aggregate on
+    the media-count bucket. Output: (n_media, n_docs, avg_text_spans,
+    avg_text_chars), 6 dp, ordered by n_media."""
+    media = F.filter(F.col("spans"), lambda s: s["media_ref"] != "")
+    text = F.filter(F.col("spans"), lambda s: s["media_ref"] == "")
+    chars = F.aggregate(
+        text, F.lit(0), lambda a, s: a + F.length(s["text"])
+    )
+    per = interleaved.select(
+        F.size(media).alias("n_media"),
+        F.size(text).cast("long").alias("n_text"),
+        chars.cast("long").alias("chars"),
+    )
+    return (
+        per.groupBy("n_media")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.round(F.avg("n_text"), 6).alias("avg_text_spans"),
+            F.round(F.avg("chars"), 6).alias("avg_text_chars"),
+        )
+        .orderBy("n_media")
+    )

@@ -9657,6 +9657,34 @@ def q230(spark, sf):
     return pii_scan(docs, "text", "source")
 
 
+@_q(
+    "q231_modality_mix",
+    """
+    WITH per AS (
+        SELECT len(list_filter(spans, s -> s.media_ref <> '')) AS n_media,
+               len(list_filter(spans, s -> s.media_ref = ''))::BIGINT
+                 AS n_text,
+               COALESCE(list_sum(list_transform(
+                   list_filter(spans, s -> s.media_ref = ''),
+                   s -> length(s.text))), 0)::BIGINT AS chars
+        FROM read_parquet('{FX}/documents_interleaved.parquet'))
+    SELECT n_media, COUNT(*)::BIGINT AS n_docs,
+           ROUND(AVG(n_text), 6) AS avg_text_spans,
+           ROUND(AVG(chars), 6) AS avg_text_chars
+    FROM per GROUP BY n_media ORDER BY n_media
+    """.replace("{FX}", _FX01),
+)
+def q231(spark, sf):
+    """Interleaving census (multimodal.modality_mix_profile) over the
+    fixture span corpus: docs bucketed by media-span count with average
+    text-span count and text mass — the distribution every multimodal
+    token-budget decision reads first. Pure JVM array math, no explode."""
+    from bran_spark.operators.multimodal import modality_mix_profile
+
+    inter = spark.read.parquet(f"{_FX01}/documents_interleaved.parquet")
+    return modality_mix_profile(inter)
+
+
 # =========================================================================
 # Registry ordering: the driver's correctness gate hash-checks the FIRST
 # 50 insertion-order entries of ``queries()``. Definition order above is

@@ -433,3 +433,23 @@ def test_validate_interleaved_planted_violations(spark):
     assert got["media_shape"] == (3, 2)
     assert got["text_shape"] == (5, 1)          # title/body spans ('hologram' not counted)
     assert got["kind_known"] == (8, 1)
+
+
+def test_modality_mix_profile_buckets(spark):
+    from bran_spark.operators.multimodal import modality_mix_profile
+
+    docs = spark.createDataFrame(
+        [
+            ("d1", [("title", "ab", "", 0), ("image", "", "m1", 3)]),
+            ("d2", [("title", "abcd", "", 0)]),
+            ("d3", [("title", "xy", "", 0), ("image", "", "m2", 3),
+                    ("image", "", "m3", 3), ("body", "zz", "", 4)]),
+        ],
+        "doc_id string, spans array<struct<kind string, text string, "
+        "media_ref string, offset int>>",
+    )
+    out = {r.n_media: r for r in modality_mix_profile(docs).collect()}
+    assert out[0].n_docs == 1 and out[0].avg_text_chars == 4.0
+    assert out[1].n_docs == 1 and out[1].avg_text_spans == 1.0
+    assert out[2].n_docs == 1 and out[2].avg_text_spans == 2.0
+    assert out[2].avg_text_chars == 4.0  # "xy" + "zz"
