@@ -1877,3 +1877,68 @@ def boruvka_spanning_forest(
     if chosen is None:
         return e.where(F.lit(False))
     return chosen
+
+
+def maximal_matching(
+    edges: DataFrame, max_rounds: int = 8
+) -> DataFrame:
+    """Greedy distributed maximal matching (the Israeli-Itai local
+    pattern): repeatedly match every edge that is the BEST incident
+    edge of BOTH its endpoints, drop matched vertices, repeat. The
+    one-to-one pairing primitive KG fusion needs where align_entities'
+    independent per-row argmax can hand one target to many sources —
+    a matching guarantees each entity is used at most once.
+
+    Priority is deterministic and support-aware: lexicographic on
+    (zero-padded 10⁸−w, md5(u:v)) — heavier edges win locally, the hash
+    breaks ties identically in every engine, no RNG. Each round is two
+    dimension-light aggregates over the live incidence list + one
+    anti-join; lineage is truncated per round. Every returned edge set
+    is a valid matching after ANY number of rounds; maximality is
+    reached in O(log n) rounds w.h.p. — ``max_rounds`` bounds the
+    iteration, and matched coverage is monotone in rounds. Input:
+    undirected (u, v, w) with u < v. Output: matched (u, v, w),
+    ordered."""
+    pri = F.concat(
+        F.lpad((F.lit(100_000_000) - F.col("w")).cast("string"), 9, "0"),
+        F.md5(F.concat_ws(":", F.col("u"), F.col("v"))),
+    )
+    live = (
+        edges.select("u", "v", F.col("w").cast("long").alias("w"))
+        .withColumn("pri", pri)
+        .localCheckpoint(eager=True)
+    )
+    matched = None
+    for _ in range(max_rounds):
+        if live.isEmpty():
+            break
+        inc = live.select(F.col("u").alias("x"), "pri").unionByName(
+            live.select(F.col("v").alias("x"), "pri")
+        )
+        best = inc.groupBy("x").agg(F.min("pri").alias("bp"))
+        m = (
+            live.join(
+                best.select(F.col("x").alias("u"), F.col("bp").alias("bu")),
+                "u",
+            )
+            .join(
+                best.select(F.col("x").alias("v"), F.col("bp").alias("bv")),
+                "v",
+            )
+            .where((F.col("pri") == F.col("bu")) & (F.col("pri") == F.col("bv")))
+            .select("u", "v", "w")
+            .localCheckpoint(eager=True)
+        )
+        matched = m if matched is None else matched.unionByName(m)
+        gone = m.select(F.col("u").alias("x")).unionByName(
+            m.select(F.col("v").alias("x"))
+        ).distinct()
+        live = (
+            live.join(gone.withColumnRenamed("x", "u"), "u", "left_anti")
+            .join(gone.withColumnRenamed("x", "v"), "v", "left_anti")
+            .select("u", "v", "w", "pri")
+            .localCheckpoint(eager=True)
+        )
+    if matched is None:
+        return edges.select("u", "v", F.col("w").cast("long").alias("w")).limit(0)
+    return matched.orderBy("u", "v")

@@ -1118,3 +1118,30 @@ def test_boruvka_spanning_forest_exact_mst(spark):
     )
     out = {(r.u, r.v) for r in boruvka_spanning_forest(forest).collect()}
     assert out == {("a", "b"), ("x", "y")}
+
+
+def test_maximal_matching_valid_maximal_and_weight_aware(spark):
+    from bran_spark.operators.graphalgo import maximal_matching
+
+    # star: only one of the center's edges can match -> the heaviest
+    star = spark.createDataFrame(
+        [("s", "l1", 3), ("s", "l2", 5), ("s", "l3", 9), ("s", "l4", 1)],
+        "u string, v string, w long",
+    )
+    m = maximal_matching(star).collect()
+    assert [(r.u, r.v) for r in m] == [("s", "l3")]
+    # path a-b-c-d equal weights: any valid maximal matching; verify
+    # vertex-disjointness + maximality (no live edge fully unmatched)
+    path = spark.createDataFrame(
+        [("a", "b", 5), ("b", "c", 5), ("c", "d", 5)],
+        "u string, v string, w long",
+    )
+    got = maximal_matching(path).collect()
+    used = [x for r in got for x in (r.u, r.v)]
+    assert len(used) == len(set(used))  # a matching
+    edges = [("a", "b"), ("b", "c"), ("c", "d")]
+    for u, v in edges:  # maximal: every edge touches a matched vertex
+        assert u in used or v in used
+    # determinism
+    again = maximal_matching(path).collect()
+    assert sorted((r.u, r.v) for r in again) == sorted((r.u, r.v) for r in got)
