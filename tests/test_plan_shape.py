@@ -440,3 +440,37 @@ def test_textrank_edges_deduped_before_iterations(spark, testdata_dir):
     plan = _plan(QUERIES["q193_textrank_keywords"](spark, testdata_dir))
     assert "Python" not in plan
     assert "Scan ExistingRDD" in plan
+
+
+def test_session6_new_ops_stay_jvm_side(spark, testdata_dir):
+    """Session-6 additions are pure JVM relational plans: no Python
+    stage anywhere; the single-pass aggregates (experiment readout,
+    covariance, governance) never sort-merge; pca_projection is the one
+    deliberate Python surface (partition-Gram) and is excluded here."""
+    for name in [
+        "q216_ab_effect",
+        "q217_cuped",
+        "q218_transition_matrix",
+        "q220_fleiss_kappa",
+        "q221_embedding_covariance",
+        "q223_acronym_pairs",
+        "q224_decayed_support",
+        "q226_confident_joint",
+        "q228_isotonic_calibration",
+        "q229_k_anonymity",
+        "q230_pii_scan",
+        "q231_modality_mix",
+    ]:
+        plan = _plan(QUERIES[name](spark, testdata_dir))
+        assert "Python" not in plan, name
+    for name in ["q216_ab_effect", "q217_cuped", "q229_k_anonymity",
+                 "q221_embedding_covariance", "q230_pii_scan"]:
+        plan = _plan(QUERIES[name](spark, testdata_dir))
+        assert "SortMergeJoin" not in plan, name
+
+
+def test_key_skew_profile_takeordered_not_full_sort(spark, testdata_dir):
+    """q227: the hottest-k cut must be TakeOrderedAndProject over the
+    key counts — a full sort of the key space would not scale."""
+    plan = _plan(QUERIES["q227_key_skew_profile"](spark, testdata_dir))
+    assert "TakeOrderedAndProject" in plan
