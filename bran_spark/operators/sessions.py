@@ -417,3 +417,56 @@ def stationary_distribution(
         )
         .orderBy("event_type")
     )
+
+
+def interarrival_burstiness(
+    events: DataFrame,
+    type_col: str = "event_type",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Per-type inter-arrival burstiness (Goh & Barabási 2008):
+    B = (σ − μ)/(σ + μ) over the gaps between a user's consecutive
+    events of that type — the dimensionless signature separating
+    Poisson-like traffic (B ≈ 0), regular heartbeats (B → −1) and bursty
+    human/incident behavior (B → +1). burst_scores flags WHEN a type
+    spikes; this says HOW a type's arrivals are distributed overall.
+
+    Gaps are exact integer seconds (unix_timestamp lag deltas within a
+    (user, type) window), so the two-moment identity runs over
+    associative integer sums — engine/partitioning-proof; the one
+    corpus-scale shuffle is the window's (user, type) partition. Types
+    with < 2 gaps report NULL B (σ and μ need support). Output:
+    (event_type, n_gaps, mean_gap, sd_gap, burstiness), 6 dp, ordered."""
+    w = Window.partitionBy("_u", "_t").orderBy("_ep", "_id")
+    seq = events.select(
+        F.col(user_col).alias("_u"),
+        F.col(type_col).alias("_t"),
+        F.unix_timestamp(ts_col).alias("_ep"),
+        F.col(id_col).alias("_id"),
+    ).withColumn("gap", F.col("_ep") - F.lag("_ep").over(w))
+    g = (
+        seq.where(F.col("gap").isNotNull())
+        .groupBy(F.col("_t").alias("event_type"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_gaps"),
+            F.sum("gap").cast("long").alias("s1"),
+            F.sum(F.col("gap") * F.col("gap")).cast("long").alias("s2"),
+        )
+    )
+    n = F.col("n_gaps").cast("double")
+    mean = F.col("s1") / n
+    var = F.col("s2") / n - mean * mean
+    sd = F.sqrt(F.greatest(var, F.lit(0.0)))
+    return g.select(
+        "event_type",
+        "n_gaps",
+        F.round(mean, 6).alias("mean_gap"),
+        F.round(sd, 6).alias("sd_gap"),
+        F.round(
+            F.when((F.col("n_gaps") > 1) & (sd + mean != 0.0),
+                   (sd - mean) / (sd + mean)),
+            6,
+        ).alias("burstiness"),
+    ).orderBy("event_type")

@@ -9758,6 +9758,53 @@ def q232(spark, sf):
     return maximal_matching(edges, max_rounds=6)
 
 
+@_q(
+    "q233_burstiness",
+    """
+    WITH seq AS (SELECT event_type AS t,
+                        CAST(floor(epoch(ts)) AS BIGINT)
+                        - LAG(CAST(floor(epoch(ts)) AS BIGINT)) OVER
+                            (PARTITION BY user_id, event_type
+                             ORDER BY ts, event_id) AS gap
+                 FROM events),
+    g AS (SELECT t AS event_type, COUNT(*)::BIGINT AS n_gaps,
+                 SUM(gap)::BIGINT AS s1,
+                 SUM(gap * gap)::BIGINT AS s2
+          FROM seq WHERE gap IS NOT NULL GROUP BY 1)
+    SELECT event_type, n_gaps,
+           ROUND(s1 / n_gaps::DOUBLE, 6) AS mean_gap,
+           ROUND(sqrt(greatest(s2 / n_gaps::DOUBLE
+                       - (s1 / n_gaps::DOUBLE) * (s1 / n_gaps::DOUBLE),
+                       0.0)), 6) AS sd_gap,
+           ROUND(CASE WHEN n_gaps > 1
+                       AND sqrt(greatest(s2 / n_gaps::DOUBLE
+                             - (s1 / n_gaps::DOUBLE)
+                               * (s1 / n_gaps::DOUBLE), 0.0))
+                           + s1 / n_gaps::DOUBLE != 0.0
+                      THEN (sqrt(greatest(s2 / n_gaps::DOUBLE
+                              - (s1 / n_gaps::DOUBLE)
+                                * (s1 / n_gaps::DOUBLE), 0.0))
+                            - s1 / n_gaps::DOUBLE)
+                           / (sqrt(greatest(s2 / n_gaps::DOUBLE
+                               - (s1 / n_gaps::DOUBLE)
+                                 * (s1 / n_gaps::DOUBLE), 0.0))
+                              + s1 / n_gaps::DOUBLE) END, 6)
+             AS burstiness
+    FROM g ORDER BY event_type
+    """,
+)
+def q233(spark, sf):
+    """Per-type inter-arrival burstiness B = (σ−μ)/(σ+μ)
+    (sessions.interarrival_burstiness): gaps between a user's
+    consecutive same-type events in exact integer seconds, two-moment
+    identity over associative integer sums — Poisson-like B≈0, regular
+    B→−1, bursty B→+1. Complements q197's WHEN-spike flags with HOW
+    arrivals distribute."""
+    from bran_spark.operators.sessions import interarrival_burstiness
+
+    return interarrival_burstiness(_t(spark, sf, "events"))
+
+
 # =========================================================================
 # Registry ordering: the driver's correctness gate hash-checks the FIRST
 # 50 insertion-order entries of ``queries()``. Definition order above is

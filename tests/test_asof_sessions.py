@@ -389,3 +389,30 @@ def test_incremental_dedup_scopes(spark):
     assert (1, 2, "existing") in out and (3, 2, "existing") in out
     assert (3, 1, "batch") in out
     assert not any(r[0] == 5 for r in out)
+
+
+def test_interarrival_burstiness_regular_vs_bursty(spark):
+    import pyspark.sql.functions as F
+
+    from bran_spark.operators.sessions import interarrival_burstiness
+
+    rows = []
+    # 'tick': perfectly regular 60s gaps -> sd = 0 -> B = -1
+    for i in range(10):
+        rows.append((i, 1, f"2024-01-01 00:{i:02d}:00", "tick"))
+    # 'burst': gaps 1,1,1,597s (a burst then silence) -> B > 0
+    ts = [0, 1, 2, 3, 600]
+    for j, t in enumerate(ts):
+        rows.append((100 + j, 2, f"2024-01-01 01:00:{t // 60:02d}", "burst"))
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts string, event_type string"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    out = {r.event_type: r for r in interarrival_burstiness(ev).collect()}
+    assert out["tick"].sd_gap == 0.0 and out["tick"].burstiness == -1.0
+    assert out["burst"].burstiness > 0.0
+    # the single-gap degenerate case reports NULL burstiness
+    one = spark.createDataFrame(
+        [(1, 1, "2024-01-01 00:00:00", "solo"), (2, 1, "2024-01-01 00:01:00", "solo")],
+        "event_id long, user_id long, ts string, event_type string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    assert interarrival_burstiness(one).head().burstiness is None
