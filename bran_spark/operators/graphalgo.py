@@ -1890,8 +1890,11 @@ def maximal_matching(
     a matching guarantees each entity is used at most once.
 
     Priority is deterministic and support-aware: lexicographic on
-    (zero-padded 10⁸−w, md5(u:v)) — heavier edges win locally, the hash
-    breaks ties identically in every engine, no RNG. Each round is two
+    (zero-padded 10¹⁸−w, md5(u:v)) — heavier edges win locally, the
+    hash breaks ties identically in every engine, no RNG. Weights must
+    lie in [0, 10¹⁸): the fixed 19-digit field means a wider weight
+    would truncate and collide (a lighter edge could then beat a
+    heavier one on the md5 tiebreak). Each round is two
     dimension-light aggregates over the live incidence list + one
     anti-join; lineage is truncated per round. Every returned edge set
     is a valid matching after ANY number of rounds; maximality is
@@ -1900,7 +1903,11 @@ def maximal_matching(
     undirected (u, v, w) with u < v. Output: matched (u, v, w),
     ordered."""
     pri = F.concat(
-        F.lpad((F.lit(100_000_000) - F.col("w")).cast("string"), 9, "0"),
+        F.lpad(
+            (F.lit(1_000_000_000_000_000_000) - F.col("w")).cast("string"),
+            19,
+            "0",
+        ),
         F.md5(F.concat_ws(":", F.col("u"), F.col("v"))),
     )
     live = (

@@ -470,12 +470,17 @@ def decayed_support(
     and the per-edge total is then an associative INTEGER sum, immune
     to partitioning/engine accumulation order. ``ref_time`` is an
     explicit parameter (never now()) so reruns are reproducible.
+    Evidence timestamped AFTER ref_time is clamped to Δ = 0 (weight 1)
+    — without the clamp 2^(+Δ/hl) amplifies future-dated rows without
+    bound and overflows the BIGINT sum near 43 half-lives; with it the
+    total is bounded by n·10⁶, safe to ~9·10¹² rows per edge.
 
     One corpus-scale aggregate on the edge key; nothing else. Output:
     (subj, obj, n_events, support, last_seen), support = Σmicro/10⁶
     6 dp, ordered."""
-    delta = F.datediff(
-        F.lit(ref_time).cast("timestamp"), F.col(ts_col)
+    delta = F.greatest(
+        F.datediff(F.lit(ref_time).cast("timestamp"), F.col(ts_col)),
+        F.lit(0),
     ).cast("double")
     micro = F.round(
         F.pow(F.lit(2.0), -delta / F.lit(float(half_life_days)))

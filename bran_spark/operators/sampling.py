@@ -690,10 +690,22 @@ def ab_effect(
     n1 = F.col("n1").cast("double")
     m0 = F.col("s0") / (n0 * k)
     m1 = F.col("s1") / (n1 * k)
-    # unbiased sample variance in unit terms via the two-moment identity
-    v0 = (F.col("q0") / (k * k) - n0 * m0 * m0) / (n0 - 1)
-    v1 = (F.col("q1") / (k * k) - n1 * m1 * m1) / (n1 - 1)
+    # unbiased sample variance in unit terms via the two-moment identity;
+    # greatest(·,0) kills the ~1e-13 float residue a zero-spread arm
+    # leaves (sqrt of a tiny negative is NaN, not an error)
+    v0 = F.greatest(
+        (F.col("q0") / (k * k) - n0 * m0 * m0) / (n0 - 1), F.lit(0.0)
+    )
+    v1 = F.greatest(
+        (F.col("q1") / (k * k) - n1 * m1 * m1) / (n1 - 1), F.lit(0.0)
+    )
     se = F.sqrt(v0 / n0 + v1 / n1)
+    # zero spread is detected EXACTLY in integers (var = 0 ⇔ n·Σy² = (Σy)²)
+    # — a float `se != 0` test passes on residue and prints a ~1e7
+    # garbage t; with both arms integer-flat, se is defined as 0 and t NULL
+    flat0 = F.col("n0") * F.col("q0") == F.col("s0") * F.col("s0")
+    flat1 = F.col("n1") * F.col("q1") == F.col("s1") * F.col("s1")
+    se_out = F.when(flat0 & flat1, F.lit(0.0)).otherwise(se)
     # ANSI-safe degenerate branches: <2 units in an arm or zero spread
     # yield NULL (the honest answer), never a division-by-zero abort.
     ok = (F.col("n0") > 1) & (F.col("n1") > 1)
@@ -704,8 +716,10 @@ def ab_effect(
         F.round(F.when(F.col("n1") > 0, m1), 6).alias("mean_trt"),
         F.round(F.when((F.col("n0") > 0) & (F.col("n1") > 0), m1 - m0), 6)
         .alias("diff"),
-        F.round(F.when(ok, se), 6).alias("se"),
-        F.round(F.when(ok & (se != 0), (m1 - m0) / se), 6).alias("t_stat"),
+        F.round(F.when(ok, se_out), 6).alias("se"),
+        F.round(
+            F.when(ok & ~(flat0 & flat1), (m1 - m0) / se), 6
+        ).alias("t_stat"),
     )
 
 
@@ -766,16 +780,22 @@ def cuped_effect(
     diff_x = F.col("sx1") / (n1 * k) - F.col("sx0") / (n0 * k)
     # ANSI-safe: a constant covariate (var_x = 0) leaves theta undefined
     # — report NULL rather than masking it as 0 or aborting the job.
+    # Zero variance is detected EXACTLY in integers (var = 0 ⇔ n·Σx² =
+    # (Σx)²): testing the float var_x against 0 passes on its ~1e-13
+    # residue for most constant inputs, and theta then prints a ratio of
+    # two rounding errors.
+    nzx = F.col("n") * F.col("sxx") != F.col("sx") * F.col("sx")
+    nzy = F.col("n") * F.col("syy") != F.col("sy") * F.col("sy")
     ok = (F.col("n0") > 0) & (F.col("n1") > 0)
     return g.select(
         F.col("n0").alias("n_ctl"),
         F.col("n1").alias("n_trt"),
-        F.round(F.when(var_x != 0, theta), 6).alias("theta"),
+        F.round(F.when(nzx, theta), 6).alias("theta"),
         F.round(F.when(ok, diff_raw), 6).alias("diff_raw"),
-        F.round(F.when(ok & (var_x != 0), diff_raw - theta * diff_x), 6)
+        F.round(F.when(ok & nzx, diff_raw - theta * diff_x), 6)
         .alias("diff_adj"),
         F.round(
-            F.when((var_x != 0) & (var_y != 0), cov_xy * cov_xy / (var_x * var_y)),
+            F.when(nzx & nzy, cov_xy * cov_xy / (var_x * var_y)),
             6,
         ).alias("var_reduction"),
     )

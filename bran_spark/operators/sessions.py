@@ -413,7 +413,13 @@ def stationary_distribution(
         .select(
             "event_type",
             F.col("p").alias("p_fp"),
-            F.round(F.col("p") / F.col("ptot"), 6).alias("share"),
+            # a fully substochastic chain (every state eventually leaks,
+            # e.g. a pure funnel A→B with no B outgoing) drains ALL mass
+            # within iters rounds: ptot = 0 ⇒ NULL shares (the honest
+            # answer; ANSI would otherwise abort on the division)
+            F.round(
+                F.when(F.col("ptot") != 0.0, F.col("p") / F.col("ptot")), 6
+            ).alias("share"),
         )
         .orderBy("event_type")
     )

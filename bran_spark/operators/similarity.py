@@ -959,8 +959,8 @@ def embedding_covariance(
     )
 
 
-def gram_covariance(
-    emb: DataFrame, vec_col: str = "embedding", dim: int = 64
+def _gram_combined(
+    emb: DataFrame, vec_col: str, dim: int
 ) -> DataFrame:
     """Full-d covariance via PER-PARTITION Gram matrices — the scale
     path embedding_covariance's d(d+1)/2 codegen expressions can't
@@ -1003,12 +1003,21 @@ def gram_covariance(
             )
 
     partials = emb.select(vec_col).mapInPandas(fn, out_schema)
-    g = partials.groupBy("i", "j").agg(
+    return partials.groupBy("i", "j").agg(
         F.sum("ps").alias("ps"),
         F.sum("si").alias("si"),
         F.sum("sj").alias("sj"),
         F.sum("pn").alias("n"),
     )
+
+
+def gram_covariance(
+    emb: DataFrame, vec_col: str = "embedding", dim: int = 64
+) -> DataFrame:
+    """(i, j, cov) projection of :func:`_gram_combined` — see that
+    docstring for the plan; this is the embedding_covariance-compatible
+    public surface."""
+    g = _gram_combined(emb, vec_col, dim)
     n = F.col("n")
     return g.select(
         "i",
@@ -1042,11 +1051,20 @@ def pca_project(
     (id, proj array<double> length k), 6 dp."""
     import numpy as np
 
-    cov_rows = gram_covariance(emb, vec_col=vec_col, dim=dim).collect()
+    # ONE corpus pass: the combined Gram partials carry the product sums
+    # AND the per-dim sums/count, so covariance and the centering means
+    # both come from the same d(d+1)/2-row collect (a second full-corpus
+    # dim_means aggregate here doubled the pre-projection I/O).
+    rows = _gram_combined(emb, vec_col=vec_col, dim=dim).collect()
     c = np.zeros((dim, dim))
-    for r in cov_rows:
-        c[r.i, r.j] = r.cov
-        c[r.j, r.i] = r.cov
+    mu = {}
+    for r in rows:
+        n = float(r.n)
+        cov = r.ps / n - (r.si / n) * (r.sj / n)
+        c[r.i, r.j] = round(cov, 6)
+        c[r.j, r.i] = round(cov, 6)
+        if r.i == r.j:
+            mu[r.i] = round(r.si / n, 6)  # same 6-dp contract as dim_means
     w, v = np.linalg.eigh(c)
     order = np.argsort(w)[::-1][:k]
     comps = []
@@ -1056,7 +1074,6 @@ def pca_project(
         if vec[pivot] < 0:
             vec = -vec
         comps.append(vec)
-    mu = dim_means(emb, vec_col, tuple(range(dim)))
     x = F.col(vec_col)
     proj_cols = [
         F.round(

@@ -152,22 +152,29 @@ def fleiss_kappa(
     associative integer sums: bit-equal across engines, no float
     accumulation anywhere. Plan: one explode (n rows per item), one
     (item, cat) count, two tiny rollups broadcast together. items must
-    be unique in ``item_col``. Output: 1 row (n_items, n_raters,
-    n_categories, p_bar, p_e, kappa), 6 dp; κ is NULL when P_e = 1
-    (a single category ever used — agreement is undefined, not 1)."""
+    be unique in ``item_col``. NULL votes (the standard LF abstain
+    encoding) are DROPPED, never counted as a category; Fleiss' formula
+    requires every item fully rated, so if any vote was NULL the rating
+    matrix is incomplete and κ is NULL (use Krippendorff's α for
+    missing-data designs — silently scoring joint abstention as
+    agreement is the failure mode this guard exists for). Output: 1 row
+    (n_items, n_raters, n_categories, p_bar, p_e, kappa), 6 dp; κ is
+    also NULL when P_e = 1 (a single category ever used — agreement is
+    undefined, not 1)."""
     n = len(rater_cols)
     if n < 2:
         raise ValueError("fleiss_kappa needs at least 2 raters")
     long = df.select(
         F.col(item_col).alias("item"),
         F.explode(F.array(*[F.col(c) for c in rater_cols])).alias("cat"),
-    )
+    ).where(F.col("cat").isNotNull())
     nij = long.groupBy("item", "cat").agg(
         F.count(F.lit(1)).cast("long").alias("c")
     )
     s2 = nij.agg(
         F.sum(F.col("c") * F.col("c")).cast("long").alias("s2"),
         F.countDistinct("item").cast("long").alias("n_items"),
+        F.sum("c").cast("long").alias("tot_votes"),
     )
     cat_tot = nij.groupBy("cat").agg(F.sum("c").cast("long").alias("t"))
     st2 = cat_tot.agg(
@@ -178,13 +185,14 @@ def fleiss_kappa(
     nn = F.col("n_items").cast("double") * n
     p_bar = (F.col("s2") - F.col("n_items") * n) / (nn * (n - 1))
     p_e = F.col("st2") / (nn * nn)
+    complete = F.col("tot_votes") == F.col("n_items") * n
     return g.select(
         "n_items",
         F.lit(n).cast("long").alias("n_raters"),
         "n_categories",
         F.round(p_bar, 6).alias("p_bar"),
         F.round(p_e, 6).alias("p_e"),
-        F.round(F.when(p_e != 1.0, (p_bar - p_e) / (1.0 - p_e)), 6).alias(
-            "kappa"
-        ),
+        F.round(
+            F.when(complete & (p_e != 1.0), (p_bar - p_e) / (1.0 - p_e)), 6
+        ).alias("kappa"),
     )

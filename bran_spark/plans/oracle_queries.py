@@ -9386,8 +9386,8 @@ def q223(spark, sf):
     WITH w AS (SELECT l_suppkey AS subj, l_partkey AS obj,
                       l_shipdate AS ts,
                       CAST(round(pow(2.0,
-                             -(datediff('day', l_shipdate,
-                                        TIMESTAMP '2002-01-01'))::DOUBLE
+                             -greatest(datediff('day', l_shipdate,
+                                        TIMESTAMP '2002-01-01'), 0)::DOUBLE
                              / 365.0) * 1000000, 0) AS BIGINT) AS w
                FROM lineitem)
     SELECT subj, obj, COUNT(*)::BIGINT AS n_events,
@@ -9729,7 +9729,7 @@ _MM_ROUNDS, _MM_UNION = _matching_rounds_sql(6)
              FROM ca JOIN di USING (doc_id) GROUP BY 1, 2),
     e0 AS MATERIALIZED (
         SELECT u, v, w,
-               lpad((100000000 - w)::VARCHAR, 9, '0')
+               lpad((1000000000000000000 - w)::VARCHAR, 19, '0')
                  || md5(u || ':' || v) AS pri
         FROM base),
     {_MM_ROUNDS}

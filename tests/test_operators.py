@@ -1190,3 +1190,78 @@ def test_isotonic_calibration_pools_violators(spark):
     df2 = spark.createDataFrame(mono, "p double, label int")
     out2 = isotonic_calibration(df2, n_bins=4).collect()
     assert all(r.rate_iso == r.rate_raw for r in out2)
+
+
+def test_review_fixes_degenerate_stats_session6(spark):
+    """Session-6 review repro cases: float residue must never fabricate
+    statistics — zero spread/variance is detected in exact integers."""
+    import math
+
+    from bran_spark.operators.sampling import ab_effect, cuped_effect
+    from bran_spark.operators.sessions import stationary_distribution
+
+    # both arms flat at scale=100 (the NaN/1e7-t repro): se=0, t NULL
+    flat = spark.createDataFrame(
+        [(0, 300)] * 5 + [(1, 400)] * 7, "arm int, y long"
+    )
+    r = ab_effect(flat, scale=100).head()
+    assert r.se == 0.0 and r.t_stat is None and r.diff == 1.0
+    # one flat arm: genuine finite t from the other arm's variance
+    half = spark.createDataFrame(
+        [(0, 300)] * 5 + [(1, 300), (1, 500), (1, 400)], "arm int, y long"
+    )
+    r2 = ab_effect(half, scale=100).head()
+    assert r2.t_stat is not None and math.isfinite(r2.t_stat)
+    # constant covariate at scale=100 (residue passed the float guard):
+    # theta/diff_adj NULL regardless of which constant
+    for const in (300, 700):
+        cu = spark.createDataFrame(
+            [(0, const, 10), (0, const, 20), (1, const, 30), (1, const, 40)],
+            "arm int, x long, y long",
+        )
+        row = cuped_effect(cu, scale=100).head()
+        assert row.theta is None and row.diff_adj is None
+    # pure funnel chain drains all integer mass: NULL shares, no abort
+    funnel = spark.createDataFrame(
+        [("A", "B", 5)], "from_type string, to_type string, n long"
+    )
+    out = stationary_distribution(funnel, iters=4).collect()
+    assert all(r.share is None for r in out)
+
+
+def test_fleiss_kappa_null_votes_not_a_category(spark):
+    from bran_spark.operators.weaksup import fleiss_kappa
+
+    df = spark.createDataFrame(
+        [("i1", 1, 1, None), ("i2", 1, 0, None), ("i3", 1, 1, 1),
+         ("i4", 0, 0, 0)],
+        "item string, r1 int, r2 int, r3 int",
+    )
+    row = fleiss_kappa(df, "item", ["r1", "r2", "r3"]).head()
+    assert row.n_categories == 2  # NULL abstentions are not a category
+    assert row.kappa is None  # incomplete rating matrix -> undefined
+
+
+def test_maximal_matching_wide_weights_no_collision(spark):
+    from bran_spark.operators.graphalgo import maximal_matching
+
+    # weights >= 1e8 used to truncate in the 9-char priority field and
+    # collide; the heavier edge must win the shared vertex
+    g = spark.createDataFrame(
+        [("a", "b", 110_000_000), ("b", "c", 200_000_000)],
+        "u string, v string, w long",
+    )
+    got = [(r.u, r.v) for r in maximal_matching(g).collect()]
+    assert got == [("b", "c")]
+
+
+def test_decayed_support_clamps_future_evidence(spark):
+    from bran_spark.operators.kgquality import decayed_support
+
+    ev = spark.createDataFrame(
+        [("s", "o", "2045-01-01 00:00:00"), ("s", "o", "2002-01-01 00:00:00")],
+        "subj string, obj string, ts string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    row = decayed_support(ev, ref_time="2002-01-01").head()
+    # future row clamped to weight 1, never 2^(+43) amplification
+    assert row.support == 2.0
