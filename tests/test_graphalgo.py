@@ -1145,3 +1145,43 @@ def test_maximal_matching_valid_maximal_and_weight_aware(spark):
     # determinism
     again = maximal_matching(path).collect()
     assert sorted((r.u, r.v) for r in again) == sorted((r.u, r.v) for r in got)
+
+
+def test_geo_near_pairs_matches_brute_force(spark):
+    import math
+    import random
+
+    from bran_spark.operators.geo import geo_near_pairs
+
+    random.seed(11)
+    pts = [
+        (i, random.uniform(-60, 60), random.uniform(-180, 180))
+        for i in range(80)
+    ]
+    # plant a tight cluster so the result is non-empty
+    pts += [(100, 10.0, 20.0), (101, 10.1, 20.1), (102, 10.2, 20.2)]
+    df = spark.createDataFrame(pts, "id long, lat double, lon double")
+    got = {
+        (r.id_a, r.id_b): r.dist_km
+        for r in geo_near_pairs(df, radius_km=50.0).collect()
+    }
+
+    def hav(a, b):
+        la1, lo1, la2, lo2 = map(math.radians, [a[1], a[2], b[1], b[2]])
+        x = (
+            math.sin((la2 - la1) / 2) ** 2
+            + math.cos(la1) * math.cos(la2) * math.sin((lo2 - lo1) / 2) ** 2
+        )
+        return 2 * 6371.0088 * math.asin(math.sqrt(x))
+
+    expect = {}
+    for i in range(len(pts)):
+        for j in range(i + 1, len(pts)):
+            a, b = sorted([pts[i], pts[j]])
+            d = hav(a, b)
+            if round(d, 6) <= 50.0:
+                expect[(a[0], b[0])] = round(d, 6)
+    assert got.keys() == expect.keys()
+    for k in got:
+        assert abs(got[k] - expect[k]) < 1e-6
+    assert (100, 101) in got and (101, 102) in got
