@@ -323,3 +323,56 @@ def scd2_history(
         "effective_from",
         F.lead("effective_from").over(w2).alias("effective_to"),
     ).withColumn("is_current", F.col("effective_to").isNull())
+
+
+def golden_record(
+    records: DataFrame,
+    entity_col: str,
+    fields: "list[str]",
+    priority: "dict[str, int]",
+    source_col: str = "source",
+    ts_col: str = "ts",
+    default_priority: int = 999,
+) -> DataFrame:
+    """Survivorship merge (the MDM 'golden record'): fuse every source's
+    partial, conflicting view of an entity into ONE canonical row by a
+    stated per-FIELD rule — trust order first (source priority), then
+    freshness, then a deterministic source-name tiebreak; NULLs never
+    win. This is merge_latest's recency rule upgraded with source trust,
+    and the record-level counterpart of truth_discovery's claim voting.
+
+    Each field independently takes min over
+    struct(priority, −epoch, source, value) restricted to non-NULL
+    values — min over structs is lexicographic, skips the NULL-struct
+    rows (the guard), and is order-free, so the merge is one exact
+    groupBy aggregate: a single shuffle on the entity key at any scale,
+    no windows, no self-joins. Output: (entity, *fields, n_records,
+    n_sources, last_seen), ordered by entity."""
+    prio = F.lit(default_priority)
+    for src, p in sorted(priority.items()):
+        prio = F.when(F.col(source_col) == src, F.lit(p)).otherwise(prio)
+    negts = -F.unix_timestamp(F.col(ts_col))
+    picks = [
+        F.min(
+            F.when(
+                F.col(f).isNotNull(),
+                F.struct(
+                    prio.alias("p"),
+                    negts.alias("nt"),
+                    F.col(source_col).alias("s"),
+                    F.col(f).alias("v"),
+                ),
+            )
+        )["v"].alias(f)
+        for f in fields
+    ]
+    return (
+        records.groupBy(F.col(entity_col).alias("entity"))
+        .agg(
+            *picks,
+            F.count(F.lit(1)).cast("long").alias("n_records"),
+            F.countDistinct(source_col).cast("long").alias("n_sources"),
+            F.max(ts_col).alias("last_seen"),
+        )
+        .orderBy("entity")
+    )

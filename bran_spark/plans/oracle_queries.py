@@ -9875,6 +9875,87 @@ def q234(spark, sf):
     return geo_near_pairs(pts, radius_km=50.0)
 
 
+@_q(
+    "q235_golden_record",
+    """
+    WITH feed AS (
+        SELECT c_custkey AS e, 'crm' AS src,
+               TIMESTAMP '2024-01-10 00:00:00' AS ts,
+               CASE WHEN c_custkey % 3 = 0 THEN NULL
+                    ELSE c_mktsegment END AS segment,
+               c_name AS name
+        FROM customer
+        UNION ALL
+        SELECT c_custkey, 'web', TIMESTAMP '2024-01-20 00:00:00',
+               'web-' || c_mktsegment,
+               CASE WHEN c_custkey % 2 = 0 THEN NULL ELSE c_name END
+        FROM customer
+        UNION ALL
+        SELECT c_custkey, 'import', TIMESTAMP '2024-01-05 00:00:00',
+               lower(c_mktsegment), upper(c_name)
+        FROM customer),
+    keyed AS (SELECT e, src, ts, segment, name,
+                     CASE WHEN src = 'crm' THEN 1
+                          WHEN src = 'web' THEN 2
+                          WHEN src = 'import' THEN 3 ELSE 999 END AS p,
+                     -CAST(floor(epoch(ts)) AS BIGINT) AS nt
+              FROM feed)
+    SELECT e AS entity,
+           (min(CASE WHEN name IS NOT NULL THEN
+                struct_pack(p := p, nt := nt, s := src, v := name) END)).v
+             AS name,
+           (min(CASE WHEN segment IS NOT NULL THEN
+                struct_pack(p := p, nt := nt, s := src, v := segment) END)).v
+             AS segment,
+           COUNT(*)::BIGINT AS n_records,
+           COUNT(DISTINCT src)::BIGINT AS n_sources,
+           MAX(ts) AS last_seen
+    FROM keyed GROUP BY e ORDER BY entity
+    """,
+)
+def q235(spark, sf):
+    """Golden-record survivorship merge (asof.golden_record) over a
+    three-source customer feed with planted per-source NULLs and
+    conflicts: trust order (crm > web > import), then freshness, then
+    source name — per FIELD, independently, in one exact struct-min
+    aggregate (a single entity-keyed shuffle, no windows)."""
+    from bran_spark.operators.asof import golden_record
+
+    c = _t(spark, sf, "customer")
+    crm = c.select(
+        F.col("c_custkey").alias("e"),
+        F.lit("crm").alias("source"),
+        F.lit("2024-01-10 00:00:00").cast("timestamp").alias("ts"),
+        F.when(F.col("c_custkey") % 3 == 0, F.lit(None)).otherwise(
+            F.col("c_mktsegment")
+        ).alias("segment"),
+        F.col("c_name").alias("name"),
+    )
+    web = c.select(
+        F.col("c_custkey").alias("e"),
+        F.lit("web").alias("source"),
+        F.lit("2024-01-20 00:00:00").cast("timestamp").alias("ts"),
+        F.concat(F.lit("web-"), F.col("c_mktsegment")).alias("segment"),
+        F.when(F.col("c_custkey") % 2 == 0, F.lit(None)).otherwise(
+            F.col("c_name")
+        ).alias("name"),
+    )
+    imp = c.select(
+        F.col("c_custkey").alias("e"),
+        F.lit("import").alias("source"),
+        F.lit("2024-01-05 00:00:00").cast("timestamp").alias("ts"),
+        F.lower(F.col("c_mktsegment")).alias("segment"),
+        F.upper(F.col("c_name")).alias("name"),
+    )
+    feed = crm.unionByName(web).unionByName(imp)
+    return golden_record(
+        feed,
+        "e",
+        ["name", "segment"],
+        {"crm": 1, "web": 2, "import": 3},
+    )
+
+
 # =========================================================================
 # Registry ordering: the driver's correctness gate hash-checks the FIRST
 # 50 insertion-order entries of ``queries()``. Definition order above is

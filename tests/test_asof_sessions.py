@@ -416,3 +416,36 @@ def test_interarrival_burstiness_regular_vs_bursty(spark):
         "event_id long, user_id long, ts string, event_type string",
     ).withColumn("ts", F.to_timestamp("ts"))
     assert interarrival_burstiness(one).head().burstiness is None
+
+
+def test_golden_record_field_level_survivorship(spark):
+    import pyspark.sql.functions as F
+
+    from bran_spark.operators.asof import golden_record
+
+    feed = spark.createDataFrame(
+        [
+            # entity 1: crm has name but NULL phone; web has both
+            ("e1", "crm", "2024-01-10 00:00:00", "Ann", None),
+            ("e1", "web", "2024-01-20 00:00:00", "ann w", "555-1"),
+            # entity 2: two crm rows -> freshness breaks the tie
+            ("e2", "crm", "2024-01-10 00:00:00", "Bob-old", "111"),
+            ("e2", "crm", "2024-01-15 00:00:00", "Bob-new", None),
+            # entity 3: only a low-trust source
+            ("e3", "import", "2024-01-01 00:00:00", "Cyd", "222"),
+        ],
+        "e string, source string, ts string, name string, phone string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    out = {
+        r.entity: r
+        for r in golden_record(
+            feed, "e", ["name", "phone"],
+            {"crm": 1, "web": 2, "import": 3},
+        ).collect()
+    }
+    # per-FIELD independence: name from crm, phone falls through to web
+    assert out["e1"].name == "Ann" and out["e1"].phone == "555-1"
+    # same priority -> fresher row wins; NULL never wins
+    assert out["e2"].name == "Bob-new" and out["e2"].phone == "111"
+    assert out["e3"].name == "Cyd" and out["e3"].n_sources == 1
+    assert out["e1"].n_records == 2
