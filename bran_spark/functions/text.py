@@ -305,3 +305,62 @@ def countmin_heavy_hitters(
         .groupBy("w", "exact")
         .agg(F.min("cnt").alias("est"))
     )
+
+
+# mass/volume units normalized to milligrams / milliliters; exact
+# integer-or-power-of-ten factors so value*factor is one deterministic
+# multiply (shared verbatim with the SQL twin)
+QUANTITY_FACTORS_MG = {
+    "mcg": 0.001, "ug": 0.001, "mg": 1.0, "g": 1000.0, "kg": 1000000.0,
+}
+QUANTITY_FACTORS_ML = {"ml": 1.0, "l": 1000.0, "cl": 10.0, "dl": 100.0}
+
+
+def extract_quantities(
+    docs: "DataFrame",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> "DataFrame":
+    """Quantity-mention normalization — the dosage/measurement extractor
+    a biomedical KG runs next to entity detection ("500 mg" and "0.5 g"
+    must land on the SAME canonical value or dose-response aggregation
+    is garbage): find number+unit mentions, convert mass to mg and
+    volume to ml with exact power-of-ten factors, keep the raw surface
+    for provenance.
+
+    One regexp_extract_all scan projection (corpus-scale, no join — the
+    unit factor map is a CASE expression, smaller than any broadcast),
+    one bounded explode (per-doc mention count). Values parse as
+    DOUBLE via one cast; canonical = value · factor is a single exact
+    multiply. Output: (doc_id, raw, value, unit, kind, canonical),
+    canonical rounded 6 dp, one row per mention, ordered."""
+    from pyspark.sql import DataFrame as _DF  # noqa: F401
+
+    pat = r"(\d+(?:\.\d+)?)\s*(mcg|ug|mg|kg|g|ml|cl|dl|l)\b"
+    m = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(pat), F.lit(0))
+        ).alias("raw"),
+    ).select(
+        "doc_id",
+        "raw",
+        F.regexp_extract("raw", pat, 1).cast("double").alias("value"),
+        F.regexp_extract("raw", pat, 2).alias("unit"),
+    )
+    factor = F.lit(None).cast("double")
+    kind = F.lit(None).cast("string")
+    for u, f in sorted(QUANTITY_FACTORS_MG.items()):
+        factor = F.when(F.col("unit") == u, F.lit(f)).otherwise(factor)
+        kind = F.when(F.col("unit") == u, F.lit("mass_mg")).otherwise(kind)
+    for u, f in sorted(QUANTITY_FACTORS_ML.items()):
+        factor = F.when(F.col("unit") == u, F.lit(f)).otherwise(factor)
+        kind = F.when(F.col("unit") == u, F.lit("volume_ml")).otherwise(kind)
+    return m.select(
+        "doc_id",
+        "raw",
+        "value",
+        "unit",
+        kind.alias("kind"),
+        F.round(F.col("value") * factor, 6).alias("canonical"),
+    ).orderBy("doc_id", "raw")

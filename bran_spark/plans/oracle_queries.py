@@ -9956,6 +9956,64 @@ def q235(spark, sf):
     )
 
 
+@_q(
+    "q236_quantity_normalize",
+    r"""
+    WITH src AS (SELECT l_orderkey * 10 + l_linenumber AS doc_id,
+                        CAST(round(l_quantity * 100, 0) AS BIGINT) AS n1
+                 FROM lineitem WHERE l_orderkey < 300),
+    docs AS (SELECT doc_id,
+                    'dose ' || n1 || ' mg taken with ' || (n1 % 97)
+                    || ' ml of water and ' || (n1 % 13) || '.'
+                    || (n1 % 10) || ' g' AS text
+             FROM src),
+    m AS (SELECT doc_id,
+                 unnest(regexp_extract_all(lower(text),
+                   '(\d+(?:\.\d+)?)\s*(mcg|ug|mg|kg|g|ml|cl|dl|l)\b'))
+                   AS raw
+          FROM docs),
+    e AS (SELECT doc_id, raw,
+                 CAST(regexp_extract(raw,
+                   '(\d+(?:\.\d+)?)\s*(mcg|ug|mg|kg|g|ml|cl|dl|l)\b', 1)
+                   AS DOUBLE) AS value,
+                 regexp_extract(raw,
+                   '(\d+(?:\.\d+)?)\s*(mcg|ug|mg|kg|g|ml|cl|dl|l)\b', 2)
+                   AS unit
+          FROM m)
+    SELECT doc_id, raw, value, unit,
+           CASE WHEN unit IN ('mcg', 'ug', 'mg', 'g', 'kg')
+                THEN 'mass_mg' ELSE 'volume_ml' END AS kind,
+           ROUND(value * CASE unit
+                 WHEN 'mcg' THEN 0.001 WHEN 'ug' THEN 0.001
+                 WHEN 'mg' THEN 1.0 WHEN 'g' THEN 1000.0
+                 WHEN 'kg' THEN 1000000.0 WHEN 'ml' THEN 1.0
+                 WHEN 'cl' THEN 10.0 WHEN 'dl' THEN 100.0
+                 WHEN 'l' THEN 1000.0 END, 6) AS canonical
+    FROM e ORDER BY doc_id, raw
+    """,
+)
+def q236(spark, sf):
+    """Quantity-mention normalization (text.extract_quantities) over a
+    deterministically synthesized dosage corpus: number+unit mentions
+    regexp-extracted in one scan, mass→mg / volume→ml via exact
+    power-of-ten CASE factors — '500 mg' and '0.5 g' land on the same
+    canonical value, the precondition for any dose aggregation."""
+    from bran_spark.functions.text import extract_quantities
+
+    li = _t(spark, sf, "lineitem").where(F.col("l_orderkey") < 300)
+    n1 = F.round(F.col("l_quantity") * 100, 0).cast("long")
+    docs = li.select(
+        (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("doc_id"),
+        F.concat(
+            F.lit("dose "), n1.cast("string"), F.lit(" mg taken with "),
+            (n1 % 97).cast("string"), F.lit(" ml of water and "),
+            (n1 % 13).cast("string"), F.lit("."),
+            (n1 % 10).cast("string"), F.lit(" g"),
+        ).alias("text"),
+    )
+    return extract_quantities(docs)
+
+
 # =========================================================================
 # Registry ordering: the driver's correctness gate hash-checks the FIRST
 # 50 insertion-order entries of ``queries()``. Definition order above is

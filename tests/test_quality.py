@@ -214,3 +214,31 @@ def test_quantile_normalize_per_group_and_ties(spark):
     assert out["a"] == 0.0 and out["b"] == 0.5 and out["c"] == 1.0
     # ties share the rank (both minimums -> 0), max -> 1 regardless of group
     assert out["d"] == 0.0 and out["e"] == 0.0 and out["f"] == 1.0
+
+
+def test_extract_quantities_canonicalizes_units(spark):
+    from bran_spark.functions.text import extract_quantities
+
+    docs = spark.createDataFrame(
+        [
+            (1, "give 500 mg then 0.5 g then 2 kg and 250 mcg"),
+            (2, "dilute in 1.5 l or 150 cl or 1500 ml"),
+            (3, "no units here, just 42 words"),
+        ],
+        "doc_id long, text string",
+    )
+    out = extract_quantities(docs).collect()
+    by_raw = {(r.doc_id, r.raw): r for r in out}
+    # '500 mg' and '0.5 g' canonicalize to the SAME mg value
+    assert by_raw[(1, "500 mg")].canonical == 500.0
+    assert by_raw[(1, "0.5 g")].canonical == 500.0
+    assert by_raw[(1, "2 kg")].canonical == 2000000.0
+    assert by_raw[(1, "250 mcg")].canonical == 0.25
+    assert all(
+        r.kind == "mass_mg" for r in out if r.doc_id == 1
+    )
+    # the three volume spellings agree at 1500 ml
+    vols = {r.canonical for r in out if r.doc_id == 2}
+    assert vols == {1500.0}
+    # bare numbers without a unit are not mentions
+    assert not [r for r in out if r.doc_id == 3]
