@@ -474,3 +474,29 @@ def test_key_skew_profile_takeordered_not_full_sort(spark, testdata_dir):
     key counts — a full sort of the key space would not scale."""
     plan = _plan(QUERIES["q227_key_skew_profile"](spark, testdata_dir))
     assert "TakeOrderedAndProject" in plan
+
+
+def test_geo_grid_join_no_cartesian(spark, testdata_dir):
+    """q234: the radius join must be the grid-cell equi-join — a
+    CartesianProduct/BroadcastNestedLoopJoin here is the O(N²) range
+    join the bucketing exists to kill."""
+    plan = _plan(QUERIES["q234_geo_near_pairs"](spark, testdata_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Python" not in plan
+
+
+def test_golden_record_single_aggregate_no_window(spark, testdata_dir):
+    """q235: survivorship is ONE entity-keyed aggregate — no Window (a
+    per-field row_number formulation would shuffle the feed per field)."""
+    plan = _plan(QUERIES["q235_golden_record"](spark, testdata_dir))
+    assert "Window" not in plan
+    assert "Python" not in plan
+
+
+def test_quantity_extraction_is_scan_projection(spark, testdata_dir):
+    """q236: extraction is scan → generate → project; no join, no
+    aggregate-side shuffle beyond the final presentation sort."""
+    plan = _plan(QUERIES["q236_quantity_normalize"](spark, testdata_dir))
+    assert "Join" not in plan
+    assert "Python" not in plan
