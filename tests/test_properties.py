@@ -219,3 +219,80 @@ def test_packing_bins_monotone_and_exact(spark, toks, budget):
         assert r.bin_id >= prev_bin
         prev_bin = r.bin_id
         acc += n
+
+
+def test_isotonic_calibration_matches_reference_pava(spark):
+    """Property: the minimax-identity fit equals the classic sequential
+    pool-adjacent-violators algorithm on random binned data."""
+    import random
+
+    from bran_spark.operators.evaluate import isotonic_calibration
+
+    rnd = random.Random(23)
+    for trial in range(4):
+        n_bins = rnd.randint(3, 8)
+        rows = []
+        weights, rates = [], []
+        for b in range(n_bins):
+            n = rnd.randint(1, 12)
+            pos = rnd.randint(0, n)
+            weights.append(n)
+            rates.append(pos / n)
+            p = (b + 0.5) / n_bins  # lands exactly in bin b
+            rows += [(p, 1)] * pos + [(p, 0)] * (n - pos)
+        df = spark.createDataFrame(rows, "p double, label int")
+        got = {
+            r.bin: r.rate_iso
+            for r in isotonic_calibration(df, n_bins=n_bins).collect()
+        }
+        # reference: sequential PAVA with weight pooling
+        blocks = [[rates[i], weights[i]] for i in range(n_bins)]
+        i = 0
+        while i < len(blocks) - 1:
+            if blocks[i][0] > blocks[i + 1][0] + 1e-15:
+                r1, w1 = blocks[i]
+                r2, w2 = blocks[i + 1]
+                blocks[i] = [(r1 * w1 + r2 * w2) / (w1 + w2), w1 + w2]
+                del blocks[i + 1]
+                i = max(i - 1, 0)
+            else:
+                i += 1
+        # expand pooled-block means back to per-bin values by weight
+        iso = []
+        bi = 0
+        for r, w in blocks:
+            spanned = 0
+            while spanned < w - 1e-9:
+                spanned += weights[bi]
+                iso.append(r)
+                bi += 1
+        assert len(iso) == n_bins, (trial, iso, weights)
+        for b in range(n_bins):
+            assert abs(got[b] - round(iso[b], 6)) < 5e-6, (
+                trial, b, got[b], iso[b],
+            )
+
+
+def test_maximal_matching_random_graphs_valid_and_maximal(spark):
+    import random
+
+    from bran_spark.operators.graphalgo import maximal_matching
+
+    rnd = random.Random(31)
+    for trial in range(3):
+        n = rnd.randint(6, 12)
+        edges = set()
+        while len(edges) < n + 4:
+            a, b = rnd.sample(range(n + 5), 2)
+            u, v = sorted([f"n{a}", f"n{b}"])
+            edges.add((u, v, rnd.randint(1, 9)))
+        df = spark.createDataFrame(
+            list(edges), "u string, v string, w long"
+        )
+        got = maximal_matching(df, max_rounds=len(edges)).collect()
+        used = [x for r in got for x in (r.u, r.v)]
+        assert len(used) == len(set(used)), f"trial {trial}: not a matching"
+        for u, v, _ in edges:
+            assert u in used or v in used, (
+                f"trial {trial}: edge ({u},{v}) untouched -> not maximal"
+            )
