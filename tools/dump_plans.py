@@ -93,6 +93,28 @@ NOTES = {
         "(partial HashAggregate, fixed output size); the probe join against "
         "the sketch is broadcast — no SortMergeJoin anywhere."
     ),
+    "q219_stationary_mix": (
+        "integer Markov power iteration: ONE corpus window (the lag "
+        "transition scan), then 8 dimension-sized join+agg rounds on the "
+        "localCheckpointed edge table — the corpus subtree never re-executes "
+        "per round."
+    ),
+    "q228_isotonic_calibration": (
+        "minimax PAVA: one corpus-scale bin aggregate, then prefix sums over "
+        "a ≤n_bins single-partition window and an O(n_bins³) triple join of "
+        "tiny rows — the monotone fit never touches the corpus again."
+    ),
+    "q234_geo_near_pairs": (
+        "radius join as a grid-cell equi-join: constant 15-cell explode on "
+        "the probe side, SortMergeJoin on (ci, cj), exact haversine verify "
+        "as a post-join filter — no CartesianProduct, no "
+        "BroadcastNestedLoopJoin."
+    ),
+    "q235_golden_record": (
+        "survivorship is ONE entity-keyed struct-min aggregate (partial "
+        "HashAggregate before the single exchange); no Window, no per-field "
+        "self-joins."
+    ),
 }
 
 HEADER = """# PLANS — physical-plan audit of representative queries (rounds 2-3)
