@@ -228,3 +228,85 @@ def pii_scan(
         )
         .orderBy("grp", "pattern")
     )
+
+
+def fd_audit(
+    df: DataFrame, lhs: list[str], rhs: str, examples: int = 5
+) -> DataFrame:
+    """Functional-dependency audit (lhs → rhs): which determinant groups
+    carry MORE than one distinct dependent value — the schema-repair
+    signal behind entity canonicalization (one mesh_id → many canonical
+    names means the dictionary merge broke) and the precondition check
+    for golden_record-style fusion rules.
+
+    One lhs-keyed aggregate (exact countDistinct per group is fine —
+    the per-group cardinality is what we're measuring), violators only,
+    with up to ``examples`` offending dependent values collected via
+    slice(sort_array(collect_set(...))) — bounded output per group,
+    deterministic order. Output: (lhs..., n_rows, n_distinct_rhs,
+    example_values) for violating groups, ordered; empty ⇒ the FD
+    holds."""
+    g = df.groupBy(*[F.col(c) for c in lhs]).agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.countDistinct(rhs).cast("long").alias("n_distinct_rhs"),
+        F.slice(
+            F.sort_array(F.collect_set(F.col(rhs).cast("string"))),
+            1,
+            examples,
+        ).alias("example_values"),
+    )
+    return g.where(F.col("n_distinct_rhs") > 1).orderBy(*lhs)
+
+
+def profile_columns(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Column profiler — the first thing anyone runs on unfamiliar data:
+    per column, row count, null count/rate, exact distinct count, and
+    the most frequent value with its share (deterministic value-asc
+    tie-break). At 10¹² rows swap countDistinct for approx_count_
+    distinct and keep the same output contract; exact is the oracle
+    default here.
+
+    One pass per column's top-value (a (col, value) count + argmax — the
+    value dimension is what it is; heavy-hitter columns are exactly the
+    interesting ones) plus one shared null/count aggregate. Output: one
+    row per column (col, n_rows, n_nulls, null_rate, n_distinct,
+    top_value, top_share), 6 dp, ordered by col."""
+    parts = []
+    for c in cols:
+        base = df.select(F.col(c).cast("string").alias("v"))
+        stats = base.agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum(F.when(F.col("v").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_nulls"),
+            F.countDistinct("v").cast("long").alias("n_distinct"),
+        )
+        top = (
+            base.where(F.col("v").isNotNull())
+            .groupBy("v")
+            .agg(F.count(F.lit(1)).cast("long").alias("n"))
+            .orderBy(F.desc("n"), F.asc("v"))
+            .limit(1)
+            .select(
+                F.col("v").alias("top_value"), F.col("n").alias("top_n")
+            )
+        )
+        parts.append(
+            stats.crossJoin(F.broadcast(top)).select(
+                F.lit(c).alias("col"),
+                "n_rows",
+                "n_nulls",
+                F.round(
+                    F.col("n_nulls") / F.col("n_rows").cast("double"), 6
+                ).alias("null_rate"),
+                "n_distinct",
+                "top_value",
+                F.round(
+                    F.col("top_n") / F.col("n_rows").cast("double"), 6
+                ).alias("top_share"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("col")

@@ -10014,6 +10014,83 @@ def q236(spark, sf):
     return extract_quantities(docs)
 
 
+@_q(
+    "q237_fd_audit",
+    """
+    WITH g AS (SELECT o_custkey, COUNT(*)::BIGINT AS n_rows,
+                      COUNT(DISTINCT o_orderstatus)::BIGINT
+                        AS n_distinct_rhs,
+                      list_slice(list_sort(list(DISTINCT
+                        o_orderstatus::VARCHAR)), 1, 5) AS example_values
+               FROM orders GROUP BY o_custkey)
+    SELECT * FROM g WHERE n_distinct_rhs > 1 ORDER BY o_custkey
+    """,
+)
+def q237(spark, sf):
+    """Functional-dependency audit (contracts.fd_audit): does
+    o_custkey → o_orderstatus hold? Violating determinant groups with
+    up to 5 sorted offending values — the schema-repair signal behind
+    canonicalization (one key, many claimed values) and the
+    precondition check for survivorship rules. One keyed aggregate."""
+    from bran_spark.operators.contracts import fd_audit
+
+    return fd_audit(_t(spark, sf, "orders"), ["o_custkey"], "o_orderstatus")
+
+
+@_q(
+    "q238_column_profile",
+    """
+    WITH seg AS (
+        SELECT 'c_mktsegment' AS col, COUNT(*)::BIGINT AS n_rows,
+               SUM((c_mktsegment IS NULL)::INT)::BIGINT AS n_nulls,
+               COUNT(DISTINCT c_mktsegment::VARCHAR)::BIGINT AS n_distinct
+        FROM customer),
+    segt AS (SELECT c_mktsegment::VARCHAR AS top_value,
+                    COUNT(*)::BIGINT AS top_n
+             FROM customer WHERE c_mktsegment IS NOT NULL
+             GROUP BY 1 ORDER BY top_n DESC, top_value LIMIT 1),
+    nat AS (
+        SELECT 'c_nationkey' AS col, COUNT(*)::BIGINT,
+               SUM((c_nationkey IS NULL)::INT)::BIGINT,
+               COUNT(DISTINCT c_nationkey::VARCHAR)::BIGINT
+        FROM customer),
+    natt AS (SELECT c_nationkey::VARCHAR AS top_value,
+                    COUNT(*)::BIGINT AS top_n
+             FROM customer WHERE c_nationkey IS NOT NULL
+             GROUP BY 1 ORDER BY top_n DESC, top_value LIMIT 1),
+    acc AS (
+        SELECT 'c_acctbal' AS col, COUNT(*)::BIGINT,
+               SUM((c_acctbal IS NULL)::INT)::BIGINT,
+               COUNT(DISTINCT c_acctbal::VARCHAR)::BIGINT
+        FROM customer),
+    acct AS (SELECT c_acctbal::VARCHAR AS top_value,
+                    COUNT(*)::BIGINT AS top_n
+             FROM customer WHERE c_acctbal IS NOT NULL
+             GROUP BY 1 ORDER BY top_n DESC, top_value LIMIT 1)
+    SELECT col, n_rows, n_nulls,
+           ROUND(n_nulls / n_rows::DOUBLE, 6) AS null_rate,
+           n_distinct, top_value,
+           ROUND(top_n / n_rows::DOUBLE, 6) AS top_share
+    FROM (
+      SELECT seg.*, segt.* FROM seg, segt
+      UNION ALL SELECT nat.*, natt.* FROM nat, natt
+      UNION ALL SELECT acc.*, acct.* FROM acc, acct)
+    ORDER BY col
+    """,
+)
+def q238(spark, sf):
+    """Column profiler (contracts.profile_columns) over three customer
+    columns: nulls, exact distinct count, top value + share with a
+    deterministic value-asc tie-break — the first pass anyone runs on
+    unfamiliar data (swap exact distinct for the HLL path at 10¹²)."""
+    from bran_spark.operators.contracts import profile_columns
+
+    return profile_columns(
+        _t(spark, sf, "customer"),
+        ["c_mktsegment", "c_nationkey", "c_acctbal"],
+    )
+
+
 # =========================================================================
 # Registry ordering: the driver's correctness gate hash-checks the FIRST
 # 50 insertion-order entries of ``queries()``. Definition order above is

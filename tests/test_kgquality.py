@@ -589,3 +589,35 @@ def test_pii_scan_finds_planted_patterns_only(spark):
     assert out[("mail", "email")].n_docs_hit == 1
     assert out[("mail", "email")].n_matches == 2  # per-match count
     assert out[("mail", "phone")].n_matches == 0
+
+
+def test_fd_audit_reports_only_violators(spark):
+    from bran_spark.operators.contracts import fd_audit
+
+    df = spark.createDataFrame(
+        [("k1", "a"), ("k1", "a"), ("k2", "a"), ("k2", "b"), ("k2", "c"),
+         ("k3", None), ("k3", "x")],
+        "k string, v string",
+    )
+    out = {r.k: r for r in fd_audit(df, ["k"], "v").collect()}
+    assert "k1" not in out  # FD holds there
+    assert out["k2"].n_distinct_rhs == 3
+    assert out["k2"].example_values == ["a", "b", "c"]
+    # NULLs don't count as a distinct dependent value (countDistinct)
+    assert "k3" not in out
+
+
+def test_profile_columns_stats_and_tiebreak(spark):
+    from bran_spark.operators.contracts import profile_columns
+
+    df = spark.createDataFrame(
+        [("x", 1), ("x", 2), ("y", None), (None, 2)],
+        "a string, b int",
+    )
+    out = {r.col: r for r in profile_columns(df, ["a", "b"]).collect()}
+    assert out["a"].n_rows == 4 and out["a"].n_nulls == 1
+    assert out["a"].null_rate == 0.25
+    assert out["a"].n_distinct == 2
+    assert out["a"].top_value == "x" and out["a"].top_share == 0.5
+    # b: values 1,2,2 -> top 2; ties would break value-ascending
+    assert out["b"].top_value == "2" and out["b"].n_nulls == 1
