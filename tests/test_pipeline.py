@@ -203,3 +203,37 @@ def test_kg_publish_job(tmp_path):
     assert r2.returncode == 0, r2.stderr[-2000:]
     stats2 = json.loads(r2.stdout.strip().splitlines()[-1])
     assert stats2["published_triples"] < stats["published_triples"]
+
+
+def test_datacard_job_sections(tmp_path, testdata_dir):
+    """jobs/run_datacard.py end-to-end: the governance datasheet carries
+    every section with internally consistent numbers."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    out = str(tmp_path / "card.json")
+    r = subprocess.run(
+        [sys.executable, "jobs/run_datacard.py", "--sf-dir", testdata_dir,
+         "--out", out, "--master", "local[4]"],
+        capture_output=True, text=True, timeout=600,
+        cwd=os.path.dirname(os.path.dirname(__file__)),
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    card = json.load(open(out))
+    comp = card["composition"]
+    assert comp["n_docs"] > 0 and comp["n_tokens_ws"] > comp["n_docs"]
+    assert sum(card["mix"].values()) == comp["n_docs"]
+    q10, q50, q90 = card["quality_score_p10_p50_p90"]
+    assert q10 <= q50 <= q90
+    assert 0.0 <= card["exact_dup_rate"] < 1.0
+    # pii: one row per (source, pattern); synthetic corpus has no PII
+    assert len(card["pii"]) == comp["n_sources"] * 4
+    assert all(p["n_docs_hit"] == 0 for p in card["pii"])
+    assert card["k_anonymity"]["qi"] == ["lang", "source"]
+    cols = {c["col"]: c for c in card["columns"]}
+    assert cols["lang"]["n_distinct"] == comp["n_langs"]
+    assert cols["source"]["n_distinct"] == comp["n_sources"]
+    stats = json.loads(r.stdout.strip().splitlines()[-1])
+    assert stats["n_docs"] == comp["n_docs"]
