@@ -334,8 +334,6 @@ def extract_quantities(
     DOUBLE via one cast; canonical = value · factor is a single exact
     multiply. Output: (doc_id, raw, value, unit, kind, canonical),
     canonical rounded 6 dp, one row per mention, ordered."""
-    from pyspark.sql import DataFrame as _DF  # noqa: F401
-
     pat = r"(\d+(?:\.\d+)?)\s*(mcg|ug|mg|kg|g|ml|cl|dl|l)\b"
     m = docs.select(
         F.col(id_col).alias("doc_id"),

@@ -345,13 +345,18 @@ def golden_record(
     struct(priority, −epoch, source, value) restricted to non-NULL
     values — min over structs is lexicographic, skips the NULL-struct
     rows (the guard), and is order-free, so the merge is one exact
-    groupBy aggregate: a single shuffle on the entity key at any scale,
+    groupBy aggregate. A NULL timestamp is coalesced to +∞ in the
+    −epoch key so an unknown-time record can never beat a dated one on
+    freshness (Spark's struct ordering would otherwise sort the NULL
+    field FIRST and hand the win to the undated record): a single shuffle on the entity key at any scale,
     no windows, no self-joins. Output: (entity, *fields, n_records,
     n_sources, last_seen), ordered by entity."""
     prio = F.lit(default_priority)
     for src, p in sorted(priority.items()):
         prio = F.when(F.col(source_col) == src, F.lit(p)).otherwise(prio)
-    negts = -F.unix_timestamp(F.col(ts_col))
+    negts = F.coalesce(
+        -F.unix_timestamp(F.col(ts_col)), F.lit(2**62).cast("long")
+    )
     picks = [
         F.min(
             F.when(

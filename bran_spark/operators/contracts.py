@@ -243,7 +243,10 @@ def fd_audit(
     the per-group cardinality is what we're measuring), violators only,
     with up to ``examples`` offending dependent values collected via
     slice(sort_array(collect_set(...))) — bounded output per group,
-    deterministic order. Output: (lhs..., n_rows, n_distinct_rhs,
+    deterministic order. NULL dependent values count toward NEITHER
+    n_distinct_rhs nor the examples (countDistinct/collect_set both
+    skip NULLs): an FD violated only by NULLs is a completeness issue
+    for rule_not_null, not a contradiction. Output: (lhs..., n_rows, n_distinct_rhs,
     example_values) for violating groups, ordered; empty ⇒ the FD
     holds."""
     g = df.groupBy(*[F.col(c) for c in lhs]).agg(
@@ -266,23 +269,39 @@ def profile_columns(df: DataFrame, cols: list[str]) -> DataFrame:
     distinct and keep the same output contract; exact is the oracle
     default here.
 
-    One pass per column's top-value (a (col, value) count + argmax — the
-    value dimension is what it is; heavy-hitter columns are exactly the
-    interesting ones) plus one shared null/count aggregate. Output: one
-    row per column (col, n_rows, n_nulls, null_rate, n_distinct,
-    top_value, top_share), 6 dp, ordered by col."""
+    ONE shared aggregate computes every column's count/null/distinct
+    cells in a single corpus pass; only the per-column top-value argmax
+    needs its own (col, value) count job. An all-NULL column still
+    emits its row (top joined with a TRUE-condition left join, never a
+    cross join that would vanish on an empty top side) with
+    top_value/top_share NULL. Output: one row per column (col, n_rows,
+    n_nulls, null_rate, n_distinct, top_value, top_share), 6 dp,
+    ordered by col."""
+    shared = df.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        *[
+            x
+            for c in cols
+            for x in (
+                F.sum(F.when(F.col(c).isNull(), 1).otherwise(0))
+                .cast("long")
+                .alias(f"_nn_{c}"),
+                F.countDistinct(F.col(c).cast("string"))
+                .cast("long")
+                .alias(f"_nd_{c}"),
+            )
+        ],
+    )
     parts = []
     for c in cols:
-        base = df.select(F.col(c).cast("string").alias("v"))
-        stats = base.agg(
-            F.count(F.lit(1)).cast("long").alias("n_rows"),
-            F.sum(F.when(F.col("v").isNull(), 1).otherwise(0))
-            .cast("long")
-            .alias("n_nulls"),
-            F.countDistinct("v").cast("long").alias("n_distinct"),
+        stats = shared.select(
+            "n_rows",
+            F.col(f"_nn_{c}").alias("n_nulls"),
+            F.col(f"_nd_{c}").alias("n_distinct"),
         )
         top = (
-            base.where(F.col("v").isNotNull())
+            df.select(F.col(c).cast("string").alias("v"))
+            .where(F.col("v").isNotNull())
             .groupBy("v")
             .agg(F.count(F.lit(1)).cast("long").alias("n"))
             .orderBy(F.desc("n"), F.asc("v"))
@@ -292,7 +311,7 @@ def profile_columns(df: DataFrame, cols: list[str]) -> DataFrame:
             )
         )
         parts.append(
-            stats.crossJoin(F.broadcast(top)).select(
+            stats.join(F.broadcast(top), F.lit(True), "left").select(
                 F.lit(c).alias("col"),
                 "n_rows",
                 "n_nulls",

@@ -52,7 +52,10 @@ def geo_near_pairs(
     longitude shrink at ``max_abs_lat`` — completeness is GUARANTEED
     only for |lat| ≤ max_abs_lat, stated rather than silently wrong at
     the poles); the other side keys by its own cell; candidates verify
-    with the exact haversine. The explode fan-out is a small constant
+    with the exact haversine. Longitude cells WRAP modulo the
+    360/cell_deg ring, so pairs straddling the ±180° antimeridian share
+    neighbor keys like any others (360/cell_deg must divide evenly;
+    asserted). The explode fan-out is a small constant
     (15 cells at the defaults), so the join stays linear in points ×
     local density — never |P|² — and at scale the table is written
     partitioned by cell so probes prune.
@@ -62,12 +65,17 @@ def geo_near_pairs(
     ry = math.ceil(radius_km / (KM_PER_LAT_DEG * cell_deg))
     km_per_lon_deg = KM_PER_LAT_DEG * math.cos(math.radians(max_abs_lat))
     rx = math.ceil(radius_km / (km_per_lon_deg * cell_deg))
+    n_lon = round(360.0 / cell_deg)
+    if abs(n_lon * cell_deg - 360.0) > 1e-9:
+        raise ValueError("cell_deg must divide 360 (lon cells form a ring)")
     base = points.select(
         F.col(id_col).alias("id"),
         F.col(lat_col).cast("double").alias("lat"),
         F.col(lon_col).cast("double").alias("lon"),
         F.floor(F.col(lat_col) / cell_deg).cast("long").alias("ci"),
-        F.floor(F.col(lon_col) / cell_deg).cast("long").alias("cj"),
+        F.pmod(
+            F.floor(F.col(lon_col) / cell_deg).cast("long"), F.lit(n_lon)
+        ).alias("cj"),
     )
     offsets = [
         (di, dj)
@@ -83,7 +91,7 @@ def geo_near_pairs(
                 *[
                     F.struct(
                         (F.col("ci") + di).alias("ci"),
-                        (F.col("cj") + dj).alias("cj"),
+                        F.pmod(F.col("cj") + dj, F.lit(n_lon)).alias("cj"),
                     )
                     for di, dj in offsets
                 ]

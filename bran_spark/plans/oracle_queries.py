@@ -9823,13 +9823,14 @@ _HEX8B_SQL = " + ".join(
           FROM k),
     b AS (SELECT id, lat, lon,
                  CAST(floor(lat / 0.5) AS BIGINT) AS ci,
-                 CAST(floor(lon / 0.5) AS BIGINT) AS cj
+                 ((CAST(floor(lon / 0.5) AS BIGINT) % 720) + 720) % 720
+                   AS cj
           FROM p),
     off AS (SELECT di, dj
             FROM (SELECT unnest(range(-1, 2)) AS di),
                  (SELECT unnest(range(-2, 3)) AS dj)),
     pr AS (SELECT id AS id_a, lat AS lat_a, lon AS lon_a,
-                  ci + di AS ci, cj + dj AS cj
+                  ci + di AS ci, ((cj + dj) % 720 + 720) % 720 AS cj
            FROM b, off),
     cand AS (SELECT pr.id_a, pr.lat_a, pr.lon_a,
                     b2.id AS id_b, b2.lat AS lat_b, b2.lon AS lon_b
@@ -10021,7 +10022,9 @@ def q236(spark, sf):
                       COUNT(DISTINCT o_orderstatus)::BIGINT
                         AS n_distinct_rhs,
                       list_slice(list_sort(list(DISTINCT
-                        o_orderstatus::VARCHAR)), 1, 5) AS example_values
+                        o_orderstatus::VARCHAR)
+                        FILTER (WHERE o_orderstatus IS NOT NULL)), 1, 5)
+                        AS example_values
                FROM orders GROUP BY o_custkey)
     SELECT * FROM g WHERE n_distinct_rhs > 1 ORDER BY o_custkey
     """,

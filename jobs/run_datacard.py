@@ -65,15 +65,17 @@ def main() -> None:
         F.count(F.lit(1)).alias("n_docs"),
         F.countDistinct("source").alias("n_sources"),
         F.countDistinct("lang").alias("n_langs"),
-        F.expr("percentile(n_chars, array(0.5, 0.9, 0.99))").alias("len_q"),
+        F.expr(
+            "percentile_approx(n_chars, array(0.5, 0.9, 0.99), 10000)"
+        ).alias("len_q"),
         F.sum(token_count("text")).alias("n_tokens"),
     ).head()
     card["composition"] = {
         "n_docs": comp.n_docs,
         "n_sources": comp.n_sources,
         "n_langs": comp.n_langs,
-        "len_chars_p50_p90_p99": [float(x) for x in comp.len_q],
-        "n_tokens_ws": int(comp.n_tokens),
+        "len_chars_p50_p90_p99": [float(x) for x in (comp.len_q or [])],
+        "n_tokens_ws": int(comp.n_tokens or 0),
     }
     card["mix"] = {
         r.source: r.n
@@ -83,9 +85,11 @@ def main() -> None:
     }
 
     qq = docs.select(quality_score("text").alias("q")).agg(
-        F.expr("percentile(q, array(0.1, 0.5, 0.9))").alias("qq")
+        F.expr("percentile_approx(q, array(0.1, 0.5, 0.9), 10000)").alias("qq")
     ).head()
-    card["quality_score_p10_p50_p90"] = [round(float(x), 6) for x in qq.qq]
+    card["quality_score_p10_p50_p90"] = [
+        round(float(x), 6) for x in (qq.qq or [])
+    ]
 
     groups = exact_dedup_groups(docs, "doc_id", "text")
     dup = groups.agg(
@@ -93,7 +97,7 @@ def main() -> None:
         F.sum("n_dups").alias("total"),
     ).head()
     card["exact_dup_rate"] = round(
-        float((dup.extra or 0) / dup.total), 6
+        float((dup.extra or 0) / dup.total) if dup.total else 0.0, 6
     )
 
     card["pii"] = [

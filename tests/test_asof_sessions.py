@@ -449,3 +449,19 @@ def test_golden_record_field_level_survivorship(spark):
     assert out["e2"].name == "Bob-new" and out["e2"].phone == "111"
     assert out["e3"].name == "Cyd" and out["e3"].n_sources == 1
     assert out["e1"].n_records == 2
+
+
+def test_golden_record_null_ts_never_wins_freshness(spark):
+    import pyspark.sql.functions as F
+
+    from bran_spark.operators.asof import golden_record
+
+    feed = spark.createDataFrame(
+        [
+            ("e1", "crm", None, "undated"),
+            ("e1", "crm", "2024-01-15 00:00:00", "dated"),
+        ],
+        "e string, source string, ts string, name string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    row = golden_record(feed, "e", ["name"], {"crm": 1}).head()
+    assert row.name == "dated"

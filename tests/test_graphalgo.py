@@ -1185,3 +1185,16 @@ def test_geo_near_pairs_matches_brute_force(spark):
     for k in got:
         assert abs(got[k] - expect[k]) < 1e-6
     assert (100, 101) in got and (101, 102) in got
+
+
+def test_geo_near_pairs_wraps_antimeridian(spark):
+    from bran_spark.operators.geo import geo_near_pairs
+
+    df = spark.createDataFrame(
+        [(1, 0.0, 179.99), (2, 0.0, -179.99), (3, 0.0, 0.0)],
+        "id long, lat double, lon double",
+    )
+    got = {(r.id_a, r.id_b): r.dist_km for r in geo_near_pairs(df).collect()}
+    assert (1, 2) in got  # ~2.2 km across the dateline
+    assert got[(1, 2)] < 5.0
+    assert len(got) == 1

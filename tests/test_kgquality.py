@@ -621,3 +621,16 @@ def test_profile_columns_stats_and_tiebreak(spark):
     assert out["a"].top_value == "x" and out["a"].top_share == 0.5
     # b: values 1,2,2 -> top 2; ties would break value-ascending
     assert out["b"].top_value == "2" and out["b"].n_nulls == 1
+
+
+def test_profile_columns_all_null_column_survives(spark):
+    from bran_spark.operators.contracts import profile_columns
+
+    df = spark.createDataFrame(
+        [(None, 1), (None, 2)], "dead string, live int"
+    )
+    out = {r.col: r for r in profile_columns(df, ["dead", "live"]).collect()}
+    assert "dead" in out  # used to vanish via the empty cross join
+    assert out["dead"].n_nulls == 2 and out["dead"].null_rate == 1.0
+    assert out["dead"].top_value is None and out["dead"].top_share is None
+    assert out["live"].top_value == "1"  # tie 1/2 -> value-asc
