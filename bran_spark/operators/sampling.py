@@ -799,3 +799,57 @@ def cuped_effect(
             6,
         ).alias("var_reduction"),
     )
+
+
+def ucb_allocation(
+    units: DataFrame,
+    arm_col: str = "arm",
+    y_col: str = "y",
+    scale: int = 100,
+) -> DataFrame:
+    """UCB1 bandit scores (Auer et al. 2002) — the adaptive-allocation
+    companion to ab_effect's fixed-split readout: each arm's upper
+    confidence bound mean + √(2·ln N / n) says where the NEXT batch of
+    traffic should go (explore under-sampled arms, exploit good ones).
+    Computed batch-style over logged rewards — the standard production
+    form (recompute per allocation epoch), not a per-event loop.
+
+    Same exact-integer contract as ab_effect: rewards are integerized
+    upstream (``scale`` converts back), Σy per arm is associative, and
+    mean/ucb are one fixed scalar tree (the ln/√ are one transcendental
+    per ARM, rounded 6 dp). Output: one row per arm (arm, n, mean,
+    ucb, is_best), is_best = argmax ucb with arm-asc tie-break."""
+    g = units.groupBy(F.col(arm_col).cast("int").alias("arm")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col(y_col).cast("long")).cast("long").alias("s"),
+    )
+    tot = g.agg(F.sum("n").cast("double").alias("n_tot"))
+    k = float(scale)
+    mean = F.col("s") / (F.col("n").cast("double") * k)
+    ucb = F.round(
+        mean
+        + F.sqrt(
+            2.0 * F.log(F.col("n_tot")) / F.col("n").cast("double")
+        ),
+        6,
+    )
+    scored = g.crossJoin(F.broadcast(tot)).select(
+        "arm",
+        "n",
+        F.round(mean, 6).alias("mean"),
+        ucb.alias("ucb"),
+    )
+    best = scored.agg(
+        F.min(F.struct(-F.col("ucb"), F.col("arm"))).alias("b")
+    ).select(F.col("b.arm").alias("best_arm"))
+    return (
+        scored.crossJoin(F.broadcast(best))
+        .select(
+            "arm",
+            "n",
+            "mean",
+            "ucb",
+            (F.col("arm") == F.col("best_arm")).alias("is_best"),
+        )
+        .orderBy("arm")
+    )

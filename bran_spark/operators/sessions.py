@@ -476,3 +476,42 @@ def interarrival_burstiness(
             6,
         ).alias("burstiness"),
     ).orderBy("event_type")
+
+
+def journey_entropy(trans: DataFrame) -> DataFrame:
+    """Per-state outgoing entropy of the transition_matrix chain — the
+    journey-PREDICTABILITY map: H(from) ≈ 0 means the next event is
+    scripted (a funnel behaving like a funnel), H near ln(k) means
+    anything can happen (or tracking is broken). The row-level
+    complement of stationary_distribution's long-run mix.
+
+      H = ln(n_from) − Σ_to n·ln(n) / n_from      (nats, 6 dp)
+      predictability = 1 − H / ln(n_out)          (NULL when n_out = 1)
+
+    One aggregate over the (from, to) count table (dimension-sized
+    after transition_matrix's corpus pass); exact integer counts, one
+    transcendental per distinct count, greatest(·,0) clamps the −0.0
+    residue. Output: (from_type, n_from, n_out, entropy,
+    predictability), ordered."""
+    g = trans.groupBy("from_type").agg(
+        F.sum("n").cast("long").alias("n_from"),
+        F.count(F.lit(1)).cast("long").alias("n_out"),
+        F.sum(
+            F.col("n").cast("double") * F.log(F.col("n").cast("double"))
+        ).alias("_clnc"),
+    )
+    nf = F.col("n_from").cast("double")
+    h = F.greatest(F.log(nf) - F.col("_clnc") / nf, F.lit(0.0))
+    return g.select(
+        "from_type",
+        "n_from",
+        "n_out",
+        F.round(h, 6).alias("entropy"),
+        F.round(
+            F.when(
+                F.col("n_out") > 1,
+                1.0 - h / F.log(F.col("n_out").cast("double")),
+            ),
+            6,
+        ).alias("predictability"),
+    ).orderBy("from_type")

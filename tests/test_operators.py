@@ -1265,3 +1265,42 @@ def test_decayed_support_clamps_future_evidence(spark):
     row = decayed_support(ev, ref_time="2002-01-01").head()
     # future row clamped to weight 1, never 2^(+43) amplification
     assert row.support == 2.0
+
+
+def test_ucb_allocation_explores_undersampled_arm(spark):
+    import math
+
+    from bran_spark.operators.sampling import ucb_allocation
+
+    # arm 0: well-sampled, mean 2.0; arm 1: one lucky pull, mean 3.0
+    units = spark.createDataFrame(
+        [(0, 2)] * 99 + [(1, 3)], "arm int, y long"
+    )
+    out = {r.arm: r for r in ucb_allocation(units, scale=1).collect()}
+    assert out[0].mean == 2.0 and out[1].mean == 3.0
+    # exploration bonus dominates for n=1
+    assert abs(out[1].ucb - round(3 + math.sqrt(2 * math.log(100)), 6)) < 1e-6
+    assert out[1].is_best and not out[0].is_best
+    # equal ucb would tie-break arm-asc deterministically (same inputs
+    # rerun -> identical flags)
+    again = {r.arm: r.is_best for r in ucb_allocation(units, scale=1).collect()}
+    assert again == {a: r.is_best for a, r in out.items()}
+
+
+def test_journey_entropy_scripted_vs_uniform(spark):
+    import math
+
+    from bran_spark.operators.sessions import journey_entropy
+
+    trans = spark.createDataFrame(
+        [
+            ("script", "next", 50),             # one successor -> H = 0
+            ("coin", "h", 25), ("coin", "t", 25),  # uniform 2-way -> ln 2
+        ],
+        "from_type string, to_type string, n long",
+    )
+    out = {r.from_type: r for r in journey_entropy(trans).collect()}
+    assert out["script"].entropy == 0.0
+    assert out["script"].predictability is None  # n_out = 1: undefined
+    assert abs(out["coin"].entropy - round(math.log(2), 6)) < 1e-9
+    assert out["coin"].predictability == 0.0  # exactly uniform
