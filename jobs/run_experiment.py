@@ -1,0 +1,135 @@
+"""spark-submit entry for the EXPERIMENT READOUT — the A/B analysis an
+experimentation platform runs per metric snapshot:
+
+    deterministic md5 arm assignment → sample-ratio-mismatch gate
+    (chi² vs the designed split; SRM ⇒ the readout is VOID) →
+    Welch diff-in-means → CUPED variance reduction with the
+    pre-period covariate → UCB1 scores for the next allocation epoch →
+    one JSON line.
+
+    spark-submit --master local[8] jobs/run_experiment.py \
+        --sf-dir /root/testdata/sf0.01 --cut 2024-01-14
+
+Every stage is a registered, oracle-checked operator (q214 SRM, q216
+ab_effect, q217 CUPED, q239 UCB1); this job is the composed flow. The
+unit table (one row per user: arm, pre-period x, post-period y in exact
+integer cents) is built ONCE and shared by every stage — one corpus
+shuffle total.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# conventional chi-square critical values for alpha=0.001 (SRM should
+# trip LOUDLY and rarely), df = n_arms - 1
+CHI2_CRIT_001 = {1: 10.828, 2: 13.816, 3: 16.266}
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument(
+        "--sf-dir",
+        default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001"),
+    )
+    ap.add_argument("--master", default=None)
+    ap.add_argument("--cut", default="2024-01-14",
+                    help="pre/post boundary for the CUPED covariate")
+    ap.add_argument("--out", default=None, help="JSON output path")
+    args = ap.parse_args()
+
+    import pyspark.sql.functions as F
+
+    from bran_spark.operators.sampling import (
+        ab_assignment_srm,
+        ab_effect,
+        cuped_effect,
+        ucb_allocation,
+    )
+    from bran_spark.session import get_spark
+
+    t0 = time.time()
+    spark = get_spark(
+        "bran_experiment", master=args.master or "local[8]",
+        shuffle_partitions="16",
+    )
+    ev = spark.read.parquet(f"{args.sf_dir}/events.parquet")
+
+    cents = F.round(F.col("value") * 100, 0).cast("long")
+    pre = F.col("ts") < F.lit(args.cut).cast("timestamp")
+    units = (
+        ev.groupBy("user_id")
+        .agg(
+            F.sum(F.when(pre, cents).otherwise(F.lit(0))).cast("long")
+            .alias("x"),
+            F.sum(F.when(~pre, cents).otherwise(F.lit(0))).cast("long")
+            .alias("y"),
+        )
+        .select(
+            "user_id",
+            (
+                F.conv(
+                    F.substring(F.md5(F.col("user_id").cast("string")), 1, 8),
+                    16,
+                    10,
+                ).cast("long")
+                % 2
+            ).cast("int").alias("arm"),
+            "x",
+            "y",
+        )
+        .localCheckpoint(eager=True)  # shared by all four stages
+    )
+
+    report: dict = {"sf_dir": args.sf_dir, "cut": args.cut}
+
+    srm_rows = ab_assignment_srm(ev, "user_id", n_arms=2).collect()
+    chi2 = round(sum(r.chi2_term for r in srm_rows), 6)
+    crit = CHI2_CRIT_001[len(srm_rows) - 1]
+    report["srm"] = {
+        "arms": {r.arm: r.n_units for r in srm_rows},
+        "chi2": chi2,
+        "crit_alpha_001": crit,
+        "valid": chi2 < crit,
+    }
+
+    eff = ab_effect(units, scale=100).head()
+    report["effect"] = {
+        "n_ctl": eff.n_ctl, "n_trt": eff.n_trt,
+        "mean_ctl": eff.mean_ctl, "mean_trt": eff.mean_trt,
+        "diff": eff.diff, "se": eff.se, "t_stat": eff.t_stat,
+    }
+    cu = cuped_effect(units, scale=100).head()
+    report["cuped"] = {
+        "theta": cu.theta, "diff_raw": cu.diff_raw,
+        "diff_adj": cu.diff_adj, "var_reduction": cu.var_reduction,
+    }
+    report["next_allocation"] = [
+        {"arm": r.arm, "n": r.n, "mean": r.mean, "ucb": r.ucb,
+         "is_best": bool(r.is_best)}
+        for r in ucb_allocation(units, scale=100).collect()
+    ]
+    report["wall_sec"] = round(time.time() - t0, 3)
+
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump(report, f, indent=2, sort_keys=True)
+    print(json.dumps({
+        "metric": "experiment_readout",
+        "srm_valid": report["srm"]["valid"],
+        "diff": report["effect"]["diff"],
+        "t_stat": report["effect"]["t_stat"],
+        "cuped_var_reduction": report["cuped"]["var_reduction"],
+        "wall_sec": report["wall_sec"],
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -237,3 +237,33 @@ def test_datacard_job_sections(tmp_path, testdata_dir):
     assert cols["source"]["n_distinct"] == comp["n_sources"]
     stats = json.loads(r.stdout.strip().splitlines()[-1])
     assert stats["n_docs"] == comp["n_docs"]
+
+
+def test_experiment_job_readout(tmp_path, testdata_dir):
+    """jobs/run_experiment.py end-to-end: SRM gate, effect, CUPED and
+    UCB sections present and internally consistent."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    out = str(tmp_path / "exp.json")
+    r = subprocess.run(
+        [sys.executable, "jobs/run_experiment.py", "--sf-dir", testdata_dir,
+         "--out", out, "--master", "local[4]"],
+        capture_output=True, text=True, timeout=600,
+        cwd=os.path.dirname(os.path.dirname(__file__)),
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    rep = json.load(open(out))
+    assert set(rep["srm"]["arms"]) == {"0", "1"}  # JSON keys
+    assert rep["srm"]["chi2"] >= 0
+    eff = rep["effect"]
+    assert eff["n_ctl"] + eff["n_trt"] == sum(rep["srm"]["arms"].values())
+    assert abs(eff["diff"] - (eff["mean_trt"] - eff["mean_ctl"])) < 1e-3
+    assert rep["cuped"]["diff_raw"] is not None
+    assert 0 <= rep["cuped"]["var_reduction"] <= 1
+    ucb = rep["next_allocation"]
+    assert len(ucb) == 2 and sum(a["is_best"] for a in ucb) == 1
+    for a in ucb:
+        assert a["ucb"] >= a["mean"]
