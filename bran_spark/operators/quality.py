@@ -632,3 +632,112 @@ def quantile_normalize(
         F.col(score_col).alias("score"),
         F.round(F.percent_rank().over(w), 6).alias("q"),
     )
+
+
+def readability_scores(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Flesch-style reading-ease per document — the classic quality
+    dimension next to the length/punctuation/stopword gates: very high
+    scores flag listicle/keyword-stuffed text, very low ones flag
+    boilerplate legalese; both are curation cut candidates.
+
+      ease = 206.835 − 1.015·(words/sentences) − 84.6·(syllables/words)
+
+    Syllables use the standard vowel-GROUP proxy (runs of [aeiouy]),
+    sentences the terminal-punctuation count (min 1) — both stated
+    approximations, both pure regexp counts, so the whole score is a
+    scan projection: no shuffle, no UDF, identical expression tree in
+    the twin. Output: (doc_id, n_words, n_sentences, n_syllables,
+    ease), 6 dp."""
+    lower = F.lower(F.col(text_col))
+    n_words = F.size(F.split(F.trim(lower), " +"))
+    n_sent = F.greatest(
+        F.size(F.regexp_extract_all(lower, F.lit(r"[.!?]+"), F.lit(0))),
+        F.lit(1),
+    )
+    n_syll = F.greatest(
+        F.size(F.regexp_extract_all(lower, F.lit(r"[aeiouy]+"), F.lit(0))),
+        F.lit(1),
+    )
+    ease = (
+        F.lit(206.835)
+        - 1.015 * (n_words.cast("double") / n_sent.cast("double"))
+        - 84.6 * (n_syll.cast("double") / n_words.cast("double"))
+    )
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        n_words.cast("long").alias("n_words"),
+        n_sent.cast("long").alias("n_sentences"),
+        n_syll.cast("long").alias("n_syllables"),
+        F.round(ease, 6).alias("ease"),
+    ).orderBy("doc_id")
+
+
+def boilerplate_lines(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_df: int = 10,
+    min_chars: int = 10,
+) -> DataFrame:
+    """Cross-document boilerplate census: lines (newline-split, trimmed)
+    that recur in ≥ ``min_df`` DISTINCT documents — cookie banners,
+    nav bars, license footers — the single highest-yield web-corpus
+    cleanup after dedup (CCNet/RefinedWeb both ship a variant). Short
+    lines below ``min_chars`` are ignored (punctuation/bullets would
+    swamp the table).
+
+    One explode + one (line)-keyed distinct-doc count — the same
+    shuffle shape as exact dedup, on lines instead of docs. Output:
+    (line, df) for flagged lines, hottest first (df desc, line asc)."""
+    lines = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.split(F.col(text_col), "\n")).alias("raw"),
+    ).select("doc_id", F.trim(F.col("raw")).alias("line"))
+    return (
+        lines.where(F.length("line") >= min_chars)
+        .groupBy("line")
+        .agg(F.countDistinct("doc_id").cast("long").alias("df"))
+        .where(F.col("df") >= min_df)
+        .orderBy(F.desc("df"), F.asc("line"))
+    )
+
+
+def strip_boilerplate(
+    docs: DataFrame,
+    flagged: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Rewrite pass paired with boilerplate_lines: drop every flagged
+    line from every document and rejoin with newlines. The flagged
+    table is boilerplate-dimension-sized (lines repeated across ≥min_df
+    docs are few by construction) → broadcast left-anti on the exploded
+    lines, then posexplode order is restored by the original line
+    index. Returns (id, text) with boilerplate removed; empty docs
+    come back as '' (drop downstream if desired)."""
+    lines = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("idx", "raw"),
+    ).withColumn("line", F.trim(F.col("raw")))
+    kept = lines.join(
+        F.broadcast(flagged.select("line")), "line", "left_anti"
+    )
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("idx", "raw"))),
+                lambda s: s["raw"],
+            ),
+            "\n",
+        ).alias("text")
+    )
+    # a doc whose EVERY line was flagged vanishes from the anti-joined
+    # side — restore it as '' so the id set is preserved end-to-end
+    return (
+        docs.select(F.col(id_col).alias("doc_id"))
+        .join(rebuilt, "doc_id", "left")
+        .select("doc_id", F.coalesce("text", F.lit("")).alias("text"))
+        .orderBy("doc_id")
+    )

@@ -10178,6 +10178,131 @@ def q240(spark, sf):
     return journey_entropy(transition_matrix(_t(spark, sf, "events")))
 
 
+@_q(
+    "q241_readability",
+    r"""
+    SELECT doc_id,
+           len(string_split_regex(trim(lower(text)), ' +'))::BIGINT
+             AS n_words,
+           greatest(len(regexp_extract_all(lower(text), '[.!?]+')),
+                    1)::BIGINT AS n_sentences,
+           greatest(len(regexp_extract_all(lower(text), '[aeiouy]+')),
+                    1)::BIGINT AS n_syllables,
+           ROUND(206.835
+                 - 1.015 * (len(string_split_regex(trim(lower(text)),
+                              ' +'))::DOUBLE
+                            / greatest(len(regexp_extract_all(lower(text),
+                                '[.!?]+')), 1)::DOUBLE)
+                 - 84.6 * (greatest(len(regexp_extract_all(lower(text),
+                               '[aeiouy]+')), 1)::DOUBLE
+                           / len(string_split_regex(trim(lower(text)),
+                               ' +'))::DOUBLE), 6) AS ease
+    FROM documents ORDER BY doc_id
+    """,
+)
+def q241(spark, sf):
+    """Flesch-style reading ease (quality.readability_scores): vowel-
+    group syllable proxy + terminal-punctuation sentence count, the
+    whole score one scan projection — the classic corpus-quality
+    dimension next to q32's length/stopword gates."""
+    from bran_spark.operators.quality import readability_scores
+
+    return readability_scores(_t(spark, sf, "documents"))
+
+
+_BP_CORPUS_SQL = """
+    bp AS (SELECT doc_id, text
+                  || chr(10) || CASE WHEN doc_id % 2 = 0
+                     THEN 'subscribe to our newsletter for updates'
+                     ELSE 'all rights reserved worldwide' END
+                  || chr(10) || 'copyright footer two thousand twenty'
+                  || chr(10) || 'unique tail ' || doc_id AS text
+           FROM documents)
+"""
+
+
+@_q(
+    "q242_boilerplate_lines",
+    f"""
+    WITH {_BP_CORPUS_SQL},
+    lines AS (SELECT doc_id, trim(ln) AS line
+              FROM (SELECT doc_id, unnest(string_split(text, chr(10)))
+                      AS ln FROM bp))
+    SELECT line, COUNT(DISTINCT doc_id)::BIGINT AS df
+    FROM lines WHERE length(line) >= 10
+    GROUP BY line HAVING COUNT(DISTINCT doc_id) >= 50
+    ORDER BY df DESC, line
+    """,
+)
+def q242(spark, sf):
+    """Cross-document boilerplate census (quality.boilerplate_lines,
+    min_df=50) over a corpus with planted banner/footer lines: the
+    newline-split distinct-doc line count — the CCNet/RefinedWeb-style
+    cleanup signal after dedup."""
+    from bran_spark.operators.quality import boilerplate_lines
+
+    return boilerplate_lines(_bp_corpus(spark, sf), min_df=50)
+
+
+def _bp_corpus(spark, sf):
+    d = _t(spark, sf, "documents")
+    return d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit("\n"),
+            F.when(
+                F.col("doc_id") % 2 == 0,
+                F.lit("subscribe to our newsletter for updates"),
+            ).otherwise(F.lit("all rights reserved worldwide")),
+            F.lit("\n"),
+            F.lit("copyright footer two thousand twenty"),
+            F.lit("\n"),
+            F.concat(F.lit("unique tail "), F.col("doc_id").cast("string")),
+        ).alias("text"),
+    )
+
+
+@_q(
+    "q243_strip_boilerplate",
+    f"""
+    WITH {_BP_CORPUS_SQL},
+    flagged AS (
+        SELECT line FROM (
+            SELECT trim(ln) AS line, COUNT(DISTINCT doc_id) AS df
+            FROM (SELECT doc_id, unnest(string_split(text, chr(10)))
+                    AS ln FROM bp)
+            WHERE length(trim(ln)) >= 10
+            GROUP BY trim(ln)) WHERE df >= 50),
+    split AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM bp),
+    idx AS (SELECT doc_id, i, ls[i + 1] AS raw
+            FROM split, unnest(range(len(ls))) AS t(i)),
+    kept AS (SELECT doc_id, i, raw FROM idx
+             WHERE trim(raw) NOT IN (SELECT line FROM flagged)),
+    built AS (SELECT doc_id,
+                     array_to_string(list_transform(
+                       list_sort(list(struct_pack(i := i, raw := raw))),
+                       s -> s.raw), chr(10)) AS text
+              FROM kept GROUP BY doc_id)
+    SELECT bp.doc_id AS doc_id, COALESCE(built.text, '') AS text
+    FROM bp LEFT JOIN built ON bp.doc_id = built.doc_id
+    ORDER BY bp.doc_id
+    """,
+)
+def q243(spark, sf):
+    """Boilerplate removal rewrite (quality.strip_boilerplate): drop
+    every flagged line, restore original line order via the index,
+    preserve fully-boilerplate docs as '' — the composed
+    detect-then-clean flow over q242's planted corpus."""
+    from bran_spark.operators.quality import (
+        boilerplate_lines,
+        strip_boilerplate,
+    )
+
+    corpus = _bp_corpus(spark, sf)
+    return strip_boilerplate(corpus, boilerplate_lines(corpus, min_df=50))
+
+
 # =========================================================================
 # Registry ordering: the driver's correctness gate hash-checks the FIRST
 # 50 insertion-order entries of ``queries()``. Definition order above is

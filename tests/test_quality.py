@@ -242,3 +242,43 @@ def test_extract_quantities_canonicalizes_units(spark):
     assert vols == {1500.0}
     # bare numbers without a unit are not mentions
     assert not [r for r in out if r.doc_id == 3]
+
+
+def test_readability_flesch_arithmetic(spark):
+    from bran_spark.operators.quality import readability_scores
+
+    docs = spark.createDataFrame(
+        [(1, "the cat sat. the dog ran!"), (2, "no terminal punctuation")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in readability_scores(docs).collect()}
+    r1 = out[1]
+    assert r1.n_words == 6 and r1.n_sentences == 2
+    expected = 206.835 - 1.015 * (6 / 2) - 84.6 * (r1.n_syllables / 6)
+    assert abs(r1.ease - round(expected, 6)) < 1e-9
+    assert out[2].n_sentences == 1  # clamped, never /0
+
+
+def test_boilerplate_detect_and_strip(spark):
+    from bran_spark.operators.quality import (
+        boilerplate_lines,
+        strip_boilerplate,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "real content one\ncommon footer line here"),
+            (2, "real content two\ncommon footer line here"),
+            (3, "real content three\ncommon footer line here"),
+            (4, "common footer line here"),  # nothing else -> becomes ''
+            (5, "short\nan uncommon line that stays"),
+        ],
+        "doc_id long, text string",
+    )
+    flagged = boilerplate_lines(docs, min_df=3, min_chars=10)
+    assert [r.line for r in flagged.collect()] == ["common footer line here"]
+    out = {r.doc_id: r.text for r in strip_boilerplate(docs, flagged).collect()}
+    assert out[1] == "real content one"
+    assert out[4] == ""  # fully-boilerplate doc preserved as empty
+    assert out[5] == "short\nan uncommon line that stays"
+    assert set(out) == {1, 2, 3, 4, 5}
