@@ -362,3 +362,51 @@ def extract_quantities(
         kind.alias("kind"),
         F.round(F.col("value") * factor, 6).alias("canonical"),
     ).orderBy("doc_id", "raw")
+
+
+TRACKING_PARAM_RE = r"^(utm_[^=]*|gclid|fbclid|ref|mc_eid)="
+
+
+def url_canonical(col: "str | Column") -> Column:
+    """Canonical URL form — the key under which a web corpus dedups
+    fetches ('HTTPS://Site.com:443/a/?utm_source=x&b=2&a=1#f' and
+    'https://site.com/a/?a=1&b=2' are the SAME page): lowercase
+    scheme+host, default ports dropped, fragment dropped, tracking
+    params (utm_*/gclid/fbclid/ref/mc_eid) removed, remaining query
+    params SORTED, empty path normalized to '/'. Pure JVM regexp/array
+    expressions — a scan projection at any scale; the twin replays the
+    identical rules. Non-URL strings (no scheme) pass through
+    unchanged."""
+    c = F.col(col) if isinstance(col, str) else col
+    nofrag = F.regexp_replace(c, r"#.*$", "")
+    scheme = F.lower(F.regexp_extract(nofrag, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    hostport = F.lower(
+        F.regexp_extract(nofrag, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)", 1)
+    )
+    # default-port strip, expressed once per scheme
+    hp = F.when(
+        (scheme == "http"), F.regexp_replace(hostport, r":80$", "")
+    ).when(
+        (scheme == "https"), F.regexp_replace(hostport, r":443$", "")
+    ).otherwise(hostport)
+    path = F.regexp_extract(
+        nofrag, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)", 1
+    )
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    rawq = F.regexp_extract(nofrag, r"\?([^#]*)", 1)
+    params = F.array_sort(
+        F.filter(
+            F.split(rawq, "&"),
+            lambda p: (p != "")
+            & ~p.rlike(TRACKING_PARAM_RE),
+        )
+    )
+    query = F.array_join(params, "&")
+    rebuilt = F.concat(
+        scheme,
+        F.lit("://"),
+        hp,
+        path,
+        F.when(query != "", F.concat(F.lit("?"), query)).otherwise(F.lit("")),
+    )
+    return F.when(scheme == "", c).otherwise(rebuilt)

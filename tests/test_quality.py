@@ -282,3 +282,25 @@ def test_boilerplate_detect_and_strip(spark):
     assert out[4] == ""  # fully-boilerplate doc preserved as empty
     assert out[5] == "short\nan uncommon line that stays"
     assert set(out) == {1, 2, 3, 4, 5}
+
+
+def test_url_canonical_rules(spark):
+    from bran_spark.functions.text import url_canonical
+
+    df = spark.createDataFrame(
+        [
+            ("HTTPS://Site.COM:443/a/?utm_source=x&b=2&a=1#frag",),
+            ("https://site.com/a/?a=1&b=2",),
+            ("http://Host.org:80",),
+            ("https://h.io:8443/x",),          # non-default port KEPT
+            ("http://h.io/?gclid=1&ref=t",),   # all-tracking query -> none
+            ("not a url at all",),
+        ],
+        "u string",
+    )
+    got = [r.c for r in df.select(url_canonical("u").alias("c")).collect()]
+    assert got[0] == got[1] == "https://site.com/a/?a=1&b=2"
+    assert got[2] == "http://host.org/"
+    assert got[3] == "https://h.io:8443/x"
+    assert got[4] == "http://h.io/"
+    assert got[5] == "not a url at all"  # pass-through, never mangled
