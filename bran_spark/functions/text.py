@@ -375,8 +375,9 @@ def url_canonical(col: "str | Column") -> Column:
     params (utm_*/gclid/fbclid/ref/mc_eid) removed, remaining query
     params SORTED, empty path normalized to '/'. Pure JVM regexp/array
     expressions — a scan projection at any scale; the twin replays the
-    identical rules. Non-URL strings (no scheme) pass through
-    unchanged."""
+    identical rules. Non-URL strings (no scheme) AND empty-authority
+    URLs (file:///x — no host to normalize, and rebuilding would erase
+    the path) pass through unchanged."""
     c = F.col(col) if isinstance(col, str) else col
     nofrag = F.regexp_replace(c, r"#.*$", "")
     scheme = F.lower(F.regexp_extract(nofrag, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
@@ -409,4 +410,6 @@ def url_canonical(col: "str | Column") -> Column:
         path,
         F.when(query != "", F.concat(F.lit("?"), query)).otherwise(F.lit("")),
     )
-    return F.when(scheme == "", c).otherwise(rebuilt)
+    # test the STRIPPED authority: 'http://:80/x' has a nonempty raw
+    # hostport but no host once the default port drops — pass through
+    return F.when((scheme == "") | (hp == ""), c).otherwise(rebuilt)

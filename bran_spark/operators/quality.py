@@ -648,10 +648,14 @@ def readability_scores(
     sentences the terminal-punctuation count (min 1) — both stated
     approximations, both pure regexp counts, so the whole score is a
     scan projection: no shuffle, no UDF, identical expression tree in
-    the twin. Output: (doc_id, n_words, n_sentences, n_syllables,
-    ease), 6 dp."""
+    the twin. Words split on ANY whitespace (multi-line web docs would
+    merge tokens under a space-only split). Output: (doc_id, n_words,
+    n_sentences, n_syllables, ease), 6 dp; ease is NULL for empty/
+    whitespace-only docs (a score for no text is noise, not 121.2)."""
     lower = F.lower(F.col(text_col))
-    n_words = F.size(F.split(F.trim(lower), " +"))
+    n_words = F.size(
+        F.filter(F.split(lower, r"\s+"), lambda w: w != "")
+    )
     n_sent = F.greatest(
         F.size(F.regexp_extract_all(lower, F.lit(r"[.!?]+"), F.lit(0))),
         F.lit(1),
@@ -670,7 +674,7 @@ def readability_scores(
         n_words.cast("long").alias("n_words"),
         n_sent.cast("long").alias("n_sentences"),
         n_syll.cast("long").alias("n_syllables"),
-        F.round(ease, 6).alias("ease"),
+        F.round(F.when(n_words > 0, ease), 6).alias("ease"),
     ).orderBy("doc_id")
 
 
@@ -711,33 +715,24 @@ def strip_boilerplate(
     text_col: str = "text",
 ) -> DataFrame:
     """Rewrite pass paired with boilerplate_lines: drop every flagged
-    line from every document and rejoin with newlines. The flagged
-    table is boilerplate-dimension-sized (lines repeated across ≥min_df
-    docs are few by construction) → broadcast left-anti on the exploded
-    lines, then posexplode order is restored by the original line
-    index. Returns (id, text) with boilerplate removed; empty docs
-    come back as '' (drop downstream if desired)."""
-    lines = docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.posexplode(F.split(F.col(text_col), "\n")).alias("idx", "raw"),
-    ).withColumn("line", F.trim(F.col("raw")))
-    kept = lines.join(
-        F.broadcast(flagged.select("line")), "line", "left_anti"
+    line from every document and rejoin with newlines — as a PURE SCAN
+    PROJECTION. The flagged table is boilerplate-dimension-sized by
+    construction (lines recurring across ≥min_df docs), so it collapses
+    to ONE broadcast array and each doc filters its own split lines in
+    place: zero shuffles, line order preserved for free, and a doc
+    whose every line was flagged naturally comes back as '' (the
+    earlier explode→anti-join→regroup shape cost two corpus shuffles
+    plus a restore join for the same answer). Returns (doc_id, text)."""
+    fl = flagged.agg(F.collect_list("line").alias("_fl"))
+    kept = F.filter(
+        F.split(F.col(text_col), "\n"),
+        lambda l: ~F.array_contains(F.col("_fl"), F.trim(l)),
     )
-    rebuilt = kept.groupBy("doc_id").agg(
-        F.array_join(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("idx", "raw"))),
-                lambda s: s["raw"],
-            ),
-            "\n",
-        ).alias("text")
-    )
-    # a doc whose EVERY line was flagged vanishes from the anti-joined
-    # side — restore it as '' so the id set is preserved end-to-end
     return (
-        docs.select(F.col(id_col).alias("doc_id"))
-        .join(rebuilt, "doc_id", "left")
-        .select("doc_id", F.coalesce("text", F.lit("")).alias("text"))
+        docs.crossJoin(F.broadcast(fl))
+        .select(
+            F.col(id_col).alias("doc_id"),
+            F.array_join(kept, "\n").alias("text"),
+        )
         .orderBy("doc_id")
     )

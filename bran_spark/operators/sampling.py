@@ -806,6 +806,7 @@ def ucb_allocation(
     arm_col: str = "arm",
     y_col: str = "y",
     scale: int = 100,
+    span: float = 1.0,
 ) -> DataFrame:
     """UCB1 bandit scores (Auer et al. 2002) — the adaptive-allocation
     companion to ab_effect's fixed-split readout: each arm's upper
@@ -817,20 +818,28 @@ def ucb_allocation(
     Same exact-integer contract as ab_effect: rewards are integerized
     upstream (``scale`` converts back), Σy per arm is associative, and
     mean/ucb are one fixed scalar tree (the ln/√ are one transcendental
-    per ARM, rounded 6 dp). Output: one row per arm (arm, n, mean,
-    ucb, is_best), is_best = argmax ucb with arm-asc tie-break."""
-    g = units.groupBy(F.col(arm_col).cast("int").alias("arm")).agg(
-        F.count(F.lit(1)).cast("long").alias("n"),
-        F.sum(F.col(y_col).cast("long")).cast("long").alias("s"),
+    per ARM, rounded 6 dp). CALIBRATION: UCB1's √(2·ln N/n) bound
+    assumes rewards in [0,1]; for unbounded metrics pass ``span`` ≈
+    r_max − r_min (unit terms) to scale the bonus, or the allocation
+    silently degenerates to greedy argmax-mean. Rows whose arm casts to
+    NULL are dropped (the ab_effect contract made explicit). Output:
+    one row per arm (arm, n, mean, ucb, is_best), is_best = argmax ucb
+    with arm-asc tie-break."""
+    g = (
+        units.where(F.col(arm_col).cast("int").isNotNull())
+        .groupBy(F.col(arm_col).cast("int").alias("arm"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.col(y_col).cast("long")).cast("long").alias("s"),
+        )
     )
     tot = g.agg(F.sum("n").cast("double").alias("n_tot"))
     k = float(scale)
     mean = F.col("s") / (F.col("n").cast("double") * k)
     ucb = F.round(
         mean
-        + F.sqrt(
-            2.0 * F.log(F.col("n_tot")) / F.col("n").cast("double")
-        ),
+        + F.lit(float(span))
+        * F.sqrt(2.0 * F.log(F.col("n_tot")) / F.col("n").cast("double")),
         6,
     )
     scored = g.crossJoin(F.broadcast(tot)).select(

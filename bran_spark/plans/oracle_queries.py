@@ -10107,7 +10107,8 @@ def q238(spark, sf):
     sc AS (SELECT arm, n,
                   ROUND(s / (n::DOUBLE * 100.0), 6) AS mean,
                   ROUND(s / (n::DOUBLE * 100.0)
-                        + sqrt(2.0 * ln(t.n_tot) / n::DOUBLE), 6) AS ucb
+                        + 5.0 * sqrt(2.0 * ln(t.n_tot) / n::DOUBLE), 6)
+                    AS ucb
            FROM g, t),
     b AS (SELECT (min(struct_pack(nu := -ucb, arm := arm))).arm
             AS best_arm FROM sc)
@@ -10119,9 +10120,10 @@ def q238(spark, sf):
 def q239(spark, sf):
     """UCB1 bandit allocation (sampling.ucb_allocation) over four
     md5-coin arms with per-event value cents as rewards: mean +
-    √(2·ln N / n) per arm, argmax flagged — the adaptive-allocation
-    companion to q216's fixed-split readout, recomputed batch-style per
-    allocation epoch."""
+    span·√(2·ln N / n) per arm (span 5.0 ≈ the value range in unit
+    terms — UCB1's bound is [0,1]-calibrated), argmax flagged — the
+    adaptive-allocation companion to q216's fixed-split readout,
+    recomputed batch-style per allocation epoch."""
     from bran_spark.operators.sampling import ucb_allocation
 
     ev = _t(spark, sf, "events")
@@ -10138,7 +10140,7 @@ def q239(spark, sf):
         .alias("arm"),
         F.round(F.col("value") * 100, 0).cast("long").alias("y"),
     )
-    return ucb_allocation(units, scale=100)
+    return ucb_allocation(units, scale=100, span=5.0)
 
 
 @_q(
@@ -10181,23 +10183,21 @@ def q240(spark, sf):
 @_q(
     "q241_readability",
     r"""
-    SELECT doc_id,
-           len(string_split_regex(trim(lower(text)), ' +'))::BIGINT
-             AS n_words,
-           greatest(len(regexp_extract_all(lower(text), '[.!?]+')),
-                    1)::BIGINT AS n_sentences,
-           greatest(len(regexp_extract_all(lower(text), '[aeiouy]+')),
-                    1)::BIGINT AS n_syllables,
-           ROUND(206.835
-                 - 1.015 * (len(string_split_regex(trim(lower(text)),
-                              ' +'))::DOUBLE
-                            / greatest(len(regexp_extract_all(lower(text),
-                                '[.!?]+')), 1)::DOUBLE)
-                 - 84.6 * (greatest(len(regexp_extract_all(lower(text),
-                               '[aeiouy]+')), 1)::DOUBLE
-                           / len(string_split_regex(trim(lower(text)),
-                               ' +'))::DOUBLE), 6) AS ease
-    FROM documents ORDER BY doc_id
+    WITH w AS (SELECT doc_id,
+                      len(list_filter(string_split_regex(lower(text),
+                        '\s+'), x -> x <> ''))::BIGINT AS n_words,
+                      greatest(len(regexp_extract_all(lower(text),
+                        '[.!?]+')), 1)::BIGINT AS n_sentences,
+                      greatest(len(regexp_extract_all(lower(text),
+                        '[aeiouy]+')), 1)::BIGINT AS n_syllables
+               FROM documents)
+    SELECT doc_id, n_words, n_sentences, n_syllables,
+           ROUND(CASE WHEN n_words > 0
+                 THEN 206.835
+                      - 1.015 * (n_words::DOUBLE / n_sentences::DOUBLE)
+                      - 84.6 * (n_syllables::DOUBLE / n_words::DOUBLE)
+                 END, 6) AS ease
+    FROM w ORDER BY doc_id
     """,
 )
 def q241(spark, sf):
@@ -10341,7 +10341,7 @@ def q243(spark, sf):
                       '^(utm_[^=]*|gclid|fbclid|ref|mc_eid)='))), '&')
                     AS query
            FROM s2),
-    canon AS (SELECT CASE WHEN scheme = '' THEN u
+    canon AS (SELECT CASE WHEN scheme = '' OR hp = '' THEN u
                           ELSE scheme || '://' || hp || path
                                || CASE WHEN query <> ''
                                        THEN '?' || query ELSE '' END END

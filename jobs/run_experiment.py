@@ -89,32 +89,55 @@ def main() -> None:
 
     report: dict = {"sf_dir": args.sf_dir, "cut": args.cut}
 
-    srm_rows = ab_assignment_srm(ev, "user_id", n_arms=2).collect()
-    chi2 = round(sum(r.chi2_term for r in srm_rows), 6)
-    crit = CHI2_CRIT_001[len(srm_rows) - 1]
+    # SRM over the shared units table (one row per user already) — the
+    # raw-events form would re-distinct the corpus for the same answer
+    srm_rows = ab_assignment_srm(
+        units.select("user_id"), "user_id", n_arms=2
+    ).collect()
+    terms = [r.chi2_term for r in srm_rows]
+    chi2 = (
+        round(sum(terms), 6)
+        if srm_rows and all(t is not None for t in terms)
+        else None
+    )
+    crit = CHI2_CRIT_001.get(max(len(srm_rows) - 1, 1))
+    valid = chi2 is not None and chi2 < crit
     report["srm"] = {
         "arms": {r.arm: r.n_units for r in srm_rows},
         "chi2": chi2,
         "crit_alpha_001": crit,
-        "valid": chi2 < crit,
+        "valid": valid,
     }
 
-    eff = ab_effect(units, scale=100).head()
-    report["effect"] = {
-        "n_ctl": eff.n_ctl, "n_trt": eff.n_trt,
-        "mean_ctl": eff.mean_ctl, "mean_trt": eff.mean_trt,
-        "diff": eff.diff, "se": eff.se, "t_stat": eff.t_stat,
-    }
-    cu = cuped_effect(units, scale=100).head()
-    report["cuped"] = {
-        "theta": cu.theta, "diff_raw": cu.diff_raw,
-        "diff_adj": cu.diff_adj, "var_reduction": cu.var_reduction,
-    }
-    report["next_allocation"] = [
-        {"arm": r.arm, "n": r.n, "mean": r.mean, "ucb": r.ucb,
-         "is_best": bool(r.is_best)}
-        for r in ucb_allocation(units, scale=100).collect()
-    ]
+    if valid:
+        eff = ab_effect(units, scale=100).head()
+        report["effect"] = {
+            "n_ctl": eff.n_ctl, "n_trt": eff.n_trt,
+            "mean_ctl": eff.mean_ctl, "mean_trt": eff.mean_trt,
+            "diff": eff.diff, "se": eff.se, "t_stat": eff.t_stat,
+        }
+        cu = cuped_effect(units, scale=100).head()
+        report["cuped"] = {
+            "theta": cu.theta, "diff_raw": cu.diff_raw,
+            "diff_adj": cu.diff_adj, "var_reduction": cu.var_reduction,
+        }
+        # UCB1's bonus is [0,1]-calibrated: scale it by the observed
+        # metric span in unit terms so exploration means something
+        span_row = units.agg(
+            F.max("y").alias("mx"), F.min("y").alias("mn")
+        ).head()
+        span = max((span_row.mx or 0) - (span_row.mn or 0), 1) / 100.0
+        report["next_allocation"] = [
+            {"arm": r.arm, "n": r.n, "mean": r.mean, "ucb": r.ucb,
+             "is_best": bool(r.is_best)}
+            for r in ucb_allocation(units, scale=100, span=span).collect()
+        ]
+    else:
+        # SRM tripped (or no data): the readout is VOID — emit the
+        # verdict, never numbers someone might act on
+        report["effect"] = {"void": True}
+        report["cuped"] = {"void": True}
+        report["next_allocation"] = {"void": True}
     report["wall_sec"] = round(time.time() - t0, 3)
 
     if args.out:
@@ -123,9 +146,9 @@ def main() -> None:
     print(json.dumps({
         "metric": "experiment_readout",
         "srm_valid": report["srm"]["valid"],
-        "diff": report["effect"]["diff"],
-        "t_stat": report["effect"]["t_stat"],
-        "cuped_var_reduction": report["cuped"]["var_reduction"],
+        "diff": report["effect"].get("diff"),
+        "t_stat": report["effect"].get("t_stat"),
+        "cuped_var_reduction": report["cuped"].get("var_reduction"),
         "wall_sec": report["wall_sec"],
     }))
     spark.stop()

@@ -304,3 +304,30 @@ def test_url_canonical_rules(spark):
     assert got[3] == "https://h.io:8443/x"
     assert got[4] == "http://h.io/"
     assert got[5] == "not a url at all"  # pass-through, never mangled
+
+
+def test_url_canonical_empty_authority_passthrough(spark):
+    from bran_spark.functions.text import url_canonical
+
+    df = spark.createDataFrame(
+        [("file:///a.txt",), ("file:///b.txt",), ("http://:80/x",)],
+        "u string",
+    )
+    got = [r.c for r in df.select(url_canonical("u").alias("c")).collect()]
+    # no authority -> no host rules apply; pass through (NEVER collapse
+    # distinct paths onto 'scheme:///')
+    assert got[0] == "file:///a.txt" and got[1] == "file:///b.txt"
+    assert got[2] == "http://:80/x"
+
+
+def test_readability_whitespace_and_empty(spark):
+    from bran_spark.operators.quality import readability_scores
+
+    docs = spark.createDataFrame(
+        [(1, "the cat\nthe dog."), (2, "   "), (3, "")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in readability_scores(docs).collect()}
+    assert out[1].n_words == 4  # newline splits words
+    assert out[2].n_words == 0 and out[2].ease is None
+    assert out[3].ease is None
