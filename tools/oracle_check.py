@@ -60,6 +60,13 @@ def main() -> int:
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
     ap.add_argument("--only", nargs="*", default=None)
     ap.add_argument("--skip-rows-only", action="store_true", default=True)
+    ap.add_argument(
+        "--chunk",
+        default=None,
+        help="'i/n' — run only the i-th of n equal registry slices "
+        "(1-based); lets a wall-clock-capped harness sweep the full "
+        "registry in a few bounded processes",
+    )
     args = ap.parse_args()
 
     from bran_spark.plans.oracle_queries import ORACLE, QUERIES
@@ -73,6 +80,10 @@ def main() -> int:
         )
 
     names = args.only or list(QUERIES)
+    if args.chunk:
+        i, n = (int(x) for x in args.chunk.split("/"))
+        per = (len(names) + n - 1) // n
+        names = names[(i - 1) * per : i * per]
     failures = []
     for name in names:
         if name not in ORACLE:
