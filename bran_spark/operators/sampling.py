@@ -862,3 +862,79 @@ def ucb_allocation(
         )
         .orderBy("arm")
     )
+
+
+def poststratified_effect(
+    units: DataFrame,
+    arm_col: str = "arm",
+    y_col: str = "y",
+    stratum_col: str = "stratum",
+    scale: int = 100,
+) -> DataFrame:
+    """Post-stratified treatment-effect estimate — the observational /
+    imbalance-robust companion to ab_effect: compare arms WITHIN each
+    stratum and combine with population weights, so a stratum that is
+    over-represented in one arm (broken randomization, observational
+    logs) cannot masquerade as an effect:
+
+      est = Σ_s (n_s / N_used) · (ȳ₁ₛ − ȳ₀ₛ)
+
+    Strata missing either arm carry no within-stratum contrast and are
+    EXCLUDED (weights renormalize over the used strata; the output
+    reports how many). Same exact-integer contract as ab_effect; one
+    stratum-keyed aggregate (map-side combined) + one dimension-scale
+    rollup. Output: 1 row (n_units, n_strata, n_strata_used, diff_raw,
+    diff_post), 6 dp; diff_post is NULL when no stratum has both arms."""
+    arm = F.col(arm_col).cast("int")
+    y = F.col(y_col).cast("long")
+    g = units.groupBy(F.col(stratum_col).alias("s")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.when(arm == 0, 1).otherwise(0)).cast("long").alias("n0"),
+        F.sum(F.when(arm == 1, 1).otherwise(0)).cast("long").alias("n1"),
+        F.sum(F.when(arm == 0, y).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("s0"),
+        F.sum(F.when(arm == 1, y).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("s1"),
+    )
+    k = float(scale)
+    used = (F.col("n0") > 0) & (F.col("n1") > 0)
+    within = F.col("s1") / (F.col("n1").cast("double") * k) - F.col(
+        "s0"
+    ) / (F.col("n0").cast("double") * k)
+    roll = g.agg(
+        F.sum("n").cast("long").alias("n_units"),
+        F.count(F.lit(1)).cast("long").alias("n_strata"),
+        F.sum(F.when(used, 1).otherwise(0)).cast("long").alias(
+            "n_strata_used"
+        ),
+        F.sum(F.when(used, F.col("n")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("n_used"),
+        F.sum(F.when(used, F.col("n").cast("double") * within)).alias(
+            "_wsum"
+        ),
+        F.sum("s0").cast("long").alias("t0"),
+        F.sum("s1").cast("long").alias("t1"),
+        F.sum("n0").cast("long").alias("m0"),
+        F.sum("n1").cast("long").alias("m1"),
+    )
+    diff_raw = F.col("t1") / (F.col("m1").cast("double") * k) - F.col(
+        "t0"
+    ) / (F.col("m0").cast("double") * k)
+    return roll.select(
+        "n_units",
+        "n_strata",
+        "n_strata_used",
+        F.round(
+            F.when((F.col("m0") > 0) & (F.col("m1") > 0), diff_raw), 6
+        ).alias("diff_raw"),
+        F.round(
+            F.when(
+                F.col("n_used") > 0,
+                F.col("_wsum") / F.col("n_used").cast("double"),
+            ),
+            6,
+        ).alias("diff_post"),
+    )

@@ -515,3 +515,54 @@ def journey_entropy(trans: DataFrame) -> DataFrame:
             6,
         ).alias("predictability"),
     ).orderBy("from_type")
+
+
+def cohort_retention(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Weekly cohort-retention matrix — the classic growth table next to
+    kaplan_meier's survival curve: users grouped by first-activity week
+    (the cohort), each later week's share still active. KM answers "how
+    long do users live"; this answers "did the March cohort behave
+    differently" — the per-cohort view that catches regressions a
+    pooled curve averages away.
+
+    Weeks are date_trunc('week') (ISO Monday in both engines); all
+    cells are exact distinct counts: one (user → first week) aggregate,
+    one distinct (user, week) projection, a user-keyed join, then the
+    (cohort, offset) rollup with cohort sizes broadcast back. Output:
+    (cohort_week, week_offset, n_active, n_cohort, retention 6 dp),
+    ordered; offset 0 is 1.0 by construction."""
+    wk = F.date_trunc("week", F.col(ts_col))
+    first = events.groupBy(F.col(user_col).alias("u")).agg(
+        F.min(wk).alias("cw")
+    )
+    act = events.select(
+        F.col(user_col).alias("u"), wk.alias("w")
+    ).distinct()
+    joined = act.join(first, "u").select(
+        "cw",
+        (F.datediff(F.col("w"), F.col("cw")) / 7).cast("int").alias("off"),
+        "u",
+    )
+    cells = joined.groupBy("cw", "off").agg(
+        F.countDistinct("u").cast("long").alias("n_active")
+    )
+    sizes = first.groupBy("cw").agg(
+        F.count(F.lit(1)).cast("long").alias("n_cohort")
+    )
+    return (
+        cells.join(F.broadcast(sizes), "cw")
+        .select(
+            F.col("cw").cast("date").alias("cohort_week"),
+            F.col("off").alias("week_offset"),
+            "n_active",
+            "n_cohort",
+            F.round(
+                F.col("n_active") / F.col("n_cohort").cast("double"), 6
+            ).alias("retention"),
+        )
+        .orderBy("cohort_week", "week_offset")
+    )

@@ -10388,6 +10388,119 @@ def q244(spark, sf):
     )
 
 
+@_q(
+    "q245_cohort_retention",
+    """
+    WITH f AS (SELECT user_id AS u,
+                      MIN(date_trunc('week', ts)) AS cw
+               FROM events GROUP BY user_id),
+    a AS (SELECT DISTINCT user_id AS u, date_trunc('week', ts) AS w
+          FROM events),
+    j AS (SELECT f.cw, CAST(datediff('day', f.cw, a.w) / 7 AS INT)
+                   AS off, a.u
+          FROM a JOIN f USING (u)),
+    cells AS (SELECT cw, off, COUNT(DISTINCT u)::BIGINT AS n_active
+              FROM j GROUP BY cw, off),
+    sizes AS (SELECT cw, COUNT(*)::BIGINT AS n_cohort FROM f GROUP BY cw)
+    SELECT cells.cw::DATE AS cohort_week, cells.off AS week_offset,
+           cells.n_active, sizes.n_cohort,
+           ROUND(cells.n_active / sizes.n_cohort::DOUBLE, 6) AS retention
+    FROM cells JOIN sizes USING (cw)
+    ORDER BY cohort_week, week_offset
+    """,
+)
+def q245(spark, sf):
+    """Weekly cohort-retention matrix (sessions.cohort_retention):
+    first-activity-week cohorts × week offset, exact distinct counts —
+    the per-cohort growth table next to q206's pooled survival curve."""
+    from bran_spark.operators.sessions import cohort_retention
+
+    return cohort_retention(_t(spark, sf, "events"))
+
+
+@_q(
+    "q246_poststratified",
+    f"""
+    WITH u AS (SELECT user_id AS uid,
+                      SUM(CASE WHEN ts < TIMESTAMP '2024-01-14'
+                               THEN CAST(round(value * 100, 0) AS BIGINT)
+                               ELSE 0 END) AS x,
+                      SUM(CASE WHEN ts >= TIMESTAMP '2024-01-14'
+                               THEN CAST(round(value * 100, 0) AS BIGINT)
+                               ELSE 0 END) AS y
+               FROM events GROUP BY user_id),
+    k AS (SELECT md5(uid::VARCHAR) AS h, x, y FROM u),
+    a AS (SELECT CAST(({_HEX8_SQL}) % 2 AS INT) AS arm,
+                 least(3, CAST(x // 5000 AS INT)) AS stratum, y
+          FROM k),
+    g AS (SELECT stratum, COUNT(*)::BIGINT AS n,
+                 SUM((arm = 0)::INT)::BIGINT AS n0,
+                 SUM((arm = 1)::INT)::BIGINT AS n1,
+                 SUM(CASE WHEN arm = 0 THEN y ELSE 0 END)::BIGINT AS s0,
+                 SUM(CASE WHEN arm = 1 THEN y ELSE 0 END)::BIGINT AS s1
+          FROM a GROUP BY stratum),
+    r AS (SELECT SUM(n)::BIGINT AS n_units,
+                 COUNT(*)::BIGINT AS n_strata,
+                 SUM((n0 > 0 AND n1 > 0)::INT)::BIGINT AS n_strata_used,
+                 SUM(CASE WHEN n0 > 0 AND n1 > 0 THEN n ELSE 0 END)::BIGINT
+                   AS n_used,
+                 SUM(CASE WHEN n0 > 0 AND n1 > 0
+                          THEN n::DOUBLE * (s1 / (n1::DOUBLE * 100.0)
+                                            - s0 / (n0::DOUBLE * 100.0))
+                          END) AS wsum,
+                 SUM(s0)::BIGINT AS t0, SUM(s1)::BIGINT AS t1,
+                 SUM(n0)::BIGINT AS m0, SUM(n1)::BIGINT AS m1
+          FROM g)
+    SELECT n_units, n_strata, n_strata_used,
+           ROUND(CASE WHEN m0 > 0 AND m1 > 0
+                      THEN t1 / (m1::DOUBLE * 100.0)
+                           - t0 / (m0::DOUBLE * 100.0) END, 6) AS diff_raw,
+           ROUND(CASE WHEN n_used > 0 THEN wsum / n_used::DOUBLE END, 6)
+             AS diff_post
+    FROM r
+    """,
+)
+def q246(spark, sf):
+    """Post-stratified effect (sampling.poststratified_effect): arms
+    compared WITHIN pre-period-activity strata (fixed 5,000-cent
+    buckets) and combined with population weights — the imbalance-
+    robust estimate next to q216's raw diff; strata missing an arm are
+    excluded and reported."""
+    from bran_spark.operators.sampling import poststratified_effect
+
+    ev = _t(spark, sf, "events")
+    cents = F.round(F.col("value") * 100, 0).cast("long")
+    cut = F.col("ts") < F.lit("2024-01-14").cast("timestamp")
+    units = (
+        ev.groupBy("user_id")
+        .agg(
+            F.sum(F.when(cut, cents).otherwise(F.lit(0)))
+            .cast("long")
+            .alias("x"),
+            F.sum(F.when(~cut, cents).otherwise(F.lit(0)))
+            .cast("long")
+            .alias("y"),
+        )
+        .select(
+            (
+                F.conv(
+                    F.substring(F.md5(F.col("user_id").cast("string")), 1, 8),
+                    16,
+                    10,
+                ).cast("long")
+                % 2
+            )
+            .cast("int")
+            .alias("arm"),
+            F.least(F.lit(3), F.floor(F.col("x") / 5000).cast("int")).alias(
+                "stratum"
+            ),
+            "y",
+        )
+    )
+    return poststratified_effect(units, scale=100)
+
+
 # =========================================================================
 # Registry ordering: the driver's correctness gate hash-checks the FIRST
 # 50 insertion-order entries of ``queries()``. Definition order above is

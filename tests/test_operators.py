@@ -1304,3 +1304,54 @@ def test_journey_entropy_scripted_vs_uniform(spark):
     assert out["script"].predictability is None  # n_out = 1: undefined
     assert abs(out["coin"].entropy - round(math.log(2), 6)) < 1e-9
     assert out["coin"].predictability == 0.0  # exactly uniform
+
+
+def test_poststratified_effect_corrects_composition_bias(spark):
+    from bran_spark.operators.sampling import poststratified_effect
+
+    # Simpson-style composition bias: within each stratum the effect is
+    # exactly +1, but arm 1 over-samples the high-baseline stratum so
+    # the raw diff is inflated. Post-stratification recovers +1.
+    rows = (
+        [(0, "lo", 10)] * 8 + [(1, "lo", 11)] * 2   # lo: 10 vs 11
+        + [(0, "hi", 20)] * 2 + [(1, "hi", 21)] * 8  # hi: 20 vs 21
+    )
+    units = spark.createDataFrame(rows, "arm int, stratum string, y long")
+    row = poststratified_effect(units, scale=1).head()
+    assert row.n_units == 20 and row.n_strata_used == 2
+    # raw: mean1 = (11*2 + 21*8)/10 = 19.0; mean0 = (10*8+20*2)/10 = 12.0
+    assert row.diff_raw == 7.0
+    assert row.diff_post == 1.0  # the true within-stratum effect
+    # a stratum missing an arm is excluded, not silently averaged
+    extra = units.union(
+        spark.createDataFrame([(0, "only0", 99)], "arm int, stratum string, y long")
+    )
+    row2 = poststratified_effect(extra, scale=1).head()
+    assert row2.n_strata == 3 and row2.n_strata_used == 2
+    assert row2.diff_post == 1.0
+
+
+def test_cohort_retention_matrix_counts(spark):
+    import pyspark.sql.functions as F
+
+    from bran_spark.operators.sessions import cohort_retention
+
+    rows = [
+        # u1, u2 start week of 2024-01-01 (Mon); u1 returns next week
+        (1, "2024-01-02 10:00:00"), (2, "2024-01-03 10:00:00"),
+        (1, "2024-01-09 10:00:00"),
+        # u3 starts the following week
+        (3, "2024-01-10 10:00:00"),
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, ts string").withColumn(
+        "ts", F.to_timestamp("ts")
+    )
+    out = {
+        (str(r.cohort_week), r.week_offset): r
+        for r in cohort_retention(ev).collect()
+    }
+    assert out[("2024-01-01", 0)].n_cohort == 2
+    assert out[("2024-01-01", 0)].retention == 1.0
+    assert out[("2024-01-01", 1)].n_active == 1
+    assert out[("2024-01-01", 1)].retention == 0.5
+    assert out[("2024-01-08", 0)].n_cohort == 1
