@@ -10501,6 +10501,105 @@ def q246(spark, sf):
     return poststratified_effect(units, scale=100)
 
 
+_SEQ_LOOKS = ["2024-01-08", "2024-01-15", "2024-01-22", "2024-01-29"]
+_SEQ_BOUNDS = (4.049, 2.863, 2.337, 2.024)
+
+
+def _seq_look_sql(i: int, cut: str, bound: float) -> str:
+    """One look's rollup for q247's twin — the q216 Welch tree over the
+    per-user cumulative sums, with the integer flat-guards."""
+    return f"""
+    SELECT '{cut}' AS look, n0 AS n_ctl, n1 AS n_trt,
+           ROUND(CASE WHEN n0 > 1 AND n1 > 1
+                 THEN s1 / (n1::DOUBLE * 100.0)
+                      - s0 / (n0::DOUBLE * 100.0) END, 6) AS diff,
+           ROUND(CASE WHEN n0 > 1 AND n1 > 1
+                 THEN sqrt(greatest((q0 / 10000.0
+                        - n0::DOUBLE * (s0 / (n0::DOUBLE * 100.0))
+                          * (s0 / (n0::DOUBLE * 100.0)))
+                        / (n0::DOUBLE - 1), 0.0) / n0::DOUBLE
+                      + greatest((q1 / 10000.0
+                          - n1::DOUBLE * (s1 / (n1::DOUBLE * 100.0))
+                            * (s1 / (n1::DOUBLE * 100.0)))
+                          / (n1::DOUBLE - 1), 0.0) / n1::DOUBLE) END, 6)
+             AS se,
+           ROUND(CASE WHEN n0 > 1 AND n1 > 1
+                      AND NOT (n0 * q0 = s0 * s0 AND n1 * q1 = s1 * s1)
+                 THEN (s1 / (n1::DOUBLE * 100.0)
+                       - s0 / (n0::DOUBLE * 100.0))
+                      / sqrt(greatest((q0 / 10000.0
+                            - n0::DOUBLE * (s0 / (n0::DOUBLE * 100.0))
+                              * (s0 / (n0::DOUBLE * 100.0)))
+                            / (n0::DOUBLE - 1), 0.0) / n0::DOUBLE
+                          + greatest((q1 / 10000.0
+                              - n1::DOUBLE * (s1 / (n1::DOUBLE * 100.0))
+                                * (s1 / (n1::DOUBLE * 100.0)))
+                              / (n1::DOUBLE - 1), 0.0) / n1::DOUBLE)
+                 END, 6) AS z,
+           CAST({bound} AS DOUBLE) AS boundary,
+           COALESCE(abs(ROUND(CASE WHEN n0 > 1 AND n1 > 1
+                      AND NOT (n0 * q0 = s0 * s0 AND n1 * q1 = s1 * s1)
+                 THEN (s1 / (n1::DOUBLE * 100.0)
+                       - s0 / (n0::DOUBLE * 100.0))
+                      / sqrt(greatest((q0 / 10000.0
+                            - n0::DOUBLE * (s0 / (n0::DOUBLE * 100.0))
+                              * (s0 / (n0::DOUBLE * 100.0)))
+                            / (n0::DOUBLE - 1), 0.0) / n0::DOUBLE
+                          + greatest((q1 / 10000.0
+                              - n1::DOUBLE * (s1 / (n1::DOUBLE * 100.0))
+                                * (s1 / (n1::DOUBLE * 100.0)))
+                              / (n1::DOUBLE - 1), 0.0) / n1::DOUBLE)
+                 END, 6)) > {bound}, false) AS crossed
+    FROM g{i}"""
+
+
+_SEQ_PU_COLS = ",\n                  ".join(
+    f"SUM(CASE WHEN ts <= TIMESTAMP '{cut}'"
+    f" THEN CAST(round(value * 100, 0) AS BIGINT) ELSE 0 END) AS y{i},"
+    f" MAX(CASE WHEN ts <= TIMESTAMP '{cut}' THEN 1 ELSE 0 END) AS in{i}"
+    for i, cut in enumerate(_SEQ_LOOKS)
+)
+_SEQ_G_CTES = ",\n    ".join(
+    f"""g{i} AS (SELECT SUM((arm = 0)::INT)::BIGINT AS n0,
+                 SUM((arm = 1)::INT)::BIGINT AS n1,
+                 SUM(CASE WHEN arm = 0 THEN y{i} ELSE 0 END)::BIGINT AS s0,
+                 SUM(CASE WHEN arm = 1 THEN y{i} ELSE 0 END)::BIGINT AS s1,
+                 SUM(CASE WHEN arm = 0 THEN y{i} * y{i} ELSE 0 END)::BIGINT
+                   AS q0,
+                 SUM(CASE WHEN arm = 1 THEN y{i} * y{i} ELSE 0 END)::BIGINT
+                   AS q1
+          FROM a WHERE in{i} = 1)"""
+    for i in range(len(_SEQ_LOOKS))
+)
+_SEQ_UNION = "\n    UNION ALL".join(
+    _seq_look_sql(i, cut, b)
+    for i, (cut, b) in enumerate(zip(_SEQ_LOOKS, _SEQ_BOUNDS))
+)
+
+
+@_q(
+    "q247_sequential_looks",
+    f"""
+    WITH pu AS (SELECT user_id AS uid,
+                  {_SEQ_PU_COLS}
+                FROM events GROUP BY user_id),
+    k AS (SELECT md5(uid::VARCHAR) AS h, pu.* FROM pu),
+    a AS (SELECT CAST(({_HEX8_SQL}) % 2 AS INT) AS arm, k.* FROM k),
+    {_SEQ_G_CTES}
+    SELECT * FROM ({_SEQ_UNION}) ORDER BY look
+    """,
+)
+def q247(spark, sf):
+    """Group-sequential monitoring (sampling.sequential_looks, 4 weekly
+    looks, O'Brien-Fleming boundaries): the cumulative Welch z at each
+    look against the alpha-spending boundary — the peeking protection
+    raw t-checking lacks. One corpus pass computes every look's
+    per-user cumulative sums."""
+    from bran_spark.operators.sampling import sequential_looks
+
+    return sequential_looks(_t(spark, sf, "events"), _SEQ_LOOKS)
+
+
 # =========================================================================
 # Registry ordering: the driver's correctness gate hash-checks the FIRST
 # 50 insertion-order entries of ``queries()``. Definition order above is

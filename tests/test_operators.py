@@ -1355,3 +1355,39 @@ def test_cohort_retention_matrix_counts(spark):
     assert out[("2024-01-01", 1)].n_active == 1
     assert out[("2024-01-01", 1)].retention == 0.5
     assert out[("2024-01-08", 0)].n_cohort == 1
+
+
+def test_sequential_looks_obf_crossing(spark):
+    import pyspark.sql.functions as F
+
+    from bran_spark.operators.sampling import sequential_looks
+
+    # arm derives from md5(user_id); find ids per arm first, then plant
+    # a huge treatment lift that should cross only at later looks
+    ids = list(range(40))
+
+    def arm_of(u):
+        import hashlib
+
+        return int(hashlib.md5(str(u).encode()).hexdigest()[:8], 16) % 2
+
+    rows = []
+    for u in ids:
+        a = arm_of(u)
+        for d, day in enumerate(["2024-01-02", "2024-01-10", "2024-01-20"]):
+            # control earns 1.00, treatment 3.00 per period + jitter
+            val = (1.0 if a == 0 else 3.0) + (u % 3) * 0.01
+            rows.append((u, f"{day} 12:00:00", val))
+    ev = spark.createDataFrame(
+        rows, "user_id long, ts string, value double"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    looks = ["2024-01-08", "2024-01-15", "2024-01-22", "2024-01-29"]
+    out = {r.look: r for r in sequential_looks(ev, looks).collect()}
+    assert len(out) == 4
+    # z grows with accumulating data; the late lenient boundary crosses
+    zs = [abs(out[lk].z) for lk in looks]
+    assert zs[2] >= zs[0]
+    assert out[looks[3]].crossed  # boundary 2.024 with a 3x lift
+    # boundaries are monotone decreasing (alpha spending)
+    bs = [out[lk].boundary for lk in looks]
+    assert bs == sorted(bs, reverse=True)
