@@ -22,6 +22,19 @@ from pyspark.sql import functions as F
 KEY_SPACE = 65536  # 4 hex chars
 
 
+def md5_arm(id_col: "str | Column", n_arms: int = 2) -> Column:
+    """Deterministic arm coin shared by every experiment operator: the
+    first 8 md5 hex chars of the unit id as an integer, mod n_arms —
+    ONE definition so assignment can never silently diverge between the
+    SRM audit, the readout, and the sequential monitor."""
+    c = F.col(id_col) if isinstance(id_col, str) else id_col
+    return (
+        F.conv(F.substring(F.md5(c.cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % n_arms
+    ).cast("int")
+
+
 def sample_key(id_col: str | Column) -> Column:
     """Uniform int in [0, 65536): first 4 md5 hex chars of the id string."""
     c = F.col(id_col) if isinstance(id_col, str) else id_col
@@ -562,12 +575,8 @@ def ab_assignment_srm(
     generated 0..n_arms−1 dimension so an arm that received ZERO units
     still contributes its (0 − expected)²/expected cell — the strongest
     possible mismatch evidence must not vanish from the audit."""
-    coin = (
-        F.conv(F.substring(F.md5(F.col("uid").cast("string")), 1, 8), 16, 10)
-        .cast("long")
-    )
     assigned = users.select(F.col(id_col).alias("uid")).distinct().select(
-        "uid", (coin % n_arms).cast("int").alias("arm")
+        "uid", md5_arm("uid", n_arms).alias("arm")
     )
     arm_dim = users.sparkSession.range(n_arms).select(
         F.col("id").cast("int").alias("arm")
@@ -881,14 +890,18 @@ def poststratified_effect(
 
     Strata missing either arm carry no within-stratum contrast and are
     EXCLUDED (weights renormalize over the used strata; the output
-    reports how many). Same exact-integer contract as ab_effect; one
+    reports how many). Stratum weights count ONLY arm-{0,1} units —
+    rows with another (or NULL) arm neither contrast nor re-weight
+    (the ab_effect contract). Same exact-integer contract; one
     stratum-keyed aggregate (map-side combined) + one dimension-scale
     rollup. Output: 1 row (n_units, n_strata, n_strata_used, diff_raw,
     diff_post), 6 dp; diff_post is NULL when no stratum has both arms."""
     arm = F.col(arm_col).cast("int")
     y = F.col(y_col).cast("long")
     g = units.groupBy(F.col(stratum_col).alias("s")).agg(
-        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.when(arm.isin(0, 1), 1).otherwise(0))
+        .cast("long")
+        .alias("n"),
         F.sum(F.when(arm == 0, 1).otherwise(0)).cast("long").alias("n0"),
         F.sum(F.when(arm == 1, 1).otherwise(0)).cast("long").alias("n1"),
         F.sum(F.when(arm == 0, y).otherwise(F.lit(0)))
@@ -971,7 +984,9 @@ def sequential_looks(
     chronological."""
     if len(looks) != len(bounds):
         raise ValueError("need one boundary per look")
-    cents = F.round(F.col(value_col) * 100, 0).cast("long")
+    # integerize with the SAME factor that converts back — a literal
+    # 100 here silently scaled diff/se by 100/scale for non-cent metrics
+    cents = F.round(F.col(value_col) * scale, 0).cast("long")
     aggs = []
     for i, cut in enumerate(looks):
         aggs.append(
@@ -992,15 +1007,12 @@ def sequential_looks(
             .alias(f"in{i}")
         )
     per_user = events.groupBy(F.col(user_col).alias("u")).agg(*aggs)
-    arm = (
-        F.conv(F.substring(F.md5(F.col("u").cast("string")), 1, 8), 16, 10)
-        .cast("long")
-        % 2
-    ).cast("int")
     # K per-look rollups each re-reference this table — materialize the
     # ONE corpus groupBy once (user-dimension-sized) instead of paying
     # K corpus passes
-    per_user = per_user.withColumn("arm", arm).localCheckpoint(eager=True)
+    per_user = per_user.withColumn("arm", md5_arm("u")).localCheckpoint(
+        eager=True
+    )
     k = float(scale)
     rows = []
     for i, (cut, bound) in enumerate(zip(looks, bounds)):

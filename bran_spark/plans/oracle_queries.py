@@ -10431,7 +10431,8 @@ def q245(spark, sf):
                FROM events GROUP BY user_id),
     k AS (SELECT md5(uid::VARCHAR) AS h, x, y FROM u),
     a AS (SELECT CAST(({_HEX8_SQL}) % 2 AS INT) AS arm,
-                 least(3, CAST(x // 5000 AS INT)) AS stratum, y
+                 greatest(0, least(3, CAST(x // 5000 AS INT)))
+                   AS stratum, y
           FROM k),
     g AS (SELECT stratum, COUNT(*)::BIGINT AS n,
                  SUM((arm = 0)::INT)::BIGINT AS n0,
@@ -10492,9 +10493,10 @@ def q246(spark, sf):
             )
             .cast("int")
             .alias("arm"),
-            F.least(F.lit(3), F.floor(F.col("x") / 5000).cast("int")).alias(
-                "stratum"
-            ),
+            F.greatest(
+                F.lit(0),
+                F.least(F.lit(3), F.floor(F.col("x") / 5000).cast("int")),
+            ).alias("stratum"),
             "y",
         )
     )

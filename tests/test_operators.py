@@ -1391,3 +1391,24 @@ def test_sequential_looks_obf_crossing(spark):
     # boundaries are monotone decreasing (alpha spending)
     bs = [out[lk].boundary for lk in looks]
     assert bs == sorted(bs, reverse=True)
+
+
+def test_sequential_looks_scale_consistency(spark):
+    import pyspark.sql.functions as F
+
+    from bran_spark.operators.sampling import sequential_looks
+
+    rows = [
+        (u, "2024-01-02 00:00:00", float(1 + (u % 2)))
+        for u in range(30)
+    ]
+    ev = spark.createDataFrame(
+        rows, "user_id long, ts string, value double"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    looks = ["2024-01-08"]
+    a = sequential_looks(ev, looks, bounds=(4.049,), scale=100).head()
+    b = sequential_looks(ev, looks, bounds=(4.049,), scale=1).head()
+    # unit-term diff must be identical whatever the integerization
+    # factor (the hardcoded *100 bug scaled diff by 100/scale)
+    assert abs(a.diff - b.diff) < 1e-6
+    assert abs((a.z or 0) - (b.z or 0)) < 1e-4

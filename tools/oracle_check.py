@@ -81,7 +81,16 @@ def main() -> int:
 
     names = args.only or list(QUERIES)
     if args.chunk:
-        i, n = (int(x) for x in args.chunk.split("/"))
+        if args.only:
+            ap.error("--chunk and --only are mutually exclusive")
+        try:
+            i, n = (int(x) for x in args.chunk.split("/"))
+        except ValueError:
+            ap.error("--chunk must be 'i/n'")
+        if n < 1 or not 1 <= i <= n:
+            # an out-of-range slice would run ZERO queries and exit
+            # green — the one failure mode a verification tool must not have
+            ap.error(f"--chunk index out of range: {args.chunk}")
         per = (len(names) + n - 1) // n
         names = names[(i - 1) * per : i * per]
     failures = []
