@@ -479,9 +479,10 @@ def rank_agreement(
         "n_common",
         F.coalesce("n_concordant", F.lit(0)).cast("long").alias("n_concordant"),
         F.coalesce("n_discordant", F.lit(0)).cast("long").alias("n_discordant"),
-        F.round(m / F.least(F.col("n_a"), F.col("n_b")).cast("double"), 6).alias(
-            "overlap"
-        ),
+        F.when(
+            F.least(F.col("n_a"), F.col("n_b")) > 0,
+            F.round(m / F.least(F.col("n_a"), F.col("n_b")).cast("double"), 6),
+        ).alias("overlap"),
         F.when(
             F.col("n_common") >= 2,
             F.round(

@@ -68,6 +68,17 @@ def geo_near_pairs(
     n_lon = round(360.0 / cell_deg)
     if abs(n_lon * cell_deg - 360.0) > 1e-9:
         raise ValueError("cell_deg must divide 360 (lon cells form a ring)")
+    if 2 * rx + 1 > n_lon:
+        # A probe neighborhood wider than the longitude ring would make
+        # pmod map distinct dj offsets onto the same (ci, cj) key, so a
+        # pair could meet at MORE than one key and the no-dedup argument
+        # below breaks (duplicate output rows). Reject loudly instead —
+        # pick a finer cell_deg or a smaller radius/max_abs_lat.
+        raise ValueError(
+            f"probe neighborhood (2*{rx}+1 cells) exceeds the longitude "
+            f"ring ({n_lon} cells): increase cell resolution or reduce "
+            "radius_km/max_abs_lat"
+        )
     base = points.select(
         F.col(id_col).alias("id"),
         F.col(lat_col).cast("double").alias("lat"),

@@ -555,9 +555,15 @@ def ks_drift(
         .select(
             "n_a",
             "n_b",
-            F.abs(
-                F.col("cum_a") / F.col("n_a").cast("double")
-                - F.col("cum_b") / F.col("n_b").cast("double")
+            # ANSI mode: double/0 ABORTS the job, so an absent group must
+            # short-circuit to NULL (→ NULL ks_d), matching the sibling
+            # stat operators' degenerate-denominator convention
+            F.when(
+                (F.col("n_a") > 0) & (F.col("n_b") > 0),
+                F.abs(
+                    F.col("cum_a") / F.col("n_a").cast("double")
+                    - F.col("cum_b") / F.col("n_b").cast("double")
+                ),
             ).alias("d"),
         )
         .groupBy("n_a", "n_b")

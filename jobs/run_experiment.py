@@ -50,6 +50,7 @@ def main() -> None:
         ab_assignment_srm,
         ab_effect,
         cuped_effect,
+        md5_arm,
         ucb_allocation,
     )
     from bran_spark.session import get_spark
@@ -73,14 +74,10 @@ def main() -> None:
         )
         .select(
             "user_id",
-            (
-                F.conv(
-                    F.substring(F.md5(F.col("user_id").cast("string")), 1, 8),
-                    16,
-                    10,
-                ).cast("long")
-                % 2
-            ).cast("int").alias("arm"),
+            # THE shared arm coin — never re-derive it inline, or the
+            # composed job could silently diverge from the SRM/readout/
+            # sequential operators' assignment
+            md5_arm("user_id", 2).alias("arm"),
             "x",
             "y",
         )

@@ -1198,3 +1198,18 @@ def test_geo_near_pairs_wraps_antimeridian(spark):
     assert (1, 2) in got  # ~2.2 km across the dateline
     assert got[(1, 2)] < 5.0
     assert len(got) == 1
+
+
+def test_geo_near_pairs_rejects_ring_narrower_than_probe(spark):
+    # 2*rx+1 > n_lon would let pmod map distinct dj offsets onto the same
+    # (ci, cj) key, breaking the each-pair-meets-at-exactly-one-key
+    # no-dedup invariant -> must refuse, like the cell_deg-divides-360 guard
+    import pytest
+
+    from bran_spark.operators.geo import geo_near_pairs
+
+    df = spark.createDataFrame(
+        [(1, 0.0, 10.0), (2, 0.0, 20.0)], "id long, lat double, lon double"
+    )
+    with pytest.raises(ValueError, match="longitude.*ring"):
+        geo_near_pairs(df, radius_km=10000.0, cell_deg=45.0).collect()

@@ -180,6 +180,9 @@ def test_ks_drift_identical_and_disjoint(spark):
         "id int, g string, v double",
     )
     assert ks_drift(half, "g", "v", "a", "b").head().ks_d == 0.5
+    # absent group: must yield NULL ks_d, not an ANSI DIVIDE_BY_ZERO abort
+    absent = ks_drift(half, "g", "v", "a", "nosuch").head()
+    assert absent.ks_d is None and absent.n_b == 0
 
 
 def test_vocab_saturation_closed_form(spark):

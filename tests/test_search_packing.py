@@ -252,6 +252,10 @@ def test_rank_agreement_identical_and_tiny(spark):
     dis = rank_agreement(a, b).head()
     assert dis.n_common == 0 and dis.tau is None
     assert dis.n_concordant == 0 and dis.n_discordant == 0
+    # empty ranking: overlap must be NULL, not an ANSI DIVIDE_BY_ZERO abort
+    empty = spark.createDataFrame([], "doc_id string, score double")
+    deg = rank_agreement(a, empty).head()
+    assert deg.n_b == 0 and deg.overlap is None and deg.tau is None
 
 
 def test_ndcg_hand_values(spark):
