@@ -25,17 +25,23 @@ from bran_spark.functions.text import words
 
 def _bm25_scored(
     docs: DataFrame,
-    terms_df: DataFrame,
+    terms: "DataFrame | list[str]",
     id_col: str,
     text_col: str,
     k1: float,
     b: float,
 ) -> DataFrame:
-    """BM25 scores (doc_id, score) for every doc matching a term in
-    ``terms_df`` (single column ``term``, lowercase) — the shared core
-    of bm25_topk and prf_expand_topk. The term filter is a broadcast
-    semi-join (terms are query-sized), applied BEFORE the tf aggregate;
-    corpus stats ride as a 1-row broadcast. Scores rounded 6 dp."""
+    """BM25 scores (doc_id, score) for every doc matching a query term —
+    the shared core of bm25_topk, prf_expand_topk and hard_negatives.
+
+    ``terms`` is either a literal list (lowercased here) or a single-column
+    ``term`` DataFrame (already lowercase). Literal terms become an ``isin``
+    predicate inlined into the scan projection's codegen — no exchange, no
+    extra job; a broadcast-join filter here cost q53 0.92→2.37 s at sf0.1
+    (ADVICE r3). The DataFrame form keeps the broadcast semi-join for
+    data-dependent terms (PRF round 2), where a literal is impossible
+    without a driver collect. Either way the filter lands BEFORE the tf
+    aggregate and corpus stats ride as a 1-row broadcast. Scores 6 dp."""
     wl = docs.select(
         F.col(id_col).alias("doc_id"), words(text_col).alias("ws")
     ).select("doc_id", "ws", F.size("ws").cast("double").alias("dl"))
@@ -45,9 +51,13 @@ def _bm25_scored(
         F.avg("dl").alias("avgdl"),
     )
 
-    tok = wl.select("doc_id", "dl", F.explode("ws").alias("term")).join(
-        F.broadcast(terms_df.select("term").distinct()), "term"
-    )
+    tok = wl.select("doc_id", "dl", F.explode("ws").alias("term"))
+    if isinstance(terms, DataFrame):
+        tok = tok.join(F.broadcast(terms.select("term").distinct()), "term")
+    else:
+        tok = tok.where(
+            F.col("term").isin(sorted({t.lower() for t in terms}))
+        )
     tf = tok.groupBy("doc_id", "dl", "term").agg(
         F.count("*").cast("double").alias("tf")
     )
@@ -92,10 +102,7 @@ def bm25_topk(
     the +1 floor, Lucene's form); tf saturation k1, length normalization b.
     Returns (doc_id, score) — score rounded to 6dp, ties broken by doc_id.
     """
-    terms_df = docs.sparkSession.createDataFrame(
-        [(t.lower(),) for t in query_terms], "term string"
-    )
-    scored = _bm25_scored(docs, terms_df, id_col, text_col, k1, b)
+    scored = _bm25_scored(docs, list(query_terms), id_col, text_col, k1, b)
     return scored.orderBy(F.desc("score"), "doc_id").limit(k)
 
 
@@ -130,7 +137,9 @@ def prf_expand_topk(
         [(t.lower(),) for t in query_terms], "term string"
     )
     r1 = (
-        _bm25_scored(docs, terms0, id_col, text_col, k1, b)
+        # round 1's terms are literal — take the isin fast path; terms0
+        # stays a DataFrame only for the exclusion join / union below
+        _bm25_scored(docs, list(query_terms), id_col, text_col, k1, b)
         .orderBy(F.desc("score"), "doc_id")
         .limit(fb_docs)
         .select("doc_id")
@@ -418,10 +427,7 @@ def hard_negatives(
     the conjunctive-match size past what any document can reach.
     Returns (doc_id, score, rank)."""
     terms = list(dict.fromkeys(t.lower() for t in query_terms))
-    terms_df = docs.sparkSession.createDataFrame(
-        [(t,) for t in terms], "term string"
-    )
-    scored = _bm25_scored(docs, terms_df, id_col, text_col, k1, b)
+    scored = _bm25_scored(docs, terms, id_col, text_col, k1, b)
     positives = docs.where(
         F.size(
             F.array_intersect(
