@@ -10679,9 +10679,11 @@ _FIRST_50 = [
     # sampling family (negative sampling q65 stays mirror-covered; its
     # slot funds the Fellegi-Sunter linkage family, new this round)
     "q61_stratified_sample", "q165_fs_linkage",
-    # as-of / CDC / reconciliation family (snapshot_diff q81 stays
-    # mirror-covered; its slot funds the KG-fusion family above)
-    "q41_asof_join", "q67_merge_latest",
+    # as-of / CDC / reconciliation family: long-stable relational basics
+    # q41_asof_join and q67_merge_latest rotate OUT to the mirror in r4
+    # (VERDICT r3 #6) — their slots fund the session-6 privacy-census and
+    # MDM-survivorship families, which had no hard driver rep
+    "q229_k_anonymity", "q235_golden_record",
     # text-analysis family (Levenshtein verify q92 stays mirror-covered —
     # fs_linkage q165's agreement fields replay the same edit-distance
     # core; its slot funds the event-sequence family, which had no
@@ -10689,8 +10691,10 @@ _FIRST_50 = [
     "q36_lang_id", "q219_stationary_mix",
     # multimodal
     "q46_media_features",
-    # relational representative
-    "q01_pricing_summary",
+    # experimentation family (r4 rotation): the O'Brien-Fleming
+    # sequential-looks monitor takes the slot of the long-stable
+    # relational representative q01_pricing_summary (mirror-covered)
+    "q247_sequential_looks",
 ]
 
 assert len(_FIRST_50) == 50 and len(set(_FIRST_50)) == 50
