@@ -42,3 +42,20 @@ def test_oracle_pair(spark, testdata_dir, duck, name):
     assert sorted(sdf.columns) == sorted(o_cols)
     assert len(s_rows) == len(o_rows)
     assert frame_hash(sdf.columns, s_rows) == frame_hash(o_cols, o_rows)
+
+
+def test_index_md_is_fresh():
+    """INDEX.md (the auto-generated operator index) must match the
+    registry — regenerate with: python tools/gen_index.py"""
+    import subprocess
+    import sys
+
+    r = subprocess.run(
+        [sys.executable, "tools/gen_index.py", "--check"],
+        capture_output=True,
+        text=True,
+        cwd=__import__("os").path.dirname(
+            __import__("os").path.dirname(__import__("os").path.abspath(__file__))
+        ),
+    )
+    assert r.returncode == 0, r.stdout + r.stderr
