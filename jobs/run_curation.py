@@ -71,6 +71,12 @@ def main() -> None:
         "--mix-total", type=int, default=1000,
         help="target corpus size the --mix shares refer to",
     )
+    ap.add_argument(
+        "--checkpoint-root", default=None,
+        help="commit each stage's survivor table as a manifest-parquet "
+             "snapshot under this dir; a rerun resumes from the last "
+             "valid commit (kill-safe, config-hash + lineage gated)",
+    )
     args = ap.parse_args()
 
     from pyspark.sql import functions as F
@@ -87,92 +93,159 @@ def main() -> None:
     docs = spark.read.parquet(f"{args.sf_dir}/documents.parquet")
     n_input = docs.count()
 
+    # optional per-stage checkpoint commits (north_rule: a killed job
+    # resumes idempotently). Each stage's survivor table is committed via
+    # the same manifest-parquet snapshot layer the flagship uses; a rerun
+    # skips any stage whose committed snapshot carries the CURRENT config
+    # hash and upstream snapshot ids (stale commits recompute). The funnel
+    # counter of a resumed stage comes from its manifest — no recount job.
+    tio = None
+    if args.checkpoint_root:
+        from bran_spark.sources.tableio import ManifestParquetTableIO
+
+        tio = ManifestParquetTableIO(args.checkpoint_root)
+
+    stage_cfg = {
+        "sf_dir": args.sf_dir,
+        "min_quality": args.min_quality,
+        "max_dup_word_frac": args.max_dup_word_frac,
+        "min_logprob": args.min_logprob,
+        "bench": args.bench,
+        "mask_dup_spans": args.mask_dup_spans,
+        "dsir_target": args.dsir_target,
+        "dsir_k": args.dsir_k,
+    }
+    resumed_stages: list[str] = []
+
+    def _stage(table, build, inputs=None):
+        """Build-or-resume one committed stage; returns (df, n_rows)."""
+        if tio is None:
+            df = build()
+            return df, df.count()
+        if tio.exists_valid(table, stage_cfg, inputs):
+            resumed_stages.append(table)
+        else:
+            tio.write(
+                build(), table, stage=table, inputs=inputs, config=stage_cfg
+            )
+        return tio.read(spark, table), tio.manifest(table)["rows"]
+
+    def _snap(table):
+        return {table: tio.current_snapshot(table)} if tio else None
+
     # 1. quality + repetition gates (pure JVM column math, one pass)
-    rep = repetition_stats(docs, "doc_id", "text")
-    kept = (
-        docs.join(rep.select("doc_id", "dup_word_frac"), "doc_id")
-        .withColumn("q", quality_score("text"))
-        .where(
-            (F.col("q") >= args.min_quality)
-            & (F.col("dup_word_frac") <= args.max_dup_word_frac)
+    def _build_quality():
+        rep = repetition_stats(docs, "doc_id", "text")
+        return (
+            docs.join(rep.select("doc_id", "dup_word_frac"), "doc_id")
+            .withColumn("q", quality_score("text"))
+            .where(
+                (F.col("q") >= args.min_quality)
+                & (F.col("dup_word_frac") <= args.max_dup_word_frac)
+            )
+            .drop("q", "dup_word_frac")
         )
-        .drop("q", "dup_word_frac")
-    )
-    n_quality = kept.count()
+
+    kept, n_quality = _stage("cur_quality", _build_quality)
 
     # 1b. optional unigram-LM perplexity-proxy gate
     n_lm = None
     if args.min_logprob is not None:
         from bran_spark.operators.quality import unigram_logprob
 
-        lm = unigram_logprob(kept, "doc_id", "text").where(
-            F.col("logprob") >= args.min_logprob
-        )
-        kept = kept.join(lm.select("doc_id"), "doc_id", "left_semi")
-        n_lm = kept.count()
+        def _build_lm(kept=kept):
+            lm = unigram_logprob(kept, "doc_id", "text").where(
+                F.col("logprob") >= args.min_logprob
+            )
+            return kept.join(lm.select("doc_id"), "doc_id", "left_semi")
+
+        kept, n_lm = _stage("cur_lm", _build_lm, _snap("cur_quality"))
 
     # 2. exact dedup: keep min doc_id per content hash
-    exact_keep = exact_dedup_groups(kept, "doc_id", "text").select(
-        F.col("keep_id").alias("doc_id")
-    )
-    kept = kept.join(exact_keep, "doc_id", "left_semi")
-    n_exact = kept.count()
+    _exact_input = "cur_lm" if n_lm is not None else "cur_quality"
+
+    def _build_exact(kept=kept):
+        exact_keep = exact_dedup_groups(kept, "doc_id", "text").select(
+            F.col("keep_id").alias("doc_id")
+        )
+        return kept.join(exact_keep, "doc_id", "left_semi")
+
+    kept, n_exact = _stage("cur_exact", _build_exact, _snap(_exact_input))
 
     # 3. near-dup survivor dedup (LSH candidates → components → one per cluster)
-    pairs = minhash_lsh_pairs(kept, "doc_id", "text", n=4, bands=4)
-    kept = dedup_corpus(kept, pairs)
-    n_neardup = kept.count()
+    def _build_neardup(kept=kept):
+        pairs = minhash_lsh_pairs(kept, "doc_id", "text", n=4, bands=4)
+        return dedup_corpus(kept, pairs)
+
+    kept, n_neardup = _stage("cur_neardup", _build_neardup, _snap("cur_exact"))
 
     # 3b. optional benchmark decontamination (eval-leak drop)
     n_decontam = None
     if args.bench:
         from bran_spark.operators.dedup import decontaminate
 
-        bench = spark.read.parquet(args.bench)
-        leaked = decontaminate(
-            kept, bench, "doc_id", "text", "bench_id", "btext", n=8
+        def _build_decontam(kept=kept):
+            bench = spark.read.parquet(args.bench)
+            leaked = decontaminate(
+                kept, bench, "doc_id", "text", "bench_id", "btext", n=8
+            )
+            return kept.join(leaked.select("doc_id"), "doc_id", "left_anti")
+
+        kept, n_decontam = _stage(
+            "cur_decontam", _build_decontam, _snap("cur_neardup")
         )
-        kept = kept.join(
-            leaked.select("doc_id"), "doc_id", "left_anti"
-        )
-        n_decontam = kept.count()
 
     # 3c. optional duplicate-span masking (rewrites text; doc count
-    # unchanged — the funnel records how many docs were edited)
+    # unchanged — the funnel records how many docs were edited). The
+    # committed table keeps n_words/n_kept so a resumed run recovers the
+    # edited-doc counter from the (tiny) snapshot, not a corpus recompute.
     n_span_edited = None
     if args.mask_dup_spans:
         from bran_spark.operators.dedup import mask_duplicate_spans
 
-        masked = mask_duplicate_spans(kept, "doc_id", "text", n=8)
-        n_span_edited = masked.where(
-            F.col("n_kept") < F.col("n_words")
-        ).count()
-        kept = (
-            kept.drop("text")
-            .join(
+        _mask_input = "cur_decontam" if args.bench else "cur_neardup"
+
+        def _build_masked(kept=kept):
+            masked = mask_duplicate_spans(kept, "doc_id", "text", n=8)
+            return kept.drop("text").join(
                 masked.select(
                     F.col("id").alias("doc_id"),
                     F.col("clean_text").alias("text"),
+                    "n_words",
+                    "n_kept",
                 ),
                 "doc_id",
             )
-        )
+
+        kept, _ = _stage("cur_masked", _build_masked, _snap(_mask_input))
+        n_span_edited = kept.where(F.col("n_kept") < F.col("n_words")).count()
+        kept = kept.drop("n_words", "n_kept")
 
     # 3d. optional DSIR importance resampling toward an in-domain slice
     n_dsir = None
     if args.dsir_target:
         from bran_spark.operators.sampling import importance_resample
 
-        target = kept.where(F.col("source") == args.dsir_target)
-        drawn = importance_resample(
-            kept, target, "doc_id", "text", k=args.dsir_k
+        _dsir_input = (
+            "cur_masked"
+            if args.mask_dup_spans
+            else ("cur_decontam" if args.bench else "cur_neardup")
         )
-        kept = kept.join(drawn.select("doc_id"), "doc_id", "left_semi")
-        # the draw collapses the corpus to <= dsir-k rows: materialize the
-        # tiny survivor set so later funnel counts / the write do not
-        # re-execute the two-model DSIR subtree per action
-        kept = kept.localCheckpoint(eager=True)
-        n_dsir = kept.count()
+
+        def _build_dsir(kept=kept):
+            target = kept.where(F.col("source") == args.dsir_target)
+            drawn = importance_resample(
+                kept, target, "doc_id", "text", k=args.dsir_k
+            )
+            return kept.join(drawn.select("doc_id"), "doc_id", "left_semi")
+
+        kept, n_dsir = _stage("cur_dsir", _build_dsir, _snap(_dsir_input))
+        if tio is None:
+            # the draw collapses the corpus to <= dsir-k rows: materialize
+            # the tiny survivor set so later funnel counts / the write do
+            # not re-execute the two-model DSIR subtree per action (the
+            # checkpointed path is already materialized by the commit)
+            kept = kept.localCheckpoint(eager=True)
 
     # 4. deterministic stratified sample
     rates = {"en": args.sample_en}
@@ -209,6 +282,11 @@ def main() -> None:
                 **({"after_dsir": n_dsir} if n_dsir is not None else {}),
                 **({"after_mix": n_mix} if n_mix is not None else {}),
                 "curated_docs": n_out,
+                **(
+                    {"resumed_stages": resumed_stages}
+                    if args.checkpoint_root
+                    else {}
+                ),
                 "wall_s": round(time.time() - t0, 3),
                 "sf_dir": args.sf_dir,
                 "out": args.out,

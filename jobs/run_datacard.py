@@ -39,6 +39,13 @@ def main() -> None:
     ap.add_argument("--out", default=None, help="JSON output path")
     ap.add_argument("--master", default=None)
     ap.add_argument("--k-anon", type=int, default=15)
+    ap.add_argument(
+        "--checkpoint-root", default=None,
+        help="commit each card section's (tiny) result table as a "
+             "manifest-parquet snapshot; a rerun recomputes only sections "
+             "whose commit is missing or config-stale — each section is "
+             "its own corpus pass, so a kill mid-card loses nothing done",
+    )
     args = ap.parse_args()
 
     import pyspark.sql.functions as F
@@ -59,16 +66,40 @@ def main() -> None:
     )
     docs = spark.read.parquet(f"{args.sf_dir}/documents.parquet")
 
+    # optional per-section checkpoint commits: every section is an
+    # independent corpus pass producing a tiny result table, so each
+    # commits separately and a rerun recomputes only what's missing or
+    # config-stale (north_rule kill-safety for the composed card job)
+    tio = None
+    resumed_sections: list[str] = []
+    if args.checkpoint_root:
+        from bran_spark.sources.tableio import ManifestParquetTableIO
+
+        tio = ManifestParquetTableIO(args.checkpoint_root)
+    sec_cfg = {"sf_dir": args.sf_dir, "k_anon": args.k_anon}
+
+    def _section(table, build):
+        if tio is None:
+            return build()
+        if tio.exists_valid(table, sec_cfg):
+            resumed_sections.append(table)
+        else:
+            tio.write(build(), table, stage=table, config=sec_cfg)
+        return tio.read(spark, table)
+
     card: dict = {"sf_dir": args.sf_dir}
 
-    comp = docs.agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.countDistinct("source").alias("n_sources"),
-        F.countDistinct("lang").alias("n_langs"),
-        F.expr(
-            "percentile_approx(n_chars, array(0.5, 0.9, 0.99), 10000)"
-        ).alias("len_q"),
-        F.sum(token_count("text")).alias("n_tokens"),
+    comp = _section(
+        "dc_composition",
+        lambda: docs.agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("source").alias("n_sources"),
+            F.countDistinct("lang").alias("n_langs"),
+            F.expr(
+                "percentile_approx(n_chars, array(0.5, 0.9, 0.99), 10000)"
+            ).alias("len_q"),
+            F.sum(token_count("text")).alias("n_tokens"),
+        ),
     ).head()
     card["composition"] = {
         "n_docs": comp.n_docs,
@@ -79,37 +110,53 @@ def main() -> None:
     }
     card["mix"] = {
         r.source: r.n
-        for r in docs.groupBy("source")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .collect()
+        for r in _section(
+            "dc_mix",
+            lambda: docs.groupBy("source").agg(F.count(F.lit(1)).alias("n")),
+        ).collect()
     }
 
-    qq = docs.select(quality_score("text").alias("q")).agg(
-        F.expr("percentile_approx(q, array(0.1, 0.5, 0.9), 10000)").alias("qq")
+    qq = _section(
+        "dc_quality",
+        lambda: docs.select(quality_score("text").alias("q")).agg(
+            F.expr(
+                "percentile_approx(q, array(0.1, 0.5, 0.9), 10000)"
+            ).alias("qq")
+        ),
     ).head()
     card["quality_score_p10_p50_p90"] = [
         round(float(x), 6) for x in (qq.qq or [])
     ]
 
-    groups = exact_dedup_groups(docs, "doc_id", "text")
-    dup = groups.agg(
-        F.sum(F.col("n_dups") - 1).alias("extra"),
-        F.sum("n_dups").alias("total"),
+    dup = _section(
+        "dc_dup",
+        lambda: exact_dedup_groups(docs, "doc_id", "text").agg(
+            F.sum(F.col("n_dups") - 1).alias("extra"),
+            F.sum("n_dups").alias("total"),
+        ),
     ).head()
     card["exact_dup_rate"] = round(
         float((dup.extra or 0) / dup.total) if dup.total else 0.0, 6
     )
 
-    card["pii"] = [
-        {
-            "group": r.grp,
-            "pattern": r.pattern,
-            "n_docs_hit": r.n_docs_hit,
-            "doc_rate": r.doc_rate,
-        }
-        for r in pii_scan(docs, "text", "source").collect()
-    ]
-    ka = k_anonymity_audit(docs, ["lang", "source"], k=args.k_anon).head()
+    card["pii"] = sorted(
+        (
+            {
+                "group": r.grp,
+                "pattern": r.pattern,
+                "n_docs_hit": r.n_docs_hit,
+                "doc_rate": r.doc_rate,
+            }
+            for r in _section(
+                "dc_pii", lambda: pii_scan(docs, "text", "source")
+            ).collect()
+        ),
+        key=lambda d: (d["group"], d["pattern"]),
+    )
+    ka = _section(
+        "dc_kanon",
+        lambda: k_anonymity_audit(docs, ["lang", "source"], k=args.k_anon),
+    ).head()
     card["k_anonymity"] = {
         "qi": ["lang", "source"],
         "k": args.k_anon,
@@ -117,17 +164,24 @@ def main() -> None:
         "violating_share": ka.violating_share,
         "satisfied": bool(ka.k_satisfied),
     }
-    card["columns"] = [
-        {
-            "col": r.col,
-            "null_rate": r.null_rate,
-            "n_distinct": r.n_distinct,
-            "top_value": r.top_value,
-            "top_share": r.top_share,
-        }
-        for r in profile_columns(docs, ["lang", "source"]).collect()
-    ]
+    card["columns"] = sorted(
+        (
+            {
+                "col": r.col,
+                "null_rate": r.null_rate,
+                "n_distinct": r.n_distinct,
+                "top_value": r.top_value,
+                "top_share": r.top_share,
+            }
+            for r in _section(
+                "dc_columns", lambda: profile_columns(docs, ["lang", "source"])
+            ).collect()
+        ),
+        key=lambda d: d["col"],
+    )
 
+    if tio is not None:
+        card["resumed_sections"] = resumed_sections
     card["wall_sec"] = round(time.time() - t0, 3)
     if args.out:
         with open(args.out, "w") as f:

@@ -42,6 +42,13 @@ def main() -> None:
     ap.add_argument("--cut", default="2024-01-14",
                     help="pre/post boundary for the CUPED covariate")
     ap.add_argument("--out", default=None, help="JSON output path")
+    ap.add_argument(
+        "--checkpoint-root", default=None,
+        help="commit the per-user units table (the one corpus-scale "
+             "aggregate every readout shares) as a manifest-parquet "
+             "snapshot; a rerun resumes from it instead of re-scanning "
+             "events (config-hash gated on --cut and --sf-dir)",
+    )
     args = ap.parse_args()
 
     import pyspark.sql.functions as F
@@ -60,31 +67,46 @@ def main() -> None:
         "bran_experiment", master=args.master or "local[8]",
         shuffle_partitions="16",
     )
-    ev = spark.read.parquet(f"{args.sf_dir}/events.parquet")
-
-    cents = F.round(F.col("value") * 100, 0).cast("long")
-    pre = F.col("ts") < F.lit(args.cut).cast("timestamp")
-    units = (
-        ev.groupBy("user_id")
-        .agg(
-            F.sum(F.when(pre, cents).otherwise(F.lit(0))).cast("long")
-            .alias("x"),
-            F.sum(F.when(~pre, cents).otherwise(F.lit(0))).cast("long")
-            .alias("y"),
+    def _build_units():
+        ev = spark.read.parquet(f"{args.sf_dir}/events.parquet")
+        cents = F.round(F.col("value") * 100, 0).cast("long")
+        pre = F.col("ts") < F.lit(args.cut).cast("timestamp")
+        return (
+            ev.groupBy("user_id")
+            .agg(
+                F.sum(F.when(pre, cents).otherwise(F.lit(0))).cast("long")
+                .alias("x"),
+                F.sum(F.when(~pre, cents).otherwise(F.lit(0))).cast("long")
+                .alias("y"),
+            )
+            .select(
+                "user_id",
+                # THE shared arm coin — never re-derive it inline, or the
+                # composed job could silently diverge from the SRM/readout/
+                # sequential operators' assignment
+                md5_arm("user_id", 2).alias("arm"),
+                "x",
+                "y",
+            )
         )
-        .select(
-            "user_id",
-            # THE shared arm coin — never re-derive it inline, or the
-            # composed job could silently diverge from the SRM/readout/
-            # sequential operators' assignment
-            md5_arm("user_id", 2).alias("arm"),
-            "x",
-            "y",
-        )
-        .localCheckpoint(eager=True)  # shared by all four stages
-    )
 
-    report: dict = {"sf_dir": args.sf_dir, "cut": args.cut}
+    resumed = False
+    if args.checkpoint_root:
+        from bran_spark.sources.tableio import ManifestParquetTableIO
+
+        tio = ManifestParquetTableIO(args.checkpoint_root)
+        ucfg = {"sf_dir": args.sf_dir, "cut": args.cut}
+        if tio.exists_valid("exp_units", ucfg):
+            resumed = True
+        else:
+            tio.write(_build_units(), "exp_units", stage="exp_units", config=ucfg)
+        # the snapshot read is already materialized — all four readout
+        # stages share it without re-scanning events
+        units = tio.read(spark, "exp_units")
+    else:
+        units = _build_units().localCheckpoint(eager=True)  # shared by all four stages
+
+    report: dict = {"sf_dir": args.sf_dir, "cut": args.cut, "units_resumed": resumed}
 
     # SRM over the shared units table (one row per user already) — the
     # raw-events form would re-distinct the corpus for the same answer
