@@ -77,6 +77,11 @@ def main() -> None:
              "snapshot under this dir; a rerun resumes from the last "
              "valid commit (kill-safe, config-hash + lineage gated)",
     )
+    ap.add_argument(
+        "--metrics-out", default=None,
+        help="dump per-stage spill/shuffle/skew + peak-memory counters "
+             "(Spark status REST) to this JSON path before shutdown",
+    )
     args = ap.parse_args()
 
     from pyspark.sql import functions as F
@@ -88,7 +93,13 @@ def main() -> None:
     from bran_spark.operators.sampling import stratified_sample
     from bran_spark.session import get_spark
 
-    spark = get_spark("bran_curation", master=args.master)
+    spark = get_spark(
+        "bran_curation",
+        master=args.master,
+        extra_conf=(
+            {"spark.ui.enabled": "true"} if args.metrics_out else None
+        ),
+    )
     t0 = time.time()
     docs = spark.read.parquet(f"{args.sf_dir}/documents.parquet")
     n_input = docs.count()
@@ -117,11 +128,13 @@ def main() -> None:
     }
     resumed_stages: list[str] = []
 
-    def _stage(table, build, inputs=None):
-        """Build-or-resume one committed stage; returns (df, n_rows)."""
+    def _stage(table, build, inputs=None, count=True):
+        """Build-or-resume one committed stage; returns (df, n_rows).
+        count=False skips the funnel count in the no-checkpoint path
+        (the mask stage derives its own counter — no wasted corpus pass)."""
         if tio is None:
             df = build()
-            return df, df.count()
+            return df, (df.count() if count else None)
         if tio.exists_valid(table, stage_cfg, inputs):
             resumed_stages.append(table)
         else:
@@ -217,7 +230,9 @@ def main() -> None:
                 "doc_id",
             )
 
-        kept, _ = _stage("cur_masked", _build_masked, _snap(_mask_input))
+        kept, _ = _stage(
+            "cur_masked", _build_masked, _snap(_mask_input), count=False
+        )
         n_span_edited = kept.where(F.col("n_kept") < F.col("n_words")).count()
         kept = kept.drop("n_words", "n_kept")
 
@@ -293,6 +308,11 @@ def main() -> None:
             }
         )
     )
+    if args.metrics_out:
+        from bran_spark.sources.metrics import collect_run_metrics
+
+        with open(args.metrics_out, "w") as f:
+            json.dump(collect_run_metrics(spark), f, indent=1)
 
 
 if __name__ == "__main__":

@@ -38,6 +38,12 @@ def main() -> None:
              "adds a ner_tags row to the funnel JSON",
     )
     ap.add_argument("--shuffle-partitions", default=None)
+    ap.add_argument(
+        "--metrics-out", default=None,
+        help="dump per-stage spill/shuffle/skew + peak-memory counters "
+             "(Spark status REST) to this JSON path before shutdown — the "
+             "stress harness's cliff detector (tools/stress_run.py)",
+    )
     args = ap.parse_args()
 
     from bran_spark.fixtures.gen import ensure, fixture_dir
@@ -49,6 +55,9 @@ def main() -> None:
         f"bran_pipeline_sf{args.sf}",
         master=args.master,
         shuffle_partitions=args.shuffle_partitions,
+        extra_conf=(
+            {"spark.ui.enabled": "true"} if args.metrics_out else None
+        ),
     )
     cfg = PipelineConfig(
         fixture_dir=fixture_dir(args.sf),
@@ -74,6 +83,11 @@ def main() -> None:
         }
     )
     print(json.dumps(res))
+    if args.metrics_out:
+        from bran_spark.sources.metrics import collect_run_metrics
+
+        with open(args.metrics_out, "w") as f:
+            json.dump(collect_run_metrics(spark), f, indent=1)
     spark.stop()
 
 

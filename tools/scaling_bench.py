@@ -185,7 +185,7 @@ def main() -> None:
                 "system (see the bandwidth probe below) as the binding "
                 "substrate on this single box.\n"
             )
-        f.write(f"""# BENCH/BASELINE — scaling evidence (round 2)
+        f.write(f"""# Scaling record (median-of-{args.runs}, interleaved, solo)
 
 Protocol (BASELINE.md): identical flagship KG-construction job, identical
 input (seeded CDR-shaped corpus, sf={args.sf}: {n_docs} docs → {n_triples}
