@@ -222,72 +222,6 @@ def triangle_counts(edges: DataFrame, broadcast_keys: bool = False) -> DataFrame
     )
 
 
-def edge_support(edges: DataFrame, broadcast_keys: bool = False) -> DataFrame:
-    """(u, v, support) for an undirected (u, v) edge list with u < v:
-    support = number of triangles the edge participates in. Same
-    degree-ordered O(m^1.5) enumeration as ``triangle_counts`` (each
-    triangle found exactly once at its lowest-key apex), then each
-    triangle credits its three edges — normalized back to id-order, so
-    the output key is the caller's edge identity, not the orientation's."""
-    oriented = oriented_edges(edges, broadcast_keys).localCheckpoint(
-        eager=True
-    )
-    w1 = oriented.select(
-        F.col("src").alias("a"), F.col("dst").alias("b"), F.col("kdst").alias("kb")
-    )
-    w2 = oriented.select(
-        F.col("src").alias("a"), F.col("dst").alias("c"), F.col("kdst").alias("kc")
-    )
-    wedges = w1.join(w2, "a").where(F.col("kb") < F.col("kc"))
-    closing = oriented.select(F.col("src").alias("b"), F.col("dst").alias("c"))
-    tri = wedges.join(closing, ["b", "c"]).select("a", "b", "c")
-    sides = (
-        tri.select(F.col("a").alias("x"), F.col("b").alias("y"))
-        .union(tri.select(F.col("b"), F.col("c")))
-        .union(tri.select(F.col("a"), F.col("c")))
-    )
-    return sides.select(
-        F.least("x", "y").alias("u"), F.greatest("x", "y").alias("v")
-    ).groupBy("u", "v").agg(F.count(F.lit(1)).cast("long").alias("support"))
-
-
-def ktruss(edges: DataFrame, k: int = 3, max_rounds: int = 5) -> DataFrame:
-    """k-truss of an undirected (u, v) edge list (u < v): iteratively peel
-    edges whose triangle support is < k-2 until the fixed point — the
-    EDGE-level density filter (a k-core keeps a node for having k
-    neighbors; a k-truss additionally demands those relationships are
-    mutually corroborated by triangles — the standard cohesive-subgraph
-    cut above k-core, Cohen 2008). On a KG co-occurrence graph the 3-truss
-    drops every bridge/pendant edge that no third entity corroborates.
-
-    Per round: one edge_support pass (degree-ordered triangle
-    enumeration, O(m^1.5) on the SHRINKING edge set) + a filter; lineage
-    truncated per round. Peeling is monotone (edges only leave), so a
-    stable edge COUNT is a stable edge SET — early exit at the fixed
-    point; raises past ``max_rounds`` rather than returning a partial
-    peel (kcore's contract). Returns (u, v, support) with the support
-    measured WITHIN the final truss."""
-    edges = edges.select("u", "v").localCheckpoint(eager=True)
-    prev = edges.count()
-    for _ in range(max_rounds):
-        sup = edge_support(edges)
-        edges = (
-            sup.where(F.col("support") >= k - 2)
-            .select("u", "v")
-            .localCheckpoint(eager=True)
-        )
-        n = edges.count()
-        if n == prev:
-            # stable set: `sup` was computed on this exact edge set, so it
-            # is the final within-truss support — no extra pass needed
-            return sup.where(F.col("support") >= k - 2)
-        prev = n
-    raise RuntimeError(
-        f"ktruss did not reach its peeling fixed point in {max_rounds} "
-        "rounds; raise max_rounds"
-    )
-
-
 def bfs_distances(sym: DataFrame, seeds: DataFrame, max_hops: int = 4) -> DataFrame:
     """(entity, dist) — hop distance from the seed set over the symmetric
     edge list, bounded by ``max_hops``. Frontier expansion: each round joins

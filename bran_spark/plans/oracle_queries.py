@@ -10644,61 +10644,6 @@ def q247(spark, sf):
     return sequential_looks(_t(spark, sf, "events"), _SEQ_LOOKS)
 
 
-# co-occurrence projection shared with q57's twin (hot-pivot df-cut at 25)
-_KTRUSS_PROJ_SQL = """
-    , pe AS (SELECT DISTINCT subj AS s, obj AS p FROM pairs),
-    hotp AS (SELECT p FROM (SELECT p, COUNT(*) AS d FROM pe GROUP BY p) t
-             WHERE d > 25),
-    kept AS (SELECT s, p FROM pe WHERE p NOT IN (SELECT p FROM hotp)),
-    t0 AS MATERIALIZED (SELECT DISTINCT a.s AS u, b.s AS v
-             FROM kept a JOIN kept b ON a.p = b.p WHERE a.s < b.s)
-"""
-
-
-def _ktruss_sql(k: int, rounds: int) -> str:
-    # each round references its predecessor 3× (triangle self-join) —
-    # MATERIALIZED or DuckDB inlines the chain 3^rounds times
-    parts = []
-    for i in range(1, rounds + 1):
-        parts.append(f"""
-    , tr{i} AS MATERIALIZED (
-        SELECT e1.u AS a, e1.v AS b, e2.v AS c
-        FROM t{i - 1} e1
-        JOIN t{i - 1} e2 ON e2.u = e1.v
-        JOIN t{i - 1} e3 ON e3.u = e1.u AND e3.v = e2.v),
-    s{i} AS MATERIALIZED (
-        SELECT u, v, COUNT(*) AS sup FROM (
-            SELECT a AS u, b AS v FROM tr{i}
-            UNION ALL SELECT b, c FROM tr{i}
-            UNION ALL SELECT a, c FROM tr{i}) sides
-        GROUP BY u, v),
-    t{i} AS MATERIALIZED (SELECT u, v FROM s{i} WHERE sup >= {k - 2})""")
-    parts.append(f"""
-    SELECT u, v, CAST(sup AS BIGINT) AS support
-    FROM s{rounds} WHERE sup >= {k - 2}""")
-    return "".join(parts)
-
-
-@_q(
-    "q248_ktruss",
-    _FX_PAIRS_SQL + _KTRUSS_PROJ_SQL + _ktruss_sql(4, 5),
-)
-def q248(spark, sf):
-    """4-truss of the chemical co-occurrence projection (q57's graph):
-    peel edges with triangle support < 2 to the fixed point
-    (graphalgo.ktruss) — the EDGE-level cohesion cut above k-core (an
-    edge survives only when ≥2 third entities corroborate the
-    relationship; bridges and pendant triangles fall away). The oracle
-    unrolls 5 peel rounds (naive u<v enumeration — support counts are
-    orientation-independent); the Spark side exits at the fixed point and
-    RAISES past 5 rounds, so a green row proves convergence within the
-    twin's unroll."""
-    from bran_spark.operators.graphalgo import ktruss, project_bipartite
-
-    proj = project_bipartite(_fx_entity_pairs(spark, sf), max_pivot_deg=25)
-    return ktruss(proj, k=4, max_rounds=5)
-
-
 # =========================================================================
 # Registry ordering: the driver's correctness gate hash-checks the FIRST
 # 50 insertion-order entries of ``queries()``. Definition order above is

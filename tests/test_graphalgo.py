@@ -1214,31 +1214,3 @@ def test_geo_near_pairs_rejects_ring_narrower_than_probe(spark):
     with pytest.raises(ValueError, match="longitude.*ring"):
         geo_near_pairs(df, radius_km=10000.0, cell_deg=45.0).collect()
 
-
-def test_ktruss_hand_values(spark):
-    """K4 + pendant triangle + bridge: the 3-truss drops only the bridge,
-    the 4-truss keeps only K4; cascading peel empties two glued triangles."""
-    import pytest
-
-    from bran_spark.operators.graphalgo import ktruss
-
-    k4 = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)]
-    pendant = [(4, 5), (4, 6), (5, 6)]
-    bridge = [(6, 7)]
-    g = spark.createDataFrame(k4 + pendant + bridge, "u long, v long")
-
-    t3 = {(r.u, r.v): r.support for r in ktruss(g, k=3, max_rounds=4).collect()}
-    assert set(t3) == set(k4 + pendant)
-    assert all(t3[e] == 2 for e in k4) and all(t3[e] == 1 for e in pendant)
-
-    t4 = {(r.u, r.v): r.support for r in ktruss(g, k=4, max_rounds=4).collect()}
-    assert set(t4) == set(k4) and all(s == 2 for s in t4.values())
-
-    # two triangles glued on (2,3): 4-truss peel cascades to empty —
-    # (2,3) has support 2 in round 1 but loses both triangles in round 2
-    glued = spark.createDataFrame(
-        [(1, 2), (1, 3), (2, 3), (2, 4), (3, 4)], "u long, v long"
-    )
-    assert ktruss(glued, k=4, max_rounds=4).count() == 0
-    with pytest.raises(RuntimeError, match="fixed point"):
-        ktruss(glued, k=4, max_rounds=1)
