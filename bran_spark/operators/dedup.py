@@ -22,17 +22,52 @@ from bran_spark.functions.text import shingles, shingles_of_array, words
 
 
 def _even_parallelism(df: DataFrame) -> DataFrame:
-    """Defensive round-robin repartition when the source has fewer splits
-    than cores — a single small parquet file otherwise serializes the whole
-    explode/join chain onto ONE task (measured: q28 ran 13 s single-task at
-    sf0.1 because the corpus is one ~1.3 MB file; parquet row-group
-    boundaries cap what maxPartitionBytes can split). On a real cluster the
-    table layout provides the splits and this is a no-op; the repartition
-    moves only the raw doc bytes, far cheaper than serializing the ~50×
-    larger exploded shingle stream."""
+    """Defensive round-robin repartition when the source cannot actually
+    feed the cores — a single small parquet file otherwise serializes the
+    whole explode/join chain onto ONE task (measured: q28 ran 13 s
+    single-task at sf0.1 because the corpus is one ~1.3 MB file; parquet
+    ROW-GROUP boundaries cap what maxPartitionBytes can split).
+
+    Two degeneracy checks:
+    1. fewer scan partitions than cores — the cheap count check;
+    2. enough partitions but the bytes sit in fewer ROW GROUPS than cores
+       (a 500k-doc table written by an upstream job with one output
+       partition is one 75 MB row group: maxPartitionBytes happily cuts
+       it into 38 "splits", 37 of which are empty, and the count check
+       passes while one task decodes everything — found by the r4 sf1.0
+       stress run, tools/stress_run.py). Footers are only read when the
+       file count is below core count, so a properly-laid-out table (many
+       files) never pays the driver-side footer pass, and a non-file
+       source skips check 2 entirely.
+    On a real cluster the table layout provides the splits and this is a
+    no-op; when it fires, the repartition moves only the raw doc bytes,
+    far cheaper than serializing the ~50× larger exploded shingle
+    stream."""
     par = df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < par:
         return df.repartition(par * 2)
+    try:
+        files = df.inputFiles()
+    except Exception:  # non-file source — partition count is all we have
+        return df
+    if files and len(files) < par:
+        try:
+            import pyarrow.parquet as pq
+
+            row_groups = 0
+            for f in files:
+                if not f.endswith(".parquet"):
+                    return df  # non-parquet: row-group logic doesn't apply
+                row_groups += pq.ParquetFile(
+                    f.removeprefix("file:")
+                ).metadata.num_row_groups
+                if row_groups >= par:
+                    return df
+            return df.repartition(par * 2)
+        except Exception:
+            # unreadable footers + suspiciously few files: the repartition
+            # is cheap insurance relative to a single-task funnel
+            return df.repartition(par * 2)
     return df
 
 

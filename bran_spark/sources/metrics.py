@@ -61,6 +61,18 @@ def collect_run_metrics(spark: SparkSession, top_n: int = 10) -> dict:
         out["error"] = f"stage metrics unavailable: {e}"
         return out
 
+    # stage -> job-description map: jobs run under setJobDescription carry
+    # the operator/stage name, the only reliable attribution for
+    # AQE-materialized stages (whose own names are anonfun wrappers)
+    stage_desc: dict[int, str] = {}
+    try:
+        for j in _get(base, f"applications/{app}/jobs"):
+            d = j.get("description") or j.get("name", "")
+            for sid in j.get("stageIds", []):
+                stage_desc[sid] = d[:80]
+    except Exception:  # noqa: BLE001
+        pass
+
     out["n_stages"] = len(stages)
     out["totals"] = {
         f: int(sum(s.get(f, 0) for s in stages)) for f in _STAGE_FIELDS
@@ -73,6 +85,7 @@ def collect_run_metrics(spark: SparkSession, top_n: int = 10) -> dict:
         row = {
             "stage": s["stageId"],
             "name": s.get("name", "")[:80],
+            "job": stage_desc.get(s["stageId"]),
             "tasks": s.get("numTasks"),
             **{f: int(s.get(f, 0)) for f in _STAGE_FIELDS},
         }

@@ -101,7 +101,16 @@ def main() -> None:
         ),
     )
     t0 = time.time()
-    docs = spark.read.parquet(f"{args.sf_dir}/documents.parquet")
+    from bran_spark.operators.dedup import _even_parallelism
+
+    # defensive ingest: a docs table written by an upstream job with few
+    # output partitions is few parquet ROW GROUPS — unsplittable, so every
+    # stage of this funnel would serialize onto a handful of tasks (the r4
+    # sf1.0 stress run measured 90 s single-task stages from a 1-row-group
+    # input). No-op on properly-laid-out tables.
+    docs = _even_parallelism(
+        spark.read.parquet(f"{args.sf_dir}/documents.parquet")
+    )
     n_input = docs.count()
 
     # optional per-stage checkpoint commits (north_rule: a killed job
@@ -131,7 +140,11 @@ def main() -> None:
     def _stage(table, build, inputs=None, count=True):
         """Build-or-resume one committed stage; returns (df, n_rows).
         count=False skips the funnel count in the no-checkpoint path
-        (the mask stage derives its own counter — no wasted corpus pass)."""
+        (the mask stage derives its own counter — no wasted corpus pass).
+        Every action run under this stage carries its name as the Spark
+        job description, so --metrics-out can attribute skewed/spilling
+        stages to the operator that owns them."""
+        spark.sparkContext.setJobDescription(f"curation:{table}")
         if tio is None:
             df = build()
             return df, (df.count() if count else None)
@@ -233,6 +246,7 @@ def main() -> None:
         kept, _ = _stage(
             "cur_masked", _build_masked, _snap(_mask_input), count=False
         )
+        spark.sparkContext.setJobDescription("curation:span_edited_count")
         n_span_edited = kept.where(F.col("n_kept") < F.col("n_words")).count()
         kept = kept.drop("n_words", "n_kept")
 
@@ -265,6 +279,7 @@ def main() -> None:
     # 4. deterministic stratified sample
     rates = {"en": args.sample_en}
     kept = stratified_sample(kept, "lang", rates, default_rate=args.sample_rest)
+    spark.sparkContext.setJobDescription("curation:sample_count")
     n_out = kept.count()
 
     # 5. optional domain-mix rebalance toward target shares
@@ -281,6 +296,7 @@ def main() -> None:
         n_out = n_mix
 
     if args.out:
+        spark.sparkContext.setJobDescription("curation:final_write")
         kept.write.mode("overwrite").parquet(args.out)
 
     print(

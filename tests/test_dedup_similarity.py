@@ -684,3 +684,44 @@ def test_pca_project_recovers_planted_principal_axis(spark):
     # determinism: second run bit-identical (sign-fixed eigvecs)
     again = {r.vec_id: r.proj for r in pca_project(df, k=2, dim=4).collect()}
     assert again == proj
+
+
+def test_even_parallelism_detects_single_row_group(spark, tmp_path):
+    """A table written with ONE output partition is one parquet row group:
+    maxPartitionBytes slices it into plenty of SPLITS (so the partition-
+    count check passes) but every byte decodes in one task — the r4 sf1.0
+    stress-run cliff. The helper must read the footers and repartition;
+    a many-file layout must pass through untouched (no surprise shuffle
+    on a healthy 100 TB table)."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from bran_spark.operators.dedup import _even_parallelism
+
+    p = str(tmp_path / "one_rg")
+    (
+        spark.range(300_000)
+        .selectExpr("id", "md5(cast(id as string)) AS text")
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(p)
+    )
+    assert pq.ParquetFile(glob.glob(p + "/*.parquet")[0]).metadata.num_row_groups == 1
+
+    old = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    spark.conf.set("spark.sql.files.maxPartitionBytes", "131072")
+    try:
+        par = spark.sparkContext.defaultParallelism
+        df = spark.read.parquet(p)
+        # the old count-only check is fooled: plenty of (empty) splits
+        assert df.rdd.getNumPartitions() >= par
+        assert _even_parallelism(df).rdd.getNumPartitions() == par * 2
+
+        # healthy many-file layout: untouched (identity, no shuffle)
+        p2 = str(tmp_path / "many_files")
+        spark.read.parquet(p).repartition(64).write.parquet(p2)
+        df2 = spark.read.parquet(p2)
+        assert _even_parallelism(df2) is df2
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", old)

@@ -70,7 +70,10 @@ def _build_tiled_documents(tile: int, cores: int) -> str:
         F.length(text).cast("long").alias("n_chars"),
     )
     os.makedirs(out, exist_ok=True)
-    tiled.write.mode("overwrite").parquet(
+    # 64 output partitions -> 64 files/row groups: a scan-splittable layout
+    # (the first harness version wrote ONE 75 MB row group, which no
+    # maxPartitionBytes can split — itself the first cliff this tool found)
+    tiled.repartition(64).write.mode("overwrite").parquet(
         os.path.join(out, "documents.parquet")
     )
     spark.stop()
@@ -103,7 +106,7 @@ def _cliffs(metrics: dict) -> list[str]:
     for s in metrics.get("top_stages", []):
         if (s.get("task_skew") or 0) >= 5 and (s.get("task_ms_max") or 0) > 10_000:
             found.append(
-                f"SKEW: stage {s['stage']} ({s['name'][:40]}) "
+                f"SKEW: stage {s['stage']} (job={s.get('job')}) "
                 f"max/p50 = {s['task_skew']}x, max {s['task_ms_max']} ms"
             )
     return found
