@@ -108,6 +108,11 @@ def main() -> None:
     # stage of this funnel would serialize onto a handful of tasks (the r4
     # sf1.0 stress run measured 90 s single-task stages from a 1-row-group
     # input). No-op on properly-laid-out tables.
+    # NOTE the lazy-funnel cost model: without --checkpoint-root every
+    # funnel count re-evaluates the whole upstream chain, so anything at
+    # the ROOT (this defensive repartition included) is paid once per
+    # action. The checkpointed path evaluates each stage exactly once —
+    # prefer it for anything beyond a smoke run.
     docs = _even_parallelism(
         spark.read.parquet(f"{args.sf_dir}/documents.parquet")
     )
@@ -225,30 +230,49 @@ def main() -> None:
     # unchanged — the funnel records how many docs were edited). The
     # committed table keeps n_words/n_kept so a resumed run recovers the
     # edited-doc counter from the (tiny) snapshot, not a corpus recompute.
+    # The no-checkpoint path counts the PRE-JOIN masked table instead:
+    # counting the joined frame would evaluate the kept-subtree twice per
+    # action (measured 252→614 s on the smoke config when this job first
+    # grew checkpoints — the lazy-funnel cost structure is the whole game
+    # here, see BENCH note below).
     n_span_edited = None
     if args.mask_dup_spans:
         from bran_spark.operators.dedup import mask_duplicate_spans
 
         _mask_input = "cur_decontam" if args.bench else "cur_neardup"
+        _edited = F.col("n_kept") < F.col("n_words")
 
-        def _build_masked(kept=kept):
+        if tio is None:
+            spark.sparkContext.setJobDescription("curation:span_edited_count")
             masked = mask_duplicate_spans(kept, "doc_id", "text", n=8)
-            return kept.drop("text").join(
+            n_span_edited = masked.where(_edited).count()
+            kept = kept.drop("text").join(
                 masked.select(
                     F.col("id").alias("doc_id"),
                     F.col("clean_text").alias("text"),
-                    "n_words",
-                    "n_kept",
                 ),
                 "doc_id",
             )
+        else:
 
-        kept, _ = _stage(
-            "cur_masked", _build_masked, _snap(_mask_input), count=False
-        )
-        spark.sparkContext.setJobDescription("curation:span_edited_count")
-        n_span_edited = kept.where(F.col("n_kept") < F.col("n_words")).count()
-        kept = kept.drop("n_words", "n_kept")
+            def _build_masked(kept=kept):
+                masked = mask_duplicate_spans(kept, "doc_id", "text", n=8)
+                return kept.drop("text").join(
+                    masked.select(
+                        F.col("id").alias("doc_id"),
+                        F.col("clean_text").alias("text"),
+                        "n_words",
+                        "n_kept",
+                    ),
+                    "doc_id",
+                )
+
+            kept, _ = _stage(
+                "cur_masked", _build_masked, _snap(_mask_input), count=False
+            )
+            # cheap: counts the committed snapshot, not a recompute
+            n_span_edited = kept.where(_edited).count()
+            kept = kept.drop("n_words", "n_kept")
 
     # 3d. optional DSIR importance resampling toward an in-domain slice
     n_dsir = None
@@ -268,13 +292,17 @@ def main() -> None:
             )
             return kept.join(drawn.select("doc_id"), "doc_id", "left_semi")
 
-        kept, n_dsir = _stage("cur_dsir", _build_dsir, _snap(_dsir_input))
         if tio is None:
-            # the draw collapses the corpus to <= dsir-k rows: materialize
-            # the tiny survivor set so later funnel counts / the write do
-            # not re-execute the two-model DSIR subtree per action (the
-            # checkpointed path is already materialized by the commit)
-            kept = kept.localCheckpoint(eager=True)
+            # materialize the <= dsir-k survivor set BEFORE counting it:
+            # the eager checkpoint is the single evaluation of the
+            # expensive two-model DSIR subtree, and the count plus every
+            # later funnel action run against the checkpoint (counting
+            # first would evaluate the full chain an extra time)
+            spark.sparkContext.setJobDescription("curation:cur_dsir")
+            kept = _build_dsir().localCheckpoint(eager=True)
+            n_dsir = kept.count()
+        else:
+            kept, n_dsir = _stage("cur_dsir", _build_dsir, _snap(_dsir_input))
 
     # 4. deterministic stratified sample
     rates = {"en": args.sample_en}

@@ -139,6 +139,11 @@ def test_curation_job_funnel(tmp_path, testdata_dir):
               WHERE doc_id % 41 = 0) TO '{bench}' (FORMAT PARQUET)"""
     )
     out = str(tmp_path / "curated")
+    # --checkpoint-root: the full-option funnel's lazy form re-evaluates
+    # the whole upstream chain per counter (~7 min at sf0.001); the
+    # checkpointed mode evaluates each stage exactly once (~20 s) and is
+    # the recommended way to run every optional stage at once. The pure
+    # lazy path stays covered by the default-option smoke below.
     r = subprocess.run(
         [sys.executable, "jobs/run_curation.py", "--sf-dir", testdata_dir,
          "--out", out, "--master", "local[4]",
@@ -146,7 +151,8 @@ def test_curation_job_funnel(tmp_path, testdata_dir):
          "--bench", bench, "--mask-dup-spans",
          "--dsir-target", "src0", "--dsir-k", "120",
          "--mix", "src0=0.25,src1=0.25,src2=0.25,src3=0.25",
-         "--mix-total", "200"],
+         "--mix-total", "200",
+         "--checkpoint-root", str(tmp_path / "ck")],
         capture_output=True, text=True, timeout=600,
         cwd=__import__("os").path.dirname(__import__("os").path.dirname(__file__)),
     )
@@ -168,6 +174,21 @@ def test_curation_job_funnel(tmp_path, testdata_dir):
 
     n = duckdb.sql(f"SELECT COUNT(*) FROM '{out}/*.parquet'").fetchone()[0]
     assert n == stats["curated_docs"]
+
+    # default-option lazy path (no checkpoint root): the quick form a
+    # smoke user runs; must agree with the checkpointed run on the shared
+    # stage counters
+    r2 = subprocess.run(
+        [sys.executable, "jobs/run_curation.py", "--sf-dir", testdata_dir,
+         "--master", "local[4]"],
+        capture_output=True, text=True, timeout=600,
+        cwd=__import__("os").path.dirname(__import__("os").path.dirname(__file__)),
+    )
+    assert r2.returncode == 0, r2.stderr[-2000:]
+    lazy = json.loads(r2.stdout.strip().splitlines()[-1])
+    for k in ("input_docs", "after_quality", "after_exact_dedup",
+              "after_neardup_dedup"):
+        assert lazy[k] == stats[k], k
 
 
 def test_kg_publish_job(tmp_path):
