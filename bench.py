@@ -7,6 +7,13 @@ Headline set: the full KG-construction DAG on the seeded CDR-shaped corpus at
 the matching scale (the reference task), plus the heavy relational/corpus
 operators over the driver testdata. Each query timed to completion of a
 count() (full materialization of the plan).
+
+The driver records only the LAST 2000 characters of stdout and parses the
+final line as JSON (BENCH_r03/r04 show `parsed: null` because the full-name
+queries dict outgrew that buffer). The printed line therefore uses the
+unique `qNN` prefix as each query key (q01..q247 — prefixes are unique by
+construction; see INDEX.md for the name mapping) and is asserted to fit the
+buffer. The full-name timings are written to BENCH/bench_full.json.
 """
 
 from __future__ import annotations
@@ -52,13 +59,15 @@ def main() -> None:
     # 2's artifact reported a 39% "regression" that three controlled reruns
     # showed to be exactly that), while the median of warm runs tracks the
     # steady-state throughput a long job actually sees.
+    # Median-of-5: the r4 driver sample's 3 runs spread 17.2–21.1 s under
+    # host contention; two more samples stabilize the median for ~35 s cost.
     triples = flagship(spark, fixture_dir(sf)).count()  # warm-up, untimed
     flagship_runs = []
-    for _ in range(3):
+    for _ in range(5):
         t0 = time.time()
         triples = flagship(spark, fixture_dir(sf)).count()
         flagship_runs.append(round(time.time() - t0, 3))
-    timings["kg_flagship"] = sorted(flagship_runs)[1]
+    timings["kg_flagship"] = sorted(flagship_runs)[2]
     extras["kg_flagship_runs"] = flagship_runs
     extras["kg_triples"] = triples
     extras["kg_triples_per_sec"] = round(triples / timings["kg_flagship"], 1)
@@ -173,7 +182,31 @@ def main() -> None:
         "cpus": int(cpus),
         **extras,
     }
-    print(json.dumps(out))
+    # Full-name record for humans / BASELINE.md bookkeeping.
+    os.makedirs(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH"), exist_ok=True)
+    full_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH", "bench_full.json"
+    )
+    with open(full_path, "w") as f:
+        json.dump(out, f, indent=1, sort_keys=False)
+
+    # Compact line for the driver's 2000-char stdout tail: qNN prefixes are
+    # unique registry keys; fixed abbreviations for the two non-registry
+    # extras. 2-decimal rounding — the driver artifact is a trend record,
+    # not a microbenchmark.
+    _abbrev = {"minhash_lsh_xxhash64": "mh_xx64", "cosine_topk_gemm": "gemm_topk"}
+
+    def _short(name: str) -> str:
+        if name in _abbrev:
+            return _abbrev[name]
+        head = name.split("_", 1)[0]
+        return head if head.startswith("q") and head[1:].isdigit() else name
+
+    compact = dict(out)
+    compact["queries"] = {_short(k): round(v, 2) for k, v in timings.items()}
+    line = json.dumps(compact, separators=(",", ":"))
+    assert len(line) <= 1900, f"driver tail buffer is 2000 chars; line is {len(line)}"
+    print(line)
     spark.stop()
 
 

@@ -50,25 +50,49 @@ def _even_parallelism(df: DataFrame) -> DataFrame:
         files = df.inputFiles()
     except Exception:  # non-file source — partition count is all we have
         return df
-    if files and len(files) < par:
-        try:
-            import pyarrow.parquet as pq
+    if not files or len(files) >= par:
+        return df
+    if any("://" in f and not f.startswith("file:") for f in files):
+        # Remote scheme (hdfs://, s3a://, ...): the partition-count check
+        # above already passed, proving the scan splittable, and pyarrow
+        # can't open these footers by bare path — a probe failure must NOT
+        # buy a full shuffle on exactly the real-cluster case (ADVICE r4).
+        return df
+    try:
+        import os
 
+        import pyarrow.parquet as pq
+
+        paths = [f.removeprefix("file:") for f in files]
+        if any(not p.endswith(".parquet") for p in paths):
+            return df  # non-parquet: row-group logic doesn't apply
+        # Probe per LEAF (≈ per directory of inputFiles): a derived plan can
+        # mix the corpus scan with dimension files, and a many-row-group
+        # side table summed globally would mask a single-row-group corpus —
+        # the exact cliff this check exists to catch (ADVICE r4).
+        by_dir: dict[str, list[str]] = {}
+        for p in paths:
+            by_dir.setdefault(os.path.dirname(p), []).append(p)
+        sizes = {d: sum(os.path.getsize(p) for p in ps) for d, ps in by_dir.items()}
+        total = sum(sizes.values()) or 1
+        for d, ps in by_dir.items():
+            # Only a LARGE leaf can starve the cores; small dimension
+            # tables legitimately live in one row group. "Large" = holds
+            # most of the input bytes, or is big in absolute terms.
+            if sizes[d] < (32 << 20) and sizes[d] < 0.5 * total:
+                continue
             row_groups = 0
-            for f in files:
-                if not f.endswith(".parquet"):
-                    return df  # non-parquet: row-group logic doesn't apply
-                row_groups += pq.ParquetFile(
-                    f.removeprefix("file:")
-                ).metadata.num_row_groups
+            for p in ps:
+                row_groups += pq.ParquetFile(p).metadata.num_row_groups
                 if row_groups >= par:
-                    return df
-            return df.repartition(par * 2)
-        except Exception:
-            # unreadable footers + suspiciously few files: the repartition
-            # is cheap insurance relative to a single-task funnel
-            return df.repartition(par * 2)
-    return df
+                    break
+            if row_groups < par:
+                return df.repartition(par * 2)
+        return df
+    except Exception:
+        # unreadable LOCAL footers + suspiciously few files: the
+        # repartition is cheap insurance relative to a single-task funnel
+        return df.repartition(par * 2)
 
 
 def exact_dedup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:

@@ -130,15 +130,25 @@ def main() -> None:
 
         tio = ManifestParquetTableIO(args.checkpoint_root)
 
-    stage_cfg = {
-        "sf_dir": args.sf_dir,
-        "min_quality": args.min_quality,
-        "max_dup_word_frac": args.max_dup_word_frac,
-        "min_logprob": args.min_logprob,
-        "bench": args.bench,
-        "mask_dup_spans": args.mask_dup_spans,
-        "dsir_target": args.dsir_target,
-        "dsir_k": args.dsir_k,
+    # Each stage is hashed against ONLY the parameters that affect it (plus
+    # its upstream snapshot ids, which the inputs gate covers): one shared
+    # all-knobs hash would invalidate cur_quality/cur_exact/cur_neardup when
+    # a tail-only knob like --dsir-k changes, forcing a full-funnel
+    # recompute on exactly the tune-the-tail workflow resume exists for
+    # (ADVICE r4). Operator constants (shingle n, bands) are recorded too so
+    # parameterizing them later can't silently reuse stale snapshots.
+    stage_cfgs = {
+        "cur_quality": {
+            "sf_dir": args.sf_dir,
+            "min_quality": args.min_quality,
+            "max_dup_word_frac": args.max_dup_word_frac,
+        },
+        "cur_lm": {"min_logprob": args.min_logprob},
+        "cur_exact": {},
+        "cur_neardup": {"n": 4, "bands": 4},
+        "cur_decontam": {"bench": args.bench, "n": 8},
+        "cur_masked": {"n": 8},
+        "cur_dsir": {"dsir_target": args.dsir_target, "dsir_k": args.dsir_k},
     }
     resumed_stages: list[str] = []
 
@@ -150,6 +160,7 @@ def main() -> None:
         job description, so --metrics-out can attribute skewed/spilling
         stages to the operator that owns them."""
         spark.sparkContext.setJobDescription(f"curation:{table}")
+        stage_cfg = stage_cfgs[table]
         if tio is None:
             df = build()
             return df, (df.count() if count else None)

@@ -725,3 +725,73 @@ def test_even_parallelism_detects_single_row_group(spark, tmp_path):
         assert _even_parallelism(df2) is df2
     finally:
         spark.conf.set("spark.sql.files.maxPartitionBytes", old)
+
+
+def test_even_parallelism_probes_per_leaf(spark, tmp_path):
+    """ADVICE r4: row groups must be probed per LEAF, not summed globally.
+    A derived plan joining a 1-row-group corpus with a many-row-group side
+    table pushes the global sum past core count and masks the corpus cliff;
+    conversely a small 1-row-group dimension next to a healthy corpus must
+    NOT buy a shuffle."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from bran_spark.operators.dedup import _even_parallelism
+
+    par = spark.sparkContext.defaultParallelism
+
+    # corpus: ONE file, ONE row group, holds nearly all the bytes
+    corpus_dir = tmp_path / "corpus"
+    corpus_dir.mkdir()
+    n = 300_000
+    ids = list(range(n))
+    pq.write_table(
+        pa.table({"id": ids, "text": [f"{i:064d}" for i in ids]}),
+        str(corpus_dir / "part-0.parquet"),
+        row_group_size=n,
+    )
+    # side table: ONE small file but MANY row groups (>= core count)
+    side_dir = tmp_path / "side"
+    side_dir.mkdir()
+    pq.write_table(
+        pa.table({"id": list(range(100)), "tag": ["x"] * 100}),
+        str(side_dir / "part-0.parquet"),
+        row_group_size=10,
+    )
+
+    old = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    spark.conf.set("spark.sql.files.maxPartitionBytes", "131072")
+    try:
+        corpus = spark.read.parquet(str(corpus_dir))
+        side = spark.read.parquet(str(side_dir))
+        joined = corpus.join(side, "id", "left")
+        assert joined.rdd.getNumPartitions() >= par  # count check fooled
+        # global row-group sum is 1 + 10 >= par, yet the corpus leaf is a
+        # single-task funnel: per-leaf probing must still repartition
+        assert _even_parallelism(joined).rdd.getNumPartitions() == par * 2
+
+        # healthy corpus (many row groups) + tiny 1-row-group dim: identity
+        corpus2_dir = tmp_path / "corpus2"
+        corpus2_dir.mkdir()
+        pq.write_table(
+            pa.table({"id": ids, "text": [f"{i:064d}" for i in ids]}),
+            str(corpus2_dir / "part-0.parquet"),
+            row_group_size=n // (par * 2),
+        )
+        joined2 = spark.read.parquet(str(corpus2_dir)).join(side, "id", "left")
+        assert _even_parallelism(joined2) is joined2
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", old)
+
+
+def test_even_parallelism_remote_scheme_no_insurance_shuffle(spark, tmp_path):
+    """ADVICE r4: on hdfs://s3a:// paths pyarrow can't open footers by bare
+    path; the failure must return the df unchanged (the partition-count
+    check already proved the scan splittable), never buy a full shuffle on
+    exactly the real-cluster case."""
+    from bran_spark.operators.dedup import _even_parallelism
+
+    df = spark.range(10_000).selectExpr("id", "md5(cast(id as string)) t")
+    df = df.repartition(spark.sparkContext.defaultParallelism)
+    df.inputFiles = lambda: ["s3a://bucket/table/part-00000.parquet"]
+    assert _even_parallelism(df) is df

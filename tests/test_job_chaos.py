@@ -80,6 +80,31 @@ def test_curation_job_kill_rerun(tmp_path, testdata_dir):
     assert _parquet_content_hash(out2, "doc_id") == h1
 
 
+def test_curation_tail_knob_change_resumes_head(tmp_path, testdata_dir):
+    """Per-stage config hashing (ADVICE r4): changing a TAIL-only knob
+    (--dsir-k) must resume every upstream stage from its commit — one
+    shared all-knobs hash would invalidate the whole funnel and force a
+    full recompute on exactly the tune-the-tail workflow resume is for."""
+    ck = str(tmp_path / "ck")
+    base = [
+        "jobs/run_curation.py", "--sf-dir", testdata_dir,
+        "--master", "local[4]", "--checkpoint-root", ck,
+        "--dsir-target", "src0",
+    ]
+    funnel1 = _run([*base, "--dsir-k", "50"])
+    assert funnel1["resumed_stages"] == []
+    assert funnel1["after_dsir"] == 50
+
+    funnel2 = _run([*base, "--dsir-k", "30"])
+    assert funnel2["resumed_stages"] == [
+        "cur_quality", "cur_exact", "cur_neardup"
+    ]
+    assert funnel2["after_dsir"] == 30
+    for k in ("input_docs", "after_quality", "after_exact_dedup",
+              "after_neardup_dedup"):
+        assert funnel2[k] == funnel1[k], k
+
+
 def test_experiment_job_kill_rerun(tmp_path, testdata_dir):
     ck = str(tmp_path / "ck")
     base = [
