@@ -145,6 +145,11 @@ def main() -> None:
         "q219_stationary_mix",
         "q224_decayed_support",
         "q221_embedding_covariance",
+        # r5 KG-representation-learning family: filtered TransE ranking
+        # (broadcast candidate pools + window rank) and 2-hop feature
+        # pre-propagation (edge self-join with hub df-cut)
+        "q248_transe_eval",
+        "q249_feature_propagation",
     ]
     for name in bench_queries:
         t0 = time.time()

@@ -1,0 +1,266 @@
+"""KG representation-learning data operators — the pipeline stages a
+warehouse-scale KG runs AROUND a knowledge-graph-embedding model: the
+filtered link-prediction ranking protocol (Bordes et al. 2013, TransE;
+the hits@k / MRR / mean-rank eval every KGE paper reports) and the
+linear GNN feature pre-propagation (SGC, Wu et al. 2019 / LightGCN) that
+turns message passing into a plain relational pre-compute.
+
+The reference (bran, NAACL 2018) extracts triples but never ranks or
+propagates over the resulting graph; BASELINE.json's north_rule mandates
+the KG-construction pipeline around the store, and ranking-eval +
+feature pre-propagation are the two graph-side jobs a KGE training loop
+needs from the data engine (the model itself stays out of scope, per
+SURVEY.md §3 E2 — so the embeddings here are deterministic md5-derived
+INTEGER vectors: the operator under test is the ranking/propagation
+dataflow, not the learned geometry, and integer components keep every
+score an exact BIGINT sum — bit-stable across engines).
+
+Scale shapes:
+- transe_rank_eval: candidate pools are type-confined and must be
+  dimension-scale or sampled (``cand_sample_mod``) — the pool is
+  broadcast, so the test×candidate expansion is a map-side nested loop
+  with NO low-cardinality-key shuffle (a shuffled join on the 6-value
+  type key would funnel every P-candidate through one reducer at
+  10^12 triples). The true-triple filter (the "filtered setting") is a
+  corpus-scale left join on (subj, pred, cand) — a well-keyed shuffle.
+  Test triples are a deterministic md5 sample: ranking eval is
+  inherently |test|·|pool|; the sample bound is the knob, not hope.
+- feature_propagation: 2-hop = ONE self-join of the edge table on the
+  middle node plus one aggregate; hub middle-nodes (in·out fanout above
+  ``hub_cap``) are cut via a broadcast anti-join BEFORE the join — the
+  same df-cut that keeps the shingle index (dedup.py) and PARIS
+  candidates (kgquality.py) from going quadratic on hot keys.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["md5int8", "int_embedding", "transe_rank_eval", "feature_propagation"]
+
+EMB_DIM = 8
+EMB_MOD = 2001  # components in [-1000, 1000]
+
+
+def md5int8(col) -> F.Column:
+    """First 8 md5 hex chars of a string expression as a nonnegative
+    BIGINT — the shared deterministic-coin idiom (sampling.md5_arm)."""
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
+
+
+def int_embedding(col, dim: int = EMB_DIM) -> F.Column:
+    """Deterministic integer pseudo-embedding of a string id:
+    component j = md5int8(id || '#' || j) mod 2001 − 1000 ∈ [−1000, 1000].
+    Integer components make every downstream score an exact BIGINT sum —
+    associative, so bit-identical under any partitioning or engine."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda j: md5int8(
+            F.concat(F.col(col) if isinstance(col, str) else col, F.lit("#"), j.cast("string"))
+        )
+        % EMB_MOD
+        - 1000,
+    )
+
+
+def transe_rank_eval(
+    triples: DataFrame,
+    test_sample_mod: int = 1000,
+    dim: int = EMB_DIM,
+    hits_k: int = 10,
+    cand_sample_mod: int | None = None,
+) -> DataFrame:
+    """Filtered link-prediction ranking eval (TransE protocol, Bordes et
+    al. 2013): for each sampled test triple (s, p, o), score every
+    same-type candidate tail c with the L1 energy
+    ``score(c) = Σ_j |e(s,j) + e(p,j) − e(c,j)|`` (exact BIGINT — see
+    int_embedding) and rank the true tail among candidates that are NOT
+    themselves true (s, p, ·) triples. Returns one row per pred:
+    (pred, n_test, hits_at_k, mrr, mean_rank).
+
+    Determinism: test triples are the md5(s|p|o) % test_sample_mod == 0
+    sample; ties rank by candidate id ascending; MRR is summed as
+    round(1e6/rank) BIGINT micro-reciprocals with ONE final division —
+    the exact-integer idiom every experiment operator here uses.
+
+    ``cand_sample_mod=m`` additionally confines the candidate pool to
+    c == o or md5(c~s|p) % m == 0 — the sampled-negatives protocol that
+    bounds the expansion when a tail type is corpus-scale."""
+    trip = triples.select("subj", "pred", "obj").distinct()
+    # single-reference entity pool (explode, not a two-branch union): the
+    # input relation already appears 3× in this plan (test, filter,
+    # pool); a 4th copy trips Catalyst's relation dedup on in-memory
+    # lineages (collect() dies with INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND
+    # binding the pred group key; parquet scans mint fresh ids per read
+    # and never hit it)
+    ents = (
+        trip.select(F.explode(F.array("subj", "obj")).alias("ent"))
+        .distinct()
+        .withColumn("etype", F.split(F.col("ent"), ":").getItem(0))
+    )
+    # mod <= 1 keeps every triple; skipping the vacuous filter also keeps
+    # the plan clear of a Catalyst corner (an always-true md5 filter over
+    # a thrice-reused in-memory relation mis-binds after relation dedup:
+    # INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND at execution — parquet-backed
+    # inputs, whose every scan mints fresh attribute ids, are unaffected)
+    test = (
+        trip
+        if test_sample_mod <= 1
+        else trip.where(
+            md5int8(F.concat_ws("|", "subj", "pred", "obj")) % test_sample_mod
+            == 0
+        )
+    )
+    # type-confined candidate expansion: pool broadcast (dimension-scale
+    # by contract), no shuffle on the low-cardinality type key
+    cand = test.join(
+        F.broadcast(ents.select(F.col("ent").alias("cand"), "etype")),
+        F.split(F.col("obj"), ":").getItem(0) == F.col("etype"),
+    ).drop("etype")
+    if cand_sample_mod:
+        cand = cand.where(
+            (F.col("cand") == F.col("obj"))
+            | (
+                md5int8(F.concat_ws("|", F.concat_ws("~", "cand", "subj"), "pred"))
+                % cand_sample_mod
+                == 0
+            )
+        )
+    # filtered setting: drop candidates that are OTHER true tails of (s, p)
+    t2 = trip.select(
+        F.col("subj").alias("subj"),
+        F.col("pred").alias("pred"),
+        F.col("obj").alias("cand"),
+        F.lit(True).alias("is_true"),
+    )
+    kept = (
+        cand.join(t2, ["subj", "pred", "cand"], "left")
+        .where((F.col("cand") == F.col("obj")) | F.col("is_true").isNull())
+        .drop("is_true")
+    )
+    scored = kept.withColumn(
+        "score",
+        F.aggregate(
+            F.zip_with(
+                F.zip_with(
+                    int_embedding("subj", dim),
+                    int_embedding("pred", dim),
+                    lambda a, b: a + b,
+                ),
+                int_embedding("cand", dim),
+                lambda sp, c: F.abs(sp - c),
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ),
+    )
+    # true_score via a window over the SAME (s, p, o) partition the rank
+    # aggregate needs anyway — one shuffle, no self-join of the scored
+    # subtree (re-joining it trips Catalyst's relation dedup on the
+    # nested zip_with lambdas for in-memory lineages:
+    # INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND at collect; parquet scans mint
+    # fresh attribute ids per read and never hit it). The o row itself
+    # stays in the aggregation contributing 0, so every test triple forms
+    # a group even when all other candidates were filtered/sampled away.
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("subj", "pred", "obj")
+    ranks = (
+        scored.withColumn(
+            "true_score",
+            F.max(F.when(F.col("cand") == F.col("obj"), F.col("score"))).over(w),
+        )
+        .groupBy("subj", "pred", "obj")
+        .agg(
+            (
+                1
+                + F.sum(
+                    (
+                        (F.col("cand") != F.col("obj"))
+                        & (
+                            (F.col("score") < F.col("true_score"))
+                            | (
+                                (F.col("score") == F.col("true_score"))
+                                & (F.col("cand") < F.col("obj"))
+                            )
+                        )
+                    ).cast("long")
+                )
+            ).alias("rank")
+        )
+    )
+    n = F.count(F.lit(1)).cast("long")
+    return ranks.groupBy("pred").agg(
+        n.alias("n_test"),
+        F.round(
+            F.sum((F.col("rank") <= hits_k).cast("long")) / n, 6
+        ).alias("hits_at_k"),
+        F.round(
+            F.sum(F.round(F.lit(1000000.0) / F.col("rank")).cast("long"))
+            / (n * F.lit(1000000.0)),
+            6,
+        ).alias("mrr"),
+        F.round(F.sum("rank") / n, 2).alias("mean_rank"),
+    )
+
+
+def feature_propagation(
+    edges: DataFrame,
+    hub_cap: int = 500,
+) -> DataFrame:
+    """Linear GNN pre-propagation (SGC / LightGCN style): every node
+    carries the deterministic integer feature f0 = md5int8(node) mod 1000;
+    the operator materializes, per destination node, the mean source
+    feature over 1-hop in-edges and over 2-hop in-paths — the message-
+    passing pre-compute that lets a downstream model train on plain
+    columns instead of running graph convolutions per epoch.
+
+    Exactness: both hops aggregate BIGINT feature SUMS plus path counts
+    and divide once at the end (round 6) — no float accumulates across
+    rows. Middle nodes whose in·out fanout exceeds ``hub_cap`` are
+    removed from the 2-hop join via a broadcast anti-join and surfaced in
+    the ``n_paths2`` they no longer contribute to — the df-cut that keeps
+    a 10^12-edge join from going quadratic on hub entities (same policy
+    as the shingle df-cut in dedup.py). Returns
+    (ent, in_deg, f1_mean, n_paths2, f2_mean)."""
+    e = edges.select(F.col("subj").alias("src"), F.col("obj").alias("dst")).distinct()
+    f0 = lambda c: md5int8(F.col(c)) % 1000  # noqa: E731
+
+    hop1 = e.groupBy(F.col("dst").alias("ent")).agg(
+        F.count(F.lit(1)).cast("long").alias("in_deg"),
+        F.sum(f0("src")).alias("f1_sum"),
+    )
+    # hub df-cut on the MIDDLE node of the 2-hop join (in·out fanout)
+    mid_in = e.groupBy(F.col("dst").alias("mid")).agg(F.count(F.lit(1)).alias("din"))
+    mid_out = e.groupBy(F.col("src").alias("mid")).agg(F.count(F.lit(1)).alias("dout"))
+    hubs = (
+        mid_in.join(mid_out, "mid")
+        .where(F.col("din") * F.col("dout") > hub_cap)
+        .select("mid")
+    )
+    first = e.select(F.col("src").alias("origin"), F.col("dst").alias("mid")).join(
+        F.broadcast(hubs), "mid", "left_anti"
+    )
+    second = e.select(F.col("src").alias("mid"), F.col("dst").alias("ent"))
+    hop2 = (
+        first.join(second, "mid")
+        .groupBy("ent")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_paths2"),
+            F.sum(f0("origin")).alias("f2_sum"),
+        )
+    )
+    return (
+        hop1.join(hop2, "ent", "left")
+        .select(
+            "ent",
+            "in_deg",
+            F.round(F.col("f1_sum") / F.col("in_deg"), 6).alias("f1_mean"),
+            F.coalesce(F.col("n_paths2"), F.lit(0).cast("long")).alias("n_paths2"),
+            F.when(
+                F.col("n_paths2").isNotNull(),
+                F.round(F.col("f2_sum") / F.col("n_paths2"), 6),
+            ).alias("f2_mean"),
+        )
+    )

@@ -42,6 +42,8 @@ __all__ = [
     "infer_entity_types",
     "temporal_conflicts",
     "path_cardinality_est",
+    "decayed_support",
+    "ntriples_export",
 ]
 
 
@@ -502,3 +504,58 @@ def decayed_support(
         )
         .orderBy("subj", "obj")
     )
+
+
+def ntriples_export(
+    triples: DataFrame,
+    labels: DataFrame | None = None,
+    base_iri: str = "http://kg.local",
+) -> DataFrame:
+    """Canonical N-Triples serialization — the publication format the
+    fused triple table leaves the warehouse in (W3C N-Triples: one
+    `<s> <p> <o> .` statement per line; RDF stores, SPARQL endpoints and
+    downstream KGs all ingest it). Entity/predicate ids become IRIs under
+    ``base_iri`` with the two characters our id scheme can contain that
+    an IRI path cannot carry raw (':' and space) percent-encoded;
+    optional ``labels`` (ent, label) rows become `rdfs:label` statements
+    with N-Triples string-literal escaping (backslash first, then
+    quote — order matters or the escape escapes itself).
+
+    Pure projection over the triple scan (no shuffle, no UDF: concat +
+    replace stay inside whole-stage codegen); the label dim joins
+    broadcast. Returns (kind, subj, line)."""
+
+    def iri(col, path):
+        enc = F.regexp_replace(
+            F.regexp_replace(F.col(col), ":", "%3A"), " ", "%20"
+        )
+        return F.concat(F.lit(f"<{base_iri}/{path}/"), enc, F.lit(">"))
+
+    ent_lines = triples.select(
+        F.lit("triple").alias("kind"),
+        F.col("subj"),
+        F.concat_ws(
+            " ", iri("subj", "e"), iri("pred", "p"), iri("obj", "e"), F.lit(".")
+        ).alias("line"),
+    )
+    if labels is None:
+        return ent_lines
+    lit = F.concat(
+        F.lit('"'),
+        F.regexp_replace(
+            F.regexp_replace(F.col("label"), r"\\", r"\\\\"), '"', r'\\"'
+        ),
+        F.lit('"'),
+    )
+    label_lines = labels.select(
+        F.lit("label").alias("kind"),
+        F.col("ent").alias("subj"),
+        F.concat_ws(
+            " ",
+            iri("ent", "e"),
+            F.lit("<http://www.w3.org/2000/01/rdf-schema#label>"),
+            lit,
+            F.lit("."),
+        ).alias("line"),
+    )
+    return ent_lines.unionByName(label_lines)

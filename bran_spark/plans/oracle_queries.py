@@ -10644,6 +10644,167 @@ def q247(spark, sf):
     return sequential_looks(_t(spark, sf, "events"), _SEQ_LOOKS)
 
 
+# --- KG representation-learning data ops (operators/kglearn.py) ---------
+
+_EMB_COMP = "(" + _MD5INT8.format(x="s || '#' || CAST(j AS VARCHAR)") + ") % 2001 - 1000"
+
+
+@_q(
+    "q248_transe_eval",
+    _KG_TRIPLES_SQL
+    + f"""
+    , e AS MATERIALIZED (SELECT DISTINCT ent FROM
+              (SELECT subj AS ent FROM t UNION SELECT obj FROM t)),
+    test AS (SELECT subj, pred, obj FROM t
+             WHERE ({_MD5INT8.format(x="subj || '|' || pred || '|' || obj")})
+                   % 1000 = 0),
+    cand AS (SELECT test.subj, test.pred, test.obj, e.ent AS cand
+             FROM test JOIN e ON substr(e.ent, 1, 1) = substr(test.obj, 1, 1)),
+    kept AS (SELECT c.* FROM cand c LEFT JOIN t t2
+               ON t2.subj = c.subj AND t2.pred = c.pred AND t2.obj = c.cand
+             WHERE c.cand = c.obj OR t2.subj IS NULL),
+    names AS (SELECT ent AS s FROM e UNION SELECT DISTINCT pred FROM t),
+    -- one embedding LIST row per string: a (string, component) long table
+    -- joined on (s, j) invites the optimizer into a j=j cross-ish join
+    -- (measured: 2.8e9 intermediate rows); three s-keyed list joins can't
+    -- be misordered
+    emb AS MATERIALIZED (SELECT s,
+             list_transform(range(8),
+                            j -> CAST({_EMB_COMP} AS BIGINT)) AS v
+           FROM names),
+    scored AS MATERIALIZED (
+      SELECT k.subj, k.pred, k.obj, k.cand,
+             CAST(list_sum(list_transform(range(8),
+                    i -> abs(es.v[i + 1] + ep.v[i + 1] - ec.v[i + 1])))
+                  AS BIGINT) AS score
+      FROM kept k
+      JOIN emb es ON es.s = k.subj
+      JOIN emb ep ON ep.s = k.pred
+      JOIN emb ec ON ec.s = k.cand),
+    ts AS MATERIALIZED (SELECT subj, pred, obj, score AS true_score
+           FROM scored WHERE cand = obj),
+    ranks AS (
+      SELECT s.subj, s.pred, s.obj,
+             CAST(1 + SUM(CASE WHEN s.cand <> s.obj
+                           AND (s.score < ts.true_score
+                                OR (s.score = ts.true_score
+                                    AND s.cand < s.obj))
+                          THEN 1 ELSE 0 END) AS BIGINT) AS rnk
+      FROM scored s JOIN ts USING (subj, pred, obj)
+      GROUP BY 1, 2, 3)
+    SELECT pred, CAST(COUNT(*) AS BIGINT) AS n_test,
+           ROUND(SUM(CASE WHEN rnk <= 10 THEN 1 ELSE 0 END)
+                 / COUNT(*)::DOUBLE, 6) AS hits_at_k,
+           ROUND(SUM(CAST(ROUND(1000000.0 / rnk) AS BIGINT))
+                 / (COUNT(*) * 1000000.0), 6) AS mrr,
+           ROUND(SUM(rnk) / COUNT(*)::DOUBLE, 2) AS mean_rank
+    FROM ranks GROUP BY pred
+    """,
+)
+def q248(spark, sf):
+    """Filtered link-prediction ranking eval over the lifted KG
+    (kglearn.transe_rank_eval, TransE protocol / Bordes et al. 2013):
+    md5-sampled test triples, type-confined broadcast candidate pools,
+    exact-BIGINT L1 energies over deterministic integer embeddings, ranks
+    with id-ascending tie-break, per-pred hits@10 / MRR (micro-integer
+    reciprocals) / mean rank. The twin precomputes embedding components
+    per (string, j) and joins — same math, different physical strategy
+    (the HOF-in-lambda form would re-run md5 8× per component there)."""
+    from bran_spark.operators.kglearn import transe_rank_eval
+
+    return transe_rank_eval(_kg_relational_triples(spark, sf))
+
+
+@_q(
+    "q249_feature_propagation",
+    _KG_TRIPLES_SQL
+    + f"""
+    , e AS (SELECT DISTINCT subj AS src, obj AS dst FROM t),
+    h1 AS (SELECT dst AS ent, CAST(COUNT(*) AS BIGINT) AS in_deg,
+                  CAST(SUM(({_MD5INT8.format(x="src")}) % 1000) AS BIGINT)
+                    AS f1_sum
+           FROM e GROUP BY dst),
+    hubs AS (SELECT i.mid FROM
+               (SELECT dst AS mid, COUNT(*) AS din FROM e GROUP BY dst) i
+             JOIN (SELECT src AS mid, COUNT(*) AS dout FROM e GROUP BY src) o
+               USING (mid)
+             WHERE din * dout > 500),
+    leg1 AS (SELECT e.src AS origin, e.dst AS mid FROM e
+             WHERE e.dst NOT IN (SELECT mid FROM hubs)),
+    h2 AS (SELECT l2.dst AS ent, CAST(COUNT(*) AS BIGINT) AS n_paths2,
+                  CAST(SUM(({_MD5INT8.format(x="origin")}) % 1000) AS BIGINT)
+                    AS f2_sum
+           FROM leg1 JOIN e l2 ON leg1.mid = l2.src
+           GROUP BY l2.dst)
+    SELECT h1.ent, h1.in_deg,
+           ROUND(h1.f1_sum / h1.in_deg::DOUBLE, 6) AS f1_mean,
+           COALESCE(h2.n_paths2, CAST(0 AS BIGINT)) AS n_paths2,
+           CASE WHEN h2.n_paths2 IS NOT NULL
+                THEN ROUND(h2.f2_sum / h2.n_paths2::DOUBLE, 6) END AS f2_mean
+    FROM h1 LEFT JOIN h2 USING (ent)
+    """,
+)
+def q249(spark, sf):
+    """Linear GNN feature pre-propagation over the lifted KG
+    (kglearn.feature_propagation, SGC/LightGCN style): per node, the mean
+    deterministic integer feature over 1-hop in-edges and 2-hop in-paths
+    — BIGINT sums + path counts with ONE final division each, hub middle
+    nodes (in·out fanout > 500) df-cut out of the 2-hop self-join via a
+    broadcast anti-join."""
+    from bran_spark.operators.kglearn import feature_propagation
+
+    return feature_propagation(_kg_relational_triples(spark, sf), hub_cap=500)
+
+
+_NT_ESC = "replace(replace({x}, ':', '%3A'), ' ', '%20')"
+
+
+@_q(
+    "q250_ntriples_export",
+    _KG_TRIPLES_SQL
+    + f"""
+    , lbl AS (SELECT 'N:' || n_nationkey AS ent, n_name AS label FROM nation
+              UNION ALL
+              SELECT 'R:' || r_regionkey, r_name FROM region)
+    SELECT 'triple' AS kind, subj,
+           '<http://kg.local/e/' || {_NT_ESC.format(x="subj")} || '> ' ||
+           '<http://kg.local/p/' || {_NT_ESC.format(x="pred")} || '> ' ||
+           '<http://kg.local/e/' || {_NT_ESC.format(x="obj")} || '> .'
+             AS line
+    FROM t
+    UNION ALL
+    SELECT 'label' AS kind, ent AS subj,
+           '<http://kg.local/e/' || {_NT_ESC.format(x="ent")} || '> ' ||
+           '<http://www.w3.org/2000/01/rdf-schema#label> "' ||
+           replace(replace(label, '\\', '\\\\'), '"', '\\"') || '" .'
+             AS line
+    FROM lbl
+    """,
+)
+def q250(spark, sf):
+    """Canonical N-Triples serialization of the lifted KG plus rdfs:label
+    statements for the nation/region dims (kgquality.ntriples_export) —
+    the W3C publication format a SPARQL endpoint ingests. IRI
+    percent-encoding and literal escaping both engine-replayable string
+    ops; pure projection, no shuffle, no UDF."""
+    from bran_spark.operators.kgquality import ntriples_export
+
+    labels = (
+        _t(spark, sf, "nation")
+        .select(
+            F.concat(F.lit("N:"), F.col("n_nationkey").cast("string")).alias("ent"),
+            F.col("n_name").alias("label"),
+        )
+        .unionByName(
+            _t(spark, sf, "region").select(
+                F.concat(F.lit("R:"), F.col("r_regionkey").cast("string")).alias("ent"),
+                F.col("r_name").alias("label"),
+            )
+        )
+    )
+    return ntriples_export(_kg_relational_triples(spark, sf), labels)
+
+
 # =========================================================================
 # Registry ordering: the driver's correctness gate hash-checks the FIRST
 # 50 insertion-order entries of ``queries()``. Definition order above is
@@ -10713,11 +10874,16 @@ _FIRST_50 = [
     # q160, whose plan CONTAINS the ancestor closure and adds
     # LCA/Wu-Palmer + information content on top (ontology-semantics
     # family, new this round); q66 stays mirror-covered.
-    "q56_pagerank", "q57_triangle_counts", "q160_lin_similarity",
+    # (r5 rotation: triangle counting rotates OUT to the mirror — stable
+    # since r2, and the graph family keeps pagerank + ontology-semantics
+    # reps; its slot funds the NEW KG-representation-learning family's
+    # 2-hop feature pre-propagation)
+    "q56_pagerank", "q249_feature_propagation", "q160_lin_similarity",
     # KG provenance + eval-CI (round-3 families)
     "q96_triple_provenance", "q101_bootstrap_prf",
-    # training-data prep (round-3)
-    "q93_doc_chunking",
+    # KG-embedding eval family (r5, new): filtered TransE ranking takes
+    # the slot of the long-stable q93_doc_chunking (mirror-covered)
+    "q248_transe_eval",
     # sampling family (negative sampling q65 stays mirror-covered; its
     # slot funds the Fellegi-Sunter linkage family, new this round)
     "q61_stratified_sample", "q165_fs_linkage",
