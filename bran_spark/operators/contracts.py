@@ -161,6 +161,47 @@ def k_anonymity_audit(
     )
 
 
+def l_diversity_audit(
+    df: DataFrame, qi_cols: list[str], sensitive_col, l_min: int = 3
+) -> DataFrame:
+    """l-diversity audit (Machanavajjhala et al. 2007) — the companion
+    gate to k_anonymity_audit: a QI group can be large enough for k yet
+    HOMOGENEOUS in the sensitive attribute, so membership alone leaks
+    the secret. Every QI group must carry at least ``l_min`` DISTINCT
+    sensitive values; groups below that are homogeneity-attackable.
+
+    Same shuffle shape as the k gate (one QI-keyed aggregate — the
+    distinct count partial-aggregates — plus a 1-row rollup). Output:
+    1 row (n_rows, n_groups, min_diversity, n_violating_groups,
+    n_violating_rows, violating_share 6 dp, l_satisfied)."""
+    sens = F.col(sensitive_col) if isinstance(sensitive_col, str) else sensitive_col
+    g = df.groupBy(*[F.col(c) for c in qi_cols]).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.countDistinct(sens).cast("long").alias("ndv"),
+    )
+    return g.agg(
+        F.sum("n").cast("long").alias("n_rows"),
+        F.count(F.lit(1)).cast("long").alias("n_groups"),
+        F.min("ndv").cast("long").alias("min_diversity"),
+        F.sum((F.col("ndv") < l_min).cast("long"))
+        .cast("long")
+        .alias("n_violating_groups"),
+        F.sum(F.when(F.col("ndv") < l_min, F.col("n")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("n_violating_rows"),
+    ).select(
+        "n_rows",
+        "n_groups",
+        "min_diversity",
+        "n_violating_groups",
+        "n_violating_rows",
+        F.round(
+            F.col("n_violating_rows") / F.col("n_rows").cast("double"), 6
+        ).alias("violating_share"),
+        (F.col("n_violating_groups") == 0).alias("l_satisfied"),
+    )
+
+
 PII_PATTERNS = {
     "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
     "phone": r"\b[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}\b",

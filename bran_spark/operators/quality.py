@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from bran_spark.functions.text import words
+from bran_spark.functions.text import STOPWORDS, words
 
 
 def repetition_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -741,4 +741,81 @@ def strip_boilerplate(
             F.array_join(kept, "\n").alias("text"),
         )
         .orderBy("doc_id")
+    )
+
+
+def rake_keyphrases(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    top_n: int = 100,
+) -> DataFrame:
+    """RAKE keyphrase extraction (Rose et al. 2010) — corpus-level
+    candidate-term mining: the cheap, language-light extractor that
+    surfaces multi-word terms for KG node candidates and index
+    vocabularies. Candidate phrases are maximal stopword-free word runs
+    (relational gaps-and-islands: island = pos − row_number over
+    non-stopword positions, the q162 idiom); each word scores
+    deg/freq where deg sums the lengths of every phrase containing it
+    (RAKE's degree = co-occurrence credit), and a phrase scores the sum
+    of its members' scores.
+
+    Exactness contract: word scores are round(1e6·deg/freq) BIGINT
+    micro-scores (ONE float op per distinct word), phrase scores are
+    then associative INTEGER sums — bit-stable across engines and
+    partitionings. Output: the corpus's ``top_n`` phrases by
+    (score_micro DESC, phrase ASC) — (phrase, score_micro,
+    n_occurrences, n_docs).
+
+    Scale: one corpus explode, a word-keyed stats aggregate (map-side
+    combined; the join back to members is 1:1 per row — Zipf-hot words
+    fan nothing out), one (doc, island) rollup, one phrase rollup, and
+    a top-N. No driver-side state."""
+    w = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(words(text_col)).alias("pos", "w"),
+    ).where(F.col("w") != "")
+    ns = w.where(~F.col("w").isin(*STOPWORDS)).withColumn(
+        "island",
+        F.col("pos")
+        - F.row_number().over(Window.partitionBy("doc_id").orderBy("pos")),
+    )
+    mem = ns.withColumn(
+        "plen", F.count(F.lit(1)).over(Window.partitionBy("doc_id", "island"))
+    )
+    scores = (
+        mem.groupBy("w")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("freq"),
+            F.sum("plen").cast("long").alias("deg"),
+        )
+        .select(
+            "w",
+            F.round(F.lit(1000000.0) * F.col("deg") / F.col("freq"))
+            .cast("long")
+            .alias("w_score"),
+        )
+    )
+    phrases = (
+        mem.join(scores, "w")
+        .groupBy("doc_id", "island")
+        .agg(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "w"))),
+                    lambda s: s["w"],
+                ),
+            ).alias("phrase"),
+            F.sum("w_score").cast("long").alias("score_micro"),
+        )
+    )
+    return (
+        phrases.groupBy("phrase", "score_micro")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_occurrences"),
+            F.countDistinct("doc_id").cast("long").alias("n_docs"),
+        )
+        .orderBy(F.desc("score_micro"), F.asc("phrase"))
+        .limit(top_n)
     )

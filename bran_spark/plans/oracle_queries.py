@@ -10805,6 +10805,92 @@ def q250(spark, sf):
     return ntriples_export(_kg_relational_triples(spark, sf), labels)
 
 
+_RAKE_STOP_SQL = ", ".join(
+    f"'{w}'" for w in ["the", "a", "of", "and", "to", "in", "with", "after", "during"]
+)
+
+
+@_q(
+    "q251_rake_keyphrases",
+    f"""
+    WITH w AS (SELECT doc_id, i + 1 AS pos, ws[i + 1] AS w
+               FROM (SELECT doc_id,
+                            string_split_regex(trim(lower(text)), ' +') AS ws
+                     FROM documents),
+                    unnest(range(len(ws))) t(i)
+               WHERE ws[i + 1] <> ''),
+    ns AS (SELECT doc_id, pos, w,
+                  pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos)
+                    AS island
+           FROM w WHERE w NOT IN ({_RAKE_STOP_SQL})),
+    mem AS (SELECT doc_id, island, pos, w,
+                   COUNT(*) OVER (PARTITION BY doc_id, island) AS plen
+            FROM ns),
+    ws2 AS (SELECT w, COUNT(*)::BIGINT AS freq, SUM(plen)::BIGINT AS deg
+            FROM mem GROUP BY w),
+    sc AS (SELECT w, CAST(ROUND(1000000.0 * deg / freq) AS BIGINT)
+                    AS w_score
+           FROM ws2),
+    ph AS (SELECT m.doc_id, m.island,
+                  string_agg(m.w, ' ' ORDER BY m.pos) AS phrase,
+                  SUM(sc.w_score)::BIGINT AS score_micro
+           FROM mem m JOIN sc USING (w) GROUP BY 1, 2)
+    SELECT phrase, score_micro,
+           COUNT(*)::BIGINT AS n_occurrences,
+           COUNT(DISTINCT doc_id)::BIGINT AS n_docs
+    FROM ph GROUP BY 1, 2
+    ORDER BY score_micro DESC, phrase ASC LIMIT 100
+    """,
+)
+def q251(spark, sf):
+    """RAKE keyphrase extraction (quality.rake_keyphrases, Rose et al.
+    2010): maximal stopword-free word runs scored by summed member
+    deg/freq micro-scores — the candidate-term miner for KG node
+    vocabularies. Gaps-and-islands phrase building, micro-integer word
+    scores (ONE float op per distinct word), associative BIGINT phrase
+    sums, corpus top-100 with deterministic tie-break."""
+    from bran_spark.operators.quality import rake_keyphrases
+
+    return rake_keyphrases(_t(spark, sf, "documents"), "doc_id", "text", top_n=100)
+
+
+@_q(
+    "q252_l_diversity",
+    """
+    WITH g AS (SELECT c_nationkey, c_mktsegment, COUNT(*)::BIGINT AS n,
+                      COUNT(DISTINCT CAST(floor(c_acctbal / 1000.0) AS BIGINT)
+                           )::BIGINT AS ndv
+               FROM customer GROUP BY 1, 2),
+    a AS (SELECT SUM(n)::BIGINT AS n_rows, COUNT(*)::BIGINT AS n_groups,
+                 MIN(ndv)::BIGINT AS min_diversity,
+                 SUM(CASE WHEN ndv < 5 THEN 1 ELSE 0 END)::BIGINT
+                   AS n_violating_groups,
+                 SUM(CASE WHEN ndv < 5 THEN n ELSE 0 END)::BIGINT
+                   AS n_violating_rows
+          FROM g)
+    SELECT n_rows, n_groups, min_diversity, n_violating_groups,
+           n_violating_rows,
+           ROUND(n_violating_rows / n_rows::DOUBLE, 6) AS violating_share,
+           n_violating_groups = 0 AS l_satisfied
+    FROM a
+    """,
+)
+def q252(spark, sf):
+    """l-diversity audit (contracts.l_diversity_audit, l=5) over the
+    (nation, market-segment) quasi-identifier with the account-balance
+    thousand-band as the sensitive attribute: a group that clears
+    q229's k gate can still be HOMOGENEOUS in the secret — membership
+    alone leaks it. Same QI-keyed shuffle shape as the k gate."""
+    from bran_spark.operators.contracts import l_diversity_audit
+
+    return l_diversity_audit(
+        _t(spark, sf, "customer"),
+        ["c_nationkey", "c_mktsegment"],
+        F.floor(F.col("c_acctbal") / 1000.0).cast("long"),
+        l_min=5,
+    )
+
+
 # =========================================================================
 # Registry ordering: the driver's correctness gate hash-checks the FIRST
 # 50 insertion-order entries of ``queries()``. Definition order above is
