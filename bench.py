@@ -210,7 +210,19 @@ def main() -> None:
     compact = dict(out)
     compact["queries"] = {_short(k): round(v, 2) for k, v in timings.items()}
     line = json.dumps(compact, separators=(",", ":"))
-    assert len(line) <= 1900, f"driver tail buffer is 2000 chars; line is {len(line)}"
+    if len(line) > 1900:
+        # Never die (or regress to parsed:null) AFTER a multi-minute run:
+        # drop the per-query dict — the headline metric, flagship runs and
+        # throughput still reach the driver, and bench_full.json has the
+        # rest. (An assert here would also vanish under python -O.)
+        print(
+            f"bench: compact line {len(line)} chars exceeds the driver's "
+            "2000-char tail; dropping the queries dict from the stdout line "
+            "(full record in BENCH/bench_full.json)",
+            file=sys.stderr,
+        )
+        compact.pop("queries")
+        line = json.dumps(compact, separators=(",", ":"))
     print(line)
     spark.stop()
 

@@ -52,44 +52,71 @@ def _even_parallelism(df: DataFrame) -> DataFrame:
         return df
     if not files or len(files) >= par:
         return df
-    if any("://" in f and not f.startswith("file:") for f in files):
-        # Remote scheme (hdfs://, s3a://, ...): the partition-count check
-        # above already passed, proving the scan splittable, and pyarrow
-        # can't open these footers by bare path — a probe failure must NOT
-        # buy a full shuffle on exactly the real-cluster case (ADVICE r4).
-        return df
+    remote = any("://" in f and not f.startswith("file:") for f in files)
     try:
         import os
 
         import pyarrow.parquet as pq
 
-        paths = [f.removeprefix("file:") for f in files]
-        if any(not p.endswith(".parquet") for p in paths):
+        if any(not f.endswith(".parquet") for f in files):
             return df  # non-parquet: row-group logic doesn't apply
+
+        if remote:
+            # hdfs://, s3://, ...: resolve a real filesystem client for the
+            # footer reads (ADVICE r4). If pyarrow can't speak the scheme
+            # (e.g. s3a:// aliases), fall through to the except branch —
+            # which for remote inputs returns df unchanged: the partition-
+            # count check above passed, and an insurance shuffle on every
+            # real-cluster run would be worse than a possible missed cliff.
+            from pyarrow.fs import FileSystem
+
+            fs, _ = FileSystem.from_uri(files[0])
+
+            def n_row_groups(f):
+                _, path = FileSystem.from_uri(f)
+                return pq.ParquetFile(fs.open_input_file(path)).metadata.num_row_groups
+
+            def leaf_bytes(f):
+                _, path = FileSystem.from_uri(f)
+                return fs.get_file_info(path).size or 0
+
+        else:
+
+            def n_row_groups(f):
+                return pq.ParquetFile(f.removeprefix("file:")).metadata.num_row_groups
+
+            def leaf_bytes(f):
+                return os.path.getsize(f.removeprefix("file:"))
+
         # Probe per LEAF (≈ per directory of inputFiles): a derived plan can
         # mix the corpus scan with dimension files, and a many-row-group
         # side table summed globally would mask a single-row-group corpus —
         # the exact cliff this check exists to catch (ADVICE r4).
         by_dir: dict[str, list[str]] = {}
-        for p in paths:
-            by_dir.setdefault(os.path.dirname(p), []).append(p)
-        sizes = {d: sum(os.path.getsize(p) for p in ps) for d, ps in by_dir.items()}
+        for f in files:
+            by_dir.setdefault(f.rsplit("/", 1)[0], []).append(f)
+        sizes = {d: sum(leaf_bytes(f) for f in fs_) for d, fs_ in by_dir.items()}
         total = sum(sizes.values()) or 1
-        for d, ps in by_dir.items():
+        for d, fs_ in by_dir.items():
             # Only a LARGE leaf can starve the cores; small dimension
             # tables legitimately live in one row group. "Large" = holds
             # most of the input bytes, or is big in absolute terms.
             if sizes[d] < (32 << 20) and sizes[d] < 0.5 * total:
                 continue
             row_groups = 0
-            for p in ps:
-                row_groups += pq.ParquetFile(p).metadata.num_row_groups
+            for f in fs_:
+                row_groups += n_row_groups(f)
                 if row_groups >= par:
                     break
             if row_groups < par:
                 return df.repartition(par * 2)
         return df
     except Exception:
+        if remote:
+            # a probe failure must NOT buy a full shuffle on exactly the
+            # real-cluster case (ADVICE r4): the scan already proved
+            # splittable by partition count
+            return df
         # unreadable LOCAL footers + suspiciously few files: the
         # repartition is cheap insurance relative to a single-task funnel
         return df.repartition(par * 2)

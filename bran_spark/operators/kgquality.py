@@ -518,17 +518,20 @@ def ntriples_export(
     ``base_iri`` with the two characters our id scheme can contain that
     an IRI path cannot carry raw (':' and space) percent-encoded;
     optional ``labels`` (ent, label) rows become `rdfs:label` statements
-    with N-Triples string-literal escaping (backslash first, then
-    quote — order matters or the escape escapes itself).
+    with N-Triples string-literal escaping (backslash first so later
+    escapes aren't re-escaped, then quote, then the \\n \\r \\t control
+    characters the one-statement-per-line grammar cannot carry raw).
 
-    Pure projection over the triple scan (no shuffle, no UDF: concat +
-    replace stay inside whole-stage codegen); the label dim joins
-    broadcast. Returns (kind, subj, line)."""
+    IRI encoding is injective: '%' itself is encoded FIRST (→ %25), so a
+    raw id 'a%3Ab' and a different id 'a:b' cannot collide on the same
+    IRI. Pure projection over the triple scan (no shuffle, no UDF:
+    concat + replace stay inside whole-stage codegen); the label dim
+    joins broadcast. Returns (kind, subj, line)."""
 
     def iri(col, path):
-        enc = F.regexp_replace(
-            F.regexp_replace(F.col(col), ":", "%3A"), " ", "%20"
-        )
+        enc = F.col(col)
+        for raw, pct in (("%", "%25"), (":", "%3A"), (" ", "%20")):
+            enc = F.regexp_replace(enc, raw, pct)
         return F.concat(F.lit(f"<{base_iri}/{path}/"), enc, F.lit(">"))
 
     ent_lines = triples.select(
@@ -540,13 +543,12 @@ def ntriples_export(
     )
     if labels is None:
         return ent_lines
-    lit = F.concat(
-        F.lit('"'),
-        F.regexp_replace(
-            F.regexp_replace(F.col("label"), r"\\", r"\\\\"), '"', r'\\"'
-        ),
-        F.lit('"'),
+    esc = F.regexp_replace(
+        F.regexp_replace(F.col("label"), r"\\", r"\\\\"), '"', r'\\"'
     )
+    for ctrl, rep in (("\n", r"\\n"), ("\r", r"\\r"), ("\t", r"\\t")):
+        esc = F.regexp_replace(esc, ctrl, rep)
+    lit = F.concat(F.lit('"'), esc, F.lit('"'))
     label_lines = labels.select(
         F.lit("label").alias("kind"),
         F.col("ent").alias("subj"),

@@ -10756,7 +10756,7 @@ def q249(spark, sf):
     return feature_propagation(_kg_relational_triples(spark, sf), hub_cap=500)
 
 
-_NT_ESC = "replace(replace({x}, ':', '%3A'), ' ', '%20')"
+_NT_ESC = "replace(replace(replace({x}, '%', '%25'), ':', '%3A'), ' ', '%20')"
 
 
 @_q(
@@ -10776,7 +10776,9 @@ _NT_ESC = "replace(replace({x}, ':', '%3A'), ' ', '%20')"
     SELECT 'label' AS kind, ent AS subj,
            '<http://kg.local/e/' || {_NT_ESC.format(x="ent")} || '> ' ||
            '<http://www.w3.org/2000/01/rdf-schema#label> "' ||
-           replace(replace(label, '\\', '\\\\'), '"', '\\"') || '" .'
+           replace(replace(replace(replace(replace(
+             label, '\\', '\\\\'), '"', '\\"'),
+             chr(10), '\\n'), chr(13), '\\r'), chr(9), '\\t') || '" .'
              AS line
     FROM lbl
     """,

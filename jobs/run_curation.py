@@ -135,8 +135,12 @@ def main() -> None:
     # all-knobs hash would invalidate cur_quality/cur_exact/cur_neardup when
     # a tail-only knob like --dsir-k changes, forcing a full-funnel
     # recompute on exactly the tune-the-tail workflow resume exists for
-    # (ADVICE r4). Operator constants (shingle n, bands) are recorded too so
-    # parameterizing them later can't silently reuse stale snapshots.
+    # (ADVICE r4). Operator constants (shingle n, bands) live in these
+    # dicts and are **-splatted into the operator calls below, so the
+    # recorded hash and the executed parameters cannot drift apart.
+    neardup_params = {"n": 4, "bands": 4}
+    decontam_params = {"n": 8}
+    mask_params = {"n": 8}
     stage_cfgs = {
         "cur_quality": {
             "sf_dir": args.sf_dir,
@@ -145,9 +149,9 @@ def main() -> None:
         },
         "cur_lm": {"min_logprob": args.min_logprob},
         "cur_exact": {},
-        "cur_neardup": {"n": 4, "bands": 4},
-        "cur_decontam": {"bench": args.bench, "n": 8},
-        "cur_masked": {"n": 8},
+        "cur_neardup": neardup_params,
+        "cur_decontam": {"bench": args.bench, **decontam_params},
+        "cur_masked": mask_params,
         "cur_dsir": {"dsir_target": args.dsir_target, "dsir_k": args.dsir_k},
     }
     resumed_stages: list[str] = []
@@ -216,7 +220,7 @@ def main() -> None:
 
     # 3. near-dup survivor dedup (LSH candidates → components → one per cluster)
     def _build_neardup(kept=kept):
-        pairs = minhash_lsh_pairs(kept, "doc_id", "text", n=4, bands=4)
+        pairs = minhash_lsh_pairs(kept, "doc_id", "text", **neardup_params)
         return dedup_corpus(kept, pairs)
 
     kept, n_neardup = _stage("cur_neardup", _build_neardup, _snap("cur_exact"))
@@ -229,7 +233,8 @@ def main() -> None:
         def _build_decontam(kept=kept):
             bench = spark.read.parquet(args.bench)
             leaked = decontaminate(
-                kept, bench, "doc_id", "text", "bench_id", "btext", n=8
+                kept, bench, "doc_id", "text", "bench_id", "btext",
+                **decontam_params,
             )
             return kept.join(leaked.select("doc_id"), "doc_id", "left_anti")
 
@@ -255,7 +260,7 @@ def main() -> None:
 
         if tio is None:
             spark.sparkContext.setJobDescription("curation:span_edited_count")
-            masked = mask_duplicate_spans(kept, "doc_id", "text", n=8)
+            masked = mask_duplicate_spans(kept, "doc_id", "text", **mask_params)
             n_span_edited = masked.where(_edited).count()
             kept = kept.drop("text").join(
                 masked.select(
@@ -267,7 +272,7 @@ def main() -> None:
         else:
 
             def _build_masked(kept=kept):
-                masked = mask_duplicate_spans(kept, "doc_id", "text", n=8)
+                masked = mask_duplicate_spans(kept, "doc_id", "text", **mask_params)
                 return kept.drop("text").join(
                     masked.select(
                         F.col("id").alias("doc_id"),

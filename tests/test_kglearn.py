@@ -34,21 +34,20 @@ TRIPLES = [
 ]
 
 
-def _expected_ranks():
-    ents = sorted({x for t in TRIPLES for x in (t[0], t[2])})
-    true = set(TRIPLES)
+def _expected_ranks_for(triples):
+    ents = sorted({x for t in triples for x in (t[0], t[2])})
+    true = set(triples)
     out = {}
-    for s, p, o in TRIPLES:
+    for s, p, o in triples:
         pool = [e for e in ents if e.split(":")[0] == o.split(":")[0]]
         cands = [c for c in pool if c == o or (s, p, c) not in true]
         ts = _score(s, p, o)
-        rank = 1 + sum(
+        out[(s, p, o)] = 1 + sum(
             1
             for c in cands
             if c != o
             and (_score(s, p, c) < ts or (_score(s, p, c) == ts and c < o))
         )
-        out[(s, p, o)] = rank
     return out
 
 
@@ -61,7 +60,7 @@ def test_transe_rank_eval_matches_local_reference(spark):
         r.pred: r.asDict()
         for r in transe_rank_eval(df, test_sample_mod=1).collect()
     }
-    ranks = _expected_ranks()
+    ranks = _expected_ranks_for(TRIPLES)
     by_pred: dict[str, list[int]] = {}
     for (s, p, o), rk in ranks.items():
         by_pred.setdefault(p, []).append(rk)
@@ -104,23 +103,6 @@ def test_transe_rank_eval_filtered_setting(spark):
     n = len(trip)
     assert got[p].n_test == n
     assert got[p].mean_rank == round(sum(ranks.values()) / n, 2)
-
-
-def _expected_ranks_for(triples):
-    ents = sorted({x for t in triples for x in (t[0], t[2])})
-    true = set(triples)
-    out = {}
-    for s, p, o in triples:
-        pool = [e for e in ents if e.split(":")[0] == o.split(":")[0]]
-        cands = [c for c in pool if c == o or (s, p, c) not in true]
-        ts = _score(s, p, o)
-        out[(s, p, o)] = 1 + sum(
-            1
-            for c in cands
-            if c != o
-            and (_score(s, p, c) < ts or (_score(s, p, c) == ts and c < o))
-        )
-    return out
 
 
 def test_feature_propagation_exact_and_hub_cut(spark):
@@ -180,3 +162,24 @@ def test_ntriples_export_escaping(spark):
         "<http://www.w3.org/2000/01/rdf-schema#label> "
         '"He said \\"hi\\" \\\\ bye" .'
     )
+
+
+def test_ntriples_export_injective_iri_and_control_chars(spark):
+    from bran_spark.operators.kgquality import ntriples_export
+
+    # 'a%3Ab' and 'a:b' must NOT collide: '%' is encoded first
+    trip = spark.createDataFrame(
+        [("a%3Ab", "p", "x"), ("a:b", "p", "x")],
+        "subj string, pred string, obj string",
+    )
+    lines = [r.line for r in ntriples_export(trip).collect()]
+    assert len(set(lines)) == 2
+    assert any("a%253Ab" in ln for ln in lines)
+    # control characters in labels are escaped, keeping one stmt per line
+    labels = spark.createDataFrame(
+        [("x", "line1\nline2\ttab\rcr")], "ent string, label string"
+    )
+    lbl = [r.line for r in ntriples_export(trip, labels).collect()
+           if r.kind == "label"][0]
+    assert "\n" not in lbl and "\t" not in lbl and "\r" not in lbl
+    assert '"line1\\nline2\\ttab\\rcr"' in lbl
