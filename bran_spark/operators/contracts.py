@@ -202,6 +202,93 @@ def l_diversity_audit(
     )
 
 
+def t_closeness_audit(
+    df: DataFrame,
+    qi_cols: list[str],
+    sensitive_col,
+    t: float = 0.35,
+) -> DataFrame:
+    """t-closeness audit (Li, Li & Venkatasubramanian, ICDE 2007) — the
+    third rung of the release-gate ladder after k_anonymity_audit and
+    l_diversity_audit: a QI group can be large (k) and varied (l) yet
+    still SKEWED — if 90% of one group carries the rare sensitive value
+    that is 5% globally, membership shifts an attacker's posterior
+    enormously. The gate bounds, per QI group, the total-variation
+    distance between the group's sensitive-value distribution and the
+    corpus-wide one:
+
+      TVD(g) = ½ Σ_v |n_gv/n_g − n_v/N|
+
+    Exact-integer form: over the common denominator n_g·N every term is
+    |n_gv·N − n_v·n_g|, and values ABSENT from the group contribute
+    Σ_missing n_v·n_g = (N − Σ_present n_v)·n_g — so the whole distance
+    is one BIGINT tree per group with a single final division, and both
+    engines round identically (no per-value float sums). Overflow bound:
+    n_gv·N < 2⁶³ ⇒ N ≲ 3·10⁹ rows; beyond that pre-aggregate counts to
+    a coarser sensitive domain or compute in DECIMAL.
+
+    Shuffle shape: one (QI, v)-keyed count (the dedup shuffle), one
+    window re-use of that partitioning for n_g, a broadcast of the
+    value-domain counts (|domain| rows) and the 1-row N, then a QI-keyed
+    rollup — no cross join of groups × values is ever materialized.
+    Output: 1 row (n_rows, n_groups, max_tvd 6 dp, n_violating_groups
+    with ROUND(tvd,6) > t, n_violating_rows, t_satisfied)."""
+    sens = (
+        F.col(sensitive_col) if isinstance(sensitive_col, str) else sensitive_col
+    )
+    cell = df.groupBy(
+        *[F.col(c) for c in qi_cols], sens.alias("_v")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_gv"))
+    vdom = cell.groupBy("_v").agg(F.sum("n_gv").cast("long").alias("n_v"))
+    tot = vdom.agg(F.sum("n_v").cast("long").alias("n_total"))
+    w = Window.partitionBy(*qi_cols)
+    per_cell = (
+        cell.withColumn("n_g", F.sum("n_gv").over(w).cast("long"))
+        .join(F.broadcast(vdom), "_v")
+        .crossJoin(F.broadcast(tot))
+    )
+    grp = per_cell.groupBy(*qi_cols).agg(
+        F.first("n_g").alias("n_g"),
+        F.first("n_total").alias("n_total"),
+        F.sum(
+            F.abs(F.col("n_gv") * F.col("n_total") - F.col("n_v") * F.col("n_g"))
+        )
+        .cast("long")
+        .alias("dev_present"),
+        F.sum("n_v").cast("long").alias("nv_present"),
+    )
+    tvd = F.round(
+        (
+            F.col("dev_present")
+            + (F.col("n_total") - F.col("nv_present")) * F.col("n_g")
+        )
+        / (2.0 * F.col("n_g") * F.col("n_total")),
+        6,
+    )
+    g = grp.select(
+        F.col("n_g"),
+        tvd.alias("tvd"),
+    )
+    return g.agg(
+        F.sum("n_g").cast("long").alias("n_rows"),
+        F.count(F.lit(1)).cast("long").alias("n_groups"),
+        F.max("tvd").alias("max_tvd"),
+        F.sum((F.col("tvd") > t).cast("long"))
+        .cast("long")
+        .alias("n_violating_groups"),
+        F.sum(F.when(F.col("tvd") > t, F.col("n_g")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("n_violating_rows"),
+    ).select(
+        "n_rows",
+        "n_groups",
+        "max_tvd",
+        "n_violating_groups",
+        "n_violating_rows",
+        (F.col("n_violating_groups") == 0).alias("t_satisfied"),
+    )
+
+
 PII_PATTERNS = {
     "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
     "phone": r"\b[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}\b",
@@ -370,3 +457,86 @@ def profile_columns(df: DataFrame, cols: list[str]) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     return out.orderBy("col")
+
+
+def schema_match(
+    left: DataFrame,
+    right: DataFrame,
+    left_cols: list[str],
+    right_cols: list[str],
+) -> DataFrame:
+    """Instance-based schema matching (the value-overlap half of classic
+    matchers like LSD/COMA): given two tables that SHOULD join or union
+    but come from different producers, score every (left column, right
+    column) candidate by the Jaccard similarity of their distinct value
+    sets — the signal that finds `cust_nation_id` ≡ `s_nationkey` when
+    names share nothing. A KG-construction ingest runs this before
+    writing a mapping config, not instead of one: the output ranks
+    candidates for a human (or an LLM labeler) to confirm.
+
+    Scale shape: each side is melted into (col, value) pairs in ONE
+    scan (a column-dimension union of projections, no shuffle), then
+    distinct-ed — the same shuffle an exact dedup costs, keyed by value
+    so one column's hot domain cannot skew another's. Intersections
+    come from a single value-keyed join of the two distinct sets; the
+    full m×n candidate matrix is a crossJoin of two COLUMN-dimension
+    stat tables (m, n ≤ dozens — dimension-table legality) left-joined
+    with the intersection counts. At 100 TB melt a deterministic sample
+    per column first (values are only evidence, not output).
+
+    Output: one row per (left_col, right_col): n_left, n_right,
+    n_common, jaccard 6 dp, rank of the pair within left_col — ordered
+    by (left_col, rank)."""
+
+    def melt(df: DataFrame, cols: list[str], name: str) -> DataFrame:
+        parts = [
+            df.select(
+                F.lit(c).alias(name), F.col(c).cast("string").alias("v")
+            ).where(F.col("v").isNotNull())
+            for c in cols
+        ]
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out.distinct()
+
+    lv = melt(left, left_cols, "left_col")
+    rv = melt(right, right_cols, "right_col")
+    lstat = lv.groupBy("left_col").agg(
+        F.count(F.lit(1)).cast("long").alias("n_left")
+    )
+    rstat = rv.groupBy("right_col").agg(
+        F.count(F.lit(1)).cast("long").alias("n_right")
+    )
+    inter = (
+        lv.join(rv, "v")
+        .groupBy("left_col", "right_col")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_common"))
+    )
+    matrix = (
+        lstat.crossJoin(rstat)
+        .join(inter, ["left_col", "right_col"], "left")
+        .withColumn("n_common", F.coalesce("n_common", F.lit(0)).cast("long"))
+    )
+    jac = F.round(
+        F.col("n_common")
+        / (F.col("n_left") + F.col("n_right") - F.col("n_common")).cast(
+            "double"
+        ),
+        6,
+    )
+    w = Window.partitionBy("left_col").orderBy(
+        F.desc("jaccard"), F.asc("right_col")
+    )
+    return (
+        matrix.select(
+            "left_col",
+            "right_col",
+            "n_left",
+            "n_right",
+            "n_common",
+            jac.alias("jaccard"),
+        )
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .orderBy("left_col", "rank")
+    )

@@ -880,3 +880,108 @@ def isotonic_calibration(
         )
         .orderBy("bin")
     )
+
+
+def platt_scaling(
+    df: DataFrame,
+    score_col: str = "s",
+    label_col: str = "label",
+    iters: int = 3,
+    s_scale: int = 10,
+) -> DataFrame:
+    """Platt scaling (Platt 1999) — the PARAMETRIC rung of the
+    calibration ladder next to calibration_bins (diagnosis) and
+    isotonic_calibration (nonparametric fit): fit p = sigma(a*s + b) by
+    maximum likelihood so a raw triple-confidence score becomes a
+    probability. Fit = ``iters`` fixed Newton-Raphson steps from
+    (a,b) = (0,0); the 2x2 Hessian solve is closed-form.
+
+    Distributed + engine-stable by the FS idiom: each step is ONE pass
+    over the corpus in which every per-row gradient/Hessian term is
+    micro-rounded to a BIGINT (pm = round(p*1e6), wm =
+    round(p(1-p)*1e6)) BEFORE summation, so the sums are associative
+    and bit-identical across partitionings and engines; the Newton
+    update is a single fixed scalar tree over those integers. The score
+    must be an exact decimal with ``1/s_scale`` resolution (s10 =
+    round(s*s_scale) exact). Bounds: |Sum (y*1e6-pm)*s10| < 2^63 means
+    n*|s10|*1e6 < 9e18 (n <= ~1e10 at |s| <= 10, 1 dp) — beyond that
+    drop the micro scale to 1e3. A zero Hessian determinant (all-equal
+    scores) leaves the params unchanged rather than dividing by zero.
+
+    ``iters`` passes + 1 metric pass, each a map-side partial aggregate
+    with a broadcast 1-row param join — no driver loop over data, no
+    collect. Output: 1 row (n, n_pos, a 6dp, b 6dp, avg_p 6dp,
+    log_loss 6dp with probabilities clamped to [1e-12, 1-1e-12])."""
+    rows = df.select(
+        F.col(score_col).cast("double").alias("_s"),
+        F.col(label_col).cast("long").alias("_y"),
+    )
+    spark = df.sparkSession
+    params = spark.range(1).select(
+        F.lit(0.0).alias("a"), F.lit(0.0).alias("b")
+    )
+
+    def _p(j):
+        z = F.col("a") * F.col("_s") + F.col("b")
+        return F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+
+    for _ in range(int(iters)):
+        j = rows.crossJoin(F.broadcast(params))
+        pd_ = _p(j)
+        pm = F.round(pd_ * 1000000.0, 0).cast("long")
+        wm = F.round((pd_ * (F.lit(1.0) - pd_)) * 1000000.0, 0).cast("long")
+        s10 = F.round(F.col("_s") * s_scale, 0).cast("long")
+        agg = j.agg(
+            F.max("a").alias("a_prev"),
+            F.max("b").alias("b_prev"),
+            F.sum(F.col("_y") * 1000000 - pm).cast("long").alias("gbm"),
+            F.sum((F.col("_y") * 1000000 - pm) * s10)
+            .cast("long")
+            .alias("gam"),
+            F.sum(wm).cast("long").alias("hbbm"),
+            F.sum(wm * s10).cast("long").alias("habm"),
+            F.sum(wm * s10 * s10).cast("long").alias("haam"),
+        )
+        ga = F.col("gam") / (1000000.0 * s_scale)
+        gb = F.col("gbm") / 1000000.0
+        haa = F.col("haam") / (1000000.0 * s_scale * s_scale)
+        hab = F.col("habm") / (1000000.0 * s_scale)
+        hbb = F.col("hbbm") / 1000000.0
+        det = haa * hbb - hab * hab
+        da = (hbb * ga - hab * gb) / det
+        db = (haa * gb - hab * ga) / det
+        params = agg.select(
+            (
+                F.col("a_prev")
+                + F.when(det != F.lit(0.0), da).otherwise(F.lit(0.0))
+            ).alias("a"),
+            (
+                F.col("b_prev")
+                + F.when(det != F.lit(0.0), db).otherwise(F.lit(0.0))
+            ).alias("b"),
+        )
+    j = rows.crossJoin(F.broadcast(params))
+    pd_ = _p(j)
+    pm = F.round(pd_ * 1000000.0, 0).cast("long")
+    pc = F.least(F.greatest(pd_, F.lit(1e-12)), F.lit(1.0 - 1e-12))
+    ll = F.lit(0.0) - (
+        F.col("_y") * F.log(pc) + (F.lit(1) - F.col("_y")) * F.log(F.lit(1.0) - pc)
+    )
+    llm = F.round(ll * 1000000.0, 0).cast("long")
+    return j.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("_y").cast("long").alias("n_pos"),
+        F.max("a").alias("_a"),
+        F.max("b").alias("_b"),
+        F.sum(pm).cast("long").alias("_spm"),
+        F.sum(llm).cast("long").alias("_sllm"),
+    ).select(
+        "n",
+        "n_pos",
+        F.round(F.col("_a"), 6).alias("a"),
+        F.round(F.col("_b"), 6).alias("b"),
+        F.round(F.col("_spm") / (F.col("n") * 1000000.0), 6).alias("avg_p"),
+        F.round(F.col("_sllm") / (F.col("n") * 1000000.0), 6).alias(
+            "log_loss"
+        ),
+    )

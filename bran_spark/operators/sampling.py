@@ -16,7 +16,7 @@ the quantization rather than pretending continuous rates.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 KEY_SPACE = 65536  # 4 hex chars
@@ -1069,3 +1069,199 @@ def sequential_looks(
     for r in rows[1:]:
         out = out.unionByName(r)
     return out.orderBy("look")
+
+
+def bh_fdr(
+    units: DataFrame,
+    segment_col: str = "segment",
+    arm_col: str = "arm",
+    y_col: str = "y",
+    q_micro: int = 100000,
+    scale: int = 100,
+) -> DataFrame:
+    """Benjamini-Hochberg FDR control (1995) across a FAMILY of segment
+    readouts — the multiple-testing gate an experiment platform applies
+    when one launch is judged on m segment/metric slices: at per-test
+    alpha, m slices yield ~m·alpha false wins. BH sorts the m p-values
+    ascending and rejects p(1..k*) where k* is the largest i with
+    p_i ≤ i·q/m, controlling the expected false-discovery share at q.
+
+    Engine-stable arithmetic: each segment's Welch z is ONE fixed
+    scalar tree over exact integer sums (ab_effect's contract); its
+    two-sided p comes from the logistic approximation of the normal CDF
+    (p = 2/(1+e^{1.702·|z|}), max |err| ≈ 0.01 — ranking-safe because
+    the map is strictly monotone in |z|), micro-rounded ONCE to a
+    BIGINT, after which the BH inequality p_i ≤ i·q/m is the exact
+    integer compare p_micro·m ≤ i·q_micro. Degenerate segments (an arm
+    with <2 units, or zero spread) report p_micro = 10⁶ and can never
+    be rejected.
+
+    One segment-keyed conditional aggregate over the corpus (map-side
+    partials), then windows over the m-row segment DIMENSION table
+    (m ≤ hundreds — dimension-table legality). Output: one row per
+    segment (segment, n_ctl, n_trt, diff, z, p_micro, m, rank,
+    rejected), ordered by (rank, segment)."""
+    y = F.col("_y")
+    arm = F.col("_arm")
+    g = units.select(
+        F.col(segment_col).alias("segment"),
+        F.col(arm_col).cast("int").alias("_arm"),
+        F.col(y_col).cast("long").alias("_y"),
+    ).groupBy("segment").agg(
+        F.sum(F.when(arm == 0, 1).otherwise(0)).cast("long").alias("n0"),
+        F.sum(F.when(arm == 1, 1).otherwise(0)).cast("long").alias("n1"),
+        F.sum(F.when(arm == 0, y).otherwise(F.lit(0))).cast("long").alias("s0"),
+        F.sum(F.when(arm == 1, y).otherwise(F.lit(0))).cast("long").alias("s1"),
+        F.sum(F.when(arm == 0, y * y).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("q0"),
+        F.sum(F.when(arm == 1, y * y).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("q1"),
+    )
+    k = float(scale)
+    n0 = F.col("n0").cast("double")
+    n1 = F.col("n1").cast("double")
+    m0 = F.col("s0") / (n0 * k)
+    m1 = F.col("s1") / (n1 * k)
+    v0 = F.greatest(
+        (F.col("q0") / (k * k) - n0 * m0 * m0) / (n0 - 1), F.lit(0.0)
+    )
+    v1 = F.greatest(
+        (F.col("q1") / (k * k) - n1 * m1 * m1) / (n1 - 1), F.lit(0.0)
+    )
+    se = F.sqrt(v0 / n0 + v1 / n1)
+    flat = (F.col("n0") * F.col("q0") == F.col("s0") * F.col("s0")) & (
+        F.col("n1") * F.col("q1") == F.col("s1") * F.col("s1")
+    )
+    ok = (F.col("n0") > 1) & (F.col("n1") > 1) & ~flat
+    z = F.round(F.when(ok, (m1 - m0) / se), 6)
+    p_micro = F.when(
+        z.isNotNull(),
+        F.round(2000000.0 / (1.0 + F.exp(1.702 * F.abs(z))), 0).cast("long"),
+    ).otherwise(F.lit(1000000).cast("long"))
+    seg = g.select(
+        "segment",
+        F.col("n0").alias("n_ctl"),
+        F.col("n1").alias("n_trt"),
+        F.round(F.when((F.col("n0") > 0) & (F.col("n1") > 0), m1 - m0), 6)
+        .alias("diff"),
+        z.alias("z"),
+        p_micro.alias("p_micro"),
+    )
+    wall = Window.partitionBy(F.lit(1))
+    wrank = wall.orderBy(F.asc("p_micro"), F.asc("segment"))
+    ranked = seg.select(
+        "*",
+        F.count(F.lit(1)).over(wall).cast("long").alias("m"),
+        F.row_number().over(wrank).cast("long").alias("rank"),
+    ).withColumn(
+        "_passed",
+        F.when(
+            F.col("p_micro") * F.col("m")
+            <= F.col("rank") * F.lit(int(q_micro)),
+            F.col("rank"),
+        ).otherwise(F.lit(0)),
+    )
+    return (
+        ranked.withColumn("_kstar", F.max("_passed").over(wall))
+        .select(
+            "segment",
+            "n_ctl",
+            "n_trt",
+            "diff",
+            "z",
+            "p_micro",
+            "m",
+            F.col("rank").cast("int").alias("rank"),
+            (F.col("rank") <= F.col("_kstar")).alias("rejected"),
+        )
+        .orderBy("rank", "segment")
+    )
+
+
+def mann_whitney(
+    units: DataFrame,
+    arm_col: str = "arm",
+    y_col: str = "y",
+) -> DataFrame:
+    """Mann-Whitney U (Wilcoxon rank-sum) readout — the nonparametric
+    companion to ab_effect's Welch t for the heavy-tailed metrics
+    (spend, session length) where a handful of whales dominate the mean
+    and a rank test answers the question actually asked: does treatment
+    stochastically shift the distribution?
+
+    Rank arithmetic stays EXACT by working on DOUBLED mid-ranks over
+    the VALUE-level histogram: group y (exact integers — integerize
+    upstream, ab_effect's contract) into (value, count, count_trt)
+    rows; with cb = #units strictly below a value, its doubled mid-rank
+    is 2·cb + c + 1 (an integer even when the mid-rank is x.5). Then
+
+      2·U₁ = Σ_v c1_v·(2·cb_v + c_v + 1) − n₁(n₁+1)
+      z    = (2U₁ − n₀n₁) / (2·σ),
+      σ²   = n₀n₁/12 · ((n+1) − Σ(c³−c)/(n(n−1)))   (tie-corrected)
+
+    — every sum a BIGINT (bounds: Σ c1·2n ≲ 2n² < 2⁶³ ⇒ n ≲ 2·10⁹;
+    a single value holding c units needs c³ < 2⁶³ ⇒ c ≲ 2·10⁶ — at
+    whale scale pre-bucket the metric), and z one fixed scalar tree.
+    No continuity correction (large-sample form; document at n < 20
+    use exact tables, not this).
+
+    Shuffle shape: one value-keyed count aggregate (the histogram —
+    cardinality = the metric's value DOMAIN, not the corpus), a
+    running sum over that domain ordered by value (single-partition
+    window; at 10⁹ distinct values swap in packing's distributed
+    prefix-sum), one 1-row rollup. Output: 1 row (n_ctl, n_trt,
+    u_stat, z 6 dp, p_micro via the logistic normal-CDF approximation
+    — see bh_fdr)."""
+    hist = (
+        units.select(
+            F.col(y_col).cast("long").alias("v"),
+            F.col(arm_col).cast("int").alias("_arm"),
+        )
+        .groupBy("v")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("c"),
+            F.sum(F.when(F.col("_arm") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("c1"),
+        )
+    )
+    wv = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    h = hist.withColumn(
+        "cb", F.coalesce(F.sum("c").over(wv), F.lit(0)).cast("long")
+    )
+    g = h.agg(
+        F.sum("c").cast("long").alias("n"),
+        F.sum("c1").cast("long").alias("n1"),
+        F.sum(F.col("c1") * (2 * F.col("cb") + F.col("c") + 1))
+        .cast("long")
+        .alias("r1x2"),
+        F.sum(F.col("c") * F.col("c") * F.col("c") - F.col("c"))
+        .cast("long")
+        .alias("tie_term"),
+        F.count(F.lit(1)).cast("long").alias("ndv"),
+    ).withColumn("n0", (F.col("n") - F.col("n1")).cast("long"))
+    n = F.col("n").cast("double")
+    n0 = F.col("n0").cast("double")
+    n1 = F.col("n1").cast("double")
+    u1x2 = (F.col("r1x2") - F.col("n1") * (F.col("n1") + 1)).cast("double")
+    var = (
+        n0
+        * n1
+        / 12.0
+        * ((n + 1.0) - F.col("tie_term").cast("double") / (n * (n - 1.0)))
+    )
+    ok = (F.col("n0") > 0) & (F.col("n1") > 0) & (F.col("ndv") > 1)
+    z = F.round(F.when(ok, (u1x2 - n0 * n1) / (2.0 * F.sqrt(var))), 6)
+    p_micro = F.when(
+        z.isNotNull(),
+        F.round(2000000.0 / (1.0 + F.exp(1.702 * F.abs(z))), 0).cast("long"),
+    ).otherwise(F.lit(1000000).cast("long"))
+    return g.select(
+        F.col("n0").alias("n_ctl"),
+        F.col("n1").alias("n_trt"),
+        F.round(u1x2 / 2.0, 6).alias("u_stat"),
+        z.alias("z"),
+        p_micro.alias("p_micro"),
+    )

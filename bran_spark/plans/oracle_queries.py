@@ -10893,6 +10893,408 @@ def q252(spark, sf):
     )
 
 
+@_q(
+    "q253_t_closeness",
+    """
+    WITH cell AS (SELECT c_nationkey, c_mktsegment,
+                         CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS v,
+                         COUNT(*)::BIGINT AS n_gv
+                  FROM customer GROUP BY 1, 2, 3),
+    vd AS (SELECT v, SUM(n_gv)::BIGINT AS n_v FROM cell GROUP BY 1),
+    tt AS (SELECT SUM(n_v)::BIGINT AS n_total FROM vd),
+    pc AS (SELECT cell.c_nationkey, cell.c_mktsegment, cell.n_gv, vd.n_v,
+                  tt.n_total,
+                  SUM(n_gv) OVER (PARTITION BY c_nationkey, c_mktsegment
+                                 )::BIGINT AS n_g
+           FROM cell JOIN vd USING (v) CROSS JOIN tt),
+    grp AS (SELECT c_nationkey, c_mktsegment,
+                   MAX(n_g)::BIGINT AS n_g, MAX(n_total)::BIGINT AS n_total,
+                   SUM(abs(n_gv * n_total - n_v * n_g))::BIGINT
+                     AS dev_present,
+                   SUM(n_v)::BIGINT AS nv_present
+            FROM pc GROUP BY 1, 2),
+    g AS (SELECT n_g,
+                 ROUND((dev_present + (n_total - nv_present) * n_g)
+                       / (2.0 * n_g * n_total), 6) AS tvd
+          FROM grp),
+    a AS (SELECT SUM(n_g)::BIGINT AS n_rows, COUNT(*)::BIGINT AS n_groups,
+                 MAX(tvd) AS max_tvd,
+                 SUM((tvd > 0.35)::INT)::BIGINT AS n_violating_groups,
+                 SUM(CASE WHEN tvd > 0.35 THEN n_g ELSE 0 END)::BIGINT
+                   AS n_violating_rows
+          FROM g)
+    SELECT n_rows, n_groups, max_tvd, n_violating_groups, n_violating_rows,
+           n_violating_groups = 0 AS t_satisfied
+    FROM a
+    """,
+)
+def q253(spark, sf):
+    """t-closeness audit (contracts.t_closeness_audit, Li et al. ICDE
+    2007, t=0.35) over the same release QI as q229/q252: per-QI-group
+    total-variation distance to the corpus-wide sensitive distribution,
+    as an exact BIGINT tree over the common denominator n_g·N (absent
+    values contribute (N−Σ_present n_v)·n_g — no group×value cross join
+    is materialized). Completes the k → l → t privacy-gate ladder."""
+    from bran_spark.operators.contracts import t_closeness_audit
+
+    return t_closeness_audit(
+        _t(spark, sf, "customer"),
+        ["c_nationkey", "c_mktsegment"],
+        F.floor(F.col("c_acctbal") / 1000.0).cast("long"),
+        t=0.35,
+    )
+
+
+# Platt twin helpers: the per-row probability expression (shared text so
+# both engines evaluate the SAME float tree) and one unrolled Newton step.
+_PLATT_PD = "(1.0/(1.0+exp(-(p.a*s.s+p.b))))"
+
+
+def _platt_iter_sql(i: int) -> str:
+    return f"""
+    pl{i} AS MATERIALIZED (
+      SELECT a_prev + CASE WHEN det <> 0.0
+                           THEN (hbb*ga - hab*gb)/det ELSE 0.0 END AS a,
+             b_prev + CASE WHEN det <> 0.0
+                           THEN (haa*gb - hab*ga)/det ELSE 0.0 END AS b
+      FROM (
+        SELECT a_prev, b_prev,
+               gam/10000000.0 AS ga, gbm/1000000.0 AS gb,
+               haam/100000000.0 AS haa, habm/10000000.0 AS hab,
+               hbbm/1000000.0 AS hbb,
+               (haam/100000000.0)*(hbbm/1000000.0)
+                 - (habm/10000000.0)*(habm/10000000.0) AS det
+        FROM (
+          SELECT MAX(a) AS a_prev, MAX(b) AS b_prev,
+                 SUM(y*1000000 - pm)::BIGINT AS gbm,
+                 SUM((y*1000000 - pm)*s10)::BIGINT AS gam,
+                 SUM(wm)::BIGINT AS hbbm,
+                 SUM(wm*s10)::BIGINT AS habm,
+                 SUM(wm*s10*s10)::BIGINT AS haam
+          FROM (
+            SELECT s.label::BIGINT AS y,
+                   CAST(round(s.s*10, 0) AS BIGINT) AS s10,
+                   CAST(round({_PLATT_PD}*1000000.0, 0) AS BIGINT) AS pm,
+                   CAST(round(({_PLATT_PD}*(1.0 - {_PLATT_PD}))*1000000.0, 0)
+                        AS BIGINT) AS wm,
+                   p.a, p.b
+            FROM scored s CROSS JOIN pl{i - 1} p) t1) t2) t3
+    )"""
+
+
+_PLATT_PC = (
+    f"least(greatest({_PLATT_PD}, 0.000000000001), 1.0 - 0.000000000001)"
+)
+
+
+@_q(
+    "q254_platt_scaling",
+    f"""
+    WITH {_PIPE_CTES},
+    pl0 AS (SELECT 0.0 AS a, 0.0 AS b),
+    {_platt_iter_sql(1)},
+    {_platt_iter_sql(2)},
+    {_platt_iter_sql(3)},
+    plf AS (
+      SELECT COUNT(*)::BIGINT AS n, SUM(y)::BIGINT AS n_pos,
+             MAX(a) AS a, MAX(b) AS b,
+             SUM(pm)::BIGINT AS spm, SUM(llm)::BIGINT AS sllm
+      FROM (
+        SELECT s.label::BIGINT AS y, p.a, p.b,
+               CAST(round({_PLATT_PD}*1000000.0, 0) AS BIGINT) AS pm,
+               CAST(round((0.0 - (s.label*ln({_PLATT_PC})
+                       + (1 - s.label)*ln(1.0 - {_PLATT_PC})))*1000000.0, 0)
+                    AS BIGINT) AS llm
+        FROM scored s CROSS JOIN pl3 p) t)
+    SELECT n, n_pos, ROUND(a, 6) AS a, ROUND(b, 6) AS b,
+           ROUND(spm/(n*1000000.0), 6) AS avg_p,
+           ROUND(sllm/(n*1000000.0), 6) AS log_loss
+    FROM plf
+    """,
+)
+def q254(spark, sf):
+    """Platt scaling (evaluate.platt_scaling, 3 Newton steps from
+    (0,0)) of the synthetic pipeline's triple scores — the parametric
+    rung of the calibration ladder next to q140's reliability bins and
+    q228's isotonic fit. Every gradient/Hessian term is micro-rounded
+    to a BIGINT before summation (FS idiom), so each step's 2×2 Newton
+    solve is one fixed scalar tree and both engines walk the identical
+    parameter trajectory; the twin unrolls the three steps as
+    MATERIALIZED 1-row CTEs."""
+    from bran_spark.operators.evaluate import platt_scaling
+
+    return platt_scaling(
+        _scored(spark, sf), score_col="s", label_col="label", iters=3,
+        s_scale=10,
+    )
+
+
+@_q(
+    "q255_bh_fdr",
+    f"""
+    WITH u AS (SELECT event_type AS segment, user_id AS uid,
+                      SUM(CAST(round(value * 100, 0) AS BIGINT)) AS y
+               FROM events GROUP BY 1, 2),
+    k AS (SELECT segment, md5(uid::VARCHAR) AS h, y FROM u),
+    a AS (SELECT segment, CAST(({_HEX8_SQL}) % 2 AS INT) AS arm, y FROM k),
+    g AS (SELECT segment,
+                 SUM((arm = 0)::INT)::BIGINT AS n0,
+                 SUM((arm = 1)::INT)::BIGINT AS n1,
+                 SUM(CASE WHEN arm = 0 THEN y ELSE 0 END)::BIGINT AS s0,
+                 SUM(CASE WHEN arm = 1 THEN y ELSE 0 END)::BIGINT AS s1,
+                 SUM(CASE WHEN arm = 0 THEN y * y ELSE 0 END)::BIGINT AS q0,
+                 SUM(CASE WHEN arm = 1 THEN y * y ELSE 0 END)::BIGINT AS q1
+          FROM a GROUP BY 1),
+    d AS (SELECT segment, n0, n1, s0, s1, q0, q1,
+                 s0 / (n0::DOUBLE * 100.0) AS m0,
+                 s1 / (n1::DOUBLE * 100.0) AS m1,
+                 (n0 * q0 = s0 * s0) AND (n1 * q1 = s1 * s1) AS flat
+          FROM g),
+    e AS (SELECT segment, n0, n1, m0, m1, flat,
+                 (n0 > 1) AND (n1 > 1) AND NOT flat AS ok,
+                 sqrt(greatest((q0 / 10000.0 - n0::DOUBLE * m0 * m0)
+                                / (n0::DOUBLE - 1), 0.0) / n0::DOUBLE
+                      + greatest((q1 / 10000.0 - n1::DOUBLE * m1 * m1)
+                                  / (n1::DOUBLE - 1), 0.0) / n1::DOUBLE)
+                   AS se
+          FROM d),
+    seg AS (SELECT segment, n0 AS n_ctl, n1 AS n_trt,
+                   ROUND(CASE WHEN n0 > 0 AND n1 > 0 THEN m1 - m0 END, 6)
+                     AS diff,
+                   ROUND(CASE WHEN ok THEN (m1 - m0) / se END, 6) AS z
+            FROM e),
+    pp AS (SELECT *,
+                  CASE WHEN z IS NOT NULL
+                       THEN CAST(round(2000000.0
+                                       / (1.0 + exp(1.702 * abs(z))), 0)
+                                 AS BIGINT)
+                       ELSE 1000000 END AS p_micro
+           FROM seg),
+    ranked AS (SELECT *, COUNT(*) OVER ()::BIGINT AS m,
+                      ROW_NUMBER() OVER (ORDER BY p_micro, segment)::BIGINT
+                        AS rank
+               FROM pp),
+    p2 AS (SELECT *, CASE WHEN p_micro * m <= rank * 100000
+                          THEN rank ELSE 0 END AS passed
+           FROM ranked),
+    ks AS (SELECT MAX(passed) AS kstar FROM p2)
+    SELECT segment, n_ctl, n_trt, diff, z, p_micro, m,
+           rank::INT AS rank, rank <= kstar AS rejected
+    FROM p2 CROSS JOIN ks ORDER BY rank, segment
+    """,
+)
+def q255(spark, sf):
+    """Benjamini-Hochberg FDR gate (sampling.bh_fdr, q=0.10) across the
+    per-event-type slices of the q214/q216 experiment: one segment-keyed
+    integer aggregate yields each slice's Welch z; the two-sided p comes
+    from the monotone logistic CDF approximation micro-rounded ONCE, so
+    the BH inequality p_i ≤ i·q/m is the exact BIGINT compare
+    p_micro·m ≤ i·q_micro. The m-row ranking windows run on the segment
+    dimension (dimension-table legality)."""
+    from bran_spark.operators.sampling import bh_fdr, md5_arm
+
+    units = (
+        _t(spark, sf, "events")
+        .groupBy("event_type", "user_id")
+        .agg(
+            F.sum(F.round(F.col("value") * 100, 0).cast("long"))
+            .cast("long")
+            .alias("y")
+        )
+        .select(
+            F.col("event_type").alias("segment"),
+            md5_arm("user_id").alias("arm"),
+            "y",
+        )
+    )
+    return bh_fdr(units, q_micro=100000, scale=100)
+
+
+@_q(
+    "q256_mann_whitney",
+    f"""
+    WITH u AS (SELECT user_id AS uid,
+                      SUM(CAST(round(value * 100, 0) AS BIGINT)) AS y
+               FROM events GROUP BY 1),
+    k AS (SELECT md5(uid::VARCHAR) AS h, y FROM u),
+    a AS (SELECT CAST(({_HEX8_SQL}) % 2 AS INT) AS arm, y FROM k),
+    hist AS (SELECT y AS v, COUNT(*)::BIGINT AS c,
+                    SUM((arm = 1)::INT)::BIGINT AS c1
+             FROM a GROUP BY 1),
+    h AS (SELECT *, COALESCE(SUM(c) OVER (ORDER BY v
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                    0)::BIGINT AS cb
+          FROM hist),
+    g AS (SELECT SUM(c)::BIGINT AS n, SUM(c1)::BIGINT AS n1,
+                 SUM(c1 * (2 * cb + c + 1))::BIGINT AS r1x2,
+                 SUM(c * c * c - c)::BIGINT AS tie_term,
+                 COUNT(*)::BIGINT AS ndv
+          FROM h),
+    d AS (SELECT n, n1, (n - n1)::BIGINT AS n0, r1x2, tie_term, ndv,
+                 (r1x2 - n1 * (n1 + 1))::DOUBLE AS u1x2
+          FROM g),
+    e AS (SELECT *,
+                 n0::DOUBLE * n1::DOUBLE / 12.0
+                   * ((n::DOUBLE + 1.0)
+                      - tie_term::DOUBLE / (n::DOUBLE * (n::DOUBLE - 1.0)))
+                   AS var,
+                 (n0 > 0) AND (n1 > 0) AND (ndv > 1) AS ok
+          FROM d),
+    f AS (SELECT n0 AS n_ctl, n1 AS n_trt,
+                 ROUND(u1x2 / 2.0, 6) AS u_stat,
+                 ROUND(CASE WHEN ok THEN (u1x2 - n0::DOUBLE * n1::DOUBLE)
+                                         / (2.0 * sqrt(var)) END, 6) AS z
+          FROM e)
+    SELECT n_ctl, n_trt, u_stat, z,
+           CASE WHEN z IS NOT NULL
+                THEN CAST(round(2000000.0 / (1.0 + exp(1.702 * abs(z))), 0)
+                          AS BIGINT)
+                ELSE 1000000 END AS p_micro
+    FROM f
+    """,
+)
+def q256(spark, sf):
+    """Mann-Whitney U readout (sampling.mann_whitney) on the q216
+    experiment's per-user cents — the nonparametric companion for
+    whale-dominated metrics. Doubled mid-ranks over the VALUE-level
+    histogram keep every rank sum an exact BIGINT (2·cb+c+1 is integer
+    even when the mid-rank is x.5); the tie-corrected z is one fixed
+    scalar tree."""
+    from bran_spark.operators.sampling import mann_whitney, md5_arm
+
+    units = (
+        _t(spark, sf, "events")
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.round(F.col("value") * 100, 0).cast("long"))
+            .cast("long")
+            .alias("y")
+        )
+        .select(md5_arm("user_id").alias("arm"), "y")
+    )
+    return mann_whitney(units)
+
+
+@_q(
+    "q257_hearst_hypernyms",
+    """
+    WITH p AS (SELECT p_partkey AS k,
+                      string_split(lower(p_name), ' ') AS ws,
+                      lower(p_type) AS h,
+                      'size' || p_size::VARCHAR AS sz
+               FROM part),
+    m AS (
+      SELECT k AS doc_id, ws[1] AS hyponym, h AS hypernym,
+             'such_as' AS pattern FROM p WHERE k % 4 = 0
+      UNION ALL SELECT k, ws[2], h, 'such_as' FROM p WHERE k % 4 = 0
+      UNION ALL SELECT k, sz, h, 'such_as' FROM p WHERE k % 4 = 0
+      UNION ALL SELECT k, ws[1], h, 'and_other' FROM p WHERE k % 4 = 1
+      UNION ALL SELECT k, ws[2], h, 'and_other' FROM p WHERE k % 4 = 1
+      UNION ALL SELECT k, ws[1], h, 'including' FROM p WHERE k % 4 = 2
+      UNION ALL SELECT k, ws[2], h, 'including' FROM p WHERE k % 4 = 2
+      UNION ALL SELECT k, ws[1], h, 'especially' FROM p WHERE k % 4 = 3)
+    SELECT hyponym, hypernym,
+           COUNT(DISTINCT doc_id)::BIGINT AS n_docs,
+           COUNT(*)::BIGINT AS n_mentions,
+           array_to_string(list_sort(list(DISTINCT pattern)), ',')
+             AS patterns
+    FROM m GROUP BY 1, 2
+    ORDER BY n_docs DESC, hyponym, hypernym
+    """,
+)
+def q257(spark, sf):
+    """Hearst-pattern hypernym harvest (extraction.hearst_hypernyms +
+    hearst_support): is-a candidates mined by the four classic
+    lexico-syntactic patterns in ONE scan-explode pass, aggregated to
+    (hyponym, hypernym) edges with document support and the pattern
+    set. The corpus is built deterministically from `part` (pattern
+    chosen by p_partkey % 4, noun phrases from p_name/p_type tokens),
+    so the twin derives the EXPECTED edges directly from the table —
+    an independent oracle for the regex machinery, not a replay of it."""
+    from bran_spark.operators.extraction import (
+        hearst_hypernyms,
+        hearst_support,
+    )
+
+    p = _t(spark, sf, "part")
+    w = F.split(F.lower(F.col("p_name")), " ")
+    h = F.lower(F.col("p_type"))
+    sz = F.concat(F.lit("size"), F.col("p_size").cast("string"))
+    k4 = F.col("p_partkey") % 4
+    text = (
+        F.when(
+            k4 == 0,
+            F.concat(
+                h, F.lit(" such as "), w[0], F.lit(", "), w[1],
+                F.lit(" and "), sz,
+            ),
+        )
+        .when(
+            k4 == 1,
+            F.concat(w[0], F.lit(", "), w[1], F.lit(" and other "), h),
+        )
+        .when(k4 == 2, F.concat(h, F.lit(" including "), w[0], F.lit(" and "), w[1]))
+        .otherwise(F.concat(h, F.lit(" especially "), w[0]))
+    )
+    docs = p.select(F.col("p_partkey").alias("doc_id"), text.alias("text"))
+    return hearst_support(hearst_hypernyms(docs))
+
+
+@_q(
+    "q258_schema_match",
+    """
+    WITH lv AS (
+      SELECT DISTINCT left_col, v FROM (
+        SELECT 'c_custkey' AS left_col, c_custkey::VARCHAR AS v FROM customer
+        UNION ALL SELECT 'c_name', c_name FROM customer
+        UNION ALL SELECT 'c_nationkey', c_nationkey::VARCHAR FROM customer
+        UNION ALL SELECT 'c_mktsegment', c_mktsegment FROM customer) t
+      WHERE v IS NOT NULL),
+    rv AS (
+      SELECT DISTINCT right_col, v FROM (
+        SELECT 's_suppkey' AS right_col, s_suppkey::VARCHAR AS v
+        FROM supplier
+        UNION ALL SELECT 's_name', s_name FROM supplier
+        UNION ALL SELECT 's_nationkey', s_nationkey::VARCHAR FROM supplier
+        ) t
+      WHERE v IS NOT NULL),
+    ls AS (SELECT left_col, COUNT(*)::BIGINT AS n_left FROM lv GROUP BY 1),
+    rs AS (SELECT right_col, COUNT(*)::BIGINT AS n_right FROM rv GROUP BY 1),
+    i AS (SELECT left_col, right_col, COUNT(*)::BIGINT AS n_common
+          FROM lv JOIN rv USING (v) GROUP BY 1, 2),
+    mx AS (SELECT ls.left_col, rs.right_col, n_left, n_right,
+                  COALESCE(n_common, 0)::BIGINT AS n_common
+           FROM ls CROSS JOIN rs
+           LEFT JOIN i ON i.left_col = ls.left_col
+                      AND i.right_col = rs.right_col)
+    SELECT left_col, right_col, n_left, n_right, n_common,
+           ROUND(n_common / (n_left + n_right - n_common)::DOUBLE, 6)
+             AS jaccard,
+           CAST(ROW_NUMBER() OVER (
+             PARTITION BY left_col
+             ORDER BY ROUND(n_common
+                            / (n_left + n_right - n_common)::DOUBLE, 6)
+                        DESC, right_col) AS INT) AS rank
+    FROM mx ORDER BY left_col, rank
+    """,
+)
+def q258(spark, sf):
+    """Instance-based schema matching (contracts.schema_match):
+    customer × supplier column candidates scored by distinct-value-set
+    Jaccard — finds s_nationkey ≡ c_nationkey (and the suppkey/custkey
+    integer-domain overlap) with zero name similarity. One melt scan
+    per side, one value-keyed join, column-dimension crossJoin for the
+    full matrix."""
+    from bran_spark.operators.contracts import schema_match
+
+    return schema_match(
+        _t(spark, sf, "customer"),
+        _t(spark, sf, "supplier"),
+        ["c_custkey", "c_name", "c_nationkey", "c_mktsegment"],
+        ["s_suppkey", "s_name", "s_nationkey"],
+    )
+
+
 # =========================================================================
 # Registry ordering: the driver's correctness gate hash-checks the FIRST
 # 50 insertion-order entries of ``queries()``. Definition order above is

@@ -1,0 +1,206 @@
+"""Round-5 additions: t_closeness_audit + schema_match (contracts.py),
+bh_fdr + mann_whitney (sampling.py), platt_scaling (evaluate.py),
+hearst_hypernyms (extraction.py). Local exact-reference checks; the
+registry twins re-check each against DuckDB at sf0.01."""
+
+from __future__ import annotations
+
+import math
+
+
+def test_t_closeness_hand_example(spark):
+    from bran_spark.operators.contracts import t_closeness_audit
+
+    # groups: A = 4×x ; B = 1×x, 3×y ; C = 2×x, 2×y
+    # global: x 7/12, y 5/12 → TVD(A) = 5/12, TVD(B) = 1/3, TVD(C) = 1/12
+    rows = (
+        [("A", "x")] * 4
+        + [("B", "x")] + [("B", "y")] * 3
+        + [("C", "x")] * 2 + [("C", "y")] * 2
+    )
+    df = spark.createDataFrame(rows, "g string, v string")
+    out = t_closeness_audit(df, ["g"], "v", t=0.35).collect()[0].asDict()
+    assert out == {
+        "n_rows": 12,
+        "n_groups": 3,
+        "max_tvd": round(5 / 12, 6),
+        "n_violating_groups": 1,  # only A exceeds 0.35
+        "n_violating_rows": 4,
+        "t_satisfied": False,
+    }
+    ok = t_closeness_audit(df, ["g"], "v", t=0.5).collect()[0]
+    assert ok.t_satisfied and ok.n_violating_groups == 0
+
+
+def test_mann_whitney_hand_example(spark):
+    from bran_spark.operators.sampling import mann_whitney
+
+    # ctl {1,2,3}, trt {2,3,4}: mid-ranks 1, 2.5, 2.5, 4.5, 4.5, 6
+    # R1 = 2.5+4.5+6 = 13 → U1 = 13 − 3·4/2 = 7
+    rows = [(0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (1, 4)]
+    df = spark.createDataFrame(rows, "arm int, y long")
+    out = mann_whitney(df).collect()[0].asDict()
+    assert out["n_ctl"] == 3 and out["n_trt"] == 3
+    assert out["u_stat"] == 7.0
+    tie = (8 - 2) + (8 - 2)  # two values with c=2
+    var = 3 * 3 / 12.0 * ((6 + 1.0) - tie / (6 * 5.0))
+    z = (14 - 9.0) / (2.0 * math.sqrt(var))
+    assert out["z"] == round(z, 6)
+    assert out["p_micro"] == int(
+        math.floor(2000000.0 / (1.0 + math.exp(1.702 * abs(round(z, 6)))) + 0.5)
+    )
+
+
+def test_mann_whitney_degenerate(spark):
+    from bran_spark.operators.sampling import mann_whitney
+
+    # all units share one value → ndv = 1 → z NULL, p = 1e6
+    df = spark.createDataFrame([(0, 5), (1, 5), (0, 5)], "arm int, y long")
+    out = mann_whitney(df).collect()[0]
+    assert out.z is None and out.p_micro == 1000000
+
+
+def test_bh_fdr_rejects_only_real_effect(spark):
+    from bran_spark.operators.sampling import bh_fdr
+
+    rows = []
+    # s1: huge effect, s2/s3: none (same populations in both arms)
+    for i in range(40):
+        rows.append(("s1", 0, i % 3))
+        rows.append(("s1", 1, 1000 + i % 3))
+        rows.append(("s2", 0, i % 7))
+        rows.append(("s2", 1, i % 7))
+        rows.append(("s3", 0, 50 + i % 5))
+        rows.append(("s3", 1, 50 + i % 5))
+    df = spark.createDataFrame(rows, "segment string, arm int, y long")
+    out = {r.segment: r.asDict() for r in bh_fdr(df).collect()}
+    assert out["s1"]["rank"] == 1 and out["s1"]["rejected"]
+    assert not out["s2"]["rejected"] and not out["s3"]["rejected"]
+    assert all(r["m"] == 3 for r in out.values())
+    # identical arms → diff 0, z 0 → p_micro = round(2e6/2) = 1e6
+    assert out["s2"]["p_micro"] == 1000000 and out["s2"]["diff"] == 0.0
+
+
+def test_bh_fdr_flat_segment_never_rejected(spark):
+    from bran_spark.operators.sampling import bh_fdr
+
+    rows = [("f", a, 7) for a in (0, 1) for _ in range(5)]
+    rows += [("e", 0, 0), ("e", 0, 2), ("e", 1, 100), ("e", 1, 102)]
+    df = spark.createDataFrame(rows, "segment string, arm int, y long")
+    out = {r.segment: r.asDict() for r in bh_fdr(df).collect()}
+    assert out["f"]["z"] is None and out["f"]["p_micro"] == 1000000
+    assert not out["f"]["rejected"]
+
+
+def _platt_reference(pairs, iters=3, s_scale=10):
+    """Local replay of platt_scaling's exact micro-rounded Newton."""
+
+    def r6(x):
+        return math.floor(x * 1e6 + 0.5) if x >= 0 else -math.floor(
+            -x * 1e6 + 0.5
+        )
+
+    a = b = 0.0
+    for _ in range(iters):
+        gam = gbm = haam = habm = hbbm = 0
+        for s, y in pairs:
+            p = 1.0 / (1.0 + math.exp(-(a * s + b)))
+            pm = r6(p)
+            wm = r6(p * (1.0 - p))
+            s10 = int(round(s * s_scale))
+            gbm += y * 1000000 - pm
+            gam += (y * 1000000 - pm) * s10
+            hbbm += wm
+            habm += wm * s10
+            haam += wm * s10 * s10
+        ga, gb = gam / 1e7, gbm / 1e6
+        haa, hab, hbb = haam / 1e8, habm / 1e7, hbbm / 1e6
+        det = haa * hbb - hab * hab
+        if det != 0.0:
+            a += (hbb * ga - hab * gb) / det
+            b += (haa * gb - hab * ga) / det
+    return a, b
+
+
+def test_platt_scaling_matches_local_newton(spark):
+    from bran_spark.operators.evaluate import platt_scaling
+
+    # deterministic logistic-ish data: y rate rises with s
+    pairs = []
+    for i in range(400):
+        s = (i % 41 - 20) / 10.0  # −2.0 … 2.0, exact 1 dp
+        thresh = 100.0 / (1.0 + math.exp(-(1.5 * s - 0.5)))
+        y = 1 if (i * 37) % 100 < thresh else 0
+        pairs.append((s, y))
+    df = spark.createDataFrame(pairs, "s double, label int")
+    out = platt_scaling(df, "s", "label", iters=3, s_scale=10).collect()[0]
+    a_ref, b_ref = _platt_reference(pairs)
+    # slope/intercept should recover the planted (1.5, −0.5) direction
+    assert 0.8 < out.a < 2.5 and -1.5 < out.b < 0.2
+    # and match the local replay of the exact same integer Newton walk
+    # (tolerance absorbs exp() ulp differences between JVM and libm)
+    assert abs(out.a - a_ref) < 1e-4 and abs(out.b - b_ref) < 1e-4
+    assert out.n == 400 and 0.0 < out.avg_p < 1.0 and out.log_loss > 0.0
+
+
+def test_hearst_patterns_extract_all_forms(spark):
+    from bran_spark.operators.extraction import (
+        hearst_hypernyms,
+        hearst_support,
+    )
+
+    docs = [
+        (1, "metals such as copper, iron and zinc are heavy"),
+        (2, "copper, iron and other metals"),
+        (3, "diseases including flu and colds"),
+        (4, "fruits especially mangoes"),
+        (5, "metals such as copper. gems such as rubies"),
+        (6, "nothing to see here"),
+        (7, ""),
+    ]
+    df = spark.createDataFrame(docs, "doc_id int, text string")
+    got = {
+        (r.doc_id, r.hyponym, r.hypernym, r.pattern)
+        for r in hearst_hypernyms(df).collect()
+    }
+    assert got == {
+        (1, "copper", "metals", "such_as"),
+        (1, "iron", "metals", "such_as"),
+        (1, "zinc", "metals", "such_as"),
+        (2, "copper", "metals", "and_other"),
+        (2, "iron", "metals", "and_other"),
+        (3, "flu", "diseases", "including"),
+        (3, "colds", "diseases", "including"),
+        (4, "mangoes", "fruits", "especially"),
+        (5, "copper", "metals", "such_as"),
+        (5, "rubies", "gems", "such_as"),
+    }
+    sup = {
+        (r.hyponym, r.hypernym): r.asDict()
+        for r in hearst_support(hearst_hypernyms(df)).collect()
+    }
+    cu = sup[("copper", "metals")]
+    assert cu["n_docs"] == 3 and cu["n_mentions"] == 3
+    assert cu["patterns"] == "and_other,such_as"
+
+
+def test_schema_match_planted_overlap(spark):
+    from bran_spark.operators.contracts import schema_match
+
+    left = spark.createDataFrame(
+        [(1, "p"), (2, "q"), (3, "p")], "a int, b string"
+    )
+    right = spark.createDataFrame(
+        [(2, "p"), (3, "r"), (4, "r")], "x int, y string"
+    )
+    out = {
+        (r.left_col, r.right_col): r.asDict()
+        for r in schema_match(left, right, ["a", "b"], ["x", "y"]).collect()
+    }
+    ax = out[("a", "x")]
+    assert ax["n_left"] == 3 and ax["n_right"] == 3 and ax["n_common"] == 2
+    assert ax["jaccard"] == 0.5 and ax["rank"] == 1
+    assert out[("b", "y")]["n_common"] == 1  # {"p"} of {p,q}∪{p,r}
+    assert out[("b", "y")]["jaccard"] == round(1 / 3, 6)
+    assert out[("a", "y")]["n_common"] == 0 and out[("a", "y")]["jaccard"] == 0.0
+    assert out[("a", "y")]["rank"] == 2
