@@ -11379,9 +11379,12 @@ _FIRST_50 = [
     "q61_stratified_sample", "q165_fs_linkage",
     # as-of / CDC / reconciliation family: long-stable relational basics
     # q41_asof_join and q67_merge_latest rotate OUT to the mirror in r4
-    # (VERDICT r3 #6) — their slots fund the session-6 privacy-census and
-    # MDM-survivorship families, which had no hard driver rep
-    "q229_k_anonymity", "q235_golden_record",
+    # (VERDICT r3 #6) — their slots funded the session-6 privacy-census
+    # and MDM-survivorship families. r5 rotation: both got their hard
+    # green in CORRECTNESS_r04, so the slots move to the NEWEST reps —
+    # the t-closeness rung of the privacy ladder (k/l stay mirror-
+    # covered) and the Hearst hypernym-harvest extraction family
+    "q253_t_closeness", "q257_hearst_hypernyms",
     # text-analysis family (Levenshtein verify q92 stays mirror-covered —
     # fs_linkage q165's agreement fields replay the same edit-distance
     # core; its slot funds the event-sequence family, which had no
@@ -11389,10 +11392,10 @@ _FIRST_50 = [
     "q36_lang_id", "q219_stationary_mix",
     # multimodal
     "q46_media_features",
-    # experimentation family (r4 rotation): the O'Brien-Fleming
-    # sequential-looks monitor takes the slot of the long-stable
-    # relational representative q01_pricing_summary (mirror-covered)
-    "q247_sequential_looks",
+    # experimentation family: r4 rotated in the O'Brien-Fleming monitor
+    # (hard-green in CORRECTNESS_r04, back to the mirror); r5 passes the
+    # slot to the newest member, the BH-FDR multiple-testing gate
+    "q255_bh_fdr",
 ]
 
 assert len(_FIRST_50) == 50 and len(set(_FIRST_50)) == 50
