@@ -1949,3 +1949,140 @@ def maximal_matching(
     if matched is None:
         return edges.select("u", "v", F.col("w").cast("long").alias("w")).limit(0)
     return matched.orderBy("u", "v")
+
+
+def wl_refinement(
+    edges: DataFrame, rounds: int = 2, src: str = "u", dst: str = "v"
+) -> DataFrame:
+    """Weisfeiler-Lehman color refinement (1-WL; Weisfeiler & Leman
+    1968, the graph-isomorphism heuristic behind WL graph kernels and
+    the expressiveness bound of message-passing GNNs): start every node
+    at its degree, then repeatedly recolor each node with a hash of
+    (own color, SORTED multiset of neighbor colors). The per-round color
+    histogram is a canonical graph signature — two KG snapshots whose
+    histograms diverge are structurally different, and the refinement
+    rate (how fast n_colors grows) measures structural heterogeneity.
+
+    ``edges`` must be SYMMETRIC (both directions present — see
+    symmetric_edges). Colors are md5int8 hashes of the canonical
+    signature string, so both engines derive identical BIGINTs. One
+    neighbor-keyed aggregate + one node-keyed join per round; the
+    sorted-list signature is exact 1-WL — its length is a node's
+    degree, so at whale-degree scale swap in an order-free combine
+    (sum of per-neighbor hashes) and document the collision trade.
+
+    Output: one row per round (round, n_colors, max_class), rounds
+    0..``rounds``, ordered — n_colors non-decreasing in round."""
+    from bran_spark.operators.kglearn import md5int8
+
+    e = edges.select(F.col(src).alias("_u"), F.col(dst).alias("_v"))
+    colors = e.groupBy(F.col("_u").alias("node")).agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    summaries = []
+
+    def _summary(cdf: DataFrame, r: int) -> DataFrame:
+        return (
+            cdf.groupBy("c")
+            .agg(F.count(F.lit(1)).cast("long").alias("n"))
+            .agg(
+                F.lit(r).cast("int").alias("round"),
+                F.count(F.lit(1)).cast("long").alias("n_colors"),
+                F.max("n").cast("long").alias("max_class"),
+            )
+        )
+
+    summaries.append(_summary(colors, 0))
+    for r in range(1, rounds + 1):
+        # each round reads `colors` twice (neighbor side + own side):
+        # truncate lineage so round r doesn't replay rounds 1..r−1 2^r×
+        colors = colors.localCheckpoint(eager=True)
+        nb = (
+            e.join(colors.withColumnRenamed("node", "_v"), "_v")
+            .groupBy(F.col("_u").alias("node"))
+            .agg(
+                F.array_join(
+                    F.transform(
+                        F.sort_array(F.collect_list("c")),
+                        lambda x: x.cast("string"),
+                    ),
+                    ",",
+                ).alias("sig")
+            )
+        )
+        colors = colors.join(nb, "node", "left").select(
+            "node",
+            md5int8(
+                F.concat_ws(
+                    "|", F.col("c").cast("string"), F.coalesce("sig", F.lit(""))
+                )
+            ).alias("c"),
+        )
+        summaries.append(_summary(colors, r))
+    out = summaries[0]
+    for s in summaries[1:]:
+        out = out.unionByName(s)
+    return out.orderBy("round")
+
+
+def butterfly_count(
+    edges: DataFrame,
+    left: str = "u",
+    right: str = "v",
+    max_pivot_deg: int | None = None,
+) -> DataFrame:
+    """Bipartite butterfly (2×2 biclique) census — the bipartite
+    analogue of the triangle count (Sanei-Mehri et al., KDD 2018):
+    butterflies = Σ_{u1<u2} C(codeg(u1,u2), 2), the motif behind
+    bipartite clustering coefficients and dense-subgraph peeling in
+    user-item / doc-entity graphs.
+
+    Wedges pivot on the RIGHT vertex: a right node of degree d spawns
+    C(d,2) left-pairs, so the exact count costs Σ C(d,2) join rows —
+    the same C(d,2) blowup project_bipartite bounds; ``max_pivot_deg``
+    applies the identical broadcast df-cut (hot pivots excluded, count
+    becomes a documented lower bound; the exact default is for
+    dimension-bounded pivots). One distinct, one degree aggregate, one
+    self-join on the pivot, one (u1,u2)-keyed count, 1-row rollup.
+
+    Output: 1 row (n_left, n_right, n_edges, n_wedges, n_butterflies)
+    — all exact BIGINTs."""
+    e = edges.select(
+        F.col(left).alias("_l"), F.col(right).alias("_r")
+    ).distinct()
+    if max_pivot_deg is not None:
+        hot = (
+            e.groupBy("_r")
+            .agg(F.count(F.lit(1)).alias("d"))
+            .where(F.col("d") > max_pivot_deg)
+            .select("_r")
+        )
+        e = e.join(F.broadcast(hot), "_r", "left_anti")
+    stats = e.groupBy("_r").agg(F.count(F.lit(1)).cast("long").alias("d"))
+    base = stats.agg(
+        F.count(F.lit(1)).cast("long").alias("n_right"),
+        F.sum("d").cast("long").alias("n_edges"),
+        F.sum((F.col("d") * (F.col("d") - 1) / 2).cast("long"))
+        .cast("long")
+        .alias("n_wedges"),
+    )
+    nleft = e.agg(F.countDistinct("_l").cast("long").alias("n_left"))
+    a = e.select(F.col("_r"), F.col("_l").alias("u1"))
+    b = e.select(F.col("_r"), F.col("_l").alias("u2"))
+    codeg = (
+        a.join(b, "_r")
+        .where(F.col("u1") < F.col("u2"))
+        .groupBy("u1", "u2")
+        .agg(F.count(F.lit(1)).cast("long").alias("cd"))
+    )
+    bf = codeg.agg(
+        F.coalesce(
+            F.sum((F.col("cd") * (F.col("cd") - 1) / 2).cast("long")),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("n_butterflies")
+    )
+    return nleft.crossJoin(base).crossJoin(bf).select(
+        "n_left", "n_right", "n_edges", "n_wedges", "n_butterflies"
+    )

@@ -70,6 +70,7 @@ def transe_rank_eval(
     dim: int = EMB_DIM,
     hits_k: int = 10,
     cand_sample_mod: int | None = None,
+    model: str = "transe",
 ) -> DataFrame:
     """Filtered link-prediction ranking eval (TransE protocol, Bordes et
     al. 2013): for each sampled test triple (s, p, o), score every
@@ -78,6 +79,12 @@ def transe_rank_eval(
     int_embedding) and rank the true tail among candidates that are NOT
     themselves true (s, p, ·) triples. Returns one row per pred:
     (pred, n_test, hits_at_k, mrr, mean_rank).
+
+    ``model="distmult"`` swaps the scorer for the bilinear-diagonal
+    energy ``score(c) = Σ_j e(s,j)·e(p,j)·e(c,j)`` (Yang et al., ICLR
+    2015) ranked DESCENDING (higher = more plausible) — the second
+    classic KGE geometry; the candidate/filter/aggregation dataflow is
+    identical, which is exactly the point of keeping it one operator.
 
     Determinism: test triples are the md5(s|p|o) % test_sample_mod == 0
     sample; ties rank by candidate id ascending; MRR is summed as
@@ -139,21 +146,31 @@ def transe_rank_eval(
         .where((F.col("cand") == F.col("obj")) | F.col("is_true").isNull())
         .drop("is_true")
     )
+    if model == "transe":
+        pair = F.zip_with(
+            F.zip_with(
+                int_embedding("subj", dim),
+                int_embedding("pred", dim),
+                lambda a, b: a + b,
+            ),
+            int_embedding("cand", dim),
+            lambda sp, c: F.abs(sp - c),
+        )
+    elif model == "distmult":
+        pair = F.zip_with(
+            F.zip_with(
+                int_embedding("subj", dim),
+                int_embedding("pred", dim),
+                lambda a, b: a * b,
+            ),
+            int_embedding("cand", dim),
+            lambda sp, c: sp * c,
+        )
+    else:
+        raise ValueError(f"unknown model: {model}")
     scored = kept.withColumn(
         "score",
-        F.aggregate(
-            F.zip_with(
-                F.zip_with(
-                    int_embedding("subj", dim),
-                    int_embedding("pred", dim),
-                    lambda a, b: a + b,
-                ),
-                int_embedding("cand", dim),
-                lambda sp, c: F.abs(sp - c),
-            ),
-            F.lit(0).cast("long"),
-            lambda acc, x: acc + x,
-        ),
+        F.aggregate(pair, F.lit(0).cast("long"), lambda acc, x: acc + x),
     )
     # true_score via a window over the SAME (s, p, o) partition the rank
     # aggregate needs anyway — one shuffle, no self-join of the scored
@@ -166,6 +183,12 @@ def transe_rank_eval(
     from pyspark.sql import Window
 
     w = Window.partitionBy("subj", "pred", "obj")
+    # TransE energies rank ascending (lower = better), DistMult scores
+    # descending; ties break on candidate id either way
+    if model == "transe":
+        beats = F.col("score") < F.col("true_score")
+    else:
+        beats = F.col("score") > F.col("true_score")
     ranks = (
         scored.withColumn(
             "true_score",
@@ -179,7 +202,7 @@ def transe_rank_eval(
                     (
                         (F.col("cand") != F.col("obj"))
                         & (
-                            (F.col("score") < F.col("true_score"))
+                            beats
                             | (
                                 (F.col("score") == F.col("true_score"))
                                 & (F.col("cand") < F.col("obj"))

@@ -11295,6 +11295,146 @@ def q258(spark, sf):
     )
 
 
+@_q(
+    "q259_distmult_eval",
+    _KG_TRIPLES_SQL
+    + f"""
+    , e AS MATERIALIZED (SELECT DISTINCT ent FROM
+              (SELECT subj AS ent FROM t UNION SELECT obj FROM t)),
+    test AS (SELECT subj, pred, obj FROM t
+             WHERE ({_MD5INT8.format(x="subj || '|' || pred || '|' || obj")})
+                   % 1000 = 0),
+    cand AS (SELECT test.subj, test.pred, test.obj, e.ent AS cand
+             FROM test JOIN e ON substr(e.ent, 1, 1) = substr(test.obj, 1, 1)),
+    kept AS (SELECT c.* FROM cand c LEFT JOIN t t2
+               ON t2.subj = c.subj AND t2.pred = c.pred AND t2.obj = c.cand
+             WHERE c.cand = c.obj OR t2.subj IS NULL),
+    names AS (SELECT ent AS s FROM e UNION SELECT DISTINCT pred FROM t),
+    emb AS MATERIALIZED (SELECT s,
+             list_transform(range(8),
+                            j -> CAST({_EMB_COMP} AS BIGINT)) AS v
+           FROM names),
+    scored AS MATERIALIZED (
+      SELECT k.subj, k.pred, k.obj, k.cand,
+             CAST(list_sum(list_transform(range(8),
+                    i -> es.v[i + 1] * ep.v[i + 1] * ec.v[i + 1]))
+                  AS BIGINT) AS score
+      FROM kept k
+      JOIN emb es ON es.s = k.subj
+      JOIN emb ep ON ep.s = k.pred
+      JOIN emb ec ON ec.s = k.cand),
+    ts AS MATERIALIZED (SELECT subj, pred, obj, score AS true_score
+           FROM scored WHERE cand = obj),
+    ranks AS (
+      SELECT s.subj, s.pred, s.obj,
+             CAST(1 + SUM(CASE WHEN s.cand <> s.obj
+                           AND (s.score > ts.true_score
+                                OR (s.score = ts.true_score
+                                    AND s.cand < s.obj))
+                          THEN 1 ELSE 0 END) AS BIGINT) AS rnk
+      FROM scored s JOIN ts USING (subj, pred, obj)
+      GROUP BY 1, 2, 3)
+    SELECT pred, CAST(COUNT(*) AS BIGINT) AS n_test,
+           ROUND(SUM(CASE WHEN rnk <= 10 THEN 1 ELSE 0 END)
+                 / COUNT(*)::DOUBLE, 6) AS hits_at_k,
+           ROUND(SUM(CAST(ROUND(1000000.0 / rnk) AS BIGINT))
+                 / (COUNT(*) * 1000000.0), 6) AS mrr,
+           ROUND(SUM(rnk) / COUNT(*)::DOUBLE, 2) AS mean_rank
+    FROM ranks GROUP BY pred
+    """,
+)
+def q259(spark, sf):
+    """DistMult ranking eval (kglearn.transe_rank_eval with
+    model="distmult"; Yang et al., ICLR 2015): the bilinear-diagonal
+    energy Σ e(s)·e(p)·e(c) ranked DESCENDING through the SAME filtered
+    candidate/ranking dataflow as q248's TransE — the two classic KGE
+    geometries share one operator, differing only in the scorer and the
+    rank direction. Exact BIGINT scores (|component| ≤ 1000 ⇒ per-dim
+    product ≤ 10⁹, 8-dim sum ≤ 8·10⁹)."""
+    from bran_spark.operators.kglearn import transe_rank_eval
+
+    return transe_rank_eval(_kg_relational_triples(spark, sf), model="distmult")
+
+
+def _wl_round_sql(r: int) -> str:
+    sig = "c.c::VARCHAR || '|' || COALESCE(n.sig, '')"
+    return f"""
+    n{r} AS (SELECT sym.u AS node,
+                    array_to_string(list_sort(list(p.c)), ',') AS sig
+             FROM sym JOIN c{r - 1} p ON p.node = sym.v GROUP BY sym.u),
+    c{r} AS MATERIALIZED (
+      SELECT c.node, CAST(({_MD5INT8.format(x=sig)}) AS BIGINT) AS c
+      FROM c{r - 1} c LEFT JOIN n{r} n USING (node)),
+    s{r} AS (SELECT CAST({r} AS INT) AS round,
+                    COUNT(*)::BIGINT AS n_colors,
+                    MAX(n)::BIGINT AS max_class
+             FROM (SELECT c, COUNT(*)::BIGINT AS n FROM c{r} GROUP BY c) t)"""
+
+
+@_q(
+    "q260_wl_refinement",
+    _FX_PAIRS_SQL
+    + f"""
+    , c0 AS MATERIALIZED (SELECT u AS node, COUNT(*)::BIGINT AS c
+                          FROM sym GROUP BY u),
+    s0 AS (SELECT CAST(0 AS INT) AS round, COUNT(*)::BIGINT AS n_colors,
+                  MAX(n)::BIGINT AS max_class
+           FROM (SELECT c, COUNT(*)::BIGINT AS n FROM c0 GROUP BY c) t),
+    {_wl_round_sql(1)},
+    {_wl_round_sql(2)}
+    SELECT * FROM s0 UNION ALL SELECT * FROM s1 UNION ALL SELECT * FROM s2
+    ORDER BY round
+    """,
+)
+def q260(spark, sf):
+    """Weisfeiler-Lehman color refinement (graphalgo.wl_refinement, 2
+    rounds) on the symmetric co-occurrence graph: degree seed colors,
+    then hash(own color | sorted neighbor colors) per round — the 1-WL
+    canonical signature behind WL kernels and the GNN expressiveness
+    bound. Reports the per-round color histogram summary (n_colors,
+    max_class); twin unrolls both rounds with the same md5 color hash."""
+    from bran_spark.operators.graphalgo import symmetric_edges, wl_refinement
+
+    return wl_refinement(
+        symmetric_edges(_fx_entity_pairs(spark, sf)), rounds=2
+    )
+
+
+@_q(
+    "q261_butterfly_count",
+    """
+    WITH e AS (SELECT DISTINCT l_orderkey AS l, l_partkey AS r
+               FROM lineitem),
+    st AS (SELECT r, COUNT(*)::BIGINT AS d FROM e GROUP BY r),
+    base AS (SELECT COUNT(*)::BIGINT AS n_right, SUM(d)::BIGINT AS n_edges,
+                    SUM(CAST(d * (d - 1) / 2 AS BIGINT))::BIGINT AS n_wedges
+             FROM st),
+    nl AS (SELECT COUNT(DISTINCT l)::BIGINT AS n_left FROM e),
+    cd AS (SELECT a.l AS u1, b.l AS u2, COUNT(*)::BIGINT AS cd
+           FROM e a JOIN e b ON a.r = b.r AND a.l < b.l GROUP BY 1, 2),
+    bf AS (SELECT COALESCE(SUM(CAST(cd * (cd - 1) / 2 AS BIGINT)),
+                           0)::BIGINT AS n_butterflies
+           FROM cd)
+    SELECT n_left, n_right, n_edges, n_wedges, n_butterflies
+    FROM nl CROSS JOIN base CROSS JOIN bf
+    """,
+)
+def q261(spark, sf):
+    """Bipartite butterfly census (graphalgo.butterfly_count) on the
+    order×part incidence graph — the 2×2-biclique motif count behind
+    bipartite clustering coefficients and dense-subgraph peeling.
+    Wedges pivot on the part side (C(d,2) bound, df-cut knob for hot
+    pivots); every count is an exact associative BIGINT sum."""
+    from bran_spark.operators.graphalgo import butterfly_count
+
+    li = _t(spark, sf, "lineitem")
+    return butterfly_count(
+        li.select(
+            F.col("l_orderkey").alias("u"), F.col("l_partkey").alias("v")
+        )
+    )
+
+
 # =========================================================================
 # Registry ordering: the driver's correctness gate hash-checks the FIRST
 # 50 insertion-order entries of ``queries()``. Definition order above is

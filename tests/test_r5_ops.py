@@ -204,3 +204,70 @@ def test_schema_match_planted_overlap(spark):
     assert out[("b", "y")]["jaccard"] == round(1 / 3, 6)
     assert out[("a", "y")]["n_common"] == 0 and out[("a", "y")]["jaccard"] == 0.0
     assert out[("a", "y")]["rank"] == 2
+
+
+def test_butterfly_count_hand_example(spark):
+    from bran_spark.operators.graphalgo import butterfly_count
+
+    # L={a,b,c}, R={x,y}: deg(x)=2, deg(y)=3 → wedges 1+3=4;
+    # codeg(a,b)=2 → one butterfly; all other pairs codeg ≤ 1
+    edges = [("a", "x"), ("b", "x"), ("a", "y"), ("b", "y"), ("c", "y")]
+    df = spark.createDataFrame(edges, "u string, v string")
+    out = butterfly_count(df).collect()[0].asDict()
+    assert out == {
+        "n_left": 3,
+        "n_right": 2,
+        "n_edges": 5,
+        "n_wedges": 4,
+        "n_butterflies": 1,
+    }
+    # df-cut: pivot y (deg 3) excluded → only x's wedge remains
+    cut = butterfly_count(df, max_pivot_deg=2).collect()[0].asDict()
+    assert cut == {
+        "n_left": 2,
+        "n_right": 1,
+        "n_edges": 2,
+        "n_wedges": 1,
+        "n_butterflies": 0,
+    }
+
+
+def test_wl_refinement_path_graph(spark):
+    from bran_spark.operators.graphalgo import symmetric_edges, wl_refinement
+
+    # path a-b-c-d-e: degrees split {ends, middles} at round 0; round 1
+    # separates c (both neighbors degree-2) from b/d → 3 stable classes
+    edges = [("a", "b"), ("b", "c"), ("c", "d"), ("d", "e")]
+    df = spark.createDataFrame(edges, "subj string, obj string")
+    out = {
+        r.round: (r.n_colors, r.max_class)
+        for r in wl_refinement(symmetric_edges(df), rounds=2).collect()
+    }
+    assert out == {0: (2, 3), 1: (3, 2), 2: (3, 2)}
+
+
+def test_distmult_eval_ranks_are_valid_and_deterministic(spark):
+    from bran_spark.operators.kglearn import transe_rank_eval
+
+    trips = [
+        (f"a:{i}", "rel", f"a:{(i * 3) % 7 + 1}") for i in range(1, 8)
+    ] + [(f"a:{i}", "rel2", f"a:{(i % 3) + 1}") for i in range(1, 6)]
+    df = spark.createDataFrame(trips, "subj string, pred string, obj string")
+    out = {
+        r.pred: r.asDict()
+        for r in transe_rank_eval(
+            df, test_sample_mod=1, model="distmult"
+        ).collect()
+    }
+    n_per_pred = {"rel": 7, "rel2": 5}
+    for pred, row in out.items():
+        assert row["n_test"] == n_per_pred[pred]
+        assert 0.0 < row["mrr"] <= 1.0
+        assert row["mean_rank"] >= 1.0
+    again = {
+        r.pred: r.asDict()
+        for r in transe_rank_eval(
+            df, test_sample_mod=1, model="distmult"
+        ).collect()
+    }
+    assert out == again
