@@ -561,3 +561,59 @@ def ntriples_export(
         ).alias("line"),
     )
     return ent_lines.unionByName(label_lines)
+
+
+def bgp_match(
+    triples: DataFrame,
+    patterns: "list[tuple[str, str, str]]",
+    distinct: bool = True,
+) -> DataFrame:
+    """Conjunctive basic-graph-pattern evaluation — SPARQL's BGP core
+    over the triple table: each pattern is an (s, p, o) template whose
+    '?'-prefixed terms are variables; the answer is the set of variable
+    bindings satisfying EVERY pattern simultaneously. star_pattern is
+    the semi-join special case (one subject hub); this is the general
+    join chain, including cyclic shapes like ``?o placed_by ?c . ?c
+    in_nation ?n . ?o uses_supplier ?s . ?s in_nation ?n``.
+
+    Each pattern compiles to a filtered projection of the triple scan
+    (constants become pushed-down predicates — on a pred-partitioned
+    sink (S7) a constant predicate prunes to one partition) renamed to
+    its variable names, then patterns natural-join on shared variables.
+    Join ORDER is the given pattern order; put selective patterns first
+    — AQE re-plans sizes at runtime but will not reorder a cross-join
+    chain, and two patterns with NO shared variable form an explicit
+    (documented) cartesian product, exactly as in SPARQL. A variable
+    repeated WITHIN one pattern becomes a row-level equality filter.
+
+    Output: one column per variable (sorted by name), DISTINCT bindings
+    by default (SPARQL set semantics; distinct=False keeps bag
+    semantics)."""
+    bound = None
+    for s, p, o in patterns:
+        conds = []
+        cols: dict[str, str] = {}
+        for term, col in ((s, "subj"), (p, "pred"), (o, "obj")):
+            if term.startswith("?"):
+                name = term[1:]
+                if name in cols:
+                    conds.append(F.col(col) == F.col(cols[name]))
+                else:
+                    cols[name] = col
+            else:
+                conds.append(F.col(col) == F.lit(term))
+        step = triples.select("subj", "pred", "obj")
+        for c in conds:
+            step = step.where(c)
+        step = step.select(
+            *[F.col(col).alias(name) for name, col in cols.items()]
+        )
+        if bound is None:
+            bound = step
+        else:
+            shared = [c for c in step.columns if c in bound.columns]
+            bound = (
+                bound.join(step, shared) if shared else bound.crossJoin(step)
+            )
+    out = bound.select(*sorted(bound.columns))
+    return out.distinct() if distinct else out

@@ -819,3 +819,67 @@ def rake_keyphrases(
         .orderBy(F.desc("score_micro"), F.asc("phrase"))
         .limit(top_n)
     )
+
+
+def ccnet_buckets(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang_col: str = "lang",
+    n_buckets: int = 3,
+    hot_words: int = 1000,
+) -> DataFrame:
+    """CCNet-style perplexity bucketing (Wenzek et al., LREC 2020): per
+    language, split the corpus into head / middle / tail thirds by LM
+    quality — the standard curation knob where "head" feeds pretraining
+    and "tail" is dropped or downweighted. The LM here is the corpus's
+    own unigram model (unigram_logprob's perplexity proxy; swap in a
+    real LM score column upstream and the bucketing dataflow is
+    unchanged). Higher mean log-prob = lower perplexity = head.
+
+    Buckets are ntile(n) over a TOTAL order (logprob 6 dp descending,
+    doc_id ascending) within each language partition — deterministic
+    and engine-identical. The per-language window sorts that language's
+    doc-dimension rows (id + one double), not the corpus text; at
+    10^12 docs swap ntile for fixed logprob cutoffs learned on a
+    sample, which removes the sort entirely. Per-bucket mean log-prob
+    is summed as exact micro-integers (logprob is already 6 dp, so
+    round(lp·10⁶) is lossless).
+
+    Output: (lang, bucket, bucket_rank, n_docs, avg_logprob 6 dp),
+    ordered by (lang, bucket_rank)."""
+    lp = unigram_logprob(df, id_col, text_col, hot_words=hot_words)
+    langs = df.select(
+        F.col(id_col).alias("doc_id"), F.col(lang_col).alias("lang")
+    )
+    j = lp.join(langs, "doc_id")
+    w = Window.partitionBy("lang").orderBy(
+        F.desc("logprob"), F.asc("doc_id")
+    )
+    tiled = j.select(
+        "lang",
+        F.round(F.col("logprob") * 1000000.0, 0).cast("long").alias("lpm"),
+        F.ntile(n_buckets).over(w).cast("int").alias("bucket_rank"),
+    )
+    name = (
+        F.when(F.col("bucket_rank") == 1, F.lit("head"))
+        .when(F.col("bucket_rank") == n_buckets, F.lit("tail"))
+        .otherwise(F.lit("middle"))
+    )
+    return (
+        tiled.groupBy("lang", "bucket_rank")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("lpm").cast("long").alias("_slpm"),
+        )
+        .select(
+            "lang",
+            name.alias("bucket"),
+            "bucket_rank",
+            "n_docs",
+            F.round(F.col("_slpm") / (F.col("n_docs") * 1000000.0), 6).alias(
+                "avg_logprob"
+            ),
+        )
+        .orderBy("lang", "bucket_rank")
+    )

@@ -11435,6 +11435,80 @@ def q261(spark, sf):
     )
 
 
+@_q(
+    "q262_bgp_match",
+    _KG_TRIPLES_SQL
+    + """
+    SELECT DISTINCT t2.subj AS c, t2.obj AS n, t1.subj AS o, t3.obj AS s
+    FROM t t1, t t2, t t3, t t4
+    WHERE t1.pred = 'placed_by' AND t2.pred = 'in_nation'
+      AND t3.pred = 'uses_supplier' AND t4.pred = 'in_nation'
+      AND t1.obj = t2.subj      -- ?c
+      AND t1.subj = t3.subj     -- ?o
+      AND t3.obj = t4.subj      -- ?s
+      AND t2.obj = t4.obj       -- ?n (the cycle)
+    """,
+)
+def q262(spark, sf):
+    """SPARQL basic-graph-pattern evaluation (kgquality.bgp_match): the
+    cyclic 4-pattern query "orders whose customer and supplier share a
+    nation" — ?o placed_by ?c . ?c in_nation ?n . ?o uses_supplier ?s .
+    ?s in_nation ?n — compiled to filtered triple projections natural-
+    joined on shared variables. star_pattern (q150) is the semi-join
+    special case; this is the general conjunctive matcher a KG store
+    must answer."""
+    from bran_spark.operators.kgquality import bgp_match
+
+    return bgp_match(
+        _kg_relational_triples(spark, sf),
+        [
+            ("?o", "placed_by", "?c"),
+            ("?c", "in_nation", "?n"),
+            ("?o", "uses_supplier", "?s"),
+            ("?s", "in_nation", "?n"),
+        ],
+    )
+
+
+@_q(
+    "q263_ccnet_buckets",
+    """
+    WITH d AS (SELECT doc_id,
+                      string_split_regex(trim(lower(text)), ' +') AS ws
+               FROM documents),
+    tok AS (SELECT doc_id, unnest(ws) AS w FROM d),
+    freq AS (SELECT w, COUNT(*)::DOUBLE AS c FROM tok GROUP BY w),
+    tot AS (SELECT SUM(c) AS tot FROM freq),
+    lp AS (SELECT doc_id, ROUND(AVG(ln(c / tot)) + 1e-9, 6) AS logprob
+           FROM tok JOIN freq USING (w), tot GROUP BY doc_id),
+    j AS (SELECT lp.doc_id, documents.lang, lp.logprob,
+                 CAST(round(lp.logprob * 1000000.0, 0) AS BIGINT) AS lpm
+          FROM lp JOIN documents USING (doc_id)),
+    b AS (SELECT lang, lpm,
+                 CAST(ntile(3) OVER (PARTITION BY lang
+                                     ORDER BY logprob DESC, doc_id) AS INT)
+                   AS bucket_rank
+          FROM j)
+    SELECT lang,
+           CASE WHEN bucket_rank = 1 THEN 'head'
+                WHEN bucket_rank = 3 THEN 'tail'
+                ELSE 'middle' END AS bucket,
+           bucket_rank, COUNT(*)::BIGINT AS n_docs,
+           ROUND(SUM(lpm) / (COUNT(*) * 1000000.0), 6) AS avg_logprob
+    FROM b GROUP BY lang, bucket_rank ORDER BY lang, bucket_rank
+    """,
+)
+def q263(spark, sf):
+    """CCNet-style per-language perplexity bucketing (quality.
+    ccnet_buckets, Wenzek et al. 2020): head/middle/tail thirds by the
+    unigram perplexity proxy, ntile over a total 6-dp order, per-bucket
+    mean log-prob from exact micro-integer sums — the curation knob
+    where head feeds pretraining and tail is dropped."""
+    from bran_spark.operators.quality import ccnet_buckets
+
+    return ccnet_buckets(_t(spark, sf, "documents"))
+
+
 # =========================================================================
 # Registry ordering: the driver's correctness gate hash-checks the FIRST
 # 50 insertion-order entries of ``queries()``. Definition order above is

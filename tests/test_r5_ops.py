@@ -271,3 +271,61 @@ def test_distmult_eval_ranks_are_valid_and_deterministic(spark):
         ).collect()
     }
     assert out == again
+
+
+def test_bgp_match_cyclic_and_constant(spark):
+    from bran_spark.operators.kgquality import bgp_match
+
+    trips = [
+        ("o1", "placed_by", "c1"),
+        ("c1", "in_nation", "n1"),
+        ("o1", "uses_supplier", "s1"),
+        ("s1", "in_nation", "n1"),
+        # o2's supplier sits in a different nation → no binding
+        ("o2", "placed_by", "c2"),
+        ("c2", "in_nation", "n2"),
+        ("o2", "uses_supplier", "s1"),
+        ("a", "self", "a"),
+        ("a", "self", "b"),
+    ]
+    df = spark.createDataFrame(trips, "subj string, pred string, obj string")
+    got = bgp_match(
+        df,
+        [
+            ("?o", "placed_by", "?c"),
+            ("?c", "in_nation", "?n"),
+            ("?o", "uses_supplier", "?s"),
+            ("?s", "in_nation", "?n"),
+        ],
+    )
+    assert got.columns == ["c", "n", "o", "s"]
+    assert [tuple(r) for r in got.collect()] == [("c1", "n1", "o1", "s1")]
+    # constant object
+    xs = {r.x for r in bgp_match(df, [("?x", "in_nation", "n1")]).collect()}
+    assert xs == {"c1", "s1"}
+    # variable repeated within one pattern → row-level equality
+    same = bgp_match(df, [("?x", "self", "?x")]).collect()
+    assert [r.x for r in same] == ["a"]
+
+
+def test_ccnet_buckets_orders_by_quality(spark):
+    from bran_spark.operators.quality import ccnet_buckets
+
+    # lang A: 4 docs — common words score high, rare words low
+    docs = [
+        (1, "aa aa aa aa", "A"),
+        (2, "aa aa aa bb", "A"),
+        (3, "aa bb cc dd", "A"),
+        (4, "ee ff gg hh", "A"),
+        (5, "aa aa", "B"),
+        (6, "zz yy", "B"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string, lang string")
+    out = [r.asDict() for r in ccnet_buckets(df).collect()]
+    a = [r for r in out if r["lang"] == "A"]
+    assert [r["bucket"] for r in a] == ["head", "middle", "tail"]
+    assert [r["n_docs"] for r in a] == [2, 1, 1]  # ntile(3) over 4 docs
+    assert a[0]["avg_logprob"] > a[-1]["avg_logprob"]
+    b = [r for r in out if r["lang"] == "B"]
+    assert [r["n_docs"] for r in b] == [1, 1]  # 2 docs → tiles 1 and 2
+    assert [r["bucket"] for r in b] == ["head", "middle"]
