@@ -985,3 +985,153 @@ def platt_scaling(
             "log_loss"
         ),
     )
+
+
+def cmh_test(
+    units: DataFrame,
+    stratum_col: str = "stratum",
+    exposure_col: str = "exposure",
+    outcome_col: str = "outcome",
+) -> DataFrame:
+    """Cochran-Mantel-Haenszel test (Mantel & Haenszel 1959) — the
+    stratified 2×2 association test an experiment platform reaches for
+    when a binary outcome must be judged ACROSS confounding strata
+    (country, device, cohort): pooling the tables naively invites
+    Simpson's paradox; CMH combines per-stratum evidence
+
+      z = Σ_k (a_k − E_k) / sqrt(Σ_k V_k),
+      E_k = r1_k·c1_k / n_k,
+      V_k = r1_k·r0_k·c1_k·c0_k / (n_k²·(n_k − 1))
+
+    where a_k = exposed-and-positive count. Per-stratum E and V are
+    micro-rounded to BIGINTs before the cross-strata sum (FS idiom —
+    the only floats summed are exact integers ×10⁻⁶), so the statistic
+    is one fixed scalar tree; the two-sided p uses the logistic
+    normal-CDF approximation (see sampling.bh_fdr). Strata with n < 2
+    are excluded (V undefined); ΣV = 0 yields NULL z.
+
+    One stratum-keyed conditional aggregate over the corpus + a 1-row
+    rollup. Output: 1 row (n_strata, n_units, sum_a, z 6 dp,
+    p_micro)."""
+    e = F.col("_e")
+    y = F.col("_y")
+    g = (
+        units.select(
+            F.col(stratum_col).alias("k"),
+            F.col(exposure_col).cast("int").alias("_e"),
+            F.col(outcome_col).cast("int").alias("_y"),
+        )
+        .groupBy("k")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.when((e == 1) & (y == 1), 1).otherwise(0))
+            .cast("long")
+            .alias("a"),
+            F.sum(F.when(e == 1, 1).otherwise(0)).cast("long").alias("r1"),
+            F.sum(F.when(y == 1, 1).otherwise(0)).cast("long").alias("c1"),
+        )
+        .where(F.col("n") > 1)
+    )
+    nd = F.col("n").cast("double")
+    em = F.round(
+        F.col("r1") * F.col("c1") * F.lit(1000000.0) / nd, 0
+    ).cast("long")
+    vm = F.round(
+        F.col("r1").cast("double")
+        * (F.col("n") - F.col("r1"))
+        * F.col("c1")
+        * (F.col("n") - F.col("c1"))
+        * F.lit(1000000.0)
+        / (nd * nd * (nd - 1.0)),
+        0,
+    ).cast("long")
+    t = g.agg(
+        F.count(F.lit(1)).cast("long").alias("n_strata"),
+        F.sum("n").cast("long").alias("n_units"),
+        F.sum("a").cast("long").alias("sum_a"),
+        F.sum(em).cast("long").alias("_sem"),
+        F.sum(vm).cast("long").alias("_svm"),
+    )
+    z = F.round(
+        F.when(
+            F.col("_svm") > 0,
+            (F.col("sum_a") - F.col("_sem") / 1000000.0)
+            / F.sqrt(F.col("_svm") / 1000000.0),
+        ),
+        6,
+    )
+    p_micro = F.when(
+        z.isNotNull(),
+        F.round(2000000.0 / (1.0 + F.exp(1.702 * F.abs(z))), 0).cast("long"),
+    ).otherwise(F.lit(1000000).cast("long"))
+    return t.select(
+        "n_strata", "n_units", "sum_a", z.alias("z"), p_micro.alias("p_micro")
+    )
+
+
+def chi_square_independence(
+    df: DataFrame, row_col: str, col_col: str
+) -> DataFrame:
+    """Pearson chi-square test of independence for two categorical
+    columns — the first question a datacard asks of (source × language),
+    (split × label), (annotator × verdict): is the joint distribution a
+    product of its margins? Expected counts include EMPTY cells (the
+    margins cross join is dimension×dimension — tiny), each cell's
+    (o−e)²/e term is micro-rounded to a BIGINT before summation, and
+    the p-value maps the Wilson-Hilferty cube-root normal approximation
+    of χ²_df through the logistic CDF (both monotone — ranking-safe).
+
+    One (row,col)-keyed count (the contingency shuffle), two margin
+    aggregates, a broadcast margins cross join. Output: 1 row (n, df,
+    chi2 6 dp, z 6 dp, p_micro)."""
+    cells = df.select(
+        F.col(row_col).cast("string").alias("r"),
+        F.col(col_col).cast("string").alias("c"),
+    ).groupBy("r", "c").agg(F.count(F.lit(1)).cast("long").alias("o"))
+    rm = cells.groupBy("r").agg(F.sum("o").cast("long").alias("rn"))
+    cm = cells.groupBy("c").agg(F.sum("o").cast("long").alias("cn"))
+    tot = cells.agg(F.sum("o").cast("long").alias("n"))
+    full = (
+        rm.crossJoin(F.broadcast(cm))
+        .join(cells, ["r", "c"], "left")
+        .withColumn("o", F.coalesce("o", F.lit(0)).cast("long"))
+        .crossJoin(F.broadcast(tot))
+    )
+    e_ = F.col("rn") * F.col("cn") / F.col("n").cast("double")
+    term_m = F.round(
+        (F.col("o") - e_) * (F.col("o") - e_) / e_ * 1000000.0, 0
+    ).cast("long")
+    agg = full.agg(
+        F.max("n").cast("long").alias("n"),
+        (
+            (F.countDistinct("r") - 1) * (F.countDistinct("c") - 1)
+        ).cast("long").alias("df"),
+        F.sum(term_m).cast("long").alias("_stm"),
+    )
+    chi2 = F.col("_stm") / 1000000.0
+    dfd = F.col("df").cast("double")
+    # Wilson-Hilferty: (χ²/df)^(1/3) ≈ Normal(1 − 2/(9df), 2/(9df))
+    z = F.round(
+        F.when(
+            F.col("df") > 0,
+            (
+                F.cbrt(chi2 / dfd)
+                - (F.lit(1.0) - F.lit(2.0) / (F.lit(9.0) * dfd))
+            )
+            / F.sqrt(F.lit(2.0) / (F.lit(9.0) * dfd)),
+        ),
+        6,
+    )
+    # chi-square is an UPPER-tail test: p = 1 − Φ(z) on the SIGNED z
+    # (logistic approximation), not the two-sided form
+    p_micro = F.when(
+        z.isNotNull(),
+        F.round(1000000.0 / (1.0 + F.exp(1.702 * z)), 0).cast("long"),
+    ).otherwise(F.lit(1000000).cast("long"))
+    return agg.select(
+        "n",
+        "df",
+        F.round(chi2, 6).alias("chi2"),
+        z.alias("z"),
+        p_micro.alias("p_micro"),
+    )

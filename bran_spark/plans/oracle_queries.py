@@ -11509,6 +11509,119 @@ def q263(spark, sf):
     return ccnet_buckets(_t(spark, sf, "documents"))
 
 
+@_q(
+    "q264_cmh_test",
+    f"""
+    WITH u AS (SELECT event_type AS k, user_id AS uid,
+                      COUNT(*)::BIGINT AS cnt
+               FROM events GROUP BY 1, 2),
+    hx AS (SELECT k, md5(uid::VARCHAR) AS h, cnt FROM u),
+    a0 AS (SELECT k, CAST(({_HEX8_SQL}) % 2 AS INT) AS e,
+                  CASE WHEN cnt >= 2 THEN 1 ELSE 0 END AS y
+           FROM hx),
+    g AS (SELECT k, COUNT(*)::BIGINT AS n,
+                 SUM(CASE WHEN e = 1 AND y = 1 THEN 1 ELSE 0 END)::BIGINT
+                   AS a,
+                 SUM(CASE WHEN e = 1 THEN 1 ELSE 0 END)::BIGINT AS r1,
+                 SUM(CASE WHEN y = 1 THEN 1 ELSE 0 END)::BIGINT AS c1
+          FROM a0 GROUP BY k HAVING COUNT(*) > 1),
+    m AS (SELECT k, n, a, r1, c1,
+                 CAST(round(r1 * c1 * 1000000.0 / CAST(n AS DOUBLE), 0)
+                      AS BIGINT) AS em,
+                 CAST(round(CAST(r1 AS DOUBLE) * (n - r1) * c1 * (n - c1)
+                            * 1000000.0
+                            / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                               * (CAST(n AS DOUBLE) - 1.0)), 0)
+                      AS BIGINT) AS vm
+          FROM g),
+    t AS (SELECT COUNT(*)::BIGINT AS n_strata, SUM(n)::BIGINT AS n_units,
+                 SUM(a)::BIGINT AS sum_a, SUM(em)::BIGINT AS sem,
+                 SUM(vm)::BIGINT AS svm
+          FROM m),
+    zz AS (SELECT n_strata, n_units, sum_a,
+                  ROUND(CASE WHEN svm > 0
+                             THEN (sum_a - sem / 1000000.0)
+                                  / sqrt(svm / 1000000.0) END, 6) AS z
+           FROM t)
+    SELECT n_strata, n_units, sum_a, z,
+           CASE WHEN z IS NOT NULL
+                THEN CAST(round(2000000.0 / (1.0 + exp(1.702 * abs(z))), 0)
+                          AS BIGINT)
+                ELSE 1000000 END AS p_micro
+    FROM zz
+    """,
+)
+def q264(spark, sf):
+    """Cochran-Mantel-Haenszel stratified 2×2 test (evaluate.cmh_test)
+    of arm × engagement across event-type strata: per-stratum expected
+    counts and hypergeometric variances micro-rounded to BIGINTs before
+    the cross-strata sum, then one fixed scalar tree — the
+    Simpson's-paradox-safe readout for a binary outcome."""
+    from bran_spark.operators.evaluate import cmh_test
+    from bran_spark.operators.sampling import md5_arm
+
+    units = (
+        _t(spark, sf, "events")
+        .groupBy("event_type", "user_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .select(
+            F.col("event_type").alias("stratum"),
+            md5_arm("user_id").alias("exposure"),
+            (F.col("cnt") >= 2).cast("int").alias("outcome"),
+        )
+    )
+    return cmh_test(units)
+
+
+@_q(
+    "q265_chi_square",
+    """
+    WITH cells AS (SELECT source AS r, lang AS c, COUNT(*)::BIGINT AS o
+                   FROM documents GROUP BY 1, 2),
+    rm AS (SELECT r, SUM(o)::BIGINT AS rn FROM cells GROUP BY r),
+    cm AS (SELECT c, SUM(o)::BIGINT AS cn FROM cells GROUP BY c),
+    tot AS (SELECT SUM(o)::BIGINT AS n FROM cells),
+    fl AS (SELECT rm.r, cm.c, rm.rn, cm.cn,
+                  COALESCE(cells.o, 0)::BIGINT AS o, tot.n
+           FROM rm CROSS JOIN cm
+           LEFT JOIN cells ON cells.r = rm.r AND cells.c = cm.c
+           CROSS JOIN tot),
+    agg AS (SELECT MAX(n)::BIGINT AS n,
+                   ((COUNT(DISTINCT r) - 1)
+                    * (COUNT(DISTINCT c) - 1))::BIGINT AS df,
+                   SUM(CAST(round((o - rn * cn / CAST(n AS DOUBLE))
+                                  * (o - rn * cn / CAST(n AS DOUBLE))
+                                  / (rn * cn / CAST(n AS DOUBLE))
+                                  * 1000000.0, 0) AS BIGINT))::BIGINT AS stm
+            FROM fl),
+    zz AS (SELECT n, df, ROUND(stm / 1000000.0, 6) AS chi2,
+                  ROUND(CASE WHEN df > 0 THEN
+                        (cbrt((stm / 1000000.0) / CAST(df AS DOUBLE))
+                         - (1.0 - 2.0 / (9.0 * CAST(df AS DOUBLE))))
+                        / sqrt(2.0 / (9.0 * CAST(df AS DOUBLE))) END, 6) AS z
+           FROM agg)
+    SELECT n, df, chi2, z,
+           CASE WHEN z IS NOT NULL
+                THEN CAST(round(1000000.0 / (1.0 + exp(1.702 * z)), 0)
+                          AS BIGINT)
+                ELSE 1000000 END AS p_micro
+    FROM zz
+    """,
+)
+def q265(spark, sf):
+    """Pearson chi-square independence test (evaluate.
+    chi_square_independence) of the corpus's source × language
+    contingency — the first datacard association check. Empty cells
+    count toward expectation via the margins cross join; per-cell terms
+    are micro-integers; p maps the Wilson-Hilferty cube-root normal
+    approximation through the logistic CDF (upper tail)."""
+    from bran_spark.operators.evaluate import chi_square_independence
+
+    return chi_square_independence(
+        _t(spark, sf, "documents"), "source", "lang"
+    )
+
+
 # =========================================================================
 # Registry ordering: the driver's correctness gate hash-checks the FIRST
 # 50 insertion-order entries of ``queries()``. Definition order above is

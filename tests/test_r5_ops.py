@@ -329,3 +329,49 @@ def test_ccnet_buckets_orders_by_quality(spark):
     b = [r for r in out if r["lang"] == "B"]
     assert [r["n_docs"] for r in b] == [1, 1]  # 2 docs → tiles 1 and 2
     assert [r["bucket"] for r in b] == ["head", "middle"]
+
+
+def test_cmh_test_hand_example(spark):
+    from bran_spark.operators.evaluate import cmh_test
+
+    rows = []
+    # two identical-shape strata: exposed 10 (7 pos / 6 pos),
+    # unexposed 10 (3 pos / 4 pos)
+    for k, pos_e, pos_u in (("k1", 7, 3), ("k2", 6, 4)):
+        rows += [(k, 1, 1)] * pos_e + [(k, 1, 0)] * (10 - pos_e)
+        rows += [(k, 0, 1)] * pos_u + [(k, 0, 0)] * (10 - pos_u)
+    df = spark.createDataFrame(rows, "stratum string, exposure int, outcome int")
+    out = cmh_test(df).collect()[0].asDict()
+    assert out["n_strata"] == 2 and out["n_units"] == 40
+    assert out["sum_a"] == 13
+    # per stratum: E = 10·10/20 = 5 (em 5e6), V = 10⁴/(400·19) → vm 1315789
+    svm = 2 * 1315789
+    z = (13 - 10.0) / math.sqrt(svm / 1e6)
+    assert out["z"] == round(z, 6)
+    assert 0 < out["p_micro"] < 200000  # |z| ≈ 1.85 → small-ish p
+
+
+def test_chi_square_counts_empty_cells(spark):
+    from bran_spark.operators.evaluate import chi_square_independence
+
+    rows = [("a", "x")] * 5 + [("a", "y")] * 5 + [("b", "x")] * 10
+    df = spark.createDataFrame(rows, "r string, c string")
+    out = chi_square_independence(df, "r", "c").collect()[0].asDict()
+    # e(a,x)=7.5, e(a,y)=2.5, e(b,x)=7.5, e(b,y)=2.5 (EMPTY cell counts!)
+    # terms: 0.833333, 2.5, 0.833333, 2.5 → micro sum 6666666
+    assert out["n"] == 20 and out["df"] == 1
+    assert out["chi2"] == 6.666666
+    assert out["z"] is not None and out["p_micro"] < 100000
+
+
+def test_chi_square_independent_table_accepts(spark):
+    from bran_spark.operators.evaluate import chi_square_independence
+
+    # perfectly independent 2×2: o = margins product / n exactly
+    rows = (
+        [("a", "x")] * 6 + [("a", "y")] * 6
+        + [("b", "x")] * 4 + [("b", "y")] * 4
+    )
+    df = spark.createDataFrame(rows, "r string, c string")
+    out = chi_square_independence(df, "r", "c").collect()[0].asDict()
+    assert out["chi2"] == 0.0 and out["p_micro"] > 500000
