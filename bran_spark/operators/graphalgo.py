@@ -2086,3 +2086,161 @@ def butterfly_count(
     return nleft.crossJoin(base).crossJoin(bf).select(
         "n_left", "n_right", "n_edges", "n_wedges", "n_butterflies"
     )
+
+
+def node2vec_walks(
+    sym: DataFrame,
+    p: float = 1.0,
+    q: float = 1.0,
+    n_walks: int = 2,
+    walk_len: int = 3,
+) -> DataFrame:
+    """Second-order biased random walks (node2vec; Grover & Leskovec,
+    KDD 2016) — deterministic_walks' upgrade from DeepWalk to the p/q
+    return/in-out dial: at (prev → cur), candidate w is weighted 1/p if
+    w = prev (return), 1 if w is ALSO prev's neighbor (stay local,
+    BFS-ish), 1/q otherwise (explore outward, DFS-ish). Step 1 from the
+    start node is first-order uniform, as in the paper.
+
+    Sampling stays deterministic AND exactly proportional via the
+    Gumbel-max trick: each candidate draws u from the md5 coin
+    (start:cur:w:walk_id:t), and argmax_w [ln(weight_w) + Gumbel(u)]
+    samples w with probability weight_w / Σ weights — no cumulative-sum
+    scan, O(deg) per state row, one array_max over the packed neighbor
+    array. Scores round to 6 dp before the argmax and ties break to the
+    larger node id (struct compare), so both engines walk identically.
+
+    Scale shape: adjacency packs once (one groupBy); each step is TWO
+    equi-joins of the constant-width frontier (neighbors of cur +
+    neighbors of prev for the distance-1 test) — walk_len·2 joins
+    total, no shuffle growth. The membership probe is
+    array_contains over prev's packed array: O(deg(cur)·deg(prev)) per
+    row — on hub-heavy graphs cap degrees upstream (the df-cut every
+    projection here uses) or pre-bucket the distance-1 test as a join.
+
+    Returns (start, walk_id, step, node), step 0 = start; weights are
+    micro-integers (round(1e6/p), round(1e6/q)) so the bias dial is
+    engine-exact."""
+    inv_p = int(round(1000000.0 / p))
+    inv_q = int(round(1000000.0 / q))
+    # adj is referenced 2×/step plus the seed/step-1 joins, and the step
+    # outputs are UNIONed into one plan — exactly the shared-subtree +
+    # nested-lambda shape that trips Catalyst's relation dedup into
+    # silently mis-binding lambda attributes on in-memory lineages (the
+    # q248 corner: parquet scans mint fresh ids and never hit it).
+    # Checkpointing adj and each step's state gives every reference its
+    # own LogicalRDD with unique attribute ids AND truncates the
+    # otherwise multiplicatively-growing walk lineage (the same
+    # per-round truncation pagerank/luby use).
+    adj = sym.groupBy("u").agg(
+        F.sort_array(F.collect_set("v")).alias("nbrs")
+    ).localCheckpoint(eager=True)
+    state = (
+        adj.select(F.col("u").alias("start"))
+        .select(
+            "start",
+            F.explode(F.sequence(F.lit(0), F.lit(n_walks - 1))).alias(
+                "walk_id"
+            ),
+        )
+        .withColumn("cur", F.col("start"))
+    )
+    out = state.select(
+        "start", "walk_id", F.lit(0).alias("step"), F.col("cur").alias("node")
+    )
+    # step 1: first-order uniform (no prev yet), q86's selection rule
+    idx = F.conv(
+        F.substring(
+            F.md5(F.concat_ws(":", F.col("cur"), F.col("walk_id"), F.lit(1))),
+            1, 8,
+        ),
+        16, 10,
+    ).cast("long")
+    state = (
+        state.join(adj, state["cur"] == adj["u"])
+        .select(
+            "start",
+            "walk_id",
+            F.col("cur").alias("prev"),
+            F.element_at(
+                F.col("nbrs"), (idx % F.size("nbrs") + 1).cast("int")
+            ).alias("cur"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    out = out.union(
+        state.select(
+            "start", "walk_id", F.lit(1).alias("step"),
+            F.col("cur").alias("node"),
+        )
+    )
+    from bran_spark.operators.kglearn import md5int8
+
+    for t in range(2, walk_len + 1):
+        a_cur = adj.select(F.col("u").alias("_cu"), F.col("nbrs").alias("nbrs"))
+        a_prev = adj.select(
+            F.col("u").alias("_pu"), F.col("nbrs").alias("pnbrs")
+        )
+        joined = state.join(a_cur, state["cur"] == F.col("_cu")).join(
+            a_prev, state["prev"] == F.col("_pu")
+        )
+        # candidates are EXPLODED to rows and the winner taken with a
+        # grouped max(struct) — NOT an array_max over a transform()
+        # lambda: evaluating that HOF on the output of the broadcast
+        # joins returned row-dependent wrong scores in full-table
+        # whole-stage codegen (correct when the same plan was filtered
+        # to one row first — a lambda-binding corner, cousin of the
+        # q248 relation-dedup one). Plain per-row expressions cannot
+        # mis-bind; the price is one (start, walk_id)-keyed shuffle per
+        # step, the same cadence every iterative graph op here pays.
+        w = F.col("w")
+        wt = (
+            F.when(w == F.col("prev"), F.lit(inv_p))
+            .when(F.array_contains(F.col("pnbrs"), w), F.lit(1000000))
+            .otherwise(F.lit(inv_q))
+        ).cast("double")
+        u = (
+            (
+                md5int8(
+                    F.concat_ws(
+                        ":",
+                        F.col("start"),
+                        F.col("cur"),
+                        w,
+                        F.col("walk_id"),
+                        F.lit(t),
+                    )
+                )
+                % 1000000
+            ).cast("double")
+            + F.lit(0.5)
+        ) / F.lit(1000000.0)
+        score = F.round(F.log(wt) + (-F.log(-F.log(u))), 6)
+        cand = joined.select(
+            "start", "walk_id", "prev", "cur", "pnbrs",
+            F.explode("nbrs").alias("w"),
+        ).select(
+            "start", "walk_id", "cur",
+            F.struct(score.alias("s"), w.alias("w")).alias("sw"),
+        )
+        state = (
+            cand.groupBy("start", "walk_id", "cur")
+            .agg(F.max("sw").alias("mx"))
+            .select(
+                "start",
+                "walk_id",
+                F.col("cur").alias("prev"),
+                F.col("mx").getField("w").alias("cur"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        out = out.union(
+            state.select(
+                "start", "walk_id", F.lit(t).alias("step"),
+                F.col("cur").alias("node"),
+            )
+        )
+    return out.select(
+        "start", F.col("walk_id").cast("int"), F.col("step").cast("int"),
+        "node",
+    )

@@ -11622,6 +11622,74 @@ def q265(spark, sf):
     )
 
 
+# node2vec twin helpers: micro bias weights for (p=4, q=0.25) and one
+# unrolled second-order step (Gumbel-max selection, 6-dp rounded scores,
+# tie-break to the larger node id via struct compare)
+_N2V_INV_P, _N2V_INV_Q = 250000, 4000000
+
+
+def _n2v_step_sql(t: int) -> str:
+    coin = _MD5INT8.format(
+        x="st.start || ':' || st.cur || ':' || w || ':' "
+        f"|| CAST(st.walk_id AS VARCHAR) || ':' || '{t}'"
+    )
+    return f"""
+    s{t} AS MATERIALIZED (
+      SELECT st.start, st.walk_id, st.cur AS prev,
+             struct_extract(list_max(list_transform(ac.nbrs, w ->
+               {{'s': round(ln(CAST(CASE WHEN w = st.prev THEN {_N2V_INV_P}
+                                 WHEN list_contains(ap.nbrs, w) THEN 1000000
+                                 ELSE {_N2V_INV_Q} END AS DOUBLE))
+                      + (-ln(-ln(((({coin}) % 1000000) + 0.5)
+                                 / 1000000.0))), 6),
+                'w': w}})), 'w') AS cur
+      FROM s{t - 1} st
+      JOIN adj ac ON ac.u = st.cur
+      JOIN adj ap ON ap.u = st.prev)"""
+
+
+@_q(
+    "q266_node2vec_walks",
+    _FX_PAIRS_SQL
+    + f"""
+    , adj AS MATERIALIZED (SELECT u, list_sort(list(DISTINCT v)) AS nbrs
+                           FROM sym GROUP BY u),
+    w0 AS (SELECT u AS start, CAST(unnest(range(2)) AS INT) AS walk_id,
+                  u AS cur
+           FROM adj),
+    s1 AS MATERIALIZED (
+      SELECT w0.start, w0.walk_id, w0.cur AS prev,
+             adj.nbrs[CAST(({_MD5INT8.format(
+                 x="w0.cur || ':' || CAST(w0.walk_id AS VARCHAR) || ':' || '1'")})
+                 % len(adj.nbrs) AS INT) + 1] AS cur
+      FROM w0 JOIN adj ON adj.u = w0.cur),
+    {_n2v_step_sql(2)},
+    {_n2v_step_sql(3)}
+    SELECT start, walk_id, CAST(0 AS INT) AS step, cur AS node FROM w0
+    UNION ALL
+    SELECT start, walk_id, CAST(1 AS INT), cur FROM s1
+    UNION ALL
+    SELECT start, walk_id, CAST(2 AS INT), cur FROM s2
+    UNION ALL
+    SELECT start, walk_id, CAST(3 AS INT), cur FROM s3
+    """,
+)
+def q266(spark, sf):
+    """node2vec second-order biased walks (graphalgo.node2vec_walks,
+    p=4, q=0.25 — the outward/DFS corner of the dial) on the symmetric
+    co-occurrence graph: per-candidate return/local/outward micro
+    weights sampled EXACTLY proportionally via the deterministic
+    Gumbel-max trick (argmax of ln(weight) + Gumbel(md5 coin), 6-dp
+    rounded, id tie-break) — no cumulative-sum scan, one array_max per
+    frontier row. Step 1 is first-order uniform per the paper."""
+    from bran_spark.operators.graphalgo import node2vec_walks, symmetric_edges
+
+    return node2vec_walks(
+        symmetric_edges(_fx_entity_pairs(spark, sf)),
+        p=4.0, q=0.25, n_walks=2, walk_len=3,
+    )
+
+
 # =========================================================================
 # Registry ordering: the driver's correctness gate hash-checks the FIRST
 # 50 insertion-order entries of ``queries()``. Definition order above is

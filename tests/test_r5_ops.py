@@ -375,3 +375,57 @@ def test_chi_square_independent_table_accepts(spark):
     df = spark.createDataFrame(rows, "r string, c string")
     out = chi_square_independence(df, "r", "c").collect()[0].asDict()
     assert out["chi2"] == 0.0 and out["p_micro"] > 500000
+
+
+def test_node2vec_walks_match_local_replay(spark):
+    import hashlib
+
+    from bran_spark.operators.graphalgo import node2vec_walks, symmetric_edges
+
+    edges = [
+        ("a", "b"), ("b", "c"), ("c", "d"), ("d", "a"), ("a", "c"),
+        ("d", "e"),
+    ]
+    df = spark.createDataFrame(edges, "subj string, obj string")
+    got = {
+        (r.start, r.walk_id, r.step): r.node
+        for r in node2vec_walks(
+            symmetric_edges(df), p=4.0, q=0.25, n_walks=2, walk_len=3
+        ).collect()
+    }
+
+    adj = {}
+    for s, o in edges:
+        adj.setdefault(s, set()).add(o)
+        adj.setdefault(o, set()).add(s)
+    adj = {k: sorted(v) for k, v in adj.items()}
+
+    def h8(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+    import math
+
+    INV_P, INV_Q = 250000, 4000000
+    for start in adj:
+        for wid in range(2):
+            prev, cur = None, start
+            assert got[(start, wid, 0)] == start
+            nb = adj[cur]
+            nxt = nb[h8(f"{cur}:{wid}:1") % len(nb)]
+            assert got[(start, wid, 1)] == nxt
+            prev, cur = cur, nxt
+            for t in (2, 3):
+                best = None
+                for w in adj[cur]:
+                    wt = (
+                        INV_P if w == prev
+                        else 1000000 if w in adj[prev] else INV_Q
+                    )
+                    u = (
+                        (h8(f"{start}:{cur}:{w}:{wid}:{t}") % 1000000) + 0.5
+                    ) / 1000000.0
+                    sc = round(math.log(wt) - math.log(-math.log(u)), 6)
+                    if best is None or (sc, w) > best:
+                        best = (sc, w)
+                prev, cur = cur, best[1]
+                assert got[(start, wid, t)] == cur, (start, wid, t)
