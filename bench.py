@@ -150,6 +150,16 @@ def main() -> None:
         # pre-propagation (edge self-join with hub df-cut)
         "q248_transe_eval",
         "q249_feature_propagation",
+        # r5 session-2 families: Hearst extraction (regex scan-explode),
+        # CCNet perplexity thirds (corpus unigram LM + per-lang ntile),
+        # bipartite butterfly census (lineitem pivot self-join), SPARQL
+        # BGP (cyclic 4-pattern join), node2vec (2 shuffles/step +
+        # per-step checkpoint)
+        "q257_hearst_hypernyms",
+        "q263_ccnet_buckets",
+        "q261_butterfly_count",
+        "q262_bgp_match",
+        "q266_node2vec_walks",
     ]
     for name in bench_queries:
         t0 = time.time()

@@ -242,9 +242,15 @@ def t_closeness_audit(
     vdom = cell.groupBy("_v").agg(F.sum("n_gv").cast("long").alias("n_v"))
     tot = vdom.agg(F.sum("n_v").cast("long").alias("n_total"))
     w = Window.partitionBy(*qi_cols)
+    # NULL is a sensitive VALUE like any other (groupBy already keeps the
+    # NULL group) — the value-domain attach must be null-SAFE or NULL
+    # rows silently drop here, distorting every group's TVD and deleting
+    # all-NULL groups from the audit entirely
+    vd2 = vdom.withColumnRenamed("_v", "_v2")
     per_cell = (
         cell.withColumn("n_g", F.sum("n_gv").over(w).cast("long"))
-        .join(F.broadcast(vdom), "_v")
+        .join(F.broadcast(vd2), F.col("_v").eqNullSafe(F.col("_v2")))
+        .drop("_v2")
         .crossJoin(F.broadcast(tot))
     )
     grp = per_cell.groupBy(*qi_cols).agg(
@@ -502,11 +508,32 @@ def schema_match(
 
     lv = melt(left, left_cols, "left_col")
     rv = melt(right, right_cols, "right_col")
-    lstat = lv.groupBy("left_col").agg(
-        F.count(F.lit(1)).cast("long").alias("n_left")
+    # the matrix must carry EVERY requested column, including one whose
+    # values are all NULL (a dead field is exactly what this audit is
+    # run to discover) — anchor stats on the literal column dimension,
+    # not on whichever columns survived the melt
+    spark = left.sparkSession
+    lstat = (
+        spark.createDataFrame([(c,) for c in left_cols], "left_col string")
+        .join(
+            lv.groupBy("left_col").agg(
+                F.count(F.lit(1)).cast("long").alias("n_left")
+            ),
+            "left_col",
+            "left",
+        )
+        .withColumn("n_left", F.coalesce("n_left", F.lit(0)).cast("long"))
     )
-    rstat = rv.groupBy("right_col").agg(
-        F.count(F.lit(1)).cast("long").alias("n_right")
+    rstat = (
+        spark.createDataFrame([(c,) for c in right_cols], "right_col string")
+        .join(
+            rv.groupBy("right_col").agg(
+                F.count(F.lit(1)).cast("long").alias("n_right")
+            ),
+            "right_col",
+            "left",
+        )
+        .withColumn("n_right", F.coalesce("n_right", F.lit(0)).cast("long"))
     )
     inter = (
         lv.join(rv, "v")
@@ -518,13 +545,12 @@ def schema_match(
         .join(inter, ["left_col", "right_col"], "left")
         .withColumn("n_common", F.coalesce("n_common", F.lit(0)).cast("long"))
     )
-    jac = F.round(
-        F.col("n_common")
-        / (F.col("n_left") + F.col("n_right") - F.col("n_common")).cast(
-            "double"
-        ),
-        6,
-    )
+    denom = (
+        F.col("n_left") + F.col("n_right") - F.col("n_common")
+    ).cast("double")
+    jac = F.when(
+        denom > 0, F.round(F.col("n_common") / denom, 6)
+    ).otherwise(F.lit(0.0))
     w = Window.partitionBy("left_col").orderBy(
         F.desc("jaccard"), F.asc("right_col")
     )

@@ -1084,9 +1084,17 @@ def chi_square_independence(
     One (row,col)-keyed count (the contingency shuffle), two margin
     aggregates, a broadcast margins cross join. Output: 1 row (n, df,
     chi2 6 dp, z 6 dp, p_micro)."""
+    # NULL is a category, not a hole: left un-coalesced, the join on
+    # (r, c) never matches NULL keys, so NULL-category observations keep
+    # their expected counts but lose their observed ones — every NULL
+    # cell contributes a phantom (0−e)²/e and chi2 inflates
     cells = df.select(
-        F.col(row_col).cast("string").alias("r"),
-        F.col(col_col).cast("string").alias("c"),
+        F.coalesce(F.col(row_col).cast("string"), F.lit("__null__")).alias(
+            "r"
+        ),
+        F.coalesce(F.col(col_col).cast("string"), F.lit("__null__")).alias(
+            "c"
+        ),
     ).groupBy("r", "c").agg(F.count(F.lit(1)).cast("long").alias("o"))
     rm = cells.groupBy("r").agg(F.sum("o").cast("long").alias("rn"))
     cm = cells.groupBy("c").agg(F.sum("o").cast("long").alias("cn"))

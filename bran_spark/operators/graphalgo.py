@@ -2062,7 +2062,7 @@ def butterfly_count(
     base = stats.agg(
         F.count(F.lit(1)).cast("long").alias("n_right"),
         F.sum("d").cast("long").alias("n_edges"),
-        F.sum((F.col("d") * (F.col("d") - 1) / 2).cast("long"))
+        F.sum(F.expr("d * (d - 1) div 2"))
         .cast("long")
         .alias("n_wedges"),
     )
@@ -2075,9 +2075,11 @@ def butterfly_count(
         .groupBy("u1", "u2")
         .agg(F.count(F.lit(1)).cast("long").alias("cd"))
     )
+    # `div` keeps C(n,2) in pure BIGINT arithmetic (a double quotient
+    # would round above 2^53, breaking the docstring's exactness claim)
     bf = codeg.agg(
         F.coalesce(
-            F.sum((F.col("cd") * (F.col("cd") - 1) / 2).cast("long")),
+            F.sum(F.expr("cd * (cd - 1) div 2")),
             F.lit(0),
         )
         .cast("long")

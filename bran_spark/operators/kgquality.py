@@ -589,6 +589,8 @@ def bgp_match(
     Output: one column per variable (sorted by name), DISTINCT bindings
     by default (SPARQL set semantics; distinct=False keeps bag
     semantics)."""
+    if not patterns:
+        raise ValueError("bgp_match needs at least one pattern")
     bound = None
     for s, p, o in patterns:
         conds = []

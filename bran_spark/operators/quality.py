@@ -861,17 +861,23 @@ def ccnet_buckets(
         F.round(F.col("logprob") * 1000000.0, 0).cast("long").alias("lpm"),
         F.ntile(n_buckets).over(w).cast("int").alias("bucket_rank"),
     )
+    # a language with fewer docs than n_buckets only emits ranks 1..k:
+    # its WORST observed tier must still be labeled 'tail' (a pipeline
+    # dropping bucket='tail' would otherwise never drop anything for
+    # small languages); a 1-doc language is head by precedence
     name = (
         F.when(F.col("bucket_rank") == 1, F.lit("head"))
-        .when(F.col("bucket_rank") == n_buckets, F.lit("tail"))
+        .when(F.col("bucket_rank") == F.col("_maxr"), F.lit("tail"))
         .otherwise(F.lit("middle"))
     )
+    wl = Window.partitionBy("lang")
     return (
         tiled.groupBy("lang", "bucket_rank")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_docs"),
             F.sum("lpm").cast("long").alias("_slpm"),
         )
+        .withColumn("_maxr", F.max("bucket_rank").over(wl))
         .select(
             "lang",
             name.alias("bucket"),

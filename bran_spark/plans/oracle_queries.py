@@ -10906,7 +10906,8 @@ def q252(spark, sf):
                   tt.n_total,
                   SUM(n_gv) OVER (PARTITION BY c_nationkey, c_mktsegment
                                  )::BIGINT AS n_g
-           FROM cell JOIN vd USING (v) CROSS JOIN tt),
+           FROM cell JOIN vd ON cell.v IS NOT DISTINCT FROM vd.v
+           CROSS JOIN tt),
     grp AS (SELECT c_nationkey, c_mktsegment,
                    MAX(n_g)::BIGINT AS n_g, MAX(n_total)::BIGINT AS n_total,
                    SUM(abs(n_gv * n_total - n_v * n_g))::BIGINT
@@ -11407,12 +11408,12 @@ def q260(spark, sf):
                FROM lineitem),
     st AS (SELECT r, COUNT(*)::BIGINT AS d FROM e GROUP BY r),
     base AS (SELECT COUNT(*)::BIGINT AS n_right, SUM(d)::BIGINT AS n_edges,
-                    SUM(CAST(d * (d - 1) / 2 AS BIGINT))::BIGINT AS n_wedges
+                    SUM((d * (d - 1)) // 2)::BIGINT AS n_wedges
              FROM st),
     nl AS (SELECT COUNT(DISTINCT l)::BIGINT AS n_left FROM e),
     cd AS (SELECT a.l AS u1, b.l AS u2, COUNT(*)::BIGINT AS cd
            FROM e a JOIN e b ON a.r = b.r AND a.l < b.l GROUP BY 1, 2),
-    bf AS (SELECT COALESCE(SUM(CAST(cd * (cd - 1) / 2 AS BIGINT)),
+    bf AS (SELECT COALESCE(SUM((cd * (cd - 1)) // 2),
                            0)::BIGINT AS n_butterflies
            FROM cd)
     SELECT n_left, n_right, n_edges, n_wedges, n_butterflies
@@ -11488,14 +11489,18 @@ def q262(spark, sf):
                  CAST(ntile(3) OVER (PARTITION BY lang
                                      ORDER BY logprob DESC, doc_id) AS INT)
                    AS bucket_rank
-          FROM j)
+          FROM j),
+    g AS (SELECT lang, bucket_rank, COUNT(*)::BIGINT AS n_docs,
+                 ROUND(SUM(lpm) / (COUNT(*) * 1000000.0), 6) AS avg_logprob
+          FROM b GROUP BY lang, bucket_rank),
+    g2 AS (SELECT *, MAX(bucket_rank) OVER (PARTITION BY lang) AS maxr
+           FROM g)
     SELECT lang,
            CASE WHEN bucket_rank = 1 THEN 'head'
-                WHEN bucket_rank = 3 THEN 'tail'
+                WHEN bucket_rank = maxr THEN 'tail'
                 ELSE 'middle' END AS bucket,
-           bucket_rank, COUNT(*)::BIGINT AS n_docs,
-           ROUND(SUM(lpm) / (COUNT(*) * 1000000.0), 6) AS avg_logprob
-    FROM b GROUP BY lang, bucket_rank ORDER BY lang, bucket_rank
+           bucket_rank, n_docs, avg_logprob
+    FROM g2 ORDER BY lang, bucket_rank
     """,
 )
 def q263(spark, sf):
@@ -11576,7 +11581,9 @@ def q264(spark, sf):
 @_q(
     "q265_chi_square",
     """
-    WITH cells AS (SELECT source AS r, lang AS c, COUNT(*)::BIGINT AS o
+    WITH cells AS (SELECT COALESCE(source, '__null__') AS r,
+                          COALESCE(lang, '__null__') AS c,
+                          COUNT(*)::BIGINT AS o
                    FROM documents GROUP BY 1, 2),
     rm AS (SELECT r, SUM(o)::BIGINT AS rn FROM cells GROUP BY r),
     cm AS (SELECT c, SUM(o)::BIGINT AS cn FROM cells GROUP BY c),

@@ -328,7 +328,8 @@ def test_ccnet_buckets_orders_by_quality(spark):
     assert a[0]["avg_logprob"] > a[-1]["avg_logprob"]
     b = [r for r in out if r["lang"] == "B"]
     assert [r["n_docs"] for r in b] == [1, 1]  # 2 docs → tiles 1 and 2
-    assert [r["bucket"] for r in b] == ["head", "middle"]
+    # the worst OBSERVED tier is tail even when fewer tiles than buckets
+    assert [r["bucket"] for r in b] == ["head", "tail"]
 
 
 def test_cmh_test_hand_example(spark):
@@ -429,3 +430,63 @@ def test_node2vec_walks_match_local_replay(spark):
                         best = (sc, w)
                 prev, cur = cur, best[1]
                 assert got[(start, wid, t)] == cur, (start, wid, t)
+
+
+def test_t_closeness_null_sensitive_values(spark):
+    from bran_spark.operators.contracts import t_closeness_audit
+
+    # every group's (x, NULL) mix equals the global one → TVD must be 0;
+    # an all-NULL group must still be audited (it is maximally skewed)
+    rows = [("A", "x"), ("A", None), ("B", "x"), ("B", None)]
+    df = spark.createDataFrame(rows, "g string, v string")
+    out = t_closeness_audit(df, ["g"], "v", t=0.1).collect()[0]
+    assert out.n_rows == 4 and out.n_groups == 2
+    assert out.max_tvd == 0.0 and out.t_satisfied
+
+    rows2 = [("A", "x")] * 2 + [("B", None)] * 2
+    out2 = t_closeness_audit(
+        spark.createDataFrame(rows2, "g string, v string"), ["g"], "v", t=0.1
+    ).collect()[0]
+    assert out2.n_rows == 4 and out2.n_groups == 2
+    assert out2.max_tvd == 0.5 and not out2.t_satisfied
+
+
+def test_chi_square_null_categories(spark):
+    from bran_spark.operators.evaluate import chi_square_independence
+
+    rows = [
+        ("a", "en"), ("a", "en"), ("a", None),
+        ("b", "en"), ("b", None), ("b", None),
+    ]
+    df = spark.createDataFrame(rows, "r string, c string")
+    out = chi_square_independence(df, "r", "c").collect()[0].asDict()
+    # NULL is a category: o = [[2,1],[1,2]], e = 1.5 everywhere →
+    # chi2 = 4·(0.25/1.5) = 0.666668 in micro-rounded terms, df = 1
+    assert out["n"] == 6 and out["df"] == 1
+    assert abs(out["chi2"] - 2 / 3) < 1e-5
+
+
+def test_bgp_match_empty_patterns_raises(spark):
+    import pytest
+
+    from bran_spark.operators.kgquality import bgp_match
+
+    df = spark.createDataFrame([("a", "p", "b")], "subj string, pred string, obj string")
+    with pytest.raises(ValueError):
+        bgp_match(df, [])
+
+
+def test_schema_match_keeps_all_null_column(spark):
+    from bran_spark.operators.contracts import schema_match
+
+    left = spark.createDataFrame(
+        [(1, None), (2, None)], "a int, dead string"
+    )
+    right = spark.createDataFrame([(2,), (3,)], "x int")
+    out = {
+        (r.left_col, r.right_col): r.asDict()
+        for r in schema_match(left, right, ["a", "dead"], ["x"]).collect()
+    }
+    assert ("dead", "x") in out  # dead column still ranked
+    d = out[("dead", "x")]
+    assert d["n_left"] == 0 and d["n_common"] == 0 and d["jaccard"] == 0.0
