@@ -541,7 +541,7 @@ def schema_match(
         .agg(F.count(F.lit(1)).cast("long").alias("n_common"))
     )
     matrix = (
-        lstat.crossJoin(rstat)
+        lstat.crossJoin(F.broadcast(rstat))
         .join(inter, ["left_col", "right_col"], "left")
         .withColumn("n_common", F.coalesce("n_common", F.lit(0)).cast("long"))
     )
