@@ -566,3 +566,83 @@ def schema_match(
         .withColumn("rank", F.row_number().over(w).cast("int"))
         .orderBy("left_col", "rank")
     )
+
+
+def fairness_audit(
+    df: DataFrame,
+    group_col: str,
+    label_col: str,
+    pred_col: str,
+) -> DataFrame:
+    """Group-fairness audit of a binary classifier (the labeling
+    functions, quality gates, and filter models this engine trains data
+    FOR): per protected/population group, selection rate (demographic
+    parity), TPR (equal opportunity) and FPR (equalized odds), plus each
+    group's gap to the best-off group — the report a datacard attaches
+    before a filter is allowed to gate a corpus, because a quality
+    filter that silently drops one language's documents at 3× the rate
+    of another's is a mixture decision nobody signed off on.
+
+    One group-keyed conditional aggregate over the corpus (exact integer
+    counts, map-side combine), then windows over the group DIMENSION for
+    the max rates (dimension-table legality). Rates are single exact
+    divisions rounded 6 dp; gaps compare the ROUNDED rates so both
+    engines agree bit-for-bit. Groups without positives (negatives)
+    report NULL tpr (fpr) and are skipped by the corresponding max.
+
+    Output: one row per group (grp, n, n_pos, pred_rate, base_rate,
+    tpr, fpr, dp_gap, tpr_gap), ordered by grp."""
+    y = F.col("_y")
+    p = F.col("_p")
+    g = (
+        df.select(
+            F.col(group_col).alias("grp"),
+            F.col(label_col).cast("int").alias("_y"),
+            F.col(pred_col).cast("int").alias("_p"),
+        )
+        .groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(y).cast("long").alias("n_pos"),
+            F.sum(p).cast("long").alias("n_sel"),
+            F.sum(F.when((y == 1) & (p == 1), 1).otherwise(0))
+            .cast("long")
+            .alias("n_tp"),
+            F.sum(F.when((y == 0) & (p == 1), 1).otherwise(0))
+            .cast("long")
+            .alias("n_fp"),
+        )
+    )
+    pred_rate = F.round(F.col("n_sel") / F.col("n").cast("double"), 6)
+    base_rate = F.round(F.col("n_pos") / F.col("n").cast("double"), 6)
+    tpr = F.round(
+        F.when(
+            F.col("n_pos") > 0, F.col("n_tp") / F.col("n_pos").cast("double")
+        ),
+        6,
+    )
+    fpr = F.round(
+        F.when(
+            F.col("n") - F.col("n_pos") > 0,
+            F.col("n_fp") / (F.col("n") - F.col("n_pos")).cast("double"),
+        ),
+        6,
+    )
+    r = g.select(
+        "grp", "n", "n_pos",
+        pred_rate.alias("pred_rate"),
+        base_rate.alias("base_rate"),
+        tpr.alias("tpr"),
+        fpr.alias("fpr"),
+    )
+    wall = Window.partitionBy(F.lit(1))
+    return r.select(
+        "*",
+        F.round(F.max("pred_rate").over(wall) - F.col("pred_rate"), 6).alias(
+            "dp_gap"
+        ),
+        F.when(
+            F.col("tpr").isNotNull(),
+            F.round(F.max("tpr").over(wall) - F.col("tpr"), 6),
+        ).alias("tpr_gap"),
+    ).orderBy("grp")

@@ -11697,6 +11697,55 @@ def q266(spark, sf):
     )
 
 
+@_q(
+    "q267_fairness_audit",
+    """
+    WITH u AS (SELECT lang AS grp,
+                      CASE WHEN n_chars >= 500 THEN 1 ELSE 0 END AS y,
+                      CASE WHEN len(string_split_regex(trim(lower(text)),
+                                                       ' +')) >= 80
+                           THEN 1 ELSE 0 END AS p
+               FROM documents),
+    g AS (SELECT grp, COUNT(*)::BIGINT AS n, SUM(y)::BIGINT AS n_pos,
+                 SUM(p)::BIGINT AS n_sel,
+                 SUM(CASE WHEN y = 1 AND p = 1 THEN 1 ELSE 0 END)::BIGINT
+                   AS n_tp,
+                 SUM(CASE WHEN y = 0 AND p = 1 THEN 1 ELSE 0 END)::BIGINT
+                   AS n_fp
+          FROM u GROUP BY grp),
+    r AS (SELECT grp, n, n_pos,
+                 ROUND(n_sel / n::DOUBLE, 6) AS pred_rate,
+                 ROUND(n_pos / n::DOUBLE, 6) AS base_rate,
+                 ROUND(CASE WHEN n_pos > 0
+                            THEN n_tp / n_pos::DOUBLE END, 6) AS tpr,
+                 ROUND(CASE WHEN n - n_pos > 0
+                            THEN n_fp / (n - n_pos)::DOUBLE END, 6) AS fpr
+          FROM g)
+    SELECT grp, n, n_pos, pred_rate, base_rate, tpr, fpr,
+           ROUND(MAX(pred_rate) OVER () - pred_rate, 6) AS dp_gap,
+           CASE WHEN tpr IS NOT NULL
+                THEN ROUND(MAX(tpr) OVER () - tpr, 6) END AS tpr_gap
+    FROM r ORDER BY grp
+    """,
+)
+def q267(spark, sf):
+    """Group-fairness audit (contracts.fairness_audit) of a length-proxy
+    quality filter (pred: ≥80 tokens) against the long-document label
+    (≥500 chars) across languages — selection rate, TPR, FPR per
+    language plus each language's gap to the best-off one. The datacard
+    row that stops a filter from silently reshaping the language mix."""
+    from bran_spark.operators.contracts import fairness_audit
+
+    d = _t(spark, sf, "documents").select(
+        F.col("lang"),
+        (F.col("n_chars") >= 500).cast("int").alias("y"),
+        (
+            F.size(F.split(F.trim(F.lower(F.col("text"))), " +")) >= 80
+        ).cast("int").alias("p"),
+    )
+    return fairness_audit(d, "lang", "y", "p")
+
+
 # =========================================================================
 # Registry ordering: the driver's correctness gate hash-checks the FIRST
 # 50 insertion-order entries of ``queries()``. Definition order above is

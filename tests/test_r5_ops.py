@@ -490,3 +490,49 @@ def test_schema_match_keeps_all_null_column(spark):
     assert ("dead", "x") in out  # dead column still ranked
     d = out[("dead", "x")]
     assert d["n_left"] == 0 and d["n_common"] == 0 and d["jaccard"] == 0.0
+
+
+def test_fairness_audit_hand_example(spark):
+    from bran_spark.operators.contracts import fairness_audit
+
+    rows = (
+        # group a: 4 units, 2 pos; pred selects both pos + 1 neg
+        [("a", 1, 1), ("a", 1, 1), ("a", 0, 1), ("a", 0, 0)]
+        # group b: 4 units, 2 pos; pred selects 1 pos only
+        + [("b", 1, 1), ("b", 1, 0), ("b", 0, 0), ("b", 0, 0)]
+        # group c: no positives → tpr NULL, skipped by the tpr max
+        + [("c", 0, 1), ("c", 0, 0)]
+    )
+    df = spark.createDataFrame(rows, "grp string, y int, p int")
+    out = {r.grp: r.asDict() for r in fairness_audit(df, "grp", "y", "p").collect()}
+    a, b, c = out["a"], out["b"], out["c"]
+    assert a["pred_rate"] == 0.75 and a["tpr"] == 1.0 and a["fpr"] == 0.5
+    assert b["pred_rate"] == 0.25 and b["tpr"] == 0.5 and b["fpr"] == 0.0
+    assert c["tpr"] is None and c["tpr_gap"] is None
+    assert a["dp_gap"] == 0.0  # a is best-off on selection
+    assert b["dp_gap"] == 0.5 and b["tpr_gap"] == 0.5
+    assert c["dp_gap"] == 0.25
+
+
+def test_privacy_gate_job_smoke(tmp_path):
+    import json
+    import subprocess
+    import sys
+
+    out = tmp_path / "gate.json"
+    r = subprocess.run(
+        [
+            sys.executable, "jobs/run_privacy_gate.py",
+            "--sf-dir", "/root/testdata/sf0.001",
+            "--master", "local[4]", "--shuffle-partitions", "8",
+            "--out", str(out), "--fail-on-violations",
+        ],
+        capture_output=True, text=True, timeout=600,
+    )
+    rep = json.loads(out.read_text())
+    # sf0.001 customer QI groups are tiny → k/l/t gates must fail and
+    # --fail-on-violations must exit non-zero
+    assert not rep["k_anonymity"]["satisfied"]
+    assert not rep["all_satisfied"]
+    assert rep["pii"]["satisfied"] and rep["fairness"]["n_groups"] == 5
+    assert r.returncode == 2
