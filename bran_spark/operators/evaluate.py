@@ -1143,3 +1143,76 @@ def chi_square_independence(
         z.alias("z"),
         p_micro.alias("p_micro"),
     )
+
+
+def calibration_summary(
+    df: DataFrame,
+    prob_col: str = "p",
+    label_col: str = "label",
+    n_bins: int = 20,
+) -> DataFrame:
+    """Scalar calibration metrics — the numbers printed NEXT TO the
+    reliability diagram (calibration_bins) and the fits (isotonic,
+    Platt): ECE (expected calibration error — bin-weighted |accuracy −
+    confidence|), MCE (the worst bin), the raw Brier score, and
+    Murphy's (1973) binned decomposition reliability / resolution /
+    uncertainty — the standard one-row verdict on whether a confidence
+    score can be read as a probability.
+
+    Exact arithmetic: probabilities micro-round ONCE per row (pm =
+    round(p·10⁶) — exact when p has ≤6 dp), per-row Brier terms and
+    per-bin |acc−conf| / squared-gap terms micro-round before the
+    bin-weighted sums, so every metric is one fixed scalar tree over
+    BIGINTs. One corpus-scale bin aggregate (map-side combine) + one
+    n_bins-row rollup. Output: 1 row (n, n_bins_used, ece, mce, brier,
+    reliability, resolution, uncertainty), 6 dp."""
+    p = F.col(prob_col).cast("double")
+    y = F.col(label_col).cast("long")
+    rows = df.select(
+        F.least(F.lit(n_bins - 1), F.floor(p * n_bins).cast("int")).alias(
+            "bin"
+        ),
+        y.alias("y"),
+        F.round(p * 1000000.0, 0).cast("long").alias("pm"),
+        F.round((p - y) * (p - y) * 1000000.0, 0).cast("long").alias("bm"),
+    )
+    bins = rows.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("long").alias("nb"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum("pm").cast("long").alias("spm"),
+        F.sum("bm").cast("long").alias("sbm"),
+    )
+    acc = F.col("sy") / F.col("nb").cast("double")
+    conf = F.col("spm") / (F.col("nb") * 1000000.0)
+    gap_m = F.round(F.abs(acc - conf) * 1000000.0, 0).cast("long")
+    sq_m = F.round((conf - acc) * (conf - acc) * 1000000.0, 0).cast("long")
+    t = bins.agg(
+        F.sum("nb").cast("long").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("n_bins_used"),
+        F.sum("sy").cast("long").alias("sy_all"),
+        F.sum("sbm").cast("long").alias("sbm_all"),
+        F.sum(F.col("nb") * gap_m).cast("long").alias("ece_m"),
+        F.max(gap_m).cast("long").alias("mce_m"),
+        F.sum(F.col("nb") * sq_m).cast("long").alias("rel_m"),
+        # resolution needs ȳ, a global — carry Σ nb·round((acc)²·1e6)
+        # and assemble (acc−ȳ)² = acc² − 2·acc·ȳ + ȳ² from exact parts
+        F.sum(
+            F.col("nb") * F.round(acc * acc * 1000000.0, 0).cast("long")
+        )
+        .cast("long")
+        .alias("acc2_m"),
+    )
+    nd = F.col("n").cast("double")
+    ybar = F.col("sy_all") / nd
+    # Σ nb·(acc_b − ȳ)² = Σ nb·acc² − n·ȳ²  (since Σ nb·acc_b = Σ y)
+    res = F.col("acc2_m") / (nd * 1000000.0) - ybar * ybar
+    return t.select(
+        "n",
+        "n_bins_used",
+        F.round(F.col("ece_m") / (nd * 1000000.0), 6).alias("ece"),
+        F.round(F.col("mce_m") / 1000000.0, 6).alias("mce"),
+        F.round(F.col("sbm_all") / (nd * 1000000.0), 6).alias("brier"),
+        F.round(F.col("rel_m") / (nd * 1000000.0), 6).alias("reliability"),
+        F.round(F.greatest(res, F.lit(0.0)), 6).alias("resolution"),
+        F.round(ybar * (F.lit(1.0) - ybar), 6).alias("uncertainty"),
+    )

@@ -536,3 +536,23 @@ def test_privacy_gate_job_smoke(tmp_path):
     assert not rep["all_satisfied"]
     assert rep["pii"]["satisfied"] and rep["fairness"]["n_groups"] == 5
     assert r.returncode == 2
+
+
+def test_calibration_summary_hand_example(spark):
+    from bran_spark.operators.evaluate import calibration_summary
+
+    # two bins: p=0.1 (acc 0) ×2, p=0.9 (acc 0.5) ×2
+    rows = [(0.1, 0), (0.1, 0), (0.9, 1), (0.9, 0)]
+    df = spark.createDataFrame(rows, "p double, label int")
+    out = calibration_summary(df, "p", "label", n_bins=2).collect()[0].asDict()
+    assert out["n"] == 4 and out["n_bins_used"] == 2
+    assert out["ece"] == 0.25 and out["mce"] == 0.4
+    assert out["brier"] == 0.21
+    assert out["reliability"] == 0.085
+    assert out["resolution"] == 0.0625
+    assert out["uncertainty"] == 0.1875
+    # within-bin-constant forecasts satisfy the Murphy identity exactly
+    assert abs(
+        out["uncertainty"] - out["resolution"] + out["reliability"]
+        - out["brier"]
+    ) < 1e-9
