@@ -500,3 +500,39 @@ def test_quantity_extraction_is_scan_projection(spark, testdata_dir):
     plan = _plan(QUERIES["q236_quantity_normalize"](spark, testdata_dir))
     assert "Join" not in plan
     assert "Python" not in plan
+
+
+def test_schema_match_matrix_is_broadcast_not_cartesian(spark, testdata_dir):
+    """q258: the m×n column matrix is a broadcast cross of two
+    column-DIMENSION stat frames — a CartesianProduct would put the
+    corpus-scale melt on both sides of an unpartitioned product."""
+    plan = _plan(QUERIES["q258_schema_match"](spark, testdata_dir))
+    assert "CartesianProduct" not in plan
+    assert "Python" not in plan
+
+
+def test_t_closeness_no_group_value_cross_join(spark, testdata_dir):
+    """q253: absent sensitive values are reconstructed arithmetically;
+    the plan must have NO cross of QI groups × value domain (only the
+    1-row total and the |domain|-row counts broadcast)."""
+    plan = _plan(QUERIES["q253_t_closeness"](spark, testdata_dir))
+    assert "CartesianProduct" not in plan
+    assert "Python" not in plan
+
+
+def test_hearst_is_single_scan_no_join(spark, testdata_dir):
+    """q257: four patterns fuse into ONE scan-projection-explode; no
+    join anywhere before the support aggregate."""
+    plan = _plan(QUERIES["q257_hearst_hypernyms"](spark, testdata_dir))
+    assert "Join" not in plan
+    assert "Python" not in plan
+
+
+def test_bgp_match_all_hash_joins(spark, testdata_dir):
+    """q262: the 4-pattern BGP compiles to equi-joins (broadcast or
+    shuffled hash/SMJ) — never a cartesian, and constants stay
+    JVM-side."""
+    plan = _plan(QUERIES["q262_bgp_match"](spark, testdata_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Python" not in plan
