@@ -471,3 +471,49 @@ def streaming_kg_monitor(
         .start()
     )
     q.awaitTermination()
+
+
+def streaming_privacy_monitor(
+    spark: SparkSession,
+    docs_dir: str,
+    checkpoint_dir: str,
+    out_dir: str,
+) -> None:
+    """Streaming PII monitor: as document files land from a crawl or an
+    upstream curation stage, each micro-batch runs the SAME batch
+    pii_scan (contracts.pii_scan inside foreachBatch — stream and batch
+    can never disagree on what counts as a hit) and appends the
+    per-batch census keyed by batch id. The governance feed in front of
+    the corpus sink: a producer that starts shipping unredacted emails
+    shows up as a pattern-count spike in the NEXT micro-batch, not at
+    the next release-gate run (jobs/run_privacy_gate.py).
+
+    Same operational contract as streaming_kg_monitor: availableNow
+    drains and stops (test/catch-up mode), exactly-once per input file
+    via the streaming checkpoint, append-only batch_id-keyed report
+    sink, and NO cross-batch state — which is what keeps the monitor
+    runnable forever."""
+    from bran_spark.operators.contracts import pii_scan
+
+    docs = spark.readStream.schema(
+        "doc_id long, text string, lang string, source string, n_chars long"
+    ).parquet(docs_dir)
+
+    def _scan(batch: DataFrame, batch_id: int) -> None:
+        (
+            pii_scan(batch)
+            .withColumn("batch_id", F.lit(batch_id).cast("long"))
+            .write.mode("append")
+            .parquet(out_dir)
+        )
+
+    q = (
+        docs.writeStream.foreachBatch(_scan)
+        .option(
+            "checkpointLocation",
+            os.path.join(checkpoint_dir, "privacy_monitor"),
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -453,3 +453,51 @@ def test_modality_mix_profile_buckets(spark):
     assert out[1].n_docs == 1 and out[1].avg_text_spans == 1.0
     assert out[2].n_docs == 1 and out[2].avg_text_spans == 2.0
     assert out[2].avg_text_chars == 4.0  # "xy" + "zz"
+
+
+def test_streaming_privacy_monitor_per_batch_census(spark, tmp_path):
+    """Micro-batch PII census: each arriving document chunk gets its own
+    pattern report (batch_id column) equal to the batch pii_scan on the
+    same rows; catch-up with nothing new appends no rows."""
+    from bran_spark.operators.contracts import pii_scan
+    from bran_spark.streaming.incremental import streaming_privacy_monitor
+
+    src = str(tmp_path / "docs")
+    out = str(tmp_path / "pii")
+    ck = str(tmp_path / "ck2")
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+
+    chunk1 = spark.createDataFrame(
+        [
+            (1, "mail me at a@b.co today", "en", "web", 23),
+            (2, "clean text only", "en", "web", 15),
+        ],
+        schema,
+    )
+    chunk1.coalesce(1).write.mode("append").parquet(src)
+    streaming_privacy_monitor(spark, src, ck, out)
+    rep1 = spark.read.parquet(out)
+    want = {
+        (r.grp, r.pattern): (r.n_docs_hit, r.n_matches)
+        for r in pii_scan(chunk1).collect()
+    }
+    got = {
+        (r.grp, r.pattern): (r.n_docs_hit, r.n_matches)
+        for r in rep1.collect()
+    }
+    assert got == want and want[("web", "email")] == (1, 1)
+
+    # chunk 2: an unredacted feed → phone hits in ITS batch only
+    chunk2 = spark.createDataFrame(
+        [(3, "call 555-123-4567 or 555-987-6543", "en", "feed", 33)], schema
+    )
+    chunk2.coalesce(1).write.mode("append").parquet(src)
+    streaming_privacy_monitor(spark, src, ck, out)
+    rep = spark.read.parquet(out)
+    assert rep.select("batch_id").distinct().count() == 2
+    spike = rep.where((F.col("grp") == "feed") & (F.col("pattern") == "phone"))
+    assert spike.collect()[0].n_matches == 2
+
+    n = rep.count()
+    streaming_privacy_monitor(spark, src, ck, out)  # idempotent catch-up
+    assert spark.read.parquet(out).count() == n
