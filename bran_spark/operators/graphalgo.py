@@ -2246,3 +2246,80 @@ def node2vec_walks(
         "start", F.col("walk_id").cast("int"), F.col("step").cast("int"),
         "node",
     )
+
+
+def hub_ablation(
+    sym: DataFrame, k: int = 20
+) -> DataFrame:
+    """Targeted-attack resilience audit (Albert, Jeong & Barabási 2000):
+    remove the k highest-degree hubs and compare the component structure
+    before/after — the robustness question a KG operator asks before
+    trusting connectivity-derived features (PageRank, closures, walks):
+    does the graph's cohesion hang on a handful of promiscuous entities
+    (usually extraction artifacts) or is it structural?
+
+    ``sym`` must be symmetric. Hubs are the deterministic top-k by
+    (degree DESC, id ASC) — a TakeOrdered, broadcast to two anti-joins.
+    Components run twice via the large-star/small-star operator
+    (components.connected_components, O(log² n) rounds); after ablation,
+    surviving nodes whose every neighbor was a hub are counted as
+    singleton components (the node set is all non-hub nodes, not just
+    edge endpoints). Output: 2 rows (phase, n_nodes, n_edges,
+    n_components, largest_cc), 'before' then 'after'."""
+    from bran_spark.operators.components import connected_components
+
+    und = (
+        sym.select(F.col("u"), F.col("v"))
+        .where(F.col("u") < F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    nodes = sym.select(F.col("u").alias("node")).distinct()
+
+    def _stats(phase, nodeset, edges):
+        cc = connected_components(edges, src="u", dst="v")
+        sizes = (
+            nodeset.join(cc, nodeset["node"] == cc["node"], "left")
+            .select(
+                nodeset["node"],
+                F.coalesce(cc["component"], nodeset["node"]).alias("comp"),
+            )
+            .groupBy("comp")
+            .agg(F.count(F.lit(1)).cast("long").alias("sz"))
+        )
+        ecnt = edges.agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
+        return (
+            sizes.agg(
+                F.sum("sz").cast("long").alias("n_nodes"),
+                F.count(F.lit(1)).cast("long").alias("n_components"),
+                F.max("sz").cast("long").alias("largest_cc"),
+            )
+            .crossJoin(F.broadcast(ecnt))
+            .select(
+                F.lit(phase).alias("phase"),
+                "n_nodes",
+                "n_edges",
+                "n_components",
+                "largest_cc",
+            )
+        )
+
+    deg = sym.groupBy("u").agg(F.count(F.lit(1)).cast("long").alias("d"))
+    hubs = (
+        deg.orderBy(F.desc("d"), F.asc("u")).limit(k).select("u")
+    ).localCheckpoint(eager=True)
+    keep_nodes = nodes.join(
+        F.broadcast(hubs.withColumnRenamed("u", "node")), "node", "left_anti"
+    )
+    e_after = (
+        und.join(F.broadcast(hubs), "u", "left_anti")
+        .join(
+            F.broadcast(hubs.withColumnRenamed("u", "v")), "v", "left_anti"
+        )
+        .localCheckpoint(eager=True)
+    )
+    out = _stats("before", nodes, und).unionByName(
+        _stats("after", keep_nodes, e_after)
+    )
+    # 'before' > 'after' lexicographically, so DESC yields before-first
+    return out.orderBy(F.desc("phase"))

@@ -556,3 +556,30 @@ def test_calibration_summary_hand_example(spark):
         out["uncertainty"] - out["resolution"] + out["reliability"]
         - out["brier"]
     ) < 1e-9
+
+
+def test_hub_ablation_splits_on_hub_removal(spark):
+    from bran_spark.operators.graphalgo import hub_ablation, symmetric_edges
+
+    tri1 = [("a", "b"), ("b", "c"), ("a", "c")]
+    tri2 = [("d", "e"), ("e", "f"), ("d", "f")]
+    hub = [("h", x) for x in "abcdef"]
+    df = spark.createDataFrame(
+        tri1 + tri2 + hub, "subj string, obj string"
+    )
+    out = {r.phase: r.asDict() for r in hub_ablation(symmetric_edges(df), k=1).collect()}
+    b, a = out["before"], out["after"]
+    assert (b["n_nodes"], b["n_edges"], b["n_components"], b["largest_cc"]) == (7, 12, 1, 7)
+    assert (a["n_nodes"], a["n_edges"], a["n_components"], a["largest_cc"]) == (6, 6, 2, 3)
+
+
+def test_hub_ablation_counts_isolated_survivors(spark):
+    from bran_spark.operators.graphalgo import hub_ablation, symmetric_edges
+
+    # star only: removing the hub leaves 3 isolated singletons
+    df = spark.createDataFrame(
+        [("h", "a"), ("h", "b"), ("h", "c")], "subj string, obj string"
+    )
+    out = {r.phase: r.asDict() for r in hub_ablation(symmetric_edges(df), k=1).collect()}
+    a = out["after"]
+    assert (a["n_nodes"], a["n_edges"], a["n_components"], a["largest_cc"]) == (3, 0, 3, 1)
