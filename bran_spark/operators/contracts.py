@@ -646,3 +646,92 @@ def fairness_audit(
             F.round(F.max("tpr").over(wall) - F.col("tpr"), 6),
         ).alias("tpr_gap"),
     ).orderBy("grp")
+
+
+def benford_audit(
+    df: DataFrame,
+    amount_cents_col: str,
+) -> DataFrame:
+    """First-significant-digit audit against Benford's law (Newcomb 1881,
+    Benford 1938; Nigrini's fraud-audit standard) — the data-quality
+    screen for financial/measurement columns that spot-checks whether a
+    feed was fabricated, truncated, or unit-mangled: naturally occurring
+    multi-scale amounts follow P(d) = log10(1 + 1/d), while synthetic or
+    capped feeds pile up on specific lead digits.
+
+    ``amount_cents_col`` must hold EXACT positive integers (cents —
+    integerize upstream, ab_effect's contract; zero/negative/NULL rows
+    are excluded and reported in n_excluded). The first significant
+    digit is taken from the INTEGER's decimal string — pure string math,
+    no log10 float boundary to disagree at exact powers of ten. One
+    9-bucket aggregate (map-side partial); the chi-square
+    goodness-of-fit statistic Σ(o−e)²/e·N is summed over micro-rounded
+    BIGINT per-digit terms (associative — no float reduction order) and
+    replicated onto every row as the verdict column (9-row output keeps
+    the per-digit detail hashable). Output: digit, n, obs_frac,
+    exp_frac, dev (obs−exp), n_total, n_excluded, chi2 — 6 dp."""
+    import math
+
+    cents = F.col(amount_cents_col).cast("long")
+    base = df.select(cents.alias("_c")).select(
+        F.when(F.col("_c") > 0, F.col("_c")).alias("_c")
+    )
+    digits = base.select(
+        F.substring(F.col("_c").cast("string"), 1, 1).cast("int").alias(
+            "digit"
+        )
+    )
+    counts = (
+        digits.groupBy("digit")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_raw"))
+    )
+    # left-join the full digit domain so absent digits report n = 0
+    # (a 9-row dimension literal; exclusions = the NULL-digit bucket)
+    dom = F.broadcast(
+        digits.sparkSession.createDataFrame(
+            [(d, round(math.log10(1.0 + 1.0 / d), 6)) for d in range(1, 10)],
+            "digit int, exp_frac double",
+        )
+    )
+    per = dom.join(
+        counts.where(F.col("digit").isNotNull()), "digit", "left"
+    ).select(
+        "digit",
+        F.coalesce(F.col("n_raw"), F.lit(0)).cast("long").alias("n"),
+        "exp_frac",
+    )
+    excl = counts.where(F.col("digit").isNull()).agg(
+        F.coalesce(F.sum("n_raw"), F.lit(0)).cast("long").alias("n_excluded")
+    )
+    tot = per.agg(F.sum("n").cast("long").alias("n_total"))
+    nt = F.col("n_total").cast("double")
+    obs = F.col("n") / nt
+    chi_micro = F.when(
+        F.col("n_total") > 0,
+        F.round(
+            (obs - F.col("exp_frac"))
+            * (obs - F.col("exp_frac"))
+            / F.col("exp_frac")
+            * nt
+            * 1000000.0,
+            0,
+        ).cast("long"),
+    )
+    w = Window.partitionBy(F.lit(1))
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(excl))
+        .select(
+            "digit",
+            "n",
+            F.round(F.when(F.col("n_total") > 0, obs), 6).alias("obs_frac"),
+            "exp_frac",
+            F.round(
+                F.when(F.col("n_total") > 0, obs - F.col("exp_frac")), 6
+            ).alias("dev"),
+            "n_total",
+            "n_excluded",
+            F.round(F.sum(chi_micro).over(w) / 1000000.0, 6).alias("chi2"),
+        )
+        .orderBy("digit")
+    )

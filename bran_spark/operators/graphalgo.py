@@ -2323,3 +2323,136 @@ def hub_ablation(
     )
     # 'before' > 'after' lexicographically, so DESC yields before-first
     return out.orderBy(F.desc("phase"))
+
+
+def inverse_predicates(triples: DataFrame, min_common: int = 1) -> DataFrame:
+    """PARIS-style INVERSE-predicate alignment: for every predicate pair
+    (p1 ≤ p2), the overlap between ext(p1) and the REVERSED extension of
+    p2 — the signal that flags p2 as p1's inverse (has_part / part_of,
+    supplied_by / supplies) when heterogeneous KG feeds are fused. The
+    diagonal rows (p1 = p2) measure each predicate's RECIPROCITY — the
+    fraction of its edges asserted in both directions — so a perfectly
+    symmetric relation surfaces as containment 1.0 against itself.
+    Complements align_predicates, which only sees direct (subj, obj)
+    agreement and is blind to inverted feeds.
+
+    Shape: one DISTINCT over (pred, subj, obj); the candidate join is an
+    equi-join matching a.(subj, obj) to b.(obj, subj) — an entity-PAIR
+    key, never a predicate cross product, so fan-out per pair is the
+    number of predicates asserting that exact ordered pair (tiny for
+    typed KGs). Since (s,o) ∈ ext(p1) ∩ inv(ext(p2)) ⇔ (o,s) ∈ ext(p2)
+    ∩ inv(ext(p1)), the relation is symmetric and the p1 ≤ p2 canonical
+    form loses nothing; diagonal matches count each reciprocated
+    UNORDERED pair twice, consistent with n1 = n2 = the full extension
+    size. Per-predicate sizes are a #preds-row broadcast. Output: p1,
+    p2, n_common, n1, n2, jaccard, containment — same contract as
+    align_predicates."""
+    ext = triples.select("pred", "subj", "obj").distinct()
+    sizes = ext.groupBy("pred").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    common = (
+        ext.select(F.col("pred").alias("p1"), "subj", "obj")
+        .join(
+            ext.select(
+                F.col("pred").alias("p2"),
+                F.col("obj").alias("subj"),
+                F.col("subj").alias("obj"),
+            ),
+            ["subj", "obj"],
+        )
+        .where(
+            (F.col("p1") < F.col("p2"))
+            | (
+                (F.col("p1") == F.col("p2"))
+                & (F.col("subj") != F.col("obj"))
+            )
+        )
+        .groupBy("p1", "p2")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_common"))
+        .where(F.col("n_common") >= min_common)
+    )
+    s1 = F.broadcast(sizes.select(F.col("pred").alias("p1"), F.col("n").alias("n1")))
+    s2 = F.broadcast(sizes.select(F.col("pred").alias("p2"), F.col("n").alias("n2")))
+    return (
+        common.join(s1, "p1")
+        .join(s2, "p2")
+        .select(
+            "p1", "p2", "n_common", "n1", "n2",
+            F.round(
+                F.col("n_common")
+                / (F.col("n1") + F.col("n2") - F.col("n_common")),
+                6,
+            ).alias("jaccard"),
+            F.round(
+                F.col("n_common") / F.least("n1", "n2"), 6
+            ).alias("containment"),
+        )
+    )
+
+
+def katz_centrality(
+    edges: DataFrame,
+    src: str = "subj",
+    dst: str = "obj",
+    iters: int = 4,
+    beta_num: int = 5,
+    beta_den: int = 100,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Truncated Katz centrality (Katz 1953) on a DIRECTED edge list in
+    exact integer arithmetic: x(v) = Σ_{k≤iters} β^k · |walks of length
+    k ending at v|, the attenuated-walk-count centrality that — unlike
+    PageRank — does NOT dilute a node's contribution by its out-degree,
+    so a hub pointing at many entities endorses each one fully. The KG
+    ranking used where citation-style accumulation is wanted (how
+    reachable is this entity through short predicate chains?).
+
+    Per iteration x ← scale + (β_num · Σ_{u→v} x(u)) DIV β_den: the
+    neighbor sum is an associative BIGINT reduce and the β attenuation
+    is ONE floor division after it, so the fixed point is bit-identical
+    across partitionings and engines (float Katz would drift with
+    reduction order; same argument as pagerank_fixed_point / HITS).
+    Floor truncation loses < 1 fixed-point ulp per round — document,
+    don't hide. Convergence needs β < 1/λ_max; with fixed iters the
+    result is the truncated series regardless, and the overflow bound
+    is scale·(β_num·d_in_max/β_den)^iters < 2^63 — at the defaults
+    (β = 0.05, scale 10^6) an in-degree ≲ 20/β per hot node is safe for
+    4 iterations; raise beta_den or drop scale beyond that.
+
+    Shape: 1 shuffle per iteration (groupBy dst) + a node-set left join;
+    edges and nodes localCheckpoint once so the lineage stays O(1).
+    Output: (node, katz_fp) — fixed-point micro units, floor(x·10^6/
+    scale) semantics, base mass scale = every node's own empty walk."""
+    e = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    x = nodes.withColumn("x", F.lit(scale).cast("long"))
+    for _ in range(iters):
+        raw = (
+            e.join(x.withColumnRenamed("node", "src"), "src")
+            .groupBy("dst")
+            .agg(F.sum("x").cast("long").alias("s"))
+            .withColumnRenamed("dst", "node")
+        )
+        x = (
+            nodes.join(raw, "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit(scale).cast("long")
+                    + F.expr(
+                        f"(coalesce(s, 0L) * {beta_num}) DIV {beta_den}"
+                    ).cast("long")
+                ).alias("x"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return x.select("node", F.col("x").alias("katz_fp"))

@@ -1265,3 +1265,341 @@ def mann_whitney(
         z.alias("z"),
         p_micro.alias("p_micro"),
     )
+
+
+def delta_method_ratio(
+    units: DataFrame,
+    arm_col: str = "arm",
+    num_col: str = "num",
+    den_col: str = "den",
+    num_scale: int = 100,
+    den_scale: int = 1,
+) -> DataFrame:
+    """Ratio-metric experiment readout with a delta-method standard error
+    (Deng, Knoblich & Lu, KDD 2018 practice note) — the correct analysis
+    for per-unit RATIOS like revenue-per-session or clicks-per-query,
+    where naively treating the row-level ratio as the unit metric gets
+    both the point estimate and the variance wrong.
+
+    ``units`` holds one row per randomization unit with EXACT-INTEGER
+    numerator and denominator totals (integerize upstream — cents via
+    round(value·100); ab_effect's contract). Per arm the estimate is
+    R = Σnum / Σden, and Var(R̂) ≈ (s²_n − 2R·s_nd + R²·s²_d)/(n·d̄²)
+    from the first-order Taylor expansion, with all sample (co)moments
+    derived from six associative BIGINT sums (Σn, Σd, Σn², Σd², Σnd,
+    count) — bit-identical across partitionings and engines, one fixed
+    scalar tree after the 1-row reduce. Bound: Σnum·den < 2⁶³.
+
+    One conditional aggregate (map-side partial + 1-row reduce — the
+    100 TB plan is the same plan). Output: 1 row (n_ctl, n_trt,
+    ratio_ctl, ratio_trt, diff, se, z_stat), 6 dp; degenerate arms
+    (n < 2 or zero denominator mass) yield NULL stats, never a
+    divide-by-zero abort (Spark 4 ANSI)."""
+    arm = F.col("_arm")
+    nm = F.col("_n")
+    dn = F.col("_d")
+    g = units.select(
+        F.col(arm_col).cast("int").alias("_arm"),
+        F.col(num_col).cast("long").alias("_n"),
+        F.col(den_col).cast("long").alias("_d"),
+    ).agg(
+        *[
+            F.sum(F.when(arm == a, e).otherwise(F.lit(0)))
+            .cast("long")
+            .alias(f"{nme}{a}")
+            for a in (0, 1)
+            for nme, e in (
+                ("c", F.lit(1)),
+                ("sn", nm),
+                ("sd", dn),
+                ("qn", nm * nm),
+                ("qd", dn * dn),
+                ("x", nm * dn),
+            )
+        ]
+    )
+    kn = float(num_scale)
+    kd = float(den_scale)
+
+    def stats(a):
+        c = F.col(f"c{a}")
+        n = c.cast("double")
+        sn = F.col(f"sn{a}") / kn
+        sd = F.col(f"sd{a}") / kd
+        qn = F.col(f"qn{a}") / (kn * kn)
+        qd = F.col(f"qd{a}") / (kd * kd)
+        x = F.col(f"x{a}") / (kn * kd)
+        ratio = F.when(F.col(f"sd{a}") != 0, sn / sd)
+        # every division guarded AT ITS OWN SITE: subexpression
+        # elimination can hoist repeated terms (d̄, the means) out of the
+        # output-level when(ok, ...), so an empty/singleton arm would
+        # 0/0-abort under ANSI otherwise (see diff_in_diff)
+        dbar = F.when(c > 0, sd / n)
+        # sample (co)variances via the two-moment identity; greatest(·,0)
+        # kills the ~1e-13 float residue of a zero-spread arm
+        vn = F.when(
+            c > 1, F.greatest((qn - sn * sn / n) / (n - 1), F.lit(0.0))
+        )
+        vd = F.when(
+            c > 1, F.greatest((qd - sd * sd / n) / (n - 1), F.lit(0.0))
+        )
+        cnd = F.when(c > 1, (x - sn * sd / n) / (n - 1))
+        ok = (c > 1) & (F.col(f"sd{a}") != 0)
+        var = F.when(
+            ok,
+            F.greatest(
+                (vn - 2.0 * ratio * cnd + ratio * ratio * vd)
+                / (n * dbar * dbar),
+                F.lit(0.0),
+            ),
+        )
+        return ratio, var
+
+    r0, v0 = stats(0)
+    r1, v1 = stats(1)
+    se = F.sqrt(v0 + v1)
+    return g.select(
+        F.col("c0").alias("n_ctl"),
+        F.col("c1").alias("n_trt"),
+        F.round(r0, 6).alias("ratio_ctl"),
+        F.round(r1, 6).alias("ratio_trt"),
+        F.round(r1 - r0, 6).alias("diff"),
+        F.round(se, 6).alias("se"),
+        F.round(F.when(se > 0, (r1 - r0) / se), 6).alias("z_stat"),
+    )
+
+
+def mde_power(
+    units: DataFrame,
+    arm_col: str = "arm",
+    y_col: str = "y",
+    scale: int = 100,
+    z_alpha: float = 1.959964,
+    z_beta: float = 0.841621,
+) -> DataFrame:
+    """Sensitivity readout for a two-arm experiment: the minimum
+    detectable effect at the achieved sample sizes (two-sided α = 0.05,
+    power 0.8 by default — the z constants are literals so the output
+    is a pure function of the data) plus the achieved power for the
+    OBSERVED difference. The planning row a platform prints under every
+    readout so a flat result can be told apart from an underpowered one.
+
+      MDE  = (z_α/2 + z_β) · SE,   SE = √(v₀/n₀ + v₁/n₁)
+      power(observed) = Φ(|diff|/SE − z_α/2)
+
+    with Φ the logistic normal-CDF approximation (|Φ − logistic(1.702z)|
+    < 0.0095, Bowling et al. 2009 — monotone, engine-stable; see
+    mann_whitney/bh_fdr) emitted as BIGINT micro-units. Same
+    exact-integer metric contract and single conditional aggregate as
+    ab_effect. Output: 1 row (n_ctl, n_trt, sd_ctl, sd_trt, se,
+    mde_abs, mde_rel, diff, power_micro), 6 dp."""
+    y = F.col("_y")
+    arm = F.col("_arm")
+    g = units.select(
+        F.col(arm_col).cast("int").alias("_arm"),
+        F.col(y_col).cast("long").alias("_y"),
+    ).agg(
+        F.sum(F.when(arm == 0, 1).otherwise(0)).cast("long").alias("n0"),
+        F.sum(F.when(arm == 1, 1).otherwise(0)).cast("long").alias("n1"),
+        F.sum(F.when(arm == 0, y).otherwise(F.lit(0))).cast("long").alias("s0"),
+        F.sum(F.when(arm == 1, y).otherwise(F.lit(0))).cast("long").alias("s1"),
+        F.sum(F.when(arm == 0, y * y).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("q0"),
+        F.sum(F.when(arm == 1, y * y).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("q1"),
+    )
+    k = float(scale)
+    n0 = F.col("n0").cast("double")
+    n1 = F.col("n1").cast("double")
+    # per-site guards: subexpression elimination can hoist these shared
+    # means out of the output-level F.when(ok, ...), so an empty arm
+    # would 0/0-abort under ANSI without them (see diff_in_diff)
+    m0 = F.when(F.col("n0") > 0, F.col("s0") / (n0 * k))
+    m1 = F.when(F.col("n1") > 0, F.col("s1") / (n1 * k))
+    v0 = F.when(
+        F.col("n0") > 1,
+        F.greatest(
+            (F.col("q0") / (k * k) - n0 * m0 * m0) / (n0 - 1), F.lit(0.0)
+        ),
+    )
+    v1 = F.when(
+        F.col("n1") > 1,
+        F.greatest(
+            (F.col("q1") / (k * k) - n1 * m1 * m1) / (n1 - 1), F.lit(0.0)
+        ),
+    )
+    se = F.sqrt(v0 / n0 + v1 / n1)
+    ok = (F.col("n0") > 1) & (F.col("n1") > 1)
+    mde = (z_alpha + z_beta) * se
+    diff = m1 - m0
+    zpow = F.abs(diff) / se - z_alpha
+    power_micro = F.when(
+        ok & (se > 0),
+        F.round(1000000.0 / (1.0 + F.exp(-1.702 * zpow)), 0).cast("long"),
+    )
+    return g.select(
+        F.col("n0").alias("n_ctl"),
+        F.col("n1").alias("n_trt"),
+        F.round(F.when(ok, F.sqrt(v0)), 6).alias("sd_ctl"),
+        F.round(F.when(ok, F.sqrt(v1)), 6).alias("sd_trt"),
+        F.round(F.when(ok, se), 6).alias("se"),
+        F.round(F.when(ok, mde), 6).alias("mde_abs"),
+        F.round(
+            F.when(ok & (F.col("s0") != 0), mde / F.abs(m0)), 6
+        ).alias("mde_rel"),
+        F.round(F.when(ok, diff), 6).alias("diff"),
+        power_micro.alias("power_micro"),
+    )
+
+
+def diff_in_diff(
+    units: DataFrame,
+    group_col: str = "grp",
+    period_col: str = "period",
+    y_col: str = "y",
+    scale: int = 100,
+) -> DataFrame:
+    """Difference-in-differences readout over a 2×2 panel — the
+    quasi-experimental estimator for rollouts that were NOT randomized
+    (a region launch, a supplier-side change): the treated group's
+    post-minus-pre change net of the control group's, which removes any
+    time-invariant group gap and any common time trend.
+
+    ``units`` holds one row per (unit, period) observation with
+    group ∈ {0,1} (1 = treated), period ∈ {0,1} (1 = post) and an
+    exact-integer metric (ab_effect's contract). All four cells reduce
+    in ONE conditional aggregate (count/Σy/Σy² per cell — associative
+    BIGINTs, map-side partial); the estimate and its unequal-variance
+    standard error
+
+      DiD = (m̄₁₁ − m̄₁₀) − (m̄₀₁ − m̄₀₀),  SE = √(Σ_cells v_c/n_c)
+
+    are one fixed scalar tree. Output: 1 row (n per cell, the four cell
+    means, did, se, t_stat), 6 dp; any cell with n < 2 yields NULL
+    stats. Parallel-trends is an ASSUMPTION — audit it upstream with
+    per-period pre-window means, the estimator cannot test it."""
+    cells = [(0, 0), (0, 1), (1, 0), (1, 1)]
+    grp = F.col("_g")
+    per = F.col("_p")
+    y = F.col("_y")
+    g = units.select(
+        F.col(group_col).cast("int").alias("_g"),
+        F.col(period_col).cast("int").alias("_p"),
+        F.col(y_col).cast("long").alias("_y"),
+    ).agg(
+        *[
+            F.sum(F.when((grp == a) & (per == b), e).otherwise(F.lit(0)))
+            .cast("long")
+            .alias(f"{nme}{a}{b}")
+            for (a, b) in cells
+            for nme, e in (("c", F.lit(1)), ("s", y), ("q", y * y))
+        ]
+    )
+    k = float(scale)
+
+    # every division is guarded AT ITS OWN SITE (not only at the output
+    # projection): Spark's subexpression elimination hoists shared cell
+    # means out of the outer F.when(ok, ...), so an unguarded 0/0 on an
+    # empty cell aborts under ANSI even though the output is gated
+    def cell(a, b):
+        c = F.col(f"c{a}{b}")
+        n = c.cast("double")
+        m = F.when(c > 0, F.col(f"s{a}{b}") / (n * k))
+        v = F.when(
+            c > 1,
+            F.greatest(
+                (F.col(f"q{a}{b}") / (k * k) - n * m * m) / (n - 1),
+                F.lit(0.0),
+            ),
+        )
+        return m, v / n
+
+    m00, w00 = cell(0, 0)
+    m01, w01 = cell(0, 1)
+    m10, w10 = cell(1, 0)
+    m11, w11 = cell(1, 1)
+    ok = None
+    for a, b in cells:
+        c = F.col(f"c{a}{b}") > 1
+        ok = c if ok is None else (ok & c)
+    did = (m11 - m10) - (m01 - m00)
+    se = F.sqrt(w00 + w01 + w10 + w11)
+    return g.select(
+        F.col("c00").alias("n_ctl_pre"),
+        F.col("c01").alias("n_ctl_post"),
+        F.col("c10").alias("n_trt_pre"),
+        F.col("c11").alias("n_trt_post"),
+        F.round(F.when(ok, m00), 6).alias("mean_ctl_pre"),
+        F.round(F.when(ok, m01), 6).alias("mean_ctl_post"),
+        F.round(F.when(ok, m10), 6).alias("mean_trt_pre"),
+        F.round(F.when(ok, m11), 6).alias("mean_trt_post"),
+        F.round(F.when(ok, did), 6).alias("did"),
+        F.round(F.when(ok, se), 6).alias("se"),
+        F.round(F.when(ok & (se > 0), did / se), 6).alias("t_stat"),
+    )
+
+
+def bayes_ab(
+    units: DataFrame,
+    arm_col: str = "arm",
+    y_col: str = "y",
+) -> DataFrame:
+    """Bayesian two-arm conversion readout: Beta(1,1)-prior posteriors
+    over each arm's conversion rate and the probability that treatment
+    beats control — the decision-facing number (P(B>A), expected lift)
+    a platform prints next to the frequentist t, and the one that stays
+    interpretable under optional stopping.
+
+    ``y_col`` is binary {0,1} per unit. Posterior_a = Beta(1+s_a,
+    1+n_a−s_a); with posterior means μ_a = (s_a+1)/(n_a+2) and
+    variances σ²_a = μ_a(1−μ_a)/(n_a+3), P(B>A) is evaluated by the
+    normal approximation of the posterior difference — exact rational
+    arithmetic up to the final CDF, which uses the logistic
+    approximation Φ(z) ≈ 1/(1+e^(−1.702z)) (monotone, engine-stable;
+    see mann_whitney) emitted as BIGINT micro-units. At n ≳ 100 per
+    arm the normal approximation is inside the logistic one's own
+    0.0095 envelope; below that, say "underpowered", not "exact".
+
+    One conditional aggregate, 1-row output (n_ctl, n_trt, conv_ctl,
+    conv_trt, post_mean_ctl, post_mean_trt, lift, z, p_beats_micro),
+    6 dp. Empty arms yield NULL stats (prior-only calls are a config
+    bug worth surfacing, not a number worth printing)."""
+    arm = F.col("_arm")
+    y = F.col("_y")
+    g = units.select(
+        F.col(arm_col).cast("int").alias("_arm"),
+        F.col(y_col).cast("long").alias("_y"),
+    ).agg(
+        F.sum(F.when(arm == 0, 1).otherwise(0)).cast("long").alias("n0"),
+        F.sum(F.when(arm == 1, 1).otherwise(0)).cast("long").alias("n1"),
+        F.sum(F.when(arm == 0, y).otherwise(F.lit(0))).cast("long").alias("s0"),
+        F.sum(F.when(arm == 1, y).otherwise(F.lit(0))).cast("long").alias("s1"),
+    )
+    n0 = F.col("n0").cast("double")
+    n1 = F.col("n1").cast("double")
+    mu0 = (F.col("s0") + 1.0) / (n0 + 2.0)
+    mu1 = (F.col("s1") + 1.0) / (n1 + 2.0)
+    v0 = mu0 * (1.0 - mu0) / (n0 + 3.0)
+    v1 = mu1 * (1.0 - mu1) / (n1 + 3.0)
+    z = (mu1 - mu0) / F.sqrt(v0 + v1)
+    ok = (F.col("n0") > 0) & (F.col("n1") > 0)
+    return g.select(
+        F.col("n0").alias("n_ctl"),
+        F.col("n1").alias("n_trt"),
+        F.round(F.when(F.col("n0") > 0, F.col("s0") / n0), 6).alias(
+            "conv_ctl"
+        ),
+        F.round(F.when(F.col("n1") > 0, F.col("s1") / n1), 6).alias(
+            "conv_trt"
+        ),
+        F.round(F.when(ok, mu0), 6).alias("post_mean_ctl"),
+        F.round(F.when(ok, mu1), 6).alias("post_mean_trt"),
+        F.round(F.when(ok, mu1 - mu0), 6).alias("lift"),
+        F.round(F.when(ok, z), 6).alias("z"),
+        F.when(
+            ok,
+            F.round(1000000.0 / (1.0 + F.exp(-1.702 * z)), 0).cast("long"),
+        ).alias("p_beats_micro"),
+    )

@@ -11860,6 +11860,657 @@ def q269(spark, sf):
     return hub_ablation(symmetric_edges(_fx_entity_pairs(spark, sf)), k=20)
 
 
+# --- r5 session-3 additions: KG fusion diagnostics, centrality, ---------
+# --- experiment-stats closures, and a financial-feed quality screen -----
+
+
+@_q(
+    "q270_inverse_predicates",
+    f"""
+    WITH t AS (
+      SELECT DISTINCT subj, pred, obj FROM ({_KG_TRIPLES_UNION_SQL}
+        UNION ALL
+        SELECT 'S:' || l_suppkey, 'supplies', 'P:' || l_partkey
+        FROM lineitem
+        UNION ALL
+        SELECT 'S:' || a.s_suppkey, 'colleague_of', 'S:' || b.s_suppkey
+        FROM supplier a JOIN supplier b
+          ON a.s_nationkey = b.s_nationkey
+         AND a.s_suppkey <> b.s_suppkey)
+    ),
+    ext AS (SELECT DISTINCT pred, subj, obj FROM t),
+    sizes AS (SELECT pred, CAST(COUNT(*) AS BIGINT) AS n
+              FROM ext GROUP BY pred),
+    common AS (SELECT a.pred AS p1, b.pred AS p2,
+                      CAST(COUNT(*) AS BIGINT) AS n_common
+               FROM ext a JOIN ext b
+                 ON a.subj = b.obj AND a.obj = b.subj
+               WHERE a.pred < b.pred
+                  OR (a.pred = b.pred AND a.subj <> a.obj)
+               GROUP BY a.pred, b.pred
+               HAVING COUNT(*) >= 1)
+    SELECT c.p1, c.p2, c.n_common, s1.n AS n1, s2.n AS n2,
+           ROUND(CAST(c.n_common AS DOUBLE)
+                 / (s1.n + s2.n - c.n_common), 6) AS jaccard,
+           ROUND(CAST(c.n_common AS DOUBLE) / LEAST(s1.n, s2.n), 6)
+             AS containment
+    FROM common c
+    JOIN sizes s1 ON s1.pred = c.p1
+    JOIN sizes s2 ON s2.pred = c.p2
+    """,
+)
+def q270(spark, sf):
+    """Inverse-predicate detection (graphalgo.inverse_predicates) over
+    the lifted KG plus an exact inverse feed ('supplies' = reversed
+    supplied_by → containment 1.0) and a symmetric relation
+    ('colleague_of' between same-nation suppliers → diagonal
+    reciprocity row at containment 1.0) — the PARIS alignment axis
+    q142's direct-overlap scorer is blind to: two feeds asserting the
+    same relation in opposite directions."""
+    from bran_spark.operators.graphalgo import inverse_predicates
+
+    li = _t(spark, sf, "lineitem")
+    supplies = li.select(
+        F.concat(F.lit("S:"), F.col("l_suppkey").cast("string")).alias("subj"),
+        F.lit("supplies").alias("pred"),
+        F.concat(F.lit("P:"), F.col("l_partkey").cast("string")).alias("obj"),
+    )
+    sup = _t(spark, sf, "supplier").select("s_suppkey", "s_nationkey")
+    colleagues = (
+        sup.alias("a")
+        .join(
+            F.broadcast(sup.alias("b")),
+            (F.col("a.s_nationkey") == F.col("b.s_nationkey"))
+            & (F.col("a.s_suppkey") != F.col("b.s_suppkey")),
+        )
+        .select(
+            F.concat(F.lit("S:"), F.col("a.s_suppkey").cast("string")).alias(
+                "subj"
+            ),
+            F.lit("colleague_of").alias("pred"),
+            F.concat(F.lit("S:"), F.col("b.s_suppkey").cast("string")).alias(
+                "obj"
+            ),
+        )
+    )
+    triples = (
+        _kg_relational_triples(spark, sf)
+        .unionByName(supplies)
+        .unionByName(colleagues)
+    )
+    return inverse_predicates(triples)
+
+
+@_q(
+    "q271_entity_summarization",
+    _KG_TRIPLES_SQL
+    + """
+    , bp AS (SELECT pred, CAST(COUNT(*) AS BIGINT) AS n_pred
+             FROM t GROUP BY pred),
+    bpo AS (SELECT pred, obj, CAST(COUNT(*) AS BIGINT) AS n_po
+            FROM t GROUP BY pred, obj),
+    sc AS (SELECT t.subj, t.pred, t.obj, bp.n_pred, bpo.n_po,
+                  CAST(bp.n_pred * bpo.n_po AS BIGINT) AS ic_key
+           FROM t
+           JOIN bp USING (pred)
+           JOIN bpo ON bpo.pred = t.pred AND bpo.obj = t.obj),
+    r AS (SELECT subj, pred, obj, n_pred, n_po,
+                 ROW_NUMBER() OVER (PARTITION BY subj
+                                    ORDER BY ic_key ASC, pred ASC, obj ASC)
+                   AS rank
+          FROM sc)
+    SELECT subj, rank, pred, obj, n_pred, n_po FROM r WHERE rank <= 3
+    """,
+)
+def q271(spark, sf):
+    """Top-3 fact summarization per entity (kgquality.entity_summarization,
+    RELIN lineage) over the lifted KG: rank every (pred, obj) fact by the
+    exact-integer informativeness key n_pred·n_po (monotone in the IC
+    score ln(N²/(n_pred·n_po))) and keep each subject's 3 most
+    distinctive facts — the entity-card generator for a serving layer or
+    an LLM prompt assembler."""
+    from bran_spark.operators.kgquality import entity_summarization
+
+    return entity_summarization(_kg_relational_triples(spark, sf), k=3)
+
+
+@_q(
+    "q272_capture_recapture",
+    """
+    WITH a AS (SELECT DISTINCT subj, pred, obj FROM (
+        SELECT 'P:' || l_partkey AS subj, 'supplied_by' AS pred,
+               'S:' || l_suppkey AS obj
+        FROM lineitem WHERE l_quantity > 10
+        UNION ALL
+        SELECT 'O:' || l_orderkey, 'contains', 'P:' || l_partkey
+        FROM lineitem WHERE l_linenumber <= 4
+        UNION ALL
+        SELECT 'O:' || o_orderkey, 'placed_by', 'C:' || o_custkey
+        FROM orders)),
+    b AS (SELECT DISTINCT subj, pred, obj FROM (
+        SELECT 'P:' || l_partkey AS subj, 'supplied_by' AS pred,
+               'S:' || l_suppkey AS obj
+        FROM lineitem WHERE l_quantity < 45
+        UNION ALL
+        SELECT 'O:' || l_orderkey, 'contains', 'P:' || l_partkey
+        FROM lineitem WHERE l_linenumber >= 2)),
+    na AS (SELECT pred, CAST(COUNT(*) AS BIGINT) AS n_a FROM a GROUP BY pred),
+    nb AS (SELECT pred, CAST(COUNT(*) AS BIGINT) AS n_b FROM b GROUP BY pred),
+    m AS (SELECT pred, CAST(COUNT(*) AS BIGINT) AS nboth
+          FROM a JOIN b USING (pred, subj, obj) GROUP BY pred),
+    j AS (SELECT COALESCE(na.pred, nb.pred) AS pred, n_a, n_b
+          FROM na FULL JOIN nb ON na.pred = nb.pred),
+    e AS (SELECT j.pred, j.n_a, j.n_b,
+                 CAST(COALESCE(m.nboth, 0) AS BIGINT) AS n_both
+          FROM j LEFT JOIN m ON m.pred = j.pred),
+    w AS (SELECT pred, n_a, n_b, n_both,
+                 CASE WHEN n_a IS NOT NULL AND n_b IS NOT NULL
+                      THEN CAST(((n_a + 1) * (n_b + 1)) // (n_both + 1) - 1
+                                AS BIGINT) END AS est_total
+          FROM e)
+    SELECT pred, n_a, n_b, n_both, est_total,
+           ROUND(CASE WHEN est_total > 0
+                      THEN n_a / CAST(est_total AS DOUBLE) END, 6)
+             AS completeness_a,
+           ROUND(CASE WHEN est_total > 0
+                      THEN n_b / CAST(est_total AS DOUBLE) END, 6)
+             AS completeness_b,
+           ROUND(CASE WHEN est_total > 0
+                      THEN (n_a + n_b - n_both)
+                           / CAST(est_total AS DOUBLE) END, 6)
+             AS completeness_union
+    FROM w
+    """,
+)
+def q272(spark, sf):
+    """Per-predicate KG completeness by capture–recapture
+    (kgquality.capture_recapture, Chapman estimator): two overlapping
+    'extractors' — quantity-windowed supplied_by feeds and
+    linenumber-windowed contains feeds — whose overlap rate estimates
+    the true relation size; placed_by appears in feed A only and
+    honestly reports NULL (one occasion is not a recapture)."""
+    from bran_spark.operators.kgquality import capture_recapture
+
+    li = _t(spark, sf, "lineitem")
+    orders = _t(spark, sf, "orders")
+
+    def tr(df, s_pre, s_col, pred, o_pre, o_col):
+        return df.select(
+            F.concat(F.lit(s_pre), F.col(s_col).cast("string")).alias("subj"),
+            F.lit(pred).alias("pred"),
+            F.concat(F.lit(o_pre), F.col(o_col).cast("string")).alias("obj"),
+        )
+
+    a = (
+        tr(li.where(F.col("l_quantity") > 10), "P:", "l_partkey",
+           "supplied_by", "S:", "l_suppkey")
+        .unionByName(
+            tr(li.where(F.col("l_linenumber") <= 4), "O:", "l_orderkey",
+               "contains", "P:", "l_partkey")
+        )
+        .unionByName(
+            tr(orders, "O:", "o_orderkey", "placed_by", "C:", "o_custkey")
+        )
+    )
+    b = tr(
+        li.where(F.col("l_quantity") < 45), "P:", "l_partkey",
+        "supplied_by", "S:", "l_suppkey",
+    ).unionByName(
+        tr(li.where(F.col("l_linenumber") >= 2), "O:", "l_orderkey",
+           "contains", "P:", "l_partkey")
+    )
+    return capture_recapture(a, b)
+
+
+@_q(
+    "q273_katz_centrality",
+    """
+    WITH e AS MATERIALIZED (
+      SELECT DISTINCT src, dst FROM (
+        SELECT 'O:' || o_orderkey AS src, 'C:' || o_custkey AS dst
+        FROM orders
+        UNION ALL
+        SELECT 'C:' || c_custkey, 'N:' || c_nationkey FROM customer
+        UNION ALL
+        SELECT 'S:' || s_suppkey, 'N:' || s_nationkey FROM supplier
+        UNION ALL
+        SELECT 'N:' || n_nationkey, 'R:' || n_regionkey FROM nation)
+      WHERE src <> dst),
+    nodes AS MATERIALIZED (
+      SELECT DISTINCT node FROM (
+        SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
+    x0 AS (SELECT node, CAST(1000000 AS BIGINT) AS x FROM nodes),
+    x1 AS MATERIALIZED (
+      SELECT n.node,
+             CAST(1000000 + (COALESCE(s.sm, 0) * 5) // 100 AS BIGINT) AS x
+      FROM nodes n LEFT JOIN (
+        SELECT e.dst AS node, CAST(SUM(x0.x) AS BIGINT) AS sm
+        FROM e JOIN x0 ON x0.node = e.src GROUP BY e.dst) s
+        ON s.node = n.node),
+    x2 AS MATERIALIZED (
+      SELECT n.node,
+             CAST(1000000 + (COALESCE(s.sm, 0) * 5) // 100 AS BIGINT) AS x
+      FROM nodes n LEFT JOIN (
+        SELECT e.dst AS node, CAST(SUM(x1.x) AS BIGINT) AS sm
+        FROM e JOIN x1 ON x1.node = e.src GROUP BY e.dst) s
+        ON s.node = n.node),
+    x3 AS MATERIALIZED (
+      SELECT n.node,
+             CAST(1000000 + (COALESCE(s.sm, 0) * 5) // 100 AS BIGINT) AS x
+      FROM nodes n LEFT JOIN (
+        SELECT e.dst AS node, CAST(SUM(x2.x) AS BIGINT) AS sm
+        FROM e JOIN x2 ON x2.node = e.src GROUP BY e.dst) s
+        ON s.node = n.node),
+    x4 AS (
+      SELECT n.node,
+             CAST(1000000 + (COALESCE(s.sm, 0) * 5) // 100 AS BIGINT) AS x
+      FROM nodes n LEFT JOIN (
+        SELECT e.dst AS node, CAST(SUM(x3.x) AS BIGINT) AS sm
+        FROM e JOIN x3 ON x3.node = e.src GROUP BY e.dst) s
+        ON s.node = n.node)
+    SELECT node, x AS katz_fp FROM x4
+    """,
+)
+def q273(spark, sf):
+    """Truncated Katz centrality (graphalgo.katz_centrality, β = 0.05,
+    4 rounds, exact integer fixed point) on the order→customer→nation→
+    region chain of the lifted KG: attenuated-walk-count reachability
+    that — unlike PageRank — does not dilute by out-degree, so regions
+    accumulate the full mass of their nation/customer/order trees. The
+    twin unrolls the identical four integer rounds."""
+    from bran_spark.operators.graphalgo import katz_centrality
+
+    edges = _kg_relational_triples(spark, sf).where(
+        F.col("pred").isin("placed_by", "in_nation", "in_region")
+    )
+    return katz_centrality(edges, iters=4, beta_num=5, beta_den=100)
+
+
+@_q(
+    "q274_delta_method",
+    f"""
+    WITH u AS (SELECT user_id AS uid,
+                      SUM(CASE WHEN event_type = 'purchase'
+                               THEN CAST(round(value * 100, 0) AS BIGINT)
+                               ELSE 0 END) AS num,
+                      CAST(COUNT(*) AS BIGINT) AS den
+               FROM events GROUP BY user_id),
+    k AS (SELECT md5(uid::VARCHAR) AS h, num, den FROM u),
+    a AS (SELECT CAST(({_HEX8_SQL}) % 2 AS INT) AS arm, num, den FROM k),
+    g AS (SELECT SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END)::BIGINT AS c0,
+                 SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END)::BIGINT AS c1,
+                 SUM(CASE WHEN arm = 0 THEN num ELSE 0 END)::BIGINT AS sn0,
+                 SUM(CASE WHEN arm = 1 THEN num ELSE 0 END)::BIGINT AS sn1,
+                 SUM(CASE WHEN arm = 0 THEN den ELSE 0 END)::BIGINT AS sd0,
+                 SUM(CASE WHEN arm = 1 THEN den ELSE 0 END)::BIGINT AS sd1,
+                 SUM(CASE WHEN arm = 0 THEN num * num ELSE 0 END)::BIGINT
+                   AS qn0,
+                 SUM(CASE WHEN arm = 1 THEN num * num ELSE 0 END)::BIGINT
+                   AS qn1,
+                 SUM(CASE WHEN arm = 0 THEN den * den ELSE 0 END)::BIGINT
+                   AS qd0,
+                 SUM(CASE WHEN arm = 1 THEN den * den ELSE 0 END)::BIGINT
+                   AS qd1,
+                 SUM(CASE WHEN arm = 0 THEN num * den ELSE 0 END)::BIGINT
+                   AS x0,
+                 SUM(CASE WHEN arm = 1 THEN num * den ELSE 0 END)::BIGINT
+                   AS x1
+          FROM a),
+    s AS (SELECT c0, c1,
+                 CASE WHEN sd0 <> 0
+                      THEN (sn0 / 100.0) / (sd0 / 1.0) END AS r0,
+                 CASE WHEN sd1 <> 0
+                      THEN (sn1 / 100.0) / (sd1 / 1.0) END AS r1,
+                 CASE WHEN c0 > 1 AND sd0 <> 0 THEN greatest(
+                   (greatest((qn0 / 10000.0 - (sn0 / 100.0) * (sn0 / 100.0)
+                              / c0::DOUBLE) / (c0::DOUBLE - 1), 0.0)
+                    - 2.0 * ((sn0 / 100.0) / (sd0 / 1.0))
+                      * ((x0 / 100.0 - (sn0 / 100.0) * (sd0 / 1.0)
+                          / c0::DOUBLE) / (c0::DOUBLE - 1))
+                    + ((sn0 / 100.0) / (sd0 / 1.0))
+                      * ((sn0 / 100.0) / (sd0 / 1.0))
+                      * greatest((qd0 / 1.0 - (sd0 / 1.0) * (sd0 / 1.0)
+                                  / c0::DOUBLE) / (c0::DOUBLE - 1), 0.0))
+                   / (c0::DOUBLE * ((sd0 / 1.0) / c0::DOUBLE)
+                      * ((sd0 / 1.0) / c0::DOUBLE)), 0.0) END AS v0,
+                 CASE WHEN c1 > 1 AND sd1 <> 0 THEN greatest(
+                   (greatest((qn1 / 10000.0 - (sn1 / 100.0) * (sn1 / 100.0)
+                              / c1::DOUBLE) / (c1::DOUBLE - 1), 0.0)
+                    - 2.0 * ((sn1 / 100.0) / (sd1 / 1.0))
+                      * ((x1 / 100.0 - (sn1 / 100.0) * (sd1 / 1.0)
+                          / c1::DOUBLE) / (c1::DOUBLE - 1))
+                    + ((sn1 / 100.0) / (sd1 / 1.0))
+                      * ((sn1 / 100.0) / (sd1 / 1.0))
+                      * greatest((qd1 / 1.0 - (sd1 / 1.0) * (sd1 / 1.0)
+                                  / c1::DOUBLE) / (c1::DOUBLE - 1), 0.0))
+                   / (c1::DOUBLE * ((sd1 / 1.0) / c1::DOUBLE)
+                      * ((sd1 / 1.0) / c1::DOUBLE)), 0.0) END AS v1
+          FROM g)
+    SELECT c0 AS n_ctl, c1 AS n_trt,
+           ROUND(r0, 6) AS ratio_ctl,
+           ROUND(r1, 6) AS ratio_trt,
+           ROUND(r1 - r0, 6) AS diff,
+           ROUND(sqrt(v0 + v1), 6) AS se,
+           ROUND(CASE WHEN sqrt(v0 + v1) > 0
+                      THEN (r1 - r0) / sqrt(v0 + v1) END, 6) AS z_stat
+    FROM s
+    """,
+)
+def q274(spark, sf):
+    """Ratio-metric readout with a delta-method SE
+    (sampling.delta_method_ratio): purchase revenue per event, per user,
+    on q214's md5-coin arms — the estimator that gets both the point
+    estimate and the variance of a per-unit RATIO right, where naive
+    row-level means are wrong. Six associative BIGINT moments per arm,
+    then one fixed scalar tree the twin replays verbatim."""
+    from bran_spark.operators.sampling import delta_method_ratio, md5_arm
+
+    ev = _t(spark, sf, "events")
+    units = (
+        ev.groupBy("user_id")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("event_type") == "purchase",
+                    F.round(F.col("value") * 100, 0).cast("long"),
+                ).otherwise(F.lit(0))
+            )
+            .cast("long")
+            .alias("num"),
+            F.count(F.lit(1)).cast("long").alias("den"),
+        )
+        .select(md5_arm("user_id").alias("arm"), "num", "den")
+    )
+    return delta_method_ratio(units, num_scale=100, den_scale=1)
+
+
+@_q(
+    "q275_mde_power",
+    f"""
+    WITH u AS (SELECT user_id AS uid,
+                      SUM(CAST(round(value * 100, 0) AS BIGINT)) AS y
+               FROM events GROUP BY user_id),
+    k AS (SELECT md5(uid::VARCHAR) AS h, y FROM u),
+    a AS (SELECT CAST(({_HEX8_SQL}) % 2 AS INT) AS arm, y FROM k),
+    g AS (SELECT SUM((arm = 0)::INT)::BIGINT AS n0,
+                 SUM((arm = 1)::INT)::BIGINT AS n1,
+                 SUM(CASE WHEN arm = 0 THEN y ELSE 0 END)::BIGINT AS s0,
+                 SUM(CASE WHEN arm = 1 THEN y ELSE 0 END)::BIGINT AS s1,
+                 SUM(CASE WHEN arm = 0 THEN y * y ELSE 0 END)::BIGINT AS q0,
+                 SUM(CASE WHEN arm = 1 THEN y * y ELSE 0 END)::BIGINT AS q1
+          FROM a),
+    s AS (SELECT n0, n1, s0,
+                 greatest((q0 / 10000.0 - n0::DOUBLE
+                           * (s0 / (n0::DOUBLE * 100.0))
+                           * (s0 / (n0::DOUBLE * 100.0)))
+                          / (n0::DOUBLE - 1), 0.0) AS v0,
+                 greatest((q1 / 10000.0 - n1::DOUBLE
+                           * (s1 / (n1::DOUBLE * 100.0))
+                           * (s1 / (n1::DOUBLE * 100.0)))
+                          / (n1::DOUBLE - 1), 0.0) AS v1,
+                 s1 / (n1::DOUBLE * 100.0) - s0 / (n0::DOUBLE * 100.0)
+                   AS diff,
+                 s0 / (n0::DOUBLE * 100.0) AS m0,
+                 n0 > 1 AND n1 > 1 AS ok
+          FROM g),
+    s2 AS (SELECT n0, n1, s0, v0, v1, diff, m0, ok,
+                  sqrt(v0 / n0::DOUBLE + v1 / n1::DOUBLE) AS se
+           FROM s)
+    SELECT n0 AS n_ctl, n1 AS n_trt,
+           ROUND(CASE WHEN ok THEN sqrt(v0) END, 6) AS sd_ctl,
+           ROUND(CASE WHEN ok THEN sqrt(v1) END, 6) AS sd_trt,
+           ROUND(CASE WHEN ok THEN se END, 6) AS se,
+           ROUND(CASE WHEN ok THEN (1.959964 + 0.841621) * se END, 6)
+             AS mde_abs,
+           ROUND(CASE WHEN ok AND s0 <> 0
+                      THEN (1.959964 + 0.841621) * se / abs(m0) END, 6)
+             AS mde_rel,
+           ROUND(CASE WHEN ok THEN diff END, 6) AS diff,
+           CASE WHEN ok AND se > 0 THEN CAST(round(
+                  1000000.0 / (1.0 + exp(-1.702 * (abs(diff) / se
+                                                   - 1.959964))), 0)
+                AS BIGINT) END AS power_micro
+    FROM s2
+    """,
+)
+def q275(spark, sf):
+    """Experiment sensitivity readout (sampling.mde_power): minimum
+    detectable effect at α = 0.05 / power 0.8 plus achieved power for
+    the observed per-user value difference on q214's md5-coin arms —
+    the row that distinguishes 'flat' from 'underpowered'. Power goes
+    through the monotone logistic normal-CDF micro idiom (bh_fdr)."""
+    from bran_spark.operators.sampling import md5_arm, mde_power
+
+    ev = _t(spark, sf, "events")
+    units = (
+        ev.groupBy("user_id")
+        .agg(
+            F.sum(F.round(F.col("value") * 100, 0).cast("long"))
+            .cast("long")
+            .alias("y")
+        )
+        .select(md5_arm("user_id").alias("arm"), "y")
+    )
+    return mde_power(units, scale=100)
+
+
+@_q(
+    "q276_diff_in_diff",
+    f"""
+    WITH u AS (SELECT user_id AS uid,
+                      CASE WHEN ts >= TIMESTAMP '2024-01-16'
+                           THEN 1 ELSE 0 END AS period,
+                      SUM(CAST(round(value * 100, 0) AS BIGINT)) AS y
+               FROM events GROUP BY 1, 2),
+    k AS (SELECT md5(uid::VARCHAR) AS h, period, y FROM u),
+    a AS (SELECT CAST(({_HEX8_SQL}) % 2 AS INT) AS grp, period, y FROM k),
+    g AS (SELECT
+      SUM(CASE WHEN grp = 0 AND period = 0 THEN 1 ELSE 0 END)::BIGINT AS c00,
+      SUM(CASE WHEN grp = 0 AND period = 1 THEN 1 ELSE 0 END)::BIGINT AS c01,
+      SUM(CASE WHEN grp = 1 AND period = 0 THEN 1 ELSE 0 END)::BIGINT AS c10,
+      SUM(CASE WHEN grp = 1 AND period = 1 THEN 1 ELSE 0 END)::BIGINT AS c11,
+      SUM(CASE WHEN grp = 0 AND period = 0 THEN y ELSE 0 END)::BIGINT AS s00,
+      SUM(CASE WHEN grp = 0 AND period = 1 THEN y ELSE 0 END)::BIGINT AS s01,
+      SUM(CASE WHEN grp = 1 AND period = 0 THEN y ELSE 0 END)::BIGINT AS s10,
+      SUM(CASE WHEN grp = 1 AND period = 1 THEN y ELSE 0 END)::BIGINT AS s11,
+      SUM(CASE WHEN grp = 0 AND period = 0 THEN y * y ELSE 0 END)::BIGINT
+        AS q00,
+      SUM(CASE WHEN grp = 0 AND period = 1 THEN y * y ELSE 0 END)::BIGINT
+        AS q01,
+      SUM(CASE WHEN grp = 1 AND period = 0 THEN y * y ELSE 0 END)::BIGINT
+        AS q10,
+      SUM(CASE WHEN grp = 1 AND period = 1 THEN y * y ELSE 0 END)::BIGINT
+        AS q11
+      FROM a),
+    s AS (SELECT c00, c01, c10, c11,
+                 s00 / (c00::DOUBLE * 100.0) AS m00,
+                 s01 / (c01::DOUBLE * 100.0) AS m01,
+                 s10 / (c10::DOUBLE * 100.0) AS m10,
+                 s11 / (c11::DOUBLE * 100.0) AS m11,
+                 greatest((q00 / 10000.0 - c00::DOUBLE
+                           * (s00 / (c00::DOUBLE * 100.0))
+                           * (s00 / (c00::DOUBLE * 100.0)))
+                          / (c00::DOUBLE - 1), 0.0) / c00::DOUBLE AS w00,
+                 greatest((q01 / 10000.0 - c01::DOUBLE
+                           * (s01 / (c01::DOUBLE * 100.0))
+                           * (s01 / (c01::DOUBLE * 100.0)))
+                          / (c01::DOUBLE - 1), 0.0) / c01::DOUBLE AS w01,
+                 greatest((q10 / 10000.0 - c10::DOUBLE
+                           * (s10 / (c10::DOUBLE * 100.0))
+                           * (s10 / (c10::DOUBLE * 100.0)))
+                          / (c10::DOUBLE - 1), 0.0) / c10::DOUBLE AS w10,
+                 greatest((q11 / 10000.0 - c11::DOUBLE
+                           * (s11 / (c11::DOUBLE * 100.0))
+                           * (s11 / (c11::DOUBLE * 100.0)))
+                          / (c11::DOUBLE - 1), 0.0) / c11::DOUBLE AS w11,
+                 c00 > 1 AND c01 > 1 AND c10 > 1 AND c11 > 1 AS ok
+          FROM g)
+    SELECT c00 AS n_ctl_pre, c01 AS n_ctl_post,
+           c10 AS n_trt_pre, c11 AS n_trt_post,
+           ROUND(CASE WHEN ok THEN m00 END, 6) AS mean_ctl_pre,
+           ROUND(CASE WHEN ok THEN m01 END, 6) AS mean_ctl_post,
+           ROUND(CASE WHEN ok THEN m10 END, 6) AS mean_trt_pre,
+           ROUND(CASE WHEN ok THEN m11 END, 6) AS mean_trt_post,
+           ROUND(CASE WHEN ok THEN (m11 - m10) - (m01 - m00) END, 6) AS did,
+           ROUND(CASE WHEN ok THEN sqrt(w00 + w01 + w10 + w11) END, 6) AS se,
+           ROUND(CASE WHEN ok AND sqrt(w00 + w01 + w10 + w11) > 0
+                      THEN ((m11 - m10) - (m01 - m00))
+                           / sqrt(w00 + w01 + w10 + w11) END, 6) AS t_stat
+    FROM s
+    """,
+)
+def q276(spark, sf):
+    """Difference-in-differences readout (sampling.diff_in_diff) over a
+    2×2 panel: md5-coin user groups × a mid-month period split, metric =
+    per-(user, period) value cents — the quasi-experimental estimator
+    for unrandomized rollouts, netting the treated group's post−pre
+    change against control's. Null data ⇒ did ≈ 0; one conditional
+    aggregate, twelve associative BIGINT sums, one scalar tree."""
+    from bran_spark.operators.sampling import diff_in_diff, md5_arm
+
+    ev = _t(spark, sf, "events")
+    units = (
+        ev.groupBy(
+            "user_id",
+            F.when(F.col("ts") >= F.lit("2024-01-16").cast("timestamp"), 1)
+            .otherwise(0)
+            .alias("period"),
+        )
+        .agg(
+            F.sum(F.round(F.col("value") * 100, 0).cast("long"))
+            .cast("long")
+            .alias("y")
+        )
+        .select(md5_arm("user_id").alias("grp"), "period", "y")
+    )
+    return diff_in_diff(units)
+
+
+@_q(
+    "q277_bayes_ab",
+    f"""
+    WITH u AS (SELECT user_id AS uid,
+                      MAX(CASE WHEN event_type = 'purchase' AND value > 200
+                               THEN 1 ELSE 0 END)::BIGINT AS y
+               FROM events GROUP BY user_id),
+    k AS (SELECT md5(uid::VARCHAR) AS h, y FROM u),
+    a AS (SELECT CAST(({_HEX8_SQL}) % 2 AS INT) AS arm, y FROM k),
+    g AS (SELECT SUM((arm = 0)::INT)::BIGINT AS n0,
+                 SUM((arm = 1)::INT)::BIGINT AS n1,
+                 SUM(CASE WHEN arm = 0 THEN y ELSE 0 END)::BIGINT AS s0,
+                 SUM(CASE WHEN arm = 1 THEN y ELSE 0 END)::BIGINT AS s1
+          FROM a),
+    s AS (SELECT n0, n1, s0, s1,
+                 (s0 + 1.0) / (n0::DOUBLE + 2.0) AS mu0,
+                 (s1 + 1.0) / (n1::DOUBLE + 2.0) AS mu1,
+                 n0 > 0 AND n1 > 0 AS ok
+          FROM g),
+    s2 AS (SELECT n0, n1, s0, s1, mu0, mu1, ok,
+                  (mu1 - mu0)
+                  / sqrt(mu0 * (1.0 - mu0) / (n0::DOUBLE + 3.0)
+                         + mu1 * (1.0 - mu1) / (n1::DOUBLE + 3.0)) AS z
+           FROM s)
+    SELECT n0 AS n_ctl, n1 AS n_trt,
+           ROUND(CASE WHEN n0 > 0 THEN s0 / n0::DOUBLE END, 6) AS conv_ctl,
+           ROUND(CASE WHEN n1 > 0 THEN s1 / n1::DOUBLE END, 6) AS conv_trt,
+           ROUND(CASE WHEN ok THEN mu0 END, 6) AS post_mean_ctl,
+           ROUND(CASE WHEN ok THEN mu1 END, 6) AS post_mean_trt,
+           ROUND(CASE WHEN ok THEN mu1 - mu0 END, 6) AS lift,
+           ROUND(CASE WHEN ok THEN z END, 6) AS z,
+           CASE WHEN ok THEN CAST(round(
+                  1000000.0 / (1.0 + exp(-1.702 * z)), 0) AS BIGINT) END
+             AS p_beats_micro
+    FROM s2
+    """,
+)
+def q277(spark, sf):
+    """Bayesian conversion readout (sampling.bayes_ab): Beta(1,1)
+    posteriors over 'user made a >$2 purchase' per md5-coin arm and
+    P(treatment beats control) via the normal posterior approximation +
+    the monotone logistic CDF micro idiom — the decision-facing number
+    next to q216's frequentist t. Null assignment ⇒ P ≈ 0.5."""
+    from bran_spark.operators.sampling import bayes_ab, md5_arm
+
+    ev = _t(spark, sf, "events")
+    units = (
+        ev.groupBy("user_id")
+        .agg(
+            F.max(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("value") > 200),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("y")
+        )
+        .select(md5_arm("user_id").alias("arm"), "y")
+    )
+    return bayes_ab(units)
+
+
+def _benford_values_sql() -> str:
+    import math
+
+    return ", ".join(
+        f"({d}, CAST({round(math.log10(1.0 + 1.0 / d), 6)} AS DOUBLE))"
+        for d in range(1, 10)
+    )
+
+
+@_q(
+    "q278_benford_audit",
+    f"""
+    WITH c AS (SELECT CAST(round(value * 100, 0) AS BIGINT) AS cents
+               FROM events),
+    d AS (SELECT CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS INT) AS digit
+          FROM c WHERE cents > 0),
+    counts AS (SELECT digit, CAST(COUNT(*) AS BIGINT) AS n
+               FROM d GROUP BY digit),
+    dom AS (SELECT * FROM (VALUES {_benford_values_sql()})
+            AS v(digit, exp_frac)),
+    per AS (SELECT dom.digit, CAST(COALESCE(counts.n, 0) AS BIGINT) AS n,
+                   dom.exp_frac
+            FROM dom LEFT JOIN counts ON counts.digit = dom.digit),
+    tot AS (SELECT CAST(SUM(n) AS BIGINT) AS n_total FROM per),
+    excl AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_excluded
+             FROM c WHERE cents IS NULL OR cents <= 0),
+    terms AS (SELECT digit, n, exp_frac, n_total,
+                     CASE WHEN n_total > 0 THEN CAST(round(
+                       (n / n_total::DOUBLE - exp_frac)
+                       * (n / n_total::DOUBLE - exp_frac)
+                       / exp_frac * n_total::DOUBLE * 1000000.0, 0)
+                       AS BIGINT) END AS chi_m
+              FROM per, tot),
+    chi AS (SELECT CAST(SUM(chi_m) AS BIGINT) AS chi_sum FROM terms)
+    SELECT digit, n,
+           ROUND(CASE WHEN n_total > 0
+                      THEN n / n_total::DOUBLE END, 6) AS obs_frac,
+           exp_frac,
+           ROUND(CASE WHEN n_total > 0
+                      THEN n / n_total::DOUBLE - exp_frac END, 6) AS dev,
+           n_total, excl.n_excluded,
+           ROUND(chi.chi_sum / 1000000.0, 6) AS chi2
+    FROM terms, excl, chi
+    ORDER BY digit
+    """,
+)
+def q278(spark, sf):
+    """Benford first-digit audit (contracts.benford_audit) of event value
+    cents: per-digit observed vs log10(1+1/d) expected shares and a
+    chi-square verdict summed over micro-rounded BIGINT terms — the
+    fabrication/unit-mangling screen for financial feeds. The synthetic
+    uniform-ish values FAIL Benford loudly (huge chi2), which is the
+    point: the audit must flag non-multi-scale feeds."""
+    from bran_spark.operators.contracts import benford_audit
+
+    ev = _t(spark, sf, "events").select(
+        F.round(F.col("value") * 100, 0).cast("long").alias("cents")
+    )
+    return benford_audit(ev, "cents")
+
+
 # =========================================================================
 # Registry ordering: the driver's correctness gate hash-checks the FIRST
 # 50 insertion-order entries of ``queries()``. Definition order above is
