@@ -735,3 +735,70 @@ def benford_audit(
         )
         .orderBy("digit")
     )
+
+
+def dp_release_audit(
+    df: DataFrame,
+    group_col: str,
+    epsilon: float = 0.5,
+    release_tag: str = "r0",
+) -> DataFrame:
+    """ε-differential-privacy histogram release (Laplace mechanism,
+    Dwork et al. 2006; sensitivity 1 for disjoint-group counts) plus the
+    utility audit a governance gate wants next to it: per group the true
+    count, the noised release, and the injected absolute error at the
+    chosen ε.
+
+    DETERMINISM SEAM (document, don't hide): real DP noise must be a
+    fresh secret per release; here the Laplace draw is derived from
+    md5(release_tag ‖ group) — u = (hex8 % 10^6 + 0.5)/10^6,
+    lap = −(1/ε)·sign(u−½)·ln(1−2|u−½|) — so tests, reruns, and the
+    DuckDB twin replay bit-identical releases. Swap the tag for a
+    per-release secret seed in production; the ε accounting and the
+    inverse-CDF math are the real thing, only the entropy source is the
+    test seam. |u−½| ≤ ½−10⁻⁶ keeps ln's argument ≥ 2·10⁻⁶, so noise is
+    bounded by ~13.1/ε. The noise is micro-rounded to BIGINT before the
+    integer release so engine ulp differences in ln cannot move the
+    output.
+
+    One group-count aggregate + a narrow projection — no second pass,
+    no broadcast. Output: (group, true_count, noisy_count, abs_err,
+    epsilon) — at 10^12 rows the plan is the same histogram."""
+    g = (
+        df.select(F.col(group_col).cast("string").alias("grp"))
+        .groupBy("grp")
+        .agg(F.count(F.lit(1)).cast("long").alias("true_count"))
+    )
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit(release_tag + "|"), F.col("grp"))), 1, 8),
+        16,
+        10,
+    ).cast("long")
+    u = ((h % 1000000).cast("double") + 0.5) / 1000000.0
+    w = u - 0.5
+    lap = (
+        -(1.0 / float(epsilon))
+        * F.signum(w)
+        * F.log(1.0 - 2.0 * F.abs(w))
+    )
+    noise_int = (
+        (F.round(lap * 1000000.0, 0).cast("long") + F.lit(500000).cast("long"))
+        .cast("long")
+    )
+    # floor((micro + 5·10^5)/10^6) = round-half-up of the micro noise,
+    # in pure integer ops (no DIV-vs-// negative-truncation mismatch)
+    noisy = F.col("true_count") + F.floor(
+        noise_int.cast("double") / 1000000.0
+    ).cast("long")
+    return (
+        g.withColumn("noisy_count", noisy)
+        .select(
+            F.col("grp").alias("grp"),
+            "true_count",
+            "noisy_count",
+            F.abs(F.col("noisy_count") - F.col("true_count"))
+            .cast("long")
+            .alias("abs_err"),
+            F.lit(float(epsilon)).alias("epsilon"),
+        )
+    )

@@ -2456,3 +2456,154 @@ def katz_centrality(
             .localCheckpoint(eager=True)
         )
     return x.select("node", F.col("x").alias("katz_fp"))
+
+
+def scc(
+    edges: DataFrame,
+    src: str = "subj",
+    dst: str = "obj",
+    max_rounds: int = 8,
+    max_hops: int = 32,
+) -> DataFrame:
+    """Strongly connected components of a DIRECTED edge list — the
+    directed completion of components.connected_components: which
+    entities are mutually reachable through predicate chains? A KG
+    needs this before trusting any DAG-assuming pass (ancestor_closure,
+    transitive_reduction, dag-ordered rules): every non-singleton SCC
+    is a cycle cluster that must be condensed or adjudicated first
+    (cycle_residue says WHETHER cycles exist; scc says WHICH nodes
+    share them).
+
+    FW-BW-Trim peeling (Fleischer/Hendrickson/Pınar 2000 family, label
+    variant of Orzan's coloring): per outer round (1) TRIM — nodes with
+    no in- or no out-edge in the active subgraph are singleton SCCs,
+    peeled iteratively (a DAG fully dissolves here, cycle_residue's
+    step); (2) min-label fixpoints f(v) = min ancestor id, b(v) = min
+    descendant id over the active subgraph; (3) nodes with f = b = m
+    form EXACTLY SCC(m) (mutual reachability with m; any smaller member
+    would be a smaller ancestor) and are peeled with scc_id = m — the
+    active minimum always resolves, so every round strictly shrinks.
+    Rounds needed ≈ the depth of the SCC condensation chain between
+    same-label regions; raises on non-convergence rather than returning
+    a partial labeling (kcore's contract).
+
+    Shape per round: trim = two distinct-projections + two semi-joins on
+    the shrinking edge list; each fixpoint hop = one edge join + one
+    min-aggregate + a change count (all on active nodes only); lineage
+    truncated per hop. No broadcast of anything graph-sized, no
+    collect. Output: (node, scc_id) for every node, scc_id = min member
+    id; singletons (and self-loop-only nodes) map to themselves."""
+    e = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    # node set from the ORIGINAL edges so self-loop-only nodes (dropped
+    # from e) still appear in the output — the first trim peels them as
+    # the singletons they are
+    active_nodes = (
+        edges.select(F.col(src).alias("node"))
+        .union(edges.select(F.col(dst).alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    done: list[DataFrame] = []
+    spark = edges.sparkSession
+
+    def _min_label_fixpoint(nodes, ed, forward: bool) -> DataFrame:
+        lab = nodes.withColumn("lab", F.col("node")).localCheckpoint(
+            eager=True
+        )
+        a, b = ("u", "v") if forward else ("v", "u")
+        for _ in range(max_hops):
+            upd = (
+                ed.join(
+                    lab.select(F.col("node").alias(a), "lab"), a
+                )
+                .groupBy(F.col(b).alias("node"))
+                .agg(F.min("lab").alias("nlab"))
+            )
+            nxt = (
+                lab.join(upd, "node", "left")
+                .select(
+                    "node",
+                    F.least(
+                        F.col("lab"), F.coalesce("nlab", F.col("lab"))
+                    ).alias("lab"),
+                )
+                .localCheckpoint(eager=True)
+            )
+            changed = (
+                nxt.join(lab.withColumnRenamed("lab", "old"), "node")
+                .where(F.col("lab") != F.col("old"))
+                .limit(1)
+                .count()
+            )
+            lab = nxt
+            if changed == 0:
+                return lab
+        raise RuntimeError(
+            f"scc: min-label fixpoint did not converge in {max_hops} hops"
+        )
+
+    for _ in range(max_rounds):
+        # ---- trim: peel nodes with no in- or no out-edge (singletons)
+        for _ in range(max_hops):
+            srcs = e.select(F.col("u").alias("node")).distinct()
+            dsts = e.select(F.col("v").alias("node")).distinct()
+            keep = srcs.join(dsts, "node").localCheckpoint(eager=True)
+            trimmed = active_nodes.join(keep, "node", "left_anti")
+            n_trimmed = trimmed.limit(1).count()
+            if n_trimmed == 0:
+                break
+            done.append(
+                trimmed.select(
+                    "node", F.col("node").alias("scc_id")
+                ).localCheckpoint(eager=True)
+            )
+            active_nodes = active_nodes.join(
+                keep, "node", "left_semi"
+            ).localCheckpoint(eager=True)
+            e = (
+                e.join(keep.withColumnRenamed("node", "u"), "u", "left_semi")
+                .join(keep.withColumnRenamed("node", "v"), "v", "left_semi")
+                .localCheckpoint(eager=True)
+            )
+        else:
+            raise RuntimeError(
+                f"scc: trim did not converge in {max_hops} hops"
+            )
+        if active_nodes.limit(1).count() == 0:
+            break
+        # ---- min-label both directions, peel the agreeing SCCs
+        f = _min_label_fixpoint(active_nodes, e, forward=True)
+        bk = _min_label_fixpoint(active_nodes, e, forward=False)
+        resolved = (
+            f.join(bk.withColumnRenamed("lab", "blab"), "node")
+            .where(F.col("lab") == F.col("blab"))
+            .select("node", F.col("lab").alias("scc_id"))
+            .localCheckpoint(eager=True)
+        )
+        done.append(resolved)
+        active_nodes = active_nodes.join(
+            resolved, "node", "left_anti"
+        ).localCheckpoint(eager=True)
+        keep = active_nodes
+        e = (
+            e.join(keep.withColumnRenamed("node", "u"), "u", "left_semi")
+            .join(keep.withColumnRenamed("node", "v"), "v", "left_semi")
+            .localCheckpoint(eager=True)
+        )
+        if active_nodes.limit(1).count() == 0:
+            break
+    else:
+        raise RuntimeError(
+            f"scc: peeling did not converge in {max_rounds} rounds"
+        )
+    if not done:
+        return spark.createDataFrame([], "node string, scc_id string")
+    out = done[0]
+    for d in done[1:]:
+        out = out.unionByName(d)
+    return out

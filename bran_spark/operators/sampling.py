@@ -1603,3 +1603,98 @@ def bayes_ab(
             F.round(1000000.0 / (1.0 + F.exp(-1.702 * z)), 0).cast("long"),
         ).alias("p_beats_micro"),
     )
+
+
+def winsorized_effect(
+    units: DataFrame,
+    arm_col: str = "arm",
+    y_col: str = "y",
+    scale: int = 100,
+    pct: int = 99,
+) -> DataFrame:
+    """Winsorized two-arm readout — ab_effect for whale-dominated
+    metrics: clip every unit's metric at the POOLED pct-th percentile
+    (both arms share one clip point, so the transform is
+    assignment-independent and unbiased under the null), then Welch
+    diff-in-means on the clipped values. The standard spend-metric
+    variance-reduction next to mann_whitney's rank test: the whales
+    stop owning the variance but, unlike trimming, every unit still
+    counts.
+
+    The clip point is EXACT and engine-stable: on the (value, count)
+    histogram of the integer metric (ab_effect's contract), it is the
+    smallest value whose running count satisfies cum·100 ≥ pct·n — pure
+    integer inequality, no float percentile interpolation to disagree
+    on. Shuffle shape: one value-keyed histogram aggregate (domain-
+    sized), one running sum over the value domain (single-partition
+    window — swap in packing's distributed prefix-sum at 10^9 distinct
+    values), a 1-row clip broadcast, then ab_effect's single
+    conditional aggregate over least(y, clip). Output: 1 row (n_ctl,
+    n_trt, clip_value, n_clipped, mean_ctl, mean_trt, diff, se,
+    t_stat), 6 dp."""
+    u = units.select(
+        F.col(arm_col).cast("int").alias("_arm"),
+        F.col(y_col).cast("long").alias("_y"),
+    )
+    hist = u.groupBy("_y").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    wv = Window.orderBy("_y").rowsBetween(Window.unboundedPreceding, 0)
+    tot = hist.agg(F.sum("c").cast("long").alias("n_all"))
+    clip = (
+        hist.withColumn("cum", F.sum("c").over(wv).cast("long"))
+        .crossJoin(F.broadcast(tot))
+        .where(F.col("cum") * 100 >= F.lit(int(pct)) * F.col("n_all"))
+        .agg(F.min("_y").cast("long").alias("clip"))
+    )
+    k = float(scale)
+    arm = F.col("_arm")
+    y = F.least(F.col("_y"), F.col("clip"))
+    g = u.crossJoin(F.broadcast(clip)).agg(
+        F.sum(F.when(arm == 0, 1).otherwise(0)).cast("long").alias("n0"),
+        F.sum(F.when(arm == 1, 1).otherwise(0)).cast("long").alias("n1"),
+        F.sum(F.when(arm == 0, y).otherwise(F.lit(0))).cast("long").alias("s0"),
+        F.sum(F.when(arm == 1, y).otherwise(F.lit(0))).cast("long").alias("s1"),
+        F.sum(F.when(arm == 0, y * y).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("q0"),
+        F.sum(F.when(arm == 1, y * y).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("q1"),
+        F.sum(F.when(F.col("_y") > F.col("clip"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_clipped"),
+        F.max(F.col("clip")).cast("long").alias("clip_raw"),
+    )
+    n0 = F.col("n0").cast("double")
+    n1 = F.col("n1").cast("double")
+    m0 = F.when(F.col("n0") > 0, F.col("s0") / (n0 * k))
+    m1 = F.when(F.col("n1") > 0, F.col("s1") / (n1 * k))
+    v0 = F.when(
+        F.col("n0") > 1,
+        F.greatest(
+            (F.col("q0") / (k * k) - n0 * m0 * m0) / (n0 - 1), F.lit(0.0)
+        ),
+    )
+    v1 = F.when(
+        F.col("n1") > 1,
+        F.greatest(
+            (F.col("q1") / (k * k) - n1 * m1 * m1) / (n1 - 1), F.lit(0.0)
+        ),
+    )
+    se = F.sqrt(v0 / n0 + v1 / n1)
+    ok = (F.col("n0") > 1) & (F.col("n1") > 1)
+    flat0 = F.col("n0") * F.col("q0") == F.col("s0") * F.col("s0")
+    flat1 = F.col("n1") * F.col("q1") == F.col("s1") * F.col("s1")
+    se_out = F.when(flat0 & flat1, F.lit(0.0)).otherwise(se)
+    return g.select(
+        F.col("n0").alias("n_ctl"),
+        F.col("n1").alias("n_trt"),
+        F.round(F.col("clip_raw") / k, 6).alias("clip_value"),
+        "n_clipped",
+        F.round(m0, 6).alias("mean_ctl"),
+        F.round(m1, 6).alias("mean_trt"),
+        F.round(m1 - m0, 6).alias("diff"),
+        F.round(F.when(ok, se_out), 6).alias("se"),
+        F.round(
+            F.when(ok & ~(flat0 & flat1), (m1 - m0) / se), 6
+        ).alias("t_stat"),
+    )

@@ -12511,6 +12511,182 @@ def q278(spark, sf):
     return benford_audit(ev, "cents")
 
 
+@_q(
+    "q279_dp_release",
+    f"""
+    WITH g AS (SELECT lang AS grp, CAST(COUNT(*) AS BIGINT) AS true_count
+               FROM documents GROUP BY lang),
+    n AS (SELECT grp, true_count, md5('r0|' || grp) AS h FROM g),
+    v AS (SELECT grp, true_count,
+                 (({_HEX8_SQL}) % 1000000 + 0.5) / 1000000.0 AS u
+          FROM n),
+    l AS (SELECT grp, true_count,
+                 -(1.0 / 0.5) * sign(u - 0.5)
+                 * ln(1.0 - 2.0 * abs(u - 0.5)) AS lap
+          FROM v),
+    r AS (SELECT grp, true_count,
+                 true_count + CAST(floor(
+                   (CAST(round(lap * 1000000.0, 0) AS BIGINT) + 500000)
+                   / 1000000.0) AS BIGINT) AS noisy_count
+          FROM l)
+    SELECT grp, true_count, noisy_count,
+           CAST(abs(noisy_count - true_count) AS BIGINT) AS abs_err,
+           CAST(0.5 AS DOUBLE) AS epsilon
+    FROM r
+    """,
+)
+def q279(spark, sf):
+    """ε-DP Laplace histogram release + utility audit
+    (contracts.dp_release_audit, ε = 0.5, sensitivity 1) over the
+    per-language document counts: the governance artifact published
+    instead of raw counts, with the injected error next to it. The
+    Laplace draw is the documented determinism seam — an md5-keyed
+    inverse-CDF stream the twin replays bit-identically; production
+    swaps the tag for a secret per-release seed."""
+    from bran_spark.operators.contracts import dp_release_audit
+
+    return dp_release_audit(
+        _t(spark, sf, "documents"), "lang", epsilon=0.5, release_tag="r0"
+    )
+
+
+@_q(
+    "q280_winsorized_effect",
+    f"""
+    WITH u AS (SELECT user_id AS uid,
+                      SUM(CAST(round(value * 100, 0) AS BIGINT)) AS y
+               FROM events GROUP BY user_id),
+    k AS (SELECT md5(uid::VARCHAR) AS h, y FROM u),
+    a AS (SELECT CAST(({_HEX8_SQL}) % 2 AS INT) AS arm, y FROM k),
+    hist AS (SELECT y AS v, CAST(COUNT(*) AS BIGINT) AS c
+             FROM a GROUP BY y),
+    cum AS (SELECT v, c,
+                   CAST(SUM(c) OVER (ORDER BY v
+                     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cm
+            FROM hist),
+    tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n_all FROM hist),
+    clip AS (SELECT CAST(MIN(v) AS BIGINT) AS clip
+             FROM cum, tot WHERE cm * 100 >= 99 * n_all),
+    w AS (SELECT arm, least(y, clip) AS yy, y > clip AS clipped, clip
+          FROM a, clip),
+    g AS (SELECT SUM((arm = 0)::INT)::BIGINT AS n0,
+                 SUM((arm = 1)::INT)::BIGINT AS n1,
+                 SUM(CASE WHEN arm = 0 THEN yy ELSE 0 END)::BIGINT AS s0,
+                 SUM(CASE WHEN arm = 1 THEN yy ELSE 0 END)::BIGINT AS s1,
+                 SUM(CASE WHEN arm = 0 THEN yy * yy ELSE 0 END)::BIGINT
+                   AS q0,
+                 SUM(CASE WHEN arm = 1 THEN yy * yy ELSE 0 END)::BIGINT
+                   AS q1,
+                 SUM(CASE WHEN clipped THEN 1 ELSE 0 END)::BIGINT
+                   AS n_clipped,
+                 CAST(MAX(clip) AS BIGINT) AS clip_raw
+          FROM w),
+    s AS (SELECT n0, n1, s0, s1, q0, q1, n_clipped, clip_raw,
+                 CASE WHEN n0 > 0
+                      THEN s0 / (n0::DOUBLE * 100.0) END AS m0,
+                 CASE WHEN n1 > 0
+                      THEN s1 / (n1::DOUBLE * 100.0) END AS m1,
+                 CASE WHEN n0 > 1 THEN greatest(
+                   (q0 / 10000.0 - n0::DOUBLE
+                    * (s0 / (n0::DOUBLE * 100.0))
+                    * (s0 / (n0::DOUBLE * 100.0)))
+                   / (n0::DOUBLE - 1), 0.0) END AS v0,
+                 CASE WHEN n1 > 1 THEN greatest(
+                   (q1 / 10000.0 - n1::DOUBLE
+                    * (s1 / (n1::DOUBLE * 100.0))
+                    * (s1 / (n1::DOUBLE * 100.0)))
+                   / (n1::DOUBLE - 1), 0.0) END AS v1,
+                 n0 * q0 = s0 * s0 AS flat0,
+                 n1 * q1 = s1 * s1 AS flat1,
+                 n0 > 1 AND n1 > 1 AS ok
+          FROM g)
+    SELECT n0 AS n_ctl, n1 AS n_trt,
+           ROUND(clip_raw / 100.0, 6) AS clip_value,
+           n_clipped,
+           ROUND(m0, 6) AS mean_ctl,
+           ROUND(m1, 6) AS mean_trt,
+           ROUND(m1 - m0, 6) AS diff,
+           ROUND(CASE WHEN ok THEN
+                   CASE WHEN flat0 AND flat1 THEN 0.0
+                        ELSE sqrt(v0 / n0::DOUBLE + v1 / n1::DOUBLE) END
+                 END, 6) AS se,
+           ROUND(CASE WHEN ok AND NOT (flat0 AND flat1)
+                      THEN (m1 - m0)
+                           / sqrt(v0 / n0::DOUBLE + v1 / n1::DOUBLE)
+                 END, 6) AS t_stat
+    FROM s
+    """,
+)
+def q280(spark, sf):
+    """Winsorized two-arm readout (sampling.winsorized_effect, pooled
+    p99 clip) on q214's md5-coin arms: the whale-robust companion to
+    q216's raw Welch t and q256's rank test — clip at the exact integer
+    pooled percentile (cum·100 ≥ 99·n, no float interpolation), then
+    diff-in-means on the clipped cents. The twin replays the histogram,
+    the clip inequality and the scalar tree verbatim."""
+    from bran_spark.operators.sampling import md5_arm, winsorized_effect
+
+    ev = _t(spark, sf, "events")
+    units = (
+        ev.groupBy("user_id")
+        .agg(
+            F.sum(F.round(F.col("value") * 100, 0).cast("long"))
+            .cast("long")
+            .alias("y")
+        )
+        .select(md5_arm("user_id").alias("arm"), "y")
+    )
+    return winsorized_effect(units, scale=100, pct=99)
+
+
+@_q(
+    "q281_scc",
+    """
+    WITH e AS MATERIALIZED (
+      SELECT DISTINCT src, dst FROM (
+        SELECT 'P:' || l_partkey AS src, 'S:' || l_suppkey AS dst
+        FROM lineitem WHERE l_partkey % 7 = 0
+        UNION ALL
+        SELECT 'S:' || l_suppkey, 'P:' || l_partkey
+        FROM lineitem WHERE l_partkey % 7 = 0 AND l_quantity < 20)
+      WHERE src <> dst),
+    nodes AS MATERIALIZED (
+      SELECT DISTINCT node FROM (
+        SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
+    r AS MATERIALIZED (
+      WITH RECURSIVE reach(a, b) AS (
+        SELECT node, node FROM nodes
+        UNION
+        SELECT r.a, e.dst FROM reach r JOIN e ON e.src = r.b
+      ) SELECT a, b FROM reach)
+    SELECT r1.a AS node, MIN(r1.b) AS scc_id
+    FROM r r1 JOIN r r2 ON r1.a = r2.b AND r1.b = r2.a
+    GROUP BY r1.a
+    """,
+)
+def q281(spark, sf):
+    """Strongly connected components (graphalgo.scc, FW-BW-Trim peeling)
+    of the part⇄supplier trade graph: P→S supply edges plus the S→P
+    back-edges where quantity < 20 — mutual-reachability clusters the
+    KG must condense before any DAG-assuming pass (q66 closures, q139
+    transitive reduction). The twin is the mutual-reachability closed
+    form (min common node over u ⇝ v ∧ v ⇝ u) via one recursive
+    closure, NOT a replay of the peeling algorithm — algorithm-
+    independent evidence the labels are right."""
+    from bran_spark.operators.graphalgo import scc
+
+    li = _t(spark, sf, "lineitem").where(F.col("l_partkey") % 7 == 0)
+    e1 = li.select(
+        F.concat(F.lit("P:"), F.col("l_partkey").cast("string")).alias("subj"),
+        F.concat(F.lit("S:"), F.col("l_suppkey").cast("string")).alias("obj"),
+    )
+    e2 = li.where(F.col("l_quantity") < 20).select(
+        F.concat(F.lit("S:"), F.col("l_suppkey").cast("string")).alias("subj"),
+        F.concat(F.lit("P:"), F.col("l_partkey").cast("string")).alias("obj"),
+    )
+    return scc(e1.unionByName(e2))
+
+
 # =========================================================================
 # Registry ordering: the driver's correctness gate hash-checks the FIRST
 # 50 insertion-order entries of ``queries()``. Definition order above is

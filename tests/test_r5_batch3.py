@@ -285,3 +285,114 @@ def test_benford_audit_empty_input(spark):
     assert all(r.n == 0 and r.obs_frac is None and r.chi2 is None
                for r in rows)
     assert rows[0].n_excluded == 2 and rows[0].n_total == 0
+
+
+def test_dp_release_audit_deterministic_and_bounded(spark):
+    import hashlib
+
+    from bran_spark.operators.contracts import dp_release_audit
+
+    rows = [("en",)] * 50 + [("de",)] * 30 + [("fr",)] * 20
+    df = spark.createDataFrame(rows, "lang string")
+    out = {r.grp: r for r in dp_release_audit(
+        df, "lang", epsilon=0.5, release_tag="r0").collect()}
+    assert out["en"].true_count == 50 and out["en"].epsilon == 0.5
+
+    def local_noise(grp):
+        h = int(hashlib.md5(f"r0|{grp}".encode()).hexdigest()[:8], 16)
+        u = (h % 1000000 + 0.5) / 1000000.0
+        w = u - 0.5
+        lap = -(1.0 / 0.5) * (1 if w > 0 else -1) * math.log(1 - 2 * abs(w))
+        micro = round(lap * 1000000.0)
+        return math.floor((micro + 500000) / 1000000.0)
+
+    for g in ("en", "de", "fr"):
+        assert out[g].noisy_count == out[g].true_count + local_noise(g)
+        assert out[g].abs_err == abs(local_noise(g))
+        # sensitivity-1 Laplace at eps 0.5: |noise| ≤ ln(1e6)/0.5 ≈ 27.6
+        assert out[g].abs_err <= 28
+    # rerun is bit-identical (the determinism seam)
+    again = {r.grp: r.noisy_count for r in dp_release_audit(
+        df, "lang", epsilon=0.5, release_tag="r0").collect()}
+    assert again == {g: out[g].noisy_count for g in out}
+    # a different release tag draws different noise for some group
+    other = {r.grp: r.noisy_count for r in dp_release_audit(
+        df, "lang", epsilon=0.5, release_tag="r1").collect()}
+    assert other != again
+
+
+def test_winsorized_effect_hand_example(spark):
+    from bran_spark.operators.sampling import winsorized_effect
+
+    # pooled values 1..7,100 cents; pct=75, n=8 → clip = min v with
+    # cum·100 ≥ 600 → v=6; trt's 7 and 100 both clip to 6
+    rows = [(0, 1), (0, 2), (0, 3), (0, 4), (1, 5), (1, 6), (1, 7), (1, 100)]
+    df = spark.createDataFrame(rows, "arm int, y long")
+    out = winsorized_effect(df, scale=100, pct=75).collect()[0]
+    assert out.clip_value == 0.06 and out.n_clipped == 2
+    c = [0.01, 0.02, 0.03, 0.04]
+    t = [0.05, 0.06, 0.06, 0.06]
+    mc, mt = sum(c) / 4, sum(t) / 4
+    assert out.mean_ctl == round(mc, 6) and out.mean_trt == round(mt, 6)
+
+    def var(xs):
+        m = sum(xs) / len(xs)
+        return sum((x - m) ** 2 for x in xs) / (len(xs) - 1)
+
+    se = math.sqrt(var(c) / 4 + var(t) / 4)
+    assert abs(out.se - se) < 1e-6
+    assert abs(out.t_stat - (mt - mc) / se) < 1e-6
+
+
+def test_winsorized_effect_no_outlier_is_plain_welch(spark):
+    from bran_spark.operators.sampling import ab_effect, winsorized_effect
+
+    # pct=100 → clip = max value → nothing clips → identical to ab_effect
+    rows = [(0, 100), (0, 200), (1, 300), (1, 400)]
+    df = spark.createDataFrame(rows, "arm int, y long")
+    w = winsorized_effect(df, scale=100, pct=100).collect()[0]
+    a = ab_effect(df, scale=100).collect()[0]
+    assert w.n_clipped == 0
+    assert (w.mean_ctl, w.mean_trt, w.diff, w.se, w.t_stat) == (
+        a.mean_ctl, a.mean_trt, a.diff, a.se, a.t_stat)
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(pairs, "subj string, obj string")
+
+
+def test_scc_cycles_chain_and_singletons(spark):
+    from bran_spark.operators.graphalgo import scc
+
+    pairs = [
+        # 3-cycle {a,b,c}; 2-cycle {x,y}; DAG bridge c→m→x; feeder d→a
+        ("a", "b"), ("b", "c"), ("c", "a"),
+        ("x", "y"), ("y", "x"),
+        ("c", "m"), ("m", "x"), ("d", "a"),
+        # self-loop-only node
+        ("z", "z"),
+    ]
+    out = {r.node: r.scc_id for r in scc(_edges(spark, pairs)).collect()}
+    assert out == {
+        "a": "a", "b": "a", "c": "a",
+        "x": "x", "y": "x",
+        "m": "m", "d": "d", "z": "z",
+    }
+
+
+def test_scc_chain_of_sccs_needs_second_round(spark):
+    from bran_spark.operators.graphalgo import scc
+
+    # SCC {a,b} feeds SCC {c,d}: c's min ancestor is 'a' but min
+    # descendant is 'c' → unresolved until {a,b} peels in round 1
+    pairs = [("a", "b"), ("b", "a"), ("b", "c"), ("c", "d"), ("d", "c")]
+    out = {r.node: r.scc_id for r in scc(_edges(spark, pairs)).collect()}
+    assert out == {"a": "a", "b": "a", "c": "c", "d": "c"}
+
+
+def test_scc_pure_dag_all_singletons(spark):
+    from bran_spark.operators.graphalgo import scc
+
+    pairs = [("a", "b"), ("b", "c"), ("a", "c"), ("c", "d")]
+    out = {r.node: r.scc_id for r in scc(_edges(spark, pairs)).collect()}
+    assert out == {n: n for n in "abcd"}
