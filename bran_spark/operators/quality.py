@@ -889,3 +889,125 @@ def ccnet_buckets(
         )
         .orderBy("lang", "bucket_rank")
     )
+
+
+def texttiling_boundaries(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    block_words: int = 10,
+) -> DataFrame:
+    """Topic-boundary detection per document (TextTiling, Hearst 1997,
+    median-threshold variant): cut the token stream into fixed
+    ``block_words`` blocks, score every inter-block gap by the cosine
+    similarity of the adjacent blocks' term vectors, and flag a gap as a
+    segment boundary when it is a strict local minimum BELOW the
+    document's lower-median gap score. The chunker upstream of
+    embedding/RAG pipelines that wants topically coherent chunks instead
+    of q93's fixed windows.
+
+    Deviation from Hearst documented: the classic depth-score cutoff
+    (mean − sd/2) needs float mean/sd comparisons that can flip on
+    engine ulp; the lower median of MICRO-ROUNDED similarities is an
+    exact integer order statistic — same qualitative rule (cut at
+    unusually low valleys), engine-stable by construction.
+
+    Shape: one posexplode (rows = token count), two (doc, block)-keyed
+    aggregates, one adjacent-block equi-join on (doc, word) whose
+    fan-out is bounded per document, two doc-keyed windows (gap order +
+    median pick) — keys are all doc-prefixed, so no cross-doc hot key
+    exists and a 10^12-doc corpus shuffles evenly. Output: (doc_id,
+    gap, sim 6 dp, is_boundary) — one row per gap between consecutive
+    blocks; single-block documents emit nothing."""
+    toks = (
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            F.posexplode(
+                F.split(F.trim(F.lower(F.col(text_col))), " +")
+            ).alias("pos", "w"),
+        )
+        .where(F.col("w") != "")
+        .select(
+            "doc_id",
+            (F.col("pos").cast("long") / block_words)
+            .cast("long")
+            .alias("block"),
+            "w",
+        )
+    )
+    counts = toks.groupBy("doc_id", "block", "w").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    norms = counts.groupBy("doc_id", "block").agg(
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("ssq")
+    )
+    dots = (
+        counts.alias("l")
+        .join(
+            counts.alias("r"),
+            (F.col("l.doc_id") == F.col("r.doc_id"))
+            & (F.col("l.block") + 1 == F.col("r.block"))
+            & (F.col("l.w") == F.col("r.w")),
+        )
+        .groupBy(F.col("l.doc_id").alias("doc_id"), F.col("l.block").alias("gap"))
+        .agg(F.sum(F.col("l.c") * F.col("r.c")).cast("long").alias("dot"))
+    )
+    gaps = (
+        norms.alias("n1")
+        .join(
+            norms.alias("n2"),
+            (F.col("n1.doc_id") == F.col("n2.doc_id"))
+            & (F.col("n1.block") + 1 == F.col("n2.block")),
+        )
+        .select(
+            F.col("n1.doc_id").alias("doc_id"),
+            F.col("n1.block").alias("gap"),
+            F.col("n1.ssq").alias("ssq_l"),
+            F.col("n2.ssq").alias("ssq_r"),
+        )
+        .join(dots, ["doc_id", "gap"], "left")
+        .select(
+            "doc_id",
+            "gap",
+            F.round(
+                F.coalesce(F.col("dot"), F.lit(0)).cast("double")
+                / (
+                    F.sqrt(F.col("ssq_l").cast("double"))
+                    * F.sqrt(F.col("ssq_r").cast("double"))
+                )
+                * 1000000.0,
+                0,
+            )
+            .cast("long")
+            .alias("sim_micro"),
+        )
+    )
+    worder = Window.partitionBy("doc_id").orderBy("gap")
+    wmed = Window.partitionBy("doc_id").orderBy("sim_micro", "gap")
+    wall = Window.partitionBy("doc_id")
+    g = gaps.select(
+        "doc_id",
+        "gap",
+        "sim_micro",
+        F.lag("sim_micro").over(worder).alias("prev"),
+        F.lead("sim_micro").over(worder).alias("nxt"),
+        F.row_number().over(wmed).alias("rn"),
+        F.count(F.lit(1)).over(wall).cast("long").alias("cnt"),
+    )
+    lmed = g.where(
+        F.col("rn") == F.expr("(cnt + 1) DIV 2")
+    ).select("doc_id", F.col("sim_micro").alias("lmed"))
+    local_min = (
+        F.col("prev").isNull() | (F.col("sim_micro") < F.col("prev"))
+    ) & (F.col("nxt").isNull() | (F.col("sim_micro") < F.col("nxt")))
+    return (
+        g.join(lmed, "doc_id")
+        .select(
+            "doc_id",
+            "gap",
+            F.round(F.col("sim_micro") / 1000000.0, 6).alias("sim"),
+            (local_min & (F.col("sim_micro") < F.col("lmed"))).alias(
+                "is_boundary"
+            ),
+        )
+    )

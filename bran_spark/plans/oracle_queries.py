@@ -12687,6 +12687,69 @@ def q281(spark, sf):
     return scc(e1.unionByName(e2))
 
 
+@_q(
+    "q282_texttiling",
+    """
+    WITH t(doc_id, arr) AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), ' +')
+      FROM documents),
+    tok AS (SELECT doc_id, CAST(i // 10 AS BIGINT) AS block,
+                   arr[i + 1] AS w
+            FROM t, UNNEST(range(len(arr))) AS u(i)
+            WHERE arr[i + 1] <> ''),
+    counts AS (SELECT doc_id, block, w, CAST(COUNT(*) AS BIGINT) AS c
+               FROM tok GROUP BY doc_id, block, w),
+    norms AS (SELECT doc_id, block, CAST(SUM(c * c) AS BIGINT) AS ssq
+              FROM counts GROUP BY doc_id, block),
+    dots AS (SELECT l.doc_id, l.block AS gap,
+                    CAST(SUM(l.c * r.c) AS BIGINT) AS dot
+             FROM counts l JOIN counts r
+               ON l.doc_id = r.doc_id AND l.block + 1 = r.block
+              AND l.w = r.w
+             GROUP BY l.doc_id, l.block),
+    gaps AS (SELECT n1.doc_id, n1.block AS gap,
+                    CAST(round(COALESCE(d.dot, 0)
+                      / (sqrt(CAST(n1.ssq AS DOUBLE))
+                         * sqrt(CAST(n2.ssq AS DOUBLE)))
+                      * 1000000.0, 0) AS BIGINT) AS sim_micro
+             FROM norms n1
+             JOIN norms n2 ON n1.doc_id = n2.doc_id
+                          AND n1.block + 1 = n2.block
+             LEFT JOIN dots d ON d.doc_id = n1.doc_id
+                             AND d.gap = n1.block),
+    g AS (SELECT doc_id, gap, sim_micro,
+                 LAG(sim_micro) OVER (PARTITION BY doc_id ORDER BY gap)
+                   AS prev,
+                 LEAD(sim_micro) OVER (PARTITION BY doc_id ORDER BY gap)
+                   AS nxt,
+                 ROW_NUMBER() OVER (PARTITION BY doc_id
+                                    ORDER BY sim_micro, gap) AS rn,
+                 CAST(COUNT(*) OVER (PARTITION BY doc_id) AS BIGINT) AS cnt
+          FROM gaps),
+    lmed AS (SELECT doc_id, sim_micro AS lm FROM g
+             WHERE rn = (cnt + 1) // 2)
+    SELECT g.doc_id, g.gap,
+           ROUND(g.sim_micro / 1000000.0, 6) AS sim,
+           ((g.prev IS NULL OR g.sim_micro < g.prev)
+            AND (g.nxt IS NULL OR g.sim_micro < g.nxt)
+            AND g.sim_micro < lmed.lm) AS is_boundary
+    FROM g JOIN lmed ON lmed.doc_id = g.doc_id
+    """,
+)
+def q282(spark, sf):
+    """Topic-boundary detection (quality.texttiling_boundaries, Hearst's
+    TextTiling in the integer-exact median-threshold variant, 10-word
+    blocks): cosine similarity of adjacent block term vectors per gap,
+    boundary = strict local minimum below the document's lower-median
+    micro-rounded score — the topically-coherent chunker upstream of
+    q93's fixed windows and q107's chunk retrieval."""
+    from bran_spark.operators.quality import texttiling_boundaries
+
+    return texttiling_boundaries(
+        _t(spark, sf, "documents"), "doc_id", "text", block_words=10
+    )
+
+
 # =========================================================================
 # Registry ordering: the driver's correctness gate hash-checks the FIRST
 # 50 insertion-order entries of ``queries()``. Definition order above is

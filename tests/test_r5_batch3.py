@@ -396,3 +396,25 @@ def test_scc_pure_dag_all_singletons(spark):
     pairs = [("a", "b"), ("b", "c"), ("a", "c"), ("c", "d")]
     out = {r.node: r.scc_id for r in scc(_edges(spark, pairs)).collect()}
     assert out == {n: n for n in "abcd"}
+
+
+def test_texttiling_planted_topic_shift(spark):
+    from bran_spark.operators.quality import texttiling_boundaries
+
+    two_topic = " ".join(["cat"] * 20 + ["dog"] * 20)
+    uniform = " ".join(["same"] * 30)
+    short = "only one block here"
+    df = spark.createDataFrame(
+        [(1, two_topic), (2, uniform), (3, short)], "doc_id long, text string"
+    )
+    out = texttiling_boundaries(df, "doc_id", "text", block_words=10)
+    rows = {(r.doc_id, r.gap): r for r in out.collect()}
+    # doc 1: 4 blocks → 3 gaps; the cat→dog valley at gap 1 is the cut
+    assert rows[(1, 0)].sim == 1.0 and rows[(1, 2)].sim == 1.0
+    assert rows[(1, 1)].sim == 0.0 and rows[(1, 1)].is_boundary
+    assert not rows[(1, 0)].is_boundary and not rows[(1, 2)].is_boundary
+    # doc 2: all-identical blocks → no strict local minimum, no boundary
+    d2 = [r for (d, _), r in rows.items() if d == 2]
+    assert len(d2) == 2 and all(not r.is_boundary for r in d2)
+    # doc 3: a single block emits no gaps at all
+    assert not any(d == 3 for (d, _) in rows)
