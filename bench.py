@@ -160,6 +160,15 @@ def main() -> None:
         "q261_butterfly_count",
         "q262_bgp_match",
         "q266_node2vec_walks",
+        # r5 session-3 families: per-entity fact summarization (two
+        # vocabulary aggregates + per-subject top-k window over the
+        # lifted KG), integer Katz (1 shuffle/round × 4), FW-BW-Trim SCC
+        # peeling (iterative semi-joins on a shrinking subgraph), and
+        # TextTiling (doc-keyed adjacent-block join + two windows)
+        "q271_entity_summarization",
+        "q273_katz_centrality",
+        "q281_scc",
+        "q282_texttiling",
     ]
     for name in bench_queries:
         t0 = time.time()

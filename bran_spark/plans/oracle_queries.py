@@ -12784,7 +12784,12 @@ _FIRST_50 = [
     # q35's sign-LSH inside q55's — both stay mirror-covered; their slots
     # fund this session's new families: Schwartz-Hearst abbreviation
     # mining and CUPED experiment readout)
-    "q28_dedup_ngram_jaccard", "q223_acronym_pairs",
+    # (r5 session-3 rotation: q28 n-gram Jaccard — hard-green in r04,
+    # executed inside q72's verify step — and q223 acronym pairs — hard-
+    # green in r04, extraction family keeps the Hearst rep q257 — rotate
+    # OUT to the mirror; their slots fund inverse-predicate detection
+    # and TextTiling segmentation, both new families this session)
+    "q270_inverse_predicates", "q282_texttiling",
     "q217_cuped", "q213_boruvka_msf",
     "q74_dedup_survivors", "q52_repetition_stats",
     # KG-fusion family (round-3 session additions): AMIE rule mining and
@@ -12811,7 +12816,10 @@ _FIRST_50 = [
     # PQ encode — the round-3 compression path)
     # (multi-probe q49 is the probe-count dial of q47's trained cells —
     # mirror-covered; its slot funds the round-3 weak-supervision family)
-    "q47_kmeans_cells", "q183_weak_labels", "q55_ann_knn_join",
+    # (r5 session-3 rotation: q47's k-means cells — hard-green in r04 and
+    # executed inside q110's SemDeDup plan — rotates OUT; the slot funds
+    # capture-recapture KG-completeness estimation, a new family)
+    "q272_capture_recapture", "q183_weak_labels", "q55_ann_knn_join",
     "q99_product_quantize",
     # graph family (BFS/LPA/degree stay mirror-covered; PageRank,
     # triangles, PMI weighting and hierarchy closure are the four

@@ -536,3 +536,40 @@ def test_bgp_match_all_hash_joins(spark, testdata_dir):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "Python" not in plan
+
+
+def test_session3_stats_ops_single_aggregate_no_join(spark, testdata_dir):
+    """The r5-session-3 experiment readouts are ONE conditional aggregate
+    (map-side partial + 1-row reduce): no join of any kind in the plan,
+    no Python stage — the 100 TB plan is the same plan."""
+    for name in [
+        "q274_delta_method",
+        "q275_mde_power",
+        "q276_diff_in_diff",
+        "q277_bayes_ab",
+    ]:
+        plan = _plan(QUERIES[name](spark, testdata_dir))
+        assert "Python" not in plan, name
+        assert "SortMergeJoin" not in plan, name
+        assert "CartesianProduct" not in plan, name
+
+
+def test_session3_kg_ops_broadcast_dims_no_cartesian(spark, testdata_dir):
+    """KG fusion diagnostics: predicate-sized dimension tables reach the
+    corpus-sized side as broadcasts; candidate joins are equi-joins on
+    entity-pair keys, never cross products; everything stays JVM-side."""
+    for name in [
+        "q270_inverse_predicates",
+        "q271_entity_summarization",
+        "q272_capture_recapture",
+        "q278_benford_audit",
+        "q279_dp_release",
+        "q280_winsorized_effect",
+        "q282_texttiling",
+    ]:
+        plan = _plan(QUERIES[name](spark, testdata_dir))
+        assert "Python" not in plan, name
+        assert "CartesianProduct" not in plan, name
+    for name in ["q270_inverse_predicates", "q271_entity_summarization"]:
+        plan = _plan(QUERIES[name](spark, testdata_dir))
+        assert "BroadcastHashJoin" in plan, name
