@@ -206,10 +206,16 @@ def main() -> None:
         "cpus": int(cpus),
         **extras,
     }
-    # Full-name record for humans / BASELINE.md bookkeeping.
+    # Full-name record for humans / BASELINE.md bookkeeping. The plain
+    # bench_full.json name is reserved for the driver's sf0.1 record —
+    # a smoke run at another SF (SPARK_GRAFT_SF_DIR override) writes an
+    # sf-suffixed file instead of silently destroying it.
     os.makedirs(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH"), exist_ok=True)
+    fname = (
+        "bench_full.json" if abs(sf - 0.1) < 1e-9 else f"bench_full_sf{sf}.json"
+    )
     full_path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "BENCH", "bench_full.json"
+        os.path.dirname(os.path.abspath(__file__)), "BENCH", fname
     )
     with open(full_path, "w") as f:
         json.dump(out, f, indent=1, sort_keys=False)

@@ -94,17 +94,31 @@ def transe_rank_eval(
     ``cand_sample_mod=m`` additionally confines the candidate pool to
     c == o or md5(c~s|p) % m == 0 — the sampled-negatives protocol that
     bounds the expansion when a tail type is corpus-scale."""
-    trip = triples.select("subj", "pred", "obj").distinct()
+    # persist (not localCheckpoint): trip is consumed three times (test
+    # sample, candidate pool, filter side) and the upstream union+DISTINCT
+    # costs ~2 s/evaluation at sf0.1. An InMemoryRelation keeps Catalyst's
+    # DeduplicateRelations on its standard cached-self-join path — a
+    # LogicalRDD leaf (localCheckpoint) reused 3× is exactly the
+    # relation-dedup landmine the comments below document
+    trip = triples.select("subj", "pred", "obj").distinct().persist()
     # single-reference entity pool (explode, not a two-branch union): the
     # input relation already appears 3× in this plan (test, filter,
     # pool); a 4th copy trips Catalyst's relation dedup on in-memory
     # lineages (collect() dies with INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND
     # binding the pred group key; parquet scans mint fresh ids per read
     # and never hit it)
+    # embeddings are attached ONCE per pool entity (before the broadcast)
+    # and once per test triple (before the candidate expansion) — the
+    # expansion then carries precomputed integer arrays and scores with
+    # 8 integer ops/row instead of re-hashing 3·dim md5s per candidate
+    # row (a 24× md5 blow-up that dominated the wall time at sf0.1:
+    # ~13 s → ~3 s; the embedding DEFINITION is unchanged, so scores and
+    # the DuckDB twin are bit-identical)
     ents = (
         trip.select(F.explode(F.array("subj", "obj")).alias("ent"))
         .distinct()
         .withColumn("etype", F.split(F.col("ent"), ":").getItem(0))
+        .withColumn("cand_emb", int_embedding("ent", dim))
     )
     # mod <= 1 keeps every triple; skipping the vacuous filter also keeps
     # the plan clear of a Catalyst corner (an always-true md5 filter over
@@ -119,10 +133,30 @@ def transe_rank_eval(
             == 0
         )
     )
+    # per-test-triple (s ∘ p) composite, computed BEFORE the expansion —
+    # a Project under the join, so it runs once per test triple, never
+    # per candidate row
+    if model == "transe":
+        sp_expr = F.zip_with(
+            int_embedding("subj", dim),
+            int_embedding("pred", dim),
+            lambda a, b: a + b,
+        )
+    elif model == "distmult":
+        sp_expr = F.zip_with(
+            int_embedding("subj", dim),
+            int_embedding("pred", dim),
+            lambda a, b: a * b,
+        )
+    else:
+        raise ValueError(f"unknown model: {model}")
+    test = test.withColumn("sp_emb", sp_expr)
     # type-confined candidate expansion: pool broadcast (dimension-scale
     # by contract), no shuffle on the low-cardinality type key
     cand = test.join(
-        F.broadcast(ents.select(F.col("ent").alias("cand"), "etype")),
+        F.broadcast(
+            ents.select(F.col("ent").alias("cand"), "etype", "cand_emb")
+        ),
         F.split(F.col("obj"), ":").getItem(0) == F.col("etype"),
     ).drop("etype")
     if cand_sample_mod:
@@ -134,6 +168,21 @@ def transe_rank_eval(
                 == 0
             )
         )
+    # score BEFORE the corpus-scale filter join: the map-side expansion
+    # reduces each row's two arrays to one BIGINT, so the (subj, pred,
+    # cand) shuffle below never carries embedding arrays
+    if model == "transe":
+        pair = F.zip_with(
+            F.col("sp_emb"), F.col("cand_emb"), lambda sp, c: F.abs(sp - c)
+        )
+    else:
+        pair = F.zip_with(
+            F.col("sp_emb"), F.col("cand_emb"), lambda sp, c: sp * c
+        )
+    cand_scored = cand.withColumn(
+        "score",
+        F.aggregate(pair, F.lit(0).cast("long"), lambda acc, x: acc + x),
+    ).drop("sp_emb", "cand_emb")
     # filtered setting: drop candidates that are OTHER true tails of (s, p)
     t2 = trip.select(
         F.col("subj").alias("subj"),
@@ -141,36 +190,10 @@ def transe_rank_eval(
         F.col("obj").alias("cand"),
         F.lit(True).alias("is_true"),
     )
-    kept = (
-        cand.join(t2, ["subj", "pred", "cand"], "left")
+    scored = (
+        cand_scored.join(t2, ["subj", "pred", "cand"], "left")
         .where((F.col("cand") == F.col("obj")) | F.col("is_true").isNull())
         .drop("is_true")
-    )
-    if model == "transe":
-        pair = F.zip_with(
-            F.zip_with(
-                int_embedding("subj", dim),
-                int_embedding("pred", dim),
-                lambda a, b: a + b,
-            ),
-            int_embedding("cand", dim),
-            lambda sp, c: F.abs(sp - c),
-        )
-    elif model == "distmult":
-        pair = F.zip_with(
-            F.zip_with(
-                int_embedding("subj", dim),
-                int_embedding("pred", dim),
-                lambda a, b: a * b,
-            ),
-            int_embedding("cand", dim),
-            lambda sp, c: sp * c,
-        )
-    else:
-        raise ValueError(f"unknown model: {model}")
-    scored = kept.withColumn(
-        "score",
-        F.aggregate(pair, F.lit(0).cast("long"), lambda acc, x: acc + x),
     )
     # true_score via a window over the SAME (s, p, o) partition the rank
     # aggregate needs anyway — one shuffle, no self-join of the scored
