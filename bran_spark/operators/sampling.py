@@ -1698,3 +1698,337 @@ def winsorized_effect(
             F.when(ok & ~(flat0 & flat1), (m1 - m0) / se), 6
         ).alias("t_stat"),
     )
+
+
+def randomization_test(
+    units: DataFrame,
+    id_col: str = "uid",
+    y_col: str = "y",
+    n_reps: int = 100,
+    scale: int = 100,
+) -> DataFrame:
+    """Monte-Carlo randomization test for a two-arm experiment — the
+    assumption-free companion to ab_effect's Welch t: under the sharp
+    null of no effect the assignment coin is the ONLY source of
+    variation, so re-flip it ``n_reps`` times and count how often the
+    re-randomized |diff-in-means| reaches the observed one.
+    p = (1 + #extreme) / (n_reps + 1) (the add-one estimator that can
+    never return 0).
+
+    Every replicate's coin is deterministic — md5(id ':' rep) % 2, the
+    md5_arm construction with the replicate index mixed into the key —
+    so the test is reproducible across runs, engines, and
+    partitionings, and replicate r's assignment is independent of the
+    observed md5_arm(id) coin (different digest input). At 10⁹ units
+    re-flipping (Bernoulli re-randomization) is the standard scale
+    substitute for exact label permutation: arm sizes vary ~√n, which
+    the per-replicate means already absorb.
+
+    Scale shape: one corpus aggregate for the observed statistic, one
+    explode of the unit table by the replicate dimension (n_reps ≤ a
+    few hundred; rows = n·R) feeding a REPLICATE-keyed conditional
+    aggregate — map-side partials do the heavy lifting, the shuffle
+    carries R rows per partition. ``y_col`` must hold exact integers
+    (ab_effect's contract); per-replicate means are ONE fixed scalar
+    tree over associative BIGINT sums, and extremeness compares
+    6-dp-rounded magnitudes so both engines decide ties identically.
+    Output: 1 row (n_units, n_reps, t_obs, n_extreme, p_value)."""
+    base = units.select(
+        F.col(id_col).cast("string").alias("_id"),
+        F.col(y_col).cast("long").alias("_y"),
+        md5_arm(F.col(id_col)).alias("_arm"),
+    )
+    k = float(scale)
+
+    def _diff(df, arm):
+        y = F.col("_y")
+        g = df.agg(
+            F.sum(F.when(arm == 0, 1).otherwise(0)).cast("long").alias("n0"),
+            F.sum(F.when(arm == 1, 1).otherwise(0)).cast("long").alias("n1"),
+            F.sum(F.when(arm == 0, y).otherwise(F.lit(0)))
+            .cast("long")
+            .alias("s0"),
+            F.sum(F.when(arm == 1, y).otherwise(F.lit(0)))
+            .cast("long")
+            .alias("s1"),
+        )
+        return g
+
+    obs = _diff(base, F.col("_arm")).select(
+        (F.col("n0") + F.col("n1")).alias("n_units"),
+        F.round(
+            F.when(
+                (F.col("n0") > 0) & (F.col("n1") > 0),
+                F.col("s1") / (F.col("n1") * k) - F.col("s0") / (F.col("n0") * k),
+            ),
+            6,
+        ).alias("t_obs"),
+    )
+    reps = base.select(
+        "_y",
+        F.explode(F.sequence(F.lit(1), F.lit(int(n_reps)))).alias("rep"),
+        "_id",
+    ).select(
+        "rep",
+        "_y",
+        md5_arm(F.concat(F.col("_id"), F.lit(":"), F.col("rep").cast("string"))
+                ).alias("_arm"),
+    )
+    y = F.col("_y")
+    arm = F.col("_arm")
+    per_rep = reps.groupBy("rep").agg(
+        F.sum(F.when(arm == 0, 1).otherwise(0)).cast("long").alias("n0"),
+        F.sum(F.when(arm == 1, 1).otherwise(0)).cast("long").alias("n1"),
+        F.sum(F.when(arm == 0, y).otherwise(F.lit(0))).cast("long").alias("s0"),
+        F.sum(F.when(arm == 1, y).otherwise(F.lit(0))).cast("long").alias("s1"),
+    )
+    t_rep = F.round(
+        F.when(
+            (F.col("n0") > 0) & (F.col("n1") > 0),
+            F.col("s1") / (F.col("n1") * k) - F.col("s0") / (F.col("n0") * k),
+        ),
+        6,
+    )
+    scored = per_rep.crossJoin(F.broadcast(obs)).select(
+        "n_units",
+        "t_obs",
+        F.when(
+            F.abs(t_rep) >= F.abs(F.col("t_obs")), 1
+        ).otherwise(0).alias("extreme"),
+    )
+    return scored.groupBy("n_units", "t_obs").agg(
+        F.count(F.lit(1)).cast("long").alias("n_reps"),
+        F.sum("extreme").cast("long").alias("n_extreme"),
+        F.round(
+            (F.sum("extreme") + 1) / (F.count(F.lit(1)).cast("double") + 1.0),
+            6,
+        ).alias("p_value"),
+    )
+
+
+def jackknife_ratio(
+    units: DataFrame,
+    num_col: str = "num",
+    den_col: str = "den",
+    id_col: str = "uid",
+    n_blocks: int = 50,
+    num_scale: int = 100,
+    den_scale: int = 1,
+) -> DataFrame:
+    """Delete-one-block jackknife standard error for a ratio metric —
+    the variance machinery behind every ratio readout that can't assume
+    the delta method's Taylor expansion (heavy tails, small denominator
+    mass): partition units into ``n_blocks`` deterministic md5 blocks,
+    recompute R₍ᵢ₎ = (Σnum − numᵢ)/(Σden − denᵢ) with block i deleted,
+    and SE² = (B−1)/B · Σ(R₍ᵢ₎ − R̄)². Also reports the jackknife bias
+    estimate (B−1)(R̄ − R̂) — the classic Quenouille correction.
+
+    Scale shape: ONE block-keyed integer aggregate over the corpus
+    (B ≤ a few hundred rows out), totals attach as a broadcast 1-row
+    crossJoin, and every leave-one-out ratio is a scalar over exact
+    BIGINTs. The B ratios are rounded to 10⁻⁶ micro-units and summed
+    as DECIMAL(38,0) (associative, overflow-proof), so the block-
+    dimension reduction is bit-identical across engines. Output: 1 row
+    (n_blocks, ratio_full, jk_mean, jk_se, jk_bias), 6 dp; any block
+    whose deletion empties the denominator yields NULL se (honest),
+    never a divide-by-zero abort."""
+    b = units.select(
+        (sample_key(F.col(id_col).cast("string")) % int(n_blocks)).alias(
+            "blk"
+        ),
+        F.col(num_col).cast("long").alias("_n"),
+        F.col(den_col).cast("long").alias("_d"),
+    )
+    per_blk = b.groupBy("blk").agg(
+        F.sum("_n").cast("long").alias("sn"),
+        F.sum("_d").cast("long").alias("sd"),
+    )
+    tot = per_blk.groupBy().agg(
+        F.sum("sn").cast("long").alias("tn"),
+        F.sum("sd").cast("long").alias("td"),
+    )
+    kn = float(num_scale)
+    kd = float(den_scale)
+    loo = per_blk.crossJoin(F.broadcast(tot)).select(
+        "tn",
+        "td",
+        F.when(
+            F.col("td") - F.col("sd") != 0,
+            F.round(
+                ((F.col("tn") - F.col("sn")) / kn)
+                / ((F.col("td") - F.col("sd")) / kd)
+                * 1e6,
+                0,
+            ).cast("decimal(38,0)"),
+        ).alias("r_u"),
+    )
+    g = loo.groupBy("tn", "td").agg(
+        F.count(F.lit(1)).cast("long").alias("b_all"),
+        F.count("r_u").cast("long").alias("b_ok"),
+        F.sum("r_u").alias("s_u"),
+        F.sum(F.col("r_u") * F.col("r_u")).alias("q_u"),
+    )
+    bd = F.col("b_ok").cast("double")
+    ratio_full = F.when(
+        F.col("td") != 0, (F.col("tn") / kn) / (F.col("td") / kd)
+    )
+    jk_mean = F.col("s_u").cast("double") / (bd * 1e6)
+    # Σ(Rᵢ−R̄)² from the exact micro-unit moments (two-moment identity)
+    ss = F.greatest(
+        (
+            F.col("q_u").cast("double")
+            - F.col("s_u").cast("double")
+            * F.col("s_u").cast("double")
+            / bd
+        )
+        / 1e12,
+        F.lit(0.0),
+    )
+    ok = (F.col("b_ok") == F.col("b_all")) & (F.col("b_ok") > 1)
+    return g.select(
+        F.col("b_all").alias("n_blocks"),
+        F.round(ratio_full, 6).alias("ratio_full"),
+        F.round(F.when(F.col("b_ok") > 0, jk_mean), 6).alias("jk_mean"),
+        F.round(
+            F.when(ok, F.sqrt((bd - 1.0) / bd * ss)), 6
+        ).alias("jk_se"),
+        F.round(
+            F.when(ok, (bd - 1.0) * (jk_mean - ratio_full)), 6
+        ).alias("jk_bias"),
+    )
+
+
+def anova_f(
+    units: DataFrame,
+    group_col: str = "g",
+    y_col: str = "y",
+    scale: int = 100,
+) -> DataFrame:
+    """One-way ANOVA — the k-group generalization of ab_effect's
+    two-arm readout: does the metric's mean differ across k groups?
+    F = (SSB/(k−1)) / (SSW/(N−k)) with SSB = Σ_g S_g²/n_g − S²/N and
+    SSW = ΣY² − Σ_g S_g²/n_g, plus the η² effect size
+    SSB/(SSB+SSW).
+
+    ``y_col`` holds exact integers (ab_effect's contract), so the
+    per-group (n, ΣY, ΣY²) cells are associative BIGINT sums. The only
+    cross-group float — S_g²/n_g — is rounded to 10⁻⁶ micro-units per
+    group and summed as DECIMAL(38,0) over the GROUP dimension
+    (bounded; overflow-proof), making the whole statistic one fixed
+    scalar tree. Two aggregates total: corpus → k rows → 1 row.
+    Output: 1 row (k, n, f_stat, eta_sq, ssb, ssw) in unit² terms,
+    6 dp; k < 2, N ≤ k, or zero within-group spread yield NULL F."""
+    per_g = (
+        units.select(
+            F.col(group_col).alias("_g"), F.col(y_col).cast("long").alias("_y")
+        )
+        .groupBy("_g")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_g"),
+            F.sum("_y").cast("long").alias("s_g"),
+            F.sum(F.col("_y") * F.col("_y")).cast("long").alias("q_g"),
+        )
+    )
+    term_u = F.round(
+        F.col("s_g").cast("double")
+        * F.col("s_g").cast("double")
+        / F.col("n_g")
+        * 1e6,
+        0,
+    ).cast("decimal(38,0)")
+    g = per_g.groupBy().agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("n_g").cast("long").alias("n"),
+        F.sum("s_g").cast("long").alias("s"),
+        F.sum("q_g").cast("long").alias("q"),
+        F.sum(term_u).alias("t_u"),
+    )
+    k2 = float(scale) * float(scale)
+    t = F.col("t_u").cast("double") / 1e6
+    ssb = F.greatest(
+        (t - F.col("s").cast("double") * F.col("s") / F.col("n")) / k2,
+        F.lit(0.0),
+    )
+    ssw = F.greatest((F.col("q") - t) / k2, F.lit(0.0))
+    df1 = (F.col("k") - 1).cast("double")
+    df2 = (F.col("n") - F.col("k")).cast("double")
+    ok = (F.col("k") > 1) & (F.col("n") > F.col("k")) & (ssw > 0)
+    return g.select(
+        "k",
+        "n",
+        F.round(F.when(ok, (ssb / df1) / (ssw / df2)), 6).alias("f_stat"),
+        F.round(
+            F.when(ssb + ssw > 0, ssb / (ssb + ssw)), 6
+        ).alias("eta_sq"),
+        F.round(ssb, 6).alias("ssb"),
+        F.round(ssw, 6).alias("ssw"),
+    )
+
+
+def tost_equivalence(
+    units: DataFrame,
+    arm_col: str = "arm",
+    y_col: str = "y",
+    margin: float = 0.5,
+    scale: int = 100,
+    z_alpha: float = 1.644854,
+) -> DataFrame:
+    """Two One-Sided Tests (TOST) equivalence readout — the test that
+    answers the question ab_effect cannot: is the treatment provably
+    WITHIN ±margin of control (e.g. a no-regression launch gate), not
+    merely 'not significantly different'? Equivalence holds iff BOTH
+    one-sided tests reject: z_low = (diff+δ)/se ≥ z_α and
+    z_up = (diff−δ)/se ≤ −z_α (Schuirmann 1987).
+
+    Same single conditional aggregate and exact-integer moment sums as
+    ab_effect (one corpus pass, 1-row reduce, fixed scalar tree);
+    the verdict compares 6-dp-rounded z's so both engines decide
+    boundary cases identically. Output: 1 row (n_ctl, n_trt, diff, se,
+    z_low, z_up, equivalent); degenerate arms yield NULL z's and
+    equivalent=false."""
+    y = F.col("_y")
+    arm = F.col("_arm")
+    g = units.select(
+        F.col(arm_col).cast("int").alias("_arm"),
+        F.col(y_col).cast("long").alias("_y"),
+    ).agg(
+        *[
+            F.sum(F.when(arm == a, e).otherwise(F.lit(0)))
+            .cast("long")
+            .alias(f"{nme}{a}")
+            for a in (0, 1)
+            for nme, e in (("n", F.lit(1)), ("s", y), ("q", y * y))
+        ]
+    )
+    k = float(scale)
+    n0 = F.col("n0").cast("double")
+    n1 = F.col("n1").cast("double")
+    m0 = F.col("s0") / (n0 * k)
+    m1 = F.col("s1") / (n1 * k)
+    v0 = F.greatest(
+        (F.col("q0") / (k * k) - n0 * m0 * m0) / (n0 - 1), F.lit(0.0)
+    )
+    v1 = F.greatest(
+        (F.col("q1") / (k * k) - n1 * m1 * m1) / (n1 - 1), F.lit(0.0)
+    )
+    se = F.sqrt(v0 / n0 + v1 / n1)
+    flat = (F.col("n0") * F.col("q0") == F.col("s0") * F.col("s0")) & (
+        F.col("n1") * F.col("q1") == F.col("s1") * F.col("s1")
+    )
+    ok = (F.col("n0") > 1) & (F.col("n1") > 1) & ~flat
+    diff = m1 - m0
+    z_low = F.round(F.when(ok, (diff + margin) / se), 6)
+    z_up = F.round(F.when(ok, (diff - margin) / se), 6)
+    return g.select(
+        F.col("n0").alias("n_ctl"),
+        F.col("n1").alias("n_trt"),
+        F.round(F.when((F.col("n0") > 0) & (F.col("n1") > 0), diff), 6).alias(
+            "diff"
+        ),
+        F.round(F.when(ok, se), 6).alias("se"),
+        z_low.alias("z_low"),
+        z_up.alias("z_up"),
+        F.coalesce(
+            (z_low >= z_alpha) & (z_up <= -z_alpha), F.lit(False)
+        ).alias("equivalent"),
+    )

@@ -248,6 +248,124 @@ def kaplan_meier(
     )
 
 
+def log_rank(
+    events: DataFrame,
+    id_col: str = "user_id",
+    ts_col: str = "ts",
+    censor_window_h: int = 24,
+    group_expr=None,
+) -> DataFrame:
+    """Two-group log-rank test (Mantel-Cox) — the hypothesis test that
+    belongs next to kaplan_meier's curve: do the two cohorts' survival
+    distributions differ, accounting for right-censoring? Per pooled
+    observed-churn time t: n_g(t) users of group g still at risk,
+    d_g(t) observed churns; under H₀ group 1's expected deaths are
+    E₁(t) = d·n₁/n and the hypergeometric variance is
+    V(t) = d·(n₁/n)·(n₂/n)·(n−d)/(n−1). χ² = (Σ(O₁−E₁))²/ΣV.
+
+    ``group_expr`` defaults to the shared md5 arm coin
+    (sampling.md5_arm) so the test composes with the experiment stack;
+    pass any 0/1 Column to compare real cohorts. Lifetimes and
+    censoring follow kaplan_meier exactly (hours between first and
+    last event; censored when the last event is within
+    ``censor_window_h`` of the corpus horizon).
+
+    Scale shape: one user-keyed aggregate over the corpus, then
+    everything lives on the DISTINCT-LIFETIME dimension (bounded by the
+    observation span in hours, not by users): at-risk counts via two
+    cumulative windows, per-time E₁/V rounded to 10⁻⁶ micro-unit
+    BIGINTs (the Fellegi-Sunter idiom) so the reduction over times is
+    an associative integer sum — bit-identical across engines and
+    partitionings. Output: 1 row (n_times, o1, e1, var_sum, chi2,
+    z_signed), 6 dp; V = 0 (all churns in one sweep or no churn at
+    all) yields NULL chi2/z, never a divide-by-zero abort."""
+    from bran_spark.operators.sampling import md5_arm
+
+    ep = events.select(
+        F.col(id_col).alias("uid"), F.unix_timestamp(ts_col).alias("ep")
+    )
+    horizon = ep.agg(
+        (F.max("ep") - F.lit(censor_window_h * 3600)).alias("hz")
+    )
+    users = ep.groupBy("uid").agg(
+        F.min("ep").alias("first_ep"), F.max("ep").alias("last_ep")
+    )
+    grp = group_expr if group_expr is not None else md5_arm("uid")
+    durs = users.crossJoin(F.broadcast(horizon)).select(
+        F.expr("(last_ep - first_ep) DIV 3600").alias("dur"),
+        (F.col("last_ep") <= F.col("hz")).alias("observed"),
+        grp.cast("int").alias("grp"),
+    )
+    per_t = durs.groupBy("dur").agg(
+        *[
+            F.sum(
+                F.when((F.col("grp") == g) & cond, 1).otherwise(0)
+            )
+            .cast("long")
+            .alias(f"{nme}{g + 1}")
+            for g in (0, 1)
+            for nme, cond in (("c", F.lit(True)), ("d", F.col("observed")))
+        ]
+    )
+    tot = durs.groupBy().agg(
+        F.sum(F.when(F.col("grp") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("t1"),
+        F.sum(F.when(F.col("grp") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("t2"),
+    )
+    w_prev = Window.orderBy("dur").rowsBetween(Window.unboundedPreceding, -1)
+    at_risk = per_t.crossJoin(F.broadcast(tot)).select(
+        "dur",
+        "d1",
+        "d2",
+        (F.col("t1") - F.coalesce(F.sum("c1").over(w_prev), F.lit(0))).alias(
+            "n1"
+        ),
+        (F.col("t2") - F.coalesce(F.sum("c2").over(w_prev), F.lit(0))).alias(
+            "n2"
+        ),
+    )
+    d = (F.col("d1") + F.col("d2")).cast("double")
+    n1 = F.col("n1").cast("double")
+    n2 = F.col("n2").cast("double")
+    n = n1 + n2
+    # micro-unit per-time terms: exact-integer inputs → one double
+    # expression → round(·1e6) BIGINT, so the time-dimension sum is
+    # associative (identical operand trees on both engines)
+    terms = at_risk.where(F.col("d1") + F.col("d2") > 0).select(
+        F.col("d1").alias("o1"),
+        F.round(d * n1 / n * 1e6, 0).cast("long").alias("e1_u"),
+        F.when(
+            n > 1,
+            F.round(
+                d * (n1 / n) * (n2 / n) * (n - d) / (n - 1) * 1e6, 0
+            ).cast("long"),
+        )
+        .otherwise(F.lit(0))
+        .alias("v_u"),
+    )
+    g = terms.agg(
+        F.count(F.lit(1)).cast("long").alias("n_times"),
+        F.sum("o1").cast("long").alias("o1"),
+        F.sum("e1_u").cast("long").alias("e1_u"),
+        F.sum("v_u").cast("long").alias("v_u"),
+    )
+    e1 = F.col("e1_u") / 1e6
+    v = F.col("v_u") / 1e6
+    diff = F.col("o1") - e1
+    ok = F.col("v_u") > 0
+    return g.select(
+        "n_times",
+        "o1",
+        F.round(e1, 6).alias("e1"),
+        F.round(v, 6).alias("var_sum"),
+        F.round(F.when(ok, diff * diff / v), 6).alias("chi2"),
+        F.round(F.when(ok, diff / F.sqrt(v)), 6).alias("z_signed"),
+    )
+
+
 def funnel_stages(
     events: DataFrame,
     stages: list[str],

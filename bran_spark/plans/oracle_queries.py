@@ -12750,6 +12750,331 @@ def q282(spark, sf):
     )
 
 
+_LOGRANK_TERM = """
+    terms AS (SELECT d1 AS o1,
+                     CAST(round((d1 + d2)::DOUBLE * n1::DOUBLE
+                                / (n1 + n2)::DOUBLE * 1000000.0, 0)
+                          AS BIGINT) AS e1_u,
+                     CASE WHEN n1 + n2 > 1 THEN
+                       CAST(round((d1 + d2)::DOUBLE
+                                  * (n1::DOUBLE / (n1 + n2)::DOUBLE)
+                                  * (n2::DOUBLE / (n1 + n2)::DOUBLE)
+                                  * ((n1 + n2)::DOUBLE - (d1 + d2)::DOUBLE)
+                                  / ((n1 + n2)::DOUBLE - 1)
+                                  * 1000000.0, 0) AS BIGINT)
+                     ELSE 0 END AS v_u
+              FROM ar WHERE d1 + d2 > 0)
+"""
+
+
+@_q(
+    "q283_log_rank",
+    f"""
+    WITH ep AS (SELECT user_id AS uid,
+                       CAST(floor(epoch(ts)) AS BIGINT) AS ep FROM events),
+    hz AS (SELECT MAX(ep) - 86400 AS hz FROM ep),
+    users AS (SELECT uid, MIN(ep) AS first_ep, MAX(ep) AS last_ep
+              FROM ep GROUP BY uid),
+    kk AS (SELECT md5(uid::VARCHAR) AS h, first_ep, last_ep FROM users),
+    durs AS (SELECT (last_ep - first_ep) // 3600 AS dur,
+                    last_ep <= (SELECT hz FROM hz) AS observed,
+                    CAST(({_HEX8_SQL}) % 2 AS INT) AS grp
+             FROM kk),
+    per_t AS (SELECT dur,
+                     SUM(CASE WHEN grp = 0 THEN 1 ELSE 0 END)::BIGINT AS c1,
+                     SUM(CASE WHEN grp = 1 THEN 1 ELSE 0 END)::BIGINT AS c2,
+                     SUM(CASE WHEN grp = 0 AND observed THEN 1 ELSE 0
+                         END)::BIGINT AS d1,
+                     SUM(CASE WHEN grp = 1 AND observed THEN 1 ELSE 0
+                         END)::BIGINT AS d2
+              FROM durs GROUP BY dur),
+    tot AS (SELECT SUM(CASE WHEN grp = 0 THEN 1 ELSE 0 END)::BIGINT AS t1,
+                   SUM(CASE WHEN grp = 1 THEN 1 ELSE 0 END)::BIGINT AS t2
+            FROM durs),
+    ar AS (SELECT dur, d1, d2,
+                  (SELECT t1 FROM tot)
+                  - COALESCE(SUM(c1) OVER (ORDER BY dur
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                        0) AS n1,
+                  (SELECT t2 FROM tot)
+                  - COALESCE(SUM(c2) OVER (ORDER BY dur
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                        0) AS n2
+           FROM per_t),
+    {_LOGRANK_TERM},
+    g AS (SELECT COUNT(*)::BIGINT AS n_times, SUM(o1)::BIGINT AS o1,
+                 SUM(e1_u)::BIGINT AS e1_u, SUM(v_u)::BIGINT AS v_u
+          FROM terms)
+    SELECT n_times, o1,
+           ROUND(e1_u / 1000000.0, 6) AS e1,
+           ROUND(v_u / 1000000.0, 6) AS var_sum,
+           ROUND(CASE WHEN v_u > 0 THEN
+                   (o1 - e1_u / 1000000.0) * (o1 - e1_u / 1000000.0)
+                   / (v_u / 1000000.0) END, 6) AS chi2,
+           ROUND(CASE WHEN v_u > 0 THEN
+                   (o1 - e1_u / 1000000.0) / sqrt(v_u / 1000000.0) END, 6)
+             AS z_signed
+    FROM g
+    """,
+)
+def q283(spark, sf):
+    """Two-group log-rank test (sessions.log_rank) on kaplan_meier's
+    lifetimes with the shared md5 arm coin as the cohort split — the
+    censoring-aware survival-difference test. Per pooled churn time
+    the hypergeometric E₁/V terms round to micro-unit BIGINTs so the
+    time-dimension reduction is associative; χ²/z are one fixed
+    scalar tree over three integer sums."""
+    from bran_spark.operators.sessions import log_rank
+
+    return log_rank(_t(spark, sf, "events"), censor_window_h=24)
+
+
+@_q(
+    "q284_randomization_test",
+    f"""
+    WITH u AS (SELECT user_id AS uid,
+                      SUM(CAST(round(value * 100, 0) AS BIGINT)) AS y
+               FROM events GROUP BY user_id),
+    k0 AS (SELECT md5(uid::VARCHAR) AS h, y FROM u),
+    a AS (SELECT CAST(({_HEX8_SQL}) % 2 AS INT) AS arm, y FROM k0),
+    o0 AS (SELECT SUM((arm = 0)::INT)::BIGINT AS n0,
+                  SUM((arm = 1)::INT)::BIGINT AS n1,
+                  SUM(CASE WHEN arm = 0 THEN y ELSE 0 END)::BIGINT AS s0,
+                  SUM(CASE WHEN arm = 1 THEN y ELSE 0 END)::BIGINT AS s1
+           FROM a),
+    obs AS (SELECT n0 + n1 AS n_units,
+                   CASE WHEN n0 > 0 AND n1 > 0 THEN
+                     ROUND(s1 / (n1 * 100.0) - s0 / (n0 * 100.0), 6)
+                   END AS t_obs
+            FROM o0),
+    reps AS (SELECT t.rep AS rep, u.y AS y,
+                    md5(u.uid::VARCHAR || ':' || t.rep::VARCHAR) AS h
+             FROM u, (SELECT UNNEST(range(1, 101)) AS rep) t),
+    ra AS (SELECT rep, CAST(({_HEX8_SQL}) % 2 AS INT) AS arm, y FROM reps),
+    pr AS (SELECT rep,
+                  SUM((arm = 0)::INT)::BIGINT AS n0,
+                  SUM((arm = 1)::INT)::BIGINT AS n1,
+                  SUM(CASE WHEN arm = 0 THEN y ELSE 0 END)::BIGINT AS s0,
+                  SUM(CASE WHEN arm = 1 THEN y ELSE 0 END)::BIGINT AS s1
+           FROM ra GROUP BY rep),
+    sc AS (SELECT n_units, t_obs,
+                  CASE WHEN abs(CASE WHEN n0 > 0 AND n1 > 0 THEN
+                                  ROUND(s1 / (n1 * 100.0)
+                                        - s0 / (n0 * 100.0), 6) END)
+                       >= abs(t_obs) THEN 1 ELSE 0 END AS extreme
+           FROM pr, obs)
+    SELECT n_units, t_obs, COUNT(*)::BIGINT AS n_reps,
+           SUM(extreme)::BIGINT AS n_extreme,
+           ROUND((SUM(extreme) + 1) / (COUNT(*)::DOUBLE + 1.0), 6)
+             AS p_value
+    FROM sc GROUP BY n_units, t_obs
+    """,
+)
+def q284(spark, sf):
+    """Monte-Carlo randomization test (sampling.randomization_test,
+    100 deterministic md5(id:rep) re-flips) for the per-user value
+    metric — the assumption-free p-value printed next to q216's Welch
+    t. Replicate statistics are fixed scalar trees over associative
+    BIGINT sums; extremeness compares 6-dp magnitudes on both
+    engines."""
+    from bran_spark.operators.sampling import randomization_test
+
+    units = (
+        _t(spark, sf, "events")
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias("y")
+        )
+    )
+    return randomization_test(units, id_col="user_id", y_col="y", n_reps=100)
+
+
+@_q(
+    "q285_jackknife_ratio",
+    f"""
+    WITH u AS (SELECT user_id AS uid,
+                      SUM(CAST(round(value * 100, 0) AS BIGINT)) AS num,
+                      COUNT(*)::BIGINT AS den
+               FROM events GROUP BY user_id),
+    k0 AS (SELECT md5(uid::VARCHAR) AS h, num, den FROM u),
+    b AS (SELECT CAST({_SAMPLE_KEY_SQL} AS BIGINT) % 50 AS blk, num, den
+          FROM k0),
+    per_blk AS (SELECT blk, SUM(num)::BIGINT AS sn, SUM(den)::BIGINT AS sd
+                FROM b GROUP BY blk),
+    tot AS (SELECT SUM(sn)::BIGINT AS tn, SUM(sd)::BIGINT AS td
+            FROM per_blk),
+    loo AS (SELECT tn, td,
+                   CASE WHEN td - sd != 0 THEN
+                     CAST(round(((tn - sn) / 100.0) / ((td - sd) / 1.0)
+                                * 1000000.0, 0) AS HUGEINT)
+                   END AS r_u
+            FROM per_blk, tot),
+    g AS (SELECT tn, td, COUNT(*)::BIGINT AS b_all,
+                 COUNT(r_u)::BIGINT AS b_ok,
+                 SUM(r_u) AS s_u, SUM(r_u * r_u) AS q_u
+          FROM loo GROUP BY tn, td)
+    SELECT b_all AS n_blocks,
+           ROUND(CASE WHEN td != 0 THEN (tn / 100.0) / (td / 1.0) END, 6)
+             AS ratio_full,
+           ROUND(CASE WHEN b_ok > 0 THEN
+                   s_u::DOUBLE / (b_ok::DOUBLE * 1000000.0) END, 6)
+             AS jk_mean,
+           ROUND(CASE WHEN b_ok = b_all AND b_ok > 1 THEN
+                   sqrt((b_ok::DOUBLE - 1.0) / b_ok::DOUBLE
+                        * greatest((q_u::DOUBLE
+                                    - s_u::DOUBLE * s_u::DOUBLE
+                                      / b_ok::DOUBLE) / 1e12, 0.0))
+                 END, 6) AS jk_se,
+           ROUND(CASE WHEN b_ok = b_all AND b_ok > 1 THEN
+                   (b_ok::DOUBLE - 1.0)
+                   * (s_u::DOUBLE / (b_ok::DOUBLE * 1000000.0)
+                      - CASE WHEN td != 0 THEN (tn / 100.0) / (td / 1.0)
+                        END)
+                 END, 6) AS jk_bias
+    FROM g
+    """,
+)
+def q285(spark, sf):
+    """Delete-one-block jackknife (sampling.jackknife_ratio, 50 md5
+    blocks) for revenue-per-event — the resampling SE that
+    cross-checks q274's delta method. Leave-one-out ratios round to
+    micro-unit integers and reduce associatively over the block
+    dimension; bias is the Quenouille (B−1)(R̄−R̂) estimate."""
+    from bran_spark.operators.sampling import jackknife_ratio
+
+    units = (
+        _t(spark, sf, "events")
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias(
+                "num"
+            ),
+            F.count(F.lit(1)).cast("long").alias("den"),
+        )
+    )
+    return jackknife_ratio(
+        units, num_col="num", den_col="den", id_col="user_id", n_blocks=50
+    )
+
+
+@_q(
+    "q286_anova_f",
+    """
+    WITH u AS (SELECT event_type AS g,
+                      CAST(round(value * 100, 0) AS BIGINT) AS y
+               FROM events),
+    per_g AS (SELECT g, COUNT(*)::BIGINT AS n_g, SUM(y)::BIGINT AS s_g,
+                     SUM(y * y)::BIGINT AS q_g
+              FROM u GROUP BY g),
+    gg AS (SELECT COUNT(*)::BIGINT AS k, SUM(n_g)::BIGINT AS n,
+                  SUM(s_g)::BIGINT AS s, SUM(q_g)::BIGINT AS q,
+                  SUM(CAST(round(s_g::DOUBLE * s_g::DOUBLE / n_g
+                                 * 1000000.0, 0) AS HUGEINT)) AS t_u
+           FROM per_g)
+    SELECT k, n,
+           ROUND(CASE WHEN k > 1 AND n > k
+                       AND greatest((q - t_u::DOUBLE / 1000000.0)
+                                    / 10000.0, 0.0) > 0 THEN
+                   (greatest((t_u::DOUBLE / 1000000.0
+                              - s::DOUBLE * s / n) / 10000.0, 0.0)
+                    / (k - 1)::DOUBLE)
+                   / (greatest((q - t_u::DOUBLE / 1000000.0)
+                               / 10000.0, 0.0) / (n - k)::DOUBLE)
+                 END, 6) AS f_stat,
+           ROUND(CASE WHEN greatest((t_u::DOUBLE / 1000000.0
+                                     - s::DOUBLE * s / n) / 10000.0, 0.0)
+                           + greatest((q - t_u::DOUBLE / 1000000.0)
+                                      / 10000.0, 0.0) > 0 THEN
+                   greatest((t_u::DOUBLE / 1000000.0
+                             - s::DOUBLE * s / n) / 10000.0, 0.0)
+                   / (greatest((t_u::DOUBLE / 1000000.0
+                                - s::DOUBLE * s / n) / 10000.0, 0.0)
+                      + greatest((q - t_u::DOUBLE / 1000000.0)
+                                 / 10000.0, 0.0))
+                 END, 6) AS eta_sq,
+           ROUND(greatest((t_u::DOUBLE / 1000000.0 - s::DOUBLE * s / n)
+                          / 10000.0, 0.0), 6) AS ssb,
+           ROUND(greatest((q - t_u::DOUBLE / 1000000.0) / 10000.0, 0.0), 6)
+             AS ssw
+    FROM gg
+    """,
+)
+def q286(spark, sf):
+    """One-way ANOVA (sampling.anova_f) of event value across event
+    types — the k-group generalization of q216. Per-group BIGINT
+    moment cells; the only cross-group float (S_g²/n_g) rounds to
+    micro-units and sums exactly, so F and η² are one fixed scalar
+    tree. Two aggregates: corpus → k rows → 1 row."""
+    from bran_spark.operators.sampling import anova_f
+
+    u = _t(spark, sf, "events").select(
+        F.col("event_type").alias("g"),
+        F.round(F.col("value") * 100, 0).cast("long").alias("y"),
+    )
+    return anova_f(u, group_col="g", y_col="y", scale=100)
+
+
+@_q(
+    "q287_tost_equivalence",
+    f"""
+    WITH u AS (SELECT user_id AS uid,
+                      SUM(CAST(round(value * 100, 0) AS BIGINT)) AS y
+               FROM events GROUP BY user_id),
+    k0 AS (SELECT md5(uid::VARCHAR) AS h, y FROM u),
+    a AS (SELECT CAST(({_HEX8_SQL}) % 2 AS INT) AS arm, y FROM k0),
+    g AS (SELECT SUM((arm = 0)::INT)::BIGINT AS n0,
+                 SUM((arm = 1)::INT)::BIGINT AS n1,
+                 SUM(CASE WHEN arm = 0 THEN y ELSE 0 END)::BIGINT AS s0,
+                 SUM(CASE WHEN arm = 1 THEN y ELSE 0 END)::BIGINT AS s1,
+                 SUM(CASE WHEN arm = 0 THEN y * y ELSE 0 END)::BIGINT AS q0,
+                 SUM(CASE WHEN arm = 1 THEN y * y ELSE 0 END)::BIGINT AS q1
+          FROM a),
+    d AS (SELECT n0, n1, s0, s1, q0, q1,
+                 s1 / (n1::DOUBLE * 100.0) - s0 / (n0::DOUBLE * 100.0)
+                   AS diff,
+                 sqrt(greatest((q0 / 10000.0
+                                - n0::DOUBLE * (s0 / (n0::DOUBLE * 100.0))
+                                  * (s0 / (n0::DOUBLE * 100.0)))
+                               / (n0::DOUBLE - 1), 0.0) / n0::DOUBLE
+                      + greatest((q1 / 10000.0
+                                  - n1::DOUBLE * (s1 / (n1::DOUBLE * 100.0))
+                                    * (s1 / (n1::DOUBLE * 100.0)))
+                                 / (n1::DOUBLE - 1), 0.0) / n1::DOUBLE)
+                   AS se,
+                 n0 > 1 AND n1 > 1
+                 AND NOT (n0 * q0 = s0 * s0 AND n1 * q1 = s1 * s1) AS ok
+          FROM g)
+    SELECT n0 AS n_ctl, n1 AS n_trt,
+           ROUND(CASE WHEN n0 > 0 AND n1 > 0 THEN diff END, 6) AS diff,
+           ROUND(CASE WHEN ok THEN se END, 6) AS se,
+           ROUND(CASE WHEN ok THEN (diff + 0.5) / se END, 6) AS z_low,
+           ROUND(CASE WHEN ok THEN (diff - 0.5) / se END, 6) AS z_up,
+           COALESCE(ROUND(CASE WHEN ok THEN (diff + 0.5) / se END, 6)
+                      >= 1.644854
+                    AND ROUND(CASE WHEN ok THEN (diff - 0.5) / se END, 6)
+                      <= -1.644854, false) AS equivalent
+    FROM d
+    """,
+)
+def q287(spark, sf):
+    """TOST equivalence gate (sampling.tost_equivalence, δ = ±0.5
+    units, α = 0.05) on q216's md5-coin arms — the no-regression
+    launch test: both one-sided Welch z's must clear z_α. Same
+    exact-integer moment cells as ab_effect; the verdict compares
+    6-dp-rounded z's so boundary cases agree across engines."""
+    from bran_spark.operators.sampling import md5_arm, tost_equivalence
+
+    units = (
+        _t(spark, sf, "events")
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias("y")
+        )
+        .select(F.col("y"), md5_arm("user_id").alias("arm"))
+    )
+    return tost_equivalence(units, margin=0.5, z_alpha=1.644854)
+
+
 # =========================================================================
 # Registry ordering: the driver's correctness gate hash-checks the FIRST
 # 50 insertion-order entries of ``queries()``. Definition order above is
