@@ -13075,6 +13075,190 @@ def q287(spark, sf):
     return tost_equivalence(units, margin=0.5, z_alpha=1.644854)
 
 
+# dense zero-filled daily-count series shared by the time-series twins
+# (operators/timeseries._daily_counts): one row per (event_type, day)
+# for EVERY day in the observed span
+_DENSE_DAYS_SQL = """
+    per_day AS (SELECT event_type AS g,
+                       CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+                       COUNT(*)::BIGINT AS x
+                FROM events GROUP BY 1, 2),
+    span AS (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM per_day),
+    types AS (SELECT DISTINCT g FROM per_day),
+    spine AS (SELECT g, UNNEST(range(d0, d1 + 1)) AS day FROM types, span),
+    dense AS (SELECT s.g, s.day, COALESCE(p.x, 0)::BIGINT AS x
+              FROM spine s LEFT JOIN per_day p
+                ON p.g = s.g AND p.day = s.day)
+"""
+
+
+@_q(
+    "q288_cusum_changepoint",
+    f"""
+    WITH {_DENSE_DAYS_SQL},
+    per_g AS (SELECT g, COUNT(*)::BIGINT AS dn, SUM(x)::BIGINT AS s,
+                     SUM(x * x)::BIGINT AS q
+              FROM dense GROUP BY g),
+    terms AS (SELECT d.g, d.day, p.dn, p.s, p.q, p.dn * d.x - p.s AS term
+              FROM dense d JOIN per_g p ON p.g = d.g),
+    run AS (SELECT *, SUM(term) OVER (PARTITION BY g ORDER BY day
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS cusum_m
+            FROM terms),
+    pick AS (SELECT *, row_number() OVER (PARTITION BY g
+                 ORDER BY abs(cusum_m) DESC, day ASC) AS rn
+             FROM run)
+    SELECT g AS event_type, dn AS n_days, day AS cp_day,
+           ROUND(cusum_m / dn::DOUBLE, 6) + 0.0 AS cusum_at_cp,
+           ROUND(CASE WHEN greatest((q - s::DOUBLE * s / dn::DOUBLE)
+                                    / dn::DOUBLE, 0.0) > 0 THEN
+                   abs(cusum_m)
+                   / (dn::DOUBLE
+                      * sqrt(greatest((q - s::DOUBLE * s / dn::DOUBLE)
+                                      / dn::DOUBLE, 0.0))
+                      * sqrt(dn::DOUBLE)) END, 6) AS stat
+    FROM pick WHERE rn = 1
+    """,
+)
+def q288(spark, sf):
+    """CUSUM mean-shift changepoint per event type
+    (timeseries.cusum_changepoint) over the DENSE zero-filled daily
+    series: terms multiply out to exact BIGINTs (D·x−ΣX), the argmax
+    day is decided on integers (earliest tie wins), and only the
+    final σ-normalization is float — one fixed tree per type."""
+    from bran_spark.operators.timeseries import cusum_changepoint
+
+    return cusum_changepoint(_t(spark, sf, "events"))
+
+
+@_q(
+    "q289_acf_daily",
+    f"""
+    WITH {_DENSE_DAYS_SQL},
+    per_g AS (SELECT g, COUNT(*)::BIGINT AS dn, SUM(x)::BIGINT AS s
+              FROM dense GROUP BY g),
+    av AS (SELECT d.g, d.day, p.dn * d.x - p.s AS a
+           FROM dense d JOIN per_g p ON p.g = d.g),
+    den AS (SELECT g, SUM(a::HUGEINT * a) AS den FROM av GROUP BY g),
+    pairs AS (SELECT l.g, t.lag, l.a AS a, r.a AS a_b
+              FROM av l
+              CROSS JOIN (SELECT UNNEST(range(1, 8)) AS lag) t
+              JOIN av r ON r.g = l.g AND r.day = l.day + t.lag),
+    num AS (SELECT g, lag, COUNT(*)::BIGINT AS n_pairs,
+                   SUM(a::HUGEINT * a_b) AS num
+            FROM pairs GROUP BY g, lag)
+    SELECT n.g AS event_type, n.lag AS lag, n.n_pairs AS n_pairs,
+           ROUND(CASE WHEN d.den > 0 THEN n.num::DOUBLE / d.den::DOUBLE
+                 END, 6) + 0.0 AS r
+    FROM num n JOIN den d ON d.g = n.g
+    """,
+)
+def q289(spark, sf):
+    """Lag-1..7 daily autocorrelation per event type
+    (timeseries.acf_daily): r_k is a ratio of EXACT integer sums — the
+    multiplied-out centering (a = D·x−ΣX) cancels the D² factors, and
+    products accumulate as DECIMAL(38,0)/HUGEINT. The weekly-rhythm
+    diagnostic next to q197/q233."""
+    from bran_spark.operators.timeseries import acf_daily
+
+    return acf_daily(_t(spark, sf, "events"), max_lag=7)
+
+
+@_q(
+    "q290_theil_sen",
+    """
+    WITH b AS (SELECT user_id AS ent,
+                      CAST(floor(epoch(ts)) AS BIGINT) AS ep,
+                      CAST(round(value * 100, 0) AS BIGINT) AS yu
+               FROM events WHERE event_type = 'purchase'),
+    c AS (SELECT ent, COUNT(*)::BIGINT AS n_points FROM b GROUP BY ent),
+    k AS (SELECT b.ent, b.ep, b.yu, c.n_points FROM b JOIN c USING (ent)
+          WHERE c.n_points BETWEEN 2 AND 200),
+    p AS (SELECT a.ent, a.n_points,
+                 CAST(round((b2.yu - a.yu)::DOUBLE / 100.0
+                            / ((b2.ep - a.ep)::DOUBLE / 3600.0)
+                            * 1000000.0, 0) AS BIGINT) AS sl_u
+          FROM k a JOIN k b2 ON b2.ent = a.ent AND a.ep < b2.ep)
+    SELECT ent AS user_id, n_points, COUNT(*)::BIGINT AS n_pairs,
+           quantile_cont(sl_u, 0.5) / 1000000.0 AS slope_per_h
+    FROM p GROUP BY ent, n_points
+    """,
+)
+def q290(spark, sf):
+    """Theil-Sen robust purchase-value trend per user
+    (timeseries.theil_sen_slope): median of pairwise slopes in exact
+    10⁻⁶ micro-units, so the even-count interpolation is an exact
+    integer midpoint on both engines and is emitted UNROUNDED (the
+    midpoint's 7th decimal is often an exact '5', where the engines'
+    rounding modes disagree while the raw division cannot). The
+    29%-breakdown counterpart of q84's OLS slope; the pair join is
+    group-quadratic with a 200-point hub cap."""
+    from bran_spark.operators.timeseries import theil_sen_slope
+
+    ev = _t(spark, sf, "events").where(F.col("event_type") == "purchase")
+    return theil_sen_slope(ev, max_points=200)
+
+
+@_q(
+    "q291_seasonal_strength",
+    """
+    WITH per_day AS (SELECT CAST(floor(epoch(ts)) AS BIGINT) // 86400
+                              AS day,
+                            COUNT(*)::BIGINT AS x
+                     FROM events GROUP BY 1),
+    span AS (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM per_day),
+    spine AS (SELECT UNNEST(range(d0, d1 + 1)) AS day FROM span),
+    dense AS (SELECT s.day, COALESCE(p.x, 0)::BIGINT AS x
+              FROM spine s LEFT JOIN per_day p ON p.day = s.day),
+    ma AS (SELECT day, x, COUNT(*) OVER w AS wn, SUM(x) OVER w AS ws
+           FROM dense
+           WINDOW w AS (ORDER BY day
+                        ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+    det AS (SELECT day, day % 7 AS dop,
+                   CAST(round((7 * x - ws)::DOUBLE / 7 * 1000000.0, 0)
+                        AS BIGINT) AS d_u
+            FROM ma WHERE wn = 7),
+    per_dop AS (SELECT dop, COUNT(*)::BIGINT AS c, SUM(d_u)::BIGINT AS sd
+                FROM det GROUP BY dop),
+    seas AS (SELECT dop, CAST(round(sd::DOUBLE / c, 0) AS BIGINT) AS m_u
+             FROM per_dop),
+    r AS (SELECT d.day, d.d_u, d.d_u - s.m_u AS r_u
+          FROM det d JOIN seas s ON s.dop = d.dop),
+    gg AS (SELECT COUNT(*)::BIGINT AS dn,
+                  SUM(d_u::HUGEINT) AS sd_u,
+                  SUM(d_u::HUGEINT * d_u) AS qd_u,
+                  SUM(r_u::HUGEINT) AS sr_u,
+                  SUM(r_u::HUGEINT * r_u) AS qr_u
+           FROM r),
+    v AS (SELECT dn,
+                 greatest((qd_u::DOUBLE
+                           - sd_u::DOUBLE * sd_u::DOUBLE / dn::DOUBLE)
+                          / dn::DOUBLE / 1e12, 0.0) AS vd,
+                 greatest((qr_u::DOUBLE
+                           - sr_u::DOUBLE * sr_u::DOUBLE / dn::DOUBLE)
+                          / dn::DOUBLE / 1e12, 0.0) AS vr
+          FROM gg)
+    SELECT dn AS n_days, ROUND(vd, 6) AS var_detrended,
+           ROUND(vr, 6) AS var_remainder,
+           ROUND(CASE WHEN vd > 0 THEN greatest(1.0 - vr / vd, 0.0) END, 6)
+             AS strength,
+           (SELECT dop FROM seas ORDER BY m_u DESC, dop ASC LIMIT 1)
+             AS peak_dop
+    FROM v
+    """,
+)
+def q291(spark, sf):
+    """Day-of-week seasonality strength of the global daily series
+    (timeseries.seasonal_strength, Hyndman's F_s with a centered 7-day
+    moving-average trend): detrended values round ONCE to micro-unit
+    BIGINTs, remainders are exact integer differences, and both
+    variances come from HUGEINT/DECIMAL moment sums — associative
+    everywhere. Output includes the peak day-of-period."""
+    from bran_spark.operators.timeseries import seasonal_strength
+
+    return seasonal_strength(_t(spark, sf, "events"), period=7)
+
+
 # =========================================================================
 # Registry ordering: the driver's correctness gate hash-checks the FIRST
 # 50 insertion-order entries of ``queries()``. Definition order above is
