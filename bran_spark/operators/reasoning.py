@@ -1,0 +1,249 @@
+"""Ontology reasoning over the lifted KG — RDFS entailment
+materialization and SPARQL 1.1 property-path evaluation.
+
+A KG-construction pipeline does not stop at extracted (subj, pred,
+obj) rows: downstream consumers query the graph THROUGH its ontology
+(every Customer is an Agent; in_nation is a kind of located_in), so
+the engine must either materialize the entailed triples once or
+rewrite every query. These operators take the materialization route —
+the Spark-friendly one, since entailment is a handful of broadcast
+joins against an ontology-sized schema plus one distinct.
+
+Scale notes (100 TB):
+- The SCHEMA (subClassOf / subPropertyOf / domain / range statements)
+  is ontology-sized — thousands of rows at worst, never corpus-sized.
+  Its transitive closures are computed by a driver-side fixpoint loop
+  of joins on that tiny DataFrame and then BROADCAST against the
+  corpus-sized triple table; the corpus is touched by map-side joins
+  only, plus the final distinct (one shuffle on the output key).
+- Property paths evaluate left-to-right as repartition joins on the
+  edge relations with a DISTINCT after every composition step — the
+  standard semi-naive guard that keeps bounded-star expansion from
+  re-deriving the same pair once per walk.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: RDFS vocabulary (short local names; IRI prefixes add nothing here)
+SUB_CLASS = "subClassOf"
+SUB_PROP = "subPropertyOf"
+DOMAIN = "domain"
+RANGE = "range"
+
+
+def _transitive_closure_small(
+    edges: DataFrame, max_iters: int = 16
+) -> DataFrame:
+    """Non-reflexive transitive closure of an ONTOLOGY-SIZED edge set
+    (s, o) by iterated squaring: each round joins the closure-so-far
+    with itself, so depth d needs ceil(log2(d)) rounds, not d. The
+    per-round count() is legal — the input is schema, not corpus.
+    Raises on non-convergence (a cycle in subClassOf/subPropertyOf is
+    a modelling bug worth failing loudly on)."""
+    clo = edges.select("s", "o").distinct().persist()
+    n = clo.count()
+    for _ in range(max_iters):
+        stepped = (
+            clo.alias("a")
+            .join(clo.alias("b"), F.col("a.o") == F.col("b.s"))
+            .select(F.col("a.s").alias("s"), F.col("b.o").alias("o"))
+        )
+        nxt = clo.unionByName(stepped).distinct().persist()
+        m = nxt.count()
+        clo.unpersist()
+        clo = nxt
+        if m == n:
+            return clo
+        n = m
+    raise RuntimeError(
+        f"transitive closure did not converge in {max_iters} squaring "
+        "rounds — cyclic or pathologically deep hierarchy"
+    )
+
+
+def rdfs_closure(
+    triples: DataFrame,
+    schema: DataFrame,
+    max_iters: int = 16,
+) -> DataFrame:
+    """RDFS entailment: materialize every (entity, class) type
+    assertion the schema licenses for a triple corpus.
+
+    Rules applied (RDFS standard rule names):
+    - rdfs7: p subPropertyOf q, (s p o) ⇒ (s q o) — via the CLOSURE of
+      subPropertyOf, so chains lift in one join.
+    - rdfs2: domain(p) = C, (s p o) ⇒ s type C.
+    - rdfs3: range(p) = C, (s p o) ⇒ o type C.
+    - rdfs9: C subClassOf D, e type C ⇒ e type D — via the CLOSURE of
+      subClassOf.
+
+    ``schema`` has columns (s, p, o) with p ∈ {subClassOf,
+    subPropertyOf, domain, range}; it is ontology-sized and broadcast.
+    ``triples`` has (subj, pred, obj) and is corpus-sized.
+
+    Output: one row per entailed (entity, cls) with ``n_derivations``
+    = the number of DISTINCT base derivations (pred, role ∈ {S, O},
+    base class) that support it — the provenance count a debugging
+    ontologist asks for first ("why is this order a Place?").
+
+    Plan shape: schema closures driver-looped on schema-sized data;
+    two broadcast joins attach domain/range classes to the (possibly
+    subproperty-lifted) corpus triples; one broadcast join lifts
+    through the subclass closure; ONE corpus shuffle (the groupBy on
+    (entity, cls))."""
+    sub_prop = _transitive_closure_small(
+        schema.where(F.col("p") == SUB_PROP).select(
+            F.col("s"), F.col("o")
+        ),
+        max_iters,
+    )
+    sub_cls = _transitive_closure_small(
+        schema.where(F.col("p") == SUB_CLASS).select(
+            F.col("s"), F.col("o")
+        ),
+        max_iters,
+    )
+    dom = schema.where(F.col("p") == DOMAIN).select(
+        F.col("s").alias("pred"), F.col("o").alias("cls0")
+    )
+    rng = schema.where(F.col("p") == RANGE).select(
+        F.col("s").alias("pred"), F.col("o").alias("cls0")
+    )
+
+    # rdfs7: lift each corpus triple through the subPropertyOf closure
+    # (keeping the original pred too). Corpus-side map-only: the
+    # closure is broadcast.
+    lifted = triples.select("subj", "pred", "obj").unionByName(
+        triples.join(
+            F.broadcast(sub_prop.withColumnRenamed("s", "pred")),
+            "pred",
+        ).select("subj", F.col("o").alias("pred"), "obj")
+    )
+
+    # rdfs2 + rdfs3: base type assertions with (pred, role) provenance.
+    base = (
+        lifted.join(F.broadcast(dom), "pred")
+        .select(
+            F.col("subj").alias("entity"),
+            F.col("cls0"),
+            F.col("pred"),
+            F.lit("S").alias("role"),
+        )
+        .unionByName(
+            lifted.join(F.broadcast(rng), "pred").select(
+                F.col("obj").alias("entity"),
+                F.col("cls0"),
+                F.col("pred"),
+                F.lit("O").alias("role"),
+            )
+        )
+    )
+
+    # rdfs9: every base class also asserts its superclasses. Reflexive
+    # step added explicitly so base classes survive the same path.
+    cls_lift = sub_cls.withColumnRenamed("s", "cls0").withColumnRenamed(
+        "o", "cls"
+    )
+    typed = base.join(F.broadcast(cls_lift), "cls0", "left").select(
+        "entity",
+        F.coalesce(F.col("cls"), F.col("cls0")).alias("cls"),
+        "cls0",
+        "pred",
+        "role",
+    )
+    # a subclass row replaces the base row above; re-add the base class
+    typed = typed.unionByName(
+        base.select(
+            "entity", F.col("cls0").alias("cls"), "cls0", "pred", "role"
+        )
+    )
+
+    return typed.groupBy("entity", "cls").agg(
+        F.count_distinct("pred", "role", "cls0")
+        .cast("long")
+        .alias("n_derivations")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SPARQL 1.1 property paths
+# ---------------------------------------------------------------------------
+#
+# Path spec mini-AST (plain tuples so registry entries stay literal):
+#   "pred"                     — a single predicate step
+#   ("inv", path)              — ^path (swap subject/object)
+#   ("seq", p1, p2, ...)       — p1 / p2 / ...
+#   ("alt", p1, p2, ...)       — p1 | p2 | ...
+#   ("plus", path, k)          — path+ bounded to k hops (SPARQL's
+#                                unbounded + is a fixpoint; a KG with
+#                                a known ontology depth declares k and
+#                                gets a deterministic, explainable plan)
+
+
+def property_path(
+    triples: DataFrame, path, distinct_steps: bool = True
+) -> DataFrame:
+    """Evaluate a SPARQL property-path expression over (subj, pred,
+    obj) triples to the DISTINCT (s, o) pair relation it denotes.
+
+    Composition is left-to-right equi-joins; ``distinct_steps`` keeps a
+    DISTINCT after every composition so bounded-star expansion is
+    semi-naive (a pair reachable along many walks is carried once, not
+    once per walk — the difference between |V|·depth and path-count
+    blowup on dense graphs)."""
+
+    def _dedup(df: DataFrame) -> DataFrame:
+        return df.distinct() if distinct_steps else df
+
+    def ev(p) -> DataFrame:
+        if isinstance(p, str):
+            return triples.where(F.col("pred") == p).select(
+                F.col("subj").alias("s"), F.col("obj").alias("o")
+            )
+        op = p[0]
+        if op == "inv":
+            return ev(p[1]).select(
+                F.col("o").alias("s"), F.col("s").alias("o")
+            )
+        if op == "alt":
+            out = ev(p[1])
+            for sub in p[2:]:
+                out = out.unionByName(ev(sub))
+            return _dedup(out)
+        if op == "seq":
+            out = ev(p[1])
+            for sub in p[2:]:
+                right = ev(sub)
+                out = _dedup(
+                    out.alias("l")
+                    .join(
+                        right.alias("r"), F.col("l.o") == F.col("r.s")
+                    )
+                    .select(
+                        F.col("l.s").alias("s"), F.col("r.o").alias("o")
+                    )
+                )
+            return out
+        if op == "plus":
+            base = _dedup(ev(p[1]))
+            k = int(p[2])
+            reach = base
+            frontier = base
+            for _ in range(k - 1):
+                frontier = _dedup(
+                    frontier.alias("l")
+                    .join(base.alias("r"), F.col("l.o") == F.col("r.s"))
+                    .select(
+                        F.col("l.s").alias("s"), F.col("r.o").alias("o")
+                    )
+                )
+                reach = _dedup(reach.unionByName(frontier))
+            return reach
+        raise ValueError(f"unknown path op: {p!r}")
+
+    return ev(path).distinct()

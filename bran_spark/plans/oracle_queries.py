@@ -13260,6 +13260,137 @@ def q291(spark, sf):
 
 
 # =========================================================================
+# §x Ontology reasoning (RDFS entailment, SPARQL property paths)
+# =========================================================================
+
+#: Literal demo ontology over the lifted KG's predicates. The Spark side
+#: computes the subPropertyOf / subClassOf transitive closures itself
+#: (reasoning._transitive_closure_small); the DuckDB twin inlines the
+#: HAND-CLOSED closures of these same literals, so the oracle verifies
+#: both the closure result and the corpus-side joins.
+_ONTOLOGY_ROWS = [
+    # subPropertyOf (chain: in_* -> located_in -> positioned)
+    ("in_nation", "subPropertyOf", "located_in"),
+    ("in_region", "subPropertyOf", "located_in"),
+    ("in_region_of", "subPropertyOf", "located_in"),
+    ("located_in", "subPropertyOf", "positioned"),
+    # subClassOf (chains: Customer/Supplier -> Party -> Agent;
+    # Nation/Region -> Place -> Locus)
+    ("Customer", "subClassOf", "Party"),
+    ("Supplier", "subClassOf", "Party"),
+    ("Party", "subClassOf", "Agent"),
+    ("Nation", "subClassOf", "Place"),
+    ("Region", "subClassOf", "Place"),
+    ("Place", "subClassOf", "Locus"),
+    # domain / range
+    ("placed_by", "domain", "Order"), ("placed_by", "range", "Customer"),
+    ("contains", "domain", "Order"), ("contains", "range", "Part"),
+    ("uses_supplier", "domain", "Order"), ("uses_supplier", "range", "Supplier"),
+    ("supplied_by", "domain", "Part"), ("supplied_by", "range", "Supplier"),
+    ("in_nation", "domain", "Party"), ("in_nation", "range", "Nation"),
+    ("in_region", "domain", "Nation"), ("in_region", "range", "Region"),
+    ("in_region_of", "range", "Region"),
+    ("from_nation", "domain", "Order"), ("from_nation", "range", "Nation"),
+    ("located_in", "range", "Place"),
+    ("positioned", "range", "Locus"),
+]
+
+
+@_q(
+    "q292_rdfs_closure",
+    _KG_TRIPLES_SQL
+    + """
+    , subp(s, o) AS (VALUES
+        ('in_nation', 'located_in'), ('in_region', 'located_in'),
+        ('in_region_of', 'located_in'), ('located_in', 'positioned'),
+        ('in_nation', 'positioned'), ('in_region', 'positioned'),
+        ('in_region_of', 'positioned')),
+    subc(s, o) AS (VALUES
+        ('Customer', 'Party'), ('Supplier', 'Party'), ('Party', 'Agent'),
+        ('Nation', 'Place'), ('Region', 'Place'), ('Place', 'Locus'),
+        ('Customer', 'Agent'), ('Supplier', 'Agent'),
+        ('Nation', 'Locus'), ('Region', 'Locus')),
+    dom(pred, cls0) AS (VALUES
+        ('placed_by', 'Order'), ('contains', 'Order'),
+        ('uses_supplier', 'Order'), ('supplied_by', 'Part'),
+        ('in_nation', 'Party'), ('in_region', 'Nation'),
+        ('from_nation', 'Order')),
+    rng(pred, cls0) AS (VALUES
+        ('placed_by', 'Customer'), ('contains', 'Part'),
+        ('uses_supplier', 'Supplier'), ('supplied_by', 'Supplier'),
+        ('in_nation', 'Nation'), ('in_region', 'Region'),
+        ('in_region_of', 'Region'), ('from_nation', 'Nation'),
+        ('located_in', 'Place'), ('positioned', 'Locus')),
+    lifted AS (SELECT subj, pred, obj FROM t
+               UNION ALL
+               SELECT t.subj, sp.o AS pred, t.obj
+               FROM t JOIN subp sp ON sp.s = t.pred),
+    base AS (SELECT l.subj AS entity, d.cls0, l.pred, 'S' AS role
+             FROM lifted l JOIN dom d ON d.pred = l.pred
+             UNION ALL
+             SELECT l.obj AS entity, r.cls0, l.pred, 'O' AS role
+             FROM lifted l JOIN rng r ON r.pred = l.pred),
+    typed AS (SELECT entity, cls0 AS cls, cls0, pred, role FROM base
+              UNION ALL
+              SELECT b.entity, c.o AS cls, b.cls0, b.pred, b.role
+              FROM base b JOIN subc c ON c.s = b.cls0)
+    SELECT entity, cls,
+           CAST(COUNT(DISTINCT pred || '|' || role || '|' || cls0)
+                AS BIGINT) AS n_derivations
+    FROM typed GROUP BY entity, cls
+    """,
+)
+def q292(spark, sf):
+    """RDFS entailment materialization (reasoning.rdfs_closure) over the
+    lifted relational KG with a literal demo ontology: rdfs7 subproperty
+    lifting, rdfs2/3 domain-range typing, rdfs9 subclass lifting, with a
+    per-(entity, cls) distinct-derivation provenance count. Schema
+    closures are driver-looped on ontology-sized data and broadcast; the
+    corpus sees map-side joins plus ONE shuffle (the final groupBy)."""
+    from bran_spark.operators.reasoning import rdfs_closure
+
+    schema = spark.createDataFrame(_ONTOLOGY_ROWS, ["s", "p", "o"])
+    return rdfs_closure(_kg_relational_triples(spark, sf), schema)
+
+
+@_q(
+    "q293_property_path",
+    _KG_TRIPLES_SQL
+    + """
+    , e_loc AS (SELECT subj AS s, obj AS o FROM t
+                WHERE pred IN ('in_nation', 'in_region')),
+    loc2 AS (SELECT DISTINCT s, o FROM (
+               SELECT s, o FROM e_loc
+               UNION ALL
+               SELECT a.s, b.o FROM e_loc a JOIN e_loc b ON a.o = b.s)),
+    p1 AS (SELECT DISTINCT pb.subj AS s, l.o AS o
+           FROM t pb JOIN loc2 l ON pb.obj = l.s
+           WHERE pb.pred = 'placed_by'),
+    p2 AS (SELECT DISTINCT pb.obj AS s, c.obj AS o
+           FROM t pb JOIN t c ON c.subj = pb.subj
+           WHERE pb.pred = 'placed_by' AND c.pred = 'contains')
+    SELECT DISTINCT s, o FROM (
+      SELECT s, o FROM p1 UNION ALL SELECT s, o FROM p2)
+    """,
+)
+def q293(spark, sf):
+    """SPARQL 1.1 property-path evaluation (reasoning.property_path)
+    exercising all four path operators in one expression:
+    (placed_by / (in_nation|in_region){1,2}) | (^placed_by / contains)
+    — orders to the nations/regions they locate in, plus customers to
+    the parts their orders contain. Composition is left-to-right
+    repartition joins with a semi-naive DISTINCT per step."""
+    from bran_spark.operators.reasoning import property_path
+
+    path = (
+        "alt",
+        ("seq", "placed_by", ("plus", ("alt", "in_nation", "in_region"), 2)),
+        ("seq", ("inv", "placed_by"), "contains"),
+    )
+    return property_path(_kg_relational_triples(spark, sf), path)
+
+
+# =========================================================================
 # Registry ordering: the driver's correctness gate hash-checks the FIRST
 # 50 insertion-order entries of ``queries()``. Definition order above is
 # thematic (relational → KG → curation → graph); the curated list below
