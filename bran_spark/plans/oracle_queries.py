@@ -13391,6 +13391,265 @@ def q293(spark, sf):
 
 
 # =========================================================================
+# §x KG lifecycle (sameAs merge, temporal coalescing, schema induction,
+#    snapshot diff) — operators/kglifecycle.py
+# =========================================================================
+
+# Two-source KG for the sameAs demo: a second extraction source re-asserts
+# every customer's nationality under C2: ids, a third source covers the
+# k%7==0 customers under C3: ids, and the linkage layer emits
+# C:k≡C2:k for k%5≠0 plus C2:k≡C3:k for k%7==0 — so the closure must walk
+# a 2-hop chain, and k%5==0 customers stay deliberately unmerged (the
+# rewrite must not invent links the linkage never asserted).
+_SAMEAS_CTES = f"""
+    t AS (SELECT DISTINCT subj, pred, obj FROM ({{kg}})),
+    ck AS (SELECT c_custkey AS ckey, CAST(c_custkey AS VARCHAR) AS k,
+                  CAST(c_nationkey AS VARCHAR) AS nk FROM customer),
+    src2 AS (SELECT 'C2:' || k AS subj, 'in_nation' AS pred,
+                    'N:' || nk AS obj FROM ck),
+    src3 AS (SELECT 'C3:' || k AS subj, 'in_nation' AS pred,
+                    'N:' || nk AS obj FROM ck WHERE ckey % 7 = 0),
+    tt AS (SELECT * FROM t UNION ALL SELECT * FROM src2
+           UNION ALL SELECT * FROM src3),
+    sa AS (SELECT 'C:' || k AS a, 'C2:' || k AS b FROM ck WHERE ckey % 5 <> 0
+           UNION ALL
+           SELECT 'C2:' || k, 'C3:' || k FROM ck WHERE ckey % 7 = 0),
+    edges AS (SELECT a, b FROM sa UNION ALL SELECT b, a FROM sa),
+    r(node, lab) AS (
+      SELECT a, a FROM edges
+      UNION
+      SELECT e.b, r.lab FROM r JOIN edges e ON e.a = r.node
+    ),
+    canon AS (SELECT node, MIN(lab) AS component FROM r GROUP BY node)
+"""
+
+
+def _sameas_inputs(spark, sf):
+    """(triples, sameas_edges) for the two-source merge demo — the Spark
+    twin of _SAMEAS_CTES' tt/sa."""
+    ck = _t(spark, sf, "customer").select(
+        F.col("c_custkey").alias("ckey"),
+        F.col("c_custkey").cast("string").alias("k"),
+        F.col("c_nationkey").cast("string").alias("nk"),
+    )
+    src2 = ck.select(
+        F.concat(F.lit("C2:"), "k").alias("subj"),
+        F.lit("in_nation").alias("pred"),
+        F.concat(F.lit("N:"), "nk").alias("obj"),
+    )
+    src3 = ck.where(F.col("ckey") % 7 == 0).select(
+        F.concat(F.lit("C3:"), "k").alias("subj"),
+        F.lit("in_nation").alias("pred"),
+        F.concat(F.lit("N:"), "nk").alias("obj"),
+    )
+    triples = (
+        _kg_relational_triples(spark, sf)
+        .unionByName(src2)
+        .unionByName(src3)
+    )
+    sameas = ck.where(F.col("ckey") % 5 != 0).select(
+        F.concat(F.lit("C:"), "k").alias("a"),
+        F.concat(F.lit("C2:"), "k").alias("b"),
+    ).unionByName(
+        ck.where(F.col("ckey") % 7 == 0).select(
+            F.concat(F.lit("C2:"), "k").alias("a"),
+            F.concat(F.lit("C3:"), "k").alias("b"),
+        )
+    )
+    return triples, sameas
+
+
+@_q(
+    "q294_sameas_rewrite",
+    "WITH RECURSIVE "
+    + _SAMEAS_CTES.format(kg=_KG_TRIPLES_UNION_SQL)
+    + """
+    , rw AS (SELECT COALESCE(cs.component, x.subj) AS subj, x.pred,
+                    COALESCE(co.component, x.obj) AS obj,
+                    x.subj AS subj0, x.obj AS obj0
+             FROM tt x
+             LEFT JOIN canon cs ON cs.node = x.subj
+             LEFT JOIN canon co ON co.node = x.obj)
+    SELECT subj, pred, obj,
+           CAST(COUNT(DISTINCT subj0 || '|' || obj0) AS BIGINT) AS n_sources
+    FROM rw GROUP BY subj, pred, obj
+    """,
+)
+def q294(spark, sf):
+    """owl:sameAs canonical rewrite (kglifecycle.sameas_rewrite): merge a
+    two-extra-source customer KG through its linkage edges — components
+    give the canonical id (min reachable, 2-hop chains close), shuffle
+    joins rewrite subj/obj, and collapsed duplicates keep an n_sources
+    provenance count. Twin computes components with a recursive CTE —
+    algorithm-independent evidence for the star-contraction pass."""
+    from bran_spark.operators.kglifecycle import sameas_rewrite
+
+    triples, sameas = _sameas_inputs(spark, sf)
+    return sameas_rewrite(triples, sameas)
+
+
+@_q(
+    "q295_temporal_coalesce",
+    """
+    WITH iv AS (SELECT 'S:' || CAST(l_suppkey AS VARCHAR) AS subj,
+                       'supplies' AS pred,
+                       'P:' || CAST(l_partkey % 100 AS VARCHAR) AS obj,
+                       l_shipdate AS s,
+                       l_shipdate
+                         + to_days(CAST(l_quantity AS INT)) AS e
+                FROM lineitem),
+    marked AS (SELECT *,
+                 CASE WHEN s > MAX(e) OVER (
+                        PARTITION BY subj, pred, obj ORDER BY s, e
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                      OR MAX(e) OVER (
+                        PARTITION BY subj, pred, obj ORDER BY s, e
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                        IS NULL
+                 THEN 1 ELSE 0 END AS opens
+               FROM iv),
+    isl AS (SELECT *, SUM(opens) OVER (
+                PARTITION BY subj, pred, obj ORDER BY s, e
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+            FROM marked)
+    SELECT subj, pred, obj,
+           MIN(s) AS valid_from, MAX(e) AS valid_to,
+           COUNT(*)::BIGINT AS n_merged
+    FROM isl GROUP BY subj, pred, obj, island
+    """,
+)
+def q295(spark, sf):
+    """Temporal triple coalescing (kglifecycle.coalesce_intervals):
+    supplier→part-family supply activity windows (valid_from = ship
+    date, valid_to = ship date + quantity days) merged per (subj, pred,
+    obj) by the gaps-and-islands pass — running max-end over EARLIER
+    rows only, so contained intervals merge. One window per
+    high-cardinality key; no global sort."""
+    from bran_spark.operators.kglifecycle import coalesce_intervals
+
+    iv = _t(spark, sf, "lineitem").select(
+        F.concat(F.lit("S:"), F.col("l_suppkey").cast("string")).alias(
+            "subj"
+        ),
+        F.lit("supplies").alias("pred"),
+        F.concat(
+            F.lit("P:"), (F.col("l_partkey") % 100).cast("string")
+        ).alias("obj"),
+        F.col("l_shipdate").alias("valid_from"),
+        F.expr(
+            "l_shipdate + make_interval(0, 0, 0, CAST(l_quantity AS INT))"
+        ).alias("valid_to"),
+    )
+    return coalesce_intervals(iv)
+
+
+@_q(
+    "q296_induce_schema",
+    _KG_TRIPLES_SQL
+    + """
+    , base AS (SELECT pred, split_part(subj, ':', 1) AS s_type,
+                      split_part(obj, ':', 1) AS o_type, subj, obj
+               FROM t),
+    totals AS (SELECT pred, COUNT(*)::BIGINT AS n_triples,
+                      COUNT(DISTINCT subj)::BIGINT AS n_subj,
+                      COUNT(DISTINCT obj)::BIGINT AS n_obj
+               FROM base GROUP BY pred),
+    sc AS (SELECT pred, s_type, COUNT(*) AS cnt
+           FROM base GROUP BY pred, s_type),
+    sd AS (SELECT pred, s_type AS subj_type,
+                  ROUND(cnt::DOUBLE / SUM(cnt) OVER (PARTITION BY pred),
+                        6) AS subj_type_share,
+                  row_number() OVER (PARTITION BY pred
+                      ORDER BY cnt DESC, s_type ASC) AS rn
+           FROM sc),
+    oc AS (SELECT pred, o_type, COUNT(*) AS cnt
+           FROM base GROUP BY pred, o_type),
+    od AS (SELECT pred, o_type AS obj_type,
+                  ROUND(cnt::DOUBLE / SUM(cnt) OVER (PARTITION BY pred),
+                        6) AS obj_type_share,
+                  row_number() OVER (PARTITION BY pred
+                      ORDER BY cnt DESC, o_type ASC) AS rn
+           FROM oc)
+    SELECT tl.pred, tl.n_triples, tl.n_subj, tl.n_obj,
+           ROUND(tl.n_subj::DOUBLE / tl.n_triples, 6) AS fun,
+           ROUND(tl.n_obj::DOUBLE / tl.n_triples, 6) AS inv_fun,
+           sd.subj_type, sd.subj_type_share,
+           od.obj_type, od.obj_type_share
+    FROM totals tl
+    JOIN sd ON sd.pred = tl.pred AND sd.rn = 1
+    JOIN od ON od.pred = tl.pred AND od.rn = 1
+    """,
+)
+def q296(spark, sf):
+    """Bottom-up schema induction (kglifecycle.induce_schema): per
+    predicate the PARIS-style functionality / inverse functionality and
+    the dominant subject/object type prefix with its share — the induced
+    counterpart of q292's declared ontology (disagreement = extraction
+    bug detector). Two-level aggregation, predicate-bounded keys."""
+    from bran_spark.operators.kglifecycle import induce_schema
+
+    return induce_schema(_kg_relational_triples(spark, sf))
+
+
+@_q(
+    "q297_kg_diff",
+    _KG_TRIPLES_SQL
+    + f"""
+    , coin AS (SELECT subj, pred, obj, {_hex8("h")} % 20 AS c
+               FROM (SELECT subj, pred, obj,
+                            md5(subj || '|' || pred || '|' || obj) AS h
+                     FROM t)),
+    new_t AS (SELECT subj, pred, obj FROM coin WHERE c <> 0
+              UNION ALL
+              SELECT obj AS subj, 'supplies' AS pred, subj AS obj
+              FROM coin WHERE pred = 'supplied_by' AND c = 1),
+    o AS (SELECT DISTINCT subj, pred, obj FROM t),
+    n AS (SELECT DISTINCT subj, pred, obj FROM new_t),
+    j AS (SELECT COALESCE(o.pred, n.pred) AS pred,
+                 (o.subj IS NULL) AS added, (n.subj IS NULL) AS removed
+          FROM o FULL OUTER JOIN n
+            ON o.subj = n.subj AND o.pred = n.pred AND o.obj = n.obj)
+    SELECT pred,
+           CAST(COUNT(*) FILTER (WHERE added) AS BIGINT) AS n_added,
+           CAST(COUNT(*) FILTER (WHERE removed) AS BIGINT) AS n_removed,
+           CAST(COUNT(*) FILTER (WHERE NOT added AND NOT removed)
+                AS BIGINT) AS n_common,
+           ROUND(CAST(COUNT(*) FILTER (WHERE added OR removed) AS DOUBLE)
+                 / COUNT(*), 6) AS churn
+    FROM j GROUP BY pred
+    """,
+)
+def q297(spark, sf):
+    """KG snapshot diff (kglifecycle.kg_diff): the release report between
+    the lifted KG and a deterministically perturbed re-extraction (5%
+    md5-coin dropped, reversed 'supplies' edges added for the c==1
+    slice of supplied_by) — per-predicate added/removed/common + churn.
+    One full-outer shuffle join on (subj, pred, obj), AQE-splittable."""
+    from bran_spark.operators.kglifecycle import kg_diff
+
+    t = _kg_relational_triples(spark, sf)
+    coin = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws("|", "subj", "pred", "obj")), 1, 8
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 20
+    )
+    tc = t.withColumn("c", coin)
+    new_t = tc.where(F.col("c") != 0).select("subj", "pred", "obj").unionByName(
+        tc.where((F.col("pred") == "supplied_by") & (F.col("c") == 1)).select(
+            F.col("obj").alias("subj"),
+            F.lit("supplies").alias("pred"),
+            F.col("subj").alias("obj"),
+        )
+    )
+    return kg_diff(t, new_t)
+
+
+# =========================================================================
 # Registry ordering: the driver's correctness gate hash-checks the FIRST
 # 50 insertion-order entries of ``queries()``. Definition order above is
 # thematic (relational → KG → curation → graph); the curated list below
