@@ -170,6 +170,105 @@ def rdfs_closure(
     )
 
 
+def disjointness_audit(
+    typed: DataFrame, disjoint: DataFrame
+) -> DataFrame:
+    """owl:disjointWith consistency check over an entailed type table
+    (the output of :func:`rdfs_closure`): every entity entailed as a
+    member of BOTH classes of a declared-disjoint pair is an extraction
+    or modelling error worth surfacing.
+
+    ``disjoint`` is ontology-sized (cls_a, cls_b) — broadcast twice; the
+    corpus-sized ``typed`` table is first semi-filtered to classes that
+    appear in ANY disjoint pair, so the entity self-join only ever sees
+    the (tiny) potentially-conflicting slice, never all type rows.
+    Output: (entity, cls_a, cls_b, n_der_a, n_der_b)."""
+    watch = (
+        disjoint.select(F.col("cls_a").alias("cls"))
+        .unionByName(disjoint.select(F.col("cls_b").alias("cls")))
+        .distinct()
+    )
+    slim = typed.join(F.broadcast(watch), "cls")
+    a = slim.select(
+        "entity",
+        F.col("cls").alias("cls_a"),
+        F.col("n_derivations").alias("n_der_a"),
+    )
+    b = slim.select(
+        "entity",
+        F.col("cls").alias("cls_b"),
+        F.col("n_derivations").alias("n_der_b"),
+    )
+    return (
+        a.join(b, "entity")
+        .join(F.broadcast(disjoint), ["cls_a", "cls_b"])
+        .select("entity", "cls_a", "cls_b", "n_der_a", "n_der_b")
+    )
+
+
+def domain_conformance(
+    triples: DataFrame,
+    schema: DataFrame,
+    prefix_map: DataFrame,
+    sep: str = ":",
+    max_iters: int = 16,
+) -> DataFrame:
+    """Declared-domain conformance per predicate: for every predicate
+    with an rdfs:domain statement, the share of its triples whose
+    subject's class (looked up from the id prefix via ``prefix_map``) is
+    the declared domain or one of its subclasses. The dirty predicates
+    this flags are exactly where extraction wired the wrong entity type
+    into the subject slot.
+
+    All three side inputs (domain map, subclass closure, prefix map) are
+    ontology-sized and broadcast; the corpus sees map-side joins plus one
+    predicate-keyed aggregation. Output: (pred, domain, n_triples,
+    n_conforming, conformance)."""
+    dom = schema.where(F.col("p") == DOMAIN).select(
+        F.col("s").alias("pred"), F.col("o").alias("domain")
+    )
+    subc = _transitive_closure_small(
+        schema.where(F.col("p") == SUB_CLASS).select("s", "o"), max_iters
+    ).select(F.col("s").alias("subj_cls"), F.col("o").alias("domain"))
+    flagged = (
+        triples.join(F.broadcast(dom), "pred")
+        .withColumn(
+            "_prefix", F.split(F.col("subj"), sep).getItem(0)
+        )
+        .join(
+            F.broadcast(
+                prefix_map.select(
+                    F.col("prefix").alias("_prefix"),
+                    F.col("cls").alias("subj_cls"),
+                )
+            ),
+            "_prefix",
+            "left",
+        )
+        .join(
+            F.broadcast(subc.withColumn("_sub", F.lit(1))),
+            ["subj_cls", "domain"],
+            "left",
+        )
+        .withColumn(
+            "_ok",
+            (F.col("subj_cls") == F.col("domain"))
+            | F.col("_sub").isNotNull(),
+        )
+    )
+    return flagged.groupBy("pred", "domain").agg(
+        F.count(F.lit(1)).cast("long").alias("n_triples"),
+        F.sum(F.when(F.col("_ok"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_conforming"),
+        F.round(
+            F.sum(F.when(F.col("_ok"), 1).otherwise(0))
+            / F.count(F.lit(1)),
+            6,
+        ).alias("conformance"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # SPARQL 1.1 property paths
 # ---------------------------------------------------------------------------

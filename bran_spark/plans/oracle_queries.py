@@ -13296,11 +13296,11 @@ _ONTOLOGY_ROWS = [
 ]
 
 
-@_q(
-    "q292_rdfs_closure",
-    _KG_TRIPLES_SQL
-    + """
-    , subp(s, o) AS (VALUES
+# Shared twin CTEs for the RDFS family: the HAND-CLOSED closures of the
+# _ONTOLOGY_ROWS literals (subp/subc), the domain/range maps, and the
+# rdfs7/rdfs2/rdfs3/rdfs9 derivation chain over a triple CTE named ``t``.
+_RDFS_CTES = """
+    subp(s, o) AS (VALUES
         ('in_nation', 'located_in'), ('in_region', 'located_in'),
         ('in_region_of', 'located_in'), ('located_in', 'positioned'),
         ('in_nation', 'positioned'), ('in_region', 'positioned'),
@@ -13333,11 +13333,21 @@ _ONTOLOGY_ROWS = [
     typed AS (SELECT entity, cls0 AS cls, cls0, pred, role FROM base
               UNION ALL
               SELECT b.entity, c.o AS cls, b.cls0, b.pred, b.role
-              FROM base b JOIN subc c ON c.s = b.cls0)
-    SELECT entity, cls,
-           CAST(COUNT(DISTINCT pred || '|' || role || '|' || cls0)
-                AS BIGINT) AS n_derivations
-    FROM typed GROUP BY entity, cls
+              FROM base b JOIN subc c ON c.s = b.cls0),
+    closure AS (SELECT entity, cls,
+                       CAST(COUNT(DISTINCT pred || '|' || role || '|'
+                                  || cls0) AS BIGINT) AS n_derivations
+                FROM typed GROUP BY entity, cls)
+"""
+
+
+@_q(
+    "q292_rdfs_closure",
+    _KG_TRIPLES_SQL
+    + ", "
+    + _RDFS_CTES
+    + """
+    SELECT entity, cls, n_derivations FROM closure
     """,
 )
 def q292(spark, sf):
@@ -13388,6 +13398,123 @@ def q293(spark, sf):
         ("seq", ("inv", "placed_by"), "contains"),
     )
     return property_path(_kg_relational_triples(spark, sf), path)
+
+
+# Dirty-KG variant for the consistency audits: every 5th supplier is
+# mis-extracted as the SUBJECT of an in_region statement (a type-slot
+# error a real pipeline produces when NER confuses an org with a place).
+_NOISY_KG_T_SQL = f"""
+    t AS (SELECT DISTINCT subj, pred, obj FROM (
+        {_KG_TRIPLES_UNION_SQL}
+        UNION ALL
+        SELECT 'S:' || s_suppkey, 'in_region',
+               'R:' || CAST((s_suppkey % 100) % 4 AS VARCHAR)
+        FROM supplier WHERE s_suppkey % 5 = 0))
+"""
+
+
+def _noisy_kg(spark, sf) -> DataFrame:
+    """Spark twin of _NOISY_KG_T_SQL."""
+    noisy = _t(spark, sf, "supplier").where(
+        F.col("s_suppkey") % 5 == 0
+    ).select(
+        F.concat(F.lit("S:"), F.col("s_suppkey").cast("string")).alias(
+            "subj"
+        ),
+        F.lit("in_region").alias("pred"),
+        F.concat(
+            F.lit("R:"),
+            ((F.col("s_suppkey") % 100) % 4).cast("string"),
+        ).alias("obj"),
+    )
+    return (
+        _kg_relational_triples(spark, sf).unionByName(noisy).distinct()
+    )
+
+
+@_q(
+    "q298_disjointness_audit",
+    "WITH "
+    + _NOISY_KG_T_SQL
+    + ", "
+    + _RDFS_CTES
+    + """
+    , dis(cls_a, cls_b) AS (VALUES
+        ('Party', 'Place'), ('Agent', 'Locus'))
+    SELECT a.entity, d.cls_a, d.cls_b,
+           a.n_derivations AS n_der_a, b.n_derivations AS n_der_b
+    FROM closure a
+    JOIN closure b ON b.entity = a.entity
+    JOIN dis d ON d.cls_a = a.cls AND d.cls_b = b.cls
+    """,
+)
+def q298(spark, sf):
+    """owl:disjointWith consistency audit (reasoning.disjointness_audit)
+    over the RDFS-entailed types of a deliberately dirtied KG (every 5th
+    supplier mis-extracted as an in_region SUBJECT): those suppliers
+    entail both Party (via in_nation's domain) and Place (via in_region's
+    domain Nation ⊆ Place), violating both declared disjoint pairs.
+    Corpus slice is semi-filtered to watched classes before the entity
+    self-join; disjoint pairs broadcast."""
+    from bran_spark.operators.reasoning import (
+        disjointness_audit,
+        rdfs_closure,
+    )
+
+    schema = spark.createDataFrame(_ONTOLOGY_ROWS, ["s", "p", "o"])
+    typed = rdfs_closure(_noisy_kg(spark, sf), schema)
+    disjoint = spark.createDataFrame(
+        [("Party", "Place"), ("Agent", "Locus")], ["cls_a", "cls_b"]
+    )
+    return disjointness_audit(typed, disjoint)
+
+
+@_q(
+    "q299_domain_conformance",
+    "WITH "
+    + _NOISY_KG_T_SQL
+    + ", "
+    + _RDFS_CTES
+    + """
+    , pm(prefix, cls) AS (VALUES
+        ('C', 'Customer'), ('C2', 'Customer'), ('C3', 'Customer'),
+        ('S', 'Supplier'), ('N', 'Nation'), ('R', 'Region'),
+        ('O', 'Order'), ('P', 'Part')),
+    tx AS (SELECT x.pred, d.cls0 AS domain, pm.cls AS subj_cls
+           FROM t x
+           JOIN dom d ON d.pred = x.pred
+           LEFT JOIN pm ON pm.prefix = split_part(x.subj, ':', 1)),
+    fl AS (SELECT tx.pred, tx.domain,
+                  (tx.subj_cls = tx.domain OR sc.s IS NOT NULL) AS ok
+           FROM tx LEFT JOIN subc sc
+             ON sc.s = tx.subj_cls AND sc.o = tx.domain)
+    SELECT pred, domain,
+           COUNT(*)::BIGINT AS n_triples,
+           CAST(COUNT(*) FILTER (WHERE ok) AS BIGINT) AS n_conforming,
+           ROUND(CAST(COUNT(*) FILTER (WHERE ok) AS DOUBLE) / COUNT(*),
+                 6) AS conformance
+    FROM fl GROUP BY pred, domain
+    """,
+)
+def q299(spark, sf):
+    """Declared-domain conformance per predicate
+    (reasoning.domain_conformance) on the dirtied KG: in_region drops
+    below 1.0 exactly by the mis-extracted supplier share (Supplier is
+    not a subclass of Nation); every other domained predicate stays at
+    1.0. Domain map, subclass closure and prefix map broadcast; one
+    predicate-keyed shuffle."""
+    from bran_spark.operators.reasoning import domain_conformance
+
+    schema = spark.createDataFrame(_ONTOLOGY_ROWS, ["s", "p", "o"])
+    prefix_map = spark.createDataFrame(
+        [
+            ("C", "Customer"), ("C2", "Customer"), ("C3", "Customer"),
+            ("S", "Supplier"), ("N", "Nation"), ("R", "Region"),
+            ("O", "Order"), ("P", "Part"),
+        ],
+        ["prefix", "cls"],
+    )
+    return domain_conformance(_noisy_kg(spark, sf), schema, prefix_map)
 
 
 # =========================================================================

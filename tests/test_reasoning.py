@@ -11,6 +11,8 @@ import pytest
 
 from bran_spark.operators.reasoning import (
     _transitive_closure_small,
+    disjointness_audit,
+    domain_conformance,
     property_path,
     rdfs_closure,
 )
@@ -110,6 +112,64 @@ class TestRdfsClosure:
             for r in rdfs_closure(triples, schema).collect()
         }
         assert got == {("c1", "Customer"): 2}
+
+
+class TestDisjointnessAudit:
+    def test_violation_found_and_clean_entity_silent(self, spark):
+        typed = spark.createDataFrame(
+            [
+                ("e1", "Party", 2), ("e1", "Place", 1),  # violates
+                ("e2", "Party", 1),                       # clean
+                ("e3", "Place", 1), ("e3", "Agent", 1),  # not a pair
+            ],
+            ["entity", "cls", "n_derivations"],
+        )
+        disjoint = spark.createDataFrame(
+            [("Party", "Place")], ["cls_a", "cls_b"]
+        )
+        got = {tuple(r) for r in disjointness_audit(typed, disjoint).collect()}
+        assert got == {("e1", "Party", "Place", 2, 1)}
+
+
+class TestDomainConformance:
+    def test_subclass_conforms_wrong_type_does_not(self, spark):
+        triples = spark.createDataFrame(
+            [
+                ("C:1", "in_nation", "N:1"),  # Customer ⊆ Party: ok
+                ("S:1", "in_nation", "N:1"),  # Supplier ⊆ Party: ok
+                ("N:1", "in_nation", "N:2"),  # Nation ⊄ Party: violation
+                ("Z:9", "in_nation", "N:3"),  # unmapped prefix: violation
+            ],
+            ["subj", "pred", "obj"],
+        )
+        schema = spark.createDataFrame(
+            [
+                ("in_nation", "domain", "Party"),
+                ("Customer", "subClassOf", "Party"),
+                ("Supplier", "subClassOf", "Party"),
+            ],
+            ["s", "p", "o"],
+        )
+        pm = spark.createDataFrame(
+            [("C", "Customer"), ("S", "Supplier"), ("N", "Nation")],
+            ["prefix", "cls"],
+        )
+        [r] = domain_conformance(triples, schema, pm).collect()
+        assert (r.pred, r.domain) == ("in_nation", "Party")
+        assert (r.n_triples, r.n_conforming, r.conformance) == (4, 2, 0.5)
+
+    def test_exact_domain_match(self, spark):
+        triples = spark.createDataFrame(
+            [("N:1", "in_region", "R:1")], ["subj", "pred", "obj"]
+        )
+        schema = spark.createDataFrame(
+            [("in_region", "domain", "Nation"),
+             ("Nation", "subClassOf", "Place")],
+            ["s", "p", "o"],
+        )
+        pm = spark.createDataFrame([("N", "Nation")], ["prefix", "cls"])
+        [r] = domain_conformance(triples, schema, pm).collect()
+        assert r.conformance == 1.0
 
 
 @pytest.fixture()
