@@ -9721,8 +9721,14 @@ def q231(spark, sf):
     fixture span corpus: docs bucketed by media-span count with average
     text-span count and text mass — the distribution every multimodal
     token-budget decision reads first. Pure JVM array math, no explode."""
+    from bran_spark.fixtures.gen import ensure
     from bran_spark.operators.multimodal import modality_mix_profile
 
+    # the twin SQL is pinned to the sf0.01 fixture (_FX01), so the Spark
+    # side reads the same dir — but must ENSURE it exists first rather
+    # than rely on an earlier fixture entry having generated it in this
+    # process (standalone q231 runs failed on fresh checkouts otherwise)
+    ensure(0.01)
     inter = spark.read.parquet(f"{_FX01}/documents_interleaved.parquet")
     return modality_mix_profile(inter)
 

@@ -288,3 +288,44 @@ def test_experiment_job_readout(tmp_path, testdata_dir):
     assert len(ucb) == 2 and sum(a["is_best"] for a in ucb) == 1
     for a in ucb:
         assert a["ucb"] >= a["mean"]
+
+
+def test_ontology_audit_job(tmp_path, testdata_dir):
+    """jobs/run_ontology_audit.py end-to-end: the clean lifted KG passes
+    every gate; the --dirty mis-extraction injection trips disjointness
+    AND domain conformance (worst pred = in_region), and
+    --fail-on-violations turns that into a non-zero exit."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(__file__))
+    out = str(tmp_path / "onto.json")
+    r = subprocess.run(
+        [sys.executable, "jobs/run_ontology_audit.py",
+         "--sf-dir", testdata_dir, "--master", "local[4]",
+         "--out", out, "--fail-on-violations"],
+        capture_output=True, text=True, timeout=600, cwd=repo,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    rep = json.loads(open(out).read())
+    assert rep["all_satisfied"] is True
+    assert rep["disjointness"]["n_violations"] == 0
+    assert rep["domain_conformance"]["min_conformance"] == 1.0
+    assert rep["closure"]["n_type_assertions"] > 0
+
+    r2 = subprocess.run(
+        [sys.executable, "jobs/run_ontology_audit.py",
+         "--sf-dir", testdata_dir, "--master", "local[4]",
+         "--dirty", "--fail-on-violations"],
+        capture_output=True, text=True, timeout=600, cwd=repo,
+    )
+    assert r2.returncode == 2, (r2.returncode, r2.stderr[-2000:])
+    rep2 = json.loads(r2.stdout.strip().splitlines()[-1])
+    assert rep2["disjointness"]["n_violations"] > 0
+    assert rep2["domain_conformance"]["worst_pred"] == "in_region"
+    assert rep2["domain_conformance"]["min_conformance"] < 1.0
+    # the noise is a minority of in_region rows: induced dominant type
+    # must still agree with the declared domain
+    assert rep2["induced_vs_declared"]["satisfied"] is True
