@@ -66,55 +66,39 @@ def _transitive_closure_small(
     )
 
 
-def rdfs_closure(
-    triples: DataFrame,
-    schema: DataFrame,
-    max_iters: int = 16,
-) -> DataFrame:
-    """RDFS entailment: materialize every (entity, class) type
-    assertion the schema licenses for a triple corpus.
-
-    Rules applied (RDFS standard rule names):
-    - rdfs7: p subPropertyOf q, (s p o) ⇒ (s q o) — via the CLOSURE of
-      subPropertyOf, so chains lift in one join.
-    - rdfs2: domain(p) = C, (s p o) ⇒ s type C.
-    - rdfs3: range(p) = C, (s p o) ⇒ o type C.
-    - rdfs9: C subClassOf D, e type C ⇒ e type D — via the CLOSURE of
-      subClassOf.
-
-    ``schema`` has columns (s, p, o) with p ∈ {subClassOf,
-    subPropertyOf, domain, range}; it is ontology-sized and broadcast.
-    ``triples`` has (subj, pred, obj) and is corpus-sized.
-
-    Output: one row per entailed (entity, cls) with ``n_derivations``
-    = the number of DISTINCT base derivations (pred, role ∈ {S, O},
-    base class) that support it — the provenance count a debugging
-    ontologist asks for first ("why is this order a Place?").
-
-    Plan shape: schema closures driver-looped on schema-sized data;
-    two broadcast joins attach domain/range classes to the (possibly
-    subproperty-lifted) corpus triples; one broadcast join lifts
-    through the subclass closure; ONE corpus shuffle (the groupBy on
-    (entity, cls))."""
-    sub_prop = _transitive_closure_small(
-        schema.where(F.col("p") == SUB_PROP).select(
-            F.col("s"), F.col("o")
+def prepare_ontology(schema: DataFrame, max_iters: int = 16) -> dict:
+    """Pre-close the ontology once: {'sub_prop', 'sub_cls', 'dom',
+    'rng'} DataFrames, all ontology-sized, ready to broadcast against
+    any number of corpus batches (the streaming incremental closure
+    computes this once, outside foreachBatch)."""
+    return {
+        "sub_prop": _transitive_closure_small(
+            schema.where(F.col("p") == SUB_PROP).select("s", "o"),
+            max_iters,
         ),
-        max_iters,
-    )
-    sub_cls = _transitive_closure_small(
-        schema.where(F.col("p") == SUB_CLASS).select(
-            F.col("s"), F.col("o")
+        "sub_cls": _transitive_closure_small(
+            schema.where(F.col("p") == SUB_CLASS).select("s", "o"),
+            max_iters,
         ),
-        max_iters,
-    )
-    dom = schema.where(F.col("p") == DOMAIN).select(
-        F.col("s").alias("pred"), F.col("o").alias("cls0")
-    )
-    rng = schema.where(F.col("p") == RANGE).select(
-        F.col("s").alias("pred"), F.col("o").alias("cls0")
-    )
+        "dom": schema.where(F.col("p") == DOMAIN).select(
+            F.col("s").alias("pred"), F.col("o").alias("cls0")
+        ),
+        "rng": schema.where(F.col("p") == RANGE).select(
+            F.col("s").alias("pred"), F.col("o").alias("cls0")
+        ),
+    }
 
+
+def rdfs_derivations(triples: DataFrame, onto: dict) -> DataFrame:
+    """Per-triple RDFS derivation rows (entity, cls, cls0, pred, role)
+    for a triple batch against a :func:`prepare_ontology` result —
+    the pre-aggregation stage of :func:`rdfs_closure`. RDFS rules are
+    per-triple, so this distributes over unions of batches: the closure
+    of a growing corpus is the DISTINCT-aggregated union of each
+    batch's derivations, which is what makes the incremental streaming
+    materialization exact."""
+    sub_prop, sub_cls = onto["sub_prop"], onto["sub_cls"]
+    dom, rng = onto["dom"], onto["rng"]
     # rdfs7: lift each corpus triple through the subPropertyOf closure
     # (keeping the original pred too). Corpus-side map-only: the
     # closure is broadcast.
@@ -157,17 +141,56 @@ def rdfs_closure(
         "role",
     )
     # a subclass row replaces the base row above; re-add the base class
-    typed = typed.unionByName(
+    return typed.unionByName(
         base.select(
             "entity", F.col("cls0").alias("cls"), "cls0", "pred", "role"
         )
     )
 
-    return typed.groupBy("entity", "cls").agg(
+
+def aggregate_closure(derivations: DataFrame) -> DataFrame:
+    """(entity, cls, n_derivations) from derivation rows; duplicates —
+    within a batch or across accumulated batches — collapse under the
+    DISTINCT, so re-aggregating a merged derivation store is exact."""
+    return derivations.groupBy("entity", "cls").agg(
         F.count_distinct("pred", "role", "cls0")
         .cast("long")
         .alias("n_derivations")
     )
+
+
+def rdfs_closure(
+    triples: DataFrame,
+    schema: DataFrame,
+    max_iters: int = 16,
+) -> DataFrame:
+    """RDFS entailment: materialize every (entity, class) type
+    assertion the schema licenses for a triple corpus.
+
+    Rules applied (RDFS standard rule names):
+    - rdfs7: p subPropertyOf q, (s p o) ⇒ (s q o) — via the CLOSURE of
+      subPropertyOf, so chains lift in one join.
+    - rdfs2: domain(p) = C, (s p o) ⇒ s type C.
+    - rdfs3: range(p) = C, (s p o) ⇒ o type C.
+    - rdfs9: C subClassOf D, e type C ⇒ e type D — via the CLOSURE of
+      subClassOf.
+
+    ``schema`` has columns (s, p, o) with p ∈ {subClassOf,
+    subPropertyOf, domain, range}; it is ontology-sized and broadcast.
+    ``triples`` has (subj, pred, obj) and is corpus-sized.
+
+    Output: one row per entailed (entity, cls) with ``n_derivations``
+    = the number of DISTINCT base derivations (pred, role ∈ {S, O},
+    base class) that support it — the provenance count a debugging
+    ontologist asks for first ("why is this order a Place?").
+
+    Plan shape: schema closures driver-looped on schema-sized data;
+    two broadcast joins attach domain/range classes to the (possibly
+    subproperty-lifted) corpus triples; one broadcast join lifts
+    through the subclass closure; ONE corpus shuffle (the groupBy on
+    (entity, cls))."""
+    onto = prepare_ontology(schema, max_iters)
+    return aggregate_closure(rdfs_derivations(triples, onto))
 
 
 def disjointness_audit(

@@ -501,3 +501,63 @@ def test_streaming_privacy_monitor_per_batch_census(spark, tmp_path):
     n = rep.count()
     streaming_privacy_monitor(spark, src, ck, out)  # idempotent catch-up
     assert spark.read.parquet(out).count() == n
+
+
+def test_streaming_rdfs_closure_matches_batch(spark, tmp_path):
+    """Incremental entailment (streaming_rdfs_closure) over two arrival
+    waves — with one triple REPEATED across waves and one derivation
+    reachable from two different triples — equals the batch
+    rdfs_closure on the union: the derivation store dedups at
+    re-aggregation, so nothing double-counts."""
+    from bran_spark.operators.reasoning import rdfs_closure
+    from bran_spark.streaming.incremental import (
+        read_entailed_closure,
+        streaming_rdfs_closure,
+    )
+
+    schema = spark.createDataFrame(
+        [
+            ("placed_by", "domain", "Order"),
+            ("placed_by", "range", "Customer"),
+            ("billed_to", "range", "Customer"),
+            ("Customer", "subClassOf", "Agent"),
+        ],
+        ["s", "p", "o"],
+    )
+    wave1 = [("o1", "placed_by", "c1"), ("o2", "placed_by", "c1")]
+    wave2 = [
+        ("o1", "placed_by", "c1"),   # exact repeat across waves
+        ("o3", "placed_by", "c2"),
+        ("o3", "billed_to", "c1"),   # second derivation path for c1
+    ]
+    src = tmp_path / "triples_in"
+    sink = str(tmp_path / "derivations")
+    ckpt = str(tmp_path / "ckpt")
+    cols = ["subj", "pred", "obj"]
+
+    spark.createDataFrame(wave1, cols).write.mode("append").parquet(str(src))
+    streaming_rdfs_closure(spark, str(src), schema, ckpt, sink)
+    # after wave 1 the closure covers wave-1 facts only
+    got1 = {
+        (r.entity, r.cls): r.n_derivations
+        for r in read_entailed_closure(spark, sink).collect()
+    }
+    assert got1[("c1", "Customer")] == 1 and ("o3", "Order") not in got1
+
+    spark.createDataFrame(wave2, cols).write.mode("append").parquet(str(src))
+    streaming_rdfs_closure(spark, str(src), schema, ckpt, sink)
+
+    stream = {
+        (r.entity, r.cls): r.n_derivations
+        for r in read_entailed_closure(spark, sink).collect()
+    }
+    batch = {
+        (r.entity, r.cls): r.n_derivations
+        for r in rdfs_closure(
+            spark.createDataFrame(wave1 + wave2, cols), schema
+        ).collect()
+    }
+    assert stream == batch
+    # c1 is a Customer via placed_by/O AND billed_to/O: two derivations
+    assert stream[("c1", "Customer")] == 2
+    assert stream[("c1", "Agent")] == 2
