@@ -169,6 +169,14 @@ def main() -> None:
         "q273_katz_centrality",
         "q281_scc",
         "q282_texttiling",
+        # r5 session-4 families: RDFS entailment closure (broadcast
+        # ontology joins + ONE corpus shuffle), sameAs canonical rewrite
+        # (components + two shuffle joins + provenance agg), and
+        # gaps-and-islands temporal coalescing (one window per
+        # high-cardinality key)
+        "q292_rdfs_closure",
+        "q294_sameas_rewrite",
+        "q295_temporal_coalesce",
     ]
     for name in bench_queries:
         t0 = time.time()

@@ -13823,7 +13823,16 @@ _FIRST_50 = [
     # and TextTiling segmentation, both new families this session)
     "q270_inverse_predicates", "q282_texttiling",
     "q217_cuped", "q213_boruvka_msf",
-    "q74_dedup_survivors", "q52_repetition_stats",
+    "q74_dedup_survivors",
+    # (r5 session-4 rotation: q52 repetition stats, q61 stratified
+    # sampling and q96 triple provenance — all hard-green in
+    # CORRECTNESS_r04 and stable since r2/r3 — rotate OUT to the mirror;
+    # their slots fund the TWO new session-4 families: ontology
+    # REASONING (RDFS entailment closure — the disjointness/conformance
+    # audits replay its derivation chain) and KG LIFECYCLE (sameAs
+    # canonical rewrite = components + provenance counting, and
+    # bottom-up schema induction))
+    "q292_rdfs_closure", "q294_sameas_rewrite", "q296_induce_schema",
     # KG-fusion family (round-3 session additions): AMIE rule mining and
     # truth discovery are its two distinct algorithm shapes (inference
     # q143 / alignment q142 / profile q145 / incremental q141 /
@@ -13865,13 +13874,13 @@ _FIRST_50 = [
     # 2-hop feature pre-propagation)
     "q56_pagerank", "q249_feature_propagation", "q160_lin_similarity",
     # KG provenance + eval-CI (round-3 families)
-    "q96_triple_provenance", "q101_bootstrap_prf",
+    "q101_bootstrap_prf",
     # KG-embedding eval family (r5, new): filtered TransE ranking takes
     # the slot of the long-stable q93_doc_chunking (mirror-covered)
     "q248_transe_eval",
     # sampling family (negative sampling q65 stays mirror-covered; its
     # slot funds the Fellegi-Sunter linkage family, new this round)
-    "q61_stratified_sample", "q165_fs_linkage",
+    "q165_fs_linkage",
     # as-of / CDC / reconciliation family: long-stable relational basics
     # q41_asof_join and q67_merge_latest rotate OUT to the mirror in r4
     # (VERDICT r3 #6) — their slots funded the session-6 privacy-census

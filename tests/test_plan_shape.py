@@ -573,3 +573,37 @@ def test_session3_kg_ops_broadcast_dims_no_cartesian(spark, testdata_dir):
     for name in ["q270_inverse_predicates", "q271_entity_summarization"]:
         plan = _plan(QUERIES[name](spark, testdata_dir))
         assert "BroadcastHashJoin" in plan, name
+
+
+def test_r5_reasoning_lifecycle_ops_stay_jvm_side(spark, testdata_dir):
+    """Session-4 reasoning + lifecycle families are pure JVM relational
+    plans: no Python stage, no cartesian product anywhere. (q294's canon
+    map attach is ALLOWED to broadcast at test scale — the design claim
+    is only that it does not REQUIRE it.)"""
+    for name in [
+        "q292_rdfs_closure",
+        "q293_property_path",
+        "q294_sameas_rewrite",
+        "q295_temporal_coalesce",
+        "q296_induce_schema",
+        "q297_kg_diff",
+        "q298_disjointness_audit",
+        "q299_domain_conformance",
+    ]:
+        plan = _plan(QUERIES[name](spark, testdata_dir))
+        assert "Python" not in plan, name
+        assert "CartesianProduct" not in plan, name
+
+
+def test_temporal_coalesce_window_is_key_partitioned(spark, testdata_dir):
+    """q295's island window must be partitioned by the triple key — a
+    global (empty-partition) window would serialize the corpus onto one
+    task at 100 TB."""
+    plan = _plan(QUERIES["q295_temporal_coalesce"](spark, testdata_dir))
+    import re
+
+    w = re.search(r"Window \[.*partitionBy=\[([^\]]*)\]", plan)
+    if w is None:  # formatted plans differ across versions; fall back
+        assert "partitionBy=[]" not in plan
+    else:
+        assert w.group(1).strip() != ""
