@@ -54,8 +54,11 @@ def sameas_rewrite(
 
     Both joins are left joins — entities with no sameAs statement keep
     their own id — and both are shuffle joins by design (see module
-    scale notes)."""
-    canon = connected_components(sameas, src=src, dst=dst)
+    scale notes). The canonical map is persisted: it is consumed by BOTH
+    joins, and its closing distinct would otherwise re-shuffle per
+    consumption (the star-contraction rounds themselves are
+    localCheckpointed inside connected_components and never replay)."""
+    canon = connected_components(sameas, src=src, dst=dst).persist()
     rewritten = (
         triples.select(
             F.col("subj").alias("subj0"),

@@ -99,15 +99,21 @@ def rdfs_derivations(triples: DataFrame, onto: dict) -> DataFrame:
     materialization exact."""
     sub_prop, sub_cls = onto["sub_prop"], onto["sub_cls"]
     dom, rng = onto["dom"], onto["rng"]
+    # The input is consumed TWICE here (raw + subproperty-lifted) and the
+    # lifted frame twice more below (domain + range attach), so a lazy
+    # ``triples`` subtree would re-execute up to 4×; persisting it once
+    # keeps the corpus scan single-pass (same fix as AMIE's lifted KG —
+    # q292 at sf0.1 dropped ~7× with this + the lifted persist).
+    t = triples.select("subj", "pred", "obj").persist()
     # rdfs7: lift each corpus triple through the subPropertyOf closure
     # (keeping the original pred too). Corpus-side map-only: the
     # closure is broadcast.
-    lifted = triples.select("subj", "pred", "obj").unionByName(
-        triples.join(
+    lifted = t.unionByName(
+        t.join(
             F.broadcast(sub_prop.withColumnRenamed("s", "pred")),
             "pred",
         ).select("subj", F.col("o").alias("pred"), "obj")
-    )
+    ).persist()
 
     # rdfs2 + rdfs3: base type assertions with (pred, role) provenance.
     base = (
@@ -128,23 +134,25 @@ def rdfs_derivations(triples: DataFrame, onto: dict) -> DataFrame:
         )
     )
 
-    # rdfs9: every base class also asserts its superclasses. Reflexive
-    # step added explicitly so base classes survive the same path.
-    cls_lift = sub_cls.withColumnRenamed("s", "cls0").withColumnRenamed(
-        "o", "cls"
+    # rdfs9: every base class also asserts its superclasses. The class
+    # map is REFLEXIVE-closed on the ontology side (every domain/range
+    # class maps to itself, plus its subClassOf closure), so one INNER
+    # broadcast join covers both the base class and its superclasses —
+    # a single pass over the corpus-sized ``base`` instead of the
+    # left-join-plus-union formulation's two.
+    refl = (
+        dom.select("cls0")
+        .unionByName(rng.select("cls0"))
+        .distinct()
+        .withColumn("cls", F.col("cls0"))
     )
-    typed = base.join(F.broadcast(cls_lift), "cls0", "left").select(
-        "entity",
-        F.coalesce(F.col("cls"), F.col("cls0")).alias("cls"),
-        "cls0",
-        "pred",
-        "role",
-    )
-    # a subclass row replaces the base row above; re-add the base class
-    return typed.unionByName(
-        base.select(
-            "entity", F.col("cls0").alias("cls"), "cls0", "pred", "role"
+    cls_map = refl.unionByName(
+        sub_cls.withColumnRenamed("s", "cls0").withColumnRenamed(
+            "o", "cls"
         )
+    )
+    return base.join(F.broadcast(cls_map), "cls0").select(
+        "entity", "cls", "cls0", "pred", "role"
     )
 
 
