@@ -219,7 +219,10 @@ def disjointness_audit(
         .unionByName(disjoint.select(F.col("cls_b").alias("cls")))
         .distinct()
     )
-    slim = typed.join(F.broadcast(watch), "cls")
+    # persisted: both self-join sides read it, and a lazy ``typed`` is
+    # usually a full rdfs_closure plan — replaying that twice doubles
+    # the audit's cost for no reason
+    slim = typed.join(F.broadcast(watch), "cls").persist()
     a = slim.select(
         "entity",
         F.col("cls").alias("cls_a"),
