@@ -110,8 +110,19 @@ def coalesce_intervals(
     The running max over *earlier rows only* (rowsBetween(-inf, -1)) is
     what makes a contained interval (late start, early end) merge
     correctly — comparing against the previous row's end alone would
-    split islands whenever a long interval swallows short ones."""
+    split islands whenever a long interval swallows short ones.
+
+    EXACT-duplicate intervals are pre-aggregated to one row with a
+    count before the window pass. This is not just a row-count saving:
+    it makes the (start, end) ordering TOTAL within each key group, so
+    the opens marker and the cumulative island sum can never disagree
+    about tie order — a ROWS frame over an ordering with ties is
+    engine-nondeterministic (found as a once-in-many-runs island
+    misassignment in the DuckDB twin)."""
     keys = list(keys)
+    pre = df.groupBy(*keys, start, end).agg(
+        F.count(F.lit(1)).cast("long").alias("_cnt")
+    )
     w = Window.partitionBy(*keys).orderBy(start, end)
     prev_max = F.max(end).over(
         w.rowsBetween(Window.unboundedPreceding, -1)
@@ -123,13 +134,12 @@ def coalesce_intervals(
         w.rowsBetween(Window.unboundedPreceding, 0)
     )
     return (
-        df.select(*keys, start, end)
-        .withColumn("_island", island)
+        pre.withColumn("_island", island)
         .groupBy(*keys, "_island")
         .agg(
             F.min(start).alias("valid_from"),
             F.max(end).alias("valid_to"),
-            F.count(F.lit(1)).cast("long").alias("n_merged"),
+            F.sum("_cnt").cast("long").alias("n_merged"),
         )
         .drop("_island")
     )

@@ -13624,13 +13624,17 @@ def q294(spark, sf):
 @_q(
     "q295_temporal_coalesce",
     """
-    WITH iv AS (SELECT 'S:' || CAST(l_suppkey AS VARCHAR) AS subj,
-                       'supplies' AS pred,
-                       'P:' || CAST(l_partkey % 100 AS VARCHAR) AS obj,
-                       l_shipdate AS s,
-                       l_shipdate
-                         + to_days(CAST(l_quantity AS INT)) AS e
-                FROM lineitem),
+    WITH iv0 AS (SELECT 'S:' || CAST(l_suppkey AS VARCHAR) AS subj,
+                        'supplies' AS pred,
+                        'P:' || CAST(l_partkey % 100 AS VARCHAR) AS obj,
+                        l_shipdate AS s,
+                        l_shipdate
+                          + to_days(CAST(l_quantity AS INT)) AS e
+                 FROM lineitem),
+    -- pre-aggregate exact duplicates: makes (s, e) a TOTAL order per
+    -- key, so the two window passes below can never disagree on ties
+    iv AS (SELECT subj, pred, obj, s, e, COUNT(*)::BIGINT AS cnt
+           FROM iv0 GROUP BY subj, pred, obj, s, e),
     marked AS (SELECT *,
                  CASE WHEN s > MAX(e) OVER (
                         PARTITION BY subj, pred, obj ORDER BY s, e
@@ -13647,7 +13651,7 @@ def q294(spark, sf):
             FROM marked)
     SELECT subj, pred, obj,
            MIN(s) AS valid_from, MAX(e) AS valid_to,
-           COUNT(*)::BIGINT AS n_merged
+           SUM(cnt)::BIGINT AS n_merged
     FROM isl GROUP BY subj, pred, obj, island
     """,
 )

@@ -87,6 +87,27 @@ class TestCoalesceIntervals:
         got = _rows(coalesce_intervals(df))
         assert got == {("s", "p", "o", d(2020, 1, 1), d(2020, 1, 25), 3)}
 
+    def test_exact_duplicate_intervals_total_order(self, spark):
+        # two IDENTICAL intervals tie in the window ordering; the
+        # pre-aggregation must keep them in ONE island with n_merged=2
+        # regardless of engine tie order (regression: the DuckDB twin
+        # misassigned the tied row to the previous island once in a
+        # while before duplicates were pre-aggregated)
+        d = dt.date
+        df = spark.createDataFrame(
+            [
+                ("s", "p", "o", d(2020, 1, 1), d(2020, 2, 1)),
+                ("s", "p", "o", d(2020, 6, 1), d(2020, 6, 10)),
+                ("s", "p", "o", d(2020, 6, 1), d(2020, 6, 10)),
+            ],
+            ["subj", "pred", "obj", "valid_from", "valid_to"],
+        )
+        got = _rows(coalesce_intervals(df))
+        assert got == {
+            ("s", "p", "o", d(2020, 1, 1), d(2020, 2, 1), 1),
+            ("s", "p", "o", d(2020, 6, 1), d(2020, 6, 10), 2),
+        }
+
     def test_groups_independent(self, spark):
         d = dt.date
         df = spark.createDataFrame(
