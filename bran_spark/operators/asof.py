@@ -259,12 +259,23 @@ def coalesce_intervals(
     scans; skewed keys fall under the standard salting/AQE story.
     Output: keys + (valid_from, valid_to, n_claims). Rows with a NULL
     endpoint or end < start are the caller's problem (pre-filter like
-    sessions.bucketed_interval_join documents)."""
+    sessions.bucketed_interval_join documents).
+
+    EXACT-duplicate claims are pre-aggregated to one row with a count
+    before the window pass: besides shrinking the window input, it
+    makes the (start, end) ordering TOTAL within each key, so the
+    island marker and the cumulative island sum can never disagree
+    about tie order — two window passes over an ordering with ties are
+    engine-nondeterministic (caught as a rare island misassignment in
+    the q295 DuckDB twin; same construction here)."""
+    pre = df.groupBy(*keys, start_col, end_col).agg(
+        F.count(F.lit(1)).cast("long").alias("_cnt")
+    )
     w = Window.partitionBy(*keys).orderBy(start_col, end_col)
     prev_max_end = F.max(end_col).over(
         w.rowsBetween(Window.unboundedPreceding, -1)
     )
-    marked = df.withColumn(
+    marked = pre.withColumn(
         "_new_island",
         F.when(
             prev_max_end.isNull() | (F.col(start_col) > prev_max_end),
@@ -282,7 +293,7 @@ def coalesce_intervals(
         .agg(
             F.min(start_col).alias("valid_from"),
             F.max(end_col).alias("valid_to"),
-            F.count(F.lit(1)).cast("long").alias("n_claims"),
+            F.sum("_cnt").cast("long").alias("n_claims"),
         )
         .drop("_island")
     )

@@ -112,36 +112,16 @@ def coalesce_intervals(
     correctly — comparing against the previous row's end alone would
     split islands whenever a long interval swallows short ones.
 
-    EXACT-duplicate intervals are pre-aggregated to one row with a
-    count before the window pass. This is not just a row-count saving:
-    it makes the (start, end) ordering TOTAL within each key group, so
-    the opens marker and the cumulative island sum can never disagree
-    about tie order — a ROWS frame over an ordering with ties is
-    engine-nondeterministic (found as a once-in-many-runs island
-    misassignment in the DuckDB twin)."""
-    keys = list(keys)
-    pre = df.groupBy(*keys, start, end).agg(
-        F.count(F.lit(1)).cast("long").alias("_cnt")
+    Thin delegate to asof.coalesce_intervals — the canonical
+    gaps-and-islands implementation, including the exact-duplicate
+    pre-aggregation that keeps the island windows' tie order total —
+    with the provenance count exposed as ``n_merged``."""
+    from bran_spark.operators.asof import (
+        coalesce_intervals as _coalesce,
     )
-    w = Window.partitionBy(*keys).orderBy(start, end)
-    prev_max = F.max(end).over(
-        w.rowsBetween(Window.unboundedPreceding, -1)
-    )
-    opens = F.when(
-        prev_max.isNull() | (F.col(start) > prev_max), 1
-    ).otherwise(0)
-    island = F.sum(opens).over(
-        w.rowsBetween(Window.unboundedPreceding, 0)
-    )
-    return (
-        pre.withColumn("_island", island)
-        .groupBy(*keys, "_island")
-        .agg(
-            F.min(start).alias("valid_from"),
-            F.max(end).alias("valid_to"),
-            F.sum("_cnt").cast("long").alias("n_merged"),
-        )
-        .drop("_island")
+
+    return _coalesce(df, list(keys), start, end).withColumnRenamed(
+        "n_claims", "n_merged"
     )
 
 

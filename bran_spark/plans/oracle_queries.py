@@ -6598,12 +6598,16 @@ def q161(spark, sf):
 @_q(
     "q162_coalesce_intervals",
     """
-    WITH c AS (SELECT 'O:' || l_orderkey AS subj, 'ships' AS pred,
-                      'S:' || l_suppkey AS obj,
-                      CAST(l_shipdate AS DATE) AS f,
-                      CAST(l_shipdate AS DATE) + 10 AS t
-               FROM lineitem),
-    m AS (SELECT subj, pred, obj, f, t,
+    WITH c0 AS (SELECT 'O:' || l_orderkey AS subj, 'ships' AS pred,
+                       'S:' || l_suppkey AS obj,
+                       CAST(l_shipdate AS DATE) AS f,
+                       CAST(l_shipdate AS DATE) + 10 AS t
+                FROM lineitem),
+    -- pre-aggregate exact duplicates: makes (f, t) a TOTAL order per
+    -- key, so the two window passes below can never disagree on ties
+    c AS (SELECT subj, pred, obj, f, t, COUNT(*)::BIGINT AS cnt
+          FROM c0 GROUP BY subj, pred, obj, f, t),
+    m AS (SELECT subj, pred, obj, f, t, cnt,
                  CASE WHEN MAX(t) OVER (PARTITION BY subj, pred, obj
                             ORDER BY f, t
                             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
@@ -6618,7 +6622,7 @@ def q161(spark, sf):
                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
           FROM m)
     SELECT subj, pred, obj, MIN(f) AS valid_from, MAX(t) AS valid_to,
-           CAST(COUNT(*) AS BIGINT) AS n_claims
+           SUM(cnt)::BIGINT AS n_claims
     FROM i GROUP BY subj, pred, obj, island
     """,
 )
