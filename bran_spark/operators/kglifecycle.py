@@ -139,8 +139,11 @@ def induce_schema(triples: DataFrame, sep: str = ":") -> DataFrame:
     subclass of its declared domain is mis-extracted)."""
     base = triples.select(
         "pred",
-        F.split(F.col("subj"), sep).getItem(0).alias("s_type"),
-        F.split(F.col("obj"), sep).getItem(0).alias("o_type"),
+        # substring_index = LITERAL separator (F.split takes a regex;
+        # a metachar sep would mis-split every id); twin uses the
+        # equally-literal split_part
+        F.substring_index(F.col("subj"), sep, 1).alias("s_type"),
+        F.substring_index(F.col("obj"), sep, 1).alias("o_type"),
         "subj",
         "obj",
     )

@@ -89,31 +89,46 @@ def prepare_ontology(schema: DataFrame, max_iters: int = 16) -> dict:
     }
 
 
-def rdfs_derivations(triples: DataFrame, onto: dict) -> DataFrame:
+def rdfs_derivations(
+    triples: DataFrame, onto: dict, persist: bool = True
+) -> DataFrame:
     """Per-triple RDFS derivation rows (entity, cls, cls0, pred, role)
     for a triple batch against a :func:`prepare_ontology` result —
     the pre-aggregation stage of :func:`rdfs_closure`. RDFS rules are
     per-triple, so this distributes over unions of batches: the closure
     of a growing corpus is the DISTINCT-aggregated union of each
     batch's derivations, which is what makes the incremental streaming
-    materialization exact."""
+    materialization exact.
+
+    ``persist=True`` (batch default) caches the two multiply-consumed
+    frames for the life of the session (the AMIE precedent — a handful
+    of InMemoryRelations per job). Pass ``persist=False`` from
+    PER-BATCH contexts (foreachBatch): there each call would otherwise
+    pin two more cache entries forever, growing storage with every
+    micro-batch, and re-scanning one micro-batch is cheaper than that."""
     sub_prop, sub_cls = onto["sub_prop"], onto["sub_cls"]
     dom, rng = onto["dom"], onto["rng"]
+
+    def _pin(df: DataFrame) -> DataFrame:
+        return df.persist() if persist else df
+
     # The input is consumed TWICE here (raw + subproperty-lifted) and the
     # lifted frame twice more below (domain + range attach), so a lazy
     # ``triples`` subtree would re-execute up to 4×; persisting it once
     # keeps the corpus scan single-pass (same fix as AMIE's lifted KG —
     # q292 at sf0.1 dropped ~7× with this + the lifted persist).
-    t = triples.select("subj", "pred", "obj").persist()
+    t = _pin(triples.select("subj", "pred", "obj"))
     # rdfs7: lift each corpus triple through the subPropertyOf closure
     # (keeping the original pred too). Corpus-side map-only: the
     # closure is broadcast.
-    lifted = t.unionByName(
-        t.join(
-            F.broadcast(sub_prop.withColumnRenamed("s", "pred")),
-            "pred",
-        ).select("subj", F.col("o").alias("pred"), "obj")
-    ).persist()
+    lifted = _pin(
+        t.unionByName(
+            t.join(
+                F.broadcast(sub_prop.withColumnRenamed("s", "pred")),
+                "pred",
+            ).select("subj", F.col("o").alias("pred"), "obj")
+        )
+    )
 
     # rdfs2 + rdfs3: base type assertions with (pred, role) provenance.
     base = (
@@ -267,7 +282,11 @@ def domain_conformance(
     flagged = (
         triples.join(F.broadcast(dom), "pred")
         .withColumn(
-            "_prefix", F.split(F.col("subj"), sep).getItem(0)
+            # substring_index is a LITERAL separator (F.split takes a
+            # Java regex — a '.' or '|' sep would silently split on
+            # every char and zero out conformance); matches the twin's
+            # literal split_part
+            "_prefix", F.substring_index(F.col("subj"), sep, 1)
         )
         .join(
             F.broadcast(

@@ -557,8 +557,12 @@ def streaming_rdfs_closure(
     ).parquet(triples_dir)
 
     def _entail(batch: DataFrame, batch_id: int) -> None:
+        # persist=False: a per-batch persist would pin two more cache
+        # entries EVERY micro-batch with nothing ever unpersisting them
+        # (storage grows with the whole ingested corpus on a continuous
+        # run); re-scanning one micro-batch twice is the cheaper trade
         (
-            rdfs_derivations(batch, onto)
+            rdfs_derivations(batch, onto, persist=False)
             .distinct()
             .write.mode("append")
             .parquet(derivations_dir)

@@ -124,19 +124,17 @@ def main() -> None:
         [(s, o) for s, p, o in _ONTOLOGY_ROWS if p == "domain"],
         ["pred", "domain"],
     )
-    subc = spark.createDataFrame(
-        [(s, o) for s, p, o in _ONTOLOGY_ROWS if p == "subClassOf"],
-        ["sub", "sup"],
-    )
-    # literal ontology is 2-deep: one self-join closes it
-    subc_closed = subc.unionByName(
-        subc.alias("a")
-        .join(
-            subc.alias("b"),
-            F.col("a.sup") == F.col("b.sub"),
+    # full transitive closure via the reasoning helper — a hand-rolled
+    # depth-2 self-join would silently go incomplete the day the
+    # ontology deepens, flipping induced_vs_declared red on a clean KG
+    from bran_spark.operators.reasoning import _transitive_closure_small
+
+    subc_closed = _transitive_closure_small(
+        spark.createDataFrame(
+            [(s, o) for s, p, o in _ONTOLOGY_ROWS if p == "subClassOf"],
+            ["s", "o"],
         )
-        .select(F.col("a.sub").alias("sub"), F.col("b.sup").alias("sup"))
-    ).distinct()
+    ).select(F.col("s").alias("sub"), F.col("o").alias("sup"))
     cmp = (
         induced.join(dom, "pred")
         .join(
