@@ -1,6 +1,12 @@
 PY ?= python
 
-.PHONY: test oracle bench scaling plans dist golden fixtures clean
+.PHONY: test oracle bench scaling plans dist golden fixtures clean gates
+
+# the three composed release gates (privacy, ontology QA, publish) at sf0.01
+gates:
+	$(PY) jobs/run_privacy_gate.py --sf-dir /root/testdata/sf0.01 --master local[8]
+	$(PY) jobs/run_ontology_audit.py --sf-dir /root/testdata/sf0.01 --master local[8] --fail-on-violations
+	$(PY) jobs/run_kg_publish.py --sf 0.01 --master local[8] --fail-on-violations
 
 test:
 	$(PY) -m pytest tests/ -x -q
