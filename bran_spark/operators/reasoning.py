@@ -216,6 +216,37 @@ def rdfs_closure(
     return aggregate_closure(rdfs_derivations(triples, onto))
 
 
+def materialize_inverses(
+    triples: DataFrame, inverses: DataFrame
+) -> DataFrame:
+    """owl:inverseOf materialization: for every declared (pred,
+    inv_pred) pair, emit the (obj, inv_pred, subj) triples the corpus
+    LICENSES but does not yet assert — the completion step after
+    q270-style inverse-predicate DETECTION promotes a discovered pair
+    into the ontology. A symmetric property (owl:SymmetricProperty) is
+    the self-pair (p, p).
+
+    ``inverses`` is ontology-sized and broadcast; candidates are one
+    map-side join, and the only corpus shuffle is the (s, p, o)
+    anti-join that suppresses already-asserted facts. Output: the
+    MATERIALIZED triples only (union with the input to get the
+    completed KG)."""
+    cand = (
+        triples.join(F.broadcast(inverses), "pred")
+        .select(
+            F.col("obj").alias("subj"),
+            F.col("inv_pred").alias("pred"),
+            F.col("subj").alias("obj"),
+        )
+        .distinct()
+    )
+    return cand.join(
+        triples.select("subj", "pred", "obj"),
+        ["subj", "pred", "obj"],
+        "left_anti",
+    )
+
+
 def disjointness_audit(
     typed: DataFrame, disjoint: DataFrame
 ) -> DataFrame:

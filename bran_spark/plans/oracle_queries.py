@@ -13527,6 +13527,61 @@ def q299(spark, sf):
     return domain_conformance(_noisy_kg(spark, sf), schema, prefix_map)
 
 
+@_q(
+    "q300_inverse_materialize",
+    _KG_TRIPLES_SQL
+    + f"""
+    , coin AS (SELECT subj, pred, obj, {_hex8("h")} % 20 AS c
+               FROM (SELECT subj, pred, obj,
+                            md5(subj || '|' || pred || '|' || obj) AS h
+                     FROM t)),
+    kg AS (SELECT subj, pred, obj FROM t
+           UNION ALL
+           SELECT obj AS subj, 'supplies' AS pred, subj AS obj
+           FROM coin WHERE pred = 'supplied_by' AND c = 1),
+    inv(pred, inv_pred) AS (VALUES ('supplied_by', 'supplies')),
+    cand AS (SELECT DISTINCT k.obj AS subj, i.inv_pred AS pred,
+                    k.subj AS obj
+             FROM kg k JOIN inv i ON i.pred = k.pred)
+    SELECT c.subj, c.pred, c.obj FROM cand c
+    WHERE NOT EXISTS (SELECT 1 FROM kg g
+                      WHERE g.subj = c.subj AND g.pred = c.pred
+                        AND g.obj = c.obj)
+    """,
+)
+def q300(spark, sf):
+    """owl:inverseOf materialization (reasoning.materialize_inverses)
+    over a KG where the 'supplies' inverse of supplied_by is only
+    PARTIALLY asserted (the q297-style md5-coin c==1 slice): the
+    operator must emit exactly the missing reversals and suppress the
+    asserted ones. Inverse map broadcast; one (s, p, o) anti-join."""
+    from bran_spark.operators.reasoning import materialize_inverses
+
+    t = _kg_relational_triples(spark, sf)
+    coin = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws("|", "subj", "pred", "obj")), 1, 8
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 20
+    )
+    tc = t.withColumn("c", coin)
+    kg = t.unionByName(
+        tc.where((F.col("pred") == "supplied_by") & (F.col("c") == 1)).select(
+            F.col("obj").alias("subj"),
+            F.lit("supplies").alias("pred"),
+            F.col("subj").alias("obj"),
+        )
+    )
+    inverses = spark.createDataFrame(
+        [("supplied_by", "supplies")], ["pred", "inv_pred"]
+    )
+    return materialize_inverses(kg, inverses)
+
+
 # =========================================================================
 # §x KG lifecycle (sameAs merge, temporal coalescing, schema induction,
 #    snapshot diff) — operators/kglifecycle.py

@@ -240,3 +240,48 @@ class TestPropertyPath:
     def test_unknown_op_raises(self, spark, kg):
         with pytest.raises(ValueError, match="unknown path op"):
             property_path(kg, ("star", "placed_by"))
+
+
+class TestMaterializeInverses:
+    def _mk(self, spark, rows):
+        return spark.createDataFrame(rows, ["subj", "pred", "obj"])
+
+    def test_missing_reversals_only(self, spark):
+        from bran_spark.operators.reasoning import materialize_inverses
+
+        kg = self._mk(spark, [
+            ("p1", "supplied_by", "s1"),
+            ("p2", "supplied_by", "s2"),
+            ("s2", "supplies", "p2"),   # already asserted: suppressed
+        ])
+        inv = spark.createDataFrame(
+            [("supplied_by", "supplies")], ["pred", "inv_pred"]
+        )
+        got = {tuple(r) for r in materialize_inverses(kg, inv).collect()}
+        assert got == {("s1", "supplies", "p1")}
+
+    def test_symmetric_property_self_pair(self, spark):
+        from bran_spark.operators.reasoning import materialize_inverses
+
+        kg = self._mk(spark, [
+            ("a", "adjacent_to", "b"),
+            ("b", "adjacent_to", "a"),  # symmetric already closed
+            ("c", "adjacent_to", "d"),  # missing its mirror
+        ])
+        inv = spark.createDataFrame(
+            [("adjacent_to", "adjacent_to")], ["pred", "inv_pred"]
+        )
+        got = {tuple(r) for r in materialize_inverses(kg, inv).collect()}
+        assert got == {("d", "adjacent_to", "c")}
+
+    def test_duplicate_assertions_yield_one_candidate(self, spark):
+        from bran_spark.operators.reasoning import materialize_inverses
+
+        kg = self._mk(spark, [
+            ("p1", "supplied_by", "s1"),
+            ("p1", "supplied_by", "s1"),
+        ])
+        inv = spark.createDataFrame(
+            [("supplied_by", "supplies")], ["pred", "inv_pred"]
+        )
+        assert materialize_inverses(kg, inv).count() == 1
