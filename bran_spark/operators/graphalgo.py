@@ -837,6 +837,15 @@ def composition_body(t1: DataFrame, t2: DataFrame | None = None) -> DataFrame:
             "mid",
         )
         .select("p1", "p2", "x", "z")
+        # (x, z)-keyed exchange BEFORE the distinct (r06, guide §2.4):
+        # hash-partitioning on (x, z) clusters every duplicate
+        # (p1, p2, x, z) into one partition, so the DISTINCT aggregates
+        # locally with NO second exchange — and the head-attach equi-join
+        # on (x, z) downstream (mine_path_rules' support pass) reuses the
+        # partitioning outright, turning two full body shuffles into one.
+        # (Map-side pre-dedup of the old plain distinct reduced the body
+        # by <7% at sf0.1, so the raw-row exchange costs almost the same.)
+        .repartition("x", "z")
         .distinct()
     )
 
@@ -846,6 +855,7 @@ def mine_path_rules(
     min_support: int = 1,
     max_mid_deg: int | None = None,
     body: DataFrame | None = None,
+    assume_distinct: bool = False,
 ) -> DataFrame:
     """AMIE-style closed horn rules of the composition shape
     ``p1(x, y) AND p2(y, z) => p3(x, z)`` with their standard support and
@@ -883,8 +893,16 @@ def mine_path_rules(
     replays cost ~2 s and ~5.5 s per extra evaluation respectively). A
     CALLER-passed body is left untouched: q143 measured its wider
     mine-then-apply plan and lazy recompute won there (see its note).
+
+    ``assume_distinct=True`` skips the defensive input DISTINCT (one
+    full (subj, pred, obj) shuffle) — pass it when the caller's triple
+    view is distinct by construction (e.g. the lifted relational KG,
+    whose per-branch PK-dedup guarantees it).
     """
-    t = triples.select("subj", "pred", "obj").distinct().persist()
+    t = triples.select("subj", "pred", "obj")
+    if not assume_distinct:
+        t = t.distinct()
+    t = t.persist()
     if body is None:
         t1 = t
         t2 = t
@@ -930,10 +948,18 @@ def mine_path_rules(
     heads = t.select(
         F.col("pred").alias("p3"), F.col("subj").alias("x")
     ).distinct()
+    # pca_body = Σ_x |body rows (p1, p2, x, ·)| · 1[x has some p3 edge]:
+    # pre-aggregating body to (p1, p2, x) counts BEFORE the head attach
+    # (r06, guide §2.3 "aggregate before you shuffle") shuffles the
+    # ~|distinct (p1, p2, x)| reduced table instead of the full body —
+    # the sum over the join is identical to counting join rows.
+    bx = body.groupBy("p1", "p2", "x").agg(
+        F.count(F.lit(1)).alias("_bn")
+    )
     pca_n = (
-        body.join(heads, "x")
+        bx.join(heads, "x")
         .groupBy("p1", "p2", "p3")
-        .agg(F.count(F.lit(1)).cast("long").alias("pca_body"))
+        .agg(F.sum("_bn").cast("long").alias("pca_body"))
     )
     return (
         supp.join(body_n, ["p1", "p2"])

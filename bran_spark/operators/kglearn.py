@@ -71,6 +71,7 @@ def transe_rank_eval(
     hits_k: int = 10,
     cand_sample_mod: int | None = None,
     model: str = "transe",
+    assume_distinct: bool = False,
 ) -> DataFrame:
     """Filtered link-prediction ranking eval (TransE protocol, Bordes et
     al. 2013): for each sampled test triple (s, p, o), score every
@@ -99,8 +100,14 @@ def transe_rank_eval(
     # costs ~2 s/evaluation at sf0.1. An InMemoryRelation keeps Catalyst's
     # DeduplicateRelations on its standard cached-self-join path — a
     # LogicalRDD leaf (localCheckpoint) reused 3× is exactly the
-    # relation-dedup landmine the comments below document
-    trip = triples.select("subj", "pred", "obj").distinct().persist()
+    # relation-dedup landmine the comments below document.
+    # assume_distinct=True skips the defensive DISTINCT shuffle for
+    # callers whose triple view is distinct by construction (the lifted
+    # relational KG) — the persist stays either way.
+    trip = triples.select("subj", "pred", "obj")
+    if not assume_distinct:
+        trip = trip.distinct()
+    trip = trip.persist()
     # single-reference entity pool (explode, not a two-branch union): the
     # input relation already appears 3× in this plan (test, filter,
     # pool); a 4th copy trips Catalyst's relation dedup on in-memory

@@ -621,7 +621,9 @@ def bgp_match(
     return out.distinct() if distinct else out
 
 
-def entity_summarization(triples: DataFrame, k: int = 3) -> DataFrame:
+def entity_summarization(
+    triples: DataFrame, k: int = 3, assume_distinct: bool = False
+) -> DataFrame:
     """Top-k fact summarization per entity (RELIN / FACES lineage,
     Cheng et al. 2011): rank every (pred, obj) fact of a subject by
     informativeness and keep the k most distinctive — the entity-card
@@ -643,8 +645,16 @@ def entity_summarization(triples: DataFrame, k: int = 3) -> DataFrame:
     self-joins, no collect.
 
     Output: (subj, rank, pred, obj, n_pred, n_po) — exact integers; the
-    nats score is ln(N²/(n_pred·n_po)) if a display layer wants it."""
-    t = triples.select("subj", "pred", "obj").distinct()
+    nats score is ln(N²/(n_pred·n_po)) if a display layer wants it.
+
+    ``assume_distinct=True`` skips the defensive input DISTINCT for
+    callers whose triple view is distinct by construction. ``t`` feeds
+    three consumers (both count aggregates + the scored join), so it is
+    persisted — without that the whole upstream plan re-executes 3×."""
+    t = triples.select("subj", "pred", "obj")
+    if not assume_distinct:
+        t = t.distinct()
+    t = t.persist()
     by_pred = t.groupBy("pred").agg(
         F.count(F.lit(1)).cast("long").alias("n_pred")
     )

@@ -24,8 +24,6 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
-from typing import Sequence
-
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -43,8 +41,10 @@ def _transitive_closure_small(
     (s, o) by iterated squaring: each round joins the closure-so-far
     with itself, so depth d needs ceil(log2(d)) rounds, not d. The
     per-round count() is legal — the input is schema, not corpus.
-    Raises on non-convergence (a cycle in subClassOf/subPropertyOf is
-    a modelling bug worth failing loudly on)."""
+    Raises only on pathological DEPTH (no convergence in ``max_iters``
+    squaring rounds). A cyclic hierarchy CONVERGES — the closure then
+    contains s==o rows and the cycle's classes effectively merge; cycle
+    detection, if wanted, is the caller's check on those rows."""
     clo = edges.select("s", "o").distinct().persist()
     n = clo.count()
     for _ in range(max_iters):
@@ -188,7 +188,12 @@ def rdfs_closure(
     max_iters: int = 16,
 ) -> DataFrame:
     """RDFS entailment: materialize every (entity, class) type
-    assertion the schema licenses for a triple corpus.
+    assertion the schema licenses for a triple corpus via domain/range
+    typing. Scope note: explicit ``rdf:type`` triples already asserted
+    IN the corpus are out of scope here — rdfs9 lifts only the
+    domain/range-DERIVED types; a corpus that asserts type edges
+    directly should union them in via a type-predicate adapter before
+    calling this.
 
     Rules applied (RDFS standard rule names):
     - rdfs7: p subPropertyOf q, (s p o) ⇒ (s q o) — via the CLOSURE of
@@ -207,13 +212,148 @@ def rdfs_closure(
     base class) that support it — the provenance count a debugging
     ontologist asks for first ("why is this order a Place?").
 
-    Plan shape: schema closures driver-looped on schema-sized data;
-    two broadcast joins attach domain/range classes to the (possibly
-    subproperty-lifted) corpus triples; one broadcast join lifts
-    through the subclass closure; ONE corpus shuffle (the groupBy on
-    (entity, cls))."""
-    onto = prepare_ontology(schema, max_iters)
-    return aggregate_closure(rdfs_derivations(triples, onto))
+    Plan shape (r06 fused path — guide §2.3/§2.4): the WHOLE rule set
+    is pre-composed on the ontology side into one derivation-combo
+    table D(pred₀ → lifted pred, role, cls0, cls, bit), where ``bit``
+    is a dense id over the distinct (lifted pred, role, cls0) combos —
+    ontology-sized by construction, enumerated driver-side. The corpus
+    then sees ONE broadcast join against D plus ONE shuffle: groupBy
+    (entity, cls) OR-ing 64-bit combo masks (partial-aggregated
+    map-side), with n_derivations = popcount of the OR — bit-equal to
+    the previous count_distinct(pred, role, cls0) formulation, which
+    shuffled the ~|combos|× expanded derivation rows TWICE (partial
+    dedup + final count) with three string key columns riding along.
+    Combos beyond 64 spill into extra mask columns (chunked), so the
+    path stays exact for any ontology size; :func:`rdfs_derivations` /
+    :func:`aggregate_closure` keep the row-level derivation store shape
+    for the incremental streaming materialization.
+
+    The ontology side runs in PLAIN PYTHON on the driver (one collect of
+    the ontology-sized ``schema``): the previous driver-looped DataFrame
+    fixpoint cost ~12 s of tiny-data Spark jobs per call at sf0.1 —
+    two iterated-squaring closures with a persist+count per round plus
+    an ontology join pipeline — versus milliseconds as dict/set
+    fixpoints. ``max_iters`` still bounds the Python fixpoint so a
+    pathologically deep hierarchy fails the same way."""
+    combo = _derivation_combos_py(
+        triples.sparkSession, schema.select("s", "p", "o").collect(), max_iters
+    )
+    if combo is None:
+        # degenerate ontology (no domain/range statements): no
+        # derivations exist; preserve the empty-result schema
+        onto = prepare_ontology(schema, max_iters)
+        return aggregate_closure(rdfs_derivations(triples, onto, persist=False))
+    n_combos, d = combo
+    t = triples.select("subj", "pred", "obj")
+    hits = t.join(F.broadcast(d), t["pred"] == d["pred0"]).select(
+        F.when(F.col("role") == "S", F.col("subj"))
+        .otherwise(F.col("obj"))
+        .alias("entity"),
+        "cls",
+        "bit",
+    )
+    n_chunks = (n_combos + 63) // 64
+    masks = [
+        F.when(
+            (F.col("bit") >= k * 64) & (F.col("bit") < (k + 1) * 64),
+            # python-side shiftleft only takes a literal shift; the SQL
+            # form accepts a column expression
+            F.expr(f"shiftleft(1L, cast(bit - {k * 64} as int))"),
+        ).otherwise(F.lit(0).cast("long"))
+        for k in range(n_chunks)
+    ]
+    aggs = [
+        F.bit_or(m).alias(f"_m{k}") for k, m in enumerate(masks)
+    ]
+    popcnt = None
+    for k in range(n_chunks):
+        c = F.bit_count(F.col(f"_m{k}")).cast("long")
+        popcnt = c if popcnt is None else popcnt + c
+    return (
+        hits.groupBy("entity", "cls")
+        .agg(*aggs)
+        .select("entity", "cls", popcnt.alias("n_derivations"))
+    )
+
+
+def _closure_py(edges: set, max_iters: int) -> set:
+    """Non-reflexive transitive closure of an ontology-sized (s, o) edge
+    set as a Python set fixpoint by iterated squaring — the same math as
+    :func:`_transitive_closure_small` without a Spark job per round.
+    Same convergence contract: raises after ``max_iters`` squaring
+    rounds; a cycle converges (with s==o rows), matching the DataFrame
+    twin."""
+    clo = set(edges)
+    for _ in range(max_iters):
+        by_s: dict = {}
+        for s, o in clo:
+            by_s.setdefault(s, set()).add(o)
+        stepped = {
+            (s, o2) for s, o in clo for o2 in by_s.get(o, ())
+        }
+        nxt = clo | stepped
+        if len(nxt) == len(clo):
+            return clo
+        clo = nxt
+    raise RuntimeError(
+        f"transitive closure did not converge in {max_iters} squaring "
+        "rounds — pathologically deep hierarchy"
+    )
+
+
+def _derivation_combos_py(spark, schema_rows, max_iters: int = 16):
+    """Ontology-side pre-composition for the fused :func:`rdfs_closure`
+    path, computed entirely on the driver from the collected schema
+    rows: returns (n_combos, D) where D has one row per (original
+    corpus pred ``pred0``, role, entailed class ``cls``, combo ``bit``)
+    and ``bit`` densely ids the distinct (lifted pred, role, base
+    class) derivation combos that n_derivations counts. Everything here
+    is ontology-sized by contract (the broadcast-dimension argument);
+    D is created once and broadcast. Returns None when no domain/range
+    statements exist (no derivations possible)."""
+    sub_prop_e = {(r[0], r[2]) for r in schema_rows if r[1] == SUB_PROP}
+    sub_cls_e = {(r[0], r[2]) for r in schema_rows if r[1] == SUB_CLASS}
+    dom = {(r[0], r[2]) for r in schema_rows if r[1] == DOMAIN}
+    rng = {(r[0], r[2]) for r in schema_rows if r[1] == RANGE}
+    if not dom and not rng:
+        return None
+    sub_prop = _closure_py(sub_prop_e, max_iters)
+    sub_cls = _closure_py(sub_cls_e, max_iters)
+
+    # lift map: identity ∪ subPropertyOf closure (original pred → every
+    # pred it entails, itself included)
+    preds = (
+        {p for p, _ in dom} | {p for p, _ in rng}
+        | {s for s, _ in sub_prop} | {o for _, o in sub_prop}
+    )
+    lift = {(p, p) for p in preds} | sub_prop
+    # reflexive-closed class map (same construction as rdfs_derivations)
+    base_cls = {c for _, c in dom} | {c for _, c in rng}
+    cls_map = {(c, c) for c in base_cls} | sub_cls
+    cls_of: dict = {}
+    for c0, c in cls_map:
+        cls_of.setdefault(c0, set()).add(c)
+    rows = set()
+    for role, side in (("S", dom), ("O", rng)):
+        side_of: dict = {}
+        for p, c0 in side:
+            side_of.setdefault(p, set()).add(c0)
+        for pred0, lp in lift:
+            for cls0 in side_of.get(lp, ()):
+                for cls in cls_of.get(cls0, ()):
+                    rows.add((pred0, lp, role, cls0, cls))
+    if not rows:
+        return None
+    combos = sorted({(lp, role, cls0) for _, lp, role, cls0, _ in rows})
+    bit_of = {c: i for i, c in enumerate(combos)}
+    d = spark.createDataFrame(
+        sorted({
+            (pred0, role, cls, bit_of[(lp, role, cls0)])
+            for pred0, lp, role, cls0, cls in rows
+        }),
+        ["pred0", "role", "cls", "bit"],
+    )
+    return len(combos), d
 
 
 def materialize_inverses(
@@ -415,6 +555,10 @@ def property_path(
         if op == "plus":
             base = _dedup(ev(p[1]))
             k = int(p[2])
+            if k < 1:
+                # k=0 would silently return path^1 (range(k-1) empty) —
+                # a nonsensical bound must fail loudly instead
+                raise ValueError(f"('plus', path, k) needs k >= 1, got {k}")
             reach = base
             frontier = base
             for _ in range(k - 1):

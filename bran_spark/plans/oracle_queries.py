@@ -5385,8 +5385,15 @@ def _kg_relational_triples(spark, sf) -> DataFrame:
     """Multi-predicate KG lifted from the relational tables — the typed
     triple view a KG-construction pipeline materializes when it ingests a
     warehouse alongside text (entity ids are type-prefixed so key spaces
-    never collide). Seven narrow projections + one DISTINCT; every branch
-    prunes to two columns at the scan."""
+    never collide). Distinct by construction (r06, guide §2.3/§2.4): the
+    union's branches can never collide (each carries a distinct pred
+    literal), and within a branch every source is PK-unique EXCEPT the
+    three lineitem liftings — so only those three dedup, and they dedup
+    on the two INTEGER key columns BEFORE the string concat. The previous
+    shape (one DISTINCT over the full ~2.3M-row string-triple union at
+    sf0.1) shuffled three ~15-byte strings per row to dedup rows of which
+    half were provably unique; this one shuffles three 16-byte int pairs
+    (lineitem branches only) and exchanges nothing else."""
 
     def tr(df, s_pre, s_col, pred, o_pre, o_col):
         return df.select(
@@ -5402,13 +5409,17 @@ def _kg_relational_triples(spark, sf) -> DataFrame:
         tr(_t(spark, sf, "customer"), "C:", "c_custkey", "in_nation", "N:", "c_nationkey"),
         tr(_t(spark, sf, "supplier"), "S:", "s_suppkey", "in_nation", "N:", "s_nationkey"),
         tr(_t(spark, sf, "nation"), "N:", "n_nationkey", "in_region", "R:", "n_regionkey"),
-        tr(li, "O:", "l_orderkey", "contains", "P:", "l_partkey"),
-        tr(li, "O:", "l_orderkey", "uses_supplier", "S:", "l_suppkey"),
-        tr(li, "P:", "l_partkey", "supplied_by", "S:", "l_suppkey"),
+        tr(li.select("l_orderkey", "l_partkey").distinct(),
+           "O:", "l_orderkey", "contains", "P:", "l_partkey"),
+        tr(li.select("l_orderkey", "l_suppkey").distinct(),
+           "O:", "l_orderkey", "uses_supplier", "S:", "l_suppkey"),
+        tr(li.select("l_partkey", "l_suppkey").distinct(),
+           "P:", "l_partkey", "supplied_by", "S:", "l_suppkey"),
         # join-derived edges (both dims broadcast-sized): they seed rules
         # whose confidence is genuinely partial — e.g. uses_supplier AND
         # in_nation => from_nation holds only when supplier and customer
-        # nations coincide
+        # nations coincide. PK-unique: nation/customer are unique on the
+        # join key, so these stay one row per customer / per order.
         tr(
             _t(spark, sf, "customer").join(
                 F.broadcast(_t(spark, sf, "nation")),
@@ -5427,7 +5438,81 @@ def _kg_relational_triples(spark, sf) -> DataFrame:
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
-    return out.distinct()
+    return out
+
+
+#: pred → small int code for the coded lifted-KG view (order matches the
+#: branch order of _kg_relational_triples; decode via _KG_PRED_DECODE)
+_KG_PRED_CODES = {
+    "placed_by": 1, "in_nation": 2, "in_region": 3, "contains": 4,
+    "uses_supplier": 5, "supplied_by": 6, "in_region_of": 7,
+    "from_nation": 8,
+}
+#: entity prefix → code; entity code = prefix_code·2^44 + integer key
+#: (exact and invertible: TPC-H keys stay far below 2^44 at any SF this
+#: testbed generates)
+_KG_PREFIX_CODES = {"O": 1, "C": 2, "S": 3, "N": 4, "R": 5, "P": 6}
+
+
+def _kg_pred_decode(col):
+    """int pred code → pred string (tiny literal CASE map)."""
+    m = None
+    for name, code in _KG_PRED_CODES.items():
+        m = (F.when(col == code, F.lit(name)) if m is None
+             else m.when(col == code, F.lit(name)))
+    return m
+
+
+def _kg_relational_triples_coded(spark, sf) -> DataFrame:
+    """INTEGER-coded twin of :func:`_kg_relational_triples` (guide §2.3,
+    narrower types): subj/obj as exact longs (prefix_code·2^44 + key),
+    pred as a small int code. Bijective with the string view, so any
+    count/aggregate over it is identical after decoding — used by
+    queries whose OUTPUT never carries entity ids (q138: predicate-level
+    rules), where every downstream shuffle then moves 8-byte longs
+    instead of ~8-15-byte strings and hashes/compares integers."""
+
+    def tr(df, s_pre, s_col, pred, o_pre, o_col):
+        return df.select(
+            (F.lit(_KG_PREFIX_CODES[s_pre] << 44)
+             + F.col(s_col).cast("long")).alias("subj"),
+            F.lit(_KG_PRED_CODES[pred]).alias("pred"),
+            (F.lit(_KG_PREFIX_CODES[o_pre] << 44)
+             + F.col(o_col).cast("long")).alias("obj"),
+        )
+
+    orders = _t(spark, sf, "orders")
+    li = _t(spark, sf, "lineitem")
+    parts = [
+        tr(orders, "O", "o_orderkey", "placed_by", "C", "o_custkey"),
+        tr(_t(spark, sf, "customer"), "C", "c_custkey", "in_nation", "N", "c_nationkey"),
+        tr(_t(spark, sf, "supplier"), "S", "s_suppkey", "in_nation", "N", "s_nationkey"),
+        tr(_t(spark, sf, "nation"), "N", "n_nationkey", "in_region", "R", "n_regionkey"),
+        tr(li.select("l_orderkey", "l_partkey").distinct(),
+           "O", "l_orderkey", "contains", "P", "l_partkey"),
+        tr(li.select("l_orderkey", "l_suppkey").distinct(),
+           "O", "l_orderkey", "uses_supplier", "S", "l_suppkey"),
+        tr(li.select("l_partkey", "l_suppkey").distinct(),
+           "P", "l_partkey", "supplied_by", "S", "l_suppkey"),
+        tr(
+            _t(spark, sf, "customer").join(
+                F.broadcast(_t(spark, sf, "nation")),
+                F.col("c_nationkey") == F.col("n_nationkey"),
+            ),
+            "C", "c_custkey", "in_region_of", "R", "n_regionkey",
+        ),
+        tr(
+            orders.join(
+                F.broadcast(_t(spark, sf, "customer")),
+                F.col("o_custkey") == F.col("c_custkey"),
+            ),
+            "O", "o_orderkey", "from_nation", "N", "c_nationkey",
+        ),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
 
 
 @_q(
@@ -5468,7 +5553,18 @@ def q138(spark, sf):
     the oracle stays parameter-free."""
     from bran_spark.operators.graphalgo import mine_path_rules
 
-    return mine_path_rules(_kg_relational_triples(spark, sf))
+    # mined on the integer-coded KG view (bijective with the string view;
+    # rules are predicate-level, so only the tiny output decodes) — every
+    # body/support/PCA shuffle moves longs instead of strings
+    res = mine_path_rules(
+        _kg_relational_triples_coded(spark, sf), assume_distinct=True
+    )
+    return res.select(
+        _kg_pred_decode(F.col("p1")).alias("p1"),
+        _kg_pred_decode(F.col("p2")).alias("p2"),
+        _kg_pred_decode(F.col("p3")).alias("p3"),
+        "support", "body_size", "confidence", "pca_body", "pca_confidence",
+    )
 
 
 @_q(
@@ -10722,7 +10818,9 @@ def q248(spark, sf):
     (the HOF-in-lambda form would re-run md5 8× per component there)."""
     from bran_spark.operators.kglearn import transe_rank_eval
 
-    return transe_rank_eval(_kg_relational_triples(spark, sf))
+    return transe_rank_eval(
+        _kg_relational_triples(spark, sf), assume_distinct=True
+    )
 
 
 @_q(
@@ -11364,7 +11462,10 @@ def q259(spark, sf):
     product ≤ 10⁹, 8-dim sum ≤ 8·10⁹)."""
     from bran_spark.operators.kglearn import transe_rank_eval
 
-    return transe_rank_eval(_kg_relational_triples(spark, sf), model="distmult")
+    return transe_rank_eval(
+        _kg_relational_triples(spark, sf), model="distmult",
+        assume_distinct=True,
+    )
 
 
 def _wl_round_sql(r: int) -> str:
@@ -11981,7 +12082,9 @@ def q271(spark, sf):
     an LLM prompt assembler."""
     from bran_spark.operators.kgquality import entity_summarization
 
-    return entity_summarization(_kg_relational_triples(spark, sf), k=3)
+    return entity_summarization(
+        _kg_relational_triples(spark, sf), k=3, assume_distinct=True
+    )
 
 
 @_q(

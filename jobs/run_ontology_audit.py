@@ -105,16 +105,28 @@ def main() -> None:
     }
 
     conf = domain_conformance(kg, schema, prefix_map).collect()
-    worst = min(conf, key=lambda r: r.conformance)
-    report["domain_conformance"] = {
-        "min_conformance": worst.conformance,
-        "worst_pred": worst.pred,
-        "n_preds": len(conf),
-        "violating_preds": sorted(
-            r.pred for r in conf if r.conformance < args.min_conformance
-        ),
-        "satisfied": worst.conformance >= args.min_conformance,
-    }
+    if conf:
+        worst = min(conf, key=lambda r: r.conformance)
+        report["domain_conformance"] = {
+            "min_conformance": worst.conformance,
+            "worst_pred": worst.pred,
+            "n_preds": len(conf),
+            "violating_preds": sorted(
+                r.pred for r in conf if r.conformance < args.min_conformance
+            ),
+            "satisfied": worst.conformance >= args.min_conformance,
+        }
+    else:
+        # no rdfs:domain statements declared: degenerate but clean —
+        # nothing to check, so the gate passes instead of crashing on
+        # min() of an empty sequence
+        report["domain_conformance"] = {
+            "min_conformance": 1.0,
+            "worst_pred": None,
+            "n_preds": 0,
+            "violating_preds": [],
+            "satisfied": True,
+        }
 
     # induced-vs-declared: the dominant instance type of each domained
     # predicate, mapped through the prefix table, must be the declared
