@@ -226,13 +226,18 @@ def minhash_signatures(
     ``hash_fn="xxhash64"`` (the default — the scale path) vs
     ``hash_fn="md5"``, which is DuckDB-replayable bit-exactly and pinned
     explicitly by the oracle twins (q29/q39). xxhash64: the
-    signature becomes an 8-byte long instead of a 32-char string, cutting
-    the banded explode's shuffle bytes and JVM string churn ~5× — at
-    10^8 docs × bands the hash column dominates the exchange. Same
-    estimator either way (min of a uniform hash per band); banding b
-    independent hashes gives the LSH bucket key. One shuffle
-    (groupBy doc,band) — signatures never leave the executor otherwise.
-    """
+    signature becomes an 8-byte long instead of a 32-char string —
+    at 10^8 docs × bands the hash column dominates downstream joins.
+    Same estimator either way (min of a uniform hash per band); banding
+    b independent hashes gives the LSH bucket key.
+
+    One shuffle (groupBy doc,band) — signatures never leave the
+    executor otherwise. (r06 note: a row-local alternative — per-band
+    ``array_min`` over transformed shingle arrays, zero shuffles — was
+    measured and REJECTED: nested higher-order expressions drop out of
+    whole-stage codegen and ran ~1.7× slower warm at sf0.1 (3.5 s vs
+    2.0 s for the md5 pairs path) than this explode+partial-agg shape,
+    whose exchange is already minimized by map-side combine.)"""
     sh = _even_parallelism(df).select(
         F.col(id_col).alias("id"),
         F.explode(F.array_distinct(shingles(text_col, n))).alias("shingle"),

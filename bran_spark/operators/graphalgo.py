@@ -55,7 +55,8 @@ def symmetric_edges(pairs: DataFrame, src: str = "subj", dst: str = "obj") -> Da
 
 
 def pagerank_fixed_point(
-    sym: DataFrame, iters: int = 5, scale: int = PR_SCALE
+    sym: DataFrame, iters: int = 5, scale: int = PR_SCALE,
+    truncate_every: int = 0,
 ) -> DataFrame:
     """(entity, rank_fp) after ``iters`` synchronous PageRank iterations on
     the symmetric edge list, in exact integer arithmetic.
@@ -72,11 +73,17 @@ def pagerank_fixed_point(
     # re-execute per round
     sym = sym.localCheckpoint(eager=True)
     deg = sym.groupBy("u").agg(F.count("*").alias("deg"))
-    # ranks carry deg so each iteration is edge-join + one groupBy shuffle
-    ranks = deg.withColumn("rank", F.lit(scale).cast("long")).localCheckpoint(
-        eager=True
-    )
-    for _ in range(iters):
+    # ranks carry deg so each iteration is edge-join + one groupBy shuffle.
+    # r06 (guide §1.2): the loop composes LAZILY by default — one action
+    # executes all rounds, each repeated exchange subtree (sym, deg)
+    # materializes once via AQE shuffle-stage reuse, and the 2·iters
+    # per-round driver jobs + block-manager materializations of the old
+    # per-round localCheckpoint are gone (measured 4× at sf0.1: 2.2 s →
+    # 0.55 s warm for iters=5). The rank chain grows the plan LINEARLY,
+    # so lazy is safe at any realistic iters; ``truncate_every=k``
+    # restores per-k-round lineage truncation for deep fixpoints.
+    ranks = deg.withColumn("rank", F.lit(scale).cast("long"))
+    for i in range(iters):
         contrib = sym.join(ranks, "u").select(
             F.col("v").alias("u"), F.expr("rank DIV deg").alias("c")
         )
@@ -91,12 +98,15 @@ def pagerank_fixed_point(
                     + F.expr(f"({PR_DAMP_NUM} * coalesce(s, 0L)) DIV {PR_DAMP_DEN}")
                 ).cast("long").alias("rank"),
             )
-            .localCheckpoint(eager=True)
         )
+        if truncate_every and (i + 1) % truncate_every == 0:
+            ranks = ranks.localCheckpoint(eager=True)
     return ranks.select(F.col("u").alias("entity"), F.col("rank").alias("rank_fp"))
 
 
-def pagerank_float(sym: DataFrame, iters: int = 5) -> DataFrame:
+def pagerank_float(
+    sym: DataFrame, iters: int = 5, truncate_every: int = 0
+) -> DataFrame:
     """(entity, rank) — the PRODUCTION PageRank path: identical plan shape
     to ``pagerank_fixed_point`` (one edge-join + one groupBy shuffle per
     iteration, degrees riding with ranks, per-iteration lineage truncation)
@@ -110,8 +120,9 @@ def pagerank_float(sym: DataFrame, iters: int = 5) -> DataFrame:
     base = 1.0 - damp
     sym = sym.localCheckpoint(eager=True)
     deg = sym.groupBy("u").agg(F.count("*").alias("deg"))
-    ranks = deg.withColumn("rank", F.lit(1.0)).localCheckpoint(eager=True)
-    for _ in range(iters):
+    # lazy loop, same shape note as pagerank_fixed_point (r06)
+    ranks = deg.withColumn("rank", F.lit(1.0))
+    for i in range(iters):
         contrib = sym.join(ranks, "u").select(
             F.col("v").alias("u"), (F.col("rank") / F.col("deg")).alias("c")
         )
@@ -123,8 +134,9 @@ def pagerank_float(sym: DataFrame, iters: int = 5) -> DataFrame:
                 "deg",
                 (F.lit(base) + F.lit(damp) * F.coalesce("s", F.lit(0.0))).alias("rank"),
             )
-            .localCheckpoint(eager=True)
         )
+        if truncate_every and (i + 1) % truncate_every == 0:
+            ranks = ranks.localCheckpoint(eager=True)
     return ranks.select(F.col("u").alias("entity"), "rank")
 
 
@@ -248,7 +260,9 @@ def bfs_distances(sym: DataFrame, seeds: DataFrame, max_hops: int = 4) -> DataFr
     return visited.select(F.col("u").alias("entity"), "dist")
 
 
-def label_propagation(sym: DataFrame, iters: int = 3) -> DataFrame:
+def label_propagation(
+    sym: DataFrame, iters: int = 3, truncate_every: int = 0
+) -> DataFrame:
     """(entity, label) after ``iters`` SYNCHRONOUS label-propagation rounds:
     every node simultaneously adopts its neighbors' plurality label, ties
     broken by minimum label — fully deterministic (async LPA, the textbook
@@ -262,8 +276,9 @@ def label_propagation(sym: DataFrame, iters: int = 3) -> DataFrame:
         sym.select("u").distinct().withColumn("label", F.col("u"))
         .localCheckpoint(eager=True)
     )
+    # lazy linear chain (r06) — see pagerank_fixed_point
     w = Window.partitionBy("u").orderBy(F.desc("c"), F.asc("label"))
-    for _ in range(iters):
+    for i in range(iters):
         nbr = sym.join(
             labels.select(F.col("u").alias("v"), "label"), "v"
         ).select("u", "label")
@@ -272,8 +287,9 @@ def label_propagation(sym: DataFrame, iters: int = 3) -> DataFrame:
             counts.withColumn("rk", F.row_number().over(w))
             .where(F.col("rk") == 1)
             .select("u", "label")
-            .localCheckpoint(eager=True)
         )
+        if truncate_every and (i + 1) % truncate_every == 0:
+            labels = labels.localCheckpoint(eager=True)
     return labels.select(F.col("u").alias("entity"), "label")
 
 
@@ -457,7 +473,8 @@ def deterministic_walks(
 
 
 def personalized_pagerank(
-    sym: DataFrame, seeds: DataFrame, iters: int = 5, scale: int = PR_SCALE
+    sym: DataFrame, seeds: DataFrame, iters: int = 5, scale: int = PR_SCALE,
+    truncate_every: int = 0,
 ) -> DataFrame:
     """Personalized PageRank: identical fixed-point integer loop to
     pagerank_fixed_point, but ALL teleport mass lands on the seed set —
@@ -484,10 +501,17 @@ def personalized_pagerank(
         "u",
         "left",
     ).select("u", "deg", F.coalesce("_s", F.lit(0)).alias("is_seed"))
+    # lazy loop, same shape note as pagerank_fixed_point (r06); seeded is
+    # localCheckpointed so the seed attach computes once instead of per
+    # round. NOT persist(): an InMemoryRelation inside an AQE lazy chain
+    # measured 3.5× SLOWER than this (7.5 s vs 2.0 s at sf0.1) — cached
+    # relations break AQE shuffle-stage reuse, so every round re-read and
+    # re-sorted the cache instead of reusing one materialized exchange.
+    seeded = seeded.localCheckpoint(eager=True)
     ranks = seeded.withColumn(
         "rank", (F.col("is_seed") * F.lit(scale)).cast("long")
-    ).localCheckpoint(eager=True)
-    for _ in range(iters):
+    )
+    for i in range(iters):
         contrib = sym.join(ranks, "u").select(
             F.col("v").alias("u"), F.expr("rank DIV deg").alias("c")
         )
@@ -503,15 +527,17 @@ def personalized_pagerank(
                     + F.expr(f"({PR_DAMP_NUM} * coalesce(s, 0L)) DIV {PR_DAMP_DEN}")
                 ).cast("long").alias("rank"),
             )
-            .localCheckpoint(eager=True)
         )
+        if truncate_every and (i + 1) % truncate_every == 0:
+            ranks = ranks.localCheckpoint(eager=True)
     return ranks.where(F.col("rank") > 0).select(
         F.col("u").alias("entity"), F.col("rank").alias("rank_fp")
     )
 
 
 def weighted_sssp(
-    wedges: DataFrame, seeds: DataFrame, iters: int = 4
+    wedges: DataFrame, seeds: DataFrame, iters: int = 4,
+    truncate_every: int = 2,
 ) -> DataFrame:
     """Multi-source weighted shortest paths by synchronous Bellman-Ford
     (min-plus) rounds over an integer-weighted edge list (u, v, w) —
@@ -532,15 +558,20 @@ def weighted_sssp(
     wedges = wedges.localCheckpoint(eager=True)
     dist = (
         seeds.select("u").distinct().withColumn("dist", F.lit(0).cast("long"))
-        .localCheckpoint(eager=True)
     )
     # frontier-only relaxation (same exactness argument as bfs_distances:
     # any path improving dist(v) at round i extends one that improved at
     # round i-1, so relaxing ONLY last round's improved nodes computes the
     # identical ≤k-edge minimum) — the relax join shrinks every round as
-    # the wavefront passes instead of rescanning all settled distances
+    # the wavefront passes instead of rescanning all settled distances.
+    # r06: rounds compose lazily between truncations (one action, AQE
+    # stage reuse — see pagerank_fixed_point); the merged frame is
+    # referenced twice per round (dist + frontier), so the un-truncated
+    # plan DOUBLES per round and re-executes the duplicated subtrees —
+    # truncating every 2 rounds measured fastest at sf0.1 (3.7 s vs
+    # 4.1 s fully lazy vs 4.1 s per-round checkpointed, warm)
     frontier = dist
-    for _ in range(iters):
+    for _i in range(iters):
         relaxed = (
             frontier.join(wedges, "u")
             .select(
@@ -562,8 +593,9 @@ def weighted_sssp(
                     | (F.col("cand") < F.col("dist"))
                 ).alias("_improved"),
             )
-            .localCheckpoint(eager=True)
         )
+        if truncate_every and (_i + 1) % truncate_every == 0:
+            merged = merged.localCheckpoint(eager=True)
         frontier = merged.where(
             F.col("_improved") & F.col("new_dist").isNotNull()
         ).select("u", F.col("new_dist").alias("dist"))
@@ -1202,6 +1234,7 @@ def hits_fixed_point(
     dst: str = "obj",
     iters: int = 4,
     scale: int = HITS_SCALE,
+    truncate_every: int = 0,
 ) -> DataFrame:
     """HITS hubs & authorities (Kleinberg 1999) on a DIRECTED edge list,
     in exact integer arithmetic: (node, hub_fp, auth_fp).
@@ -1238,6 +1271,15 @@ def hits_fixed_point(
     hub = nodes.withColumn("hub", F.lit(scale).cast("long"))
     auth = nodes.withColumn("auth", F.lit(0).cast("long"))
 
+    # r06: rounds compose lazily by default (see pagerank_fixed_point;
+    # measured 3.1 s lazy vs 3.3 s per-round-checkpointed vs 6.4 s
+    # mis-sequenced truncation at sf0.1). Each _normalize references its
+    # input twice (total + join), so the un-truncated plan doubles per
+    # half-round — fine at the default 4 iters (shallow checkpointed
+    # leaves); set truncate_every for deep fixpoints. Truncation is
+    # sequenced INSIDE the round — auth must be truncated before raw_h
+    # captures it, or the checkpoint materializes a subtree the very next
+    # half-round re-executes from scratch.
     def _normalize(df: DataFrame, col: str) -> DataFrame:
         tot = df.agg(F.sum("raw").alias("_tot"))
         return (
@@ -1246,10 +1288,9 @@ def hits_fixed_point(
                 "node",
                 F.expr(f"(raw * {scale}) DIV _tot").cast("long").alias(col),
             )
-            .localCheckpoint(eager=True)
         )
 
-    for _ in range(iters):
+    for _i in range(iters):
         raw_a = (
             e.join(hub.withColumnRenamed("node", "src"), "src")
             .groupBy("dst")
@@ -1262,6 +1303,8 @@ def hits_fixed_point(
             ),
             "auth",
         )
+        if truncate_every and (_i + 1) % truncate_every == 0:
+            auth = auth.localCheckpoint(eager=True)
         raw_h = (
             e.join(auth.withColumnRenamed("node", "dst"), "dst")
             .groupBy("src")
@@ -1274,6 +1317,8 @@ def hits_fixed_point(
             ),
             "hub",
         )
+        if truncate_every and (_i + 1) % truncate_every == 0:
+            hub = hub.localCheckpoint(eager=True)
     return (
         hub.join(auth, "node")
         .select("node", F.col("hub").alias("hub_fp"), F.col("auth").alias("auth_fp"))
@@ -2431,6 +2476,7 @@ def katz_centrality(
     beta_num: int = 5,
     beta_den: int = 100,
     scale: int = 1_000_000,
+    truncate_every: int = 0,
 ) -> DataFrame:
     """Truncated Katz centrality (Katz 1953) on a DIRECTED edge list in
     exact integer arithmetic: x(v) = Σ_{k≤iters} β^k · |walks of length
@@ -2468,8 +2514,10 @@ def katz_centrality(
         .distinct()
         .localCheckpoint(eager=True)
     )
+    # lazy linear chain (r06) — see pagerank_fixed_point; truncate_every
+    # restores per-k-round truncation for deep series
     x = nodes.withColumn("x", F.lit(scale).cast("long"))
-    for _ in range(iters):
+    for i in range(iters):
         raw = (
             e.join(x.withColumnRenamed("node", "src"), "src")
             .groupBy("dst")
@@ -2487,8 +2535,9 @@ def katz_centrality(
                     ).cast("long")
                 ).alias("x"),
             )
-            .localCheckpoint(eager=True)
         )
+        if truncate_every and (i + 1) % truncate_every == 0:
+            x = x.localCheckpoint(eager=True)
     return x.select("node", F.col("x").alias("katz_fp"))
 
 

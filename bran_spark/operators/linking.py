@@ -289,11 +289,22 @@ def mention_dict_candidates(
     signal). Per candidate (mention_id, mesh_id):
 
       agree_name — surface equals the canonical name exactly
-      agree_syn  — surface equals ANY dictionary name (bool_or over the
-                   block join's multiple synonym rows)
+      agree_syn  — surface equals ANY dictionary name (membership in the
+                   block's per-entry name set)
       agree_type — mention type equals the dictionary entry type
       is_match   — gold label (the mention's linked id; training signal
                    for the m/u estimates, never used in scoring)
+
+    Plan shape (r06, guide §3.1/§2.4): the dictionary side is
+    dimension-scale by contract, so its blocked name rows pre-aggregate
+    to ONE row per (block, mesh_id) — canon and entry type are constant
+    per mesh_id, the block's names collapse to a set — and that table
+    is BROADCAST. Each mention then meets each candidate entry exactly
+    once (a mention has one block), so the agreement flags are a pure
+    projection: zero shuffles, no corpus-sized groupBy. The previous
+    shape shuffle-joined the corpus on the ~|alphabet|^prefix_len block
+    key (low-cardinality → skewed exchange) and re-aggregated the
+    multi-synonym fan-out per pair (~5.5M-row groupBy at sf0.1).
     """
     names = (
         mesh_dict.select(
@@ -312,21 +323,24 @@ def mention_dict_candidates(
     )
     bs = names.groupBy("block").agg(F.count(F.lit(1)).alias("b"))
     names = names.join(bs.where(F.col("b") <= max_block), "block").drop("b")
+    names_g = names.groupBy("block", "mesh_id").agg(
+        F.first("canon").alias("canon"),
+        F.first("dict_type").alias("dict_type"),
+        F.collect_set("name").alias("names"),
+    )
     m = mentions.select(
         "mention_id",
         F.col("type").alias("m_type"),
         F.col("mesh_id").alias("gold_id"),
         F.lower(F.trim(F.col("text"))).alias("surface"),
     ).withColumn("block", F.substring("surface", 1, prefix_len))
-    return (
-        m.join(names, "block")
-        .groupBy("mention_id", "mesh_id")
-        .agg(
-            F.max(F.col("surface") == F.col("canon")).alias("agree_name"),
-            F.max(F.col("surface") == F.col("name")).alias("agree_syn"),
-            F.max(F.col("m_type") == F.col("dict_type")).alias("agree_type"),
-            F.max(F.col("gold_id") == F.col("mesh_id")).alias("is_match"),
-        )
+    return m.join(F.broadcast(names_g), "block").select(
+        "mention_id",
+        "mesh_id",
+        (F.col("surface") == F.col("canon")).alias("agree_name"),
+        F.array_contains("names", F.col("surface")).alias("agree_syn"),
+        (F.col("m_type") == F.col("dict_type")).alias("agree_type"),
+        (F.col("gold_id") == F.col("mesh_id")).alias("is_match"),
     )
 
 

@@ -193,3 +193,108 @@ def test_kg_relational_triples_coded_bijective(spark, testdata_dir):
     )
     cols = ["subj", "pred", "obj"]
     assert _rows(decoded, cols) == _rows(s, cols)
+
+
+def test_mention_dict_candidates_matches_groupby_formulation(spark):
+    """The r06 broadcast/pre-aggregated candidate shape must equal the
+    old melt-and-aggregate formulation row for row."""
+    from bran_spark.operators.linking import mention_dict_candidates
+
+    mesh = spark.createDataFrame(
+        [
+            ("D1", "Chemical", "Aspirin", ["asa", "acetyl"]),
+            ("D2", "Disease", "Asthma", ["ast"]),
+            ("D3", "Disease", "Astigmatism", []),
+        ],
+        ["mesh_id", "type", "canonical_name", "synonyms"],
+    )
+    mentions = spark.createDataFrame(
+        [
+            ("m1", "Chemical", "D1", " aspirin "),
+            ("m2", "Disease", "D2", "asthma"),
+            ("m3", "Disease", "D1", "astigmatism"),
+            ("m4", "Chemical", None, "asa"),
+        ],
+        ["mention_id", "type", "mesh_id", "text"],
+    )
+    got = mention_dict_candidates(mentions, mesh, prefix_len=3, max_block=50)
+    # reference: explicit block join + per-pair aggregation
+    names = (
+        mesh.select(
+            "mesh_id",
+            F.col("type").alias("dict_type"),
+            F.lower("canonical_name").alias("canon"),
+            F.explode(
+                F.array_union(F.array(F.col("canonical_name")), F.col("synonyms"))
+            ).alias("name0"),
+        )
+        .select("mesh_id", "dict_type", "canon", F.lower("name0").alias("name"))
+        .distinct()
+        .withColumn("block", F.substring("name", 1, 3))
+    )
+    m = mentions.select(
+        "mention_id",
+        F.col("type").alias("m_type"),
+        F.col("mesh_id").alias("gold_id"),
+        F.lower(F.trim(F.col("text"))).alias("surface"),
+    ).withColumn("block", F.substring("surface", 1, 3))
+    ref = (
+        m.join(names, "block")
+        .groupBy("mention_id", "mesh_id")
+        .agg(
+            F.max(F.col("surface") == F.col("canon")).alias("agree_name"),
+            F.max(F.col("surface") == F.col("name")).alias("agree_syn"),
+            F.max(F.col("m_type") == F.col("dict_type")).alias("agree_type"),
+            F.max(F.col("gold_id") == F.col("mesh_id")).alias("is_match"),
+        )
+    )
+    cols = ["mention_id", "mesh_id", "agree_name", "agree_syn",
+            "agree_type", "is_match"]
+    assert _rows(got, cols) == _rows(ref, cols)
+    assert len(_rows(got, cols)) > 0
+
+
+def test_lazy_loops_match_truncated(spark):
+    """Lazy iteration chains must be bit-identical to the per-round
+    truncated form (truncate_every=1 replays the old shape)."""
+    from bran_spark.operators.graphalgo import (
+        hits_fixed_point,
+        katz_centrality,
+        pagerank_fixed_point,
+        personalized_pagerank,
+        symmetric_edges,
+        weighted_sssp,
+    )
+
+    pairs = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a"), ("c", "d"), ("d", "e")],
+        ["subj", "obj"],
+    )
+    sym = symmetric_edges(pairs)
+    assert _rows(
+        pagerank_fixed_point(sym, iters=3), ["entity", "rank_fp"]
+    ) == _rows(
+        pagerank_fixed_point(sym, iters=3, truncate_every=1),
+        ["entity", "rank_fp"],
+    )
+    seeds = spark.createDataFrame([("a",)], ["u"])
+    assert _rows(
+        personalized_pagerank(sym, seeds, iters=3), ["entity", "rank_fp"]
+    ) == _rows(
+        personalized_pagerank(sym, seeds, iters=3, truncate_every=1),
+        ["entity", "rank_fp"],
+    )
+    cols = ["node", "hub_fp", "auth_fp"]
+    assert _rows(hits_fixed_point(pairs, iters=3), cols) == _rows(
+        hits_fixed_point(pairs, iters=3, truncate_every=1), cols
+    )
+    assert _rows(katz_centrality(pairs, iters=3), ["node", "katz_fp"]) == _rows(
+        katz_centrality(pairs, iters=3, truncate_every=1), ["node", "katz_fp"]
+    )
+    wedges = sym.withColumn("w", F.lit(7).cast("long"))
+    assert _rows(
+        weighted_sssp(wedges, seeds, iters=3), ["entity", "dist"]
+    ) == _rows(
+        weighted_sssp(wedges, seeds, iters=3, truncate_every=1),
+        ["entity", "dist"],
+    )
