@@ -621,7 +621,13 @@ def semantic_dedup(
     """
     from bran_spark.operators.similarity import kmeans_cells
 
-    cells = kmeans_cells(emb, k=k, iters=iters, id_col=id_col, vec_col=vec_col)
+    # materialized once: the assignment feeds BOTH self-join sides and
+    # the survivor anti-join — lazily each reference re-ran the whole
+    # Lloyd chain (r06; at 100 TB this is the write-partitioned-by-cell
+    # materialization the docstring already mandates)
+    cells = kmeans_cells(
+        emb, k=k, iters=iters, id_col=id_col, vec_col=vec_col
+    ).localCheckpoint(eager=True)
     dropped = (
         _intra_cell_cosine_pairs(cells, tau)
         .select(F.col("id_b").alias("vec_id"))
@@ -896,7 +902,10 @@ def semdedup_pairs(
     cost cut. Returns (cell, id_a, id_b, cos)."""
     from bran_spark.operators.similarity import kmeans_cells
 
-    cells = kmeans_cells(emb, k=k, iters=iters, id_col=id_col, vec_col=vec_col)
+    # materialized once — both self-join sides read it (see semantic_dedup)
+    cells = kmeans_cells(
+        emb, k=k, iters=iters, id_col=id_col, vec_col=vec_col
+    ).localCheckpoint(eager=True)
     return _intra_cell_cosine_pairs(cells, threshold)
 
 

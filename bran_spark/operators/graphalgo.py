@@ -255,7 +255,8 @@ def bfs_distances(sym: DataFrame, seeds: DataFrame, max_hops: int = 4) -> DataFr
         )
         if not nxt.head(1):
             break
-        visited = visited.union(nxt).localCheckpoint(eager=True)
+        # plain union of checkpointed frontiers — see ancestor_closure
+        visited = visited.union(nxt)
         frontier = nxt
     return visited.select(F.col("u").alias("entity"), "dist")
 
@@ -369,7 +370,11 @@ def ancestor_closure(
         )
         if not nxt.head(1):
             break
-        closure = closure.union(nxt).localCheckpoint(eager=True)
+        # plain union: nxt is already checkpointed, so the accumulated
+        # closure is a union of cached RDDs — re-checkpointing the union
+        # each round (the old shape) re-materialized ALL prior rows per
+        # round, O(depth²) copies for no lineage benefit (r06)
+        closure = closure.union(nxt)
         frontier = nxt
     return closure
 
@@ -794,7 +799,8 @@ def harmonic_centrality(
         )
         if not nxt.head(1):
             break
-        visited = visited.union(nxt).localCheckpoint(eager=True)
+        # plain union of checkpointed frontiers — see ancestor_closure
+        visited = visited.union(nxt)
         frontier = nxt
     return (
         visited.where(F.col("dist") > 0)

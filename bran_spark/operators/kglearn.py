@@ -158,6 +158,23 @@ def transe_rank_eval(
     else:
         raise ValueError(f"unknown model: {model}")
     test = test.withColumn("sp_emb", sp_expr)
+    # true tail's own score, computed row-locally per TEST row (before
+    # the expansion — constant per group, so beats_all below needs no
+    # attach join and no window)
+    if model == "transe":
+        true_pair = F.zip_with(
+            F.col("sp_emb"), int_embedding("obj", dim),
+            lambda sp, c: F.abs(sp - c),
+        )
+    else:
+        true_pair = F.zip_with(
+            F.col("sp_emb"), int_embedding("obj", dim),
+            lambda sp, c: sp * c,
+        )
+    test = test.withColumn(
+        "true_score",
+        F.aggregate(true_pair, F.lit(0).cast("long"), lambda acc, x: acc + x),
+    )
     # type-confined candidate expansion: pool broadcast (dimension-scale
     # by contract), no shuffle on the low-cardinality type key
     cand = test.join(
@@ -175,73 +192,143 @@ def transe_rank_eval(
                 == 0
             )
         )
-    # score BEFORE the corpus-scale filter join: the map-side expansion
-    # reduces each row's two arrays to one BIGINT, so the (subj, pred,
-    # cand) shuffle below never carries embedding arrays
-    if model == "transe":
-        pair = F.zip_with(
-            F.col("sp_emb"), F.col("cand_emb"), lambda sp, c: F.abs(sp - c)
-        )
-    else:
-        pair = F.zip_with(
-            F.col("sp_emb"), F.col("cand_emb"), lambda sp, c: sp * c
-        )
+    # score on the expansion row: an UNROLLED element_at sum over the two
+    # (join-attribute) arrays — higher-order zip_with/aggregate lambdas
+    # are interpreted, not whole-stage-codegen'd, and measured ~3× slower
+    # on a 15M-row expansion (r06). Safe from projection-collapse
+    # re-inlining because both arrays are join outputs (attribute refs),
+    # not inline expressions.
+    score_terms = None
+    for _j in range(dim):
+        if model == "transe":
+            _t = F.abs(
+                F.element_at("sp_emb", _j + 1)
+                - F.element_at("cand_emb", _j + 1)
+            )
+        else:
+            _t = (
+                F.element_at("sp_emb", _j + 1)
+                * F.element_at("cand_emb", _j + 1)
+            )
+        score_terms = _t if score_terms is None else score_terms + _t
     cand_scored = cand.withColumn(
-        "score",
-        F.aggregate(pair, F.lit(0).cast("long"), lambda acc, x: acc + x),
+        "score", score_terms.cast("long")
     ).drop("sp_emb", "cand_emb")
-    # filtered setting: drop candidates that are OTHER true tails of (s, p)
-    t2 = trip.select(
-        F.col("subj").alias("subj"),
-        F.col("pred").alias("pred"),
-        F.col("obj").alias("cand"),
-        F.lit(True).alias("is_true"),
-    )
-    scored = (
-        cand_scored.join(t2, ["subj", "pred", "cand"], "left")
-        .where((F.col("cand") == F.col("obj")) | F.col("is_true").isNull())
-        .drop("is_true")
-    )
-    # true_score via a window over the SAME (s, p, o) partition the rank
-    # aggregate needs anyway — one shuffle, no self-join of the scored
-    # subtree (re-joining it trips Catalyst's relation dedup on the
-    # nested zip_with lambdas for in-memory lineages:
-    # INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND at collect; parquet scans mint
-    # fresh attribute ids per read and never hit it). The o row itself
-    # stays in the aggregation contributing 0, so every test triple forms
-    # a group even when all other candidates were filtered/sampled away.
-    from pyspark.sql import Window
+    # Rank by inclusion–exclusion (r06, guide §2.3/§2.4). The filtered
+    # rank is 1 + |{c in pool, c≠o, c not a true tail of (s,p): c beats
+    # o}| — previously computed by LEFT-JOINING the full test×pool
+    # expansion against the corpus on (subj, pred, cand) and windowing
+    # it on (subj, pred, obj): TWO full exchanges of the ~25M-row
+    # expansion at sf0.1. Split it instead:
+    #   rank = 1 + beats_all − beats_true
+    # where beats_all counts over the WHOLE pool (map-side partial
+    # aggregation — the expansion never shuffles), and beats_true counts
+    # beating TRUE tails only, computed by broadcasting the (sampled,
+    # tiny by contract) test table against the corpus triple table and
+    # scoring each true tail row-locally — also shuffle-free. True tails
+    # outside the pool (wrong type, or dropped by cand_sample_mod's
+    # coin) are excluded from beats_true exactly as the pool excludes
+    # them from beats_all. The true tail o itself contributes 0 to both
+    # terms, and every test triple forms a beats_all group because the
+    # pool always contains o.
+    # true_score rides the expansion rows (constant per group), so
+    # beats_all is one straight map-side-combining aggregate — no attach
+    # join, no window. The true-tail side reads a SEVERED leaf of the
+    # sample-sized test table (localCheckpoint + renamed columns) with
+    # explicit join keys: a USING join of the persisted ``trip`` against
+    # a trip-derived frame re-trips the relation-dedup mis-binding
+    # documented above (INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND /
+    # ArrayIndexOutOfBounds in generated code).
+    def _beats(score_col, true_col, cand_col, obj_col):
+        if model == "transe":
+            b = score_col < true_col
+        else:
+            b = score_col > true_col
+        return b | ((score_col == true_col) & (cand_col < obj_col))
 
-    w = Window.partitionBy("subj", "pred", "obj")
-    # TransE energies rank ascending (lower = better), DistMult scores
-    # descending; ties break on candidate id either way
-    if model == "transe":
-        beats = F.col("score") < F.col("true_score")
-    else:
-        beats = F.col("score") > F.col("true_score")
-    ranks = (
-        scored.withColumn(
-            "true_score",
-            F.max(F.when(F.col("cand") == F.col("obj"), F.col("score"))).over(w),
-        )
-        .groupBy("subj", "pred", "obj")
+    beats_all = (
+        cand_scored.groupBy("subj", "pred", "obj")
         .agg(
-            (
-                1
-                + F.sum(
-                    (
-                        (F.col("cand") != F.col("obj"))
-                        & (
-                            beats
-                            | (
-                                (F.col("score") == F.col("true_score"))
-                                & (F.col("cand") < F.col("obj"))
-                            )
-                        )
-                    ).cast("long")
-                )
-            ).alias("rank")
+            F.sum(
+                (
+                    (F.col("cand") != F.col("obj"))
+                    & _beats(
+                        F.col("score"), F.col("true_score"),
+                        F.col("cand"), F.col("obj"),
+                    )
+                ).cast("long")
+            ).alias("_ball")
         )
+    )
+    test_t = test.select(
+        F.col("subj").alias("t_subj"),
+        F.col("pred").alias("t_pred"),
+        F.col("obj").alias("t_obj"),
+        F.col("true_score").alias("t_ts"),
+    ).localCheckpoint(eager=True)
+    # true tails of each sampled (s, p), scored row-locally; confined to
+    # the pool the same way the expansion is (same type as o, and the
+    # cand_sample_mod coin when sampling negatives)
+    tt = trip.select(
+        "subj", "pred", F.col("obj").alias("cand")
+    ).join(
+        F.broadcast(test_t),
+        (F.col("subj") == F.col("t_subj")) & (F.col("pred") == F.col("t_pred")),
+    ).where(
+        (F.col("cand") != F.col("t_obj"))
+        & (
+            F.split(F.col("cand"), ":").getItem(0)
+            == F.split(F.col("t_obj"), ":").getItem(0)
+        )
+    )
+    if cand_sample_mod:
+        tt = tt.where(
+            md5int8(F.concat_ws("|", F.concat_ws("~", "cand", "subj"), "pred"))
+            % cand_sample_mod
+            == 0
+        )
+    if model == "transe":
+        tt_pair = F.zip_with(
+            F.zip_with(
+                int_embedding("subj", dim), int_embedding("pred", dim),
+                lambda a, b: a + b,
+            ),
+            int_embedding("cand", dim),
+            lambda sp, c: F.abs(sp - c),
+        )
+    else:
+        tt_pair = F.zip_with(
+            F.zip_with(
+                int_embedding("subj", dim), int_embedding("pred", dim),
+                lambda a, b: a * b,
+            ),
+            int_embedding("cand", dim),
+            lambda sp, c: sp * c,
+        )
+    beats_true = (
+        tt.withColumn(
+            "score",
+            F.aggregate(tt_pair, F.lit(0).cast("long"), lambda acc, x: acc + x),
+        )
+        .groupBy(
+            F.col("t_subj").alias("subj"),
+            F.col("t_pred").alias("pred"),
+            F.col("t_obj").alias("obj"),
+        )
+        .agg(
+            F.sum(
+                _beats(
+                    F.col("score"), F.col("t_ts"),
+                    F.col("cand"), F.col("t_obj"),
+                ).cast("long")
+            ).alias("_btrue")
+        )
+    )
+    ranks = beats_all.join(beats_true, ["subj", "pred", "obj"], "left").select(
+        "subj",
+        "pred",
+        "obj",
+        (1 + F.col("_ball") - F.coalesce("_btrue", F.lit(0))).alias("rank"),
     )
     n = F.count(F.lit(1)).cast("long")
     return ranks.groupBy("pred").agg(

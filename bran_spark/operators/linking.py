@@ -136,12 +136,13 @@ def truth_discovery(
     cross-engine hash; the final arg-max breaks exact confidence ties by
     value string, deterministically.
 
-    ``checkpoint=True`` lineage-truncates the per-round trust table (and
-    the distinct claim set, re-read twice per round) so round N's plan
-    never nests the full DAG of rounds 1..N-1 — use it for deep ``iters``
-    on a real cluster. Default off: at the default 2 rounds the measured
-    single-box wall is ~20% better lazy (5.0 s vs 6.2 s median-of-3 at
-    sf0.1), the same lazy-beats-materialize result as rule_inference.
+    The distinct claim set is ALWAYS materialized once (localCheckpoint):
+    it is re-read twice per round, and an r06 A/B at sf0.1 measured the
+    claims-only checkpoint fastest (≈5.6 s vs 5.9–9.7 s fully lazy,
+    warm min-of-3). ``checkpoint=True`` additionally lineage-truncates
+    the per-round trust table for deep ``iters`` — at the default 2
+    rounds that measured SLOWER (≈10 s: the trust table is tiny but its
+    eager materialization serializes the rounds), so it stays opt-in.
     """
     if iters < 1:
         raise ValueError(f"iters must be >= 1, got {iters}")
@@ -149,9 +150,7 @@ def truth_discovery(
         F.col(source_col).alias("source"),
         F.col(key_col).alias("key"),
         F.col(value_col).alias("value"),
-    ).distinct()
-    if checkpoint:
-        c = c.localCheckpoint(eager=True)
+    ).distinct().localCheckpoint(eager=True)
     trust = c.select("source").distinct().withColumn(
         "trust", F.lit(1.0)
     )

@@ -52,7 +52,8 @@ def _closure_with_self(
 
 
 def node_depths(
-    edges: DataFrame, nodes: DataFrame, max_depth: int = 7
+    edges: DataFrame, nodes: DataFrame, max_depth: int = 7,
+    closure: DataFrame | None = None,
 ) -> DataFrame:
     """(node, depth) with depth measured from the forest/DAG root,
     root = 1 (the Wu-Palmer convention that keeps 2·d(lca)/(d(a)+d(b))
@@ -68,7 +69,7 @@ def node_depths(
     broadcast() hint is ever forced here, which is what would OOM)."""
     has_parent = edges.select(F.col("child").alias("node")).distinct()
     roots = nodes.join(has_parent, "node", "left_anti")
-    clo = _closure_with_self(edges, nodes, max_depth)
+    clo = closure if closure is not None else _closure_with_self(edges, nodes, max_depth)
     return (
         clo.join(roots.select(F.col("node").alias("ancestor")), "ancestor")
         .groupBy("node")
@@ -81,6 +82,7 @@ def semantic_similarity(
     nodes: DataFrame,
     max_depth: int = 7,
     max_path: int | None = None,
+    closure: DataFrame | None = None,
 ) -> DataFrame:
     """All ancestrally-related node pairs with their lowest common
     ancestor, shortest ancestral path length, and Wu-Palmer similarity:
@@ -92,8 +94,13 @@ def semantic_similarity(
 
     One self-join of the closure on the ancestor key + one partial-
     aggregating min(struct) per pair + three depth attaches. wup is
-    rounded to 6 dp so the DuckDB twin hash-matches across engines."""
-    clo = _closure_with_self(edges, nodes, max_depth)
+    rounded to 6 dp so the DuckDB twin hash-matches across engines.
+
+    ``closure`` shares a precomputed _closure_with_self frame (its BFS
+    rounds are localCheckpointed, so all consumers reuse one
+    materialization) — composed scorers like Lin otherwise rebuild the
+    identical closure per component (r06: q160 built it 3×)."""
+    clo = closure if closure is not None else _closure_with_self(edges, nodes, max_depth)
     a = clo.select(
         F.col("node").alias("node_a"), "ancestor", F.col("depth").alias("da")
     )
@@ -108,7 +115,7 @@ def semantic_similarity(
             F.struct((F.col("da") + F.col("db")).alias("path_len"), "ancestor")
         ).alias("best")
     )
-    dep = node_depths(edges, nodes, max_depth)
+    dep = node_depths(edges, nodes, max_depth, closure=clo)
     return (
         best.select(
             "node_a",
@@ -137,6 +144,7 @@ def information_content(
     occurrences: DataFrame,
     node_col: str = "mesh_id",
     max_depth: int = 7,
+    closure: DataFrame | None = None,
 ) -> DataFrame:
     """Resnik information content from corpus mention frequencies:
 
@@ -152,7 +160,7 @@ def information_content(
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("n"))
     )
-    clo = _closure_with_self(edges, nodes, max_depth)
+    clo = closure if closure is not None else _closure_with_self(edges, nodes, max_depth)
     freq = (
         clo.join(cnt, "node")
         .groupBy("ancestor")

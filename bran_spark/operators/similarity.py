@@ -230,6 +230,10 @@ def kmeans_centroids(
                 ).alias("cv")
             )
             .select(F.col("cell").alias("cid"), "cv")
+            # k-row table: materializing it per Lloyd round costs nothing
+            # and stops round i+1's broadcast build from re-executing the
+            # whole round-i assignment chain (r06)
+            .localCheckpoint(eager=True)
         )
     return cents
 

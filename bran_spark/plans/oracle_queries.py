@@ -6631,14 +6631,20 @@ def q160(spark, sf):
     common ancestor is a near-root catch-all. Pairs with a
     never-mentioned endpoint or IC(a)+IC(b)=0 drop on both engines."""
     from bran_spark.operators.ontosim import (
+        _closure_with_self,
         information_content,
         lin_similarity,
         semantic_similarity,
     )
 
     edges, nodes, mentions = _onto_inputs(spark, sf)
-    sim = semantic_similarity(edges, nodes, max_depth=7)
-    ic = information_content(edges, nodes, mentions, node_col="mesh_id")
+    # one shared ancestor closure (its BFS rounds are checkpointed) —
+    # similarity, depths and IC otherwise rebuild it 3× (r06)
+    clo = _closure_with_self(edges, nodes, 7)
+    sim = semantic_similarity(edges, nodes, max_depth=7, closure=clo)
+    ic = information_content(
+        edges, nodes, mentions, node_col="mesh_id", closure=clo
+    )
     return lin_similarity(sim, ic)
 
 
