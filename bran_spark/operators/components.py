@@ -29,7 +29,14 @@ from pyspark.sql import functions as F
 
 
 def _large_star(edges: DataFrame) -> DataFrame:
-    """Connect every neighbor larger than u to min(Γ(u) ∪ {u})."""
+    """Connect every neighbor larger than u to min(Γ(u) ∪ {u}).
+
+    No dedup here (r06): the output is a bounded multiset (≤ one row per
+    symmetric-edge row, so ≤ 2|E|), the following small-star's window
+    min is multiset-insensitive, and small-star's closing DISTINCT
+    restores the set — dropping the intermediate distinct removes one
+    full exchange per round (measured ~20-30% off the whole loop at
+    sf0.1 with identical results)."""
     sym = edges.union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
     w = Window.partitionBy("u")
     m = F.least(F.col("u"), F.min("v").over(w))
@@ -38,7 +45,6 @@ def _large_star(edges: DataFrame) -> DataFrame:
         .where(F.col("v") > F.col("u"))
         .select(F.col("v").alias("u"), F.col("m").alias("v"))
         .where(F.col("u") != F.col("v"))
-        .distinct()
     )
 
 

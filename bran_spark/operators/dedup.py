@@ -159,6 +159,11 @@ def _shingle_common_sizes(
     if sample_mod:
         coin = F.conv(F.substring(F.md5("shingle"), 1, 8), 16, 10).cast("long")
         sh = sh.where(coin % sample_mod == 0)
+    # materialized once (r06): the inverted index feeds FOUR consumers
+    # (per-doc sizes, the hot-shingle df pass, and both self-join sides)
+    # — lazily each one re-ran the shingle split+explode over the corpus,
+    # ~2.5-4 s per replay at sf0.1
+    sh = sh.localCheckpoint(eager=True)
     sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
     hot = sh.groupBy("shingle").agg(F.count("*").alias("df")).where(
         F.col("df") > max_df

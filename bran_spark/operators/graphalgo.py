@@ -150,7 +150,13 @@ def project_bipartite(
     some ``dst`` node links both. Pivot nodes with degree > max_pivot_deg are
     dropped FIRST (broadcast anti-join of the tiny hot set) — each pivot of
     degree d yields C(d,2) edges, so the cut is the quadratic-blowup bound."""
-    e = pairs.select(F.col(src).alias("s"), F.col(dst).alias("p")).distinct()
+    # materialized once (r06): consumed by the hot-pivot pass and both
+    # self-join sides — lazily the distinct re-ran per reference
+    e = (
+        pairs.select(F.col(src).alias("s"), F.col(dst).alias("p"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     hot = (
         e.groupBy("p")
         .agg(F.count("*").alias("d"))
@@ -210,6 +216,10 @@ def triangle_counts(edges: DataFrame, broadcast_keys: bool = False) -> DataFrame
     ``broadcast_keys=True`` only for dimension-sized vertex sets (e.g. the
     ~30k-node MeSH vocabulary) where skipping the two shuffles is worth it;
     the orientation math is identical either way."""
+    # edges feed the degree pass AND the two key-attach joins — a lazy
+    # caller plan (e.g. q57's bipartite projection) would re-execute per
+    # reference (r06)
+    edges = edges.localCheckpoint(eager=True)
     oriented = oriented_edges(edges, broadcast_keys).localCheckpoint(
         eager=True
     )  # consumed by three branches below
@@ -630,9 +640,14 @@ def adamic_adar(
     inside the aggregate before it reaches the join. Returns
     (u, v, common, aa_score) with u < v, score rounded 6dp.
     """
+    # sym feeds the adjacency, the degree pass and the known-edge
+    # anti-join; nzk feeds both wedge sides — materialize each once (r06)
+    sym = sym.localCheckpoint(eager=True)
     nz = sym.select(F.col("u").alias("z"), F.col("v").alias("x"))
     deg = nz.groupBy("z").agg(F.count(F.lit(1)).alias("deg"))
-    nzk = nz.join(deg.where(F.col("deg") <= max_hub_deg), "z")
+    nzk = nz.join(deg.where(F.col("deg") <= max_hub_deg), "z").localCheckpoint(
+        eager=True
+    )
     a = nzk.select("z", F.col("x").alias("xa"), "deg")
     b = nzk.select("z", F.col("x").alias("xb"))
     cand = (
@@ -717,6 +732,10 @@ def luby_mis(sym: DataFrame, max_rounds: int = 8) -> DataFrame:
     def pr(c: Column) -> Column:
         return F.concat(F.md5(c), c)
 
+    # materialize the edge list once — it is semi-joined twice per round
+    # and a lazy caller plan (symmetric_edges' union+distinct) would
+    # otherwise re-execute 2×/round (r06)
+    sym = sym.localCheckpoint(eager=True)
     nodes = sym.select("u").distinct()
     active = nodes.localCheckpoint(eager=True)
     mis = None
@@ -725,9 +744,11 @@ def luby_mis(sym: DataFrame, max_rounds: int = 8) -> DataFrame:
         if active.isEmpty():
             converged = True
             break
+        # consumed twice (nbrmax + neighbor deactivation) — checkpoint so
+        # the two semi-joins run once per round
         act_e = sym.join(active, "u", "left_semi").join(
             active.withColumnRenamed("u", "v"), "v", "left_semi"
-        )
+        ).localCheckpoint(eager=True)
         nbrmax = act_e.groupBy("u").agg(F.max(pr(F.col("v"))).alias("mx"))
         sel = (
             active.join(nbrmax, "u", "left")
@@ -2605,7 +2626,8 @@ def scc(
             eager=True
         )
         a, b = ("u", "v") if forward else ("v", "u")
-        for _ in range(max_hops):
+
+        def _hop(lab):
             upd = (
                 ed.join(
                     lab.select(F.col("node").alias(a), "lab"), a
@@ -2613,16 +2635,18 @@ def scc(
                 .groupBy(F.col(b).alias("node"))
                 .agg(F.min("lab").alias("nlab"))
             )
-            nxt = (
-                lab.join(upd, "node", "left")
-                .select(
-                    "node",
-                    F.least(
-                        F.col("lab"), F.coalesce("nlab", F.col("lab"))
-                    ).alias("lab"),
-                )
-                .localCheckpoint(eager=True)
+            return lab.join(upd, "node", "left").select(
+                "node",
+                F.least(
+                    F.col("lab"), F.coalesce("nlab", F.col("lab"))
+                ).alias("lab"),
             )
+
+        # one hop per materialization: a 2-hop lazy batch was measured
+        # SLOWER (each hop references lab twice, so the un-materialized
+        # inner hop re-executes — ~3 hop-computations per 2 hops) (r06)
+        for _ in range(max_hops):
+            nxt = _hop(lab).localCheckpoint(eager=True)
             changed = (
                 nxt.join(lab.withColumnRenamed("lab", "old"), "node")
                 .where(F.col("lab") != F.col("old"))
