@@ -14,6 +14,14 @@ test:
 oracle:
 	PYTHONPATH=. $(PY) tools/oracle_check.py --sf-dir /root/testdata/sf0.01
 
+# full 301-entry registry mirror in three ~5-min slices (VERDICT r5 #7:
+# chunking keeps the full mirror runnable without a 20-min monolith; last
+# full-mirror wall recorded in BENCH/BASELINE.md)
+mirror:
+	PYTHONPATH=. $(PY) tools/oracle_check.py --sf-dir /root/testdata/sf0.01 --chunk 1/3
+	PYTHONPATH=. $(PY) tools/oracle_check.py --sf-dir /root/testdata/sf0.01 --chunk 2/3
+	PYTHONPATH=. $(PY) tools/oracle_check.py --sf-dir /root/testdata/sf0.01 --chunk 3/3
+
 bench:
 	$(PY) bench.py
 

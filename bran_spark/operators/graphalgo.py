@@ -957,11 +957,18 @@ def mine_path_rules(
     full (subj, pred, obj) shuffle) — pass it when the caller's triple
     view is distinct by construction (e.g. the lifted relational KG,
     whose per-branch PK-dedup guarantees it).
+
+    ``t`` is materialized via localCheckpoint, NOT persist() (r06): the
+    cached-relation form measured 20–24 s vs 9–10 s for the whole miner
+    at sf0.1 — an InMemoryRelation referenced from four branches defeats
+    AQE shuffle-stage reuse (the personalized_pagerank finding). The
+    body keeps persist(): with t severed it showed no such penalty and
+    edged out its checkpointed form in the same A/B.
     """
     t = triples.select("subj", "pred", "obj")
     if not assume_distinct:
         t = t.distinct()
-    t = t.persist()
+    t = t.localCheckpoint(eager=True)
     if body is None:
         t1 = t
         t2 = t

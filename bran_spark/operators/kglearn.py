@@ -95,19 +95,23 @@ def transe_rank_eval(
     ``cand_sample_mod=m`` additionally confines the candidate pool to
     c == o or md5(c~s|p) % m == 0 — the sampled-negatives protocol that
     bounds the expansion when a tail type is corpus-scale."""
-    # persist (not localCheckpoint): trip is consumed three times (test
-    # sample, candidate pool, filter side) and the upstream union+DISTINCT
-    # costs ~2 s/evaluation at sf0.1. An InMemoryRelation keeps Catalyst's
-    # DeduplicateRelations on its standard cached-self-join path — a
-    # LogicalRDD leaf (localCheckpoint) reused 3× is exactly the
-    # relation-dedup landmine the comments below document.
+    # localCheckpoint (r06): trip is consumed three times (test sample,
+    # candidate pool, true-tail attach). The previous persist() form
+    # measured ~2× slower (10.2 s vs 5.2 s cold, 5.6 vs 4.8 warm at
+    # sf0.1) — an InMemoryRelation referenced from several branches
+    # defeats AQE shuffle-stage reuse (the personalized_pagerank
+    # finding). The historical relation-dedup landmine that motivated
+    # persist() (LogicalRDD reused 3× under the window+filter-join rank
+    # shape) no longer applies to the inclusion–exclusion shape below,
+    # whose true-tail side joins through a SEVERED renamed leaf;
+    # test_kglearn's test_sample_mod=1 cases gate this.
     # assume_distinct=True skips the defensive DISTINCT shuffle for
     # callers whose triple view is distinct by construction (the lifted
-    # relational KG) — the persist stays either way.
+    # relational KG).
     trip = triples.select("subj", "pred", "obj")
     if not assume_distinct:
         trip = trip.distinct()
-    trip = trip.persist()
+    trip = trip.localCheckpoint(eager=True)
     # single-reference entity pool (explode, not a two-branch union): the
     # input relation already appears 3× in this plan (test, filter,
     # pool); a 4th copy trips Catalyst's relation dedup on in-memory
@@ -364,7 +368,15 @@ def feature_propagation(
     a 10^12-edge join from going quadratic on hub entities (same policy
     as the shingle df-cut in dedup.py). Returns
     (ent, in_deg, f1_mean, n_paths2, f2_mean)."""
-    e = edges.select(F.col("subj").alias("src"), F.col("obj").alias("dst")).distinct()
+    # materialized once (r06): the distinct edge view feeds FIVE
+    # consumers (1-hop aggregate, the two mid-degree passes, and both
+    # sides of the 2-hop self-join) — lazily each re-ran the upstream
+    # union + distinct
+    e = (
+        edges.select(F.col("subj").alias("src"), F.col("obj").alias("dst"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     f0 = lambda c: md5int8(F.col(c)) % 1000  # noqa: E731
 
     hop1 = e.groupBy(F.col("dst").alias("ent")).agg(

@@ -58,7 +58,12 @@ def sameas_rewrite(
     joins, and its closing distinct would otherwise re-shuffle per
     consumption (the star-contraction rounds themselves are
     localCheckpointed inside connected_components and never replay)."""
-    canon = connected_components(sameas, src=src, dst=dst).persist()
+    # localCheckpoint, not persist (r06): both rewrite joins read it, and
+    # the cached-relation form measured slower cold with no warm upside
+    # (AQE stage-reuse penalty — see personalized_pagerank)
+    canon = connected_components(sameas, src=src, dst=dst).localCheckpoint(
+        eager=True
+    )
     rewritten = (
         triples.select(
             F.col("subj").alias("subj0"),

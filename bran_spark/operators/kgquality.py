@@ -650,11 +650,14 @@ def entity_summarization(
     ``assume_distinct=True`` skips the defensive input DISTINCT for
     callers whose triple view is distinct by construction. ``t`` feeds
     three consumers (both count aggregates + the scored join), so it is
-    persisted — without that the whole upstream plan re-executes 3×."""
+    materialized once via localCheckpoint — NOT persist(): an
+    InMemoryRelation here measured 11 s vs 3.3 s checkpointed vs 4.3 s
+    fully lazy at sf0.1 (cached relations defeat AQE stage reuse — the
+    same finding as personalized_pagerank's seeded table)."""
     t = triples.select("subj", "pred", "obj")
     if not assume_distinct:
         t = t.distinct()
-    t = t.persist()
+    t = t.localCheckpoint(eager=True)
     by_pred = t.groupBy("pred").agg(
         F.count(F.lit(1)).cast("long").alias("n_pred")
     )

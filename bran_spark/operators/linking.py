@@ -298,12 +298,15 @@ def mention_dict_candidates(
     dimension-scale by contract, so its blocked name rows pre-aggregate
     to ONE row per (block, mesh_id) — canon and entry type are constant
     per mesh_id, the block's names collapse to a set — and that table
-    is BROADCAST. Each mention then meets each candidate entry exactly
-    once (a mention has one block), so the agreement flags are a pure
-    projection: zero shuffles, no corpus-sized groupBy. The previous
-    shape shuffle-joined the corpus on the ~|alphabet|^prefix_len block
-    key (low-cardinality → skewed exchange) and re-aggregated the
-    multi-synonym fan-out per pair (~5.5M-row groupBy at sf0.1).
+    is broadcast EXPLICITLY (auto-broadcast already fired at fixture
+    scale, but post-explode size estimates are not to be trusted, and
+    the low-cardinality block key must never become a shuffle key).
+    Each mention then meets each candidate entry exactly once (a
+    mention has one block), so the agreement flags are a pure
+    projection. The removed cost is the old per-pair re-aggregation:
+    the multi-synonym fan-out (~5.5M rows at sf0.1) crossed a full
+    (mention_id, mesh_id) groupBy exchange just to OR the flags back
+    down to one row per pair.
     """
     names = (
         mesh_dict.select(

@@ -4176,7 +4176,10 @@ def q112(spark, sf):
     (operators/graphalgo.weighted_sssp)."""
     from bran_spark.operators.graphalgo import weighted_sssp
 
-    inc = _fx_entity_incidence(spark, sf)
+    # materialized once (r06): the incidence DISTINCT feeds both join
+    # sides — filters push below the aggregate, so the two branches were
+    # two separate distinct exchanges over the mention table
+    inc = _fx_entity_incidence(spark, sf).localCheckpoint(eager=True)
     a = inc.where(F.col("type") == "Chemical").select(
         "doc_id", F.col("mesh_id").alias("subj")
     )
