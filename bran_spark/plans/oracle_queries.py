@@ -17,6 +17,8 @@ SQL-expressible — model forward passes, hash-function-specific ops).
 
 from __future__ import annotations
 
+import functools
+
 from typing import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -53,10 +55,30 @@ ORACLE: dict[str, str] = {}
 
 def _q(name: str, sql: str | None = None):
     def deco(fn):
-        QUERIES[name] = fn
+        # Session hygiene (r06, guide §5 "unpersist when done"): operators
+        # persist() intermediates that are consumed multiple times WITHIN
+        # one returned plan, but the consumer's action runs after the
+        # operator returns, so no operator can unpersist its own cache.
+        # In a long-lived session that runs many registry queries back to
+        # back (bench.py times 85 of them), those InMemoryRelations pile
+        # up in the shared CacheManager: storageFraction-protected memory
+        # shrinks the execution pool and late queries spill (q138 measured
+        # 22.6 s in-bench vs ~8 s solo on an identical plan). Each query
+        # therefore drops every cached relation leaked by its predecessors
+        # on entry. localCheckpoint blocks (e.g. the _FX_MEMO fixture
+        # memo) live outside the CacheManager and are untouched.
+        @functools.wraps(fn)
+        def wrapped(spark, sf_dir):
+            try:
+                spark.catalog.clearCache()
+            except Exception:
+                pass  # never let hygiene break a query (e.g. mock sessions)
+            return fn(spark, sf_dir)
+
+        QUERIES[name] = wrapped
         if sql is not None:
             ORACLE[name] = sql
-        return fn
+        return wrapped
 
     return deco
 
