@@ -744,11 +744,15 @@ def luby_mis(sym: DataFrame, max_rounds: int = 8) -> DataFrame:
         if active.isEmpty():
             converged = True
             break
-        # consumed twice (nbrmax + neighbor deactivation) — checkpoint so
-        # the two semi-joins run once per round
+        # the active-restricted edge list feeds ONLY the priority max:
+        # neighbor deactivation below can read raw ``sym`` because its
+        # result is anti-joined against ``active`` anyway (sel ⊆ active
+        # pins the v side; inactive u's drop out in the anti-join), so
+        # act_e no longer needs a per-round checkpoint — one fewer
+        # edge-list materialization + driver job per round (r06)
         act_e = sym.join(active, "u", "left_semi").join(
             active.withColumnRenamed("u", "v"), "v", "left_semi"
-        ).localCheckpoint(eager=True)
+        )
         nbrmax = act_e.groupBy("u").agg(F.max(pr(F.col("v"))).alias("mx"))
         sel = (
             active.join(nbrmax, "u", "left")
@@ -757,7 +761,7 @@ def luby_mis(sym: DataFrame, max_rounds: int = 8) -> DataFrame:
             .localCheckpoint(eager=True)
         )
         mis = sel if mis is None else mis.union(sel)
-        nbr_of_sel = act_e.join(
+        nbr_of_sel = sym.join(
             sel.withColumnRenamed("u", "v"), "v", "left_semi"
         ).select("u")
         active = (
@@ -2642,11 +2646,18 @@ def scc(
                 .groupBy(F.col(b).alias("node"))
                 .agg(F.min("lab").alias("nlab"))
             )
+            # chg rides the checkpointed hop output so convergence needs
+            # only a filter scan of the checkpoint — not a second
+            # join-the-previous-round job per hop (r06)
             return lab.join(upd, "node", "left").select(
                 "node",
                 F.least(
                     F.col("lab"), F.coalesce("nlab", F.col("lab"))
                 ).alias("lab"),
+                (
+                    F.col("nlab").isNotNull()
+                    & (F.col("nlab") < F.col("lab"))
+                ).alias("chg"),
             )
 
         # one hop per materialization: a 2-hop lazy batch was measured
@@ -2654,13 +2665,8 @@ def scc(
         # inner hop re-executes — ~3 hop-computations per 2 hops) (r06)
         for _ in range(max_hops):
             nxt = _hop(lab).localCheckpoint(eager=True)
-            changed = (
-                nxt.join(lab.withColumnRenamed("lab", "old"), "node")
-                .where(F.col("lab") != F.col("old"))
-                .limit(1)
-                .count()
-            )
-            lab = nxt
+            changed = nxt.where("chg").limit(1).count()
+            lab = nxt.select("node", "lab")
             if changed == 0:
                 return lab
         raise RuntimeError(

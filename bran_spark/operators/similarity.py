@@ -533,16 +533,31 @@ def _pq_subvectors(emb, b, width, id_col, vec_col):
 def _pq_codebooks(emb, m, k, iters, id_col, vec_col, d):
     """One trained (cid, cv) codebook table per block. d must split evenly
     into m blocks — a silent remainder would drop trailing dimensions from
-    every code and search."""
+    every code and search.
+
+    The m block trainings are independent (disjoint sub-vector slices)
+    and each Lloyd round materializes its k-row centroid table eagerly,
+    so training blocks sequentially serializes m·iters tiny driver jobs.
+    They are submitted from a small thread pool instead (guide §2.6 —
+    concurrent jobs back-fill the executors): per-block results are
+    bit-identical either way (the rounds within one block stay ordered;
+    blocks share nothing), and the returned list order is restored by
+    index. r06 interleaved A/B at sf0.1 (3 timed samples each):
+    q99 encode 3.6–3.9 → 1.5–1.7 s, q100 ADC 4.5–5.0 → 2.5–2.7 s."""
     if d % m != 0:
         raise ValueError(f"d={d} not divisible by m={m} blocks")
     width = d // m
-    return [
-        kmeans_centroids(
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _train(b: int):
+        return kmeans_centroids(
             _pq_subvectors(emb, b, width, id_col, vec_col), k=k, iters=iters
         )
-        for b in range(m)
-    ]
+
+    if m == 1:
+        return [_train(0)]
+    with ThreadPoolExecutor(max_workers=min(m, 4)) as pool:
+        return list(pool.map(_train, range(m)))
 
 
 def _pq_encode(emb, codebooks, m, id_col, vec_col, d):
