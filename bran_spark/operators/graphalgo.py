@@ -2213,6 +2213,7 @@ def node2vec_walks(
     q: float = 1.0,
     n_walks: int = 2,
     walk_len: int = 3,
+    truncate_every: int = 0,
 ) -> DataFrame:
     """Second-order biased random walks (node2vec; Grover & Leskovec,
     KDD 2016) — deterministic_walks' upgrade from DeepWalk to the p/q
@@ -2242,18 +2243,27 @@ def node2vec_walks(
     engine-exact."""
     inv_p = int(round(1000000.0 / p))
     inv_q = int(round(1000000.0 / q))
-    # adj is referenced 2×/step plus the seed/step-1 joins, and the step
-    # outputs are UNIONed into one plan — exactly the shared-subtree +
-    # nested-lambda shape that trips Catalyst's relation dedup into
-    # silently mis-binding lambda attributes on in-memory lineages (the
-    # q248 corner: parquet scans mint fresh ids and never hit it).
-    # Checkpointing adj and each step's state gives every reference its
-    # own LogicalRDD with unique attribute ids AND truncates the
-    # otherwise multiplicatively-growing walk lineage (the same
-    # per-round truncation pagerank/luby use).
+    # adj is referenced 2×/step plus the seed/step-1 joins — checkpointed
+    # so every reference reads one materialized table. The per-STEP state
+    # checkpoints that used to ride along were re-measured in r06: since
+    # the candidate scoring moved from array_max-over-transform() to
+    # explode + grouped max (see below), no lambda HOF remains in the
+    # step expressions, so the Catalyst relation-dedup/lambda mis-binding
+    # landmine that originally motivated them cannot bite, and composing
+    # the (short, default 3-step) walk lazily lets AQE reuse the repeated
+    # exchange subtrees instead of paying an eager driver job per step —
+    # interleaved A/B at sf0.1: 4.9–5.4 s → 3.6–3.7 s, rows bit-identical
+    # (tests/test_r6_opt.py). ``truncate_every=k`` restores lineage
+    # truncation every k steps for DEEP walks, where the lazy plan's
+    # step-in-step recompute is O(walk_len²).
     adj = sym.groupBy("u").agg(
         F.sort_array(F.collect_set("v")).alias("nbrs")
     ).localCheckpoint(eager=True)
+
+    def _trunc(df: DataFrame, step_no: int) -> DataFrame:
+        if truncate_every and step_no % truncate_every == 0:
+            return df.localCheckpoint(eager=True)
+        return df
     state = (
         adj.select(F.col("u").alias("start"))
         .select(
@@ -2275,7 +2285,7 @@ def node2vec_walks(
         ),
         16, 10,
     ).cast("long")
-    state = (
+    state = _trunc(
         state.join(adj, state["cur"] == adj["u"])
         .select(
             "start",
@@ -2284,8 +2294,8 @@ def node2vec_walks(
             F.element_at(
                 F.col("nbrs"), (idx % F.size("nbrs") + 1).cast("int")
             ).alias("cur"),
-        )
-        .localCheckpoint(eager=True)
+        ),
+        1,
     )
     out = out.union(
         state.select(
@@ -2312,6 +2322,8 @@ def node2vec_walks(
         # q248 relation-dedup one). Plain per-row expressions cannot
         # mis-bind; the price is one (start, walk_id)-keyed shuffle per
         # step, the same cadence every iterative graph op here pays.
+        # (This lambda-free shape is also what makes the lazy step
+        # composition above safe — see the adj note.)
         w = F.col("w")
         wt = (
             F.when(w == F.col("prev"), F.lit(inv_p))
@@ -2342,7 +2354,7 @@ def node2vec_walks(
             "start", "walk_id", "cur",
             F.struct(score.alias("s"), w.alias("w")).alias("sw"),
         )
-        state = (
+        state = _trunc(
             cand.groupBy("start", "walk_id", "cur")
             .agg(F.max("sw").alias("mx"))
             .select(
@@ -2350,8 +2362,8 @@ def node2vec_walks(
                 "walk_id",
                 F.col("cur").alias("prev"),
                 F.col("mx").getField("w").alias("cur"),
-            )
-            .localCheckpoint(eager=True)
+            ),
+            t,
         )
         out = out.union(
             state.select(

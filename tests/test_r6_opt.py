@@ -298,3 +298,27 @@ def test_lazy_loops_match_truncated(spark):
         weighted_sssp(wedges, seeds, iters=3, truncate_every=1),
         ["entity", "dist"],
     )
+
+
+def test_node2vec_lazy_matches_truncated(spark):
+    """r06b: node2vec steps compose lazily by default (the step
+    expressions are lambda-HOF-free, so the relation-dedup mis-binding
+    that motivated per-step checkpoints cannot bite); truncate_every=1
+    replays the old per-step-checkpointed shape bit-identically."""
+    from bran_spark.operators.graphalgo import node2vec_walks, symmetric_edges
+
+    pairs = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a"), ("c", "d"), ("d", "e"),
+         ("e", "a"), ("b", "d")],
+        ["subj", "obj"],
+    )
+    sym = symmetric_edges(pairs)
+    cols = ["start", "walk_id", "step", "node"]
+    assert _rows(
+        node2vec_walks(sym, p=4.0, q=0.25, n_walks=2, walk_len=4), cols
+    ) == _rows(
+        node2vec_walks(
+            sym, p=4.0, q=0.25, n_walks=2, walk_len=4, truncate_every=1
+        ),
+        cols,
+    )
