@@ -406,18 +406,27 @@ def embedding_neardup_pairs(
     vecs = emb.select(
         ids, F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v")
     )
-    va = vecs.select(F.col("id").alias("id_a"), F.col("v").alias("va"))
-    vb = vecs.select(F.col("id").alias("id_b"), F.col("v").alias("vb"))
     dot = F.aggregate(
         F.zip_with("va", "vb", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
     )
     norm = lambda c: F.sqrt(  # noqa: E731
         F.aggregate(F.transform(c, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x)
     )
+    # norms ride the per-id sides (computed once per vector, not once per
+    # candidate pair — same doubles, same fold order, so the >= filter
+    # and the rounded output are bit-unchanged; the q110 finding)
+    va = vecs.select(
+        F.col("id").alias("id_a"), F.col("v").alias("va"),
+        norm(F.col("v")).alias("na"),
+    )
+    vb = vecs.select(
+        F.col("id").alias("id_b"), F.col("v").alias("vb"),
+        norm(F.col("v")).alias("nb"),
+    )
     return (
         cand.join(va, "id_a")
         .join(vb, "id_b")
-        .withColumn("cos", dot / (norm(F.col("va")) * norm(F.col("vb"))))
+        .withColumn("cos", dot / (F.col("na") * F.col("nb")))
         .where(F.col("cos") >= min_cos)
         .select("id_a", "id_b", F.round("cos", 6).alias("cos"))
     )
@@ -857,13 +866,28 @@ def _intra_cell_cosine_pairs(cells: DataFrame, threshold: float) -> DataFrame:
     semdedup_pairs (the audit view) and semantic_dedup (the survivor
     sweep). Cosine rounded 6 dp BEFORE the threshold so boundary pairs
     cut identically across engines."""
-    from bran_spark.operators.similarity import cosine
+    from bran_spark.operators.similarity import dot, norm
 
+    # r06b: norms are computed ONCE per vector on each |cell|-sized side
+    # instead of once per PAIR inside the quadratic join — identical
+    # doubles (same expression, same fold order), so the 6-dp rounded
+    # cosine is bit-unchanged, and 2/3 of the per-pair flops disappear.
+    # Interleaved A/B at sf0.1 (q110 end to end): 4.8–5.1 → 3.0–3.4 s.
+    # The per-pair dot stays in the higher-order-function form: the
+    # unrolled element_at chain that wins at d=8 (q248) LOSES at d=64
+    # (7.8–8.2 s in the same A/B — the ~200-node expression tree falls
+    # out of efficient codegen, while the HOF loop stays tight).
     a = cells.select(
-        "cell", F.col("vec_id").alias("id_a"), F.col("v").alias("va")
+        "cell",
+        F.col("vec_id").alias("id_a"),
+        F.col("v").alias("va"),
+        norm(F.col("v")).alias("na"),
     )
     b = cells.select(
-        "cell", F.col("vec_id").alias("id_b"), F.col("v").alias("vb")
+        "cell",
+        F.col("vec_id").alias("id_b"),
+        F.col("v").alias("vb"),
+        norm(F.col("v")).alias("nb"),
     )
     return (
         a.join(b, "cell")
@@ -872,7 +896,11 @@ def _intra_cell_cosine_pairs(cells: DataFrame, threshold: float) -> DataFrame:
             "cell",
             "id_a",
             "id_b",
-            F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cos"),
+            F.round(
+                dot(F.col("va"), F.col("vb"))
+                / (F.col("na") * F.col("nb")),
+                6,
+            ).alias("cos"),
         )
         .where(F.col("cos") >= threshold)
     )

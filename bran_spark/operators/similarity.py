@@ -23,16 +23,38 @@ def _as_double(col: Column) -> Column:
     return F.transform(col, lambda x: x.cast("double"))
 
 
-def dot(a: Column, b: Column) -> Column:
+def dot(a: Column, b: Column, d: "int | None" = None) -> Column:
+    """Dot product of two array columns. With ``d`` (the known vector
+    dimension) the sum is UNROLLED into a chain of element_at
+    multiply-adds — plain per-row expressions that stay inside
+    whole-stage codegen, measured ~3× faster than the aggregate/zip_with
+    higher-order form at SMALL d (d=8, the q248 finding). The fold order
+    is identical (acc = 0.0, then + a_i·b_i in index order), so both
+    forms are bit-identical. CAUTION: at d=64 the unrolled form measured
+    ~2.4× SLOWER than the HOF on the q110 pair scan (the ~200-node
+    expression tree falls out of efficient codegen) — only pass ``d``
+    for narrow vectors, and A/B anything in between."""
+    if d is not None:
+        out: Column = F.lit(0.0)
+        for i in range(1, d + 1):
+            out = out + F.element_at(a, i) * F.element_at(b, i)
+        return out
     return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x)
 
 
-def norm(a: Column) -> Column:
+def norm(a: Column, d: "int | None" = None) -> Column:
+    """L2 norm; same unrolled-vs-HOF contract as :func:`dot`."""
+    if d is not None:
+        out: Column = F.lit(0.0)
+        for i in range(1, d + 1):
+            e = F.element_at(a, i)
+            out = out + e * e
+        return F.sqrt(out)
     return F.sqrt(F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda s, x: s + x))
 
 
-def cosine(a: Column, b: Column) -> Column:
-    return dot(a, b) / (norm(a) * norm(b))
+def cosine(a: Column, b: Column, d: "int | None" = None) -> Column:
+    return dot(a, b, d) / (norm(a, d) * norm(b, d))
 
 
 def sign_bucket(
@@ -391,15 +413,26 @@ def ann_knn_join(
         .dropDuplicates()
     )
     vecs = emb.select(ids, _as_double(F.col(vec_col)).alias("v"))
-    va = vecs.select(F.col("id").alias("id_a"), F.col("v").alias("va"))
-    vb = vecs.select(F.col("id").alias("id_b"), F.col("v").alias("vb"))
+    # norms computed once per vector on the id-keyed sides, not once per
+    # candidate pair (bit-identical — the q110 finding)
+    va = vecs.select(
+        F.col("id").alias("id_a"), F.col("v").alias("va"),
+        norm(F.col("v")).alias("na"),
+    )
+    vb = vecs.select(
+        F.col("id").alias("id_b"), F.col("v").alias("vb"),
+        norm(F.col("v")).alias("nb"),
+    )
     scored = (
         cand.join(va, "id_a")
         .join(vb, "id_b")
         .select(
             "id_a",
             "id_b",
-            F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cos"),
+            F.round(
+                dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")),
+                6,
+            ).alias("cos"),
         )
     )
     w = Window.partitionBy("id_a").orderBy(F.desc("cos"), F.asc("id_b"))
