@@ -368,15 +368,15 @@ def feature_propagation(
     a 10^12-edge join from going quadratic on hub entities (same policy
     as the shingle df-cut in dedup.py). Returns
     (ent, in_deg, f1_mean, n_paths2, f2_mean)."""
-    # materialized once (r06): the distinct edge view feeds FIVE
-    # consumers (1-hop aggregate, the two mid-degree passes, and both
-    # sides of the 2-hop self-join) — lazily each re-ran the upstream
-    # union + distinct
-    e = (
-        edges.select(F.col("subj").alias("src"), F.col("obj").alias("dst"))
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
+    # lazy on purpose (re-measured r06b): the distinct edge view feeds
+    # five consumers, but they all hang off the SAME distinct-exchange
+    # subtree, which AQE materializes once and reuses — an eager
+    # localCheckpoint here only added a serial barrier + block-manager
+    # write (interleaved A/B at sf0.1: ckpt 2.6–3.0 s vs lazy 2.1–2.4 s
+    # for q249 end to end)
+    e = edges.select(
+        F.col("subj").alias("src"), F.col("obj").alias("dst")
+    ).distinct()
     f0 = lambda c: md5int8(F.col(c)) % 1000  # noqa: E731
 
     hop1 = e.groupBy(F.col("dst").alias("ent")).agg(
