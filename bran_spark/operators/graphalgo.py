@@ -2715,8 +2715,19 @@ def scc(
         if active_nodes.limit(1).count() == 0:
             break
         # ---- min-label both directions, peel the agreeing SCCs
-        f = _min_label_fixpoint(active_nodes, e, forward=True)
-        bk = _min_label_fixpoint(active_nodes, e, forward=False)
+        # the forward and backward fixpoints are independent (both read
+        # only the frozen active_nodes/e checkpoints), so their per-hop
+        # job streams run from two driver threads and interleave on the
+        # executors (guide §2.6 — the PQ-codebook pattern). Results are
+        # bit-identical: each loop's hops stay ordered within its thread.
+        # Interleaved A/B at sf0.1 (q281, rows identical): 5.6–6.4 s
+        # sequential → 3.7–4.2 s overlapped.
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            f_fut = pool.submit(_min_label_fixpoint, active_nodes, e, True)
+            b_fut = pool.submit(_min_label_fixpoint, active_nodes, e, False)
+            f, bk = f_fut.result(), b_fut.result()
         resolved = (
             f.join(bk.withColumnRenamed("lab", "blab"), "node")
             .where(F.col("lab") == F.col("blab"))
